@@ -1,0 +1,318 @@
+"""Recovering, event-driven XML tokenizer → DOM.
+
+A from-scratch equivalent of the reference's parse core
+(`xmlReadMemory(..., RECOVER | NOWARNING | NOERROR)`,
+kylehughes/Fuzi Sources/Document.swift:125-140): malformed input yields a
+best-effort tree, never an exception — except fully-empty input, which is
+`parserFailure` (Tests/XMLTests.swift:97-106). Runs only inside Arrow-batch
+UDFs; one call parses one document string.
+
+Recovery rules (pinned by Tests/ActorHardeningTests.swift):
+- truncated mid-tag at EOF → partial tag dropped, open elements auto-closed (:45-55)
+- mismatched close tag → pop-to-match if an ancestor matches, else ignored (:57-66)
+- null bytes / invalid chars in content → kept as-is (:79-87)
+- DTD internal subset: scanned for <!ENTITY> declarations which are then
+  resolved in content (the W3C xml.xml fixture relies on this)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from .dom import Comment, Document, Element, PI, Text
+from .errors import XMLError, ERR_DOCUMENT_EMPTY
+
+_NAME_RE = re.compile(r"[^\s/>=]+")
+_ATTR_RE = re.compile(
+    r"""\s*([^\s/>=]+)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
+)
+_ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]+|#[0-9]+|[A-Za-z_][\w.\-]*);")
+_ENTITY_DECL_RE = re.compile(
+    r"""<!ENTITY\s+([\w.\-]+)\s+(?:"([^"]*)"|'([^']*)')""", re.S
+)
+_XMLDECL_RE = re.compile(
+    r"""<\?xml\s+version\s*=\s*["']([^"']*)["']"""
+    r"""(?:\s+encoding\s*=\s*["']([^"']*)["'])?""",
+    re.S,
+)
+
+_PREDEFINED = {"lt": "<", "gt": ">", "amp": "&", "quot": '"', "apos": "'"}
+
+
+def decode_bytes(data: bytes) -> str:
+    """BOM sniff + declared-encoding decode, permissive fallback."""
+    if data.startswith(b"\xef\xbb\xbf"):
+        return data[3:].decode("utf-8", errors="replace")
+    if data.startswith(b"\xff\xfe"):
+        return data.decode("utf-16-le", errors="replace")
+    if data.startswith(b"\xfe\xff"):
+        return data.decode("utf-16-be", errors="replace")
+    head = data[:200]
+    m = re.search(rb'encoding\s*=\s*["\']([A-Za-z0-9._\-]+)["\']', head)
+    if m:
+        try:
+            return data.decode(m.group(1).decode("ascii"), errors="replace")
+        except LookupError:
+            pass
+    return data.decode("utf-8", errors="replace")
+
+
+class _Scanner:
+    __slots__ = ("s", "i", "n", "line")
+
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+        self.n = len(s)
+        self.line = 1
+
+    def advance(self, j: int) -> None:
+        self.line += self.s.count("\n", self.i, j)
+        self.i = j
+
+
+def _resolve_entities(text: str, entities: dict[str, str]) -> str:
+    if "&" not in text:
+        return text
+
+    def sub(m: re.Match) -> str:
+        e = m.group(1)
+        if e.startswith("#x") or e.startswith("#X"):
+            try:
+                return chr(int(e[2:], 16))
+            except (ValueError, OverflowError):
+                return m.group(0)
+        if e.startswith("#"):
+            try:
+                return chr(int(e[1:]))
+            except (ValueError, OverflowError):
+                return m.group(0)
+        if e in _PREDEFINED:
+            return _PREDEFINED[e]
+        if e in entities:
+            # entity values may themselves contain references (one level of
+            # recursion covers the W3C spec fixture's nested entities)
+            return _resolve_entities(entities[e], entities)
+        return m.group(0)  # unknown entity: keep literal (recover mode)
+
+    return _ENTITY_RE.sub(sub, text)
+
+
+def parse_xml(source, user_namespaces: Optional[dict[str, str]] = None) -> Document:
+    """Parse an XML string/bytes into a Document. Never raises on malformed
+    content; raises XMLError(parserFailure) only for empty/whitespace input,
+    matching the reference (Tests/XMLTests.swift:97-106)."""
+    if isinstance(source, (bytes, bytearray)):
+        source = decode_bytes(bytes(source))
+    if source.startswith("﻿"):
+        source = source[1:]
+    doc = Document(is_html=False)
+    if user_namespaces:
+        doc.namespaces.update(user_namespaces)
+    if not source.strip():
+        raise XMLError(ERR_DOCUMENT_EMPTY, "Document is empty")
+
+    entities: dict[str, str] = {}
+    sc = _Scanner(source)
+    s, n = source, len(source)
+    stack: list[Element] = []
+    text_buf: list[str] = []
+    text_line = 1
+
+    def flush_text() -> None:
+        if not text_buf:
+            return
+        content = "".join(text_buf)
+        text_buf.clear()
+        if stack:
+            stack[-1].append(Text(_resolve_entities(content, entities), doc, text_line))
+        # text outside the root is discarded (libxml2 does the same)
+
+    def open_element(name: str, attrs: list[tuple[str, str]], line: int) -> Element:
+        nsmap: dict[Optional[str], str] = {}
+        plain_attrs: dict[str, str] = {}
+        for k, v in attrs:
+            if k == "xmlns":
+                nsmap[None] = v
+            elif k.startswith("xmlns:"):
+                nsmap[k[6:]] = v
+            else:
+                plain_attrs[k] = v
+        if ":" in name:
+            prefix, local = name.split(":", 1)
+        else:
+            prefix, local = None, name
+        el = Element(local, doc, line, prefix=prefix)
+        el.nsmap = nsmap
+        el.attrs = plain_attrs
+        if stack:
+            stack[-1].append(el)
+        else:
+            doc.children.append(el)
+            if doc.root is None:
+                doc.root = el
+        # resolve element + attribute namespace URIs against visible nsmap
+        eff = el.effective_nsmap()
+        el.ns_uri = eff.get(prefix) if prefix is not None else eff.get(None)
+        for k, v in plain_attrs.items():
+            if ":" in k:
+                ap, al = k.split(":", 1)
+                uri = eff.get(ap)
+                if uri:
+                    el.attr_ns[(uri, al)] = v
+        return el
+
+    while sc.i < n:
+        lt = s.find("<", sc.i)
+        if lt < 0:
+            text_buf.append(s[sc.i :]) if stack else None
+            break
+        if lt > sc.i:
+            if stack:
+                if not text_buf:
+                    text_line = sc.line
+                text_buf.append(s[sc.i : lt])
+            sc.advance(lt)
+        # at '<'
+        if s.startswith("<?", lt):
+            end = s.find("?>", lt + 2)
+            if end < 0:
+                break  # truncated PI → drop
+            content = s[lt + 2 : end]
+            if content[:3].lower() == "xml" and (len(content) == 3 or content[3].isspace()):
+                m = _XMLDECL_RE.match(s, lt)
+                if m:
+                    doc.version = m.group(1)
+                    if m.group(2):
+                        doc.encoding = m.group(2).lower()
+            else:
+                flush_text()
+                parts = content.split(None, 1)
+                target = parts[0] if parts else ""
+                data = parts[1] if len(parts) > 1 else ""
+                pi = PI(target, data, doc, sc.line)
+                (stack[-1] if stack else doc).children.append(pi)
+                if stack:
+                    pi.parent = stack[-1]
+            sc.advance(end + 2)
+        elif s.startswith("<!--", lt):
+            end = s.find("-->", lt + 4)
+            if end < 0:
+                break
+            flush_text()
+            cm = Comment(s[lt + 4 : end], doc, sc.line)
+            if stack:
+                stack[-1].append(cm)
+            else:
+                doc.children.append(cm)
+            sc.advance(end + 3)
+        elif s.startswith("<![CDATA[", lt):
+            end = s.find("]]>", lt + 9)
+            if end < 0:
+                end = n  # truncated CDATA: take rest
+            flush_text()
+            if stack:
+                stack[-1].append(Text(s[lt + 9 : end], doc, sc.line, is_cdata=True))
+            sc.advance(min(end + 3, n))
+        elif s.startswith("<!", lt):
+            # DOCTYPE or other declaration; bracket-match the internal subset
+            depth = 0
+            j = lt
+            in_quote = None
+            while j < n:
+                c = s[j]
+                if in_quote:
+                    if c == in_quote:
+                        in_quote = None
+                elif c in "\"'":
+                    in_quote = c
+                elif c == "[":
+                    depth += 1
+                elif c == "]":
+                    depth -= 1
+                elif c == ">" and depth <= 0:
+                    break
+                j += 1
+            decl = s[lt : j + 1]
+            for m in _ENTITY_DECL_RE.finditer(decl):
+                entities[m.group(1)] = m.group(2) if m.group(2) is not None else (m.group(3) or "")
+            sc.advance(min(j + 1, n))
+        elif s.startswith("</", lt):
+            end = s.find(">", lt + 2)
+            if end < 0:
+                break  # truncated close tag → drop (recovery)
+            name = s[lt + 2 : end].strip()
+            flush_text()
+            # pop-to-match recovery
+            for k in range(len(stack) - 1, -1, -1):
+                el = stack[k]
+                q = el.qname
+                if q == name or el.tag == name:
+                    del stack[k:]
+                    break
+            # else: unmatched close tag ignored
+            sc.advance(end + 1)
+        else:
+            # start tag
+            m = _NAME_RE.match(s, lt + 1)
+            if not m:
+                # stray '<' in content: treat literally
+                if not text_buf:
+                    text_line = sc.line
+                text_buf.append("<")
+                sc.advance(lt + 1)
+                continue
+            name = m.group(0)
+            j = m.end()
+            attrs: list[tuple[str, str]] = []
+            self_close = False
+            tag_line = sc.line
+            while j < n:
+                # skip whitespace
+                while j < n and s[j].isspace():
+                    j += 1
+                if j >= n:
+                    break
+                if s[j] == ">":
+                    j += 1
+                    break
+                if s.startswith("/>", j):
+                    self_close = True
+                    j += 2
+                    break
+                if s[j] == "/":
+                    j += 1
+                    continue
+                am = _ATTR_RE.match(s, j)
+                if not am or am.end() == j:
+                    j += 1
+                    continue
+                k = am.group(1)
+                v = am.group(2)
+                if v is None:
+                    v = ""
+                elif v[:1] in "\"'" and v[:1] == v[-1:] and len(v) >= 2:
+                    v = v[1:-1]
+                attrs.append((k, _resolve_entities(v, entities)))
+                j = am.end()
+            else:
+                pass
+            if j > n:
+                j = n
+            if j == n and not s[lt:].rstrip().endswith(">"):
+                # truncated start tag at EOF → drop it entirely (recovery,
+                # Tests/ActorHardeningTests.swift:45-55)
+                sc.advance(n)
+                break
+            flush_text()
+            el = open_element(name, attrs, tag_line)
+            if not self_close:
+                stack.append(el)
+            sc.advance(j)
+
+    flush_text() if stack else None
+    doc.assign_order()
+    if doc.root is None:
+        raise XMLError(ERR_DOCUMENT_EMPTY, "Document is empty")
+    return doc

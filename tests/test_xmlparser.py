@@ -1,0 +1,140 @@
+"""XML parser: values, entities, recovery, hardening corpus.
+
+Assertions transcribed from the reference's Tests/ActorTests.swift:796-858
+and Tests/ActorHardeningTests.swift:45-150, :594-680, :788-865."""
+
+import pytest
+
+import fuzi_spark as fz
+from fuzi_spark.errors import ERR_DOCUMENT_EMPTY
+
+
+def test_basic_parse():
+    d = fz.parse_xml('<?xml version="1.0" encoding="UTF-8"?><root a="1"><c>t</c></root>')
+    assert d.version == "1.0"
+    assert d.encoding == "utf-8"
+    assert d.root.tag == "root"
+    assert d.root.attr("a") == "1"
+
+
+def test_empty_raises():
+    with pytest.raises(fz.XMLError) as ei:
+        fz.parse_xml("")
+    assert ei.value.code == ERR_DOCUMENT_EMPTY
+
+
+def test_numeric_entities():
+    d = fz.parse_xml("<root>&#60;&#62;&#38;&#x3C;&#x3E;</root>")
+    assert d.root.string_value == "<>&<>"
+
+
+def test_named_entities():
+    d = fz.parse_xml("<root>&lt;&gt;&amp;&quot;&apos;</root>")
+    assert d.root.string_value == "<>&\"'"
+
+
+def test_cdata_unwrapped():
+    d = fz.parse_xml("<root><![CDATA[<not>xml</not>]]></root>")
+    assert d.root.string_value == "<not>xml</not>"
+
+
+def test_mixed_content():
+    d = fz.parse_xml("<root>Hello <b>World</b>!</root>")
+    assert d.root.string_value == "Hello World!"
+
+
+def test_unicode_content():
+    d = fz.parse_xml("<root><el>héllo wörld</el><cjk>中文字符</cjk><emoji>🎉🚀</emoji></root>")
+    assert fz.xpath(d, "//el")[0].string_value == "héllo wörld"
+    assert fz.xpath(d, "//cjk")[0].string_value == "中文字符"
+    assert fz.xpath(d, "//emoji")[0].string_value == "🎉🚀"
+
+
+def test_utf8_bom():
+    d = fz.parse_xml(b"\xef\xbb\xbf<?xml version=\"1.0\"?><root>x</root>")
+    assert d.root.tag == "root"
+    assert d.root.string_value == "x"
+
+
+def test_truncated_recovers():
+    d = fz.parse_xml('<?xml version="1.0"?><root><child>content</chi')
+    assert d.root is not None
+    assert d.root.tag == "root"
+
+
+def test_mismatched_tags_recover():
+    d = fz.parse_xml("<root><a></b></root>")
+    assert d.root.tag == "root"
+
+
+def test_long_tag_names():
+    tag = "a" * 10000
+    d = fz.parse_xml(f"<{tag}/>")
+    assert d.root.tag == tag
+
+
+def test_deep_nesting_1000():
+    depth = 1000
+    xml = "".join(f"<level{i}>" for i in range(depth))
+    xml += "deep"
+    xml += "".join(f"</level{i}>" for i in reversed(range(depth)))
+    d = fz.parse_xml(xml)
+    assert d.root is not None
+    assert d.root.string_value == "deep"
+
+
+def test_wide_5000_siblings():
+    xml = "<root>" + "".join(f"<child{i}/>" for i in range(5000)) + "</root>"
+    d = fz.parse_xml(xml)
+    assert len(fz.xpath(d, "/root/*")) == 5000
+
+
+def test_empty_element_forms():
+    d = fz.parse_xml("<root><self-closing/><explicit></explicit><ws>   </ws></root>")
+    assert len(d.root.element_children) == 3
+    assert d.root.element_children[0].is_blank
+    assert d.root.element_children[1].is_blank
+    assert not d.root.element_children[2].is_blank  # whitespace text kept
+
+
+def test_dtd_entity_resolution():
+    d = fz.parse_xml(
+        '<?xml version="1.0"?><!DOCTYPE r [<!ENTITY foo "bar &amp; baz">]>'
+        "<r>&foo;</r>"
+    )
+    assert d.root.string_value == "bar & baz"
+
+
+def test_null_bytes_no_crash():
+    d = fz.parse_xml(b'<?xml version="1.0"?><root>before\x00after</root>')
+    assert d.root is not None
+
+
+def test_comments_and_pi():
+    d = fz.parse_xml("<root><!-- a comment --><?target data?><x/></root>")
+    from fuzi_spark.dom import COMMENT_NODE, PI_NODE
+
+    kinds = [c.type for c in d.root.children]
+    assert COMMENT_NODE in kinds and PI_NODE in kinds
+
+
+def test_raw_xml_roundtrip():
+    d = fz.parse_xml("<parent><child>text</child></parent>")
+    assert fz.xpath(d, "//child")[0].raw_xml == "<child>text</child>"
+
+
+def test_large_doc_100kb_predicate():
+    # reference Tests/ActorHardeningTests.swift:792-813
+    items = "".join(f'<item id="{i}" category="cat{i % 10}"/>' for i in range(1000))
+    d = fz.parse_xml(f"<root>{items}</root>")
+    assert len(fz.xpath(d, "//item[@category='cat5']")) == 100
+
+
+def test_attributes_map_unprefixed_keys():
+    d = fz.parse_xml(
+        '<root xmlns:xlink="http://www.w3.org/1999/xlink">'
+        '<a xlink:href="http://x" title="t"/></root>'
+    )
+    a = fz.xpath(d, "//a")[0]
+    assert a.attributes == {"href": "http://x", "title": "t"}
+    assert a.attr("href", namespace="http://www.w3.org/1999/xlink") == "http://x"
