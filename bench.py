@@ -1,0 +1,236 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total query seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": <dir>,
+   "extraction": {"docs": N, "docs_per_sec@8": x, "docs_per_sec@32": y,
+                   "scaling_efficiency_8_to_32": e}}
+
+Two parts:
+1. headline query battery at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+   on local[$SPARK_GRAFT_CPUS] (default 32) — per-query wall seconds.
+2. the north_rule scaling evidence: the SAME extraction job on the SAME
+   synthetic corpus at two parallelism levels (local[8] vs local[32] —
+   the sandbox stand-in for N vs 4N executors), reporting docs/sec at both
+   and the throughput scaling efficiency  eff = (thr_32 / thr_8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DOC_COPIES = int(os.environ.get("SPARK_GRAFT_DOC_COPIES", "48"))
+SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+
+BENCH_QUERIES = [
+    "parse_roundtrip",
+    "extract_flagship",
+    "extract_interleaved",
+    "css_select",
+    "snapshot_select",
+    "lineage",
+    "verification_join",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "text_quality",
+    "fingerprint",
+    "similarity_topk",
+    "similarity_lsh",
+    "embedding_near_dups",
+]
+
+
+def make_session(cores: int, name: str):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        SparkSession._instantiatedSession = None
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(name)
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+
+
+def build_bench_corpus(spark, sf_dir: str, copies: int, out_path: str) -> int:
+    """Deterministic synthetic interleaved corpus: each document row is
+    amplified into `copies` realistic pages (title, nav boilerplate,
+    headings, paragraphs, list, images) encoded as multi-span rows."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    amplified = docs.crossJoin(
+        spark.range(copies).select(F.col("id").alias("copy"))
+    ).select(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("-"), F.col("copy").cast("string")
+        ).alias("doc_id"),
+        "text",
+        "source",
+        "lang",
+        "copy",
+    )
+    head = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit(" page "),
+        F.col("copy").cast("string"),
+        F.lit('</title><style>p{margin:0}</style><script>var a=1;</script>'
+              '</head><body><nav><a href="/">Home</a> <a href="/x">X</a> '
+              '<a href="/y">Y</a></nav><h1>'),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><h2>Section</h2><p>"),
+        F.col("text"),
+        F.lit("</p><ul><li>alpha "),
+        F.col("lang"),
+        F.lit("</li><li>beta</li></ul><p>"),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            head.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(1).alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.lit("</p>").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(2).alias("offset"),
+        ),
+        F.struct(
+            F.lit("media").alias("kind"),
+            F.concat(
+                F.lit('<img src="img/'), F.col("doc_id"), F.lit('.jpg" alt="fig">')
+            ).alias("text"),
+            F.concat(F.lit("img/"), F.col("doc_id"), F.lit(".jpg")).alias("media_ref"),
+            F.lit(3).alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.lit("</body></html>").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(4).alias("offset"),
+        ),
+    )
+    # write pre-split: a single parquet file would serialize the first
+    # shuffle-write stage of every downstream run
+    corpus = amplified.select("doc_id", spans.alias("spans")).repartition(64, "doc_id")
+    corpus.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path).count()
+
+
+def run_extraction(spark, corpus_path: str, cores: int) -> float:
+    """Return wall seconds for the full extraction pipeline (count action)."""
+    from pyspark.sql import functions as F
+
+    from fuzi_spark.pipeline import run_extraction_pipeline
+
+    docs = spark.read.parquet(corpus_path)
+    t0 = time.time()
+    extracted, lineage = run_extraction_pipeline(
+        spark,
+        docs,
+        output_dir=None,
+        n_buckets=64,
+        num_partitions=cores * 2,
+        doc_type="html",
+    )
+    # one action: the lineage agg consumes every extracted row, so counting
+    # it materializes the whole pipeline exactly once
+    lineage.count()
+    return time.time() - t0
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as E
+
+    result = {
+        "metric": "end-to-end extraction throughput (docs/sec) + headline query seconds",
+        "unit": "sec",
+        "sf": SF_DIR,
+        "queries": {},
+    }
+
+    spark = make_session(CPUS, "bench-queries")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.time() - t0
+        result["queries"][name] = round(dt, 3)
+        total += dt
+    result["value"] = round(total, 3)
+
+    # scaling evidence: same job, same input, local[8] vs local[32]
+    tmp = tempfile.mkdtemp(prefix="fuzi_bench_")
+    corpus_path = os.path.join(tmp, "corpus")
+    try:
+        n_docs = build_bench_corpus(spark, SF_DIR, DOC_COPIES, corpus_path)
+        extraction = {"docs": n_docs}
+        if not SKIP_SCALING:
+            # ABBA ordering + best-of-2 per level: the sandbox VM shows
+            # strongly time-varying external load, so interleaving the two
+            # parallelism levels and taking each level's minimum cancels
+            # drift that a sequential 8-then-32 protocol would alias into
+            # the efficiency number
+            samples: dict[int, list[float]] = {8: [], 32: []}
+            for cores in (8, 32, 32, 8):
+                s = make_session(cores, f"bench-extract-{cores}")
+                s.sparkContext.setLogLevel("ERROR")
+                run_extraction(s, corpus_path, cores)  # warm (JIT + py workers)
+                samples[cores].append(run_extraction(s, corpus_path, cores))
+            for cores in (8, 32):
+                secs = min(samples[cores])
+                extraction[f"secs@{cores}"] = round(secs, 2)
+                extraction[f"docs_per_sec@{cores}"] = round(n_docs / secs, 1)
+            thr8 = extraction["docs_per_sec@8"]
+            thr32 = extraction["docs_per_sec@32"]
+            extraction["scaling_efficiency_8_to_32"] = round(thr32 / thr8 / 4.0, 3)
+        else:
+            s = make_session(CPUS, "bench-extract")
+            s.sparkContext.setLogLevel("ERROR")
+            secs = run_extraction(s, corpus_path, CPUS)
+            extraction[f"secs@{CPUS}"] = round(secs, 2)
+            extraction[f"docs_per_sec@{CPUS}"] = round(n_docs / secs, 1)
+        result["extraction"] = extraction
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,228 @@
+"""Main-content extraction: DOM → ordered (kind, text, media_ref, offset) spans.
+
+The north_rule deliverable: boilerplate-stripping DOM heuristics (tag-class
+pruning, link-density scoring) over the parsed tree, emitting a deterministic
+ordered span sequence per document. The mutation primitives mirror the
+reference's remove()/removeSafely() (kylehughes/Fuzi Sources/Element.swift:
+196-206) — that is how script/style/nav boilerplate is stripped before text
+emission; the text walk is the reference's stringValue primitive
+(Sources/Node.swift:126-131) applied per block segment.
+
+Pure Python — called only from inside Arrow-batch UDFs (udfs.py) or from
+the single-process golden generator (tests)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .dom import COMMENT_NODE, ELEMENT_NODE, TEXT_NODE, Document, Element
+from .errors import XMLError
+from .htmlparser import parse_html
+from .xmlparser import parse_xml
+
+# tag classes (HTML)
+STRIP_TAGS = frozenset(
+    "script style noscript template nav form button select option textarea".split()
+)
+HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+MEDIA_TAGS = frozenset("img video audio embed iframe object".split())
+CAPTION_TAGS = frozenset("figcaption caption".split())
+LIST_ITEM_TAGS = frozenset("li dt dd".split())
+BLOCK_TAGS = frozenset(
+    "address article aside blockquote body center details dialog div dl "
+    "fieldset figure footer header hr main menu ol p pre section summary "
+    "table tbody td tfoot th thead tr ul br".split()
+)
+_LINK_DENSITY_CANDIDATES = frozenset("div ul ol table p section aside footer header".split())
+
+
+def _media_ref(el: Element) -> Optional[str]:
+    for a in ("src", "href", "poster", "data"):
+        v = el.attrs.get(a)
+        if v:
+            return v
+    return None
+
+
+def _norm(parts: list[str]) -> str:
+    return " ".join("".join(parts).split())
+
+
+def strip_boilerplate(doc: Document) -> int:
+    """Remove script/style/nav/form/... subtrees and link-dense blocks.
+    Returns the number of removed elements. Uses the remove() mutation
+    primitive; link-density rule: a candidate block whose anchor-text ratio
+    exceeds 0.75 with under 200 chars of text is navigation chrome."""
+    if doc.root is None:
+        return 0
+    removed = 0
+    # pass 1: tag-class strip
+    to_remove = [el for el in doc.root.iter_elements() if el.tag in STRIP_TAGS]
+    for el in to_remove:
+        el.remove()
+        removed += 1
+    # pass 2: link-density prune (bottom-up so inner scores are unaffected)
+    candidates = [
+        el for el in doc.root.iter_elements() if el.tag in _LINK_DENSITY_CANDIDATES
+    ]
+    for el in reversed(candidates):
+        if el.parent is None and el is not doc.root:
+            continue  # already removed with an ancestor
+        total = len(el.string_value)
+        if total == 0 or total >= 200:
+            continue
+        link_len = sum(len(a.string_value) for a in el.iter_elements() if a.tag == "a")
+        if link_len / total > 0.75:
+            el.remove()
+            removed += 1
+    return removed
+
+
+class _Emitter:
+    __slots__ = ("spans", "buf", "kind")
+
+    def __init__(self):
+        self.spans: list[dict] = []
+        self.buf: list[str] = []
+        self.kind = "paragraph"
+
+    def flush(self):
+        text = _norm(self.buf)
+        self.buf.clear()
+        if text:
+            self.spans.append(
+                {
+                    "kind": self.kind,
+                    "text": text,
+                    "media_ref": None,
+                    "offset": len(self.spans),
+                }
+            )
+
+    def emit(self, kind: str, text: str, media_ref: Optional[str]):
+        self.spans.append(
+            {
+                "kind": kind,
+                "text": text,
+                "media_ref": media_ref,
+                "offset": len(self.spans),
+            }
+        )
+
+
+def _walk_html(el: Element, em: _Emitter):
+    tag = el.tag
+    if tag in HEADING_TAGS:
+        em.flush()
+        em.emit("heading", _norm([el.string_value]), None)
+        return
+    if tag in MEDIA_TAGS:
+        em.flush()
+        em.emit("media", _norm([el.attrs.get("alt", "")]), _media_ref(el))
+        return
+    if tag in CAPTION_TAGS:
+        em.flush()
+        em.emit("caption", _norm([el.string_value]), None)
+        return
+    if tag in LIST_ITEM_TAGS:
+        em.flush()
+        prev = em.kind
+        em.kind = "list"
+        for c in el.children:
+            if c.type == TEXT_NODE:
+                em.buf.append(c.content)
+            elif c.type == ELEMENT_NODE:
+                _walk_html(c, em)
+        em.flush()
+        em.kind = prev
+        return
+    if tag in BLOCK_TAGS:
+        em.flush()
+        for c in el.children:
+            if c.type == TEXT_NODE:
+                em.buf.append(c.content)
+            elif c.type == ELEMENT_NODE:
+                _walk_html(c, em)
+        em.flush()
+        return
+    # inline element: accumulate
+    for c in el.children:
+        if c.type == TEXT_NODE:
+            em.buf.append(c.content)
+        elif c.type == ELEMENT_NODE:
+            _walk_html(c, em)
+
+
+def _walk_xml(el: Element, em: _Emitter):
+    """XML: every element is a block boundary; direct text becomes 'text'
+    spans in document order (media never occurs in pure XML fixtures)."""
+    stack = [(el, 0)]
+    while stack:
+        node, idx = stack.pop()
+        ch = node.children
+        while idx < len(ch):
+            c = ch[idx]
+            idx += 1
+            if c.type == TEXT_NODE:
+                em.buf.append(c.content)
+            elif c.type == ELEMENT_NODE:
+                em.flush()
+                stack.append((node, idx))
+                stack.append((c, 0))
+                break
+        else:
+            em.flush()
+
+
+def sniff_doc_type(markup: str) -> str:
+    head = markup[:256].lstrip("﻿ \t\r\n").lower()
+    if head.startswith("<?xml"):
+        return "xml"
+    if head.startswith("<!doctype html") or "<html" in head or "<body" in head:
+        return "html"
+    # tag-soup heuristics: html void/formatting tags
+    low = markup[:4096].lower()
+    for t in ("<div", "<p>", "<br", "<img", "<span", "<table", "<head", "<title"):
+        if t in low:
+            return "html"
+    return "xml"
+
+
+def extract_spans(markup: str, doc_type: Optional[str] = None) -> tuple[list[dict], int]:
+    """Parse + strip + segment one document. Returns (spans, parse_error).
+
+    parse_error is 0/1 — parse failures yield an empty span list and a
+    flag, never an exception (the 10^12-row job must not die on one doc)."""
+    if doc_type not in ("html", "xml"):
+        doc_type = sniff_doc_type(markup)
+    try:
+        doc = parse_html(markup) if doc_type == "html" else parse_xml(markup)
+    except XMLError:
+        return [], 1
+    except Exception:
+        return [], 1
+    if doc.root is None:
+        return [], 1
+    em = _Emitter()
+    try:
+        if doc_type == "html":
+            strip_boilerplate(doc)
+            body = doc.body or doc.root
+            _walk_html(body, em)
+            em.flush()
+            # title becomes the leading heading if present
+            title = doc.title
+            if title and title.strip():
+                em.spans.insert(
+                    0,
+                    {"kind": "heading", "text": _norm([title]), "media_ref": None, "offset": -1},
+                )
+                for i, s in enumerate(em.spans):
+                    s["offset"] = i
+        else:
+            em.kind = "text"
+            _walk_xml(doc.root, em)
+            em.flush()
+    except RecursionError:
+        return em.spans, 1
+    return em.spans, 0

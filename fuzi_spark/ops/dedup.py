@@ -1,0 +1,263 @@
+"""Deduplication operators over document tables.
+
+Four families, ordered by cost:
+- exact:        hash-groupBy on the content digest (pure JVM, one shuffle)
+- minhash-LSH:  shingle → minhash signature → banded bucket join. The
+                signature pipeline is EXPRESSED ENTIRELY IN CATALYST
+                (sequence/transform/aggregate/xxhash64) — no Python in the
+                hot path, so it whole-stage-codegens and scales linearly.
+- simhash:      64-bit bit-vote fingerprint, Arrow-batched numpy UDF
+- ngram-jaccard: exact verification of candidate pairs (JVM set ops)
+
+At 100 TB the only all-pairs operation is the LSH bucket join; everything
+else is map-side. Band buckets are salted implicitly by their hash; the
+candidate-pair explosion is bounded by bucket size, and the final exact
+verify is a array_intersect/array_union on the (much smaller) candidate
+set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+# Mersenne prime for universal hashing (2^61 - 1)
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n_hashes: int, seed: int = 42):
+    """Deterministic (a, b) pairs for the universal hash family."""
+    rng = np.random.RandomState(seed)
+    # a bounded by 2^30 so a * (h % 2^31) + b stays under 2^62 — no silent
+    # int64 wrap inside the JVM expression
+    a = rng.randint(1, 1 << 30, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a.tolist(), b.tolist()
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate collapse: keep min id per distinct content.
+    Digest with sha2 so the shuffle key is 32 bytes, not the document."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("digest"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .select(id_col, "dup_count")
+    )
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """n-word shingles as an array column (JVM-side)."""
+    tokens = F.split(F.col(text_col), " ")
+    k = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document as n_hashes columns (mh0..mhN).
+
+    Expressed as explode(shingles) → hash once → groupBy(id).agg(min(...)
+    per hash function): a plain hash aggregate with map-side partial
+    combine, which is exactly the shape Catalyst + Tungsten execute best —
+    no giant per-row expression tree, no Python.
+    """
+    a_params, b_params = _hash_params(n_hashes, seed)
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias(
+            "shingle"
+        ),
+    ).select(
+        id_col, F.pmod(F.xxhash64("shingle"), F.lit(1 << 31)).alias("h")
+    )
+    aggs = [
+        F.min(
+            F.pmod(
+                F.lit(int(a_params[i])) * F.col("h") + F.lit(int(b_params[i])),
+                F.lit(_MERSENNE),
+            )
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    rows_per_band = n_hashes // bands; two docs collide if any band of
+    their signatures hashes equal. Returns (id_a, id_b) with id_a < id_b,
+    deduped across bands."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # the signature table is tiny next to the corpus (n_docs × bands rows);
+    # persist it so the self-join doesn't recompute the signature pipeline
+    # for each side (prod: write signatures to a table once)
+    banded = banded.persist()
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs (JVM set ops).
+    Broadcast-joins the (small) candidate set against the shingle arrays."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    ).persist()
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@pandas_udf(LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens — Arrow-batched, numpy bit votes.
+
+    Deterministic token hash: first 8 bytes of blake2b (stdlib, stable
+    across processes — unlike Python's hash())."""
+    import hashlib
+
+    out = np.zeros(len(text), dtype=np.int64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(text):
+        if not t:
+            continue
+        tokens = t.split()
+        if not tokens:
+            continue
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little"
+                )
+                for tok in tokens
+            ),
+            dtype=np.uint64,
+            count=len(tokens),
+        )
+        bits = (hs[:, None] >> bit_idx) & np.uint64(1)  # (n_tokens, 64)
+        votes = bits.sum(axis=0) * 2 - len(tokens)  # +1/-1 votes
+        sim = np.uint64(0)
+        for j in range(64):
+            if votes[j] > 0:
+                sim |= np.uint64(1) << np.uint64(j)
+        out[i] = np.int64(sim)
+    return pd.Series(out)
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed to avoid the
+    all-pairs join: split the 64-bit hash into (max_hamming+1) chunks — by
+    pigeonhole, any pair within max_hamming shares at least one exact chunk,
+    so the join key is (chunk_idx, chunk_value)."""
+    chunks = max_hamming + 1
+    bits = 64 // chunks
+    h = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    keyed = h.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sh"), i * bits)
+                        .bitwiseAND(F.lit((1 << bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    keyed = keyed.persist()  # avoid recomputing the hash UDF per join side
+    l, r = keyed.alias("l"), keyed.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

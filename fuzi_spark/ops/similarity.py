@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k: broadcast the (small) query set against the
+  full table; dot products are pure Catalyst (zip_with + aggregate), so
+  the scan whole-stage-codegens — the right baseline at any scale where
+  the query set is small.
+- LSH-bucketed top-k: random-hyperplane signatures (deterministic seed)
+  computed in a vectorized numpy UDF (one matmul per Arrow batch); probing
+  joins on the signature bucket first, so the candidate set per query is
+  ~table_size / 2^bits instead of the whole table. The scale path for
+  query sets too big to broadcast-crossjoin.
+
+Embedding near-duplicate detection reuses the same machinery with a
+threshold filter instead of a top-k window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_col(a, b):
+    """cosine(a, b) as a pure-JVM column expression."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each query vector, the k nearest table vectors by cosine.
+
+    queries is expected to be small → broadcast, no shuffle of the big
+    side; ranking is a per-query-partition window (top-k heap in AQE)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_col(F.col("q_vec"), F.col("v_vec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def make_hyperplanes(dim: int, bits: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(dim, bits).astype(np.float64)
+
+
+def lsh_signature_udf(planes: np.ndarray):
+    """Vectorized sign-LSH: one (batch × dim) @ (dim × bits) matmul per
+    Arrow batch; returns the integer bucket."""
+    P = planes
+
+    @pandas_udf(IntegerType())
+    def _udf(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack(vec.to_numpy())
+        proj = M.astype(np.float64) @ P
+        bits = (proj > 0).astype(np.int64)
+        weights = (1 << np.arange(P.shape[1], dtype=np.int64))
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return _udf
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: join on LSH bucket, exact cosine re-rank inside the
+    bucket. Recall < 1.0 by construction; multi-probe = lower `bits`."""
+    sig = lsh_signature_udf(make_hyperplanes(dim, bits))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v_vec"),
+        sig(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sig(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_col(F.col("q_vec"), F.col("v_vec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold), LSH-bucketed
+    self-join so the candidate set stays sub-quadratic."""
+    sig = lsh_signature_udf(make_hyperplanes(dim, bits))
+    keyed = vectors.select(
+        F.col(id_col), F.col(vec_col), sig(F.col(vec_col)).alias("bucket")
+    ).persist()  # avoid recomputing the signature UDF per join side
+    l = keyed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    r = keyed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

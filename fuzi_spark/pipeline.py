@@ -1,0 +1,158 @@
+"""Scale plumbing: partitioning, skew salting, lineage, checkpoint-resume.
+
+north_rule requirements: the 10^12-document job must (a) repartition by
+doc_id hash before the tokenize+classify stage, (b) explicitly handle
+skewed documents (giant DOMs, media-heavy docs), (c) write extracted spans
+plus per-partition lineage rows (partition id, doc count, span count,
+parse-error count), and (d) resume from checkpoint by skipping committed
+partitions.
+
+Design notes for 1000-executor scale:
+- Unit of commit is a BUCKET: pmod(xxhash64(doc_id), n_buckets). Buckets are
+  stable across runs (resume-safe) and independent of Spark's task
+  partitioning, so changing cluster size never invalidates a checkpoint.
+- Skew: extraction cost is ~linear in document bytes, and one document is
+  one row (atomic). Hash-partitioning alone balances row COUNTS, not BYTES;
+  a partition that draws several giant documents becomes a straggler. We
+  split the input by a weight threshold: normal docs shuffle on doc_id hash;
+  giant docs are round-robin repartitioned so no two land together — the
+  classic salting move expressed with built-in primitives. AQE then
+  coalesces small post-shuffle partitions.
+- The weight is computed with built-in F.aggregate over the spans array
+  (JVM-side, no Python), so the pre-shuffle pass is pure Catalyst.
+- Lineage aggregation is a map-side-combinable hash agg (Catalyst default),
+  one row per bucket — trivially small output even at 10^12 docs.
+- Resume = broadcast anti-join of the input against committed bucket ids —
+  a metadata-sized broadcast, no shuffle of the big side beyond the one it
+  already needs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .udfs import extract_spans_df
+
+DEFAULT_GIANT_THRESHOLD = 1_000_000  # bytes of markup per doc
+
+
+def with_weight_and_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """Add doc_weight (total span text bytes; JVM-side) + stable bucket id."""
+    weight = F.aggregate(
+        "spans",
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.length(F.coalesce(s["text"], F.lit(""))),
+    )
+    return docs.withColumn("doc_weight", weight).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets))
+    )
+
+
+def salt_partition(
+    docs: DataFrame,
+    num_partitions: int,
+    giant_threshold: int = DEFAULT_GIANT_THRESHOLD,
+) -> DataFrame:
+    """Repartition for the extraction stage: doc_id-hash for normal docs,
+    round-robin spread for giants (weight-skew salting)."""
+    normal = docs.filter(F.col("doc_weight") < giant_threshold).repartition(
+        num_partitions, "doc_id"
+    )
+    giants = docs.filter(F.col("doc_weight") >= giant_threshold).repartition(
+        num_partitions
+    )
+    return normal.unionByName(giants)
+
+
+def committed_buckets(spark: SparkSession, lineage_path: str) -> Optional[DataFrame]:
+    """Bucket ids already fully extracted (from prior runs' lineage)."""
+    if not os.path.exists(lineage_path):
+        return None
+    try:
+        return spark.read.parquet(lineage_path).select("bucket").distinct()
+    except Exception:
+        return None
+
+
+def run_extraction_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_dir: Optional[str] = None,
+    n_buckets: int = 64,
+    num_partitions: Optional[int] = None,
+    giant_threshold: int = DEFAULT_GIANT_THRESHOLD,
+    resume: bool = True,
+    doc_type: Optional[str] = None,
+):
+    """The end-to-end job. docs: (doc_id, spans[, doc_type]).
+
+    Returns (spans_df, lineage_df); if output_dir is set, also appends both
+    to parquet (prod: Iceberg `writeTo(...).append()` — parquet keeps the
+    dev loop self-contained) and honors checkpoint-resume."""
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+    docs = with_weight_and_bucket(docs, n_buckets)
+
+    spans_path = lineage_path = None
+    if output_dir:
+        spans_path = os.path.join(output_dir, "spans")
+        lineage_path = os.path.join(output_dir, "lineage")
+        if resume:
+            done = committed_buckets(spark, lineage_path)
+            if done is not None:
+                docs = docs.join(F.broadcast(done), "bucket", "left_anti")
+
+    docs = salt_partition(docs, num_partitions, giant_threshold)
+
+    extracted = extract_spans_df(docs.select("doc_id", "bucket", "spans"), doc_type)
+    # re-attach the stable bucket (cheap hash recompute — avoids carrying it
+    # through the Python stage)
+    extracted = extracted.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets))
+    )
+
+    # doc_count without countDistinct: every document emits exactly one
+    # anchor row (its first span, seq==0, or its error/empty row, seq==-1),
+    # so a plain conditional count suffices — cheap partial aggregates
+    # instead of a distinct expansion at 10^12 rows
+    lineage = extracted.groupBy("bucket").agg(
+        F.sum(F.when(F.col("seq") <= 0, 1).otherwise(0)).alias("doc_count"),
+        F.sum(F.when(F.col("seq") >= 0, 1).otherwise(0)).alias("span_count"),
+        F.sum("parse_error").alias("parse_error_count"),
+    )
+
+    if output_dir:
+        extracted.write.mode("append").partitionBy("bucket").parquet(spans_path)
+        lineage.write.mode("append").parquet(lineage_path)
+    return extracted, lineage
+
+
+def verification_join(extracted: DataFrame, golden: DataFrame) -> DataFrame:
+    """Span-sequence equality check (north_rule): full outer join on
+    (doc_id, seq), comparing (kind, text, media_ref). Returns per-doc
+    mismatch counts; empty result == exact corpus match."""
+    e = extracted.filter(F.col("seq") >= 0).select(
+        "doc_id", "seq", "kind", "text", "media_ref"
+    )
+    g = golden.select(
+        "doc_id",
+        "seq",
+        F.col("kind").alias("g_kind"),
+        F.col("text").alias("g_text"),
+        F.col("media_ref").alias("g_media_ref"),
+    )
+    j = e.join(g, ["doc_id", "seq"], "full_outer")
+    mismatch = (
+        ~F.col("kind").eqNullSafe(F.col("g_kind"))
+        | ~F.col("text").eqNullSafe(F.col("g_text"))
+        | ~F.col("media_ref").eqNullSafe(F.col("g_media_ref"))
+    )
+    return (
+        j.filter(mismatch)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("mismatched_spans"))
+    )
