@@ -1,0 +1,185 @@
+"""End-to-end Spark pipeline tests — the north_rule correctness gate.
+
+Asserts exact span-sequence equality (kind, text, media_ref, order) per
+doc_id between the DISTRIBUTED pipeline and the frozen single-process
+goldens (tests/goldens/extraction_golden.json), over the corpus seeded
+from the reference's own test documents (FIXTURES.md §B). A mismatch here
+means the distributed path (codec, shuffle, salting, Arrow transfer)
+changed observable semantics.
+"""
+
+import hashlib
+import json
+import os
+
+import pytest
+
+from fuzi_spark.codec import encode_spans, reassemble
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "goldens", "extraction_golden.json")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("fuzi-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(GOLDEN_PATH) as f:
+        return json.load(f)
+
+
+def _span_digest(spans):
+    h = hashlib.sha256()
+    for s in spans:
+        h.update(
+            f"{s['seq']}|{s['kind']}|{s['text'] or ''}|{s['media_ref'] or ''}\n".encode()
+        )
+    return h.hexdigest()
+
+
+class TestCodec:
+    def test_roundtrip_simple(self):
+        m = '<html><body><p>x</p><img src="a.jpg"><p>y</p></body></html>'
+        assert reassemble(encode_spans(m)) == m
+
+    def test_roundtrip_fixtures(self):
+        path = "/root/reference/Tests/Resources/web.html"
+        if not os.path.exists(path):
+            pytest.skip("reference fixtures not available")
+        m = open(path, encoding="utf-8", errors="replace").read()
+        spans = encode_spans(m)
+        assert reassemble(spans) == m
+        assert any(s["kind"] == "media" for s in spans)
+
+    def test_unordered_reassembly(self):
+        m = "<a><b>x</b></a>"
+        spans = encode_spans(m)
+        assert reassemble(list(reversed(spans))) == m
+
+
+class TestGoldenEquality:
+    """north_rule: span-sequence equality per doc_id, Spark vs goldens."""
+
+    @pytest.fixture(scope="class")
+    def extracted(self, spark):
+        from fuzi_spark.corpus import corpus_df
+        from fuzi_spark.pipeline import run_extraction_pipeline
+
+        docs = corpus_df(spark, include_fixtures=True, skew=True)
+        extracted, lineage = run_extraction_pipeline(
+            spark, docs, output_dir=None, n_buckets=8, num_partitions=8
+        )
+        rows = extracted.collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for v in by_doc.values():
+            v.sort(key=lambda r: r.seq)
+        return by_doc, lineage.collect()
+
+    def test_every_doc_extracted(self, extracted, golden):
+        by_doc, _ = extracted
+        missing = set(golden) - set(by_doc)
+        assert not missing, f"docs missing from pipeline output: {missing}"
+
+    def test_span_sequence_equality(self, extracted, golden):
+        by_doc, _ = extracted
+        bad = []
+        for doc_id, g in golden.items():
+            rows = [r for r in by_doc.get(doc_id, []) if r.seq >= 0]
+            if len(rows) != g["n_spans"]:
+                bad.append((doc_id, "count", len(rows), g["n_spans"]))
+                continue
+            dig = _span_digest(
+                [
+                    {"seq": r.seq, "kind": r.kind, "text": r.text, "media_ref": r.media_ref}
+                    for r in rows
+                ]
+            )
+            if dig != g["digest"]:
+                bad.append((doc_id, "digest", dig[:12], g["digest"][:12]))
+        assert not bad, f"span-sequence mismatches: {bad}"
+
+    def test_exact_small_docs(self, extracted, golden):
+        by_doc, _ = extracted
+        for doc_id, g in golden.items():
+            if "spans" not in g:
+                continue
+            rows = [r for r in by_doc.get(doc_id, []) if r.seq >= 0]
+            got = [
+                {"seq": r.seq, "kind": r.kind, "text": r.text, "media_ref": r.media_ref}
+                for r in rows
+            ]
+            assert got == g["spans"], f"{doc_id}: {got} != {g['spans']}"
+
+    def test_no_parse_errors_on_corpus(self, extracted, golden):
+        by_doc, _ = extracted
+        for doc_id, rows in by_doc.items():
+            errs = [r for r in rows if r.parse_error]
+            expected = golden.get(doc_id, {}).get("parse_error", 0)
+            assert len(errs) == expected, f"{doc_id}: unexpected parse errors"
+
+    def test_lineage_totals(self, extracted, golden):
+        by_doc, lineage = extracted
+        total_docs = sum(r.doc_count for r in lineage)
+        total_spans = sum(r.span_count for r in lineage)
+        assert total_docs == len(golden)
+        assert total_spans == sum(g["n_spans"] for g in golden.values())
+
+
+class TestResume:
+    def test_committed_buckets_skipped(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from fuzi_spark.corpus import corpus_df
+        from fuzi_spark.pipeline import run_extraction_pipeline
+
+        out = str(tmp_path / "out")
+        docs = corpus_df(spark, include_fixtures=False, skew=False)
+        # first run: full
+        e1, l1 = run_extraction_pipeline(
+            spark, docs, output_dir=out, n_buckets=4, num_partitions=4
+        )
+        committed = spark.read.parquet(os.path.join(out, "lineage"))
+        n_buckets_done = committed.select("bucket").distinct().count()
+        assert n_buckets_done == 4
+        # second run: everything committed → nothing to extract
+        e2, _ = run_extraction_pipeline(
+            spark, docs, output_dir=out, n_buckets=4, num_partitions=4
+        )
+        # spans path now contains each doc exactly once (no double-append)
+        spans = spark.read.parquet(os.path.join(out, "spans"))
+        per_doc = (
+            spans.filter(F.col("seq") == 0).groupBy("doc_id").count().collect()
+        )
+        assert all(r["count"] == 1 for r in per_doc)
+
+
+class TestVerificationJoin:
+    def test_self_verification_empty(self, spark):
+        from fuzi_spark.corpus import corpus_df
+        from fuzi_spark.pipeline import run_extraction_pipeline, verification_join
+
+        docs = corpus_df(spark, include_fixtures=False, skew=False)
+        extracted, _ = run_extraction_pipeline(
+            spark, docs, output_dir=None, n_buckets=4, num_partitions=4
+        )
+        golden = extracted.filter("seq >= 0").select(
+            "doc_id", "seq", "kind", "text", "media_ref"
+        )
+        mism = verification_join(extracted, golden)
+        assert mism.count() == 0
