@@ -201,24 +201,35 @@ def main():
         n_docs = build_bench_corpus(spark, SF_DIR, DOC_COPIES, corpus_path)
         extraction = {"docs": n_docs}
         if not SKIP_SCALING:
-            # ABBA ordering + best-of-2 per level: the sandbox VM shows
-            # strongly time-varying external load, so interleaving the two
-            # parallelism levels and taking each level's minimum cancels
-            # drift that a sequential 8-then-32 protocol would alias into
-            # the efficiency number
-            samples: dict[int, list[float]] = {8: [], 32: []}
-            for cores in (8, 32, 32, 8):
+            # Scaling evidence at two N→4N pairs (2→8 and 8→32), mirrored
+            # ordering (2,8,32,32,8,2) + per-level minimum: the sandbox VM
+            # shows strongly time-varying external load, so interleaving
+            # cancels drift that a sequential protocol would alias into
+            # the efficiency number. The 8→32 pair additionally runs into
+            # the single-host memory-bandwidth ceiling (string-heavy work,
+            # 32 processes, one memory bus) that a real 4N-executor cluster
+            # does not have — both pairs are reported.
+            samples: dict[int, list[float]] = {2: [], 8: [], 32: []}
+            for cores in (2, 8, 32, 32, 8, 2):
                 s = make_session(cores, f"bench-extract-{cores}")
                 s.sparkContext.setLogLevel("ERROR")
-                run_extraction(s, corpus_path, cores)  # warm (JIT + py workers)
+                # warm JIT + python workers on a slice before measuring
+                from fuzi_spark.udfs import extract_spans_df
+
+                extract_spans_df(
+                    s.read.parquet(corpus_path).sample(0.15), "html"
+                ).count()
                 samples[cores].append(run_extraction(s, corpus_path, cores))
-            for cores in (8, 32):
+            for cores in (2, 8, 32):
                 secs = min(samples[cores])
                 extraction[f"secs@{cores}"] = round(secs, 2)
                 extraction[f"docs_per_sec@{cores}"] = round(n_docs / secs, 1)
-            thr8 = extraction["docs_per_sec@8"]
-            thr32 = extraction["docs_per_sec@32"]
-            extraction["scaling_efficiency_8_to_32"] = round(thr32 / thr8 / 4.0, 3)
+            extraction["scaling_efficiency_2_to_8"] = round(
+                extraction["docs_per_sec@8"] / extraction["docs_per_sec@2"] / 4.0, 3
+            )
+            extraction["scaling_efficiency_8_to_32"] = round(
+                extraction["docs_per_sec@32"] / extraction["docs_per_sec@8"] / 4.0, 3
+            )
         else:
             s = make_session(CPUS, "bench-extract")
             s.sparkContext.setLogLevel("ERROR")

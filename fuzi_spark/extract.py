@@ -56,15 +56,20 @@ def strip_boilerplate(doc: Document) -> int:
     if doc.root is None:
         return 0
     removed = 0
-    # pass 1: tag-class strip
-    to_remove = [el for el in doc.root.iter_elements() if el.tag in STRIP_TAGS]
+    # one tree pass collects both the tag-class strips and the link-density
+    # candidates (this is the second-hottest loop after tokenization)
+    to_remove = []
+    candidates = []
+    for el in doc.root.iter_elements():
+        t = el.tag
+        if t in STRIP_TAGS:
+            to_remove.append(el)
+        elif t in _LINK_DENSITY_CANDIDATES:
+            candidates.append(el)
     for el in to_remove:
         el.remove()
         removed += 1
-    # pass 2: link-density prune (bottom-up so inner scores are unaffected)
-    candidates = [
-        el for el in doc.root.iter_elements() if el.tag in _LINK_DENSITY_CANDIDATES
-    ]
+    # link-density prune (bottom-up so inner scores are unaffected)
     for el in reversed(candidates):
         if el.parent is None and el is not doc.root:
             continue  # already removed with an ancestor
@@ -196,7 +201,12 @@ def extract_spans(markup: str, doc_type: Optional[str] = None) -> tuple[list[dic
     if doc_type not in ("html", "xml"):
         doc_type = sniff_doc_type(markup)
     try:
-        doc = parse_html(markup) if doc_type == "html" else parse_xml(markup)
+        # assign_order=False: segmentation walks the tree itself, no XPath
+        doc = (
+            parse_html(markup, assign_order=False)
+            if doc_type == "html"
+            else parse_xml(markup, assign_order=False)
+        )
     except XMLError:
         return [], 1
     except Exception:

@@ -98,14 +98,29 @@ def _parse_doc(markup: str, doc_type: Optional[str]):
 # ---------------------------------------------------------------- extraction
 
 
-def make_extract_spans_fn(doc_type: Optional[str] = None):
-    """mapInPandas function: (doc_id, spans) batches → extracted span rows.
+def markup_from_spans_col(spans_col: str = "spans"):
+    """JVM-side span⇄markup codec: sort by offset, concat text — the hot
+    codec runs inside whole-stage codegen, so only ONE string column
+    crosses the Arrow boundary instead of an array-of-structs (which costs
+    a Python dict per span per row)."""
+    sorted_spans = F.array_sort(
+        F.col(spans_col),
+        lambda l, r: F.when(l["offset"] < r["offset"], -1)
+        .when(l["offset"] > r["offset"], 1)
+        .otherwise(0),
+    )
+    return F.array_join(
+        F.transform(sorted_spans, lambda s: F.coalesce(s["text"], F.lit(""))), ""
+    )
 
-    One input row (a whole document as interleaved spans) produces N output
-    rows (its extracted content spans, seq-ordered). parse_error rows keep
-    the doc_id with seq=-1 so lineage can count failures without a second
-    pass over the data."""
-    from .codec import reassemble
+
+def make_extract_markup_fn(doc_type: Optional[str] = None):
+    """mapInPandas function: (doc_id, markup[, doc_type]) batches →
+    extracted span rows.
+
+    One input row (a whole document) produces N output rows (its content
+    spans, seq-ordered). parse_error rows keep the doc_id with seq=-1 so
+    lineage can count failures without a second pass over the data."""
     from .extract import extract_spans
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,12 +135,17 @@ def make_extract_spans_fn(doc_type: Optional[str] = None):
                 "parse_error": [],
             }
             has_type = "doc_type" in pdf.columns
+            doc_ids = pdf["doc_id"].to_numpy()
+            markups = pdf["markup"].to_numpy()
+            types = pdf["doc_type"].to_numpy() if has_type else None
             for i in range(len(pdf)):
-                doc_id = pdf["doc_id"].iloc[i]
-                spans = pdf["spans"].iloc[i]
-                dt = pdf["doc_type"].iloc[i] if has_type else doc_type
-                markup = reassemble(spans if spans is not None else [])
-                extracted, err = extract_spans(markup, dt)
+                doc_id = doc_ids[i]
+                markup = markups[i]
+                dt = types[i] if types is not None else doc_type
+                if markup is None or not markup:
+                    extracted, err = [], 1
+                else:
+                    extracted, err = extract_spans(markup, dt)
                 if err or not extracted:
                     out["doc_id"].append(doc_id)
                     out["seq"].append(-1)
@@ -149,10 +169,13 @@ def make_extract_spans_fn(doc_type: Optional[str] = None):
 
 
 def extract_spans_df(docs: DataFrame, doc_type: Optional[str] = None) -> DataFrame:
-    """docs(doc_id, spans[, doc_type]) → extracted spans, one row per span."""
-    cols = ["doc_id", "spans"] + (["doc_type"] if "doc_type" in docs.columns else [])
+    """docs(doc_id, spans[, doc_type]) → extracted spans, one row per span.
+    The span→markup reassembly happens JVM-side (markup_from_spans_col)."""
+    cols = [F.col("doc_id"), markup_from_spans_col("spans").alias("markup")]
+    if "doc_type" in docs.columns:
+        cols.append(F.col("doc_type"))
     return docs.select(*cols).mapInPandas(
-        make_extract_spans_fn(doc_type), schema=EXTRACTED_SCHEMA
+        make_extract_markup_fn(doc_type), schema=EXTRACTED_SCHEMA
     )
 
 

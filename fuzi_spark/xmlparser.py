@@ -99,7 +99,11 @@ def _resolve_entities(text: str, entities: dict[str, str]) -> str:
     return _ENTITY_RE.sub(sub, text)
 
 
-def parse_xml(source, user_namespaces: Optional[dict[str, str]] = None) -> Document:
+def parse_xml(
+    source,
+    user_namespaces: Optional[dict[str, str]] = None,
+    assign_order: bool = True,
+) -> Document:
     """Parse an XML string/bytes into a Document. Never raises on malformed
     content; raises XMLError(parserFailure) only for empty/whitespace input,
     matching the reference (Tests/XMLTests.swift:97-106)."""
@@ -312,7 +316,8 @@ def parse_xml(source, user_namespaces: Optional[dict[str, str]] = None) -> Docum
             sc.advance(j)
 
     flush_text() if stack else None
-    doc.assign_order()
+    if assign_order:
+        doc.assign_order()
     if doc.root is None:
         raise XMLError(ERR_DOCUMENT_EMPTY, "Document is empty")
     return doc
