@@ -354,6 +354,36 @@ class Element(Node):
         return self.string_value == ""  # Element.swift:150-152
 
     @property
+    def number_value(self) -> Optional[float]:
+        """Decimal conversion of stringValue (reference Element.swift:155-157,
+        formatter at Document.swift:50-54); None when not numeric."""
+        s = self.string_value.strip()
+        if not s:
+            return None
+        try:
+            return float(s)
+        except ValueError:
+            return None
+
+    @property
+    def date_value(self):
+        """ISO-8601 `yyyy-MM-dd'T'HH:mm:ssZ` conversion of stringValue
+        (reference Element.swift:160-162, formatter Document.swift:57-62);
+        None when not parseable. Returns datetime.datetime."""
+        import datetime as _dt
+
+        s = self.string_value.strip()
+        for fmt in ("%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%dT%H:%M:%SZ"):
+            try:
+                d = _dt.datetime.strptime(s, fmt)
+                if d.tzinfo is None:
+                    d = d.replace(tzinfo=_dt.timezone.utc)
+                return d
+            except ValueError:
+                continue
+        return None
+
+    @property
     def qname(self) -> str:
         return f"{self.prefix}:{self.tag}" if self.prefix else self.tag
 

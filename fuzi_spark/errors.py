@@ -11,11 +11,23 @@ ERR_XPATH_INVALID_EXPR = 1207
 ERR_XPATH_UNKNOWN_FUNC = 1209
 
 
+_CANONICAL_MESSAGES = {
+    ERR_XPATH_INVALID_EXPR: "Invalid expression",
+    ERR_XPATH_UNKNOWN_FUNC: "Unregistered function",
+}
+
+
 class XMLError(Exception):
+    """message carries libxml2's canonical text for pinned codes
+    (Tests/XMLTests.swift:69-89 matches code AND message); the free-form
+    diagnostic detail lives in .detail."""
+
     def __init__(self, code: int, message: str = ""):
-        super().__init__(f"[{code}] {message}")
+        canonical = _CANONICAL_MESSAGES.get(code)
         self.code = code
-        self.message = message
+        self.message = canonical if canonical is not None else message
+        self.detail = message
+        super().__init__(f"[{code}] {self.message}" + (f": {message}" if canonical else ""))
 
 
 class XPathError(XMLError):

@@ -131,6 +131,73 @@ def run_extraction_pipeline(
     return extracted, lineage
 
 
+def streaming_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    doc_type: Optional[str] = None,
+    n_buckets: int = 64,
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Structured-Streaming variant of the extraction job: continuously
+    ingest interleaved-document files, extract, and append spans + lineage.
+
+    Spark-first shape: the SAME Arrow-batched extraction operator runs on
+    the stream (mapInPandas is streaming-compatible); per-micro-batch
+    lineage is written via foreachBatch so each batch commits spans and
+    its lineage rows together. Exactly-once across restarts comes from the
+    checkpoint; the per-bucket lineage additionally enables the same
+    committed-bucket resume protocol as the batch job.
+
+    The reference has no streaming surface (SURVEY.md §2.8) — this is the
+    pipeline-level capability a continuous crawl ingest needs."""
+    from .udfs import SPANS_ARRAY
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("doc_type", StringType()),
+            StructField("spans", SPANS_ARRAY),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    spans_path = os.path.join(output_dir, "spans")
+    lineage_path = os.path.join(output_dir, "lineage")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = extract_spans_df(batch_df, doc_type).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets)),
+        )
+        extracted.persist()
+        try:
+            extracted.write.mode("append").partitionBy("bucket").parquet(spans_path)
+            lineage = extracted.groupBy("bucket").agg(
+                F.sum(F.when(F.col("seq") <= 0, 1).otherwise(0)).alias("doc_count"),
+                F.sum(F.when(F.col("seq") >= 0, 1).otherwise(0)).alias("span_count"),
+                F.sum("parse_error").alias("parse_error_count"),
+            ).withColumn("batch_id", F.lit(batch_id))
+            lineage.write.mode("append").parquet(lineage_path)
+        finally:
+            extracted.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def verification_join(extracted: DataFrame, golden: DataFrame) -> DataFrame:
     """Span-sequence equality check (north_rule): full outer join on
     (doc_id, seq), comparing (kind, text, media_ref). Returns per-doc
