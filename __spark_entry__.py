@@ -142,10 +142,16 @@ def q_children_counts(spark, sf_dir):
         F.repeat(F.lit("<b/>"), (F.col("n_chars") % 3).cast("int")),
         F.lit("</doc>"),
     )
+    # cast to long: count() is integral, and integer hashing is stable
+    # across Spark and DuckDB (double formatting is not guaranteed to be)
     return _docs(spark, sf_dir).select(
         "doc_id",
-        xpath_double("count(/doc/a)", doc_type="xml")(markup).alias("count_a"),
-        xpath_double("count(/doc/b)", doc_type="xml")(markup).alias("count_b"),
+        xpath_double("count(/doc/a)", doc_type="xml")(markup)
+        .cast("long")
+        .alias("count_a"),
+        xpath_double("count(/doc/b)", doc_type="xml")(markup)
+        .cast("long")
+        .alias("count_b"),
     )
 
 
@@ -162,7 +168,7 @@ def q_xpath_sum(spark, sf_dir):
     )
     return _docs(spark, sf_dir).select(
         "doc_id",
-        xpath_double("sum(/r/n)", doc_type="xml")(markup).alias("total"),
+        xpath_double("sum(/r/n)", doc_type="xml")(markup).cast("long").alias("total"),
     )
 
 
@@ -217,6 +223,18 @@ def q_html_title(spark, sf_dir):
         meta["title"].alias("title"),
         meta["root_tag"].alias("root_tag"),
         meta["parse_error"].alias("parse_error"),
+    )
+
+
+def q_parse_errors(spark, sf_dir):
+    """S6 error surface: parse failures become flag rows, never task
+    failures — every tenth doc gets unparseable (empty) markup."""
+    from fuzi_spark.udfs import doc_meta
+
+    markup = F.when(F.col("n_chars") % 10 == 0, F.lit("")).otherwise(_xml_markup())
+    meta = doc_meta(doc_type="xml")(markup)
+    return _docs(spark, sf_dir).select(
+        "doc_id", meta["parse_error"].alias("parse_error")
     )
 
 
@@ -529,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "css_select": q_css_select,
         "positional_select": q_positional_select,
         "html_title": q_html_title,
+        "parse_errors": q_parse_errors,
         "snapshot_select": q_snapshot_select,
         "extract_flagship": q_extract_flagship,
         "extract_interleaved": q_extract_interleaved,
@@ -556,11 +575,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang AS lang_out, source AS source_out FROM documents"
         ),
         "children_counts": (
-            "SELECT doc_id, CAST(n_chars % 5 AS DOUBLE) AS count_a, "
-            "CAST(n_chars % 3 AS DOUBLE) AS count_b FROM documents"
+            "SELECT doc_id, CAST(n_chars % 5 AS BIGINT) AS count_a, "
+            "CAST(n_chars % 3 AS BIGINT) AS count_b FROM documents"
         ),
         "xpath_sum": (
-            "SELECT doc_id, CAST(n_chars + doc_id AS DOUBLE) AS total FROM documents"
+            "SELECT doc_id, CAST(n_chars + doc_id AS BIGINT) AS total FROM documents"
         ),
         "css_select": (
             "SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS n_hits, "
@@ -578,6 +597,10 @@ def oracle_sql() -> dict[str, str]:
         "html_title": (
             "SELECT doc_id, source AS title, 'html' AS root_tag, "
             "0 AS parse_error FROM documents"
+        ),
+        "parse_errors": (
+            "SELECT doc_id, CASE WHEN n_chars % 10 = 0 THEN 1 ELSE 0 END "
+            "AS parse_error FROM documents"
         ),
         "snapshot_select": (
             "SELECT doc_id, 2 AS n_items, 'item' AS first_tag, "

@@ -58,7 +58,7 @@ _TOKEN_RE = re.compile(
   | (?P<dcolon>::)
   | (?P<ddot>\.\.)
   | (?P<op2>!=|<=|>=)
-  | (?P<name>[A-Za-z_][\w.\-]*(?::\*|:[A-Za-z_][\w.\-]*)?|\*)
+  | (?P<name>[^\W\d][\w.\-]*(?::\*|:[^\W\d][\w.\-]*)?|\*)
   | (?P<sym>[()\[\]@,/|+\-=<>$.])
   | (?P<ws>\s+)
 """,

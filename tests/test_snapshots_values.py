@@ -176,3 +176,34 @@ class TestEncodings:
     def test_invalid_utf8_recovers(self):
         d = fz.parse_xml(b'<?xml version="1.0"?><root>ok</root>' + b"\xff\xfe")
         assert d.root is not None
+
+
+class TestRemainingSurface:
+    def test_index_subscript(self):
+        # N8: element[idx] positional child access (Element.swift:171-173)
+        d = fz.parse_xml("<root><a/><b/><c/></root>")
+        assert d.root[0].tag == "a"
+        assert d.root[2].tag == "c"
+        assert d.root[3] is None
+
+    def test_attr_subscript(self):
+        # P4: element["name"] (Element.swift:182-184)
+        d = fz.parse_xml('<root x="1"/>')
+        assert d.root["x"] == "1"
+        assert d.root["missing"] is None
+
+    def test_node_type_names(self):
+        # P8: node kind surface (Node.swift:27-73)
+        d = fz.parse_xml("<root>text<!--c--><?pi d?><x/></root>")
+        kinds = [c.type_name for c in d.root.children]
+        assert kinds == ["Text", "Comment", "Pi", "Element"]
+
+    def test_is_html_flag(self):
+        # P14 (Node.swift:121-123)
+        assert fz.parse_html("<div>x</div>").root.is_html is True
+        assert fz.parse_xml("<r/>").root.is_html is False
+
+    def test_unicode_element_name_xpath(self):
+        d = fz.parse_xml("<r><日本語>txt</日本語></r>")
+        r = fz.xpath(d, "//日本語")
+        assert len(r) == 1 and r[0].string_value == "txt"
