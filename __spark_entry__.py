@@ -525,6 +525,35 @@ def q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def q_events_window(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table (batch
+    form of the watermarked streaming operator in fuzi_spark.streaming)."""
+    from fuzi_spark.streaming import windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = windowed_event_counts(events, "1 day")
+    return agg.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "total_cents",
+    )
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF-partitioned ANN (deterministic coarse quantizer, n_probe cells,
+    exact re-rank). Approximate by construction — rows-only check."""
+    from fuzi_spark.ops.similarity import cosine_topk_ivf
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf(vecs, queries, k=5, n_cells=16, n_probe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing: media refs from extracted spans → synthetic
     binary table → decode/feature UDF (stubbed codec, real Spark shape).
@@ -562,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "events_window": q_events_window,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -661,6 +692,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_near_dups": (
             "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings"
+        ),
+        "events_window": (
+            "SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day, "
+            "event_type, COUNT(*) AS n_events, "
+            "SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents "
+            "FROM events GROUP BY 1, 2"
         ),
     }
 

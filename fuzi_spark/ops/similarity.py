@@ -138,6 +138,86 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_assign_udf(centroids: np.ndarray):
+    """Vectorized IVF cell assignment: one (batch × dim) @ (dim × C)
+    matmul per Arrow batch, argmax over normalized centroids."""
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    CT = C.T
+
+    @pandas_udf(IntegerType())
+    def _udf(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack(vec.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ CT, axis=1).astype(np.int32))
+
+    return _udf
+
+
+def ivf_centroids(vectors: DataFrame, n_cells: int, id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic coarse quantizer: the first n_cells vectors by id.
+    (Prod path: k-means over a sample; determinism matters more here.)"""
+    rows = (
+        vectors.orderBy(F.col(id_col).asc()).limit(n_cells).select(vec_col).collect()
+    )
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest centroid cell, probe the
+    query's n_probe nearest cells, exact cosine re-rank inside them.
+
+    Scale shape: the assignment is one matmul per Arrow batch; the probe
+    join is an equi-join on cell id, so per-query work is
+    ~(n_probe / n_cells) of the table instead of all of it."""
+    cents = ivf_centroids(vectors, n_cells, id_col, vec_col)
+    assign = ivf_assign_udf(cents)
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v_vec"),
+        assign(F.col(vec_col)).alias("cell"),
+    ).persist()
+
+    # driver-side probe list per query (queries are small by contract)
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r[1], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        cells = np.argsort(-(Cn @ qv))[:n_probe]
+        for c in cells:
+            probe_rows.append((r[0], list(r[1]), int(c)))
+    spark = vectors.sparkSession
+    q = spark.createDataFrame(
+        probe_rows, schema=f"query_id long, q_vec array<double>, cell int"
+    )
+    scored = (
+        v.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_col(F.col("q_vec"), F.col("v_vec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -223,3 +223,65 @@ class TestStreaming:
         q2 = streaming_extraction(spark, inp, out, cp, n_buckets=4)
         q2.awaitTermination(60)
         assert spark.read.parquet(_os.path.join(out, "spans")).count() == n_before
+
+
+class TestSimilarity:
+    def test_ivf_recall_vs_bruteforce(self, spark):
+        from pyspark.sql import functions as F
+
+        from fuzi_spark.ops.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+
+        vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        queries = vecs.filter(F.col("vec_id") < 5)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk_bruteforce(vecs, queries, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk_ivf(vecs, queries, k=5, n_cells=8, n_probe=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+    def test_lsh_results_subset_of_table(self, spark):
+        from pyspark.sql import functions as F
+
+        from fuzi_spark.ops.similarity import cosine_topk_lsh
+
+        vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        queries = vecs.filter(F.col("vec_id") < 5)
+        rows = cosine_topk_lsh(vecs, queries, k=5, bits=6).collect()
+        assert all(r.rank <= 5 and r.query_id != r.neighbor_id for r in rows)
+
+
+class TestWindowedEvents:
+    def test_streaming_matches_batch(self, spark, tmp_path):
+        from fuzi_spark.streaming import streaming_windowed_events, windowed_event_counts
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        batch = {
+            (str(r.window_start), r.event_type): (r.n_events, r.total_cents)
+            for r in windowed_event_counts(events).collect()
+        }
+        inp = str(tmp_path / "ev")
+        events.write.parquet(inp)
+        q = streaming_windowed_events(
+            spark, inp, str(tmp_path / "cp"), query_name="we_test"
+        )
+        q.awaitTermination(120)
+        streamed = {
+            (str(r.window_start), r.event_type): (r.n_events, r.total_cents)
+            for r in spark.sql("select * from we_test").collect()
+        }
+        # watermark finalizes all but the stream-final windows; every
+        # emitted window must match the batch result exactly
+        assert streamed
+        for k, v in streamed.items():
+            assert batch[k] == v, k
