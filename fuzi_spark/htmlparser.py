@@ -52,9 +52,11 @@ _AUTO_CLOSE = {
 _RAWTEXT = frozenset({"script", "style"})
 
 # one quote-aware regex per start tag: name, attr blob, self-close slash
+# '<' excluded from name and attr blob so an unescaped '<' in text can
+# never swallow a following tag during recovery
 _START_TAG_RE = re.compile(
-    r"<([a-zA-Z][^\s/>]*)"
-    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)"
+    r"<([a-zA-Z][^\s/><]*)"
+    r"((?:[^<>\"']|\"[^\"]*\"|'[^']*')*?)"
     r"(/?)>",
     re.S,
 )

@@ -27,6 +27,13 @@ _NAME_RE = re.compile(r"[^\s/>=]+")
 _ATTR_RE = re.compile(
     r"""\s*([^\s/>=]+)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
 )
+# one quote-aware regex per start tag (name, attr blob, self-close slash);
+# '<' excluded from the blob so a stray unescaped '<' can never swallow a
+# following close tag during recovery
+_START_RE = re.compile(
+    r"<([^\s/><!?][^\s/><]*)((?:[^<>\"']|\"[^\"]*\"|'[^']*')*?)\s*(/?)>",
+    re.S,
+)
 _ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]+|#[0-9]+|[A-Za-z_][\w.\-]*);")
 _ENTITY_DECL_RE = re.compile(
     r"""<!ENTITY\s+([\w.\-]+)\s+(?:"([^"]*)"|'([^']*)')""", re.S
@@ -133,13 +140,21 @@ def parse_xml(
             stack[-1].append(Text(_resolve_entities(content, entities), doc, text_line))
         # text outside the root is discarded (libxml2 does the same)
 
+    # incremental namespace scope: cur_ns is the effective prefix->uri map at
+    # the current insertion point; ns_stack snapshots it per open element so
+    # close restores O(1) — no ancestor walk per element (the parse-time
+    # equivalent of the reference's ancestor nsDef chain, Queryable.swift:275)
+    cur_ns: dict = {}
+    ns_stack: list[dict] = []
+
     def open_element(name: str, attrs: list[tuple[str, str]], line: int) -> Element:
+        nonlocal cur_ns
         nsmap: dict[Optional[str], str] = {}
         plain_attrs: dict[str, str] = {}
         for k, v in attrs:
             if k == "xmlns":
                 nsmap[None] = v
-            elif k.startswith("xmlns:"):
+            elif k[:6] == "xmlns:":
                 nsmap[k[6:]] = v
             else:
                 plain_attrs[k] = v
@@ -156,16 +171,18 @@ def parse_xml(
             doc.children.append(el)
             if doc.root is None:
                 doc.root = el
-        # resolve element + attribute namespace URIs against visible nsmap
-        eff = el.effective_nsmap()
-        el.ns_uri = eff.get(prefix) if prefix is not None else eff.get(None)
-        for k, v in plain_attrs.items():
-            if ":" in k:
-                ap, al = k.split(":", 1)
-                uri = eff.get(ap)
-                if uri:
-                    el.attr_ns[(uri, al)] = v
-        return el
+        eff = cur_ns
+        if nsmap:
+            eff = {**cur_ns, **nsmap}
+        el.ns_uri = eff.get(prefix)
+        if plain_attrs and eff:
+            for k, v in plain_attrs.items():
+                if ":" in k:
+                    ap, al = k.split(":", 1)
+                    uri = eff.get(ap)
+                    if uri:
+                        el.attr_ns[(uri, al)] = v
+        return el, eff
 
     while sc.i < n:
         lt = s.find("<", sc.i)
@@ -178,8 +195,9 @@ def parse_xml(
                     text_line = sc.line
                 text_buf.append(s[sc.i : lt])
             sc.advance(lt)
-        # at '<'
-        if s.startswith("<?", lt):
+        # at '<' — dispatch on the next char (cheaper than startswith chains)
+        nxt = s[lt + 1 : lt + 2]
+        if nxt == "?":
             end = s.find("?>", lt + 2)
             if end < 0:
                 break  # truncated PI → drop
@@ -200,7 +218,7 @@ def parse_xml(
                 if stack:
                     pi.parent = stack[-1]
             sc.advance(end + 2)
-        elif s.startswith("<!--", lt):
+        elif nxt == "!" and s.startswith("<!--", lt):
             end = s.find("-->", lt + 4)
             if end < 0:
                 break
@@ -211,7 +229,7 @@ def parse_xml(
             else:
                 doc.children.append(cm)
             sc.advance(end + 3)
-        elif s.startswith("<![CDATA[", lt):
+        elif nxt == "!" and s.startswith("<![CDATA[", lt):
             end = s.find("]]>", lt + 9)
             if end < 0:
                 end = n  # truncated CDATA: take rest
@@ -219,7 +237,7 @@ def parse_xml(
             if stack:
                 stack[-1].append(Text(s[lt + 9 : end], doc, sc.line, is_cdata=True))
             sc.advance(min(end + 3, n))
-        elif s.startswith("<!", lt):
+        elif nxt == "!":
             # DOCTYPE or other declaration; bracket-match the internal subset
             depth = 0
             j = lt
@@ -242,78 +260,59 @@ def parse_xml(
             for m in _ENTITY_DECL_RE.finditer(decl):
                 entities[m.group(1)] = m.group(2) if m.group(2) is not None else (m.group(3) or "")
             sc.advance(min(j + 1, n))
-        elif s.startswith("</", lt):
+        elif nxt == "/":
             end = s.find(">", lt + 2)
             if end < 0:
                 break  # truncated close tag → drop (recovery)
             name = s[lt + 2 : end].strip()
             flush_text()
-            # pop-to-match recovery
+            # pop-to-match recovery (restores the namespace scope too)
             for k in range(len(stack) - 1, -1, -1):
                 el = stack[k]
-                q = el.qname
-                if q == name or el.tag == name:
+                if el.qname == name or el.tag == name:
                     del stack[k:]
+                    cur_ns = ns_stack[k]
+                    del ns_stack[k:]
                     break
             # else: unmatched close tag ignored
             sc.advance(end + 1)
         else:
-            # start tag
-            m = _NAME_RE.match(s, lt + 1)
+            # start tag: one quote-aware regex match
+            m = _START_RE.match(s, lt)
             if not m:
+                if _NAME_RE.match(s, lt + 1) and s.find(">", lt) < 0:
+                    # name but no closing '>' before EOF → truncated start
+                    # tag: drop the rest (recovery, Tests/ActorHardening
+                    # Tests.swift:45-55)
+                    sc.advance(n)
+                    break
                 # stray '<' in content: treat literally
                 if not text_buf:
                     text_line = sc.line
                 text_buf.append("<")
                 sc.advance(lt + 1)
                 continue
-            name = m.group(0)
-            j = m.end()
+            name = m.group(1)
+            blob = m.group(2)
             attrs: list[tuple[str, str]] = []
-            self_close = False
-            tag_line = sc.line
-            while j < n:
-                # skip whitespace
-                while j < n and s[j].isspace():
-                    j += 1
-                if j >= n:
-                    break
-                if s[j] == ">":
-                    j += 1
-                    break
-                if s.startswith("/>", j):
-                    self_close = True
-                    j += 2
-                    break
-                if s[j] == "/":
-                    j += 1
-                    continue
-                am = _ATTR_RE.match(s, j)
-                if not am or am.end() == j:
-                    j += 1
-                    continue
-                k = am.group(1)
-                v = am.group(2)
-                if v is None:
-                    v = ""
-                elif v[:1] in "\"'" and v[:1] == v[-1:] and len(v) >= 2:
-                    v = v[1:-1]
-                attrs.append((k, _resolve_entities(v, entities)))
-                j = am.end()
-            else:
-                pass
-            if j > n:
-                j = n
-            if j == n and not s[lt:].rstrip().endswith(">"):
-                # truncated start tag at EOF → drop it entirely (recovery,
-                # Tests/ActorHardeningTests.swift:45-55)
-                sc.advance(n)
-                break
+            if blob and not blob.isspace():
+                for am in _ATTR_RE.finditer(blob):
+                    k = am.group(1)
+                    if k == "/":
+                        continue
+                    v = am.group(2)
+                    if v is None:
+                        v = ""
+                    elif v[:1] in "\"'" and v[:1] == v[-1:] and len(v) >= 2:
+                        v = v[1:-1]
+                    attrs.append((k, _resolve_entities(v, entities)))
             flush_text()
-            el = open_element(name, attrs, tag_line)
-            if not self_close:
+            el, eff = open_element(name, attrs, sc.line)
+            if m.group(3) != "/":
                 stack.append(el)
-            sc.advance(j)
+                ns_stack.append(cur_ns)
+                cur_ns = eff
+            sc.advance(m.end())
 
     flush_text() if stack else None
     if assign_order:
