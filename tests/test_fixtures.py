@@ -236,3 +236,25 @@ class TestVMAP:
         el = fz.first_child_xpath(vmap, "/vmap:VMAP/vmap:Extensions/uo:unicornOnce")
         assert el is not None
         assert el.is_blank
+
+
+class TestXPathFunctionResults:
+    """Transcribed from Tests/XPathFunctionResultTests.swift:38-48."""
+
+    @pytest.fixture()
+    def atom_fn(self):
+        d = fz.parse_xml(fixture_bytes("atom.xml"))
+        d.define_prefix("atom", "http://www.w3.org/2005/Atom")
+        return d
+
+    def test_bool_value(self, atom_fn):
+        assert fz.eval_xpath(atom_fn.root, "starts-with('Ono','O')").bool_value is True
+
+    def test_double_value(self, atom_fn):
+        assert fz.eval_xpath(atom_fn.root, "count(./atom:link)").double_value == 2.0
+
+    def test_string_value(self, atom_fn):
+        r = fz.eval_xpath(
+            atom_fn.root, "string(./atom:entry[1]/dc:language[1]/text())"
+        )
+        assert r.string_value == "en-us"
