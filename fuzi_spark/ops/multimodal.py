@@ -140,6 +140,106 @@ def decode_features_df(media: DataFrame) -> DataFrame:
     ).mapInPandas(decode_features_fn, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb", BinaryType()),  # row-major grayscale bytes
+    ]
+)
+
+
+def make_resize_fn(target: int = 32):
+    """mapInPandas: image rows → fixed-size thumbnails.
+
+    Real path uses PIL when available; stub path emits a deterministic
+    target×target grayscale buffer derived from the content digest, so the
+    Spark plumbing (schema, batch shape, binary output) is fully exercised
+    without image libraries."""
+    use_pil = _have_pil()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_ref": [], "width": [], "height": [], "thumb": []}
+            for i in range(len(pdf)):
+                content = pdf["content"].iloc[i]
+                rows["media_ref"].append(pdf["media_ref"].iloc[i])
+                if use_pil:
+                    try:
+                        import io
+
+                        import PIL.Image
+
+                        img = PIL.Image.open(io.BytesIO(content)).convert("L")
+                        img = img.resize((target, target))
+                        rows["width"].append(target)
+                        rows["height"].append(target)
+                        rows["thumb"].append(img.tobytes())
+                        continue
+                    except Exception:
+                        pass
+                dig = hashlib.blake2b(content or b"", digest_size=32).digest()
+                rng = np.random.RandomState(int.from_bytes(dig[:4], "little"))
+                rows["width"].append(target)
+                rows["height"].append(target)
+                rows["thumb"].append(
+                    rng.randint(0, 256, size=target * target, dtype=np.uint8).tobytes()
+                )
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def make_frame_sample_fn(n_frames: int = 4, fps_ms: int = 1000):
+    """mapInPandas: video rows → n_frames sampled frame-feature rows each
+    (1 input row → N output rows, the frame-explosion shape). The decoder
+    is STUBBED (no libav in this container): frame features are
+    deterministic from (content digest, frame index); timestamps follow
+    the sampling grid."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_ref": [], "frame_idx": [], "ts_ms": [], "features": []}
+            for i in range(len(pdf)):
+                ref = pdf["media_ref"].iloc[i]
+                content = pdf["content"].iloc[i]
+                dig = hashlib.blake2b(content or b"", digest_size=32).digest()
+                for f in range(n_frames):
+                    rng = np.random.RandomState(
+                        int.from_bytes(dig[:4], "little") + f
+                    )
+                    rows["media_ref"].append(ref)
+                    rows["frame_idx"].append(f)
+                    rows["ts_ms"].append(f * fps_ms)
+                    rows["features"].append(rng.randn(_FEATURE_DIM).astype(np.float32))
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def resize_images_df(media: DataFrame, target: int = 32) -> DataFrame:
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        make_resize_fn(target), schema=RESIZED_SCHEMA
+    )
+
+
+def frame_sample_df(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        make_frame_sample_fn(n_frames), schema=FRAMES_SCHEMA
+    )
+
+
 def synth_media_df(spark, docs_extracted: DataFrame) -> DataFrame:
     """Build a media table from extracted media spans: deterministic binary
     payload per media_ref (content = blake2b-keyed bytes) — the dev-scale
