@@ -540,6 +540,23 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Per-user sessionization (lag + running-sum window functions); the
+    same semantics run as a custom stateful streaming operator via
+    applyInPandasWithState (fuzi_spark.streaming.sessionize_stream)."""
+    from fuzi_spark.streaming import sessionize_batch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize_batch(events, gap_minutes=30)
+    return s.select(
+        "user_id",
+        "session_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+        "n_events",
+    )
+
+
 def q_similarity_ivf(spark, sf_dir):
     """IVF-partitioned ANN (deterministic coarse quantizer, n_probe cells,
     exact re-rank). Approximate by construction — rows-only check."""
@@ -593,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "events_window": q_events_window,
+        "sessionize": q_sessionize,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -692,6 +710,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_near_dups": (
             "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings"
+        ),
+        "sessionize": (
+            "WITH flagged AS ("
+            "  SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "
+            "    epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+            "    THEN 1 ELSE 0 END AS is_new FROM events "
+            "  WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "sess AS ("
+            "  SELECT user_id, ts, CAST(SUM(is_new) OVER ("
+            "    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+            "    AS BIGINT) AS session_id FROM flagged) "
+            "SELECT user_id, session_id, "
+            "strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_s, "
+            "strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_s, "
+            "COUNT(*) AS n_events FROM sess GROUP BY 1, 2"
         ),
         "events_window": (
             "SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day, "

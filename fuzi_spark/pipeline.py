@@ -37,7 +37,14 @@ from pyspark.sql import functions as F
 
 from .udfs import extract_spans_df
 
-DEFAULT_GIANT_THRESHOLD = 1_000_000  # bytes of markup per doc
+# Giant-doc threshold, calibrated by measurement (round 1): the extractor
+# amortizes per-doc overhead on large documents (~58 MB/s on a 7.5 MB doc
+# vs ~7 MB/s on 1.3 KB pages), so a document only becomes a straggler when
+# its solo cost rivals a whole partition of normal docs (~1-2 s ≈ tens of
+# MB). Salting below that size costs an extra scan + shuffle for nothing —
+# measured: salting 6 deliberately-colliding 7.5 MB giants made the job
+# ~40% SLOWER. Route only genuinely pathological documents.
+DEFAULT_GIANT_THRESHOLD = 32_000_000  # bytes of markup per doc
 
 
 def with_weight_and_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:

@@ -36,6 +36,124 @@ def windowed_event_counts(events: DataFrame, window: str = "1 day") -> DataFrame
     )
 
 
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session assignment: a session breaks when the gap to the
+    previous event exceeds gap_minutes. Pure window functions (lag +
+    running sum) — the classic sessionization shape Catalyst executes as
+    one sort per user partition."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # microsecond precision so gap comparisons are engine-exact (parquet ts
+    # may be TIMESTAMP_NTZ; normalize first)
+    tsl = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = F.lag(tsl).over(w)
+    is_new = (gap.isNull() | ((tsl - gap) > gap_minutes * 60 * 1_000_000)).cast("long")
+    sess = events.withColumn("session_id", F.sum(is_new).over(w))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_id", "session_start", "session_end", "n_events")
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _session_fn(gap_minutes: int):
+    import pandas as pd
+
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdf_iter, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="s")],
+                    "session_end": [pd.Timestamp(last, unit="s")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts = []
+        for pdf in pdf_iter:
+            ts.extend(int(t.timestamp()) for t in pdf["ts"])
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        out = {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_s:
+                out["user_id"].append(user_id)
+                out["session_start"].append(pd.Timestamp(start, unit="s"))
+                out["session_end"].append(pd.Timestamp(last, unit="s"))
+                out["n_events"].append(n)
+                start, last, n = t, t, 1
+            else:
+                last = t
+                n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp((last + gap_s) * 1000)
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    query_name: str = "sessions",
+):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user session state (start, last, count) lives in the state store;
+    sessions close when the event-time gap exceeds gap_minutes (emitted on
+    the next event) or when the event-time timeout fires."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_path)
+        .withWatermark("ts", watermark)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_minutes),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_windowed_events(
     spark: SparkSession,
     input_path: str,

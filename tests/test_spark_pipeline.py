@@ -285,3 +285,30 @@ class TestWindowedEvents:
         assert streamed
         for k, v in streamed.items():
             assert batch[k] == v, k
+
+
+class TestSessionize:
+    def test_stateful_stream_matches_batch(self, spark, tmp_path):
+        """applyInPandasWithState sessionization emits exactly the batch
+        window-function sessions (minus stream-final open sessions whose
+        event-time timeout can never fire after input ends)."""
+        from fuzi_spark.streaming import sessionize_batch, sessionize_stream
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        batch = {
+            (r.user_id, str(r.session_start)[:19], r.n_events)
+            for r in sessionize_batch(events, 30).collect()
+        }
+        inp = str(tmp_path / "ev")
+        events.write.parquet(inp)
+        q = sessionize_stream(spark, inp, str(tmp_path / "cp"), 30, query_name="sess_pt")
+        q.awaitTermination(150)
+        streamed = {
+            (r.user_id, str(r.session_start)[:19], r.n_events)
+            for r in spark.sql("select * from sess_pt").collect()
+        }
+        assert streamed, "stream emitted nothing"
+        assert streamed - batch == set(), "stream emitted sessions batch doesn't have"
+        # only open (last-per-user) sessions may be missing
+        assert len(batch - streamed) <= events.select("user_id").distinct().count()
+        assert len(streamed) >= 0.9 * len(batch)
