@@ -138,6 +138,27 @@ def run_extraction_pipeline(
     return extracted, lineage
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 64,
+    keys: tuple = ("doc_id",),
+) -> None:
+    """Persist a table bucketed+sorted on the join keys so later joins
+    co-locate WITHOUT a shuffle — the right layout for the recurring
+    spans ⋈ golden verification join at 10^12 rows: pay the shuffle once
+    at write time, never again."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )
+
+
 def streaming_extraction(
     spark: SparkSession,
     input_path: str,

@@ -312,3 +312,43 @@ class TestSessionize:
         # only open (last-per-user) sessions may be missing
         assert len(batch - streamed) <= events.select("user_id").distinct().count()
         assert len(streamed) >= 0.9 * len(batch)
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Both sides bucketed on the join key -> the join plan contains no
+        Exchange: the co-located layout the 10^12-row verification join
+        relies on."""
+        from fuzi_spark.corpus import corpus_df
+        from fuzi_spark.pipeline import run_extraction_pipeline, write_bucketed
+
+        docs = corpus_df(spark, include_fixtures=False, skew=False)
+        extracted, _ = run_extraction_pipeline(
+            spark, docs, output_dir=None, n_buckets=4, num_partitions=4
+        )
+        spans = extracted.filter("seq >= 0").select("doc_id", "seq", "kind")
+        try:
+            write_bucketed(spans, "t_spans", str(tmp_path / "t_spans"), 4)
+            write_bucketed(spans, "t_golden", str(tmp_path / "t_golden"), 4)
+            a = spark.table("t_spans")
+            b = spark.table("t_golden").withColumnRenamed("kind", "g_kind")
+            # disable broadcast to exercise the big-table path (at 10^12
+            # rows neither side broadcasts); bucketing must remove the
+            # shuffle exchanges entirely
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                # join on the bucket key: bucketed scans co-locate, no shuffle
+                j = a.groupBy("doc_id").count().join(
+                    b.groupBy("doc_id").count().withColumnRenamed("count", "g_count"),
+                    ["doc_id"],
+                )
+                plan = j._jdf.queryExecution().executedPlan().toString()
+                assert "Exchange hashpartitioning" not in plan, plan[:2000]
+                assert "SortMergeJoin" in plan, plan[:2000]
+                assert j.count() > 0
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_spans")
+            spark.sql("DROP TABLE IF EXISTS t_golden")
