@@ -49,10 +49,15 @@ def _norm(parts: list[str]) -> str:
 
 
 def strip_boilerplate(doc: Document) -> int:
-    """Remove script/style/nav/form/... subtrees and link-dense blocks.
-    Returns the number of removed elements. Uses the remove() mutation
-    primitive; link-density rule: a candidate block whose anchor-text ratio
-    exceeds 0.75 with under 200 chars of text is navigation chrome."""
+    """Remove boilerplate subtrees with the north_star scoring triple:
+    - tag-class: script/style/nav/form/... are chrome by definition
+    - link-density: a block whose anchor-text ratio exceeds 0.75 with
+      under 200 chars of text is navigation chrome
+    - text-density: a block with ≥3 descendant elements but under 2 chars
+      of text per element (and under 80 chars total) is markup scaffolding
+      (icon grids, button bars), not content
+    Returns the number of removed elements; uses the remove() mutation
+    primitive (reference Element.swift:196-206)."""
     if doc.root is None:
         return 0
     removed = 0
@@ -69,15 +74,23 @@ def strip_boilerplate(doc: Document) -> int:
     for el in to_remove:
         el.remove()
         removed += 1
-    # link-density prune (bottom-up so inner scores are unaffected)
+    # density prune (bottom-up so inner scores are unaffected)
     for el in reversed(candidates):
         if el.parent is None and el is not doc.root:
             continue  # already removed with an ancestor
         total = len(el.string_value)
-        if total == 0 or total >= 200:
+        if total >= 200:
             continue
-        link_len = sum(len(a.string_value) for a in el.iter_elements() if a.tag == "a")
-        if link_len / total > 0.75:
+        n_desc = -1  # iter_elements yields self first
+        link_len = 0
+        for d in el.iter_elements():
+            n_desc += 1
+            if d.tag == "a":
+                link_len += len(d.string_value)
+        if total > 0 and link_len / total > 0.75:
+            el.remove()
+            removed += 1
+        elif n_desc >= 3 and total < 80 and total / n_desc < 2.0:
             el.remove()
             removed += 1
     return removed
