@@ -74,23 +74,51 @@ def strip_boilerplate(doc: Document) -> int:
     for el in to_remove:
         el.remove()
         removed += 1
-    # density prune (bottom-up so inner scores are unaffected)
+    # density prune (bottom-up so inner scores are unaffected).
+    # Scores use whitespace-NORMALIZED text lengths so minified and
+    # pretty-printed forms of the same markup classify identically.
+    def _norm_len(s: str) -> int:
+        return sum(len(w) for w in s.split())
+
+    def _is_detached(el: Element) -> bool:
+        n = el.parent
+        while n is not None:
+            if n is doc.root:
+                return False
+            if n.parent is None:
+                return True  # unlinked subtree root above us
+            n = n.parent
+        return True
+
     for el in reversed(candidates):
-        if el.parent is None and el is not doc.root:
+        if _is_detached(el):
             continue  # already removed with an ancestor
-        total = len(el.string_value)
+        total = _norm_len(el.string_value)
         if total >= 200:
             continue
         n_desc = -1  # iter_elements yields self first
         link_len = 0
+        has_media = False
         for d in el.iter_elements():
             n_desc += 1
             if d.tag == "a":
-                link_len += len(d.string_value)
+                link_len += _norm_len(d.string_value)
+            elif d.tag in MEDIA_TAGS:
+                has_media = True
+        if has_media:
+            continue  # media spans must survive (image galleries etc.)
         if total > 0 and link_len / total > 0.75:
             el.remove()
             removed += 1
-        elif n_desc >= 3 and total < 80 and total / n_desc < 2.0:
+        elif (
+            n_desc >= 3
+            and total < 80
+            and total / n_desc < 2.0
+            and (link_len > 0 or total == 0)
+        ):
+            # markup scaffolding: many elements, no text per element —
+            # but only when linked (nav chrome) or fully empty; short
+            # genuine content (small tables, terse lists) is kept
             el.remove()
             removed += 1
     return removed
