@@ -23,16 +23,29 @@ from .errors import XPathError
 
 
 def xpath(node, expr: str, extra_ns: Optional[dict] = None) -> list:
-    """Silent-empty query (reference Queryable.swift:195-200)."""
+    """Silent-empty query (reference Queryable.swift:195-200).
+
+    The final Exception guard is the task-safety net: inside a Spark UDF
+    one pathological expression/document must never fail the whole task —
+    engine bugs degrade to an empty result, mirroring libxml2's
+    error-to-empty behavior."""
     try:
         return _xp.select(node, expr, extra_ns)
     except XPathError:
         return []
+    except Exception:
+        return []
 
 
 def try_xpath(node, expr: str, extra_ns: Optional[dict] = None) -> list:
-    """Throwing query (reference Queryable.swift:209-211)."""
-    return _xp.select(node, expr, extra_ns)
+    """Throwing query (reference Queryable.swift:209-211). Always raises
+    XPathError (unexpected engine errors are wrapped as code 1207)."""
+    try:
+        return _xp.select(node, expr, extra_ns)
+    except XPathError:
+        raise
+    except Exception as e:
+        raise XPathError(1207, f"internal: {e}") from e
 
 
 def css(node, selector: str, extra_ns: Optional[dict] = None) -> list:
@@ -65,6 +78,8 @@ def eval_xpath(node, expr: str, extra_ns: Optional[dict] = None) -> Optional[XPa
     try:
         v = _xp.evaluate(node, expr, extra_ns)
     except XPathError:
+        return None
+    except Exception:
         return None
     return XPathResult(
         bool_value=_xp.to_bool(v),

@@ -48,6 +48,9 @@ from .errors import (
 
 ERR_XPATH_UNDEF_PREFIX = 1219
 
+# implicitly bound per XML-Names / XPath 1.0 (libxml2 resolves it too)
+XML_NAMESPACE = "http://www.w3.org/XML/1998/namespace"
+
 # ---------------------------------------------------------------- lexer
 
 _TOKEN_RE = re.compile(
@@ -515,7 +518,16 @@ def _num_to_str(x: float) -> str:
         return "Infinity" if x > 0 else "-Infinity"
     if x == int(x) and abs(x) < 1e16:
         return str(int(x))
-    return repr(x)
+    s = repr(x)
+    if "e" in s or "E" in s:
+        # XPath 1.0 §4.2 forbids scientific notation in string(number)
+        from decimal import Decimal
+
+        s = format(Decimal(s), "f")
+    return s
+
+
+_XPATH_NUMBER_RE = re.compile(r"-?(\d+(\.\d*)?|\.\d+)\Z")
 
 
 def to_number(v: XPathValue) -> float:
@@ -526,10 +538,10 @@ def to_number(v: XPathValue) -> float:
     if isinstance(v, float):
         return v
     s = v.strip()
-    try:
-        return float(s)
-    except ValueError:
+    # XPath 1.0 Number syntax only: no exponents, no inf/nan words, no '+'
+    if not _XPATH_NUMBER_RE.match(s):
         return float("nan")
+    return float(s)
 
 
 def to_bool(v: XPathValue) -> bool:
@@ -612,7 +624,7 @@ def _axis_nodes(axis: str, n: Node):
                 return
             yield from reversed(sibs[:i])
     elif axis == "following":
-        cur = n
+        cur = n.owner if n.type == ATTRIBUTE_NODE else n
         while cur is not None:
             p = cur.parent
             if p is None:
@@ -625,7 +637,7 @@ def _axis_nodes(axis: str, n: Node):
                     yield from _axis_nodes("descendant", s)
             cur = p
     elif axis == "preceding":
-        cur = n
+        cur = n.owner if n.type == ATTRIBUTE_NODE else n
         while cur is not None:
             p = cur.parent
             if p is None:
@@ -645,6 +657,15 @@ def _axis_nodes(axis: str, n: Node):
         yield n
     elif axis == "namespace":
         return
+
+
+def _attr_prefix_uri(attr: Attr, apfx) -> Optional[str]:
+    """Namespace URI of an attribute's prefix ('xml' is implicitly bound)."""
+    if apfx is None:
+        return None
+    if apfx == "xml":
+        return XML_NAMESPACE
+    return attr.owner.effective_nsmap().get(apfx)
 
 
 _REVERSE_AXES = {"ancestor", "ancestor-or-self", "preceding", "preceding-sibling"}
@@ -682,9 +703,8 @@ def _match_test(test, axis: str, n: Node, ns: dict) -> bool:
         if local != "*" and name.rsplit(":", 1)[-1] != local:
             return False
         if prefix is not None:
-            owner_ns = n.owner.effective_nsmap()
             apfx = n.name.split(":", 1)[0] if ":" in n.name else None
-            auri = owner_ns.get(apfx) if apfx else None
+            auri = _attr_prefix_uri(n, apfx)
             return auri == uri
         return ":" not in n.name or local == "*"
     # element
@@ -754,8 +774,10 @@ class _Evaluator:
                 return math.copysign(float("inf"), ln) * math.copysign(1.0, rn)
             return ln / rn
         if op == "mod":
-            if rn == 0 or math.isnan(ln) or math.isnan(rn):
+            if rn == 0 or math.isnan(ln) or math.isnan(rn) or math.isinf(ln):
                 return float("nan")
+            if math.isinf(rn):
+                return ln
             return math.fmod(ln, rn)
         raise XPathError(ERR_XPATH_INVALID_EXPR, f"unknown operator {op}")
 
@@ -823,7 +845,7 @@ class _Evaluator:
                     raise XPathError(
                         ERR_XPATH_INVALID_EXPR, "predicate on non-node-set"
                     )
-                base = self._apply_predicates(base, a.filter_preds, reverse=False)
+                base = self._apply_predicates(base, a.filter_preds)
             if not a.steps:
                 return base
             if not isinstance(base, list):
@@ -849,11 +871,11 @@ class _Evaluator:
                 if _match_test(st.test, st.axis, n, self.ns)
             ]
             if st.preds:
-                cand = self._apply_predicates(cand, st.preds, reverse=False)
+                cand = self._apply_predicates(cand, st.preds)
             results.extend(cand)
         return _sort_ns(results)
 
-    def _apply_predicates(self, cand: list, preds, reverse: bool) -> list:
+    def _apply_predicates(self, cand: list, preds) -> list:
         for p in preds:
             size = len(cand)
             kept = []
@@ -869,9 +891,26 @@ class _Evaluator:
         return cand
 
     # ------------------------------------------------------------ functions
+    _ARITY = {
+        "last": (0, 0), "position": (0, 0), "count": (1, 1), "id": (1, 1),
+        "local-name": (0, 1), "name": (0, 1), "namespace-uri": (0, 1),
+        "string": (0, 1), "concat": (2, 255), "starts-with": (2, 2),
+        "contains": (2, 2), "substring-before": (2, 2),
+        "substring-after": (2, 2), "substring": (2, 3),
+        "string-length": (0, 1), "normalize-space": (0, 1),
+        "translate": (3, 3), "boolean": (1, 1), "not": (1, 1),
+        "true": (0, 0), "false": (0, 0), "lang": (1, 1), "number": (0, 1),
+        "sum": (1, 1), "floor": (1, 1), "ceiling": (1, 1), "round": (1, 1),
+    }
+
     def _call(self, name: str, args: list, ctx: Context) -> XPathValue:
         ev = lambda i: self.eval(args[i], ctx)
         na = len(args)
+        arity = self._ARITY.get(name)
+        if arity is not None and not (arity[0] <= na <= arity[1]):
+            raise XPathError(
+                ERR_XPATH_INVALID_EXPR, f"{name}() takes {arity[0]}..{arity[1]} args"
+            )
         if name == "last":
             return float(ctx.size)
         if name == "position":
@@ -905,7 +944,11 @@ class _Evaluator:
                     return ""
                 n = v[0]
             if name == "namespace-uri":
-                return (n.ns_uri or "") if n.type == ELEMENT_NODE else ""
+                if n.type == ELEMENT_NODE:
+                    return n.ns_uri or ""
+                if n.type == ATTRIBUTE_NODE and ":" in n.name:
+                    return _attr_prefix_uri(n, n.name.split(":", 1)[0]) or ""
+                return ""
             if n.type == ELEMENT_NODE:
                 return n.tag if name == "local-name" else n.qname
             if n.type == ATTRIBUTE_NODE:
@@ -934,12 +977,19 @@ class _Evaluator:
             start = to_number(ev(1))
             if math.isnan(start):
                 return ""
-            start = math.floor(start + 0.5)
+            if math.isfinite(start):
+                start = math.floor(start + 0.5)
             if na >= 3:
                 length = to_number(ev(2))
                 if math.isnan(length):
                     return ""
-                end = start + math.floor(length + 0.5)
+                # inf-safe: -inf start + inf length -> nan end -> empty,
+                # exactly the spec's substring('12345', -1 div 0, 1 div 0)
+                end = start + (
+                    math.floor(length + 0.5) if math.isfinite(length) else length
+                )
+                if math.isnan(end):
+                    return ""
             else:
                 end = float("inf")
             out = []
@@ -989,9 +1039,15 @@ class _Evaluator:
                 raise XPathError(ERR_XPATH_INVALID_EXPR, "sum() needs node-set")
             return float(sum(to_number(node_string(n)) for n in v))
         if name == "floor":
-            return float(math.floor(to_number(ev(0))))
+            x = to_number(ev(0))
+            if math.isnan(x) or math.isinf(x):
+                return x
+            return float(math.floor(x))
         if name == "ceiling":
-            return float(math.ceil(to_number(ev(0))))
+            x = to_number(ev(0))
+            if math.isnan(x) or math.isinf(x):
+                return x
+            return float(math.ceil(x))
         if name == "round":
             x = to_number(ev(0))
             if math.isnan(x) or math.isinf(x):
@@ -1007,7 +1063,7 @@ def build_namespace_map(node: Node, doc: Document) -> dict[str, str]:
     """Reference semantics (Queryable.swift:275-294): auto-register every
     prefix declared on the context node's ancestor-or-self chain, then the
     user-registered prefixes from Document.define_prefix (user wins)."""
-    ns: dict[str, str] = {}
+    ns: dict[str, str] = {"xml": XML_NAMESPACE}
     chain = []
     n = node
     while n is not None and n.type == ELEMENT_NODE:
@@ -1031,8 +1087,14 @@ def select(node: Node, expr: str, extra_ns: Optional[dict] = None) -> list:
     return v
 
 
-def evaluate(node: Node, expr: str, extra_ns: Optional[dict] = None) -> XPathValue:
+def evaluate(
+    node: Node,
+    expr: str,
+    extra_ns: Optional[dict] = None,
+    variables: Optional[dict] = None,
+) -> XPathValue:
     """Evaluate any XPath expression; returns node-set/str/float/bool.
+    `variables` binds $name references.
 
     Document-level queries anchor at the ROOT ELEMENT, like the reference
     (XMLDocument.xpath delegates to root, Queryable.swift:124-126)."""
@@ -1045,6 +1107,6 @@ def evaluate(node: Node, expr: str, extra_ns: Optional[dict] = None) -> XPathVal
     ns = build_namespace_map(anchor, doc)
     if extra_ns:
         ns.update(extra_ns)
-    ev = _Evaluator(ns)
-    ctx = Context(anchor, 1, 1, ns)
+    ev = _Evaluator(ns, variables)
+    ctx = Context(anchor, 1, 1, ns, variables)
     return ev.eval(ast, ctx)

@@ -195,3 +195,68 @@ def test_relative_vs_absolute_anchor():
     assert len(fz.xpath(d, "./header/title")) == 1
     hdr = fz.xpath(d, "./header")[0]
     assert len(fz.xpath(hdr, "./title")) == 1
+
+
+class TestReviewHardening:
+    """Regression tests for engine-crash and spec-deviation findings:
+    every case previously raised a non-XPathError (killing a Spark task)
+    or returned a non-XPath-1.0 value."""
+
+    def setup_method(self):
+        self.d = fz.parse_xml('<root xml:lang="en"><a id="1">x</a><b/></root>')
+
+    def ev(self, e):
+        return fz.eval_xpath(self.d, e)
+
+    def test_mod_infinity_nan(self):
+        import math
+
+        assert math.isnan(self.ev("(1 div 0) mod 2").double_value)
+
+    def test_floor_ceiling_nan_inf(self):
+        import math
+
+        assert math.isnan(self.ev("floor(0 div 0)").double_value)
+        assert self.ev("ceiling(1 div 0)").double_value == float("inf")
+        assert math.isnan(self.ev("floor(number(//nosuch))").double_value)
+
+    def test_substring_infinite_args(self):
+        # XPath 1.0 spec examples
+        assert self.ev("substring('12345', -42, 1 div 0)").string_value == "12345"
+        assert self.ev("substring('12345', -1 div 0, 1 div 0)").string_value == ""
+
+    def test_following_preceding_from_attribute(self):
+        r = fz.xpath(self.d, "//a/@id/following::*")
+        assert [e.tag for e in r] == ["b"]
+        assert fz.xpath(self.d, "//b/preceding::*") == fz.xpath(self.d, "//a")
+
+    def test_arity_errors_are_xpath_errors(self):
+        for bad in ("contains('a')", "boolean()", "not()", "translate('a','b')"):
+            assert fz.xpath(self.d, f"//*[{bad}]") == []
+            with pytest.raises(fz.XPathError):
+                fz.try_xpath(self.d, f"//*[{bad}]")
+
+    def test_xml_prefix_implicitly_bound(self):
+        r = fz.xpath(self.d, "//*[@xml:lang]")
+        assert len(r) == 1 and r[0].tag == "root"
+        assert self.ev("string(//@xml:lang)").string_value == "en"
+
+    def test_number_string_no_scientific_notation(self):
+        assert self.ev("string(0.00001)").string_value == "0.00001"
+
+    def test_number_rejects_python_float_syntax(self):
+        import math
+
+        for s in ("1e5", "inf", "nan", "+5", "1_0"):
+            assert math.isnan(self.ev(f"number('{s}')").double_value), s
+        assert self.ev("number('-5')").double_value == -5.0
+        assert self.ev("number(' 2.5 ')").double_value == 2.5
+
+    def test_namespace_uri_of_attribute(self):
+        d = fz.parse_xml('<root xmlns:p="urn:x" p:a="1"/>')
+        assert fz.eval_xpath(d, "namespace-uri(//@*[1])").string_value == "urn:x"
+
+    def test_variables_bindable(self):
+        from fuzi_spark.xpath import evaluate
+
+        assert evaluate(self.d, "$x + 1", variables={"x": 2.0}) == 3.0
