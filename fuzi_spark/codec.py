@@ -21,13 +21,17 @@ import re
 
 # media-bearing elements that become split points, with the attribute that
 # carries the reference
+# (?<![\w-]) instead of \b: hyphen is a word boundary, so plain \b would
+# let lazy-load attributes (data-src=, data-href=) match as the real ref
 _MEDIA_SPLIT_RE = re.compile(
     r"<(?:img|embed|source|track)\b[^>]*>"
-    r"|<(?:script|iframe|video|audio|object)\b[^>]*\bsrc\s*=[^>]*>(?:</(?:script|iframe|video|audio|object)>)?"
-    r"|<link\b[^>]*\bhref\s*=[^>]*>",
+    r"|<(?:script|iframe|video|audio|object)\b[^>]*(?<![\w\-])src\s*=[^>]*>(?:</(?:script|iframe|video|audio|object)>)?"
+    r"|<link\b[^>]*(?<![\w\-])href\s*=[^>]*>",
     re.I | re.S,
 )
-_REF_RE = re.compile(r"""\b(?:src|href|data)\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""", re.I)
+_REF_RE = re.compile(
+    r"""(?<![\w\-])(?:src|href|data)\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""", re.I
+)
 
 
 def media_ref_of(element_markup: str) -> str:
@@ -38,6 +42,9 @@ def media_ref_of(element_markup: str) -> str:
     v = m.group(1)
     if v[:1] in "\"'" and v[:1] == v[-1:]:
         v = v[1:-1]
+    elif v.endswith("/"):
+        # unquoted value in a self-closing tag: the '/' belongs to '/>'
+        v = v[:-1]
     return v
 
 

@@ -60,7 +60,9 @@ _START_TAG_RE = re.compile(
     r"(/?)>",
     re.S,
 )
-_END_TAG_RE = re.compile(r"</\s*([a-zA-Z][^\s>]*)\s*>")
+# end tags may carry stray attributes (</div class='x'>) — browsers and
+# libxml2 still close the element
+_END_TAG_RE = re.compile(r"</\s*([a-zA-Z][^\s></]*)[^>]*>")
 _ATTR_RE = re.compile(
     r"""([^\s/>=]+)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
 )
@@ -194,9 +196,12 @@ class _TreeBuilder:
                 if t in closes:
                     del self.stack[k:]
                     break
-                if t in ("body", "html", "table") and tag not in ("td", "th", "tr"):
+                # scope barriers: auto-close never escapes the enclosing
+                # table (for td/th/tr too — nested tables stay intact) or
+                # the enclosing list container (nested lists stay nested)
+                if t in ("body", "html", "table"):
                     break
-                if t in ("body", "html"):
+                if tag in ("li", "dt", "dd") and t in ("ul", "ol", "dl"):
                     break
 
         parent = self._current(for_tag=tag)
@@ -241,16 +246,22 @@ class _TreeBuilder:
         top.append(Text(data, self.doc, self.line))
 
     def handle_comment(self, data: str):
-        parent = self.stack[-1] if self.stack else self._ensure_html()
-        parent.append(Comment(data, self.doc, self.line))
+        cm = Comment(data, self.doc, self.line)
+        if not self.stack and self._html is None:
+            # before any element: document-level comment (matches the XML
+            # parser and libxml2)
+            self.doc.children.append(cm)
+            return
+        (self.stack[-1] if self.stack else self._ensure_html()).append(cm)
 
     def handle_pi(self, data: str):
         parts = data.split(None, 1)
         if parts:
-            parent = self.stack[-1] if self.stack else self._ensure_html()
-            parent.append(
-                PI(parts[0], parts[1] if len(parts) > 1 else "", self.doc, self.line)
-            )
+            pi = PI(parts[0], parts[1] if len(parts) > 1 else "", self.doc, self.line)
+            if not self.stack and self._html is None:
+                self.doc.children.append(pi)
+                return
+            (self.stack[-1] if self.stack else self._ensure_html()).append(pi)
 
 
 def _tokenize(s: str, tb: _TreeBuilder) -> None:
@@ -374,6 +385,8 @@ def parse_html(source, user_namespaces=None, assign_order: bool = True) -> Docum
         from .xmlparser import decode_bytes
 
         source = decode_bytes(bytes(source))
+    if source[:1] == "﻿":
+        source = source[1:]
     doc = Document(is_html=True)
     if user_namespaces:
         doc.namespaces.update(user_namespaces)

@@ -48,21 +48,28 @@ _PREDEFINED = {"lt": "<", "gt": ">", "amp": "&", "quot": '"', "apos": "'"}
 
 
 def decode_bytes(data: bytes) -> str:
-    """BOM sniff + declared-encoding decode, permissive fallback."""
+    """BOM sniff + declared-encoding decode, permissive fallback.
+    Always strips a leading U+FEFF so downstream tree builders never see
+    it as text (a stray BOM would otherwise imply <body> before <head>
+    in the HTML parser)."""
     if data.startswith(b"\xef\xbb\xbf"):
-        return data[3:].decode("utf-8", errors="replace")
-    if data.startswith(b"\xff\xfe"):
-        return data.decode("utf-16-le", errors="replace")
-    if data.startswith(b"\xfe\xff"):
-        return data.decode("utf-16-be", errors="replace")
-    head = data[:200]
-    m = re.search(rb'encoding\s*=\s*["\']([A-Za-z0-9._\-]+)["\']', head)
-    if m:
-        try:
-            return data.decode(m.group(1).decode("ascii"), errors="replace")
-        except LookupError:
-            pass
-    return data.decode("utf-8", errors="replace")
+        s = data[3:].decode("utf-8", errors="replace")
+    elif data.startswith(b"\xff\xfe"):
+        s = data.decode("utf-16-le", errors="replace")
+    elif data.startswith(b"\xfe\xff"):
+        s = data.decode("utf-16-be", errors="replace")
+    else:
+        head = data[:200]
+        m = re.search(rb'encoding\s*=\s*["\']([A-Za-z0-9._\-]+)["\']', head)
+        s = None
+        if m:
+            try:
+                s = data.decode(m.group(1).decode("ascii"), errors="replace")
+            except LookupError:
+                s = None
+        if s is None:
+            s = data.decode("utf-8", errors="replace")
+    return s[1:] if s[:1] == "﻿" else s
 
 
 class _Scanner:
@@ -79,8 +86,16 @@ class _Scanner:
         self.i = j
 
 
-def _resolve_entities(text: str, entities: dict[str, str]) -> str:
+_MAX_ENTITY_DEPTH = 8
+_MAX_ENTITY_EXPANSION = 10_000_000  # chars — billion-laughs guard
+
+
+def _resolve_entities(text: str, entities: dict[str, str], _depth: int = 0) -> str:
     if "&" not in text:
+        return text
+    if _depth > _MAX_ENTITY_DEPTH or len(text) > _MAX_ENTITY_EXPANSION:
+        # recursive/exponential entity definitions: stop expanding (recover
+        # mode never raises, and one hostile DTD must never kill a task)
         return text
 
     def sub(m: re.Match) -> str:
@@ -98,9 +113,7 @@ def _resolve_entities(text: str, entities: dict[str, str]) -> str:
         if e in _PREDEFINED:
             return _PREDEFINED[e]
         if e in entities:
-            # entity values may themselves contain references (one level of
-            # recursion covers the W3C spec fixture's nested entities)
-            return _resolve_entities(entities[e], entities)
+            return _resolve_entities(entities[e], entities, _depth + 1)
         return m.group(0)  # unknown entity: keep literal (recover mode)
 
     return _ENTITY_RE.sub(sub, text)

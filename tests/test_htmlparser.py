@@ -130,3 +130,60 @@ def test_raw_xml_html_void():
     h = fz.parse_html('<html><body><img src="x.png"></body></html>')
     img = fz.first_child_css(h, "img")
     assert img.raw_xml == '<img src="x.png">'
+
+
+class TestParserHardening:
+    """Regression tests for review findings: nested-structure scope bugs,
+    BOM handling, hostile DTDs, ref-extraction edge cases."""
+
+    def test_nested_table_not_mangled(self):
+        h = fz.parse_html("<table><tr><td><table><tr><td>X")
+        inner = fz.xpath(h, "//table//table//td")
+        assert len(inner) == 1 and inner[0].string_value == "X"
+
+    def test_nested_list_stays_nested(self):
+        h = fz.parse_html("<ul><li>a<ol><li>b</li></ol></li></ul>")
+        assert len(fz.xpath(h, "//ul/li/ol/li")) == 1
+        assert fz.xpath(h, "//ol/li")[0].string_value == "b"
+
+    def test_utf16_html_keeps_head_title(self):
+        data = b"\xff\xfe" + "<html><head><title>T</title></head><body>B</body></html>".encode("utf-16-le")
+        h = fz.parse_html(data)
+        assert h.title == "T"
+        assert h.body.string_value == "B"
+
+    def test_recursive_entity_no_crash(self):
+        d = fz.parse_xml('<!DOCTYPE r [<!ENTITY a "&a;">]><r>&a;</r>')
+        assert d.root is not None  # recover, never RecursionError
+
+    def test_mutually_recursive_entities(self):
+        d = fz.parse_xml(
+            '<!DOCTYPE r [<!ENTITY a "&b;"><!ENTITY b "&a;">]><r>&a;</r>'
+        )
+        assert d.root is not None
+
+    def test_doc_level_comment_before_html(self):
+        h = fz.parse_html("<!-- top --><html><body>x</body></html>")
+        from fuzi_spark.dom import COMMENT_NODE
+
+        assert h.children[0].type == COMMENT_NODE
+        assert h.root.children[0].tag != "html"  # comment not inside html
+
+    def test_end_tag_with_attributes_closes(self):
+        h = fz.parse_html("<html><body><div>a</div class='x'><p>b</p></body></html>")
+        div = fz.css(h, "div")[0]
+        assert div.string_value == "a"
+        assert fz.xpath(h, "//div/p") == []  # p is a sibling, not nested
+
+    def test_codec_lazy_load_refs(self):
+        from fuzi_spark.codec import media_ref_of
+
+        assert media_ref_of('<img data-src="lazy.jpg" src="real.jpg">') == "real.jpg"
+        assert media_ref_of("<img src=x.jpg/>") == "x.jpg"
+        assert media_ref_of('<link href=style.css/>') == "style.css"
+
+    def test_codec_split_ignores_data_src_script(self):
+        from fuzi_spark.codec import encode_spans
+
+        spans = encode_spans('<p>a</p><script data-src="l.js">var x;</script><p>b</p>')
+        assert all(s["kind"] == "text" for s in spans)
