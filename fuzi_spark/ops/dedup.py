@@ -63,6 +63,17 @@ def word_shingles(text_col: str, n: int = 3):
     )
 
 
+def shingle_hashes(text_col: str, n: int = 3):
+    """Distinct 31-bit hashes of the n-word shingles, as an array column.
+    Entirely JVM-side; the document string never leaves the projection."""
+    return F.array_distinct(
+        F.transform(
+            word_shingles(text_col, n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -73,30 +84,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document as n_hashes columns (mh0..mhN).
 
-    Expressed as explode(shingles) → hash once → groupBy(id).agg(min(...)
-    per hash function): a plain hash aggregate with map-side partial
-    combine, which is exactly the shape Catalyst + Tungsten execute best —
-    no giant per-row expression tree, no Python.
+    Shuffle-free: the shingle-hash array is computed once per row, and each
+    signature slot is `array_min(transform(hashes, h -> (a*h+b) mod p))` —
+    one map-side projection, whole-stage-codegen'd, zero exchanges. (The
+    previous explode→groupBy(min×64) formulation shuffled every shingle row;
+    at 10^12 docs that shuffle IS the job. Same arithmetic, identical
+    signatures, no exchange.)
     """
     a_params, b_params = _hash_params(n_hashes, seed)
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias(
-            "shingle"
-        ),
-    ).select(
-        id_col, F.pmod(F.xxhash64("shingle"), F.lit(1 << 31)).alias("h")
+    hashed = df.select(
+        F.col(id_col), shingle_hashes(text_col, shingle_n).alias("_sh")
     )
-    aggs = [
-        F.min(
-            F.pmod(
-                F.lit(int(a_params[i])) * F.col("h") + F.lit(int(b_params[i])),
-                F.lit(_MERSENNE),
-            )
+
+    def _perm(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE))
+
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("_sh"), _perm(int(a_params[i]), int(b_params[i])))
         ).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.select(id_col, *sig_cols)
 
 
 def minhash_lsh_candidates(
@@ -159,10 +168,16 @@ def ngram_jaccard(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs (JVM set ops).
-    Broadcast-joins the (small) candidate set against the shingle arrays."""
+
+    Shingles are verified as their 31-bit hashes (`shingle_hashes`), not the
+    strings: set Jaccard is preserved w.h.p. (collision mass ~ S/2^31), the
+    shuffled arrays are 8-byte longs instead of full n-gram strings, and
+    array_intersect/union compare longs — the join carries ~95% fewer bytes
+    for typical prose, which at corpus scale is the difference between a
+    spilling shuffle and an in-memory one."""
     sh = docs.select(
         F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+        shingle_hashes(text_col, shingle_n).alias("sh"),
     ).persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -227,21 +227,35 @@ def embedding_near_dups(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold), LSH-bucketed
-    self-join so the candidate set stays sub-quadratic."""
+    self-join so the candidate set stays sub-quadratic.
+
+    Vectors are L2-normalized ONCE per row before the self-join, so the
+    per-candidate-pair work inside the join is a single dot product
+    (`aggregate(zip_with)`) instead of dot + two norms — higher-order
+    functions are the interpreted part of this plan, and the join output
+    is quadratic in bucket size, so tripling per-pair lambda work is the
+    difference that shows at scale."""
     sig = lsh_signature_udf(make_hyperplanes(dim, bits))
-    keyed = vectors.select(
-        F.col(id_col), F.col(vec_col), sig(F.col(vec_col)).alias("bucket")
-    ).persist()  # avoid recomputing the signature UDF per join side
-    l = keyed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    keyed = (
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.greatest(_norm(F.col(vec_col)), F.lit(1e-12)).alias("_n"),
+            sig(F.col(vec_col)).alias("bucket"),
+        )
+        .select(
+            id_col,
+            F.transform(F.col(vec_col), lambda x: x / F.col("_n")).alias("_u"),
+            "bucket",
+        )
+        .persist()  # avoid recomputing the signature UDF per join side
     )
-    r = keyed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
-    )
+    l = keyed.select(F.col(id_col).alias("id_a"), F.col("_u").alias("va"), "bucket")
+    r = keyed.select(F.col(id_col).alias("id_b"), F.col("_u").alias("vb"), "bucket")
     return (
         l.join(r, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
