@@ -428,6 +428,28 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard between each doc and its one-word-appended
+    mutation (string-shingle path, hashed=False — bit-exact vs the SQL
+    oracle; the production LSH verify uses the hashed fast path, exercised
+    by dedup_minhash). Values land strictly inside (0, 1), so the oracle
+    checks real set arithmetic, not degenerate zeros."""
+    from fuzi_spark.ops.dedup import ngram_jaccard
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    both = d.unionByName(mutated)
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
+    )
+    return ngram_jaccard(pairs, both, hashed=False).select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 9).alias("jaccard")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dups (hamming ≤ 3) over doc ∪ exact copy — every doc
     must pair with its copy at hamming 0. Rows-only check."""
@@ -605,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verification_join": q_verification_join,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -691,6 +714,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, text FROM documents "
             "      UNION ALL SELECT doc_id + 1000000, text FROM documents) "
             "GROUP BY text"
+        ),
+        "dedup_ngram_jaccard": (
+            # 3-word shingles, set jaccard between doc i and its mutated
+            # copy (text + ' extraword', id + 1000000); slice semantics
+            # match Spark slice(tokens, i, 3) = w[i:i+2]
+            "WITH uni AS (SELECT doc_id, text FROM documents "
+            "  UNION ALL SELECT doc_id + 1000000, text || ' extraword' "
+            "  FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct("
+            "  [array_to_string(w[i:i+2], ' ') "
+            "   FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS s "
+            "  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM uni)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+            "  len(list_distinct(a.s || b.s)), 9) AS jaccard "
+            "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000"
         ),
         "text_quality": (
             "SELECT doc_id, len(string_split(trim(text), ' ')) AS tokens_ws, "

@@ -1,0 +1,141 @@
+"""spark-submit entrypoint for the extraction job (north_rule: "ships as
+spark-submit --py-files to multi-executor clusters").
+
+Usage (cluster):
+
+    zip -r fuzi_spark.zip fuzi_spark
+    spark-submit --py-files fuzi_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.adaptive.skewJoin.enabled=true \
+        --conf spark.sql.execution.arrow.pyspark.enabled=true \
+        -m fuzi_spark.job  # or: path/to/fuzi_spark/job.py
+        --input  s3://bucket/docs_parquet         # or --input-table ice.db.docs
+        --output /warehouse/extracted             # or --output-table ice.db.spans
+        --n-buckets 4096 --doc-type html
+
+Dev (sandbox): python -m fuzi_spark.job --input /root/testdata/sf0.001/... \
+    --output /tmp/out --master 'local[8]'
+
+Design notes:
+- No master is set unless --master is passed: spark-submit owns deployment.
+- Iceberg I/O goes through the catalog-qualified table name
+  (`spark.read.table` / `df.writeTo(...).append()`), which is the Iceberg
+  DataFrame API — the catalog jars/config come from spark-submit --conf
+  (spark.sql.catalog.*). Parquet paths are the self-contained dev surface.
+- Resume: with --output/--output-table set, previously committed buckets
+  (recorded in the lineage table) are anti-joined out before extraction, so
+  a re-run after a partial failure only processes the remainder
+  (pipeline.committed_buckets).
+- The job prints a one-line JSON summary (docs, spans, parse errors,
+  buckets committed) to stdout for the orchestrator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fuzi_spark.job", description="Distributed main-content extraction"
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet path of (doc_id, spans) documents")
+    src.add_argument("--input-table", help="catalog table (Iceberg) of documents")
+    p.add_argument("--output", help="output dir (parquet dev surface)")
+    p.add_argument("--output-table", help="catalog table (Iceberg) for spans")
+    p.add_argument("--lineage-table", help="catalog table (Iceberg) for lineage")
+    p.add_argument("--n-buckets", type=int, default=4096,
+                   help="stable commit buckets (resume granularity)")
+    p.add_argument("--num-partitions", type=int, default=None,
+                   help="extraction-stage partitions (default 2x parallelism)")
+    p.add_argument("--giant-threshold", type=int, default=None,
+                   help="bytes of markup above which a doc is salted")
+    p.add_argument("--doc-type", choices=("html", "xml"), default=None,
+                   help="skip per-doc sniffing when the corpus is uniform")
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore committed buckets from prior runs")
+    p.add_argument("--master", default=None,
+                   help="override master (dev only; spark-submit sets it in prod)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def make_spark(args):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("fuzi-extract")
+    if args.master:
+        b = b.master(args.master)
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if args.shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    return b.getOrCreate()
+
+
+def main(argv=None) -> int:
+    from pyspark.sql import functions as F
+
+    from .pipeline import DEFAULT_GIANT_THRESHOLD, run_extraction_pipeline
+
+    args = build_arg_parser().parse_args(argv)
+    spark = make_spark(args)
+    t0 = time.time()
+
+    if args.input_table:
+        docs = spark.read.table(args.input_table)
+    else:
+        docs = spark.read.parquet(args.input)
+
+    extracted, lineage = run_extraction_pipeline(
+        spark,
+        docs,
+        output_dir=args.output,
+        n_buckets=args.n_buckets,
+        num_partitions=args.num_partitions,
+        giant_threshold=args.giant_threshold or DEFAULT_GIANT_THRESHOLD,
+        resume=not args.no_resume,
+        doc_type=args.doc_type,
+    )
+
+    if args.output_table:
+        # Iceberg append: atomic snapshot commit; the lineage rows land in
+        # the same job so a killed run leaves no committed-but-unrecorded
+        # bucket (the resume protocol reads lineage, not spans)
+        extracted.writeTo(args.output_table).append()
+        if args.lineage_table:
+            lineage.writeTo(args.lineage_table).append()
+        totals = spark.table(args.output_table).groupBy().agg(
+            F.sum(F.when(F.col("seq") <= 0, 1).otherwise(0)).alias("docs"),
+            F.sum(F.when(F.col("seq") >= 0, 1).otherwise(0)).alias("spans"),
+            F.sum("parse_error").alias("parse_errors"),
+        ).first()
+    else:
+        # parquet surface: run_extraction_pipeline already wrote if --output
+        totals = lineage.groupBy().agg(
+            F.sum("doc_count").alias("docs"),
+            F.sum("span_count").alias("spans"),
+            F.sum("parse_error_count").alias("parse_errors"),
+        ).first()
+
+    summary = {
+        "docs": int(totals["docs"] or 0),
+        "spans": int(totals["spans"] or 0),
+        "parse_errors": int(totals["parse_errors"] or 0),
+        "n_buckets": args.n_buckets,
+        "wall_sec": round(time.time() - t0, 2),
+    }
+    print(json.dumps(summary), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

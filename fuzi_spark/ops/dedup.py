@@ -165,20 +165,24 @@ def minhash_lsh_candidates(
 
 def ngram_jaccard(
     pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_n: int = 3,
+    shingle_n: int = 3, hashed: bool = True,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs (JVM set ops).
 
-    Shingles are verified as their 31-bit hashes (`shingle_hashes`), not the
-    strings: set Jaccard is preserved w.h.p. (collision mass ~ S/2^31), the
-    shuffled arrays are 8-byte longs instead of full n-gram strings, and
-    array_intersect/union compare longs — the join carries ~95% fewer bytes
-    for typical prose, which at corpus scale is the difference between a
-    spilling shuffle and an in-memory one."""
-    sh = docs.select(
-        F.col(id_col),
-        shingle_hashes(text_col, shingle_n).alias("sh"),
-    ).persist()
+    With hashed=True (default, the scale path) shingles are verified as
+    their 31-bit hashes (`shingle_hashes`), not the strings: set Jaccard is
+    preserved w.h.p. (collision mass ~ S/2^31), the shuffled arrays are
+    8-byte longs instead of full n-gram strings, and array_intersect/union
+    compare longs — the join carries ~95% fewer bytes for typical prose,
+    which at corpus scale is the difference between a spilling shuffle and
+    an in-memory one. hashed=False keeps the literal shingle strings —
+    bit-exact against an external SQL oracle."""
+    shingles = (
+        shingle_hashes(text_col, shingle_n)
+        if hashed
+        else F.array_distinct(word_shingles(text_col, shingle_n))
+    )
+    sh = docs.select(F.col(id_col), shingles.alias("sh")).persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (

@@ -65,14 +65,23 @@ def salt_partition(
     giant_threshold: int = DEFAULT_GIANT_THRESHOLD,
 ) -> DataFrame:
     """Repartition for the extraction stage: doc_id-hash for normal docs,
-    round-robin spread for giants (weight-skew salting)."""
-    normal = docs.filter(F.col("doc_weight") < giant_threshold).repartition(
-        num_partitions, "doc_id"
+    per-row salted hash for giants (weight-skew salting).
+
+    ONE scan + ONE shuffle: the earlier two-branch form
+    (filter(normal).repartition ∪ filter(giant).repartition) read the whole
+    input twice — at 10^12 docs the second scan costs more than any skew it
+    cures. A conditional partition expression keeps co-location by doc_id
+    for normal docs while giving each giant row its own uniformly-random
+    key, so colliding giants are spread without a second pass."""
+    part_key = F.when(
+        F.col("doc_weight") < giant_threshold,
+        F.xxhash64(F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.xxhash64(
+            F.col("doc_id").cast("string"), F.monotonically_increasing_id()
+        )
     )
-    giants = docs.filter(F.col("doc_weight") >= giant_threshold).repartition(
-        num_partitions
-    )
-    return normal.unionByName(giants)
+    return docs.repartition(num_partitions, part_key)
 
 
 def committed_buckets(spark: SparkSession, lineage_path: str) -> Optional[DataFrame]:
