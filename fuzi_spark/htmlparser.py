@@ -265,18 +265,27 @@ class _TreeBuilder:
 
 
 def _tokenize(s: str, tb: _TreeBuilder) -> None:
-    """Single pass over the markup, one C-regex match per construct."""
+    """Single pass over the markup, one C-regex match per construct.
+
+    Hot-loop notes: locals-bound method/regex lookups (`find`, `handle_*`,
+    `match`) — attribute resolution inside this loop is measurable at
+    10^12-doc scale; text segments skip the `unescape` call entirely when
+    they carry no '&'."""
     i, n = 0, len(s)
     line = 1
     track_lines = "\n" in s
+    find = s.find
+    handle_data = tb.handle_data
+    start_match = _START_TAG_RE.match
+    end_match = _END_TAG_RE.match
 
     def emit_data(seg: str):
         if "&" in seg:
             seg = unescape(seg)
-        tb.handle_data(seg)
+        handle_data(seg)
 
     while i < n:
-        lt = s.find("<", i)
+        lt = find("<", i)
         if lt < 0:
             tb.line = line
             emit_data(s[i:])
@@ -291,7 +300,7 @@ def _tokenize(s: str, tb: _TreeBuilder) -> None:
         c = s[lt + 1 : lt + 2]
         if c == "!":
             if s.startswith("<!--", lt):
-                end = s.find("-->", lt + 4)
+                end = find("-->", lt + 4)
                 if end < 0:
                     break  # truncated comment: drop rest
                 tb.line = line
@@ -301,7 +310,7 @@ def _tokenize(s: str, tb: _TreeBuilder) -> None:
                 tb.handle_comment(body)
                 i = end + 3
             else:
-                end = s.find(">", lt)  # <!DOCTYPE ...> and friends: skip
+                end = find(">", lt)  # <!DOCTYPE ...> and friends: skip
                 if end < 0:
                     break
                 if track_lines:
@@ -309,7 +318,7 @@ def _tokenize(s: str, tb: _TreeBuilder) -> None:
                 i = end + 1
             continue
         if c == "?":
-            end = s.find(">", lt)
+            end = find(">", lt)
             if end < 0:
                 break
             tb.line = line
@@ -319,7 +328,7 @@ def _tokenize(s: str, tb: _TreeBuilder) -> None:
             i = end + 1
             continue
         if c == "/":
-            m = _END_TAG_RE.match(s, lt)
+            m = end_match(s, lt)
             if m:
                 tb.line = line
                 tb.handle_endtag(m.group(1).lower())
@@ -327,12 +336,12 @@ def _tokenize(s: str, tb: _TreeBuilder) -> None:
                     line += s.count("\n", lt, m.end())
                 i = m.end()
             else:
-                end = s.find(">", lt)
+                end = find(">", lt)
                 if end < 0:
                     break  # truncated close tag: drop
                 i = end + 1
             continue
-        m = _START_TAG_RE.match(s, lt)
+        m = start_match(s, lt)
         if m:
             name = m.group(1).lower()
             attrs = _parse_attrs(m.group(2))
