@@ -199,38 +199,34 @@ def ngram_jaccard(
     )
 
 
+def token_hashes_col(text_col: str):
+    """xxhash64 of each whitespace token, as an array<long> column (JVM)."""
+    return F.transform(
+        F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.xxhash64(t)
+    )
+
+
 @pandas_udf(LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens — Arrow-batched, numpy bit votes.
+def bitvote64(token_hashes: pd.Series) -> pd.Series:
+    """SimHash bit-vote over precomputed token hashes — one numpy matrix
+    op per row, no hashing in Python.
 
-    Deterministic token hash: first 8 bytes of blake2b (stdlib, stable
-    across processes — unlike Python's hash())."""
-    import hashlib
-
-    out = np.zeros(len(text), dtype=np.int64)
+    Division of labor chosen by measurement: token hashing stays JVM-side
+    (xxhash64 in a transform — tiny expression, codegen-cheap), only the
+    64-bit majority vote crosses into numpy. The two rejected extremes:
+    all-Python (per-token blake2b loop: 2.3× slower end-to-end) and
+    all-Catalyst (64 separate array-aggregate votes: fast warm but the
+    generated code is so large that cold codegen compile costs more than
+    the query)."""
+    out = np.zeros(len(token_hashes), dtype=np.int64)
     bit_idx = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(text):
-        if not t:
+    for i, arr in enumerate(token_hashes):
+        if arr is None or len(arr) == 0:
             continue
-        tokens = t.split()
-        if not tokens:
-            continue
-        hs = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little"
-                )
-                for tok in tokens
-            ),
-            dtype=np.uint64,
-            count=len(tokens),
-        )
-        bits = (hs[:, None] >> bit_idx) & np.uint64(1)  # (n_tokens, 64)
-        votes = bits.sum(axis=0) * 2 - len(tokens)  # +1/-1 votes
-        sim = np.uint64(0)
-        for j in range(64):
-            if votes[j] > 0:
-                sim |= np.uint64(1) << np.uint64(j)
+        a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+        bits = (a[:, None] >> bit_idx) & np.uint64(1)  # (n_tokens, 64)
+        majority = bits.sum(axis=0) * 2 > len(a)
+        sim = (majority.astype(np.uint64) << bit_idx).sum(dtype=np.uint64)
         out[i] = np.int64(sim)
     return pd.Series(out)
 
@@ -244,7 +240,9 @@ def simhash_near_dups(
     so the join key is (chunk_idx, chunk_value)."""
     chunks = max_hamming + 1
     bits = 64 // chunks
-    h = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    h = df.select(F.col(id_col), token_hashes_col(text_col).alias("_th")).select(
+        id_col, bitvote64(F.col("_th")).alias("sh")
+    )
     keyed = h.select(
         id_col,
         "sh",
