@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -428,6 +430,31 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_extract_pdf(spark, sf_dir):
+    """PDF/layout parse (north_rule): build a deterministic one-page PDF
+    per document (24pt title = source, 12pt body = text), then run the
+    recovering PDF parser — heading/paragraph classification from relative
+    font size, same span contract as the HTML extractor."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from fuzi_spark.pdf import pdf_extract_df
+
+    @pandas_udf(BinaryType())
+    def gen(source: pd.Series, text: pd.Series) -> pd.Series:
+        from fuzi_spark.pdf import build_simple_pdf
+
+        return pd.Series(
+            [build_simple_pdf(s, [t]) for s, t in zip(source, text)]
+        )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        gen(F.col("source"), F.col("text")).alias("content"),
+    )
+    return pdf_extract_df(docs).select("doc_id", "seq", "kind", "text")
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard between each doc and its one-word-appended
     mutation (string-shingle path, hashed=False — bit-exact vs the SQL
@@ -628,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "extract_pdf": q_extract_pdf,
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -714,6 +742,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, text FROM documents "
             "      UNION ALL SELECT doc_id + 1000000, text FROM documents) "
             "GROUP BY text"
+        ),
+        "extract_pdf": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS seq, "
+            "'heading' AS kind, source AS text FROM documents "
+            "UNION ALL "
+            "SELECT CAST(doc_id AS VARCHAR), 1, 'paragraph', "
+            "regexp_replace(trim(text), '\\s+', ' ', 'g') "
+            "FROM documents WHERE trim(text) != ''"
         ),
         "dedup_ngram_jaccard": (
             # 3-word shingles, set jaccard between doc i and its mutated

@@ -266,7 +266,36 @@ def main():
     tmp = tempfile.mkdtemp(prefix="fuzi_bench_")
     corpus_path = os.path.join(tmp, "corpus")
     try:
-        n_docs = build_bench_corpus(spark, SF_DIR, DOC_COPIES, corpus_path)
+        # same wedge insurance as the battery: build in a watchdog, one retry
+        import threading
+
+        def build_once():
+            box = {}
+
+            def run():
+                try:
+                    box["n"] = build_bench_corpus(
+                        spark, SF_DIR, DOC_COPIES, corpus_path
+                    )
+                except Exception as e:
+                    box["err"] = e
+
+            th = threading.Thread(target=run, daemon=True)
+            th.start()
+            th.join(600)
+            if th.is_alive():
+                spark.sparkContext.cancelAllJobs()
+                th.join(30)
+                return None
+            if "err" in box:
+                raise box["err"]
+            return box.get("n")
+
+        n_docs = build_once()
+        if n_docs is None:
+            n_docs = build_once()
+        if n_docs is None:
+            raise RuntimeError("bench corpus build wedged twice")
         extraction = {"docs": n_docs}
         if not SKIP_SCALING:
             # Scaling evidence at two N→4N pairs (2→8 and 8→32), mirrored

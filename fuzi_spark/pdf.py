@@ -1,0 +1,451 @@
+"""Recovering PDF text + layout extraction (north_rule: "PDF/layout parse").
+
+Pure-stdlib (re + zlib), same design stance as the HTML path: a RECOVERING
+parser that never raises on malformed input — objects are found by regex
+scan (the xref table is ignored entirely, like libxml2 ignoring a broken
+DTD), streams that fail to inflate are skipped, and any failure downgrades
+to a parse_error flag, never a task failure.
+
+Scope (honest): text extraction covers literal/hex strings, escapes,
+UTF-16BE text strings, FlateDecode and uncompressed content streams, and
+the core text-positioning operators (BT/ET, Tf, Td/TD/Tm/T*, Tj/'/"/TJ).
+Layout heuristics: line breaks from y-position movement, block breaks from
+vertical gaps, heading-vs-paragraph from relative font size — mirroring
+the HTML extractor's (kind, text, media_ref, offset) span contract.
+CMap-remapped (subset-embedded) fonts produce glyph-code text; that is the
+documented limit of a no-dependency parser — the span *structure* is still
+correct, and `parse_error` stays 0 because the PDF itself is well-formed.
+
+Spark surface: `pdf_extract_df` maps a binary `content` column through the
+same mapInPandas/EXTRACTED_SCHEMA contract as the HTML extractor, so every
+downstream pipeline stage (lineage, resume, verification join) works on
+PDF corpora unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator, Optional
+
+# ------------------------------------------------------------ object scan
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+_IMAGE_RE = re.compile(rb"/Subtype\s*/Image")
+_XOBJ_NAME_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
+
+
+def _object_streams(data: bytes):
+    """Yield (obj_num, dict_bytes, stream_bytes_or_None) by regex scan —
+    no xref needed (recovery-first, works on truncated/garbled files)."""
+    for m in _OBJ_RE.finditer(data):
+        body = m.group(3)
+        sm = _STREAM_RE.search(body)
+        if sm:
+            head = body[: sm.start()]
+            raw = sm.group(1)
+            if _FLATE_RE.search(head):
+                try:
+                    raw = zlib.decompress(raw)
+                except Exception:
+                    try:  # tolerate trailing whitespace/garbage
+                        raw = zlib.decompressobj().decompress(raw)
+                    except Exception:
+                        raw = None
+            yield int(m.group(1)), head, raw
+        else:
+            yield int(m.group(1)), body, None
+
+
+# ------------------------------------------------------------ strings
+
+_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    """Literal-string unescape; UTF-16BE when BOM-prefixed, else latin-1
+    (lossless byte map — PDFDocEncoding differences don't matter for the
+    printable range)."""
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw.decode("utf-16-be")[1:]
+        except Exception:
+            pass
+    out = []
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt in b"01234567":
+                j = i + 1
+                oct_digits = b""
+                while j < n and len(oct_digits) < 3 and raw[j : j + 1] in b"01234567":
+                    oct_digits += raw[j : j + 1]
+                    j += 1
+                out.append(chr(int(oct_digits, 8) & 0xFF))
+                i = j
+                continue
+            if nxt in (b"\n", b"\r"):  # line continuation
+                i += 2
+                if nxt == b"\r" and raw[i : i + 1] == b"\n":
+                    i += 1
+                continue
+            out.append(nxt.decode("latin-1"))
+            i += 2
+            continue
+        out.append(c.decode("latin-1"))
+        i += 1
+    return "".join(out)
+
+
+# ------------------------------------------------------------ content stream
+
+# one token per match: literal string (with escaped parens), hex string,
+# name, number, array delimiters, operator
+_TOK_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)"  # literal string (no nested unescaped parens)
+    rb"|<[0-9A-Fa-f\s]*>"  # hex string
+    rb"|/[^\s/<>\[\]()]+"  # name
+    rb"|[-+]?\d*\.?\d+"  # number
+    rb"|\[|\]"
+    rb"|[A-Za-z'\"*]{1,3}"  # operator
+)
+
+
+class _Run:
+    __slots__ = ("text", "x", "y", "size")
+
+    def __init__(self, text, x, y, size):
+        self.text, self.x, self.y, self.size = text, x, y, size
+
+
+def _text_runs(stream: bytes, media_events: list) -> list[_Run]:
+    """Walk one content stream, yielding positioned text runs in stream
+    order. Tracks the text cursor through Td/TD/Tm/T*; size through Tf/Tm."""
+    runs: list[_Run] = []
+    stack: list = []
+    x = y = 0.0
+    size = tf_size = 12.0
+    leading = 14.0
+    in_text = False
+    in_array = False
+
+    def show(raw: bytes):
+        if raw[:1] == b"(":
+            s = _decode_pdf_string(raw[1:-1])
+        else:  # hex
+            hx = re.sub(rb"\s", b"", raw[1:-1])
+            if len(hx) % 2:
+                hx += b"0"
+            s = bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+        if s:
+            runs.append(_Run(s, x, y, size))
+
+    for m in _TOK_RE.finditer(stream):
+        t = m.group(0)
+        c = t[:1]
+        if c == b"(" or c == b"<":
+            if in_array or in_text:
+                stack.append(t)
+            continue
+        if c == b"[":
+            in_array = True
+            stack.clear()
+            continue
+        if c == b"]":
+            in_array = False
+            continue
+        if c == b"/":
+            stack.append(t)
+            continue
+        if c in b"-+.0123456789":
+            stack.append(t)
+            continue
+        # operator
+        op = t
+        if op == b"BT":
+            in_text = True
+            x = y = 0.0
+            stack.clear()
+        elif op == b"ET":
+            in_text = False
+            stack.clear()
+        elif op == b"Tf":
+            try:
+                tf_size = size = float(stack[-1])
+                leading = size * 1.2
+            except (IndexError, ValueError):
+                pass
+            stack.clear()
+        elif op in (b"Td", b"TD"):
+            try:
+                dx, dy = float(stack[-2]), float(stack[-1])
+                x += dx
+                y += dy
+                if op == b"TD":
+                    leading = -dy if dy else leading
+            except (IndexError, ValueError):
+                pass
+            stack.clear()
+        elif op == b"Tm":
+            # [a b c d e f]: e,f = origin; |d| scales the Tf font size
+            try:
+                x, y = float(stack[-2]), float(stack[-1])
+                scale = abs(float(stack[-3]))
+                if scale:
+                    size = tf_size * scale
+            except (IndexError, ValueError):
+                pass
+            stack.clear()
+        elif op == b"T*":
+            y -= leading
+            stack.clear()
+        elif op == b"TL":
+            try:
+                leading = float(stack[-1])
+            except (IndexError, ValueError):
+                pass
+            stack.clear()
+        elif op == b"Tj":
+            if stack and stack[-1][:1] in (b"(", b"<"):
+                show(stack[-1])
+            stack.clear()
+        elif op in (b"'", b'"'):
+            y -= leading
+            if stack and stack[-1][:1] in (b"(", b"<"):
+                show(stack[-1])
+            stack.clear()
+        elif op == b"TJ":
+            for el in stack:
+                if el[:1] in (b"(", b"<"):
+                    show(el)
+            stack.clear()
+        elif op == b"Do":
+            if stack and stack[-1][:1] == b"/":
+                media_events.append((len(runs), stack[-1][1:].decode("latin-1")))
+            stack.clear()
+        else:
+            stack.clear()
+    return runs
+
+
+# ------------------------------------------------------------ layout → spans
+
+
+def extract_pdf_spans(data: bytes) -> tuple[list[dict], int]:
+    """data → ordered (kind, text, media_ref, offset) spans + error flag.
+
+    Same contract as extract.extract_spans: err=1 only when nothing
+    PDF-shaped is found; individual broken objects degrade silently."""
+    if not data or b"obj" not in data:
+        return [], 1
+    xobj_names: dict[str, int] = {}
+    image_objs: set[int] = set()
+    content_parts: list[tuple[bytes, list]] = []
+    try:
+        for num, head, stream in _object_streams(data):
+            for dm in _XOBJ_DICT_RE.finditer(head):
+                for nm in _XOBJ_NAME_RE.finditer(dm.group(1)):
+                    xobj_names[nm.group(1).decode("latin-1")] = int(nm.group(2))
+            if _IMAGE_RE.search(head):
+                image_objs.add(num)
+                continue
+            if stream:
+                media_events: list = []
+                content_parts.append((stream, media_events))
+    except Exception:
+        return [], 1
+    if not content_parts:
+        return [], 1
+
+    spans: list[dict] = []
+    all_runs: list[_Run] = []
+    events: list[tuple[int, str]] = []
+    for stream, media_events in content_parts:
+        base = len(all_runs)
+        rs = _text_runs(stream, media_events)
+        all_runs.extend(rs)
+        events.extend((base + idx, name) for idx, name in media_events)
+
+    sizes = sorted(r.size for r in all_runs) or [12.0]
+    # lower median: with one heading + one body run, the body size must win
+    # as the page's "body" reference or the heading can never stand out
+    median_size = sizes[(len(sizes) - 1) // 2]
+
+    # group stream-ordered runs into lines (y moves) and blocks (big gaps
+    # or heading/body size class changes)
+    def classify(sz: float) -> str:
+        return "heading" if sz >= 1.35 * median_size else "paragraph"
+
+    def flush(buf, kind):
+        text = " ".join(" ".join(p.split()) for p in buf if p.strip())
+        if text:
+            spans.append(
+                {"kind": kind, "text": text, "media_ref": None,
+                 "offset": len(spans)}
+            )
+
+    media_at = {}
+    for idx, name in events:
+        obj = xobj_names.get(name)
+        ref = f"pdf:obj{obj}" if obj in image_objs else f"pdf:{name}"
+        media_at.setdefault(idx, []).append(ref)
+
+    buf: list[str] = []
+    cur_kind = "paragraph"
+    prev: Optional[_Run] = None
+    for i, r in enumerate(all_runs):
+        for ref in media_at.get(i, ()):
+            flush(buf, cur_kind)
+            buf = []
+            spans.append(
+                {"kind": "media", "text": "", "media_ref": ref,
+                 "offset": len(spans)}
+            )
+        kind = classify(r.size)
+        if prev is not None:
+            gap = prev.y - r.y
+            new_block = kind != cur_kind or gap > max(prev.size, r.size) * 1.8
+            if new_block:
+                flush(buf, cur_kind)
+                buf = []
+        cur_kind = kind
+        buf.append(r.text)
+        prev = r
+    flush(buf, cur_kind)
+    for refs in (media_at.get(len(all_runs)) or (),):
+        for ref in refs:
+            spans.append(
+                {"kind": "media", "text": "", "media_ref": ref,
+                 "offset": len(spans)}
+            )
+    return spans, 0
+
+
+# ------------------------------------------------------------ PDF builder
+# (deterministic test/corpus generator — also used by the bench query so
+# the oracle can predict spans from the source text)
+
+
+def build_simple_pdf(
+    title: str, paragraphs: list[str], compress: bool = False,
+    image: bool = False,
+) -> bytes:
+    """Minimal well-formed one-page PDF: a title at 24pt + body at 12pt,
+    optionally FlateDecode-compressed, optionally with an image XObject."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    content = ["BT", "/F1 24 Tf", "72 720 Td", f"({esc(title)}) Tj", "ET"]
+    ypos = 680
+    for p in paragraphs:
+        content += ["BT", "/F1 12 Tf", f"72 {ypos} Td", f"({esc(p)}) Tj", "ET"]
+        ypos -= 40
+    if image:
+        content += ["q", "100 0 0 80 72 100 cm", "/Im1 Do", "Q"]
+    cs = "\n".join(content).encode("latin-1")
+    filt = b""
+    if compress:
+        cs = zlib.compress(cs)
+        filt = b"/Filter /FlateDecode "
+    objs = []
+    objs.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    objs.append(b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    res = b"<< /Font << /F1 5 0 R >>"
+    if image:
+        res += b" /XObject << /Im1 6 0 R >>"
+    res += b" >>"
+    objs.append(
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources " + res + b" /Contents 4 0 R >>\nendobj\n"
+    )
+    objs.append(
+        b"4 0 obj\n<< " + filt + b"/Length " + str(len(cs)).encode()
+        + b" >>\nstream\n" + cs + b"\nendstream\nendobj\n"
+    )
+    objs.append(
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+    )
+    if image:
+        img = bytes(range(16)) * 4
+        objs.append(
+            b"6 0 obj\n<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length "
+            + str(len(img)).encode() + b" >>\nstream\n" + img
+            + b"\nendstream\nendobj\n"
+        )
+    out = [b"%PDF-1.4\n"]
+    offsets = []
+    pos = len(out[0])
+    for o in objs:
+        offsets.append(pos)
+        out.append(o)
+        pos += len(o)
+    xref_pos = pos
+    xref = [f"xref\n0 {len(objs)+1}\n0000000000 65535 f \n".encode()]
+    for off in offsets:
+        xref.append(f"{off:010d} 00000 n \n".encode())
+    out.extend(xref)
+    out.append(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_pos).encode()
+        + b"\n%%EOF\n"
+    )
+    return b"".join(out)
+
+
+# ------------------------------------------------------------ Spark surface
+
+
+def pdf_extract_df(docs, content_col: str = "content", id_col: str = "doc_id"):
+    """(doc_id, content: binary) → extracted spans, one row per span —
+    the same EXTRACTED_SCHEMA/mapInPandas contract as the HTML extractor,
+    so lineage/resume/verification compose unchanged."""
+    import pandas as pd
+
+    from .udfs import EXTRACTED_SCHEMA
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf_batch in batches:
+            out = {k: [] for k in
+                   ("doc_id", "seq", "kind", "text", "media_ref", "offset",
+                    "parse_error")}
+            ids = pdf_batch[id_col].to_numpy()
+            contents = pdf_batch[content_col].to_numpy()
+            for i in range(len(pdf_batch)):
+                data = contents[i]
+                spans, err = extract_pdf_spans(
+                    bytes(data) if data is not None else b""
+                )
+                if err or not spans:
+                    out["doc_id"].append(ids[i])
+                    out["seq"].append(-1)
+                    out["kind"].append("error" if err else "empty")
+                    out["text"].append(None)
+                    out["media_ref"].append(None)
+                    out["offset"].append(-1)
+                    out["parse_error"].append(int(err))
+                    continue
+                for seq, s in enumerate(spans):
+                    out["doc_id"].append(ids[i])
+                    out["seq"].append(seq)
+                    out["kind"].append(s["kind"])
+                    out["text"].append(s["text"])
+                    out["media_ref"].append(s["media_ref"])
+                    out["offset"].append(s["offset"])
+                    out["parse_error"].append(0)
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, content_col).mapInPandas(fn, schema=EXTRACTED_SCHEMA)

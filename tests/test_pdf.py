@@ -1,0 +1,173 @@
+"""PDF layout-parse tests (north_rule "PDF/layout parse").
+
+Pure-engine tests on hand-built PDFs (the builder itself is exercised as
+the deterministic corpus generator) plus recovery behavior on garbage.
+"""
+
+import zlib
+
+import pytest
+
+from fuzi_spark.pdf import build_simple_pdf, extract_pdf_spans
+
+
+def kinds(spans):
+    return [s["kind"] for s in spans]
+
+
+def texts(spans):
+    return [s["text"] for s in spans]
+
+
+class TestBasicExtraction:
+    def test_title_and_paragraphs(self):
+        pdf = build_simple_pdf("My Title", ["first paragraph", "second paragraph"])
+        spans, err = extract_pdf_spans(pdf)
+        assert err == 0
+        assert kinds(spans) == ["heading", "paragraph", "paragraph"]
+        assert texts(spans) == ["My Title", "first paragraph", "second paragraph"]
+        assert [s["offset"] for s in spans] == [0, 1, 2]
+
+    def test_single_paragraph(self):
+        pdf = build_simple_pdf("T", ["body text here"])
+        spans, err = extract_pdf_spans(pdf)
+        assert err == 0
+        assert kinds(spans) == ["heading", "paragraph"]
+
+    def test_compressed_stream_matches_uncompressed(self):
+        plain = extract_pdf_spans(build_simple_pdf("T", ["a b", "c d"]))
+        comp = extract_pdf_spans(build_simple_pdf("T", ["a b", "c d"], compress=True))
+        assert plain == comp
+
+    def test_escaped_parens_and_backslash(self):
+        pdf = build_simple_pdf("A (nested) title", ["back\\slash (x) y"])
+        spans, _ = extract_pdf_spans(pdf)
+        assert texts(spans) == ["A (nested) title", "back\\slash (x) y"]
+
+    def test_image_media_span(self):
+        pdf = build_simple_pdf("T", ["p"], image=True)
+        spans, err = extract_pdf_spans(pdf)
+        assert err == 0
+        assert kinds(spans) == ["heading", "paragraph", "media"]
+        assert spans[-1]["media_ref"] == "pdf:obj6"
+
+
+class TestContentOperators:
+    def _wrap(self, content: bytes) -> bytes:
+        return (
+            b"1 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        )
+
+    def test_tj_array_and_tstar(self):
+        cs = b"BT /F1 12 Tf 72 700 Td [(Hel) -20 (lo)] TJ T* (world) Tj ET"
+        spans, err = extract_pdf_spans(self._wrap(cs))
+        assert err == 0
+        # T* moves one leading (14.4 < 1.8*12=21.6): same block, one span
+        assert texts(spans) == ["Hel lo world"]
+
+    def test_quote_operator_newline(self):
+        cs = b"BT /F1 12 Tf 72 700 Td (a) Tj (b) ' ET"
+        spans, _ = extract_pdf_spans(self._wrap(cs))
+        assert texts(spans) == ["a b"]
+
+    def test_hex_string(self):
+        cs = b"BT /F1 12 Tf 72 700 Td <48656C6C6F> Tj ET"
+        spans, _ = extract_pdf_spans(self._wrap(cs))
+        assert texts(spans) == ["Hello"]
+
+    def test_octal_escape(self):
+        cs = rb"BT /F1 12 Tf 72 700 Td (A\101B) Tj ET"
+        spans, _ = extract_pdf_spans(self._wrap(cs))
+        assert texts(spans) == ["AAB"]
+
+    def test_utf16be_string(self):
+        s = "héllo".encode("utf-16-be")
+        cs = b"BT /F1 12 Tf 72 700 Td (\xfe\xff" + s.replace(b"\\", rb"\\").replace(
+            b"(", rb"\(").replace(b")", rb"\)") + b") Tj ET"
+        spans, _ = extract_pdf_spans(self._wrap(cs))
+        assert texts(spans) == ["héllo"]
+
+    def test_tm_scale_makes_heading(self):
+        cs = (b"BT /F1 12 Tf 2 0 0 2 72 700 Tm (Big) Tj ET "
+              b"BT /F1 12 Tf 72 600 Td (small one) Tj "
+              b"T* (more body) Tj T* (even more) Tj ET")
+        spans, _ = extract_pdf_spans(self._wrap(cs))
+        assert kinds(spans)[0] == "heading"
+        assert texts(spans)[0] == "Big"
+
+    def test_block_break_on_large_gap(self):
+        cs = (b"BT /F1 12 Tf 72 700 Td (first block) Tj ET"
+              b" BT /F1 12 Tf 72 500 Td (second block) Tj ET")
+        spans, _ = extract_pdf_spans(self._wrap(cs))
+        assert texts(spans) == ["first block", "second block"]
+
+
+class TestRecovery:
+    def test_empty_input(self):
+        assert extract_pdf_spans(b"") == ([], 1)
+
+    def test_garbage_input(self):
+        assert extract_pdf_spans(b"\x00\xffnot a pdf at all")[1] == 1
+
+    def test_truncated_pdf_recovers_found_objects(self):
+        pdf = build_simple_pdf("T", ["visible text"])
+        # cut off the xref/trailer entirely — regex object scan survives
+        cut = pdf[: pdf.rindex(b"xref")]
+        spans, err = extract_pdf_spans(cut)
+        assert err == 0
+        assert "visible text" in texts(spans)
+
+    def test_corrupt_flate_stream_skipped(self):
+        pdf = build_simple_pdf("Good", ["kept"])
+        bad = (b"9 0 obj\n<< /Filter /FlateDecode /Length 8 >>\n"
+               b"stream\n\xde\xad\xbe\xef\xde\xad\xbe\xef\nendstream\nendobj\n")
+        spans, err = extract_pdf_spans(pdf + bad)
+        assert err == 0
+        assert "kept" in " ".join(texts(spans))
+
+    def test_missing_length_key(self):
+        cs = b"BT /F1 12 Tf 72 700 Td (no length) Tj ET"
+        raw = (b"1 0 obj\n<< >>\nstream\n" + cs + b"\nendstream\nendobj\n")
+        spans, err = extract_pdf_spans(raw)
+        assert err == 0
+        assert texts(spans) == ["no length"]
+
+
+class TestSparkSurface:
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from pyspark.sql import SparkSession
+
+        s = (
+            SparkSession.builder.master("local[4]")
+            .appName("fuzi-tests")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        yield s
+
+    def test_pdf_extract_df(self, spark):
+        from fuzi_spark.pdf import pdf_extract_df
+
+        rows = [
+            ("d1", build_simple_pdf("Title One", ["alpha beta", "gamma"])),
+            ("d2", build_simple_pdf("Title Two", ["delta"], compress=True)),
+            ("bad", b"\x01\x02 garbage"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, content binary")
+        out = pdf_extract_df(df).orderBy("doc_id", "seq").collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert [r["kind"] for r in by_doc["d1"]] == [
+            "heading", "paragraph", "paragraph"
+        ]
+        assert by_doc["d1"][0]["text"] == "Title One"
+        assert [r["kind"] for r in by_doc["d2"]] == ["heading", "paragraph"]
+        assert by_doc["bad"][0]["parse_error"] == 1
+        assert by_doc["bad"][0]["seq"] == -1
