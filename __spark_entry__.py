@@ -807,7 +807,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": (
             "SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day, "
             "event_type, COUNT(*) AS n_events, "
-            "SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents "
             "FROM events GROUP BY 1, 2"
         ),
     }

@@ -78,7 +78,9 @@ def strip_boilerplate(doc: Document) -> int:
     # Scores use whitespace-NORMALIZED text lengths so minified and
     # pretty-printed forms of the same markup classify identically.
     def _norm_len(s: str) -> int:
-        return sum(len(w) for w in s.split())
+        # non-whitespace char count; join/split stay in C — the genexpr
+        # equivalent was ~8% of the whole strip pass
+        return len("".join(s.split()))
 
     def _is_detached(el: Element) -> bool:
         n = el.parent
