@@ -61,68 +61,79 @@ def strip_boilerplate(doc: Document) -> int:
     if doc.root is None:
         return 0
     removed = 0
-    # one tree pass collects both the tag-class strips and the link-density
-    # candidates (this is the second-hottest loop after tokenization)
-    to_remove = []
-    candidates = []
-    for el in doc.root.iter_elements():
-        t = el.tag
-        if t in STRIP_TAGS:
-            to_remove.append(el)
-        elif t in _LINK_DENSITY_CANDIDATES:
-            candidates.append(el)
+    # tag-class strips first; the density pass below then only ever sees
+    # the surviving tree
+    to_remove = [
+        el for el in doc.root.iter_elements() if el.tag in STRIP_TAGS
+    ]
     for el in to_remove:
         el.remove()
         removed += 1
-    # density prune (bottom-up so inner scores are unaffected).
+    # density prune — scoring happens DURING one post-order pass: each
+    # element's stats aggregate over its SURVIVING children (an inner
+    # candidate removed moments earlier simply isn't in the parent's child
+    # list any more), which reproduces the reference bottom-up semantics
+    # (inner removals precede and affect outer scores) in strictly O(N).
+    # The two shapes this replaces were both quadratic on adversarial
+    # pages from the 10^12-corpus skew tail: per-candidate subtree
+    # re-walks (deep text-rich nesting), and eager ancestor-delta updates
+    # (deep chains of removable chrome).
+    #
     # Scores use whitespace-NORMALIZED text lengths so minified and
     # pretty-printed forms of the same markup classify identically.
+    # Per element: nlen (non-ws chars), alen (chars under <a>,
+    # double-counting nested anchors exactly like a per-anchor
+    # string-value walk would), dcount (descendant elements),
+    # mflag (has media).
     def _norm_len(s: str) -> int:
-        # non-whitespace char count; join/split stay in C — the genexpr
-        # equivalent was ~8% of the whole strip pass
         return len("".join(s.split()))
 
-    def _is_detached(el: Element) -> bool:
-        n = el.parent
-        while n is not None:
-            if n is doc.root:
-                return False
-            if n.parent is None:
-                return True  # unlinked subtree root above us
-            n = n.parent
-        return True
-
-    for el in reversed(candidates):
-        if _is_detached(el):
-            continue  # already removed with an ancestor
-        total = _norm_len(el.string_value)
-        if total >= 200:
+    if doc.root is None:
+        return removed
+    stats: dict[int, tuple] = {}
+    todo = [(doc.root, False)]
+    while todo:
+        node, done = todo.pop()
+        if not done:
+            todo.append((node, True))
+            todo.extend(
+                (c, False) for c in node.children if c.type == ELEMENT_NODE
+            )
             continue
-        n_desc = -1  # iter_elements yields self first
-        link_len = 0
-        has_media = False
-        for d in el.iter_elements():
-            n_desc += 1
-            if d.tag == "a":
-                link_len += _norm_len(d.string_value)
-            elif d.tag in MEDIA_TAGS:
-                has_media = True
-        if has_media:
-            continue  # media spans must survive (image galleries etc.)
-        if total > 0 and link_len / total > 0.75:
-            el.remove()
-            removed += 1
-        elif (
-            n_desc >= 3
-            and total < 80
-            and total / n_desc < 2.0
-            and (link_len > 0 or total == 0)
+        nlen = 0
+        alen = 0
+        dcount = 0
+        mflag = node.tag in MEDIA_TAGS
+        for c in node.children:
+            if c.type == TEXT_NODE:
+                nlen += _norm_len(c.content)
+            elif c.type == ELEMENT_NODE:
+                cn, ca, cd, cm = stats[id(c)]
+                nlen += cn
+                alen += ca
+                dcount += cd + 1
+                mflag = mflag or cm
+        if node.tag == "a":
+            alen += nlen  # self-inclusive anchor text
+        stats[id(node)] = (nlen, alen, dcount, mflag)
+        if (
+            node.tag in _LINK_DENSITY_CANDIDATES
+            and node is not doc.root
+            and nlen < 200
+            and not mflag  # media spans must survive (image galleries)
         ):
-            # markup scaffolding: many elements, no text per element —
-            # but only when linked (nav chrome) or fully empty; short
-            # genuine content (small tables, terse lists) is kept
-            el.remove()
-            removed += 1
+            if (nlen > 0 and alen / nlen > 0.75) or (
+                dcount >= 3
+                and nlen < 80
+                and nlen / dcount < 2.0
+                and (alen > 0 or nlen == 0)
+            ):
+                # link-chrome, or markup scaffolding: many elements with
+                # no text per element — but only when linked (nav chrome)
+                # or fully empty; short genuine content (small tables,
+                # terse lists) is kept
+                node.remove()
+                removed += 1
     return removed
 
 
