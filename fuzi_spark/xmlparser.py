@@ -73,16 +73,20 @@ def decode_bytes(data: bytes) -> str:
 
 
 class _Scanner:
-    __slots__ = ("s", "i", "n", "line")
+    __slots__ = ("s", "i", "n", "line", "track")
 
     def __init__(self, s: str):
         self.s = s
         self.i = 0
         self.n = len(s)
         self.line = 1
+        # single-line documents (the common web-corpus case) skip line
+        # accounting entirely — same guard as the HTML tokenizer
+        self.track = "\n" in s
 
     def advance(self, j: int) -> None:
-        self.line += self.s.count("\n", self.i, j)
+        if self.track:
+            self.line += self.s.count("\n", self.i, j)
         self.i = j
 
 

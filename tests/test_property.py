@@ -1,0 +1,123 @@
+"""Property-based hardening (hypothesis) — the 10^12-doc contract.
+
+The single most load-bearing claim of this engine is that NO input can
+kill a task: parsers recover or flag, never raise (except the pinned
+empty-input XMLError). These properties fuzz that claim well beyond the
+transcribed reference corpus, plus algebraic invariants of the span codec
+and dedup primitives.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from fuzi_spark.errors import XMLError
+from fuzi_spark.extract import extract_spans
+from fuzi_spark.htmlparser import parse_html
+from fuzi_spark.pdf import extract_pdf_spans
+from fuzi_spark.xmlparser import parse_xml
+
+MARKUPISH = st.text(
+    alphabet=st.sampled_from(list("<>/=&;!?-[]()'\"abcxyz \t\n\x00﻿é世")),
+    max_size=400,
+)
+
+
+class TestNeverRaises:
+    @settings(max_examples=300, deadline=None)
+    @given(MARKUPISH)
+    def test_parse_xml_total(self, s):
+        try:
+            doc = parse_xml(s)
+            assert doc.root is not None
+        except XMLError:
+            pass  # pinned: empty/whitespace or rootless input only
+
+    @settings(max_examples=300, deadline=None)
+    @given(MARKUPISH)
+    def test_parse_html_total(self, s):
+        try:
+            doc = parse_html(s)
+            assert doc.root is not None  # HTML implies <html> scaffolding
+        except XMLError:
+            assert not s.strip() or s.strip() == "﻿"
+
+    @settings(max_examples=300, deadline=None)
+    @given(MARKUPISH)
+    def test_extract_spans_total(self, s):
+        spans, err = extract_spans(s)
+        assert err in (0, 1)
+        for i, sp in enumerate(spans):
+            assert sp["offset"] == i  # dense, ordered offsets
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=300))
+    def test_parse_bytes_total(self, b):
+        for parser in (parse_xml, parse_html):
+            try:
+                parser(b)
+            except XMLError:
+                pass
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=300))
+    def test_pdf_total(self, b):
+        spans, err = extract_pdf_spans(b)
+        assert err in (0, 1)
+
+
+class TestRoundtrips:
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(codec="utf-8",
+                                          exclude_characters="<>&\x00\r"),
+                   max_size=120))
+    def test_text_content_roundtrip(self, text):
+        """Text placed in an element comes back via string_value exactly
+        (after entity-escaping the reserved chars on the way in)."""
+        doc = parse_xml(f"<r>{_esc(text)}</r>")
+        assert doc.root.string_value == text
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(codec="utf-8",
+                                          exclude_characters="<>&\"\x00\r"),
+                   max_size=80))
+    def test_attr_roundtrip(self, v):
+        doc = parse_xml(f'<r a="{_esc(v)}"/>')
+        assert doc.root.attr("a") == v
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="ab<>&( )c", max_size=30).filter(str.strip),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def test_pdf_builder_paragraph_roundtrip(self, paras):
+        # ≥1 body paragraph: a title-only page has no body-size reference,
+        # so its lone run is (defensibly) classified paragraph — out of
+        # scope for this property
+        from fuzi_spark.pdf import build_simple_pdf
+
+        spans, err = extract_pdf_spans(build_simple_pdf("T", paras))
+        assert err == 0
+        got = [s["text"] for s in spans if s["kind"] == "paragraph"]
+        want = [" ".join(p.split()) for p in paras]
+        assert got == want
+
+
+class TestDedupInvariants:
+    def test_simhash_identical_texts_equal(self):
+        # deterministic across rows/batches by construction (xxhash64 JVM
+        # side); here pin the pure-python bit-vote on equal inputs
+        import numpy as np
+        import pandas as pd
+
+        from fuzi_spark.ops.dedup import bitvote64
+
+        f = bitvote64.func
+        a = f(pd.Series([[1, 2, 3], [1, 2, 3], [7, 8]]))
+        assert a[0] == a[1]
+        assert a[0] != a[2]
+
+
+def _esc(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
