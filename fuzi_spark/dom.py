@@ -435,20 +435,31 @@ class Element(Node):
             self.parent = None
 
     def deep_copy(self) -> "Element":
-        el = Element(self.tag, self.doc, self.line, self.prefix, self.ns_uri)
-        el.attrs = dict(self.attrs)
-        el.attr_ns = dict(self.attr_ns)
-        el.nsmap = dict(self.nsmap)
-        for c in self.children:
-            if c.type == ELEMENT_NODE:
-                el.append(c.deep_copy())
-            elif c.type == TEXT_NODE:
-                el.append(Text(c.content, self.doc, c.line, c.is_cdata))
-            elif c.type == COMMENT_NODE:
-                el.append(Comment(c.content, self.doc, c.line))
-            elif c.type == PI_NODE:
-                el.append(PI(c.target, c.content, self.doc, c.line))
-        return el
+        # iterative like every other walker here: copying a depth-1500
+        # subtree must not hit the Python recursion limit
+        def shallow(src: "Element") -> "Element":
+            el = Element(src.tag, src.doc, src.line, src.prefix, src.ns_uri)
+            el.attrs = dict(src.attrs)
+            el.attr_ns = dict(src.attr_ns)
+            el.nsmap = dict(src.nsmap)
+            return el
+
+        root = shallow(self)
+        stack: list[tuple["Element", "Element"]] = [(self, root)]
+        while stack:
+            src, dst = stack.pop()
+            for c in src.children:
+                if c.type == ELEMENT_NODE:
+                    cc = shallow(c)
+                    dst.append(cc)
+                    stack.append((c, cc))
+                elif c.type == TEXT_NODE:
+                    dst.append(Text(c.content, src.doc, c.line, c.is_cdata))
+                elif c.type == COMMENT_NODE:
+                    dst.append(Comment(c.content, src.doc, c.line))
+                elif c.type == PI_NODE:
+                    dst.append(PI(c.target, c.content, src.doc, c.line))
+        return root
 
     def iter_elements(self) -> Iterator["Element"]:
         """self + descendant elements, document order, iterative."""

@@ -170,46 +170,49 @@ class _Emitter:
 
 
 def _walk_html(el: Element, em: _Emitter):
-    tag = el.tag
-    if tag in HEADING_TAGS:
-        em.flush()
-        em.emit("heading", _norm([el.string_value]), None)
-        return
-    if tag in MEDIA_TAGS:
-        em.flush()
-        em.emit("media", _norm([el.attrs.get("alt", "")]), _media_ref(el))
-        return
-    if tag in CAPTION_TAGS:
-        em.flush()
-        em.emit("caption", _norm([el.string_value]), None)
-        return
-    if tag in LIST_ITEM_TAGS:
-        em.flush()
-        prev = em.kind
-        em.kind = "list"
-        for c in el.children:
+    # Iterative (explicit work stack): a depth-1500 div chain must emit its
+    # content, not blow the Python recursion limit and get mislabeled as a
+    # parse error — at 10^12 docs, deep documents are a certainty and their
+    # misclassification would poison the lineage error counts.
+    stack: list[tuple] = [("el", el, None)]
+    while stack:
+        action, node, saved = stack.pop()
+        if action == "text":
+            em.buf.append(node)
+            continue
+        if action == "end_block":
+            em.flush()
+            continue
+        if action == "end_list":
+            em.flush()
+            em.kind = saved
+            continue
+        tag = node.tag
+        if tag in HEADING_TAGS:
+            em.flush()
+            em.emit("heading", _norm([node.string_value]), None)
+            continue
+        if tag in MEDIA_TAGS:
+            em.flush()
+            em.emit("media", _norm([node.attrs.get("alt", "")]), _media_ref(node))
+            continue
+        if tag in CAPTION_TAGS:
+            em.flush()
+            em.emit("caption", _norm([node.string_value]), None)
+            continue
+        if tag in LIST_ITEM_TAGS:
+            em.flush()
+            stack.append(("end_list", None, em.kind))
+            em.kind = "list"
+        elif tag in BLOCK_TAGS:
+            em.flush()
+            stack.append(("end_block", None, None))
+        # list/block/inline all descend into children, in document order
+        for c in reversed(node.children):
             if c.type == TEXT_NODE:
-                em.buf.append(c.content)
+                stack.append(("text", c.content, None))
             elif c.type == ELEMENT_NODE:
-                _walk_html(c, em)
-        em.flush()
-        em.kind = prev
-        return
-    if tag in BLOCK_TAGS:
-        em.flush()
-        for c in el.children:
-            if c.type == TEXT_NODE:
-                em.buf.append(c.content)
-            elif c.type == ELEMENT_NODE:
-                _walk_html(c, em)
-        em.flush()
-        return
-    # inline element: accumulate
-    for c in el.children:
-        if c.type == TEXT_NODE:
-            em.buf.append(c.content)
-        elif c.type == ELEMENT_NODE:
-            _walk_html(c, em)
+                stack.append(("el", c, None))
 
 
 def _walk_xml(el: Element, em: _Emitter):

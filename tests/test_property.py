@@ -104,6 +104,40 @@ class TestRoundtrips:
         assert got == want
 
 
+class TestDepthContract:
+    """Depth-1500 documents must flow through every surface — never a
+    RecursionError (which would masquerade as parse_error=1 and poison
+    lineage error counts at corpus scale)."""
+
+    def test_deep_block_chain_extracts(self):
+        page = ("<html><body>" + "<div>" * 1500 + "<p>deep content</p>"
+                + "</div>" * 1500 + "</body></html>")
+        spans, err = extract_spans(page, "html")
+        assert err == 0
+        assert spans[0]["text"] == "deep content"
+
+    def test_deep_inline_chain_extracts(self):
+        page = ("<html><body>" + "<span>" * 1500 + "inline deep"
+                + "</span>" * 1500 + "</body></html>")
+        spans, err = extract_spans(page, "html")
+        assert err == 0
+        assert spans[0]["text"] == "inline deep"
+
+    def test_deep_nested_lists_extract(self):
+        page = ("<html><body><ul>" + "<li><ul>" * 600 + "<li>leaf</li>"
+                + "</ul></li>" * 600 + "</ul></body></html>")
+        spans, err = extract_spans(page, "html")
+        assert err == 0
+        assert spans[0]["kind"] == "list"
+
+    def test_deep_copy_deep_tree(self):
+        deep = "<r>" + "<d>" * 1500 + "x" + "</d>" * 1500 + "</r>"
+        doc = parse_xml(deep)
+        cp = doc.root.deep_copy()
+        assert cp.string_value == "x"
+        assert cp.children[0].tag == "d"
+
+
 class TestDedupInvariants:
     def test_simhash_identical_texts_equal(self):
         # deterministic across rows/batches by construction (xxhash64 JVM
