@@ -250,6 +250,12 @@ def sniff_doc_type(markup: str) -> str:
     return "xml"
 
 
+# fused event-driven HTML path (fastextract.py): same tokenizer, no DOM —
+# bit-identical output enforced by the randomized differential in
+# tests/test_fastextract.py; flip False to force the DOM reference path
+_USE_FAST_HTML = True
+
+
 def extract_spans(markup: str, doc_type: Optional[str] = None) -> tuple[list[dict], int]:
     """Parse + strip + segment one document. Returns (spans, parse_error).
 
@@ -257,6 +263,20 @@ def extract_spans(markup: str, doc_type: Optional[str] = None) -> tuple[list[dic
     flag, never an exception (the 10^12-row job must not die on one doc)."""
     if doc_type not in ("html", "xml"):
         doc_type = sniff_doc_type(markup)
+    if doc_type == "html" and _USE_FAST_HTML:
+        from .fastextract import extract_spans_html_fast
+
+        try:
+            return extract_spans_html_fast(markup)
+        except XMLError:
+            return [], 1
+        except Exception:
+            pass  # any fast-path surprise falls back to the DOM reference
+    return _extract_spans_dom(markup, doc_type)
+
+
+def _extract_spans_dom(markup: str, doc_type: str) -> tuple[list[dict], int]:
+    """Reference implementation: parse to DOM, strip, walk."""
     try:
         # assign_order=False: segmentation walks the tree itself, no XPath
         doc = (
