@@ -41,6 +41,23 @@ def _norm_len(s: str) -> int:
     return len("".join(s.split()))
 
 
+# tag → emission class, one dict probe in the starttag hot path; insertion
+# order encodes the original elif-chain priority (cap > media > title > li
+# > block), later writes overwrite earlier ones
+_K_CAP, _K_MEDIA, _K_TITLE, _K_LI, _K_BLOCK = 1, 2, 3, 4, 5
+_TAG_CLASS: dict = {}
+for _t in BLOCK_TAGS:
+    _TAG_CLASS[_t] = _K_BLOCK
+for _t in LIST_ITEM_TAGS:
+    _TAG_CLASS[_t] = _K_LI
+_TAG_CLASS["title"] = _K_TITLE
+for _t in MEDIA_TAGS:
+    _TAG_CLASS[_t] = _K_MEDIA
+for _t in HEADING_TAGS | CAPTION_TAGS:
+    _TAG_CLASS[_t] = _K_CAP
+del _t
+
+
 class _Frame:
     __slots__ = (
         "tag", "spans_start", "cap_start", "pre_span", "saved_buf",
@@ -280,7 +297,8 @@ class _ExtractBuilder:
                 if tag in ("li", "dt", "dd") and t in ("ul", "ol", "dl"):
                     break
 
-        self._route_at_html(tag)
+        if len(self.stack) < 2:
+            self._route_at_html(tag)
         parent = self.stack[-1] if self.stack else None
         f = _Frame(tag)
 
@@ -294,12 +312,15 @@ class _ExtractBuilder:
             )
             saved_buf_before = None
             spans_before = 0
-            if (tag in HEADING_TAGS or tag in CAPTION_TAGS) and not self._media_depth:
-                if emitting:
-                    self._flush()
-                f.cap = []
-                self._cap_stack.append(f.cap)
-            elif tag in MEDIA_TAGS:
+            # one dict probe replaces the frozenset-membership chain
+            klass = _TAG_CLASS.get(tag)
+            if klass == _K_CAP:
+                if not self._media_depth:
+                    if emitting:
+                        self._flush()
+                    f.cap = []
+                    self._cap_stack.append(f.cap)
+            elif klass == _K_MEDIA:
                 if emitting:
                     self._flush()
                     self._emit(
@@ -310,7 +331,7 @@ class _ExtractBuilder:
                 if tag not in VOID_ELEMENTS:
                     f.media = True
                     self._media_depth += 1
-            elif tag == "title":
+            elif klass == _K_TITLE:
                 if (
                     self._head_open
                     and not self._title_done
@@ -319,12 +340,12 @@ class _ExtractBuilder:
                 ):
                     self._title_buf = []
                     self._title_frame = f
-            elif tag in LIST_ITEM_TAGS:
+            elif klass == _K_LI:
                 if emitting:
                     self._flush()
                 f.kind_saved = self.kind
                 self.kind = "list"
-            elif tag in BLOCK_TAGS:
+            elif klass == _K_BLOCK:
                 if emitting:
                     saved_buf_before = self.buf[:]
                     spans_before = len(self.spans)
