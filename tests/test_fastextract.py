@@ -108,7 +108,9 @@ TAGS = [
     "br", "em", "dl", "dt", "dd", "footer", "header", "aside", "pre",
 ]
 WORDS = ["alpha", "beta", "gamma", "x", "content", "read", "more", "click",
-         "here", "&amp;", "1 < 2", ""]
+         "here", "&amp;", "1 < 2", "", "<!-- note -->", "<?pi data?>",
+         "<script>if (a<b) { x('<div>'); }</script>",
+         "<style>p > a { color: red }</style>"]
 
 
 def rand_html(rng, depth=0):
