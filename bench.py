@@ -40,7 +40,9 @@ BENCH_QUERIES = [
     "verification_join",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
+    "extract_pdf",
     "text_quality",
     "fingerprint",
     "similarity_topk",
