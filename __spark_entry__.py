@@ -472,9 +472,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     pairs = d.select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
     )
-    return ngram_jaccard(pairs, both, hashed=False).select(
-        "id_a", "id_b", F.round(F.col("jaccard"), 9).alias("jaccard")
-    )
+    return ngram_jaccard(
+        pairs, both, hashed=False, broadcast_pairs=True
+    ).select("id_a", "id_b", F.round(F.col("jaccard"), 9).alias("jaccard"))
 
 
 def q_dedup_simhash(spark, sf_dir):

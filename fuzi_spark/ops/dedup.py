@@ -165,7 +165,7 @@ def minhash_lsh_candidates(
 
 def ngram_jaccard(
     pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_n: int = 3, hashed: bool = True,
+    shingle_n: int = 3, hashed: bool = True, broadcast_pairs: bool = False,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs (JVM set ops).
 
@@ -185,17 +185,24 @@ def ngram_jaccard(
     sh = docs.select(F.col(id_col), shingles.alias("sh")).persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    jaccard = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).alias("jaccard")
+    if broadcast_pairs:
+        # metadata-sized pair set: semi-join each shingle side against the
+        # broadcast pairs (big arrays never shuffle), then join the two
+        # pair-sized halves — AQE broadcasts one of them
+        bp = F.broadcast(pairs.select("id_a", "id_b"))
+        half_a = a.join(bp, "id_a")
+        half_b = b.join(bp, "id_b").select("id_a", "id_b", "sh_b")
+        return half_a.join(half_b, ["id_a", "id_b"]).select(
+            "id_a", "id_b", jaccard
+        )
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
-        )
+        .select("id_a", "id_b", jaccard)
     )
 
 
