@@ -33,6 +33,7 @@ from .extract import (
     MEDIA_TAGS,
     STRIP_TAGS,
     _LINK_DENSITY_CANDIDATES,
+    _extract_spans_dom,
     _norm,
 )
 
@@ -439,8 +440,6 @@ class _ExtractBuilder:
         if self._skip_depth:
             return
         if self._title_buf is not None:
-            # feeds BOTH doc.title and the no-body fallback walk (a doc
-            # that never grows a body emits its head text inline)
             self._title_buf.append(data)
         if not self.stack:
             self._ensure_html()
@@ -458,11 +457,11 @@ class _ExtractBuilder:
             self._cap_stack[-1].append(data)
         elif self._media_depth:
             return
-        elif not self._head_open or not self._has_body:
+        elif not self._head_open:
             # body-subtree text (and html-level recovery text, which the
-            # DOM appends to body), or pre-body head text kept for the
-            # no-body fallback walk (cleared if a body ever appears);
-            # post-body <head> content is an html-child — never walked
+            # DOM appends to body); head text is never emitted here — docs
+            # that stay body-less take the DOM fallback, and post-body
+            # <head> content is an html-child the walk never visits
             self.buf.append(data)
 
     def handle_comment(self, data):
@@ -517,4 +516,14 @@ def extract_spans_html_fast(markup) -> tuple[list[dict], int]:
         raise XMLError(ERR_DOCUMENT_EMPTY, "Document is empty")
     tb = _ExtractBuilder()
     _tokenize(markup, tb)
+    if not tb._has_body:
+        # Body-less document: the DOM path's no-body fallback walks
+        # doc.root — head included — so head-resident startend tags emit
+        # spans there ('<style>x</style><h1/>' → [heading ""]) interleaved
+        # with head text in document order. Reconstructing that event-side
+        # would mean replaying the walk; body-less docs are rare (any flow
+        # content or text implies <body>), so run the DOM reference
+        # instead. <body/> dead-body docs also land here and the DOM walk
+        # of the empty body element yields the same ([], 0).
+        return _extract_spans_dom(markup, "html")
     return tb.finish(), 0

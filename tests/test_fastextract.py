@@ -82,6 +82,16 @@ CASES = [
     # deep
     "<body>" + "<div>" * 800 + "<p>deep</p>" + "</div>" * 800 + "</body>",
     "<body>" + "<span>" * 800 + "deep inline" + "</span>" * 800 + "</body>",
+    # body-less docs: head-resident startend tags (ADVICE r1 repros) — the
+    # DOM no-body fallback walks doc.root incl. head, fast path delegates
+    "<style>x</style><h1/>",
+    "<meta><img/>",
+    "<meta><img src='i.png' alt='fig'/>",
+    "<title>only a title</title>",
+    "<head><title>t</title><h2/><figcaption/></head>",
+    "<style>x</style><h1/><p>then body content</p>",
+    "<body/>",
+    "<body/><p>after dead body</p>",
 ]
 
 
@@ -130,7 +140,7 @@ def rand_html(rng, depth=0):
 
 
 class TestRandomDifferential:
-    @pytest.mark.parametrize("seed", range(8))
+    @pytest.mark.parametrize("seed", list(range(8)) + [42, 58, 77, 99])
     def test_random_corpus(self, seed):
         rng = random.Random(seed)
         for i in range(250):
