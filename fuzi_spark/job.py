@@ -107,19 +107,46 @@ def main(argv=None) -> int:
     )
 
     if args.output_table:
-        # Iceberg append: atomic snapshot commit; the lineage rows land in
-        # the same job so a killed run leaves no committed-but-unrecorded
-        # bucket (the resume protocol reads lineage, not spans)
-        extracted.writeTo(args.output_table).append()
+        # Iceberg surface, same manifest protocol as the parquet path
+        # (pipeline module docstring): spans append first (each Iceberg
+        # append is an atomic snapshot commit), stamped with this run's
+        # run_id; lineage is aggregated from the just-committed rows (a
+        # pushdown-filtered read, not a second extraction pass) and its
+        # append is the commit record. A run killed between the two
+        # appends leaves spans rows whose (bucket, run_id) is absent from
+        # lineage — readers must semi-join the lineage manifest exactly as
+        # pipeline.read_committed_spans does on parquet.
+        import uuid
+
+        if "run_id" in extracted.columns:
+            # --output also set: extracted reads back the parquet commit,
+            # already stamped — reuse its run_id for the Iceberg copy
+            row = extracted.select("run_id").first()
+            run_id = row["run_id"] if row else uuid.uuid4().hex
+            extracted.writeTo(args.output_table).append()
+        else:
+            run_id = uuid.uuid4().hex
+            extracted.withColumn("run_id", F.lit(run_id)).writeTo(
+                args.output_table
+            ).append()
+        from .pipeline import _lineage_agg
+
+        written = spark.table(args.output_table).filter(
+            F.col("run_id") == run_id
+        )
+        lineage = _lineage_agg(written).withColumn("run_id", F.lit(run_id))
         if args.lineage_table:
             lineage.writeTo(args.lineage_table).append()
-        totals = spark.table(args.output_table).groupBy().agg(
-            F.sum(F.when(F.col("seq") <= 0, 1).otherwise(0)).alias("docs"),
-            F.sum(F.when(F.col("seq") >= 0, 1).otherwise(0)).alias("spans"),
-            F.sum("parse_error").alias("parse_errors"),
+        totals = lineage.groupBy().agg(
+            F.sum("doc_count").alias("docs"),
+            F.sum("span_count").alias("spans"),
+            F.sum("parse_error_count").alias("parse_errors"),
         ).first()
     else:
-        # parquet surface: run_extraction_pipeline already wrote if --output
+        # parquet surface: run_extraction_pipeline already wrote if
+        # --output, and the returned lineage reads back the committed
+        # parquet rows of THIS run — the summary never re-extracts and
+        # never counts prior runs
         totals = lineage.groupBy().agg(
             F.sum("doc_count").alias("docs"),
             F.sum("span_count").alias("spans"),

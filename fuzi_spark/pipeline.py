@@ -25,11 +25,24 @@ Design notes for 1000-executor scale:
 - Resume = broadcast anti-join of the input against committed bucket ids —
   a metadata-sized broadcast, no shuffle of the big side beyond the one it
   already needs.
+- Exactly-once without atomic multi-file renames: the MANIFEST protocol.
+  Every run stamps its span rows with a fresh run_id; spans are written
+  first (the only pass over the raw input), then lineage — derived from
+  the already-durable span files, so nothing is extracted twice — is
+  committed as a single small parquet job. The lineage rows ARE the commit
+  record: readers (read_committed_spans) only see spans whose
+  (bucket, run_id) appears in lineage. A run killed between the two writes
+  leaves orphan span files that no reader ever sees; the re-run extracts
+  the bucket again under a new run_id and commits it. Same idea as an
+  Iceberg snapshot commit, expressed on the plain-parquet dev surface.
+  (Single-writer protocol: two runs racing the same bucket would both
+  commit; orchestration must not overlap runs on one output dir.)
 """
 
 from __future__ import annotations
 
 import os
+import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,9 +90,12 @@ def salt_partition(
         F.col("doc_weight") < giant_threshold,
         F.xxhash64(F.col("doc_id").cast("string")),
     ).otherwise(
-        F.xxhash64(
-            F.col("doc_id").cast("string"), F.monotonically_increasing_id()
-        )
+        # DETERMINISTIC second hash, not monotonically_increasing_id():
+        # a nondeterministic shuffle key re-routes recomputed rows after a
+        # fetch failure (the SPARK-23207 duplicate/loss class). One doc is
+        # one row, so an independent salted hash of doc_id spreads giants
+        # uniformly and is stable across stage retries.
+        F.xxhash64(F.col("doc_id").cast("string"), F.lit("giant-salt"))
     )
     return docs.repartition(num_partitions, part_key)
 
@@ -94,6 +110,41 @@ def committed_buckets(spark: SparkSession, lineage_path: str) -> Optional[DataFr
         return None
 
 
+def _lineage_agg(extracted: DataFrame) -> DataFrame:
+    # doc_count without countDistinct: every document emits exactly one
+    # anchor row (its first span, seq==0, or its error/empty row, seq==-1),
+    # so a plain conditional count suffices — cheap partial aggregates
+    # instead of a distinct expansion at 10^12 rows
+    return extracted.groupBy("bucket").agg(
+        F.sum(F.when(F.col("seq") <= 0, 1).otherwise(0)).alias("doc_count"),
+        F.sum(F.when(F.col("seq") >= 0, 1).otherwise(0)).alias("span_count"),
+        F.sum("parse_error").alias("parse_error_count"),
+    )
+
+
+def _commit_lineage(lineage: DataFrame, lineage_path: str) -> None:
+    """The commit point of the manifest protocol: one small parquet job
+    (atomic at job granularity via the output committer — a killed job
+    leaves only _temporary files, never visible rows). Kept as a seam so
+    the crash-injection test can fail a run between the two writes."""
+    lineage.write.mode("append").parquet(lineage_path)
+
+
+def read_committed_spans(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Exactly-once read view of the span table: only spans whose
+    (bucket, run_id) is recorded in lineage are visible. Orphan files from
+    a run killed between the spans write and the lineage commit are
+    filtered out by a broadcast semi-join against the metadata-sized
+    manifest — no shuffle of the span table."""
+    spans = spark.read.parquet(os.path.join(output_dir, "spans"))
+    manifest = (
+        spark.read.parquet(os.path.join(output_dir, "lineage"))
+        .select("bucket", "run_id")
+        .distinct()
+    )
+    return spans.join(F.broadcast(manifest), ["bucket", "run_id"], "left_semi")
+
+
 def run_extraction_pipeline(
     spark: SparkSession,
     docs: DataFrame,
@@ -106,9 +157,13 @@ def run_extraction_pipeline(
 ):
     """The end-to-end job. docs: (doc_id, spans[, doc_type]).
 
-    Returns (spans_df, lineage_df); if output_dir is set, also appends both
+    Returns (spans_df, lineage_df). With output_dir set, both are appended
     to parquet (prod: Iceberg `writeTo(...).append()` — parquet keeps the
-    dev loop self-contained) and honors checkpoint-resume."""
+    dev loop self-contained) under the manifest protocol (module
+    docstring): ONE extraction pass writes the span files, lineage is then
+    aggregated from the already-written files (never a recompute) and its
+    write is the commit point; the returned DataFrames read back this
+    run's durable rows. Resume skips lineage-committed buckets."""
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
     docs = with_weight_and_bucket(docs, n_buckets)
@@ -131,20 +186,26 @@ def run_extraction_pipeline(
         "bucket", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets))
     )
 
-    # doc_count without countDistinct: every document emits exactly one
-    # anchor row (its first span, seq==0, or its error/empty row, seq==-1),
-    # so a plain conditional count suffices — cheap partial aggregates
-    # instead of a distinct expansion at 10^12 rows
-    lineage = extracted.groupBy("bucket").agg(
-        F.sum(F.when(F.col("seq") <= 0, 1).otherwise(0)).alias("doc_count"),
-        F.sum(F.when(F.col("seq") >= 0, 1).otherwise(0)).alias("span_count"),
-        F.sum("parse_error").alias("parse_error_count"),
-    )
-
     if output_dir:
-        extracted.write.mode("append").partitionBy("bucket").parquet(spans_path)
-        lineage.write.mode("append").parquet(lineage_path)
-    return extracted, lineage
+        run_id = uuid.uuid4().hex
+        # the ONE pass over the raw input: extract + write spans
+        extracted.withColumn("run_id", F.lit(run_id)).write.mode(
+            "append"
+        ).partitionBy("bucket").parquet(spans_path)
+        # lineage from the durable files — a column-pruned scan of
+        # (bucket, seq, parse_error, run_id); other runs' files are skipped
+        # via parquet stats on the constant run_id column
+        written = spark.read.parquet(spans_path).filter(
+            F.col("run_id") == run_id
+        )
+        lineage = _lineage_agg(written).withColumn("run_id", F.lit(run_id))
+        _commit_lineage(lineage, lineage_path)
+        committed = spark.read.parquet(lineage_path).filter(
+            F.col("run_id") == run_id
+        )
+        return written, committed
+
+    return extracted, _lineage_agg(extracted)
 
 
 def write_bucketed(
@@ -210,19 +271,46 @@ def streaming_extraction(
     lineage_path = os.path.join(output_dir, "lineage")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        extracted = extract_spans_df(batch_df, doc_type).withColumn(
-            "bucket",
-            F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets)),
+        # foreachBatch is at-least-once: on restart the last batch can be
+        # redelivered. Lineage is the commit record, so a batch whose
+        # batch_id is already committed is skipped wholesale, and a batch
+        # killed between the spans write and the lineage commit leaves
+        # only orphan span files under a run_id that never reaches the
+        # manifest — invisible to read_committed_spans; the redelivery
+        # rewrites it under a fresh run_id. Exactly-once at the read
+        # surface either way.
+        if os.path.exists(lineage_path):
+            try:
+                already = (
+                    batch_df.sparkSession.read.parquet(lineage_path)
+                    .filter(F.col("batch_id") == batch_id)
+                    .limit(1)
+                    .count()
+                )
+                if already:
+                    return
+            except Exception:
+                pass
+        run_id = uuid.uuid4().hex
+        extracted = (
+            extract_spans_df(batch_df, doc_type)
+            .withColumn(
+                "bucket",
+                F.pmod(
+                    F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets)
+                ),
+            )
+            .withColumn("run_id", F.lit(run_id))
         )
         extracted.persist()
         try:
             extracted.write.mode("append").partitionBy("bucket").parquet(spans_path)
-            lineage = extracted.groupBy("bucket").agg(
-                F.sum(F.when(F.col("seq") <= 0, 1).otherwise(0)).alias("doc_count"),
-                F.sum(F.when(F.col("seq") >= 0, 1).otherwise(0)).alias("span_count"),
-                F.sum("parse_error").alias("parse_error_count"),
-            ).withColumn("batch_id", F.lit(batch_id))
-            lineage.write.mode("append").parquet(lineage_path)
+            lineage = (
+                _lineage_agg(extracted)
+                .withColumn("run_id", F.lit(run_id))
+                .withColumn("batch_id", F.lit(batch_id))
+            )
+            _commit_lineage(lineage, lineage_path)
         finally:
             extracted.unpersist()
 

@@ -169,6 +169,86 @@ class TestResume:
         assert all(r["count"] == 1 for r in per_doc)
 
 
+class TestCrashResume:
+    def test_kill_between_writes_is_exactly_once(self, spark, tmp_path):
+        """Manifest protocol: a run killed AFTER its span files land but
+        BEFORE the lineage commit must leave no visible spans; the resume
+        run re-extracts and the committed view is bit-identical to a
+        clean single run — zero duplicate (doc_id, seq)."""
+        from fuzi_spark import pipeline
+        from fuzi_spark.corpus import corpus_df
+        from fuzi_spark.pipeline import (
+            read_committed_spans,
+            run_extraction_pipeline,
+        )
+
+        docs = corpus_df(spark, include_fixtures=False, skew=False)
+
+        ref_dir = str(tmp_path / "ref")
+        run_extraction_pipeline(
+            spark, docs, output_dir=ref_dir, n_buckets=4, num_partitions=4
+        )
+        ref = sorted(
+            (r.doc_id, r.seq, r.kind, r.text, r.media_ref)
+            for r in read_committed_spans(spark, ref_dir).collect()
+        )
+        assert ref
+
+        out = str(tmp_path / "out")
+        real_commit = pipeline._commit_lineage
+
+        def boom(lineage, path):
+            raise RuntimeError("simulated kill between spans and lineage")
+
+        pipeline._commit_lineage = boom
+        try:
+            with pytest.raises(RuntimeError):
+                run_extraction_pipeline(
+                    spark, docs, output_dir=out, n_buckets=4, num_partitions=4
+                )
+        finally:
+            pipeline._commit_lineage = real_commit
+
+        # orphan span files are on disk, but nothing is committed
+        assert os.path.exists(os.path.join(out, "spans"))
+        assert (
+            pipeline.committed_buckets(spark, os.path.join(out, "lineage"))
+            is None
+        )
+
+        # resume: nothing committed → full re-run under a fresh run_id
+        run_extraction_pipeline(
+            spark, docs, output_dir=out, n_buckets=4, num_partitions=4
+        )
+
+        got = sorted(
+            (r.doc_id, r.seq, r.kind, r.text, r.media_ref)
+            for r in read_committed_spans(spark, out).collect()
+        )
+        assert got == ref
+
+        # the raw directory really does hold the orphan duplicates the
+        # manifest filters out — the protocol, not luck, is what dedups
+        raw_rows = spark.read.parquet(os.path.join(out, "spans")).count()
+        assert raw_rows > len(got)
+
+    def test_single_extraction_pass_per_run(self, spark, tmp_path):
+        """With output_dir set, the write pass is the ONLY MapInPandas run:
+        the returned spans/lineage read back the committed parquet, so
+        consuming them never re-extracts (VERDICT r1 finding #1)."""
+        from fuzi_spark.corpus import corpus_df
+        from fuzi_spark.pipeline import run_extraction_pipeline
+
+        docs = corpus_df(spark, include_fixtures=False, skew=False)
+        out = str(tmp_path / "once")
+        e, l = run_extraction_pipeline(
+            spark, docs, output_dir=out, n_buckets=4, num_partitions=4
+        )
+        for df in (e, l):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "mapinpandas" not in plan.lower(), plan[:2000]
+
+
 class TestVerificationJoin:
     def test_self_verification_empty(self, spark):
         from fuzi_spark.corpus import corpus_df
