@@ -165,7 +165,7 @@ def minhash_lsh_candidates(
 
 def ngram_jaccard(
     pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_n: int = 3, hashed: bool = True, broadcast_pairs: bool = False,
+    shingle_n: int = 3, hashed: bool = True, broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs (JVM set ops).
 
@@ -176,7 +176,13 @@ def ngram_jaccard(
     compare longs — the join carries ~95% fewer bytes for typical prose,
     which at corpus scale is the difference between a spilling shuffle and
     an in-memory one. hashed=False keeps the literal shingle strings —
-    bit-exact against an external SQL oracle."""
+    bit-exact against an external SQL oracle.
+
+    broadcast_pairs=True (default): the candidate pair set out of LSH is
+    metadata-sized next to the corpus, so each shingle side is semi-joined
+    against the broadcast pairs and the big arrays never shuffle. Pass
+    False only when the pair set itself is too large to broadcast (then
+    the pairs shuffle against both shingle sides)."""
     shingles = (
         shingle_hashes(text_col, shingle_n)
         if hashed
@@ -207,9 +213,19 @@ def ngram_jaccard(
 
 
 def token_hashes_col(text_col: str):
-    """xxhash64 of each whitespace token, as an array<long> column (JVM)."""
+    """xxhash64 of each whitespace token, as an array<long> column (JVM).
+
+    Empty/whitespace-only text must yield an EMPTY array, not [''] —
+    split('', '\\s+') returns one empty token, which would give every
+    blank doc the same simhash(xxhash64('')) and let them chunk-collide
+    with real documents; bitvote64 maps the empty array to fingerprint 0
+    (the pre-round-1 semantics for token-less docs)."""
     return F.transform(
-        F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: F.xxhash64(t)
+        F.filter(
+            F.split(F.trim(F.col(text_col)), "\\s+"),
+            lambda t: t != "",
+        ),
+        lambda t: F.xxhash64(t),
     )
 
 

@@ -74,6 +74,29 @@ class TestDedup:
         )
         assert exact.count() == sample.count()
 
+    def test_simhash_blank_docs_fingerprint_zero(self, spark):
+        """Empty/whitespace docs must hash to 0 (token-less), never to
+        simhash(xxhash64('')) — otherwise every blank doc chunk-collides
+        with real documents (ADVICE r1)."""
+        from fuzi_spark.ops.dedup import bitvote64, token_hashes_col
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "\t\n"), (4, "real words here")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: (r.n_tokens, r.sh)
+            for r in df.select(
+                "doc_id",
+                F.size(token_hashes_col("text")).alias("n_tokens"),
+                bitvote64(token_hashes_col("text")).alias("sh"),
+            ).collect()
+        }
+        assert rows[1] == (0, 0)
+        assert rows[2] == (0, 0)
+        assert rows[3] == (0, 0)
+        assert rows[4][0] == 3 and rows[4][1] != 0
+
 
 class TestTextStats:
     def test_token_counts_match_python(self, spark, docs):
