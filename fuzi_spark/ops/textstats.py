@@ -64,38 +64,43 @@ _LATIN_PROFILES = {
 }
 
 
+# (low, high, threshold, tag) — checked in order; counts are inclusive
+# codepoint-range hits over the first 2000 chars
+_SCRIPT_RANGES = (
+    (0x4E00, 0x9FFF, 0.05, "zh"),
+    (0x0400, 0x04FF, 0.2, "ru"),
+    (0x0600, 0x06FF, 0.2, "ar"),
+    (0x0590, 0x05FF, 0.2, "he"),
+    (0x0370, 0x03FF, 0.2, "el"),
+)
+
+
 @pandas_udf(StringType())
 def lang_id(text: pd.Series) -> pd.Series:
     """n-gram/stopword heuristic language ID.
 
-    Script detection first (CJK/Cyrillic/Arabic/Hebrew/Greek by codepoint
-    ranges, vectorized), then Latin languages by stopword-hit profile."""
+    Script detection first (CJK/Cyrillic/Arabic/Hebrew/Greek), then Latin
+    languages by stopword-hit profile. The per-row inner work is one
+    numpy codepoint-array pass per script range (a single comparison over
+    the UTF-32 view), not a per-character Python loop."""
     out = []
     for t in text:
         if not t:
             out.append("und")
             continue
         sample = t[:2000]
-        n = len(sample)
-        cjk = sum(1 for c in sample if "一" <= c <= "鿿")
-        if cjk > 0.05 * n:
-            out.append("zh")
-            continue
-        cyr = sum(1 for c in sample if "Ѐ" <= c <= "ӿ")
-        if cyr > 0.2 * n:
-            out.append("ru")
-            continue
-        ar = sum(1 for c in sample if "؀" <= c <= "ۿ")
-        if ar > 0.2 * n:
-            out.append("ar")
-            continue
-        he = sum(1 for c in sample if "֐" <= c <= "׿")
-        if he > 0.2 * n:
-            out.append("he")
-            continue
-        el = sum(1 for c in sample if "Ͱ" <= c <= "Ͽ")
-        if el > 0.2 * n:
-            out.append("el")
+        cp = np.frombuffer(sample.encode("utf-32-le"), dtype=np.uint32)
+        n = len(cp)
+        tag = None
+        # below U+0370 no tracked script can match — the (dominant) Latin
+        # corpus skips all five range scans on one max() pass
+        if int(cp.max(initial=0)) >= 0x0370:
+            for lo, hi, frac, name in _SCRIPT_RANGES:
+                if np.count_nonzero((cp >= lo) & (cp <= hi)) > frac * n:
+                    tag = name
+                    break
+        if tag is not None:
+            out.append(tag)
             continue
         toks = set(sample.lower().split())
         best, best_hits = "und", 0
@@ -115,13 +120,20 @@ def winnow_fingerprint_udf(k: int = 5, window: int = 4):
     k-gram rolling hashes, min per sliding window, deduped — the standard
     near-dup/plagiarism fingerprint. numpy sliding windows per Arrow batch."""
 
+    # Mersenne-31 modulus: byte (<2^8) × base-power (<2^31) × k terms stays
+    # under 2^44 — no int64 overflow in the windowed dot product
+    base, mod = 1000003, (1 << 31) - 1
+    # power vector [base^(k-1), ..., base, 1] mod M: the polynomial k-gram
+    # hash as ONE matrix product per document instead of a per-character
+    # Python rolling-update loop (identical values — the rolling recurrence
+    # is exactly this polynomial evaluated mod M)
+    pw_vec = np.array(
+        [pow(base, k - 1 - j, mod) for j in range(k)], dtype=np.int64
+    )
+
     @pandas_udf(ArrayType(LongType()))
     def _udf(text: pd.Series) -> pd.Series:
         out = []
-        # Mersenne-31 modulus keeps every intermediate product under 2^52 —
-        # no int64 overflow in the numpy rolling-hash updates
-        base = np.int64(1000003)
-        mod = np.int64((1 << 31) - 1)
         for t in text:
             if not t or len(t) < k:
                 out.append([])
@@ -130,23 +142,15 @@ def winnow_fingerprint_udf(k: int = 5, window: int = 4):
             if len(b) < k:
                 out.append([])
                 continue
-            # rolling polynomial hash of every k-gram
-            pw = np.int64(pow(int(base), k - 1, int(mod)))
-            h = np.int64(0)
-            hashes = np.empty(len(b) - k + 1, dtype=np.int64)
-            for i in range(k):
-                h = (h * base + b[i]) % mod
-            hashes[0] = h
-            for i in range(1, len(b) - k + 1):
-                h = ((h - b[i - 1] * pw) % mod * base + b[i + k - 1]) % mod
-                hashes[i] = h
-            hashes = np.abs(hashes)
+            sw = np.lib.stride_tricks.sliding_window_view(b, k)
+            hashes = (sw @ pw_vec) % mod
             if len(hashes) <= window:
                 out.append([int(hashes.min())])
                 continue
-            sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
-            mins = sw.min(axis=1)
-            out.append(sorted(set(int(x) for x in mins)))
+            mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(
+                axis=1
+            )
+            out.append(np.unique(mins).tolist())
         return pd.Series(out)
 
     return _udf
