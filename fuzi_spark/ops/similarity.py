@@ -172,13 +172,28 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """IVF ANN: assign every vector to its nearest centroid cell, probe the
     query's n_probe nearest cells, exact cosine re-rank inside them.
 
     Scale shape: the assignment is one matmul per Arrow batch; the probe
     join is an equi-join on cell id, so per-query work is
-    ~(n_probe / n_cells) of the table instead of all of it."""
+    ~(n_probe / n_cells) of the table instead of all of it.
+
+    Contract: the probe list is built DRIVER-SIDE, so the query set must
+    be metadata-sized (≤ max_query_rows). Guarded with a limit(n+1) probe
+    — never a full count — and a fail-fast error instead of a silent
+    driver-OOM collect; route larger query sets through cosine_topk_lsh,
+    which stays fully distributed."""
+    n_q = queries.limit(max_query_rows + 1).count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_ivf builds its probe list on the driver; the "
+            f"query set exceeds max_query_rows={max_query_rows}. Use "
+            f"cosine_topk_lsh for large query sets, or raise the limit "
+            f"explicitly if the driver can hold them."
+        )
     cents = ivf_centroids(vectors, n_cells, id_col, vec_col)
     assign = ivf_assign_udf(cents)
     Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)

@@ -63,28 +63,26 @@ def _object_streams(data: bytes):
 # ------------------------------------------------------------ strings
 
 _ESCAPES = {
-    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
-    b"(": "(", b")": ")", b"\\": "\\",
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
 }
 
 
 def _decode_pdf_string(raw: bytes) -> str:
-    """Literal-string unescape; UTF-16BE when BOM-prefixed, else latin-1
-    (lossless byte map — PDFDocEncoding differences don't matter for the
-    printable range)."""
-    if raw[:2] == b"\xfe\xff":
-        try:
-            return raw.decode("utf-16-be")[1:]
-        except Exception:
-            pass
-    out = []
+    """Literal-string unescape at the BYTE level, then decode: UTF-16BE
+    when the unescaped bytes are BOM-prefixed, else latin-1 (lossless byte
+    map — PDFDocEncoding differences don't matter for the printable
+    range). Unescape must come first: UTF-16 code units can contain
+    0x28/0x29/0x5c, which a conforming writer escapes inside the literal
+    string."""
+    out = bytearray()
     i, n = 0, len(raw)
     while i < n:
         c = raw[i : i + 1]
         if c == b"\\" and i + 1 < n:
             nxt = raw[i + 1 : i + 2]
             if nxt in _ESCAPES:
-                out.append(_ESCAPES[nxt])
+                out += _ESCAPES[nxt]
                 i += 2
                 continue
             if nxt in b"01234567":
@@ -93,7 +91,7 @@ def _decode_pdf_string(raw: bytes) -> str:
                 while j < n and len(oct_digits) < 3 and raw[j : j + 1] in b"01234567":
                     oct_digits += raw[j : j + 1]
                     j += 1
-                out.append(chr(int(oct_digits, 8) & 0xFF))
+                out.append(int(oct_digits, 8) & 0xFF)
                 i = j
                 continue
             if nxt in (b"\n", b"\r"):  # line continuation
@@ -101,12 +99,17 @@ def _decode_pdf_string(raw: bytes) -> str:
                 if nxt == b"\r" and raw[i : i + 1] == b"\n":
                     i += 1
                 continue
-            out.append(nxt.decode("latin-1"))
+            out += nxt
             i += 2
             continue
-        out.append(c.decode("latin-1"))
+        out += c
         i += 1
-    return "".join(out)
+    if out[:2] == b"\xfe\xff":
+        try:
+            return bytes(out).decode("utf-16-be")[1:]
+        except Exception:
+            pass
+    return bytes(out).decode("latin-1")
 
 
 # ------------------------------------------------------------ content stream
@@ -345,17 +348,34 @@ def build_simple_pdf(
     """Minimal well-formed one-page PDF: a title at 24pt + body at 12pt,
     optionally FlateDecode-compressed, optionally with an image XObject."""
 
-    def esc(s: str) -> str:
-        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    def pdf_str(s: str) -> bytes:
+        """Literal-string bytes: latin-1 when representable, else
+        BOM-prefixed UTF-16BE (the generator must never raise on corpus
+        text above U+00FF — it runs inside the bench pandas UDF). The
+        delimiters/backslash/EOL bytes are escaped AFTER encoding: UTF-16
+        code units can contain 0x28/0x29/0x5c."""
+        try:
+            payload = s.encode("latin-1")
+        except UnicodeEncodeError:
+            payload = b"\xfe\xff" + s.encode("utf-16-be")
+        for ch, rep in (
+            (b"\\", rb"\\"), (b"(", rb"\("), (b")", rb"\)"),
+            (b"\r", rb"\r"), (b"\n", rb"\n"),
+        ):
+            payload = payload.replace(ch, rep)
+        return b"(" + payload + b")"
 
-    content = ["BT", "/F1 24 Tf", "72 720 Td", f"({esc(title)}) Tj", "ET"]
+    content = [b"BT", b"/F1 24 Tf", b"72 720 Td", pdf_str(title) + b" Tj", b"ET"]
     ypos = 680
     for p in paragraphs:
-        content += ["BT", "/F1 12 Tf", f"72 {ypos} Td", f"({esc(p)}) Tj", "ET"]
+        content += [
+            b"BT", b"/F1 12 Tf", f"72 {ypos} Td".encode(),
+            pdf_str(p) + b" Tj", b"ET",
+        ]
         ypos -= 40
     if image:
-        content += ["q", "100 0 0 80 72 100 cm", "/Im1 Do", "Q"]
-    cs = "\n".join(content).encode("latin-1")
+        content += [b"q", b"100 0 0 80 72 100 cm", b"/Im1 Do", b"Q"]
+    cs = b"\n".join(content)
     filt = b""
     if compress:
         cs = zlib.compress(cs)

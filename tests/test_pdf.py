@@ -103,6 +103,29 @@ class TestContentOperators:
         assert texts(spans) == ["first block", "second block"]
 
 
+class TestNonLatinRoundtrip:
+    @pytest.mark.parametrize(
+        "title,paras",
+        [
+            ("Überschrift — straße", ["中文段落内容测试", "русский (скобки) и \\ слэш"]),
+            ("עברית", ["نص عربي هنا"]),
+            ("plain", ["paren (x) and \\ back", "ünïcödé ok"]),
+        ],
+    )
+    def test_builder_survives_non_latin1(self, title, paras):
+        """build_simple_pdf must never raise on text above U+00FF (it runs
+        inside the bench pandas UDF — ADVICE r1); the UTF-16BE literal
+        strings it emits round-trip bit-exact through the extractor."""
+        for compress in (False, True):
+            pdf = build_simple_pdf(title, paras, compress=compress)
+            spans, err = extract_pdf_spans(pdf)
+            got = texts(spans)
+            assert err == 0
+            assert got[0] == title
+            for p in paras:
+                assert p in got
+
+
 class TestRecovery:
     def test_empty_input(self):
         assert extract_pdf_spans(b"") == ([], 1)

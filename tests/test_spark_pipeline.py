@@ -327,6 +327,24 @@ class TestSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.4, f"IVF recall collapsed: {recall}"
 
+    def test_ivf_rejects_oversized_query_set(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from fuzi_spark.ops.similarity import cosine_topk_ivf
+
+        vecs = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        queries = vecs.filter(F.col("vec_id") < 10)
+        with _pytest.raises(ValueError, match="max_query_rows"):
+            cosine_topk_ivf(vecs, queries, k=5, max_query_rows=5)
+
     def test_lsh_results_subset_of_table(self, spark):
         from pyspark.sql import functions as F
 
