@@ -624,15 +624,18 @@ def q_similarity_ivf(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """Multimodal plumbing: media refs from extracted spans → synthetic
-    binary table → decode/feature UDF (stubbed codec, real Spark shape).
-    Rows-only check."""
+    """Multimodal pipeline, oracle-checked end to end: media refs from
+    extracted spans → synthetic image bytes (real JPEG headers, dims from
+    the SQL-expressible synth_dims formula) → header-parse decode. The
+    oracle predicts every (format, width, height, channels, decode_ok)
+    from the documents table alone."""
     from fuzi_spark.ops.multimodal import decode_features_df, synth_media_df
 
     extracted = _flagship_extracted(spark, sf_dir)
     media = synth_media_df(spark, extracted)
     return decode_features_df(media).select(
-        "media_ref", "media_type", "width", "height", "decode_ok"
+        "media_ref", "media_type", "format", "width", "height", "channels",
+        "decode_ok",
     )
 
 
@@ -809,6 +812,20 @@ def oracle_sql() -> dict[str, str]:
             "event_type, COUNT(*) AS n_events, "
             "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents "
             "FROM events GROUP BY 1, 2"
+        ),
+        "multimodal_decode": (
+            # flagship pages embed exactly one image span per doc with
+            # ref 'img/<doc_id>.jpg'; synth_media_df builds a real JPEG
+            # whose dims follow synth_dims (pure length arithmetic), and
+            # the decoder header-parses them back
+            "SELECT 'img/' || CAST(doc_id AS VARCHAR) || '.jpg' AS media_ref, "
+            "'image' AS media_type, 'jpeg' AS format, "
+            "CAST(16 + (7 * length('img/' || CAST(doc_id AS VARCHAR) || '.jpg')) % 96 "
+            "  AS INTEGER) AS width, "
+            "CAST(16 + (13 * length('img/' || CAST(doc_id AS VARCHAR) || '.jpg')) % 96 "
+            "  AS INTEGER) AS height, "
+            "CAST(3 AS INTEGER) AS channels, CAST(1 AS INTEGER) AS decode_ok "
+            "FROM documents"
         ),
     }
 

@@ -2,16 +2,21 @@
 with typed metadata.
 
 The Spark-side contract (schema, partitioning, UDF signatures, Arrow batch
-shape) is real and tested; the actual codec work (JPEG decode, resampling)
-is STUBBED behind an import-try — the container ships no image/audio
-libraries, so when PIL/soundfile are absent each stub produces a
-DETERMINISTIC FAKE (seeded from the content digest) with the same schema,
-keeping every downstream operator exercisable.
+shape) is real and tested. Image METADATA decode (format, width, height,
+channels) is REAL — a pure-stdlib PNG/GIF/JPEG header parse
+(parse_image_header), no image library needed. Pixel-level work (feature
+extraction, resampling) still requires a codec: it uses PIL when present,
+and otherwise a DETERMINISTIC FAKE seeded from the content digest (the
+documented stub — the container ships no image/audio libraries), with the
+same schema so every downstream operator stays exercisable. Unparseable
+image bytes are a decode failure (decode_ok=0), never a fake success.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator, Optional
 
 import numpy as np
@@ -45,6 +50,7 @@ DECODED_SCHEMA = StructType(
     [
         StructField("media_ref", StringType()),
         StructField("media_type", StringType()),
+        StructField("format", StringType()),  # detected from content bytes
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("channels", IntegerType()),
@@ -54,6 +60,113 @@ DECODED_SCHEMA = StructType(
 )
 
 _FEATURE_DIM = 64
+
+# ------------------------------------------------------- image headers
+# Pure-stdlib container-header parsing: the real metadata-decode path.
+
+# every JPEG SOFn marker that carries frame dimensions (C4/C8/CC are
+# huffman/arithmetic tables, not frames)
+_SOF_MARKERS = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # IHDR color type → bands
+
+
+def parse_image_header(content) -> Optional[tuple]:
+    """(format, width, height, channels) from PNG/GIF/JPEG container
+    headers, or None if the bytes are not a recognized image."""
+    if not content:
+        return None
+    b = bytes(content)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 26 and b[12:16] == b"IHDR":
+            w = int.from_bytes(b[16:20], "big")
+            h = int.from_bytes(b[20:24], "big")
+            ch = _PNG_CHANNELS.get(b[25])
+            if w and h and ch:
+                return ("png", w, h, ch)
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            w = int.from_bytes(b[6:8], "little")
+            h = int.from_bytes(b[8:10], "little")
+            if w and h:
+                return ("gif", w, h, 3)
+        return None
+    if b[:2] == b"\xff\xd8":
+        i, n = 2, len(b)
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seglen < 2:
+                break
+            if marker in _SOF_MARKERS:
+                if i + 10 <= n and seglen >= 9:
+                    h = int.from_bytes(b[i + 5 : i + 7], "big")
+                    w = int.from_bytes(b[i + 7 : i + 9], "big")
+                    ch = b[i + 9]
+                    if w and h:
+                        return ("jpeg", w, h, ch)
+                return None
+            i += 2 + seglen
+        return None
+    return None
+
+
+def build_png(width: int, height: int, extra: bytes = b"") -> bytes:
+    """Fully valid all-black RGB PNG (stdlib zlib/crc32); `extra` lands in
+    a tEXt chunk so distinct payloads give distinct bytes."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = (b"\x00" + bytes(3 * width)) * height  # filter-0 scanlines
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if extra:
+        out += chunk(b"tEXt", b"ref\x00" + extra)
+    return out + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+
+
+def build_gif(width: int, height: int, extra: bytes = b"") -> bytes:
+    """Header-valid GIF89a (correct logical-screen descriptor; body is a
+    comment-extension payload, not decodable pixels — header parse only)."""
+    head = b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+    comment = b""
+    if extra:
+        comment = b"\x21\xfe" + bytes([min(len(extra), 255)]) + extra[:255] + b"\x00"
+    return head + comment + b"\x3b"
+
+
+def build_jpeg(width: int, height: int, extra: bytes = b"") -> bytes:
+    """Header-valid JPEG: SOI + APP0(JFIF) + optional COM(extra) + SOF0
+    with the real dimensions + EOI (no scan data — header parse only)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    com = b""
+    if extra:
+        payload = extra[:255]
+        com = b"\xff\xfe" + struct.pack(">H", len(payload) + 2) + payload
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x03\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + com + sof + b"\xff\xd9"
 
 
 def _have_pil() -> bool:
@@ -81,13 +194,18 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, np.ndarray]:
 def decode_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas: media rows → decoded metadata + feature vector.
 
-    Real path (PIL present): open → size → 8x8 grayscale thumbnail as the
-    feature vector. Stub path: deterministic fake with identical schema."""
+    Images: format/width/height/channels come from the REAL container
+    header parse; the feature vector is a PIL 8x8 grayscale thumbnail when
+    PIL is present, else a deterministic content-digest fake (the
+    documented pixel-codec stub). Bytes that parse as no known image
+    format are decode_ok=0 — never a fake success. Non-image media keeps
+    the digest-seeded fake (no libav in this container)."""
     use_pil = _have_pil()
     for pdf in batches:
         rows = {
             "media_ref": [],
             "media_type": [],
+            "format": [],
             "width": [],
             "height": [],
             "channels": [],
@@ -98,30 +216,42 @@ def decode_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             ref = pdf["media_ref"].iloc[i]
             mtype = pdf["media_type"].iloc[i]
             content = pdf["content"].iloc[i]
-            if use_pil and mtype == "image":
-                try:
-                    import io
-
-                    import PIL.Image
-
-                    img = PIL.Image.open(io.BytesIO(content))
-                    w, h = img.size
-                    thumb = np.asarray(
-                        img.convert("L").resize((8, 8)), dtype=np.float32
-                    ).ravel()
-                    rows["width"].append(w)
-                    rows["height"].append(h)
-                    rows["channels"].append(len(img.getbands()))
-                    rows["decode_ok"].append(1)
-                    rows["features"].append(thumb)
-                except Exception:
+            if mtype == "image":
+                header = parse_image_header(content)
+                if header is None:
+                    rows["format"].append(None)
                     rows["width"].append(None)
                     rows["height"].append(None)
                     rows["channels"].append(None)
                     rows["decode_ok"].append(0)
                     rows["features"].append(None)
+                else:
+                    fmt, w, h, c = header
+                    feats = None
+                    if use_pil:
+                        try:
+                            import io
+
+                            import PIL.Image
+
+                            img = PIL.Image.open(io.BytesIO(content))
+                            feats = np.asarray(
+                                img.convert("L").resize((8, 8)),
+                                dtype=np.float32,
+                            ).ravel()
+                        except Exception:
+                            feats = None
+                    if feats is None:
+                        feats = _fake_decode(content)[3]
+                    rows["format"].append(fmt)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(c)
+                    rows["decode_ok"].append(1)
+                    rows["features"].append(feats)
             else:
                 w, h, c, feats = _fake_decode(content)
+                rows["format"].append(None)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["channels"].append(c)
@@ -240,10 +370,21 @@ def frame_sample_df(media: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
+def synth_dims(ref: str) -> tuple[int, int]:
+    """Deterministic synthetic image dimensions per ref — deliberately a
+    pure length-arithmetic formula so an external SQL oracle can predict
+    them: w = 16 + 7*len(ref) mod 96, h = 16 + 13*len(ref) mod 96."""
+    n = len(ref or "")
+    return 16 + (7 * n) % 96, 16 + (13 * n) % 96
+
+
 def synth_media_df(spark, docs_extracted: DataFrame) -> DataFrame:
-    """Build a media table from extracted media spans: deterministic binary
-    payload per media_ref (content = blake2b-keyed bytes) — the dev-scale
-    stand-in for fetching blobs from object storage."""
+    """Build a media table from extracted media spans — the dev-scale
+    stand-in for fetching blobs from object storage. Image refs get REAL
+    image bytes (valid PNG; header-valid GIF/JPEG) with dimensions from
+    synth_dims, so decode_features_df exercises the real header parse and
+    an external oracle can check the full pipeline. Non-image refs keep a
+    digest payload."""
     refs = (
         docs_extracted.filter(F.col("kind") == "media")
         .select("media_ref")
@@ -251,20 +392,29 @@ def synth_media_df(spark, docs_extracted: DataFrame) -> DataFrame:
         .distinct()
     )
 
+    _BUILDERS = {"png": build_png, "gif": build_gif}
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
-            content = [
-                hashlib.blake2b((r or "").encode(), digest_size=32).digest() * 8
+            ext = [
+                (r or "").rsplit(".", 1)[-1].lower() if "." in (r or "") else ""
                 for r in pdf["media_ref"]
             ]
-            ext = [(r or "").rsplit(".", 1)[-1].lower() if "." in (r or "") else "" for r in pdf["media_ref"]]
             mtype = [
                 "image"
                 if e in ("jpg", "jpeg", "png", "gif", "webp")
                 else ("video" if e in ("mp4", "webm") else "other")
                 for e in ext
             ]
+            content = []
+            for r, e, t in zip(pdf["media_ref"], ext, mtype):
+                dig = hashlib.blake2b((r or "").encode(), digest_size=32).digest()
+                if t == "image":
+                    w, h = synth_dims(r or "")
+                    content.append(_BUILDERS.get(e, build_jpeg)(w, h, dig))
+                else:
+                    content.append(dig * 8)
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],

@@ -138,13 +138,75 @@ class TestTextStats:
         assert len(set(prints)) == len(prints)
 
 
+class TestImageHeaders:
+    """Pure-stdlib header parse — the real metadata-decode path."""
+
+    def test_builders_roundtrip(self):
+        from fuzi_spark.ops.multimodal import (
+            build_gif,
+            build_jpeg,
+            build_png,
+            parse_image_header,
+        )
+
+        for builder, fmt, ch in (
+            (build_png, "png", 3),
+            (build_gif, "gif", 3),
+            (build_jpeg, "jpeg", 3),
+        ):
+            for w, h in ((1, 1), (17, 93), (640, 480), (4000, 3000)):
+                got = parse_image_header(builder(w, h, b"payload"))
+                assert got == (fmt, w, h, ch), (fmt, w, h, got)
+
+    def test_rejects_non_images(self):
+        from fuzi_spark.ops.multimodal import parse_image_header
+
+        for junk in (b"", None, b"\x00" * 64, b"GIF8", b"\x89PNG\r\n\x1a\n",
+                     b"\xff\xd8\xff\xd9", b"plain text here"):
+            assert parse_image_header(junk) is None
+
+    def test_real_fixture_headers(self):
+        """Known-byte fixtures: hand-assembled headers with odd segment
+        layouts (JPEG with COM before SOF2; PNG grayscale-alpha)."""
+        import struct as _s
+
+        from fuzi_spark.ops.multimodal import parse_image_header
+
+        # progressive JPEG (SOF2), restart marker + comment before it
+        jpeg = (b"\xff\xd8" + b"\xff\xfe" + _s.pack(">H", 6) + b"note"
+                + b"\xff\xc2" + _s.pack(">H", 11) + b"\x08"
+                + _s.pack(">HH", 33, 44) + b"\x01\x01\x11\x00" + b"\xff\xd9")
+        assert parse_image_header(jpeg) == ("jpeg", 44, 33, 1)
+        # PNG gray+alpha (color type 4 → 2 channels)
+        ihdr = _s.pack(">IIBBBBB", 5, 6, 8, 4, 0, 0, 0)
+        import zlib as _z
+
+        png = (b"\x89PNG\r\n\x1a\n" + _s.pack(">I", len(ihdr)) + b"IHDR"
+               + ihdr + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+        assert parse_image_header(png) == ("png", 5, 6, 2)
+
+
 class TestMultimodal:
     @pytest.fixture(scope="class")
     def media(self, spark):
-        from fuzi_spark.ops.multimodal import MEDIA_SCHEMA
+        from fuzi_spark.ops.multimodal import (
+            MEDIA_SCHEMA,
+            build_gif,
+            build_jpeg,
+            build_png,
+        )
 
+        builders = [build_jpeg, build_png, build_gif]
         rows = [
-            (f"img/{i}.jpg", "image", bytes([i] * 64), "jpg", None, None, None)
+            (
+                f"img/{i}.jpg",
+                "image",
+                builders[i % 3](10 + i, 20 + i, bytes([i] * 8)),
+                "jpg",
+                None,
+                None,
+                None,
+            )
             for i in range(10)
         ] + [
             (f"vid/{i}.mp4", "video", bytes([100 + i] * 64), "mp4", None, None, None)
@@ -158,11 +220,29 @@ class TestMultimodal:
         out = decode_features_df(media).collect()
         assert len(out) == 13
         assert all(r.decode_ok == 1 and len(r.features) == 64 for r in out)
+        # image rows carry REAL header-parsed dimensions
+        fmts = {"jpeg", "png", "gif"}
+        for r in out:
+            if r.media_type == "image":
+                i = int(r.media_ref.split("/")[1].split(".")[0])
+                assert (r.width, r.height) == (10 + i, 20 + i)
+                assert r.format in fmts
         # deterministic: same content -> same features
         again = decode_features_df(media).collect()
         a = {r.media_ref: list(r.features) for r in out}
         b = {r.media_ref: list(r.features) for r in again}
         assert a == b
+
+    def test_unparseable_image_is_decode_failure(self, spark):
+        from fuzi_spark.ops.multimodal import MEDIA_SCHEMA, decode_features_df
+
+        junk = spark.createDataFrame(
+            [("img/x.jpg", "image", b"\x00junk bytes", "jpg", None, None, None)],
+            MEDIA_SCHEMA,
+        )
+        r = decode_features_df(junk).collect()[0]
+        assert r.decode_ok == 0
+        assert r.width is None and r.height is None and r.features is None
 
     def test_resize(self, spark, media):
         from fuzi_spark.ops.multimodal import resize_images_df
