@@ -412,20 +412,28 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup candidates over doc ∪ near-mutated copy
-    (one word appended). Not SQL-expressible — rows-only check."""
+    """MinHash+LSH near-dup recovery, oracle-checked: every ≥20-token doc
+    and its one-word-appended copy share distinct-shingle Jaccard
+    ≥ 18/19, so with 16 two-row bands the planted pair survives LSH with
+    probability 1 − (1 − j²)^16 ≈ 1 − 1e-16 and the exact verify keeps
+    it; the oracle predicts the full planted-pair set from token counts
+    alone. (Organic near-dups are excluded by the id-offset filter — LSH
+    misses on mid-similarity pairs are not oracle-predictable.)"""
     from fuzi_spark.ops.dedup import minhash_lsh_candidates, ngram_jaccard
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.size(F.split(F.trim(F.col("text")), "\\s+")) >= 20
+    )
     mutated = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
     )
     both = d.unionByName(mutated)
-    cands = minhash_lsh_candidates(both, n_hashes=32, bands=8)
+    cands = minhash_lsh_candidates(both, n_hashes=32, bands=16)
     return (
         ngram_jaccard(cands, both)
         .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("id_b") - F.col("id_a") == 1000000)
         .select("id_a", "id_b")
     )
 
@@ -478,8 +486,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dups (hamming ≤ 3) over doc ∪ exact copy — every doc
-    must pair with its copy at hamming 0. Rows-only check."""
+    """SimHash near-dups over doc ∪ exact copy, oracle-checked: identical
+    token streams vote identical 64-bit fingerprints, identical chunks
+    always collide in the pigeonhole join, so every doc pairs with its
+    copy at hamming 0 — the oracle is exactly one row per document."""
     from fuzi_spark.ops.dedup import simhash_near_dups
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -504,28 +514,82 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+# constructed per-language corpus for the lang_id oracle: each phrase is
+# pinned to classify as its language (script ranges for zh/ru, stopword
+# profiles for the Latin four); doc_id % 6 picks the language, so the SQL
+# oracle predicts every prediction from the documents table alone
+_LANG_PHRASES = [
+    ("en", "the cat and the dog was in the house for it"),
+    ("es", "el que de la los las una es en por un"),
+    ("fr", "le la les des et en un une du est dans que"),
+    ("de", "der die das und in den von zu mit ist des ein"),
+    ("ru", "это русский текст про собаку и кошку в доме"),
+    ("zh", "中文文本关于猫和狗的故事在房子里"),
+]
+
+
 def q_lang_id(spark, sf_dir):
-    """Language-ID heuristic (script ranges + stopword profiles).
-    Heuristic output — rows-only check."""
+    """Language-ID over a constructed per-language corpus (doc_id % 6
+    selects the language; a doc_id suffix varies every text). The oracle
+    predicts both the true and the predicted language exactly."""
     from fuzi_spark.ops.textstats import lang_id
 
+    langs = F.array(*[F.lit(l) for l, _ in _LANG_PHRASES])
+    phrases = F.array(*[F.lit(p) for _, p in _LANG_PHRASES])
+    idx = (F.col("doc_id") % 6 + 1).cast("int")
+    text = F.concat(
+        F.element_at(phrases, idx), F.lit(" doc "), F.col("doc_id").cast("string")
+    )
     return _docs(spark, sf_dir).select(
-        "doc_id", "lang", lang_id(F.col("text")).alias("lang_pred")
+        "doc_id",
+        F.element_at(langs, idx).alias("lang_true"),
+        lang_id(text).alias("lang_pred"),
     )
 
 
 def q_fingerprint(spark, sf_dir):
-    """Winnowing fingerprint: identical docs → identical prints. Returns
-    per-doc fingerprint size + a stable digest of the print."""
+    """Winnowing fingerprint invariants, oracle-checked: an identical copy
+    (computed in a separate union branch, i.e. a different task) must
+    digest identically, and a 25-char tail mutation must change the
+    digest (the appended region contributes ≥18 interior window minima of
+    brand-new k-gram hashes). One row per doc with both verdicts."""
     from fuzi_spark.ops.textstats import winnow_fingerprint_udf
 
-    fp = winnow_fingerprint_udf()(F.col("text"))
-    return _docs(spark, sf_dir).select(
+    fp = winnow_fingerprint_udf()
+    mut = " zxqj vwpk mlty gdhr snfb"  # 25 chars > window + k
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    trip = (
+        d.select("doc_id", F.col("text").alias("t"), F.lit("o").alias("tag"))
+        .unionByName(
+            d.select("doc_id", F.col("text").alias("t"), F.lit("c").alias("tag"))
+        )
+        .unionByName(
+            d.select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(mut)).alias("t"),
+                F.lit("m").alias("tag"),
+            )
+        )
+    )
+    digs = trip.select(
         "doc_id",
-        F.size(fp).alias("fp_size"),
-        F.sha2(F.concat_ws(",", F.transform(fp, lambda x: x.cast("string"))), 256).alias(
-            "fp_digest"
-        ),
+        "tag",
+        F.sha2(
+            F.concat_ws(
+                ",", F.transform(fp(F.col("t")), lambda x: x.cast("string"))
+            ),
+            256,
+        ).alias("dig"),
+    )
+    agg = digs.groupBy("doc_id").agg(
+        F.max(F.when(F.col("tag") == "o", F.col("dig"))).alias("dig_o"),
+        F.max(F.when(F.col("tag") == "c", F.col("dig"))).alias("dig_c"),
+        F.max(F.when(F.col("tag") == "m", F.col("dig"))).alias("dig_m"),
+    )
+    return agg.select(
+        "doc_id",
+        (F.col("dig_o") == F.col("dig_c")).cast("int").alias("copy_same"),
+        (F.col("dig_o") != F.col("dig_m")).cast("int").alias("mutated_differs"),
     )
 
 
@@ -543,18 +607,32 @@ def q_similarity_topk(spark, sf_dir):
     )
 
 
+def _planted_probes(vecs):
+    """10 near-identical probe vectors (ids +10M): a ~0.005-radian
+    deterministic perturbation of the first 10 table vectors. An ANN
+    structure that cannot return the original as rank-1 for these is
+    broken — recovery probability is 1 minus ~1e-15 for the shipped LSH
+    params, exact for IVF probing — so the oracle can predict the result."""
+    return vecs.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.lit(0.005) * F.sin(x * F.lit(1000.0))
+        ).alias("embedding"),
+    )
+
+
 def q_similarity_lsh(spark, sf_dir):
-    """LSH-bucketed ANN variant (sign-hyperplane buckets, exact re-rank
-    inside bucket). Approximate by construction — rows-only check."""
+    """Multi-table sign-LSH ANN, oracle-checked on planted probes: each
+    perturbed probe must recover its original vector as rank-1 (bucket
+    collision is certain up to ~1e-15; the exact in-bucket re-rank then
+    guarantees the argmax)."""
     from fuzi_spark.ops.similarity import cosine_topk_lsh
 
     vecs = _embeddings(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    queries = vecs.filter(F.col("vec_id") < 10)
-    return cosine_topk_lsh(vecs, queries, k=5, bits=6).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    out = cosine_topk_lsh(vecs, _planted_probes(vecs), k=5, bits=8, n_tables=8)
+    return out.filter(F.col("rank") == 1).select("query_id", "neighbor_id")
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -610,17 +688,19 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_similarity_ivf(spark, sf_dir):
-    """IVF-partitioned ANN (deterministic coarse quantizer, n_probe cells,
-    exact re-rank). Approximate by construction — rows-only check."""
+    """IVF ANN, oracle-checked on planted probes: the probe's top-4 cells
+    contain its original's cell (a 0.005-radian perturbation cannot push
+    it past 3 other centroids), and the exact in-cell re-rank returns the
+    original as rank-1."""
     from fuzi_spark.ops.similarity import cosine_topk_ivf
 
     vecs = _embeddings(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    queries = vecs.filter(F.col("vec_id") < 10)
-    return cosine_topk_ivf(vecs, queries, k=5, n_cells=16, n_probe=4).select(
-        "query_id", "neighbor_id", "rank"
+    out = cosine_topk_ivf(
+        vecs, _planted_probes(vecs), k=5, n_cells=16, n_probe=4
     )
+    return out.filter(F.col("rank") == 1).select("query_id", "neighbor_id")
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -812,6 +892,41 @@ def oracle_sql() -> dict[str, str]:
             "event_type, COUNT(*) AS n_events, "
             "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents "
             "FROM events GROUP BY 1, 2"
+        ),
+        "dedup_minhash": (
+            # planted pairs only: every ≥20-token doc must be recovered
+            # with its one-word-appended copy (see q_dedup_minhash for the
+            # 1-1e-16 LSH recovery bound)
+            "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents "
+            "WHERE len(string_split_regex(trim(text), '\\s+')) >= 20"
+        ),
+        "dedup_simhash": (
+            # identical copy ⇒ identical fingerprint ⇒ hamming-0 pair
+            "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents"
+        ),
+        "lang_id": (
+            "SELECT doc_id, "
+            "CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'en' WHEN 1 THEN 'es' "
+            "WHEN 2 THEN 'fr' WHEN 3 THEN 'de' WHEN 4 THEN 'ru' ELSE 'zh' END "
+            "AS lang_true, "
+            "CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'en' WHEN 1 THEN 'es' "
+            "WHEN 2 THEN 'fr' WHEN 3 THEN 'de' WHEN 4 THEN 'ru' ELSE 'zh' END "
+            "AS lang_pred "
+            "FROM documents"
+        ),
+        "fingerprint": (
+            # invariants: identical copy digests identically; the 25-char
+            # tail mutation always changes the digest
+            "SELECT doc_id, CAST(1 AS INTEGER) AS copy_same, "
+            "CAST(1 AS INTEGER) AS mutated_differs FROM documents"
+        ),
+        "similarity_lsh": (
+            "SELECT vec_id + 10000000 AS query_id, vec_id AS neighbor_id "
+            "FROM embeddings WHERE vec_id < 10"
+        ),
+        "similarity_ivf": (
+            "SELECT vec_id + 10000000 AS query_id, vec_id AS neighbor_id "
+            "FROM embeddings WHERE vec_id < 10"
         ),
         "multimodal_decode": (
             # flagship pages embed exactly one image span per doc with

@@ -100,34 +100,89 @@ def lsh_signature_udf(planes: np.ndarray):
     return _udf
 
 
+def lsh_signatures_udf(planes_per_table: list):
+    """Multi-table sign-LSH: ONE (batch × dim) @ (dim × tables·bits)
+    matmul per Arrow batch, then per-table bucket ints — array<int>, one
+    bucket per table."""
+    P = np.concatenate(planes_per_table, axis=1)  # dim × (T*bits)
+    bits = planes_per_table[0].shape[1]
+    n_tables = len(planes_per_table)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    from pyspark.sql.types import ArrayType as _AT, IntegerType as _IT
+
+    @pandas_udf(_AT(_IT()))
+    def _udf(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(vec.to_numpy()).astype(np.float64)
+        proj = (M @ P > 0).astype(np.int64)  # (n, T*bits)
+        proj = proj.reshape(len(M), n_tables, bits)
+        buckets = (proj @ weights).astype(np.int32)  # (n, T)
+        return pd.Series(list(buckets))
+
+    return _udf
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
     bits: int = 8,
+    n_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Bucketed ANN: join on LSH bucket, exact cosine re-rank inside the
-    bucket. Recall < 1.0 by construction; multi-probe = lower `bits`."""
-    sig = lsh_signature_udf(make_hyperplanes(dim, bits))
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("v_vec"),
-        sig(F.col(vec_col)).alias("bucket"),
+    """Bucketed ANN: multi-table sign-LSH (the E2LSH shape) — n_tables
+    independent hyperplane sets; a pair is a candidate if it collides in
+    ANY table. Exact cosine re-rank over the deduped candidates.
+
+    Recall tuning: per-table collision is p^bits (p = 1 - θ/π), overall
+    1-(1-p^bits)^n_tables — raise n_tables for recall, raise bits to
+    shrink buckets. A single table at any bit-width has near-zero recall
+    on weakly-clustered data (measured round 2: recall@5 = 0.0 at bits=6
+    on the uniform test embeddings); multiple independent tables are what
+    make sign-LSH usable. The big side is touched once: signatures for
+    all tables come from one matmul, and candidates explode only the
+    (table, bucket) keys, never the vectors."""
+    planes = [
+        make_hyperplanes(dim, bits, seed=42 + 1000 * t) for t in range(n_tables)
+    ]
+    sig = lsh_signatures_udf(planes)
+    tbl = F.explode(
+        F.transform(
+            F.col("_sigs"),
+            lambda b, i: F.struct(i.alias("table"), b.alias("bucket")),
+        )
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        sig(F.col(vec_col)).alias("bucket"),
+    v = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("v_vec"),
+            sig(F.col(vec_col)).alias("_sigs"),
+        )
+        .select("neighbor_id", "v_vec", tbl.alias("tb"))
+        .select("neighbor_id", "v_vec", "tb.table", "tb.bucket")
     )
-    scored = (
-        v.join(F.broadcast(q), "bucket")
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            sig(F.col(vec_col)).alias("_sigs"),
+        )
+        .select("query_id", "q_vec", tbl.alias("tb"))
+        .select("query_id", "q_vec", "tb.table", "tb.bucket")
+    )
+    cand = (
+        v.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_col(F.col("q_vec"), F.col("v_vec")))
-        .select("query_id", "neighbor_id", "cosine")
+        .select("query_id", "neighbor_id", "q_vec", "v_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = cand.withColumn(
+        "cosine", cosine_col(F.col("q_vec"), F.col("v_vec"))
+    ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
