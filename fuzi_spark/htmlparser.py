@@ -264,8 +264,11 @@ class _TreeBuilder:
             (self.stack[-1] if self.stack else self._ensure_html()).append(pi)
 
 
-def _tokenize(s: str, tb: _TreeBuilder) -> None:
-    """Single pass over the markup, one C-regex match per construct.
+def _tokenize_ref(s: str, tb: _TreeBuilder) -> None:
+    """Reference tokenizer: scalar scan, one find + one C-regex match per
+    construct. Kept as the differential baseline for `_tokenize` (the
+    master-regex rewrite) — tests/test_htmlparser.py asserts bit-identical
+    event streams across both on fixtures + a randomized corpus.
 
     Hot-loop notes: locals-bound method/regex lookups (`find`, `handle_*`,
     `match`) — attribute resolution inside this loop is measurable at
@@ -382,6 +385,168 @@ _RAW_CLOSE = {
     "script": re.compile(r"</script\s*>", re.I),
     "style": re.compile(r"</style\s*>", re.I),
 }
+
+# One master regex for every markup construct — a single C-level search
+# per token replaces the find('<') + per-construct match pair of the
+# scalar loop (~70% of fused-extractor cost was tokenization; this cuts
+# the Python-level loop overhead roughly in half). Alternative order
+# mirrors the scalar dispatch; the leading bytes ('!--', '!', '?', '/',
+# letter) make the alternatives disjoint. Every truncated-construct
+# variant ends with \Z so the "drop the rest" recovery of the scalar
+# loop is reproducible from the match object alone.
+_MASTER_RE = re.compile(
+    r"<(?:"
+    r"!--(?P<cbody>.*?)(?:-->|\Z)"
+    r"|(?P<bang>![^>]*(?:>|\Z))"
+    r"|\?(?P<pbody>[^>]*)(?P<pend>>?)"
+    r"|/\s*(?P<ename>[a-zA-Z][^\s></]*)[^>]*>"
+    r"|(?P<ejunk>/[^>]*(?:>|\Z))"
+    r"|(?P<sname>[a-zA-Z][^\s/><]*)"
+    r"(?P<sattrs>(?:[^<>\"']|\"[^\"]*\"|'[^']*')*?)(?P<sclose>/?)>"
+    r")",
+    re.S,
+)
+
+
+# positional indices of the named groups (numeric access skips the
+# name-dict lookup — measurable at ~5 group reads per tag)
+_G_CBODY = _MASTER_RE.groupindex["cbody"]
+_G_BANG = _MASTER_RE.groupindex["bang"]
+_G_PBODY = _MASTER_RE.groupindex["pbody"]
+_G_PEND = _MASTER_RE.groupindex["pend"]
+_G_ENAME = _MASTER_RE.groupindex["ename"]
+_G_EJUNK = _MASTER_RE.groupindex["ejunk"]
+_G_SNAME = _MASTER_RE.groupindex["sname"]
+_G_SATTRS = _MASTER_RE.groupindex["sattrs"]
+_G_SCLOSE = _MASTER_RE.groupindex["sclose"]
+
+
+def _tokenize(s: str, tb: _TreeBuilder) -> None:
+    """Master-regex tokenizer: one `_MASTER_RE.search` per construct,
+    event-for-event identical to `_tokenize_ref` (differential-gated).
+    Text chunking mirrors the scalar loop exactly: a stray '<' that opens
+    no construct is emitted as its own one-char data event, so DOM text
+    node boundaries stay bit-identical."""
+    i, n = 0, len(s)
+    line = 1
+    track_lines = "\n" in s
+    search = _MASTER_RE.search
+    handle_data = tb.handle_data
+    count = s.count
+
+    def emit_text(seg: str):
+        nonlocal line
+        if "<" not in seg:  # the overwhelmingly common case
+            tb.line = line
+            if track_lines:
+                line += seg.count("\n")
+            handle_data(unescape(seg) if "&" in seg else seg)
+            return
+        # split at stray '<'s to mirror the scalar loop's chunking
+        start = 0
+        while True:
+            j = seg.find("<", start)
+            if j < 0:
+                part = seg[start:]
+                if part:
+                    tb.line = line
+                    if track_lines:
+                        line += part.count("\n")
+                    handle_data(unescape(part) if "&" in part else part)
+                return
+            if j > start:
+                part = seg[start:j]
+                tb.line = line
+                if track_lines:
+                    line += part.count("\n")
+                handle_data(unescape(part) if "&" in part else part)
+            tb.line = line
+            handle_data("<")
+            start = j + 1
+
+    while i < n:
+        m = search(s, i)
+        if m is None:
+            emit_text(s[i:])
+            return
+        start = m.start()
+        if start > i:
+            emit_text(s[i:start])
+        end = m.end()
+        g = m.group
+        name = g(_G_SNAME)
+        if name is not None:
+            name = name.lower()
+            attrs = _parse_attrs(g(_G_SATTRS))
+            tb.line = line
+            if track_lines:
+                line += count("\n", start, end)
+            if g(_G_SCLOSE) == "/":
+                tb.handle_startendtag(name, attrs)
+            else:
+                tb.handle_starttag(name, attrs)
+                if name in _RAWTEXT:
+                    # raw-text content: scan to the matching close tag
+                    # (case-insensitive), entities NOT decoded
+                    cm = _RAW_CLOSE[name].search(s, end)
+                    rend = cm.start() if cm else n
+                    raw = s[end:rend]
+                    if raw:
+                        tb.line = line
+                        tb.handle_data(raw)
+                        if track_lines:
+                            line += raw.count("\n")
+                    if cm:
+                        tb.handle_endtag(name)
+                        i = cm.end()
+                    else:
+                        i = n
+                    continue
+            i = end
+            continue
+        ename = g(_G_ENAME)
+        if ename is not None:
+            tb.line = line
+            tb.handle_endtag(ename.lower())
+            if track_lines:
+                line += count("\n", start, end)
+            i = end
+            continue
+        cbody = g(_G_CBODY)
+        if cbody is not None:
+            # terminated iff the match consumed a real '-->' AFTER the
+            # body — an endswith check would be fooled by '<!-->', whose
+            # tail overlaps the opener's dashes
+            if end - m.end(_G_CBODY) != 3:
+                return  # truncated comment: drop rest
+            tb.line = line
+            if track_lines:
+                line += count("\n", start, end)
+            tb.handle_comment(cbody)
+            i = end
+            continue
+        bang = g(_G_BANG)
+        if bang is not None:
+            if not bang.endswith(">"):
+                return  # truncated <!...: drop rest
+            if track_lines:
+                line += count("\n", start, end)
+            i = end
+            continue
+        pbody = g(_G_PBODY)
+        if pbody is not None:
+            if g(_G_PEND) != ">":
+                return  # truncated PI: drop rest
+            tb.line = line
+            tb.handle_pi(pbody.rstrip("?"))
+            if track_lines:
+                line += count("\n", start, end)
+            i = end
+            continue
+        # ejunk: malformed close tag — skip it (drop rest if truncated)
+        if not g(_G_EJUNK).endswith(">"):
+            return
+        i = end
 
 
 def parse_html(source, user_namespaces=None, assign_order: bool = True) -> Document:

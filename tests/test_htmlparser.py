@@ -3,6 +3,7 @@
 Assertions transcribed from the reference's
 Tests/ActorHardeningTests.swift:871-1062."""
 
+import pytest
 import fuzi_spark as fz
 
 
@@ -187,3 +188,116 @@ class TestParserHardening:
 
         spans = encode_spans('<p>a</p><script data-src="l.js">var x;</script><p>b</p>')
         assert all(s["kind"] == "text" for s in spans)
+
+
+class TestTokenizerDifferential:
+    """The master-regex tokenizer must produce a BIT-IDENTICAL event
+    stream (event kind, payload, line number) to the scalar reference
+    tokenizer on every input — fixtures, edge constructs, and a
+    randomized tag-soup corpus."""
+
+    class _Recorder:
+        def __init__(self):
+            self.events = []
+            self.line = 1
+
+        def _ev(self, kind, *payload):
+            self.events.append((kind, self.line, payload))
+
+        def handle_starttag(self, tag, attrs):
+            self._ev("start", tag, tuple(attrs))
+
+        def handle_startendtag(self, tag, attrs):
+            self._ev("startend", tag, tuple(attrs))
+
+        def handle_endtag(self, tag):
+            self._ev("end", tag)
+
+        def handle_data(self, data):
+            self._ev("data", data)
+
+        def handle_comment(self, data):
+            self._ev("comment", data)
+
+        def handle_pi(self, data):
+            self._ev("pi", data)
+
+    def _both(self, markup):
+        from fuzi_spark.htmlparser import _tokenize, _tokenize_ref
+
+        a, b = self._Recorder(), self._Recorder()
+        _tokenize(markup, a)
+        _tokenize_ref(markup, b)
+        return a.events, b.events
+
+    def assert_same(self, markup):
+        a, b = self._both(markup)
+        assert a == b, f"tokenizer divergence on {markup[:200]!r}\nnew={a[:20]}\nref={b[:20]}"
+
+    EDGES = [
+        "",
+        "plain text",
+        "a < b and c > d",
+        "trailing lt <",
+        "<div><p>x</p></div>",
+        "<div class='a' id=\"b\" checked>text</div>",
+        "<img src=x.png alt='y'/>",
+        "<!-- comment --><p>x</p>",
+        "<!-- truncated",
+        "<!--a--",
+        "<!---->empty",
+        "<!--ab--->dash",
+        "<!DOCTYPE html><p>x</p>",
+        "<!doctype truncated",
+        "<?xml version='1.0'?><root/>",
+        "<?pi data?>",
+        "<?truncated",
+        "</div>stray close",
+        "</ div >space close",
+        "</>junk close",
+        "</1digit>",
+        "</truncated",
+        "<div attr='unclosed quote>x</div>",
+        "<div unclosed",
+        "<script>if (a<b) { x('<div>'); }</script>after",
+        "<style>p > a { color: red }</style>t",
+        "<script>no close tag",
+        "<SCRIPT>UPPER</SCRIPT>",
+        "1 < 2 <p>mid</p> 3 > 2 < done",
+        "&amp; entity <p>&lt;tag&gt;</p>",
+        "multi\nline\n<p>\ntext\n</p>\n<!-- c\nc -->\n<div\n a='b\nc'>x</div>",
+        "<a href='x'>one</a><<double",
+        "<<p>><div>< </div>",
+        "<em><b>nest</em></b>",
+    ]
+
+    @pytest.mark.parametrize("markup", EDGES)
+    def test_edges(self, markup):
+        self.assert_same(markup)
+
+    def test_reference_fixtures(self):
+        import os
+
+        for name in ("web.html", "atom.xml", "xml.xml", "ocf.xml", "vmap.xml"):
+            path = f"/root/reference/Tests/Resources/{name}"
+            if os.path.exists(path):
+                from fuzi_spark.xmlparser import decode_bytes
+
+                self.assert_same(decode_bytes(open(path, "rb").read()))
+
+    def test_random_soup(self):
+        import random
+
+        rng = random.Random(4242)
+        frags = [
+            "<div>", "</div>", "<p class='x'>", "text ", "< ", "<", ">",
+            "<!-- c -->", "<!--", "<img src='i.png'>", "<br/>", "&amp;",
+            "&", "<?pi x?>", "</p>", "</", "<script>a<b</script>",
+            "<a href=\"y\">", "</a>", "\n", "'", '"', "<b attr", "<!DOCTYPE x>",
+            "<style>.a{}</style>", "word ", "<em>", "</em>", "=v ", "<td>",
+        ]
+        for _ in range(400):
+            markup = "".join(
+                rng.choice(frags) for _ in range(rng.randint(1, 40))
+            )
+            self.assert_same(markup)
