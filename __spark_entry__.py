@@ -27,11 +27,20 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------- helpers
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The dev tables are single parquet files → Spark reads them as ONE
+    # partition, serializing every CPU-heavy per-doc operator downstream
+    # (measured: the dedup battery ran single-threaded). A real corpus is
+    # thousands of files; the explicit spread restores the production
+    # shape — the 5k-row shuffle costs ~ms.
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _esc(col):
@@ -412,26 +421,41 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup recovery, oracle-checked: every ≥20-token doc
-    and its one-word-appended copy share distinct-shingle Jaccard
-    ≥ 18/19, so with 16 two-row bands the planted pair survives LSH with
-    probability 1 − (1 − j²)^16 ≈ 1 − 1e-16 and the exact verify keeps
-    it; the oracle predicts the full planted-pair set from token counts
-    alone. (Organic near-dups are excluded by the id-offset filter — LSH
-    misses on mid-similarity pairs are not oracle-predictable.)"""
-    from fuzi_spark.ops.dedup import minhash_lsh_candidates, ngram_jaccard
-
-    d = _docs(spark, sf_dir).select("doc_id", "text").filter(
-        F.size(F.split(F.trim(F.col("text")), "\\s+")) >= 20
+    """MinHash+LSH near-dup recovery, oracle-checked: every doc with ≥20
+    DISTINCT 3-word shingles has Jaccard ≥ 20/21 with its one-word-
+    appended copy (the append adds at most one shingle to the set), so
+    with 8 two-row bands the planted pair survives LSH with probability
+    1 − (1 − j²)^8 ≥ 1 − 6e-9 and the exact verify keeps it; the oracle
+    predicts the full planted-pair set from the shingle sets alone. The
+    filter must count DISTINCT shingles, not tokens — repetitive docs
+    can have many tokens but few shingles and arbitrarily low planted
+    Jaccard. (Organic near-dups are excluded by the id-offset filter —
+    LSH misses on mid-similarity pairs are not oracle-predictable.)"""
+    from fuzi_spark.ops.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard,
+        shingle_hashes,
     )
-    mutated = d.select(
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    mutated = base.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
     )
-    both = d.unionByName(mutated)
-    cands = minhash_lsh_candidates(both, n_hashes=32, bands=16)
+    # hashed shingle sets computed ONCE and persisted: the same arrays
+    # feed the size filter, the signature pipeline, and the exact verify
+    # (shingles_col passthrough). Filtering on hashed-distinct count vs
+    # the oracle's string-distinct count can only diverge via an in-doc
+    # 31-bit collision exactly at the threshold (~1e-8 per corpus).
+    both = (
+        base.unionByName(mutated)
+        .select("doc_id", shingle_hashes("text", 3).alias("_sh"))
+        .filter(F.size(F.col("_sh")) >= 20)
+        .persist()
+    )
+    cands = minhash_lsh_candidates(both, n_hashes=16, bands=8, shingles_col="_sh")
     return (
-        ngram_jaccard(cands, both)
+        ngram_jaccard(cands, both, shingles_col="_sh")
         .filter(F.col("jaccard") >= 0.5)
         .filter(F.col("id_b") - F.col("id_a") == 1000000)
         .select("id_a", "id_b")
@@ -894,11 +918,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "dedup_minhash": (
-            # planted pairs only: every ≥20-token doc must be recovered
-            # with its one-word-appended copy (see q_dedup_minhash for the
-            # 1-1e-16 LSH recovery bound)
-            "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents "
-            "WHERE len(string_split_regex(trim(text), '\\s+')) >= 20"
+            # planted pairs only: every doc with >=20 distinct 3-word
+            # shingles must be recovered with its one-word-appended copy
+            # (see q_dedup_minhash for the 1-6e-9 LSH recovery bound);
+            # shingle construction mirrors the dedup_ngram_jaccard oracle
+            "WITH sh0 AS (SELECT doc_id, list_distinct("
+            "  [array_to_string(w[i:i+2], ' ') "
+            "   FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS s "
+            "  FROM (SELECT doc_id, string_split(text, ' ') AS w "
+            "        FROM documents)) "
+            "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM sh0 "
+            "WHERE len(s) >= 20"
         ),
         "dedup_simhash": (
             # identical copy ⇒ identical fingerprint ⇒ hamming-0 pair

@@ -18,6 +18,8 @@ set.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 
@@ -26,18 +28,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-# Mersenne prime for universal hashing (2^61 - 1)
-_MERSENNE = (1 << 61) - 1
-
-
-def _hash_params(n_hashes: int, seed: int = 42):
-    """Deterministic (a, b) pairs for the universal hash family."""
-    rng = np.random.RandomState(seed)
-    # a bounded by 2^30 so a * (h % 2^31) + b stays under 2^62 — no silent
-    # int64 wrap inside the JVM expression
-    a = rng.randint(1, 1 << 30, size=n_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
-    return a.tolist(), b.tolist()
+# NOTE on the hash family (round-2 fix): the classic (a*h + b) mod p
+# "universal" family is UNUSABLE here — keeping a*h inside int64 forces
+# a < 2^30, and then a*h + b (< 2^62) never wraps mod p = 2^61-1, so the
+# map is MONOTONE in h: the 64 "permutations" are nearly the same
+# permutation and band slots are strongly correlated (measured: planted
+# pairs at Jaccard 0.96 missed ALL 8 bands — 9 of 16 slots flipped, the
+# same 9 slots for every document). Per-slot xxhash64(h, slot) gives
+# independent well-mixed permutations with no overflow, entirely JVM-side.
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -81,27 +79,36 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    shingles_col: Optional[str] = None,
 ) -> DataFrame:
     """MinHash signature per document as n_hashes columns (mh0..mhN).
 
-    Shuffle-free: the shingle-hash array is computed once per row, and each
-    signature slot is `array_min(transform(hashes, h -> (a*h+b) mod p))` —
-    one map-side projection, whole-stage-codegen'd, zero exchanges. (The
-    previous explode→groupBy(min×64) formulation shuffled every shingle row;
-    at 10^12 docs that shuffle IS the job. Same arithmetic, identical
-    signatures, no exchange.)
-    """
-    a_params, b_params = _hash_params(n_hashes, seed)
+    Shuffle-free: the shingle-hash array is computed once per row, and
+    each signature slot is `array_min(transform(hashes,
+    h -> xxhash64(h, slot_seed)))` — one map-side projection, zero
+    exchanges. (The previous explode→groupBy(min×64) formulation shuffled
+    every shingle row; at 10^12 docs that shuffle IS the job.) Per-slot
+    xxhash64 re-hashing gives independent permutations — see the module
+    note on why the linear (a*h+b) family silently correlated the slots.
+
+    shingles_col: name of a precomputed array<long> shingle-hash column —
+    callers that also filter or verify on shingles compute them ONCE
+    (ideally persisted) instead of re-deriving from text here."""
     hashed = df.select(
-        F.col(id_col), shingle_hashes(text_col, shingle_n).alias("_sh")
+        F.col(id_col),
+        (
+            F.col(shingles_col)
+            if shingles_col
+            else shingle_hashes(text_col, shingle_n)
+        ).alias("_sh"),
     )
 
-    def _perm(a: int, b: int):
-        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE))
+    def _perm(slot_seed: int):
+        return lambda h: F.xxhash64(h, F.lit(slot_seed))
 
     sig_cols = [
         F.array_min(
-            F.transform(F.col("_sh"), _perm(int(a_params[i]), int(b_params[i])))
+            F.transform(F.col("_sh"), _perm(seed * 1_000_003 + i))
         ).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
@@ -115,6 +122,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    shingles_col: Optional[str] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -122,7 +130,9 @@ def minhash_lsh_candidates(
     their signatures hashes equal. Returns (id_a, id_b) with id_a < id_b,
     deduped across bands."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    sig = minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_n, shingles_col=shingles_col
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -166,6 +176,7 @@ def minhash_lsh_candidates(
 def ngram_jaccard(
     pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, hashed: bool = True, broadcast_pairs: bool = True,
+    shingles_col: Optional[str] = None,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs (JVM set ops).
 
@@ -184,9 +195,13 @@ def ngram_jaccard(
     False only when the pair set itself is too large to broadcast (then
     the pairs shuffle against both shingle sides)."""
     shingles = (
-        shingle_hashes(text_col, shingle_n)
-        if hashed
-        else F.array_distinct(word_shingles(text_col, shingle_n))
+        F.col(shingles_col)
+        if shingles_col
+        else (
+            shingle_hashes(text_col, shingle_n)
+            if hashed
+            else F.array_distinct(word_shingles(text_col, shingle_n))
+        )
     )
     sh = docs.select(F.col(id_col), shingles.alias("sh")).persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
