@@ -462,6 +462,27 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Connected components over a planted pair graph: each doc anchors a
+    4-node chain i — i+1M — i+2M — i+3M, so the canonical label must
+    propagate two hops (one round of label propagation is NOT enough —
+    this checks the iteration, not just the join). Oracle: every chain
+    node maps to its doc's id."""
+    from fuzi_spark.ops.dedup import dedup_components
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    m = 1000000
+
+    def pair(ka, kb):
+        return d.select(
+            (F.col("doc_id") + ka * m).alias("id_a"),
+            (F.col("doc_id") + kb * m).alias("id_b"),
+        )
+
+    pairs = pair(0, 1).unionByName(pair(1, 2)).unionByName(pair(2, 3))
+    return dedup_components(pairs)
+
+
 def q_extract_pdf(spark, sf_dir):
     """PDF/layout parse (north_rule): build a deterministic one-page PDF
     per document (24pt title = source, 12pt body = text), then run the
@@ -762,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "extract_pdf": q_extract_pdf,
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
@@ -929,6 +951,11 @@ def oracle_sql() -> dict[str, str]:
             "        FROM documents)) "
             "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM sh0 "
             "WHERE len(s) >= 20"
+        ),
+        "dedup_components": (
+            # 4-node chain per doc: every node's canonical is the doc id
+            "SELECT doc_id + k * 1000000 AS node_id, doc_id AS canonical_id "
+            "FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)"
         ),
         "dedup_simhash": (
             # identical copy ⇒ identical fingerprint ⇒ hamming-0 pair

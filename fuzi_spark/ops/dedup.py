@@ -227,6 +227,85 @@ def ngram_jaccard(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph:
+    (node_id, canonical_id) where canonical_id = min node id in the
+    component — the step that turns pair lists (minhash/simhash/embedding
+    output) into dedup groups a pipeline can act on (keep canonical,
+    drop the rest).
+
+    Iterative min-label propagation: each round, every node's label
+    becomes the min of its own and its neighbors' labels; converges in
+    O(component diameter) rounds. Spark-shape notes for 10^12 edges:
+    - one shuffle join + one map-side-combinable min-agg per round —
+      no all-pairs work, cost ∝ |edges| per round;
+    - each round's labels are CHECKPOINTED (localCheckpoint — on a real
+      cluster with executor churn use checkpoint() with a checkpoint
+      dir), which truncates the logical plan. persist() alone is NOT
+      enough: Catalyst re-analyzes the whole accumulated plan every
+      round, and the exponentially growing tree OOMs the driver long
+      before the data does — the classic iterative-algorithm trap;
+    - near-dup components are shallow (dup clusters, not social graphs),
+      so the loop exits after 2-4 rounds via an inexpensive
+      any-label-changed probe.
+    Raises RuntimeError if max_iter rounds don't converge (pathological
+    graph or max_iter set too low) rather than returning wrong labels."""
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # min label among each node's neighbors
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.select("node", F.col("label").alias("old_label"))
+            .join(neigh, "node", "left")
+            .select(
+                "node",
+                "old_label",
+                F.least(
+                    F.col("old_label"),
+                    F.coalesce(F.col("nmin"), F.col("old_label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.filter(F.col("label") != F.col("old_label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("node_id"),
+                F.col("label").alias("canonical_id"),
+            )
+    raise RuntimeError(
+        f"dedup_components did not converge within {max_iter} rounds"
+    )
+
+
 def token_hashes_col(text_col: str):
     """xxhash64 of each whitespace token, as an array<long> column (JVM).
 

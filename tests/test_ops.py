@@ -74,6 +74,49 @@ class TestDedup:
         )
         assert exact.count() == sample.count()
 
+    def test_components_match_union_find(self, spark):
+        """dedup_components vs a reference union-find on random graphs —
+        chains, stars, isolated pairs, and multi-hop merges."""
+        import random
+
+        from fuzi_spark.ops.dedup import dedup_components
+
+        rng = random.Random(13)
+        for trial in range(3):
+            n = 60
+            edges = set()
+            # random edges + a long chain (forces multiple rounds)
+            for _ in range(40):
+                a, b = rng.randrange(n), rng.randrange(n)
+                if a != b:
+                    edges.add((min(a, b), max(a, b)))
+            chain = [100 + i for i in range(12)]
+            edges |= {(chain[i], chain[i + 1]) for i in range(11)}
+
+            parent = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            want = {x: find(x) for x in parent}
+
+            df = spark.createDataFrame(
+                sorted(edges), "id_a long, id_b long"
+            )
+            got = {
+                r.node_id: r.canonical_id
+                for r in dedup_components(df).collect()
+            }
+            assert got == want, f"trial {trial}: {got} != {want}"
+
     def test_simhash_blank_docs_fingerprint_zero(self, spark):
         """Empty/whitespace docs must hash to 0 (token-less), never to
         simhash(xxhash64('')) — otherwise every blank doc chunk-collides
