@@ -49,6 +49,20 @@ CASES = [
      "LSH near-dup self-join. Wants: the signature UDF evaluated once per "
      "side (cached/exchange-reused), equi-join on bucket, all cosine math "
      "in codegen (no Python in the pair loop)."),
+    ("similarity_lsh",
+     "Multi-table sign-LSH ANN. Wants: ONE matmul UDF pass per side for "
+     "all tables' signatures, explode only of (table, bucket) keys — the "
+     "vectors themselves never explode — broadcast of the probe side, "
+     "dedup of candidates before the exact re-rank."),
+    ("dedup_components",
+     "Connected components (one round shown; the loop checkpoints "
+     "between rounds). Wants: per-round cost = one shuffle join keyed on "
+     "node + a map-side-combinable min-agg; labels from a checkpoint "
+     "scan, never a re-derivation of the whole history."),
+    ("multimodal_decode",
+     "Media metadata decode. Wants: refs from the extraction output, one "
+     "mapInPandas for synth + one for decode, repartition by media_ref "
+     "so giant binaries spread."),
 ]
 
 
