@@ -16,26 +16,56 @@ from __future__ import annotations
 
 from typing import Iterator, Optional
 
-# Node type constants (subset of the reference's 20-kind enum that is
-# actually reachable through its query surface, Sources/Element.swift:93-102).
+# Node type constants — the reference's full 21-kind enum over libxml2's
+# xmlElementType (Sources/Node.swift:27-73), same numbering. The kinds
+# reachable through the query surface (Sources/Element.swift:93-102) are
+# Element/Text/Comment/CDATA; the DTD-level kinds are surfaced by the XML
+# parser for documents that carry an internal subset (DTD + EntityDecl
+# children); the remaining constants exist for type-filter parity.
 ELEMENT_NODE = 1
 ATTRIBUTE_NODE = 2
 TEXT_NODE = 3
 CDATA_SECTION_NODE = 4
+ENTITY_REF_NODE = 5
+ENTITY_NODE = 6
 PI_NODE = 7
 COMMENT_NODE = 8
 DOCUMENT_NODE = 9
+DOCUMENT_TYPE_NODE = 10
+DOCUMENT_FRAG_NODE = 11
+NOTATION_NODE = 12
 HTML_DOCUMENT_NODE = 13
+DTD_NODE = 14
+ELEMENT_DECL_NODE = 15
+ATTRIBUTE_DECL_NODE = 16
+ENTITY_DECL_NODE = 17
+NAMESPACE_DECL_NODE = 18
+XINCLUDE_START_NODE = 19
+XINCLUDE_END_NODE = 20
+DOCB_DOCUMENT_NODE = 21
 
 _NODE_TYPE_NAMES = {
     ELEMENT_NODE: "Element",
     ATTRIBUTE_NODE: "Attribute",
     TEXT_NODE: "Text",
     CDATA_SECTION_NODE: "CDataSection",
+    ENTITY_REF_NODE: "EntityRef",
+    ENTITY_NODE: "Entity",
     PI_NODE: "Pi",
     COMMENT_NODE: "Comment",
     DOCUMENT_NODE: "Document",
+    DOCUMENT_TYPE_NODE: "DocumentType",
+    DOCUMENT_FRAG_NODE: "DocumentFrag",
+    NOTATION_NODE: "Notation",
     HTML_DOCUMENT_NODE: "HtmlDocument",
+    DTD_NODE: "DTD",
+    ELEMENT_DECL_NODE: "ElementDecl",
+    ATTRIBUTE_DECL_NODE: "AttributeDecl",
+    ENTITY_DECL_NODE: "EntityDecl",
+    NAMESPACE_DECL_NODE: "NamespaceDecl",
+    XINCLUDE_START_NODE: "XIncludeStart",
+    XINCLUDE_END_NODE: "XIncludeEnd",
+    DOCB_DOCUMENT_NODE: "DocbDocument",
 }
 
 # HTML void elements (serialization + parser, cf. libxml2 htmlElemDesc table).
@@ -174,6 +204,70 @@ class PI(Node):
     @property
     def raw_xml(self) -> str:
         return f"<?{self.target} {self.content}?>"
+
+
+class EntityDecl(Node):
+    """<!ENTITY name "content"> from the DTD internal subset — the
+    reference surfaces these as EntityDecl-kind nodes (XML_ENTITY_DECL,
+    Sources/Node.swift:64); content is the replacement text the parser
+    also registers for entity resolution."""
+
+    __slots__ = ("name", "content")
+    type = ENTITY_DECL_NODE
+
+    def __init__(self, name: str, content: str, doc=None, line: int = 0):
+        super().__init__(doc, line)
+        self.name = name
+        self.content = content
+
+    @property
+    def string_value(self) -> str:
+        return self.content
+
+    @property
+    def raw_xml(self) -> str:
+        return f'<!ENTITY {self.name} "{_escape_attr(self.content)}">'
+
+
+class DTD(Node):
+    """Document type declaration node (XML_DTD_NODE): root element name,
+    PUBLIC/SYSTEM ids, and the internal subset's entity declarations as
+    EntityDecl children — libxml2 hangs the intSubset off the document
+    exactly like this (a pre-root document child)."""
+
+    __slots__ = ("name", "public_id", "system_id", "children")
+    type = DTD_NODE
+
+    def __init__(
+        self,
+        name: str,
+        public_id: Optional[str] = None,
+        system_id: Optional[str] = None,
+        doc=None,
+        line: int = 0,
+    ):
+        super().__init__(doc, line)
+        self.name = name
+        self.public_id = public_id
+        self.system_id = system_id
+        self.children: list[Node] = []
+
+    @property
+    def string_value(self) -> str:
+        return ""  # xmlNodeGetContent of a DTD node is empty
+
+    @property
+    def raw_xml(self) -> str:
+        out = f"<!DOCTYPE {self.name}"
+        if self.public_id is not None:
+            out += f' PUBLIC "{self.public_id}"'
+            if self.system_id is not None:
+                out += f' "{self.system_id}"'
+        elif self.system_id is not None:
+            out += f' SYSTEM "{self.system_id}"'
+        if self.children:
+            out += " [" + "".join(c.raw_xml for c in self.children) + "]"
+        return out + ">"
 
 
 class Attr(Node):
@@ -482,7 +576,7 @@ def _is_ns_decl(qname: str) -> bool:
 class Document(Node):
     """Owns the tree. reference: Sources/Document.swift:26-214."""
 
-    __slots__ = ("version", "encoding", "root", "namespaces", "is_html", "errors", "children")
+    __slots__ = ("version", "encoding", "root", "namespaces", "is_html", "errors", "children", "dtd")
     type = DOCUMENT_NODE
 
     def __init__(self, is_html: bool = False):
@@ -495,6 +589,7 @@ class Document(Node):
         self.is_html = is_html
         self.errors: list[tuple[int, str]] = []  # (code, message)
         self.children: list[Node] = []  # top-level nodes (root + PIs/comments)
+        self.dtd: Optional[DTD] = None  # internal subset, when declared
 
     def define_prefix(self, prefix: str, namespace: str) -> None:
         """reference Document.swift:162-164."""

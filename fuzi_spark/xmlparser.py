@@ -20,7 +20,7 @@ from __future__ import annotations
 import re
 from typing import Optional
 
-from .dom import Comment, Document, Element, PI, Text
+from .dom import Comment, Document, DTD, Element, EntityDecl, PI, Text
 from .errors import XMLError, ERR_DOCUMENT_EMPTY
 
 _NAME_RE = re.compile(r"[^\s/>=]+")
@@ -38,6 +38,12 @@ _ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]+|#[0-9]+|[A-Za-z_][\w.\-]*);")
 _ENTITY_DECL_RE = re.compile(
     r"""<!ENTITY\s+([\w.\-]+)\s+(?:"([^"]*)"|'([^']*)')""", re.S
 )
+_DOCTYPE_RE = re.compile(r"<!DOCTYPE\s+([^\s\[>]+)", re.I | re.S)
+_PUBLIC_RE = re.compile(
+    r"""PUBLIC\s+(?:"([^"]*)"|'([^']*)')(?:\s+(?:"([^"]*)"|'([^']*)'))?""",
+    re.S,
+)
+_SYSTEM_RE = re.compile(r"""SYSTEM\s+(?:"([^"]*)"|'([^']*)')""", re.S)
 _XMLDECL_RE = re.compile(
     r"""<\?xml\s+version\s*=\s*["']([^"']*)["']"""
     r"""(?:\s+encoding\s*=\s*["']([^"']*)["'])?""",
@@ -274,8 +280,34 @@ def parse_xml(
                     break
                 j += 1
             decl = s[lt : j + 1]
-            for m in _ENTITY_DECL_RE.finditer(decl):
-                entities[m.group(1)] = m.group(2) if m.group(2) is not None else (m.group(3) or "")
+            ent_decls = [
+                (m.group(1), m.group(2) if m.group(2) is not None else (m.group(3) or ""))
+                for m in _ENTITY_DECL_RE.finditer(decl)
+            ]
+            for name, val in ent_decls:
+                entities[name] = val
+            dm = _DOCTYPE_RE.match(decl)
+            if dm:
+                # surface the declaration as a DTD node with EntityDecl
+                # children (reference kinds XML_DTD_NODE/XML_ENTITY_DECL,
+                # Sources/Node.swift:58-64) — libxml2 hangs the internal
+                # subset off the document as a pre-root child
+                pub = sysid = None
+                mp = _PUBLIC_RE.search(decl)
+                if mp:
+                    pub = mp.group(1) if mp.group(1) is not None else mp.group(2)
+                    sysid = mp.group(3) if mp.group(3) is not None else mp.group(4)
+                else:
+                    ms = _SYSTEM_RE.search(decl)
+                    if ms:
+                        sysid = ms.group(1) if ms.group(1) is not None else ms.group(2)
+                dtd = DTD(dm.group(1), pub, sysid, doc, sc.line)
+                for name, val in ent_decls:
+                    ed = EntityDecl(name, val, doc, sc.line)
+                    ed.parent = dtd
+                    dtd.children.append(ed)
+                doc.children.append(dtd)
+                doc.dtd = dtd
             sc.advance(min(j + 1, n))
         elif nxt == "/":
             end = s.find(">", lt + 2)

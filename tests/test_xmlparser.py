@@ -138,3 +138,97 @@ def test_attributes_map_unprefixed_keys():
     a = fz.xpath(d, "//a")[0]
     assert a.attributes == {"href": "http://x", "title": "t"}
     assert a.attr("href", namespace="http://www.w3.org/1999/xlink") == "http://x"
+
+
+class TestDTDNodes:
+    """Full node-kind surface (reference Sources/Node.swift:27-73): the
+    DTD internal subset is exposed as a DTD node with EntityDecl
+    children, hung off the document as a pre-root child like libxml2's
+    intSubset."""
+
+    def test_doctype_with_internal_subset(self):
+        from fuzi_spark.dom import DTD_NODE, ENTITY_DECL_NODE
+        from fuzi_spark.xmlparser import parse_xml
+
+        doc = parse_xml(
+            '<?xml version="1.0"?>\n'
+            "<!DOCTYPE spec [\n"
+            '  <!ENTITY title "The Spec">\n'
+            "  <!ENTITY who 'W3C'>\n"
+            "]>\n"
+            "<spec><h>&title; by &who;</h></spec>"
+        )
+        assert doc.dtd is not None
+        assert doc.dtd.type == DTD_NODE
+        assert doc.dtd.type_name == "DTD"
+        assert doc.dtd.name == "spec"
+        kids = doc.dtd.children
+        assert [k.type for k in kids] == [ENTITY_DECL_NODE] * 2
+        assert [(k.name, k.content) for k in kids] == [
+            ("title", "The Spec"),
+            ("who", "W3C"),
+        ]
+        assert kids[0].type_name == "EntityDecl"
+        assert kids[0].parent is doc.dtd
+        # the DTD is a document child BEFORE the root element
+        assert doc.children.index(doc.dtd) < doc.children.index(doc.root)
+        # entity resolution still works
+        assert doc.root.string_value == "The Spec by W3C"
+
+    def test_doctype_public_system(self):
+        from fuzi_spark.xmlparser import parse_xml
+
+        d1 = parse_xml(
+            '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0//EN" '
+            '"http://www.w3.org/TR/xhtml1/DTD/xhtml1.dtd"><html/>'
+        )
+        assert d1.dtd.name == "html"
+        assert d1.dtd.public_id == "-//W3C//DTD XHTML 1.0//EN"
+        assert d1.dtd.system_id == "http://www.w3.org/TR/xhtml1/DTD/xhtml1.dtd"
+        d2 = parse_xml('<!DOCTYPE note SYSTEM "note.dtd"><note/>')
+        assert d2.dtd.public_id is None
+        assert d2.dtd.system_id == "note.dtd"
+        d3 = parse_xml("<!DOCTYPE bare><bare/>")
+        assert d3.dtd.name == "bare"
+        assert d3.dtd.public_id is None and d3.dtd.system_id is None
+
+    def test_dtd_raw_xml_roundtrip(self):
+        from fuzi_spark.xmlparser import parse_xml
+
+        doc = parse_xml(
+            "<!DOCTYPE r [<!ENTITY a \"x\">]><r>&a;</r>"
+        )
+        assert doc.dtd.raw_xml == '<!DOCTYPE r [<!ENTITY a "x">]>'
+        assert doc.dtd.string_value == ""
+
+    def test_xml_spec_fixture_dtd(self):
+        import os
+
+        path = "/root/reference/Tests/Resources/xml.xml"
+        if not os.path.exists(path):
+            return
+        from fuzi_spark.xmlparser import parse_xml
+
+        doc = parse_xml(open(path, "rb").read())
+        assert doc.dtd is not None and doc.dtd.name == "spec"
+        ents = {k.name for k in doc.dtd.children}
+        assert "XML.version" in ents or len(ents) > 0
+
+    def test_no_doctype_no_dtd(self):
+        from fuzi_spark.xmlparser import parse_xml
+
+        assert parse_xml("<r/>").dtd is None
+
+    def test_full_enum_surface(self):
+        from fuzi_spark import dom
+
+        expected = {
+            1: "Element", 2: "Attribute", 3: "Text", 4: "CDataSection",
+            5: "EntityRef", 6: "Entity", 7: "Pi", 8: "Comment",
+            9: "Document", 10: "DocumentType", 11: "DocumentFrag",
+            12: "Notation", 13: "HtmlDocument", 14: "DTD",
+            15: "ElementDecl", 16: "AttributeDecl", 17: "EntityDecl",
+            18: "NamespaceDecl", 19: "XIncludeStart", 20: "XIncludeEnd",
+            21: "DocbDocument",
+        }
+        assert dom._NODE_TYPE_NAMES == expected
