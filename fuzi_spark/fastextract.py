@@ -90,7 +90,10 @@ class _ExtractBuilder:
         self.stack: list[_Frame] = []
         self._has_html = False
         self._has_body = False
+        self._html_popped = False  # a </html> already cleared the stack
         self._head_open = False  # a head frame is on the stack
+        self._head_created = False  # a real <head> ELEMENT exists
+        self._dead_head = False  # doc.head is an empty <head/> — no title
         self._head_closed = False
         self._has_body = False  # once true, emission is permanently on —
         # the DOM builder routes ALL later content into the body element,
@@ -153,6 +156,9 @@ class _ExtractBuilder:
         self._head_closed = True
         self._close_frames_from(1)
         self._has_body = True
+        # creating <body> resets the DOM stack to [html, body] — html is
+        # back on the stack, so a later </html> pops again
+        self._html_popped = False
         # discard head-phase text: once a body exists, the walk starts at
         # <body> and head content is never emitted
         self.buf.clear()
@@ -174,6 +180,7 @@ class _ExtractBuilder:
             if not self._head_open:
                 self.stack.append(_Frame("head"))
                 self._head_open = True
+                self._head_created = True
             return
         self._enter_body()
 
@@ -261,7 +268,14 @@ class _ExtractBuilder:
             return
         if tag == "head":
             self._ensure_html()
-            if len(self.stack) == 1 and not self._head_open:
+            # an explicit <head> always creates the head ELEMENT (the DOM
+            # _ensure_head runs even when nothing is pushed)...
+            self._head_created = True
+            # ...but the DOM pushes it only while <html> is atop its
+            # stack — never after a </html> popped it (head can still
+            # re-enter via head-only ROUTING, which _route_at_html mirrors)
+            if len(self.stack) == 1 and not self._head_open \
+                    and not self._html_popped:
                 self.stack.append(_Frame("head"))
                 self._head_open = True
             return
@@ -387,6 +401,18 @@ class _ExtractBuilder:
         self._route_at_html(tag)
         if tag in STRIP_TAGS:
             return
+        if tag == "head":
+            if len(self.stack) <= 1 and not self._head_created:
+                # html-level empty <head/>: becomes doc.head (FIRST head
+                # child of html) — doc.title resolves against it forever,
+                # so later <title>s (which land in a second head) never
+                # surface; any deeper <head/> is just an empty element
+                self._head_created = True
+                self._dead_head = True
+            if self.stack:
+                p = self.stack[-1]
+                p.dcount += 1
+            return
         if tag == "body":
             if len(self.stack) <= 1:
                 # html-level empty body: becomes doc.body (first body
@@ -428,6 +454,21 @@ class _ExtractBuilder:
     def handle_endtag(self, tag):
         if tag == "head":
             self._head_closed = True
+        if tag == "html":
+            # the DOM builder pops the WHOLE stack at </html> (its close
+            # scan includes index 0), so every open element — captures,
+            # strip subtrees, media, list items — closes here, and later
+            # content re-parents under html/body exactly like
+            # post-</body> recovery. The frame loop below never reaches
+            # index 0, so mirror it explicitly. ONE-SHOT: after that pop
+            # the html element never re-enters the DOM stack (elements
+            # re-parent under body but only they are stacked), so a
+            # second </html> is a no-op there — and here. A stray </html>
+            # before any markup is likewise ignored.
+            if self._has_html and not self._html_popped:
+                self._html_popped = True
+                self._close_frames_from(1)
+            return
         for k in range(len(self.stack) - 1, 0, -1):
             if self.stack[k].tag == tag:
                 self._close_frames_from(k)
@@ -477,7 +518,7 @@ class _ExtractBuilder:
         self._flush()
         if self._dead_body:
             self.spans.clear()
-        title = self._title_text
+        title = None if self._dead_head else self._title_text
         if title and title.strip():
             self.spans.insert(
                 0,

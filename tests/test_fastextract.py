@@ -149,6 +149,92 @@ class TestRandomDifferential:
             assert_same(page)
 
 
+STRAY_CLOSE_CASES = [
+    # </html> pops the WHOLE DOM stack (captures, strips, media, lists);
+    # later content re-parents under body; a second </html> is a no-op
+    # unless a newly created <body> put html back on the stack (r2 fuzz)
+    "<h3 class='c'></html>x",
+    "<nav data-x></html>x",
+    "<div></html>x</div>x",
+    "<dt>< 21 < 2word </html>x",
+    "x</html><h1 data-x>< 2ünïcödé</body>x",
+    "x</html><iframe alt='fig'></body>x",
+    "<header></html><h1 data-x></header>x",
+    "x</html><select></html>x",
+    "<br></html><tfoot alt='fig'>x</html>x",
+    "x</html><caption data-x></html>< 2ünïcödé</body>",
+    "x</html>< 2<textarea></html>x",
+    "</html>x</html>y",
+    "<head>t</html><meta>x",
+    "x</html><html>y",
+    # explicit <head> after </html> is never pushed (but head-only
+    # ROUTING still reaches it) — text goes to body
+    "x</html><head>x",
+    "x</html><head>< 2</header>",
+    "<li></html><head data-x>x",
+    "x</html><head><title>t</title>more",
+    # <head/> startendtag: an EMPTY first head element — doc.title is
+    # dead forever, even for later real <title>s
+    "<head src='i.png'/><title>x<hr>",
+    "<head/><style src='v.mp4'></style>< 2<title class='c'>x<h3 data-x>",
+    "<head/><head><title>t</title></head><p>x</p>",
+    "<p>x</p><head/>",  # nested/late empty head: plain empty element
+]
+
+
+class TestStrayCloseRecovery:
+    @pytest.mark.parametrize("markup", STRAY_CLOSE_CASES)
+    def test_same(self, markup):
+        assert_same(markup)
+
+
+ADV_TAGS = [
+    "div", "ul", "ol", "li", "p", "a", "span", "nav", "img", "table", "td",
+    "tr", "section", "h1", "h2", "h3", "figure", "figcaption", "caption",
+    "video", "audio", "iframe", "object", "embed", "script", "style",
+    "noscript", "form", "head", "body", "html", "title", "meta", "link",
+    "base", "br", "hr", "em", "dl", "dt", "dd", "footer", "header",
+    "aside", "pre", "template", "button", "select", "option", "textarea",
+    "thead", "tbody", "tfoot", "th", "main",
+]
+ADV_WORDS = ["alpha", "x", "click here", "read more", "", "1 < 2", "&amp;",
+             "a" * 90, "<!-- c -->", "<?pi?>", "\n\t ", "ünïcödé", "word "]
+ADV_ATTRS = [' href="/x"', ' src="i.png"', ' alt="fig"', ' class="c"',
+             ' src="v.mp4" poster="p.jpg"', " data-x"]
+
+
+def adversarial_html(rng, depth=0):
+    """Harsher generator than rand_html: heavy self-closing, stray closes,
+    head/body/html tags at arbitrary positions — the shape of soup that
+    found the r2 </html>/dead-head divergences."""
+    if depth > 7 or rng.random() < 0.32:
+        return rng.choice(ADV_WORDS)
+    t = rng.choice(ADV_TAGS)
+    r = rng.random()
+    attrs = rng.choice(ADV_ATTRS) if rng.random() < 0.4 else ""
+    inner = "".join(
+        adversarial_html(rng, depth + 1) for _ in range(rng.randint(0, 4))
+    )
+    if r < 0.22:
+        return f"<{t}{attrs}/>{inner}"
+    if r < 0.32:
+        return f"<{t}{attrs}>{inner}"
+    if r < 0.40:
+        return f"</{t}>{inner}"
+    return f"<{t}{attrs}>{inner}</{t}>"
+
+
+class TestAdversarialDifferential:
+    @pytest.mark.parametrize("seed", list(range(6)) + [58, 77])
+    def test_adversarial_corpus(self, seed):
+        rng = random.Random(20_000 + seed)
+        for i in range(250):
+            page = "".join(
+                adversarial_html(rng) for _ in range(rng.randint(1, 5))
+            )
+            assert_same(page)
+
+
 class TestFallbackWiring:
     def test_extract_spans_uses_fast_and_matches(self):
         from fuzi_spark.extract import extract_spans
