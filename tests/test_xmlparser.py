@@ -232,3 +232,98 @@ class TestDTDNodes:
             21: "DocbDocument",
         }
         assert dom._NODE_TYPE_NAMES == expected
+
+
+class TestElementTreeDifferential:
+    """On WELL-FORMED XML the recovering parser must agree exactly with
+    stdlib ElementTree (same libexpat-family semantics): element
+    structure, attribute dicts (entities resolved), merged text runs,
+    CDATA unwrapped, comments/PIs structurally invisible."""
+
+    @staticmethod
+    def _canon_mine(el):
+        from fuzi_spark.dom import ELEMENT_NODE, TEXT_NODE
+
+        parts = []
+        for c in el.children:
+            if c.type == TEXT_NODE:
+                parts.append(["t", c.content])
+            elif c.type == ELEMENT_NODE:
+                parts.append(TestElementTreeDifferential._canon_mine(c))
+        merged = []
+        for p in parts:
+            if p[0] == "t" and merged and merged[-1][0] == "t":
+                merged[-1][1] += p[1]
+            else:
+                merged.append(p)
+        merged = [p for p in merged if p[0] != "t" or p[1] != ""]
+        return ["e", el.tag, tuple(sorted(el.attrs.items())), merged]
+
+    @staticmethod
+    def _canon_et(el):
+        parts = []
+        if el.text:
+            parts.append(["t", el.text])
+        for c in el:
+            parts.append(TestElementTreeDifferential._canon_et(c))
+            if c.tail:
+                parts.append(["t", c.tail])
+        merged = []
+        for p in parts:
+            if p[0] == "t" and merged and merged[-1][0] == "t":
+                merged[-1][1] += p[1]
+            else:
+                merged.append(p)
+        return ["e", el.tag, tuple(sorted(el.attrib.items())), merged]
+
+    @staticmethod
+    def _gen(rng, depth=0):
+        names = ["a", "bb", "ccc", "item", "node", "x1", "data", "k"]
+        texts = ["", "hello", "a &amp; b", "&#65;&#x42;", "1 &lt; 2",
+                 "  ws  ", "ünïcödé", "tail"]
+        attvals = ["v", "a &amp; b", "", "x&#33;", "two words"]
+        cdata = ["cd", "<raw>", "a&b", "]x"]
+        name = rng.choice(names)
+        attrs = ""
+        used = set()
+        for _ in range(rng.randint(0, 3)):
+            k = rng.choice(names)
+            if k in used:
+                continue
+            used.add(k)
+            attrs += f' {k}="{rng.choice(attvals)}"'
+        if depth > 5 or rng.random() < 0.3:
+            if rng.random() < 0.3:
+                return f"<{name}{attrs}/>"
+            return f"<{name}{attrs}>{rng.choice(texts)}</{name}>"
+        inner = []
+        for _ in range(rng.randint(0, 4)):
+            r = rng.random()
+            if r < 0.4:
+                inner.append(rng.choice(texts))
+            elif r < 0.5:
+                inner.append("<![CDATA[" + rng.choice(cdata) + "]]>")
+            elif r < 0.55:
+                inner.append("<!-- comment -->")
+            else:
+                inner.append(TestElementTreeDifferential._gen(rng, depth + 1))
+        return f"<{name}{attrs}>{''.join(inner)}</{name}>"
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_wellformed(self, seed):
+        import random
+        import xml.etree.ElementTree as ET
+
+        from fuzi_spark.xmlparser import parse_xml
+
+        rng = random.Random(30_000 + seed)
+        for _ in range(120):
+            doc = self._gen(rng)
+            try:
+                et_root = ET.fromstring(doc)
+            except ET.ParseError:
+                continue
+            mine = parse_xml(doc)
+            a = self._canon_mine(mine.root)
+            b = self._canon_et(et_root)
+            assert a == b, f"divergence on {doc[:200]!r}\nmine={a}\net={b}"
