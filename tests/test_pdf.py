@@ -194,3 +194,38 @@ class TestSparkSurface:
         assert [r["kind"] for r in by_doc["d2"]] == ["heading", "paragraph"]
         assert by_doc["bad"][0]["parse_error"] == 1
         assert by_doc["bad"][0]["seq"] == -1
+
+
+class TestNeverRaisesFuzz:
+    """The recovering parser's contract: ANY bytes → (spans, err), never
+    an exception. Truncations, bit-flips, pure garbage, and keyword soup
+    (validated clean on 3000 inputs before pinning)."""
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_hostile_bytes(self, seed):
+        import random
+
+        rng = random.Random(40_000 + seed)
+        for _ in range(250):
+            mode = rng.randrange(5)
+            if mode == 0:
+                data = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+            elif mode == 1:
+                pdf = build_simple_pdf("Tt", ["body text"], compress=bool(rng.randrange(2)))
+                data = pdf[: rng.randrange(0, len(pdf))]
+            elif mode == 2:
+                pdf = bytearray(build_simple_pdf("T", ["x y z"], compress=True))
+                for _ in range(rng.randrange(1, 20)):
+                    pdf[rng.randrange(len(pdf))] = rng.randrange(256)
+                data = bytes(pdf)
+            elif mode == 3:
+                data = b"%PDF-1.4\n" + bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(0, 300))
+                )
+            else:
+                frags = [b"stream\n", b"endstream", b"obj", b"endobj",
+                         b"<< /Length 5 >>", b"BT", b"ET", b"(text", b")Tj",
+                         b"[1 2]", b"%PDF", bytes([rng.randrange(256)]) * 7]
+                data = b"".join(rng.choice(frags) for _ in range(rng.randrange(1, 25)))
+            spans, err = extract_pdf_spans(data)
+            assert isinstance(spans, list) and err in (0, 1)
