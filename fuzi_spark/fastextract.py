@@ -58,6 +58,30 @@ for _t in HEADING_TAGS | CAPTION_TAGS:
     _TAG_CLASS[_t] = _K_CAP
 del _t
 
+# ONE dict probe per start tag replaces the whole membership chain:
+# (p_closer, auto_closes, is_strip, klass, ld_candidate, is_void, is_media)
+_DEFAULT_INFO = (False, None, False, None, False, False, False)
+_TAG_INFO: dict = {}
+for _t in (
+    set(_TAG_CLASS)
+    | _P_CLOSERS
+    | set(_AUTO_CLOSE)
+    | STRIP_TAGS
+    | _LINK_DENSITY_CANDIDATES
+    | VOID_ELEMENTS
+    | MEDIA_TAGS
+):
+    _TAG_INFO[_t] = (
+        _t in _P_CLOSERS,
+        _AUTO_CLOSE.get(_t),
+        _t in STRIP_TAGS,
+        _TAG_CLASS.get(_t),
+        _t in _LINK_DENSITY_CANDIDATES,
+        _t in VOID_ELEMENTS,
+        _t in MEDIA_TAGS,
+    )
+del _t
+
 
 class _Frame:
     __slots__ = (
@@ -291,8 +315,9 @@ class _ExtractBuilder:
                 self._close_frames_from(1)
             self._enter_body()
 
+        info = _TAG_INFO.get(tag, _DEFAULT_INFO)
         # auto-close rules (transcribed; frames close properly)
-        if tag in _P_CLOSERS:
+        if info[0]:  # p-closer
             for k in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[k].tag
                 if t == "p":
@@ -300,7 +325,7 @@ class _ExtractBuilder:
                     break
                 if t in ("body", "html", "td", "th", "li"):
                     break
-        closes = _AUTO_CLOSE.get(tag)
+        closes = info[1]
         if closes:
             for k in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[k].tag
@@ -317,7 +342,7 @@ class _ExtractBuilder:
         parent = self.stack[-1] if self.stack else None
         f = _Frame(tag)
 
-        if self._skip_depth or tag in STRIP_TAGS:
+        if self._skip_depth or info[2]:  # strip subtree
             f.skip = True
             self._skip_depth += 1
         else:
@@ -327,8 +352,7 @@ class _ExtractBuilder:
             )
             saved_buf_before = None
             spans_before = 0
-            # one dict probe replaces the frozenset-membership chain
-            klass = _TAG_CLASS.get(tag)
+            klass = info[3]
             if klass == _K_CAP:
                 if not self._media_depth:
                     if emitting:
@@ -343,7 +367,7 @@ class _ExtractBuilder:
                         _norm([_attr_get(attrs, "alt") or ""]),
                         _media_ref_attrs(attrs),
                     )
-                if tag not in VOID_ELEMENTS:
+                if not info[5]:  # non-void media element subtree
                     f.media = True
                     self._media_depth += 1
             elif klass == _K_TITLE:
@@ -365,7 +389,7 @@ class _ExtractBuilder:
                     saved_buf_before = self.buf[:]
                     spans_before = len(self.spans)
                     self._flush()
-            if tag in _LINK_DENSITY_CANDIDATES:
+            if info[4]:  # link-density candidate
                 f.spans_start = len(self.spans)
                 if self._cap_stack:
                     f.cap_start = len(self._cap_stack[-1])
@@ -380,12 +404,12 @@ class _ExtractBuilder:
                             f.pre_span = spans_before
                             f.spans_start = len(self.spans)
 
-        if tag not in VOID_ELEMENTS:
+        if not info[5]:  # non-void: frame goes on the stack
             self.stack.append(f)
         elif not f.skip and parent is not None:
             # void element: fold immediately into the enclosing frame
             parent.dcount += 1
-            parent.mflag = parent.mflag or tag in MEDIA_TAGS
+            parent.mflag = parent.mflag or info[6]
         elif f.skip:
             self._skip_depth -= 1  # no frame pushed, nothing to unwind
 
