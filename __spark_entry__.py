@@ -573,6 +573,30 @@ _LANG_PHRASES = [
 ]
 
 
+def q_quality_filter(spark, sf_dir):
+    """C4/Gopher-style corpus quality gate, oracle-checked: real docs plus
+    four planted rejection classes (too short, over-long tokens,
+    punctuation-heavy, repetitive) — the oracle mirrors every metric
+    formula and the first-failure reason order."""
+    from fuzi_spark.ops.textstats import quality_filter
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def planted(k, text):
+        return d.select(
+            (F.col("doc_id") + k * 1000000).alias("doc_id"),
+            F.lit(text).alias("text"),
+        )
+
+    uni = (
+        d.unionByName(planted(1, "a b"))
+        .unionByName(planted(2, "spam " * 40))
+        .unionByName(planted(3, "?! " * 50))
+        .unionByName(planted(4, "abcdefghijklmnopqrst " * 6))
+    )
+    return quality_filter(uni).select("doc_id", "keep", "reject_reason")
+
+
 def q_lang_id(spark, sf_dir):
     """Language-ID over a constructed per-language corpus (doc_id % 6
     selects the language; a doc_id suffix varies every text). The oracle
@@ -787,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf": q_extract_pdf,
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
+        "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "similarity_topk": q_similarity_topk,
@@ -960,6 +985,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": (
             # identical copy ⇒ identical fingerprint ⇒ hamming-0 pair
             "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents"
+        ),
+        "quality_filter": (
+            "WITH uni AS ("
+            "  SELECT doc_id, text FROM documents"
+            "  UNION ALL SELECT doc_id + 1000000, 'a b' FROM documents"
+            "  UNION ALL SELECT doc_id + 2000000, repeat('spam ', 40) FROM documents"
+            "  UNION ALL SELECT doc_id + 3000000, repeat('?! ', 50) FROM documents"
+            "  UNION ALL SELECT doc_id + 4000000, repeat('abcdefghijklmnopqrst ', 6) "
+            "    FROM documents), "
+            "m AS (SELECT doc_id, "
+            "  len(string_split(trim(text), ' ')) AS n_tok, "
+            "  CAST(length(text) AS DOUBLE) / len(string_split(trim(text), ' ')) AS mtl, "
+            "  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) "
+            "    / greatest(length(text), 1) AS pr, "
+            "  CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE) "
+            "    / greatest(len(string_split(trim(text), ' ')), 1) AS dr "
+            "  FROM uni), "
+            "r AS (SELECT doc_id, "
+            "  CASE WHEN n_tok < 5 THEN 'too_few_tokens' "
+            "       WHEN mtl > 15.0 THEN 'tokens_too_long' "
+            "       WHEN pr > 0.3 THEN 'too_much_punct' "
+            "       WHEN dr < 0.2 THEN 'too_repetitive' END AS reject_reason "
+            "  FROM m) "
+            "SELECT doc_id, CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END "
+            "  AS INTEGER) AS keep, reject_reason FROM r"
         ),
         "lang_id": (
             "SELECT doc_id, "

@@ -53,6 +53,39 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_mean_token_len: float = 15.0,
+    max_punct_ratio: float = 0.3,
+    min_distinct_ratio: float = 0.2,
+) -> DataFrame:
+    """Training-corpus keep/drop gate (the C4/Gopher-style rule stack):
+    too-short docs, absurd mean token length (markup/base64 debris),
+    punctuation-heavy noise, and low distinct-token ratio (boilerplate
+    repetition) are rejected with a FIRST-FAILURE reason code. Stacked
+    JVM predicates over quality_metrics — fully Catalyst, one projection,
+    no Python; at corpus scale this is a scan-speed filter."""
+    m = quality_metrics(df, text_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_few_tokens"))
+        .when(
+            F.col("mean_token_len") > max_mean_token_len,
+            F.lit("tokens_too_long"),
+        )
+        .when(F.col("punct_ratio") > max_punct_ratio, F.lit("too_much_punct"))
+        .when(
+            F.col("distinct_token_ratio") < min_distinct_ratio,
+            F.lit("too_repetitive"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return m.withColumn("reject_reason", reason).withColumn(
+        "keep", F.col("reject_reason").isNull().cast("int")
+    )
+
+
 # ---------------------------------------------------------------- lang id
 
 # character-range + stopword profiles; deterministic, dependency-free

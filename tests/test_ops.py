@@ -229,6 +229,28 @@ class TestImageHeaders:
         assert parse_image_header(png) == ("png", 5, 6, 2)
 
 
+class TestQualityFilter:
+    def test_reasons_and_order(self, spark):
+        from fuzi_spark.ops.textstats import quality_filter
+
+        rows = [
+            (1, "a good long document with plenty of distinct words here"),
+            (2, "a b"),                                # too few tokens
+            (3, "spam " * 40),                         # repetitive
+            (4, "?! " * 50),                           # punctuation
+            (5, "abcdefghijklmnopqrst " * 6),          # over-long tokens
+            (6, "?? " * 2),                            # few tokens wins over punct
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: (r.keep, r.reject_reason) for r in quality_filter(df).collect()}
+        assert out[1] == (1, None)
+        assert out[2] == (0, "too_few_tokens")
+        assert out[3] == (0, "too_repetitive")
+        assert out[4] == (0, "too_much_punct")
+        assert out[5] == (0, "tokens_too_long")
+        assert out[6] == (0, "too_few_tokens")  # first-failure order
+
+
 class TestMultimodal:
     @pytest.fixture(scope="class")
     def media(self, spark):
