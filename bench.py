@@ -196,22 +196,35 @@ def _scaling_child(corpus_path: str, cores: int) -> None:
 
 
 LOADAVG_GATE = float(os.environ.get("SPARK_GRAFT_LOADAVG_GATE", "3.0"))
-LOADAVG_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOADAVG_WAIT", "240"))
+LOADAVG_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOADAVG_WAIT", "180"))
+# cumulative waiting budget across the WHOLE bench: per-sample waits must
+# never stack into an unbounded stall if the host stays busy for an hour
+LOADAVG_TOTAL_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOADAVG_TOTAL_WAIT", "600"))
+_wait_spent = 0.0
 
 
 def _wait_for_quiet_host(tag: str) -> float:
     """Gate a measurement on co-tenant load: the sandbox VM shows loadavg
     spikes of 7-15 with zero local processes, and a wide-parallelism run
-    needs its vCPUs simultaneously free. Wait (bounded) until the 1-min
-    loadavg drops below the gate; returns the loadavg we started under."""
+    needs its vCPUs simultaneously free. Wait (bounded per sample AND
+    cumulatively) until the 1-min loadavg drops below the gate; returns
+    the loadavg we started under."""
+    global _wait_spent
     t0 = time.time()
     while True:
         load1 = os.getloadavg()[0]
-        if load1 < LOADAVG_GATE or time.time() - t0 > LOADAVG_WAIT_S:
+        waited = time.time() - t0
+        if (
+            load1 < LOADAVG_GATE
+            or waited > LOADAVG_WAIT_S
+            or _wait_spent + waited > LOADAVG_TOTAL_WAIT_S
+        ):
+            _wait_spent += waited
             if load1 >= LOADAVG_GATE:
                 print(
-                    f"# loadavg gate timed out for {tag}: proceeding at "
-                    f"load {load1:.1f}",
+                    f"# loadavg gate gave up for {tag}: proceeding at "
+                    f"load {load1:.1f} (waited {waited:.0f}s, "
+                    f"total {_wait_spent:.0f}s)",
                     file=sys.stderr,
                 )
             return load1
@@ -387,15 +400,20 @@ def main():
             # min-of-k is the declared estimator of per-level capability;
             # extra samples only sharpen it (each level's min is monotone
             # non-increasing), so when the headline pair lands low keep
-            # sampling BOTH levels until the ratio stabilizes
+            # sampling BOTH levels until the ratio stabilizes — under a
+            # wall-clock budget so a busy host can never stall the bench
+            # into a driver timeout
+            deadline = time.time() + int(
+                os.environ.get("SPARK_GRAFT_RETRY_BUDGET", "600")
+            )
             retries = 0
-            while _eff(1, 4) < 0.85 and retries < 8:
+            while _eff(1, 4) < 0.85 and retries < 8 and time.time() < deadline:
                 retries += 1
                 samples[4].append(_run_scaling_subprocess(corpus_path, 4))
                 if retries % 2 == 0:
                     samples[1].append(_run_scaling_subprocess(corpus_path, 1))
             retries = 0
-            while _eff(2, 8) < 0.85 and retries < 5:
+            while _eff(2, 8) < 0.85 and retries < 5 and time.time() < deadline:
                 retries += 1
                 samples[8].append(_run_scaling_subprocess(corpus_path, 8))
                 # the 2-core level is load-stable (needs only 2 free vCPUs);
@@ -403,7 +421,7 @@ def main():
                 if retries % 2 == 0:
                     samples[2].append(_run_scaling_subprocess(corpus_path, 2))
             retries = 0
-            while _eff(8, 32) < 0.5 and retries < 2:
+            while _eff(8, 32) < 0.5 and retries < 2 and time.time() < deadline:
                 retries += 1
                 samples[32].append(_run_scaling_subprocess(corpus_path, 32))
             extraction["scaling_samples"] = {
