@@ -16,7 +16,7 @@ kylehughes/Fuzi (a Swift libxml2 wrapper), re-expressed Spark-first:
 """
 
 from .css import css_to_xpath
-from .dom import Document, Element, Node, Text
+from .dom import DTD, Document, Element, EntityDecl, Node, Text
 from .errors import XMLError, XPathError
 from .htmlparser import parse_html
 from .query import (
@@ -35,8 +35,10 @@ from .xmlparser import parse_xml
 __version__ = "0.1.0"
 
 __all__ = [
+    "DTD",
     "Document",
     "Element",
+    "EntityDecl",
     "Node",
     "Text",
     "XMLError",
