@@ -431,6 +431,7 @@ def q_dedup_minhash(spark, sf_dir):
     can have many tokens but few shingles and arbitrarily low planted
     Jaccard. (Organic near-dups are excluded by the id-offset filter —
     LSH misses on mid-similarity pairs are not oracle-predictable.)"""
+    from fuzi_spark.ops.cache import scoped_persist
     from fuzi_spark.ops.dedup import (
         minhash_lsh_candidates,
         ngram_jaccard,
@@ -447,11 +448,10 @@ def q_dedup_minhash(spark, sf_dir):
     # (shingles_col passthrough). Filtering on hashed-distinct count vs
     # the oracle's string-distinct count can only diverge via an in-doc
     # 31-bit collision exactly at the threshold (~1e-8 per corpus).
-    both = (
+    both = scoped_persist(
         base.unionByName(mutated)
         .select("doc_id", shingle_hashes("text", 3).alias("_sh"))
         .filter(F.size(F.col("_sh")) >= 20)
-        .persist()
     )
     cands = minhash_lsh_candidates(both, n_hashes=16, bands=8, shingles_col="_sh")
     return (

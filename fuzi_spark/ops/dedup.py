@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+from .cache import scoped_persist
+
 # NOTE on the hash family (round-2 fix): the classic (a*h + b) mod p
 # "universal" family is UNUSABLE here — keeping a*h inside int64 forces
 # a < 2^30, and then a*h + b (< 2^62) never wraps mod p = 2^61-1, so the
@@ -83,13 +85,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document as n_hashes columns (mh0..mhN).
 
-    Shuffle-free: the shingle-hash array is computed once per row, and
-    each signature slot is `array_min(transform(hashes,
-    h -> xxhash64(h, slot_seed)))` — one map-side projection, zero
-    exchanges. (The previous explode→groupBy(min×64) formulation shuffled
-    every shingle row; at 10^12 docs that shuffle IS the job.) Per-slot
-    xxhash64 re-hashing gives independent permutations — see the module
-    note on why the linear (a*h+b) family silently correlated the slots.
+    Shuffle-free AND single-pass: ONE `aggregate` over the shingle-hash
+    array keeps a running array of per-slot minima — for each shingle h,
+    `zip_with(acc, seeds, (a, s) -> least(a, xxhash64(h, s)))`. The
+    round-2 formulation (`array_min(transform(...))` per slot) traversed
+    and re-materialized the whole shingle array n_hashes times; this one
+    touches each shingle once and allocates only the 64-slot accumulator
+    per step. Values are identical: same per-slot xxhash64(h, seed_i)
+    family (int32 seed literals, long shingle hashes), same minima. (The
+    even older explode→groupBy(min×64) formulation shuffled every shingle
+    row; at 10^12 docs that shuffle IS the job.) Per-slot xxhash64
+    re-hashing gives independent permutations — see the module note on
+    why the linear (a*h+b) family silently correlated the slots.
 
     shingles_col: name of a precomputed array<long> shingle-hash column —
     callers that also filter or verify on shingles compute them ONCE
@@ -103,16 +110,29 @@ def minhash_signatures(
         ).alias("_sh"),
     )
 
-    def _perm(slot_seed: int):
-        return lambda h: F.xxhash64(h, F.lit(slot_seed))
+    # int32 literals on purpose: xxhash64(long, int) must hash the same
+    # typed values as the round-2 per-slot formulation did
+    seeds = F.array(*[F.lit(seed * 1_000_003 + i) for i in range(n_hashes)])
+    long_max = (1 << 63) - 1
 
-    sig_cols = [
-        F.array_min(
-            F.transform(F.col("_sh"), _perm(seed * 1_000_003 + i))
-        ).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
-    return hashed.select(id_col, *sig_cols)
+    def _step(acc, h):
+        return F.zip_with(
+            acc, seeds, lambda a, s: F.least(a, F.xxhash64(h, s))
+        )
+
+    sig = F.aggregate(
+        F.col("_sh"),
+        F.array_repeat(F.lit(long_max), n_hashes),
+        _step,
+    )
+    # empty shingle array → NULL slots (what array_min over an empty
+    # transform returned), never a LONG_MAX sentinel leaking into bands
+    sig = F.when(F.size(F.col("_sh")) > 0, sig)
+    out = hashed.select(F.col(id_col), sig.alias("_sig"))
+    return out.select(
+        id_col,
+        *[F.element_at("_sig", i + 1).alias(f"mh{i}") for i in range(n_hashes)],
+    )
 
 
 def minhash_lsh_candidates(
@@ -153,8 +173,9 @@ def minhash_lsh_candidates(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # the signature table is tiny next to the corpus (n_docs × bands rows);
     # persist it so the self-join doesn't recompute the signature pipeline
-    # for each side (prod: write signatures to a table once)
-    banded = banded.persist()
+    # for each side (prod: write signatures to a table once). Released by
+    # the caller's cache_scope (see ops/cache.py).
+    banded = scoped_persist(banded)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -203,7 +224,7 @@ def ngram_jaccard(
             else F.array_distinct(word_shingles(text_col, shingle_n))
         )
     )
-    sh = docs.select(F.col(id_col), shingles.alias("sh")).persist()
+    sh = scoped_persist(docs.select(F.col(id_col), shingles.alias("sh")))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     jaccard = (
@@ -377,7 +398,8 @@ def simhash_near_dups(
             )
         ).alias("ck"),
     ).select(id_col, "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
-    keyed = keyed.persist()  # avoid recomputing the hash UDF per join side
+    # avoid recomputing the hash UDF per join side; released by cache_scope
+    keyed = scoped_persist(keyed)
     l, r = keyed.alias("l"), keyed.alias("r")
     pairs = (
         l.join(

@@ -100,6 +100,12 @@ def parse_image_header(content) -> Optional[tuple]:
                 i += 1
                 continue
             marker = b[i + 1]
+            if marker == 0xFF:
+                # spec-legal 0xFF fill-byte padding between segments: the
+                # second 0xFF starts the real marker — advance one byte,
+                # don't read a garbage segment length (round-3 ADVICE fix)
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue

@@ -45,6 +45,7 @@ import os
 import uuid
 from typing import Optional
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -101,12 +102,17 @@ def salt_partition(
 
 
 def committed_buckets(spark: SparkSession, lineage_path: str) -> Optional[DataFrame]:
-    """Bucket ids already fully extracted (from prior runs' lineage)."""
-    if not os.path.exists(lineage_path):
-        return None
+    """Bucket ids already fully extracted (from prior runs' lineage).
+
+    Probed by ATTEMPTING the read, not an os.path.exists check: the
+    output dir is a Hadoop-FS path (s3a://, hdfs://, file:) and a
+    driver-local FS probe is always False for remote schemes — which
+    would silently disable resume. Only path-not-found (AnalysisException)
+    means "no lineage yet"; any other failure (permissions, corrupt
+    manifest) must surface, not silently restart from scratch."""
     try:
         return spark.read.parquet(lineage_path).select("bucket").distinct()
-    except Exception:
+    except AnalysisException:
         return None
 
 
@@ -279,18 +285,25 @@ def streaming_extraction(
         # manifest — invisible to read_committed_spans; the redelivery
         # rewrites it under a fresh run_id. Exactly-once at the read
         # surface either way.
-        if os.path.exists(lineage_path):
-            try:
-                already = (
-                    batch_df.sparkSession.read.parquet(lineage_path)
-                    .filter(F.col("batch_id") == batch_id)
-                    .limit(1)
-                    .count()
-                )
-                if already:
-                    return
-            except Exception:
-                pass
+        #
+        # The probe ATTEMPTS the filtered read (Hadoop-FS-scheme-agnostic:
+        # works for s3a://, hdfs://, file:); only path-not-found means
+        # "no lineage yet". A driver-local os.path.exists check (the
+        # round-2 form) was always False for remote schemes, and its
+        # blanket except disabled the guard entirely — letting a
+        # redelivered batch re-commit under a fresh run_id and
+        # double-count its spans at the read surface (round-3 ADVICE fix).
+        try:
+            already = (
+                batch_df.sparkSession.read.parquet(lineage_path)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+            )
+            if already:
+                return
+        except AnalysisException:
+            pass  # first batch ever: lineage dir doesn't exist yet
         run_id = uuid.uuid4().hex
         extracted = (
             extract_spans_df(batch_df, doc_type)

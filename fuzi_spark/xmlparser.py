@@ -293,12 +293,17 @@ def parse_xml(
                 # Sources/Node.swift:58-64) — libxml2 hangs the internal
                 # subset off the document as a pre-root child
                 pub = sysid = None
-                mp = _PUBLIC_RE.search(decl)
+                # the external id lives in the declaration BEFORE the
+                # internal subset; an entity VALUE containing 'PUBLIC "x"'
+                # inside [...] must not be misread as the doctype's
+                # external id (round-3 ADVICE fix)
+                ext = decl.split("[", 1)[0]
+                mp = _PUBLIC_RE.search(ext)
                 if mp:
                     pub = mp.group(1) if mp.group(1) is not None else mp.group(2)
                     sysid = mp.group(3) if mp.group(3) is not None else mp.group(4)
                 else:
-                    ms = _SYSTEM_RE.search(decl)
+                    ms = _SYSTEM_RE.search(ext)
                     if ms:
                         sysid = ms.group(1) if ms.group(1) is not None else ms.group(2)
                 dtd = DTD(dm.group(1), pub, sysid, doc, sc.line)

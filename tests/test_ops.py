@@ -169,6 +169,16 @@ class TestTextStats:
         assert out["en"] == "en"
         assert out["de"] == "de"
 
+    def test_lang_id_survives_unpaired_surrogates(self, spark):
+        # round-3 ADVICE fix: a lone surrogate (malformed upstream data)
+        # must degrade to U+FFFD, not UnicodeEncodeError the whole task
+        from fuzi_spark.ops.textstats import lang_id
+
+        bad = "the quick fox \ud800 is in the barn and it was the best"
+        df = spark.createDataFrame([(bad,), ("привет мир это русский \udfff текст",)], "text string")
+        out = [r.pred for r in df.select(lang_id("text").alias("pred")).collect()]
+        assert out == ["en", "ru"]
+
     def test_fingerprint_deterministic(self, spark, docs):
         from fuzi_spark.ops.textstats import winnow_fingerprint_udf
 
@@ -207,6 +217,19 @@ class TestImageHeaders:
         for junk in (b"", None, b"\x00" * 64, b"GIF8", b"\x89PNG\r\n\x1a\n",
                      b"\xff\xd8\xff\xd9", b"plain text here"):
             assert parse_image_header(junk) is None
+
+    def test_jpeg_fill_byte_padding(self):
+        # round-3 ADVICE fix: spec-legal 0xFF fill bytes between segments
+        # must be skipped, not parsed as a marker with a garbage length
+        from fuzi_spark.ops.multimodal import build_jpeg, parse_image_header
+
+        b = build_jpeg(33, 44)
+        # inject 0xFF padding right after the APP0 segment (ends at
+        # 2 + 2 + app0_len); SOI=2 bytes, APP0 marker+len follow
+        app0_len = int.from_bytes(b[4:6], "big")
+        cut = 4 + app0_len
+        padded = b[:cut] + b"\xff\xff\xff" + b[cut:]
+        assert parse_image_header(padded) == ("jpeg", 33, 44, 3)
 
     def test_real_fixture_headers(self):
         """Known-byte fixtures: hand-assembled headers with odd segment
@@ -327,3 +350,141 @@ class TestMultimodal:
         for ref, frames in by_ref.items():
             assert sorted(f.frame_idx for f in frames) == [0, 1, 2, 3]
             assert sorted(f.ts_ms for f in frames) == [0, 1000, 2000, 3000]
+
+
+class TestCacheHygiene:
+    def test_composition_releases_all_persists(self, spark, docs):
+        """A multi-operator pipeline inside cache_scope must leave ZERO
+        pinned storage behind — at 100 TB leaked operator caches are
+        executor-memory pressure (round-2 VERDICT item)."""
+        from fuzi_spark.ops.cache import cache_scope
+        from fuzi_spark.ops.dedup import (
+            minhash_lsh_candidates,
+            ngram_jaccard,
+            simhash_near_dups,
+        )
+        from fuzi_spark.ops.similarity import embedding_near_dups
+
+        spark.catalog.clearCache()
+        sample = docs.filter(F.col("doc_id") < 50)
+        mutated = sample.select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat("text", F.lit(" tailword")).alias("text"),
+        )
+        both = sample.unionByName(mutated)
+        vecs = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+
+        # relative, not absolute: earlier tests' localCheckpoint blocks
+        # (dedup_components) legitimately sit in getPersistentRDDs and
+        # clearCache() doesn't touch RDD-level storage
+        def persisted_ids():
+            m = spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(k) for k in m.keySet().toArray()}
+
+        before = persisted_ids()
+        with cache_scope() as handles:
+            cands = minhash_lsh_candidates(both, n_hashes=32, bands=16)
+            ngram_jaccard(cands, both).filter(F.col("jaccard") >= 0.5).count()
+            simhash_near_dups(both).count()
+            embedding_near_dups(vecs, threshold=0.999).count()
+            assert len(handles) >= 3  # each op registered its persist
+        leaked = persisted_ids() - before
+        assert not leaked, f"leaked persisted RDD ids: {leaked}"
+
+    def test_no_scope_keeps_old_behavior(self, spark, docs):
+        from fuzi_spark.ops.dedup import minhash_lsh_candidates
+
+        spark.catalog.clearCache()
+        sample = docs.filter(F.col("doc_id") < 20)
+        minhash_lsh_candidates(sample, n_hashes=16, bands=8).count()
+        # persist still happened (reuse across the self-join sides)
+        assert not spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+        spark.catalog.clearCache()
+
+
+class TestIvfKmeans:
+    def test_cell_balance(self, spark):
+        """k-means centroids (round-3: replaced first-N-by-id) must yield
+        roughly balanced cells: max cell ≤ a few × mean."""
+        import numpy as np
+
+        from fuzi_spark.ops.similarity import ivf_assign_udf, ivf_centroids
+
+        vecs = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        cents = ivf_centroids(vecs, 8, "vec_id", "embedding")
+        assert cents.shape == (8, 64)
+        # deterministic across invocations
+        cents2 = ivf_centroids(vecs, 8, "vec_id", "embedding")
+        assert np.allclose(cents, cents2)
+        assign = ivf_assign_udf(cents)
+        sizes = (
+            vecs.select(assign(F.col("embedding")).alias("cell"))
+            .groupBy("cell")
+            .count()
+            .collect()
+        )
+        counts = [r["count"] for r in sizes]
+        n_total = sum(counts)
+        mean = n_total / 8
+        assert len(counts) >= 6, f"k-means collapsed cells: {counts}"
+        assert max(counts) <= 4 * mean, f"unbalanced cells: {counts}"
+
+
+class TestNearDupRecall:
+    def test_embedding_near_dup_recall(self, spark):
+        """Measured recall on ORGANIC-grade near-dups (cos in [0.95, 0.999]),
+        not just exact copies: plant perturbed copies at known cosines and
+        require the multi-table LSH self-join to recover ≥90% of the
+        ground-truth pairs (single-table measured ~0.4 at these settings —
+        the round-2 gap this closes). Ground truth is brute-force numpy
+        cosine over the full union, so misses ANYWHERE count."""
+        import numpy as np
+
+        from fuzi_spark.ops.similarity import embedding_near_dups
+
+        base = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        rows = base.orderBy("vec_id").limit(200).collect()
+        X = np.array([r.embedding for r in rows], dtype=np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        rng = np.random.RandomState(7)
+        target_cos = rng.uniform(0.95, 0.999, size=len(X))
+        planted = []
+        for i, (u, c) in enumerate(zip(X, target_cos)):
+            w = rng.randn(len(u))
+            w -= (w @ u) * u
+            w /= np.linalg.norm(w)
+            planted.append(c * u + np.sqrt(1 - c * c) * w)
+        P = np.array(planted)
+        union = np.concatenate([X, P])
+        ids = list(range(len(X))) + [i + 100000 for i in range(len(P))]
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, union)],
+            schema="vec_id long, embedding array<double>",
+        )
+        # ground truth: every pair at cos >= 0.95 (planted AND accidental)
+        sims = union @ union.T
+        truth = {
+            (ids[a], ids[b])
+            for a in range(len(ids))
+            for b in range(a + 1, len(ids))
+            if sims[a, b] >= 0.95 and ids[a] != ids[b]
+        }
+        truth = {(min(p), max(p)) for p in truth}
+        assert len(truth) >= 150  # the planted pairs are really in range
+        found = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dups(df, threshold=0.95, bits=8).collect()
+        }
+        recall = len(found & truth) / len(truth)
+        # found pairs must also be TRUE pairs (exact verify: no false accepts)
+        assert found <= truth
+        assert recall >= 0.9, f"multi-table near-dup recall too low: {recall:.3f}"

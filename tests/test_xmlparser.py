@@ -192,6 +192,25 @@ class TestDTDNodes:
         assert d3.dtd.name == "bare"
         assert d3.dtd.public_id is None and d3.dtd.system_id is None
 
+    def test_public_inside_entity_value_not_external_id(self):
+        # round-3 ADVICE fix: an entity VALUE containing 'PUBLIC "..."'
+        # inside the internal subset must not be misread as the doctype's
+        # external id (the search is restricted to the text before '[')
+        from fuzi_spark.xmlparser import parse_xml
+
+        d = parse_xml(
+            "<!DOCTYPE r [<!ENTITY e 'PUBLIC \"bogus\" \"bogus2\"'>]><r>&e;</r>"
+        )
+        assert d.dtd.public_id is None and d.dtd.system_id is None
+        assert d.root.string_value == 'PUBLIC "bogus" "bogus2"'
+        # a REAL external id followed by a decoy subset still parses
+        d2 = parse_xml(
+            '<!DOCTYPE r PUBLIC "-//X//EN" "x.dtd" '
+            "[<!ENTITY e 'SYSTEM \"decoy\"'>]><r/>"
+        )
+        assert d2.dtd.public_id == "-//X//EN"
+        assert d2.dtd.system_id == "x.dtd"
+
     def test_dtd_raw_xml_roundtrip(self):
         from fuzi_spark.xmlparser import parse_xml
 
