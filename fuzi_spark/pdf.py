@@ -12,9 +12,15 @@ the core text-positioning operators (BT/ET, Tf, Td/TD/Tm/T*, Tj/'/"/TJ).
 Layout heuristics: line breaks from y-position movement, block breaks from
 vertical gaps, heading-vs-paragraph from relative font size — mirroring
 the HTML extractor's (kind, text, media_ref, offset) span contract.
-CMap-remapped (subset-embedded) fonts produce glyph-code text; that is the
-documented limit of a no-dependency parser — the span *structure* is still
-correct, and `parse_error` stays 0 because the PDF itself is well-formed.
+
+Subset-embedded fonts (round 3): /ToUnicode CMaps (bfchar + both bfrange
+forms, codespacerange-derived code width) are parsed and applied per
+Tf-selected font, so glyph-coded text — the most common real-PDF failure
+mode for a training-data pipeline — extracts as real characters. Fonts
+WITHOUT a ToUnicode CMap still fall back to byte-value text (the
+documented no-dependency limit); font resource names are resolved
+document-wide, so a multi-page file reusing one name for different fonts
+keeps the last binding (recovery-first tradeoff, same as XObject names).
 
 Spark surface: `pdf_extract_df` maps a binary `content` column through the
 same mapInPandas/EXTRACTED_SCHEMA contract as the HTML extractor, so every
@@ -68,11 +74,9 @@ _ESCAPES = {
 }
 
 
-def _decode_pdf_string(raw: bytes) -> str:
-    """Literal-string unescape at the BYTE level, then decode: UTF-16BE
-    when the unescaped bytes are BOM-prefixed, else latin-1 (lossless byte
-    map — PDFDocEncoding differences don't matter for the printable
-    range). Unescape must come first: UTF-16 code units can contain
+def _unescape_pdf_string(raw: bytes) -> bytes:
+    """Literal-string unescape at the BYTE level. Unescape must come
+    before any decode: UTF-16 code units / CMap glyph codes can contain
     0x28/0x29/0x5c, which a conforming writer escapes inside the literal
     string."""
     out = bytearray()
@@ -104,12 +108,145 @@ def _decode_pdf_string(raw: bytes) -> str:
             continue
         out += c
         i += 1
-    if out[:2] == b"\xfe\xff":
+    return bytes(out)
+
+
+def _decode_text_bytes(bs: bytes) -> str:
+    """UTF-16BE when BOM-prefixed, else latin-1 (lossless byte map —
+    PDFDocEncoding differences don't matter for the printable range)."""
+    if bs[:2] == b"\xfe\xff":
         try:
-            return bytes(out).decode("utf-16-be")[1:]
+            return bs.decode("utf-16-be")[1:]
         except Exception:
             pass
-    return bytes(out).decode("latin-1")
+    return bs.decode("latin-1")
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    """Unescape, then decode — the non-CMap text-string path."""
+    return _decode_text_bytes(_unescape_pdf_string(raw))
+
+
+# ------------------------------------------------------------ ToUnicode CMap
+
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+# one CMap operand per match: hex string, or an array of hex strings
+_CMAP_TOK_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>|(\[)|(\])")
+
+
+def _hex_to_str(hx: bytes) -> str:
+    """Destination hex (UTF-16BE code units, no BOM) → str. Real PDFs
+    sometimes write a bare byte (<20>) for a BMP value; left-pad to a
+    full code unit rather than mangling it into half a unit."""
+    hx = re.sub(rb"\s", b"", hx)
+    if len(hx) % 2:
+        hx = b"0" + hx
+    bs = bytes.fromhex(hx.decode("ascii"))
+    if len(bs) % 2:
+        bs = b"\x00" + bs
+    try:
+        return bs.decode("utf-16-be", "replace")
+    except Exception:
+        return ""
+
+
+class _CMap:
+    """Parsed ToUnicode mapping: glyph code → unicode string.
+
+    decode() splits the string bytes into fixed-width codes (width from
+    the codespacerange, else the widest bfchar/bfrange source) and maps
+    each through singles, then ranges (continuous form: dst advances with
+    the code), else falls back to the raw bytes' latin-1 characters so a
+    partial CMap degrades instead of dropping text."""
+
+    __slots__ = ("singles", "ranges", "nbytes")
+
+    def __init__(self):
+        self.singles: dict = {}
+        self.ranges: list = []  # (lo, hi, dst_str_at_lo)
+        self.nbytes = 0
+
+    def decode(self, bs: bytes) -> str:
+        w = self.nbytes or 1
+        out = []
+        n = len(bs)
+        i = 0
+        while i < n:
+            chunk = bs[i : i + w]
+            code = int.from_bytes(chunk, "big")
+            s = self.singles.get(code)
+            if s is None:
+                for lo, hi, dst in self.ranges:
+                    if lo <= code <= hi:
+                        if dst:
+                            # continuous form: increment the LAST code unit
+                            s = dst[:-1] + chr(ord(dst[-1]) + (code - lo))
+                        break
+            if s is None:
+                s = chunk.decode("latin-1")
+            out.append(s)
+            i += w
+        return "".join(out)
+
+
+def _parse_cmap(stream: bytes) -> Optional[_CMap]:
+    """bfchar + bfrange (both <lo> <hi> <dstStart> and
+    <lo> <hi> [<d0> <d1> ...] forms) from a ToUnicode CMap stream."""
+    cm = _CMap()
+    for m in _CODESPACE_RE.finditer(stream):
+        for hm in _CMAP_TOK_RE.finditer(m.group(1)):
+            if hm.group(1) is not None:
+                hx = re.sub(rb"\s", b"", hm.group(1))
+                cm.nbytes = max(cm.nbytes, len(hx) // 2)
+
+    def _src_width(hx: bytes) -> None:
+        if not cm.nbytes:
+            cm.nbytes = max(cm.nbytes, len(re.sub(rb"\s", b"", hx)) // 2)
+
+    for m in _BFCHAR_RE.finditer(stream):
+        toks = [t.group(1) for t in _CMAP_TOK_RE.finditer(m.group(1))
+                if t.group(1) is not None]
+        for j in range(0, len(toks) - 1, 2):
+            _src_width(toks[j])
+            src = int(re.sub(rb"\s", b"", toks[j]) or b"0", 16)
+            cm.singles[src] = _hex_to_str(toks[j + 1])
+    for m in _BFRANGE_RE.finditer(stream):
+        # scan operands in order; arrays collect until ']'
+        items: list = []
+        in_array = False
+        arr: list = []
+        for t in _CMAP_TOK_RE.finditer(m.group(1)):
+            if t.group(2):
+                in_array, arr = True, []
+            elif t.group(3):
+                in_array = False
+                items.append(arr)
+            elif t.group(1) is not None:
+                (arr if in_array else items).append(t.group(1))
+        i = 0
+        while i + 3 <= len(items):
+            lo_h, hi_h, dst = items[i], items[i + 1], items[i + 2]
+            i += 3
+            if isinstance(lo_h, list) or isinstance(hi_h, list):
+                continue  # malformed; skip this triple
+            _src_width(lo_h)
+            lo = int(re.sub(rb"\s", b"", lo_h) or b"0", 16)
+            hi = int(re.sub(rb"\s", b"", hi_h) or b"0", 16)
+            if isinstance(dst, list):
+                for k, d in enumerate(dst):
+                    if lo + k <= hi:
+                        cm.singles[lo + k] = _hex_to_str(d)
+            else:
+                cm.ranges.append((lo, hi, _hex_to_str(dst)))
+    if not cm.singles and not cm.ranges:
+        return None
+    if not cm.nbytes:
+        cm.nbytes = 1
+    return cm
 
 
 # ------------------------------------------------------------ content stream
@@ -133,9 +270,14 @@ class _Run:
         self.text, self.x, self.y, self.size = text, x, y, size
 
 
-def _text_runs(stream: bytes, media_events: list) -> list[_Run]:
+def _text_runs(
+    stream: bytes, media_events: list, font_cmaps: Optional[dict] = None
+) -> list[_Run]:
     """Walk one content stream, yielding positioned text runs in stream
-    order. Tracks the text cursor through Td/TD/Tm/T*; size through Tf/Tm."""
+    order. Tracks the text cursor through Td/TD/Tm/T*; size and current
+    font through Tf/Tm. Strings shown under a font with a ToUnicode CMap
+    decode through it (glyph codes → unicode); others use the BOM/latin-1
+    text-string path."""
     runs: list[_Run] = []
     stack: list = []
     x = y = 0.0
@@ -143,15 +285,17 @@ def _text_runs(stream: bytes, media_events: list) -> list[_Run]:
     leading = 14.0
     in_text = False
     in_array = False
+    cur_cmap: Optional[_CMap] = None
 
     def show(raw: bytes):
         if raw[:1] == b"(":
-            s = _decode_pdf_string(raw[1:-1])
+            bs = _unescape_pdf_string(raw[1:-1])
         else:  # hex
             hx = re.sub(rb"\s", b"", raw[1:-1])
             if len(hx) % 2:
                 hx += b"0"
-            s = bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+            bs = bytes.fromhex(hx.decode("ascii"))
+        s = cur_cmap.decode(bs) if cur_cmap is not None else _decode_text_bytes(bs)
         if s:
             runs.append(_Run(s, x, y, size))
 
@@ -190,6 +334,8 @@ def _text_runs(stream: bytes, media_events: list) -> list[_Run]:
                 leading = size * 1.2
             except (IndexError, ValueError):
                 pass
+            if font_cmaps and len(stack) >= 2 and stack[-2][:1] == b"/":
+                cur_cmap = font_cmaps.get(stack[-2][1:].decode("latin-1"))
             stack.clear()
         elif op in (b"Td", b"TD"):
             try:
@@ -254,30 +400,51 @@ def extract_pdf_spans(data: bytes) -> tuple[list[dict], int]:
     if not data or b"obj" not in data:
         return [], 1
     xobj_names: dict[str, int] = {}
+    font_names: dict[str, int] = {}
+    heads_by_num: dict[int, bytes] = {}
+    streams_by_num: dict[int, bytes] = {}
     image_objs: set[int] = set()
     content_parts: list[tuple[bytes, list]] = []
     try:
         for num, head, stream in _object_streams(data):
+            heads_by_num[num] = head
             for dm in _XOBJ_DICT_RE.finditer(head):
                 for nm in _XOBJ_NAME_RE.finditer(dm.group(1)):
                     xobj_names[nm.group(1).decode("latin-1")] = int(nm.group(2))
+            for dm in _FONT_DICT_RE.finditer(head):
+                for nm in _XOBJ_NAME_RE.finditer(dm.group(1)):
+                    font_names[nm.group(1).decode("latin-1")] = int(nm.group(2))
             if _IMAGE_RE.search(head):
                 image_objs.add(num)
                 continue
             if stream:
                 media_events: list = []
+                streams_by_num[num] = stream
                 content_parts.append((stream, media_events))
     except Exception:
         return [], 1
     if not content_parts:
         return [], 1
 
+    # resolve font resource name → ToUnicode CMap (subset-font decode);
+    # a CMap stream misidentified as page content is harmless — it has no
+    # text-showing operators, so it yields zero runs
+    font_cmaps: dict[str, _CMap] = {}
+    for name, fnum in font_names.items():
+        tm = _TOUNICODE_RE.search(heads_by_num.get(fnum, b""))
+        if tm:
+            cm_stream = streams_by_num.get(int(tm.group(1)))
+            if cm_stream:
+                cm = _parse_cmap(cm_stream)
+                if cm:
+                    font_cmaps[name] = cm
+
     spans: list[dict] = []
     all_runs: list[_Run] = []
     events: list[tuple[int, str]] = []
     for stream, media_events in content_parts:
         base = len(all_runs)
-        rs = _text_runs(stream, media_events)
+        rs = _text_runs(stream, media_events, font_cmaps or None)
         all_runs.extend(rs)
         events.extend((base + idx, name) for idx, name in media_events)
 
@@ -422,6 +589,104 @@ def build_simple_pdf(
         b"trailer\n<< /Size " + str(len(objs) + 1).encode()
         + b" /Root 1 0 R >>\nstartxref\n" + str(xref_pos).encode()
         + b"\n%%EOF\n"
+    )
+    return b"".join(out)
+
+
+def build_subset_font_pdf(
+    title: str, paragraphs: list[str], compress: bool = False
+) -> bytes:
+    """One-page PDF whose text is shown as 2-byte GLYPH CODES through a
+    Type0 subset font with a /ToUnicode CMap — the fixture for the
+    CMap-decoded extraction path (the most common real-PDF shape:
+    Identity-H CID font, codes assigned in first-use order, so the raw
+    bytes are meaningless without the CMap).
+
+    The CMap mixes both mapping forms deliberately: runs of ≥2
+    consecutive-codepoint characters become continuous bfrange entries
+    (dst advances with the code), singletons become bfchar entries."""
+    all_text = [title] + list(paragraphs)
+    charset = sorted({ch for t in all_text for ch in t})
+    code_of = {ch: i + 1 for i, ch in enumerate(charset)}
+
+    def hexstr(s: str) -> bytes:
+        return b"<" + "".join(f"{code_of[ch]:04X}" for ch in s).encode() + b">"
+
+    def u16(s: str) -> bytes:
+        return b"<" + s.encode("utf-16-be").hex().upper().encode() + b">"
+
+    # group charset (sorted, so consecutive codepoints get consecutive
+    # glyph codes) into bfrange runs and bfchar singletons
+    runs: list[tuple[int, int]] = []  # [start_idx, end_idx] inclusive
+    for i, ch in enumerate(charset):
+        if runs and ord(ch) == ord(charset[i - 1]) + 1 and i - 1 == runs[-1][1]:
+            runs[-1] = (runs[-1][0], i)
+        else:
+            runs.append((i, i))
+    bfranges = [(a, b) for a, b in runs if b > a]
+    bfchars = [a for a, b in runs if b == a]
+    cmap_lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    if bfranges:
+        cmap_lines.append(str(len(bfranges)).encode() + b" beginbfrange")
+        for a, b in bfranges:
+            cmap_lines.append(
+                b"<%04X> <%04X> " % (a + 1, b + 1) + u16(charset[a])
+            )
+        cmap_lines.append(b"endbfrange")
+    if bfchars:
+        cmap_lines.append(str(len(bfchars)).encode() + b" beginbfchar")
+        for a in bfchars:
+            cmap_lines.append(b"<%04X> " % (a + 1) + u16(charset[a]))
+        cmap_lines.append(b"endbfchar")
+    cmap_lines += [b"endcmap", b"end", b"end"]
+    cmap = b"\n".join(cmap_lines)
+
+    content = [b"BT", b"/F1 24 Tf", b"72 720 Td", hexstr(title) + b" Tj", b"ET"]
+    ypos = 680
+    for p in paragraphs:
+        content += [
+            b"BT", b"/F1 12 Tf", f"72 {ypos} Td".encode(),
+            hexstr(p) + b" Tj", b"ET",
+        ]
+        ypos -= 40
+    cs = b"\n".join(content)
+    filt = b""
+    if compress:
+        cs = zlib.compress(cs)
+        filt = b"/Filter /FlateDecode "
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n",
+        b"4 0 obj\n<< " + filt + b"/Length " + str(len(cs)).encode()
+        + b" >>\nstream\n" + cs + b"\nendstream\nendobj\n",
+        b"5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+Fake "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>\nendobj\n",
+        b"6 0 obj\n<< /Length " + str(len(cmap)).encode()
+        + b" >>\nstream\n" + cmap + b"\nendstream\nendobj\n",
+    ]
+    out = [b"%PDF-1.4\n"]
+    pos = len(out[0])
+    offsets = []
+    for o in objs:
+        offsets.append(pos)
+        out.append(o)
+        pos += len(o)
+    xref = [f"xref\n0 {len(objs)+1}\n0000000000 65535 f \n".encode()]
+    for off in offsets:
+        xref.append(f"{off:010d} 00000 n \n".encode())
+    out.extend(xref)
+    out.append(
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(pos).encode() + b"\n%%EOF\n"
     )
     return b"".join(out)
 

@@ -229,3 +229,68 @@ class TestNeverRaisesFuzz:
                 data = b"".join(rng.choice(frags) for _ in range(rng.randrange(1, 25)))
             spans, err = extract_pdf_spans(data)
             assert isinstance(spans, list) and err in (0, 1)
+
+
+class TestToUnicodeCMap:
+    """Round-3: subset-font glyph codes must decode through /ToUnicode
+    CMaps (the most common real-PDF failure mode for text extraction)."""
+
+    def test_subset_font_roundtrip(self):
+        from fuzi_spark.pdf import build_subset_font_pdf, extract_pdf_spans
+
+        title = "Café Über — Heading"
+        paras = ["naïve résumé body text here", "中文内容 second paragraph"]
+        spans, err = extract_pdf_spans(build_subset_font_pdf(title, paras))
+        assert err == 0
+        assert spans[0]["kind"] == "heading" and spans[0]["text"] == title
+        got = [s["text"] for s in spans]
+        for p in paras:
+            assert p in got
+
+    def test_subset_font_compressed(self):
+        from fuzi_spark.pdf import build_subset_font_pdf, extract_pdf_spans
+
+        a, _ = extract_pdf_spans(build_subset_font_pdf("T", ["ab ab"]))
+        b, _ = extract_pdf_spans(
+            build_subset_font_pdf("T", ["ab ab"], compress=True)
+        )
+        assert [s["text"] for s in a] == ["T", "ab ab"]
+        assert a == b
+
+    def test_bfrange_both_forms_and_bfchar(self):
+        from fuzi_spark.pdf import _parse_cmap
+
+        cm = _parse_cmap(
+            b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"2 beginbfrange\n"
+            b"<0001> <0003> [<0041> <0058> <005A>]\n"
+            b"<0010> <0012> <0061>\n"
+            b"endbfrange\n"
+            b"1 beginbfchar <0020> <20> endbfchar\n"
+        )
+        assert cm.nbytes == 2
+        assert cm.decode(bytes.fromhex("000100020003")) == "AXZ"
+        assert cm.decode(bytes.fromhex("001000110012")) == "abc"
+        assert cm.decode(bytes.fromhex("0020")) == " "
+
+    def test_astral_and_multichar_dst(self):
+        from fuzi_spark.pdf import _parse_cmap
+
+        cm = _parse_cmap(
+            b"2 beginbfchar <01> <D83DDE00> <02> <006600660069> endbfchar"
+        )
+        assert cm.decode(b"\x01") == "\U0001F600"  # surrogate pair joined
+        assert cm.decode(b"\x02") == "ffi"  # ligature expands to 3 chars
+
+    def test_unmapped_codes_degrade_not_drop(self):
+        from fuzi_spark.pdf import _parse_cmap
+
+        cm = _parse_cmap(b"1 beginbfchar <41> <0058> endbfchar")
+        # 0x41 mapped to X; 0x42 missing → latin-1 fallback, text kept
+        assert cm.decode(b"\x41\x42") == "XB"
+
+    def test_font_without_tounicode_untouched(self):
+        from fuzi_spark.pdf import build_simple_pdf, extract_pdf_spans
+
+        spans, err = extract_pdf_spans(build_simple_pdf("Plain", ["body"]))
+        assert err == 0 and spans[0]["text"] == "Plain"
