@@ -508,6 +508,55 @@ def q_extract_pdf(spark, sf_dir):
     return pdf_extract_df(docs).select("doc_id", "seq", "kind", "text")
 
 
+def q_repetition(spark, sf_dir):
+    """Repetition/diversity metrics (Gopher rule-stack signals): unigram
+    token entropy + duplicate-n-gram fractions, all single-pass Catalyst
+    (the entropy walks the SORTED token array in one `aggregate` — no
+    explode, no shuffle). Entropy rounded to 6 decimals: Spark sums
+    c·ln c in sorted-run order, DuckDB in group-hash order, so the last
+    few ulps differ; the n-gram fractions are exact int/int divisions
+    and deterministic at 9."""
+    from fuzi_spark.ops.textstats import repetition_metrics
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    m = repetition_metrics(d)
+    return m.select(
+        "doc_id",
+        F.round("token_entropy", 6).alias("token_entropy"),
+        F.round("dup_2gram_frac", 9).alias("dup_2gram_frac"),
+        F.round("dup_3gram_frac", 9).alias("dup_3gram_frac"),
+        F.round("dup_4gram_frac", 9).alias("dup_4gram_frac"),
+    )
+
+
+def q_extract_pdf_cmap(spark, sf_dir):
+    """Subset-font PDF parse (round 3): the same corpus as extract_pdf but
+    every page is generated as a Type0 font with 2-byte glyph codes and a
+    /ToUnicode CMap (Identity-H shape) — the raw content-stream bytes are
+    meaningless without CMap decoding, so matching the oracle proves the
+    bfchar/bfrange decode path end-to-end, distributed. Span contract and
+    oracle shape are identical to extract_pdf: heading = source, one
+    whitespace-normalized paragraph = text."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from fuzi_spark.pdf import pdf_extract_df
+
+    @pandas_udf(BinaryType())
+    def gen(source: pd.Series, text: pd.Series) -> pd.Series:
+        from fuzi_spark.pdf import build_subset_font_pdf
+
+        return pd.Series(
+            [build_subset_font_pdf(s, [t]) for s, t in zip(source, text)]
+        )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        gen(F.col("source"), F.col("text")).alias("content"),
+    )
+    return pdf_extract_df(docs).select("doc_id", "seq", "kind", "text")
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard between each doc and its one-word-appended
     mutation (string-shingle path, hashed=False — bit-exact vs the SQL
@@ -809,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "extract_pdf": q_extract_pdf,
+        "extract_pdf_cmap": q_extract_pdf_cmap,
+        "repetition": q_repetition,
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
         "quality_filter": q_quality_filter,
@@ -898,6 +949,40 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY text"
         ),
         "extract_pdf": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS seq, "
+            "'heading' AS kind, source AS text FROM documents "
+            "UNION ALL "
+            "SELECT CAST(doc_id AS VARCHAR), 1, 'paragraph', "
+            "regexp_replace(trim(text), '\\s+', ' ', 'g') "
+            "FROM documents WHERE trim(text) != ''"
+        ),
+        "repetition": (
+            "WITH toks AS ("
+            "  SELECT doc_id, list_filter("
+            "    string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t"
+            "  FROM documents"
+            "), u AS ("
+            "  SELECT doc_id, unnest(t) AS tok FROM toks"
+            "), cnts AS ("
+            "  SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok"
+            "), ent AS ("
+            "  SELECT doc_id, ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h"
+            "  FROM cnts GROUP BY doc_id"
+            ") SELECT toks.doc_id, "
+            "CASE WHEN len(t) > 0 THEN round(ent.h, 6) END AS token_entropy, "
+            + ", ".join(
+                f"CASE WHEN len(t) >= {n} THEN round(1.0 - "
+                f"len(list_distinct([array_to_string(t[i:i+{n-1}], ' ') "
+                f"FOR i IN generate_series(1, len(t)-{n-1})])) "
+                f"/ CAST(len(t)-{n-1} AS DOUBLE), 9) END AS dup_{n}gram_frac"
+                for n in (2, 3, 4)
+            )
+            + " FROM toks LEFT JOIN ent ON toks.doc_id = ent.doc_id"
+        ),
+        # identical oracle to extract_pdf on purpose: the CMap variant must
+        # recover the SAME text from glyph-coded bytes that are opaque
+        # without the ToUnicode decode
+        "extract_pdf_cmap": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS seq, "
             "'heading' AS kind, source AS text FROM documents "
             "UNION ALL "

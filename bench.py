@@ -53,7 +53,9 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "extract_pdf",
+    "extract_pdf_cmap",
     "text_quality",
+    "repetition",
     "fingerprint",
     "similarity_topk",
     "similarity_lsh",

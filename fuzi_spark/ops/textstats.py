@@ -86,6 +86,89 @@ def quality_filter(
     )
 
 
+def _clean_tokens(text_col: str):
+    """Whitespace tokens with the empty-token artifact removed (split on
+    '' yields [''] — same guard as dedup.token_hashes_col)."""
+    return F.filter(
+        F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: t != ""
+    )
+
+
+def token_entropy(text_col: str):
+    """Shannon entropy (nats) of the unigram token distribution, computed
+    in ONE Catalyst pass without exploding tokens into rows:
+    sort the token array, then a single `aggregate` walks the sorted runs
+    carrying (prev_token, run_length, Σ c·ln c); H = ln N − Σ c·ln c / N.
+
+    The explode→groupBy(doc,token)→entropy-agg formulation shuffles every
+    token of every document TWICE at 10^12 docs; this stays map-side
+    (O(n log n) sort per doc inside the projection, whole-stage codegen).
+    NULL when the document has no tokens."""
+    toks = F.array_sort(_clean_tokens(text_col))
+    n = F.size(toks)
+    # acc: (prev token, current run length, sum of c*ln(c) for closed runs)
+    init = F.named_struct(
+        F.lit("prev"), F.lit(None).cast("string"),
+        F.lit("run"), F.lit(0).cast("long"),
+        F.lit("acc"), F.lit(0.0).cast("double"),
+    )
+
+    def step(a, t):
+        same = a["prev"].isNotNull() & (a["prev"] == t)
+        run = F.when(same, a["run"] + 1).otherwise(F.lit(1).cast("long"))
+        closed = F.when(
+            same | a["prev"].isNull(), a["acc"]
+        ).otherwise(a["acc"] + a["run"] * F.log(a["run"].cast("double")))
+        return F.named_struct(
+            F.lit("prev"), t, F.lit("run"), run, F.lit("acc"), closed
+        )
+
+    def fin(a):
+        total = F.when(
+            a["prev"].isNull(), a["acc"]
+        ).otherwise(a["acc"] + a["run"] * F.log(a["run"].cast("double")))
+        return total
+
+    sum_clogc = F.aggregate(toks, init, step, fin)
+    return F.when(
+        n > 0, F.log(n.cast("double")) - sum_clogc / n.cast("double")
+    )
+
+
+def dup_ngram_fraction(text_col: str, n: int):
+    """Gopher-style repetition signal: fraction of n-gram OCCURRENCES that
+    are duplicates of an earlier one — 1 − distinct/total over word
+    n-grams. 0 for fully novel text, →1 for looped boilerplate. Pure
+    Catalyst (no shuffle, no Python); NULL when the doc has < n tokens."""
+    toks = _clean_tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        # " " separator: tokens are whitespace-split so they cannot
+        # contain a space - ("ab","c") and ("a","bc") must not alias
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(
+        k >= 1,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / k.cast("double"),
+    )
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition/diversity enrichment: token entropy + duplicate-n-gram
+    fractions for n = 2,3,4 (the Gopher rule-stack signals that
+    distinct_token_ratio alone misses — looped PHRASES with a diverse
+    vocabulary)."""
+    return df.withColumns(
+        {
+            "token_entropy": token_entropy(text_col),
+            "dup_2gram_frac": dup_ngram_fraction(text_col, 2),
+            "dup_3gram_frac": dup_ngram_fraction(text_col, 3),
+            "dup_4gram_frac": dup_ngram_fraction(text_col, 4),
+        }
+    )
+
+
 # ---------------------------------------------------------------- lang id
 
 # character-range + stopword profiles; deterministic, dependency-free

@@ -488,3 +488,44 @@ class TestNearDupRecall:
         # found pairs must also be TRUE pairs (exact verify: no false accepts)
         assert found <= truth
         assert recall >= 0.9, f"multi-table near-dup recall too low: {recall:.3f}"
+
+
+class TestRepetitionMetrics:
+    def test_entropy_and_dup_fracs_vs_python(self, spark):
+        import math
+        from collections import Counter
+
+        from fuzi_spark.ops.textstats import repetition_metrics
+
+        docs = [
+            ("novel", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("looped", "spam ham spam ham spam ham spam ham"),
+            ("single", "word"),
+            ("empty", "   "),
+            ("mixed", "the cat sat on the mat the cat sat on the hat"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        got = {r.doc_id: r for r in repetition_metrics(df).collect()}
+        for doc_id, text in docs:
+            toks = [t for t in text.split() if t]
+            r = got[doc_id]
+            if not toks:
+                assert r.token_entropy is None
+                assert r.dup_2gram_frac is None
+                continue
+            c = Counter(toks)
+            h = math.log(len(toks)) - sum(
+                v * math.log(v) for v in c.values()
+            ) / len(toks)
+            assert abs(r.token_entropy - h) < 1e-9, (doc_id, r.token_entropy, h)
+            for n, col in ((2, r.dup_2gram_frac), (3, r.dup_3gram_frac),
+                           (4, r.dup_4gram_frac)):
+                if len(toks) < n:
+                    assert col is None
+                    continue
+                grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+                expect = 1.0 - len(set(grams)) / len(grams)
+                assert abs(col - expect) < 1e-9, (doc_id, n, col, expect)
+        # the planted shapes separate as designed
+        assert got["looped"].dup_2gram_frac > 0.5 > got["novel"].dup_2gram_frac
+        assert got["novel"].token_entropy > got["looped"].token_entropy
