@@ -63,6 +63,14 @@ CASES = [
      "Media metadata decode. Wants: refs from the extraction output, one "
      "mapInPandas for synth + one for decode, repartition by media_ref "
      "so giant binaries spread."),
+    ("repetition",
+     "Token entropy + dup-n-gram fractions. Wants: ZERO exchanges — the "
+     "entropy is one aggregate over the sorted token array inside a "
+     "codegen'd Project, never an explode→groupBy of 10^12 docs' tokens."),
+    ("extract_pdf_cmap",
+     "Subset-font PDF parse. Wants: the same shape as extract_pdf — one "
+     "scan, Python only in the two pandas UDF stages (builder + parser), "
+     "no extra exchanges beyond the dev repartition."),
 ]
 
 
