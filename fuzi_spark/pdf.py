@@ -183,8 +183,12 @@ class _CMap:
                 for lo, hi, dst in self.ranges:
                     if lo <= code <= hi:
                         if dst:
-                            # continuous form: increment the LAST code unit
-                            s = dst[:-1] + chr(ord(dst[-1]) + (code - lo))
+                            # continuous form: increment the LAST code unit;
+                            # a hostile range whose increment overflows
+                            # chr() (> 0x10FFFF) degrades to the fallback
+                            cp = ord(dst[-1]) + (code - lo)
+                            if cp <= 0x10FFFF:
+                                s = dst[:-1] + chr(cp)
                         break
             if s is None:
                 s = chunk.decode("latin-1")

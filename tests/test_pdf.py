@@ -294,3 +294,31 @@ class TestToUnicodeCMap:
 
         spans, err = extract_pdf_spans(build_simple_pdf("Plain", ["body"]))
         assert err == 0 and spans[0]["text"] == "Plain"
+
+    def test_cmap_hostile_inputs_never_raise(self):
+        # fuzz pin incl. the chr() overflow on continuous bfrange dst
+        import random
+
+        from fuzi_spark.pdf import _parse_cmap
+
+        # dst DBFFDFFF = UTF-16BE surrogate pair for U+10FFFF: code 0000
+        # maps exactly there, any higher code would overflow chr()
+        cm = _parse_cmap(b"1 beginbfrange <0000> <FFFF> <DBFFDFFF> endbfrange")
+        out = cm.decode(bytes.fromhex("0000" "0001" "F000"))
+        assert out[0] == "\U0010FFFF" and isinstance(out, str)
+        # overflowed codes degrade to the latin-1 byte fallback
+        assert "\x00\x01" in out
+
+        rng = random.Random(99)
+        frags = [b"beginbfchar", b"endbfchar", b"beginbfrange", b"endbfrange",
+                 b"begincodespacerange", b"endcodespacerange", b"<", b">",
+                 b"[", b"]", b"<00", b"<GGGG>", b"<>", b"<0041>", b"<D800>",
+                 b"<10FFFF>", b"\xff\x00", b" ", b"\n", b"1 ", b"999999 "]
+        for _ in range(3000):
+            data = b"".join(
+                rng.choice(frags) for _ in range(rng.randrange(1, 30))
+            )
+            c = _parse_cmap(data)
+            if c is not None:
+                c.decode(bytes(rng.randrange(256)
+                               for _ in range(rng.randrange(0, 9))))
