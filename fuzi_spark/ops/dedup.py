@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+from .hof import bind
+
 from .cache import scoped_persist
 
 # NOTE on the hash family (round-2 fix): the classic (a*h + b) mod p
@@ -54,13 +56,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(text_col: str, n: int = 3):
-    """n-word shingles as an array column (JVM-side)."""
-    tokens = F.split(F.col(text_col), " ")
-    k = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-    )
+    """n-word shingles as an array column (JVM-side).
+
+    The token array is bound once per row (ops.hof.bind): referencing
+    the split() directly inside the per-shingle lambda would re-tokenize
+    the whole document for EVERY shingle (higher-order lambdas evaluate
+    interpreted, no CSE) — O(L^2) on long documents."""
+
+    def mk(tokens):
+        k = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        )
+
+    return bind(F.split(F.col(text_col), " "), mk)
 
 
 def shingle_hashes(text_col: str, n: int = 3):

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType, StringType
 
+from .hof import bind
+
 # ---------------------------------------------------------------- tokens
 
 # BPE-ish pre-tokenization: word pieces, numbers, punctuation runs —
@@ -103,55 +105,69 @@ def token_entropy(text_col: str):
     The explode→groupBy(doc,token)→entropy-agg formulation shuffles every
     token of every document TWICE at 10^12 docs; this stays map-side
     (O(n log n) sort per doc inside the projection, whole-stage codegen).
-    NULL when the document has no tokens."""
-    toks = F.array_sort(_clean_tokens(text_col))
-    n = F.size(toks)
-    # acc: (prev token, current run length, sum of c*ln(c) for closed runs)
-    init = F.named_struct(
-        F.lit("prev"), F.lit(None).cast("string"),
-        F.lit("run"), F.lit(0).cast("long"),
-        F.lit("acc"), F.lit(0.0).cast("double"),
-    )
+    NULL when the document has no tokens.
 
-    def step(a, t):
-        same = a["prev"].isNotNull() & (a["prev"] == t)
-        run = F.when(same, a["run"] + 1).otherwise(F.lit(1).cast("long"))
-        closed = F.when(
-            same | a["prev"].isNull(), a["acc"]
-        ).otherwise(a["acc"] + a["run"] * F.log(a["run"].cast("double")))
-        return F.named_struct(
-            F.lit("prev"), t, F.lit("run"), run, F.lit("acc"), closed
+    The sorted token array is bound once per row (ops.hof.bind): the
+    expression is referenced by the aggregate AND by size() three more
+    times, and higher-order-function projections get no CSE — unbound,
+    the tokenize+sort ran several times per document."""
+
+    def mk(toks):
+        n = F.size(toks)
+        # acc: (prev token, current run length, sum of c*ln(c) for closed runs)
+        init = F.named_struct(
+            F.lit("prev"), F.lit(None).cast("string"),
+            F.lit("run"), F.lit(0).cast("long"),
+            F.lit("acc"), F.lit(0.0).cast("double"),
         )
 
-    def fin(a):
-        total = F.when(
-            a["prev"].isNull(), a["acc"]
-        ).otherwise(a["acc"] + a["run"] * F.log(a["run"].cast("double")))
-        return total
+        def step(a, t):
+            same = a["prev"].isNotNull() & (a["prev"] == t)
+            run = F.when(same, a["run"] + 1).otherwise(F.lit(1).cast("long"))
+            closed = F.when(
+                same | a["prev"].isNull(), a["acc"]
+            ).otherwise(a["acc"] + a["run"] * F.log(a["run"].cast("double")))
+            return F.named_struct(
+                F.lit("prev"), t, F.lit("run"), run, F.lit("acc"), closed
+            )
 
-    sum_clogc = F.aggregate(toks, init, step, fin)
-    return F.when(
-        n > 0, F.log(n.cast("double")) - sum_clogc / n.cast("double")
-    )
+        def fin(a):
+            total = F.when(
+                a["prev"].isNull(), a["acc"]
+            ).otherwise(a["acc"] + a["run"] * F.log(a["run"].cast("double")))
+            return total
+
+        sum_clogc = F.aggregate(toks, init, step, fin)
+        return F.when(
+            n > 0, F.log(n.cast("double")) - sum_clogc / n.cast("double")
+        )
+
+    return bind(F.array_sort(_clean_tokens(text_col)), mk)
 
 
 def dup_ngram_fraction(text_col: str, n: int):
     """Gopher-style repetition signal: fraction of n-gram OCCURRENCES that
     are duplicates of an earlier one — 1 − distinct/total over word
     n-grams. 0 for fully novel text, →1 for looped boilerplate. Pure
-    Catalyst (no shuffle, no Python); NULL when the doc has < n tokens."""
-    toks = _clean_tokens(text_col)
-    k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        # " " separator: tokens are whitespace-split so they cannot
-        # contain a space - ("ab","c") and ("a","bc") must not alias
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(
-        k >= 1,
-        F.lit(1.0) - F.size(F.array_distinct(grams)) / k.cast("double"),
-    )
+    Catalyst (no shuffle, no Python); NULL when the doc has < n tokens.
+
+    Tokens bound once per row (ops.hof.bind) — unbound, the per-gram
+    lambda re-tokenized the document for every n-gram, O(L^2)."""
+
+    def mk(toks):
+        k = F.size(toks) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            # " " separator: tokens are whitespace-split so they cannot
+            # contain a space - ("ab","c") and ("a","bc") must not alias
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return F.when(
+            k >= 1,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / k.cast("double"),
+        )
+
+    return bind(_clean_tokens(text_col), mk)
 
 
 def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -529,3 +529,73 @@ class TestRepetitionMetrics:
         # the planted shapes separate as designed
         assert got["looped"].dup_2gram_frac > 0.5 > got["novel"].dup_2gram_frac
         assert got["novel"].token_entropy > got["looped"].token_entropy
+
+
+class TestHofBind:
+    """ops.hof.bind — the bind-once helper for higher-order-function
+    lambdas (Catalyst does no CSE inside lambda bodies, so an unbound
+    outer expression re-evaluates per array element, O(L^2) per doc)."""
+
+    def test_values_identical_to_unbound(self, spark):
+        from fuzi_spark.ops.hof import bind
+
+        df = spark.createDataFrame(
+            [("a", "w1 w2 w3 w4 w5"), ("b", "x"), ("c", "")],
+            "doc_id string, text string",
+        )
+
+        def unbound(text_col, n=3):
+            tokens = F.split(F.col(text_col), " ")
+            k = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
+            return F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+            )
+
+        def bound(text_col, n=3):
+            def mk(tokens):
+                k = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
+                return F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+                )
+
+            return bind(F.split(F.col(text_col), " "), mk)
+
+        rows = df.select(
+            "doc_id",
+            unbound("text").alias("u"),
+            bound("text").alias("b"),
+        ).collect()
+        for r in rows:
+            assert r.u == r.b, (r.doc_id, r.u, r.b)
+
+    def test_null_input_binds_null(self, spark):
+        """array(NULL) is a 1-element array holding NULL, not empty —
+        the bound variable must be NULL, and NULL-propagating fns keep
+        the result NULL rather than silently empty."""
+        from fuzi_spark.ops.hof import bind
+
+        df = spark.createDataFrame([(None,), ("a b",)], "text string")
+        got = df.select(
+            bind(
+                F.split(F.col("text"), " "), lambda t: F.size(t)
+            ).alias("n")
+        ).collect()
+        assert [r.n for r in got] == [None, 2]
+
+    def test_single_evaluation_in_plan(self, spark):
+        """The tokenizing split() must appear exactly once in the
+        optimized plan — inside array(), not inside lambdafunction()."""
+        from fuzi_spark.ops.textstats import dup_ngram_fraction
+
+        df = spark.createDataFrame([("a b c d",)], "text string")
+        plan = (
+            df.select(dup_ngram_fraction("text", 2).alias("f"))
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # one split() for the bound token array; the per-gram lambda
+        # references the lambda variable, never re-splits
+        assert plan.count("split(") == 1, plan
