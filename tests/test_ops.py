@@ -490,6 +490,36 @@ class TestNearDupRecall:
         assert recall >= 0.9, f"multi-table near-dup recall too low: {recall:.3f}"
 
 
+    def test_minhash_recall_curve_matches_theory(self, spark):
+        """Measured LSH recall at MID-Jaccard tracks the banding S-curve
+        1-(1-J^r)^b (r=4, b=16) — the region the planted-invariant oracles
+        don't exercise. An independent hash family matches theory to within
+        binomial noise; the correlated (a*h+b) family shipped in round 1
+        undershot by double digits at J~0.9 (see ops/dedup.py module note),
+        so this pin is the regression guard for that class of bug. The
+        full-curve artifact lives in RECALL_minhash_r3.json
+        (tools/minhash_recall.py at 5x this N)."""
+        import sys
+
+        sys.path.insert(0, ".")
+        from tools.minhash_recall import measure
+
+        out = measure(spark, n_pairs_per_rate=100)
+        for b in out["buckets"]:
+            if b["n_pairs"] < 50:
+                continue  # too few pairs for a stable binomial estimate
+            assert b["recall_measured"] >= b["recall_theory"] - 0.08, (
+                f"recall diverges from banding theory in J[{b['j_lo']},"
+                f"{b['j_hi']}): measured {b['recall_measured']} vs theory "
+                f"{b['recall_theory']} — correlated hash family?"
+            )
+            if b["j_lo"] >= 0.75:
+                # operating point: near-dup region must be near-total
+                assert b["recall_measured"] >= 0.98, (
+                    f"high-J recall floor broken: {b}"
+                )
+
+
 class TestRepetitionMetrics:
     def test_entropy_and_dup_fracs_vs_python(self, spark):
         import math

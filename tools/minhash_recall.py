@@ -1,0 +1,147 @@
+"""Measured MinHash-LSH recall vs exact Jaccard (the operating-point curve).
+
+VERDICT r2 ("What's missing" #2): the LSH machinery is oracle-checked on
+planted invariants (near-identical copies, recovery probability 1-6e-9),
+which proves the plumbing but not the recall at MID-Jaccard — the region
+where the banding S-curve actually bites and where a silently-correlated
+hash family (the round-2 bug, see ops/dedup.py module note) would diverge
+hardest from theory. This tool measures it:
+
+1. generate base docs of random tokens; for each, a partner doc with a
+   controlled per-token mutation rate p swept across values chosen so the
+   resulting exact 3-gram Jaccard covers ~0.30..0.97 (J ~ s/(2-s) with
+   shingle survival s=(1-p)^3);
+2. compute the EXACT Jaccard of every planted pair with ngram_jaccard
+   (hashed=True — the same 31-bit shingle space the signatures see);
+3. run minhash_lsh_candidates (n_hashes=64, bands=16, rows=4) and measure,
+   per exact-Jaccard bucket, the fraction of planted pairs recovered;
+4. print measured recall next to the banding theory 1-(1-J^r)^b averaged
+   over the pairs that landed in the bucket.
+
+A healthy independent hash family tracks theory to within binomial noise;
+the correlated (a*h+b) family this repo shipped in round 1 undershot it
+by double digits at J≈0.9 (that's how the bug was caught). The pinned
+floor lives in tests/test_ops.py::test_minhash_recall_curve_matches_theory;
+this tool is the full-curve, larger-N version of the same measurement.
+
+Usage: python tools/minhash_recall.py [n_pairs_per_rate] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from fuzi_spark.ops.cache import cache_scope  # noqa: E402
+from fuzi_spark.ops.dedup import minhash_lsh_candidates, ngram_jaccard  # noqa: E402
+
+# per-token mutation rates -> expected exact 3-gram Jaccard
+#   s = (1-p)^3 surviving-shingle fraction, J ~ s/(2-s)
+#   p: 0.01->0.94  0.02->0.89  0.04->0.79  0.07->0.67  0.10->0.57
+#   0.13->0.49  0.17->0.40  0.22->0.31
+MUTATION_RATES = [0.01, 0.02, 0.04, 0.07, 0.10, 0.13, 0.17, 0.22]
+
+N_HASHES, BANDS = 64, 16
+ROWS = N_HASHES // BANDS
+
+
+def build_corpus(n_pairs_per_rate: int, doc_len: int = 80, vocab: int = 5000,
+                 seed: int = 7):
+    """(rows, planted) — rows are (doc_id, text); planted maps
+    (id_a, id_b) -> mutation rate. Deterministic in `seed`."""
+    rng = np.random.default_rng(seed)
+    words = np.array([f"w{i:05d}" for i in range(vocab)])
+    rows, planted = [], {}
+    k = 0
+    for p in MUTATION_RATES:
+        for _ in range(n_pairs_per_rate):
+            base = rng.integers(0, vocab, size=doc_len)
+            mut = base.copy()
+            flip = rng.random(doc_len) < p
+            mut[flip] = rng.integers(0, vocab, size=int(flip.sum()))
+            id_a, id_b = f"d{k:06d}a", f"d{k:06d}b"
+            rows.append((id_a, " ".join(words[base])))
+            rows.append((id_b, " ".join(words[mut])))
+            planted[(id_a, id_b)] = p
+            k += 1
+    return rows, planted
+
+
+def measure(spark: SparkSession, n_pairs_per_rate: int = 250):
+    rows, planted = build_corpus(n_pairs_per_rate)
+    docs = spark.createDataFrame(rows, "doc_id string, text string").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pair_rows = [(a, b) for (a, b) in planted]
+    pairs_df = spark.createDataFrame(pair_rows, "id_a string, id_b string")
+
+    with cache_scope():
+        exact = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard(pairs_df, docs).collect()
+        }
+        found = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(
+                docs, n_hashes=N_HASHES, bands=BANDS
+            ).collect()
+        }
+
+    edges = [0.25, 0.35, 0.45, 0.55, 0.65, 0.75, 0.85, 0.95, 1.01]
+    buckets = []
+    for lo, hi in zip(edges, edges[1:]):
+        in_bucket = [pr for pr, j in exact.items() if lo <= j < hi]
+        if not in_bucket:
+            continue
+        hits = sum(1 for pr in in_bucket if pr in found)
+        theory = float(
+            np.mean([1.0 - (1.0 - exact[pr] ** ROWS) ** BANDS for pr in in_bucket])
+        )
+        buckets.append(
+            {
+                "j_lo": lo,
+                "j_hi": round(min(hi, 1.0), 2),
+                "n_pairs": len(in_bucket),
+                "recall_measured": round(hits / len(in_bucket), 4),
+                "recall_theory": round(theory, 4),
+            }
+        )
+    return {
+        "n_hashes": N_HASHES,
+        "bands": BANDS,
+        "rows_per_band": ROWS,
+        "n_planted_pairs": len(planted),
+        "n_docs": 2 * len(planted),
+        "buckets": buckets,
+    }
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 250
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("minhash-recall")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    try:
+        out = measure(spark, n)
+    finally:
+        spark.stop()
+    line = json.dumps(out)
+    print(line)
+    if len(sys.argv) > 2:
+        with open(sys.argv[2], "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
