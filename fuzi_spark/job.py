@@ -81,6 +81,31 @@ def make_spark(args):
     return b.getOrCreate()
 
 
+def append_table(df, table: str) -> None:
+    """Append to a catalog table: DataFrameWriterV2 first (Iceberg and
+    other v2 catalogs — each append is an atomic snapshot commit), falling
+    back to the V1 writer for session-catalog V1 tables (a plain
+    parquet/Hive warehouse without Iceberg jars), where Spark refuses
+    `writeTo()` with CANNOT_WRITE_INTO_V1_TABLE. saveAsTable(append)
+    keeps the same BY-NAME column resolution as the v2 path (insertInto
+    would be positional — wrong here). The V1 fallback commits at job
+    granularity via the output committer, not as a catalog snapshot, so
+    the manifest protocol's reader-side semi-join stays load-bearing."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        df.writeTo(table).append()
+    except AnalysisException as e:
+        cond = ""
+        try:
+            cond = e.getCondition() or ""
+        except Exception:
+            pass
+        if "V1_TABLE" not in cond and "v1 table" not in str(e).lower():
+            raise
+        df.write.mode("append").saveAsTable(table)
+
+
 def main(argv=None) -> int:
     from pyspark.sql import functions as F
 
@@ -123,12 +148,13 @@ def main(argv=None) -> int:
             # already stamped — reuse its run_id for the Iceberg copy
             row = extracted.select("run_id").first()
             run_id = row["run_id"] if row else uuid.uuid4().hex
-            extracted.writeTo(args.output_table).append()
+            append_table(extracted, args.output_table)
         else:
             run_id = uuid.uuid4().hex
-            extracted.withColumn("run_id", F.lit(run_id)).writeTo(
-                args.output_table
-            ).append()
+            append_table(
+                extracted.withColumn("run_id", F.lit(run_id)),
+                args.output_table,
+            )
         from .pipeline import _lineage_agg
 
         written = spark.table(args.output_table).filter(
@@ -136,7 +162,7 @@ def main(argv=None) -> int:
         )
         lineage = _lineage_agg(written).withColumn("run_id", F.lit(run_id))
         if args.lineage_table:
-            lineage.writeTo(args.lineage_table).append()
+            append_table(lineage, args.lineage_table)
         totals = lineage.groupBy().agg(
             F.sum("doc_count").alias("docs"),
             F.sum("span_count").alias("spans"),

@@ -450,3 +450,111 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_spans")
             spark.sql("DROP TABLE IF EXISTS t_golden")
+
+
+class TestJobCLI:
+    """fuzi_spark.job main() — the spark-submit entrypoint surface.
+
+    The catalog-table branch (--input-table / --output-table /
+    --lineage-table) is the Iceberg deployment path. The container has no
+    Iceberg jars, so here job.append_table's writeTo(...).append() is
+    submitted, rejected by Spark (CANNOT_WRITE_INTO_V1_TABLE for
+    session-catalog parquet tables), and routed to the by-name V1
+    saveAsTable(append) fallback — i.e. the branch's logic (run_id
+    stamping, lineage aggregated from the committed read-back rows, the
+    manifest semi-join readability, the fallback seam itself) runs for
+    real end-to-end. Only Iceberg's v2 snapshot-commit atomicity remains
+    a documented-not-executed claim (README: Iceberg runtime caveat)."""
+
+    def _mk_docs_table(self, spark, name):
+        from fuzi_spark.corpus import corpus_df
+
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        corpus_df(spark, include_fixtures=False, skew=False).writeTo(name).using(
+            "parquet"
+        ).create()
+
+    def test_parquet_surface_summary(self, spark, tmp_path, capsys):
+        from fuzi_spark.corpus import corpus_df
+        from fuzi_spark.job import main
+
+        inp = str(tmp_path / "docs")
+        out = str(tmp_path / "out")
+        docs = corpus_df(spark, include_fixtures=False, skew=False)
+        n_docs = docs.count()
+        docs.write.parquet(inp)
+        rc = main(
+            ["--input", inp, "--output", out, "--n-buckets", "4",
+             "--num-partitions", "4"]
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["docs"] == n_docs
+        assert summary["parse_errors"] == 0
+        spans = spark.read.parquet(os.path.join(out, "spans"))
+        assert summary["spans"] == spans.filter("seq >= 0").count()
+
+    def test_table_surface_manifest_protocol(self, spark, capsys):
+        from pyspark.sql import functions as F
+
+        from fuzi_spark.job import main
+        from fuzi_spark.pipeline import run_extraction_pipeline
+
+        try:
+            self._mk_docs_table(spark, "job_docs")
+            n_docs = spark.table("job_docs").count()
+            # pre-create output/lineage tables with the pipeline's output
+            # schema (prod: Iceberg DDL owns this; append() requires the
+            # table to exist in both catalogs)
+            lazy_spans, lazy_lineage = run_extraction_pipeline(
+                spark, spark.table("job_docs"), n_buckets=4, num_partitions=4
+            )
+            spark.sql("DROP TABLE IF EXISTS job_spans")
+            spark.sql("DROP TABLE IF EXISTS job_lineage")
+            empty = lazy_spans.withColumn("run_id", F.lit("x")).limit(0)
+            empty.writeTo("job_spans").using("parquet").create()
+            lazy_lineage.withColumn("run_id", F.lit("x")).limit(0).writeTo(
+                "job_lineage"
+            ).using("parquet").create()
+
+            args = ["--input-table", "job_docs", "--output-table", "job_spans",
+                    "--lineage-table", "job_lineage", "--n-buckets", "4",
+                    "--num-partitions", "4"]
+            assert main(args) == 0
+            s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+            assert s1["docs"] == n_docs
+
+            spans = spark.table("job_spans")
+            lineage = spark.table("job_lineage")
+            run_ids = [r.run_id for r in spans.select("run_id").distinct().collect()]
+            assert len(run_ids) == 1 and run_ids[0]  # stamped, single run
+            # lineage aggregates must match a direct recount of the
+            # committed span rows, bucket by bucket
+            recount = (
+                spans.groupBy("bucket")
+                .agg(
+                    F.sum(F.when(F.col("seq") <= 0, 1).otherwise(0)).alias("d"),
+                    F.sum(F.when(F.col("seq") >= 0, 1).otherwise(0)).alias("s"),
+                )
+                .collect()
+            )
+            lin = {r.bucket: (r.doc_count, r.span_count) for r in lineage.collect()}
+            assert {r.bucket: (r.d, r.s) for r in recount} == lin
+            assert sum(d for d, _ in lin.values()) == n_docs
+
+            # a second run appends under a NEW run_id; the lineage manifest
+            # keeps both runs distinguishable (the reader's semi-join key)
+            assert main(args) == 0
+            capsys.readouterr()
+            # re-resolve from the catalog: the pre-append DataFrames may
+            # cache a stale file index
+            spans2 = spark.table("job_spans")
+            lineage2 = spark.table("job_lineage")
+            assert spans2.select("run_id").distinct().count() == 2
+            assert lineage2.select("run_id").distinct().count() == 2
+            committed = lineage2.select("bucket", "run_id").distinct()
+            joined = spans2.join(committed, ["bucket", "run_id"], "left_semi")
+            assert joined.count() == spans2.count()  # every span row committed
+        finally:
+            for t in ("job_docs", "job_spans", "job_lineage"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
