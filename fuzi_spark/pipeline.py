@@ -49,7 +49,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .udfs import extract_spans_df
+from .udfs import extract_markup_df, extract_spans_df, markup_from_spans_col
 
 # Giant-doc threshold, calibrated by measurement (round 1): the extractor
 # amortizes per-doc overhead on large documents (~58 MB/s on a 7.5 MB doc
@@ -172,7 +172,26 @@ def run_extraction_pipeline(
     run's durable rows. Resume skips lineage-committed buckets."""
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
-    docs = with_weight_and_bucket(docs, n_buckets)
+
+    # span→markup codec BEFORE the salting shuffle: the exchange then
+    # carries ONE string column per doc instead of the array-of-structs
+    # spans payload (per-span kind/media_ref/offset fields + Arrow struct
+    # overhead) — at 10^12 docs shuffle bytes are the scarce resource.
+    # doc_weight falls out for free as length(markup): the codec concats
+    # coalesce(text,'') over every span, so the two are identical by
+    # construction (the old with_weight_and_bucket aggregate was a second
+    # full pass over the spans arrays).
+    cols = [F.col("doc_id"), markup_from_spans_col("spans").alias("markup")]
+    if "doc_type" in docs.columns:
+        cols.append(F.col("doc_type"))
+    docs = (
+        docs.select(*cols)
+        .withColumn("doc_weight", F.length(F.coalesce("markup", F.lit(""))))
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets)),
+        )
+    )
 
     spans_path = lineage_path = None
     if output_dir:
@@ -185,7 +204,7 @@ def run_extraction_pipeline(
 
     docs = salt_partition(docs, num_partitions, giant_threshold)
 
-    extracted = extract_spans_df(docs.select("doc_id", "bucket", "spans"), doc_type)
+    extracted = extract_markup_df(docs, doc_type)
     # re-attach the stable bucket (cheap hash recompute — avoids carrying it
     # through the Python stage)
     extracted = extracted.withColumn(

@@ -174,6 +174,17 @@ def extract_spans_df(docs: DataFrame, doc_type: Optional[str] = None) -> DataFra
     cols = [F.col("doc_id"), markup_from_spans_col("spans").alias("markup")]
     if "doc_type" in docs.columns:
         cols.append(F.col("doc_type"))
+    return extract_markup_df(docs.select(*cols), doc_type)
+
+
+def extract_markup_df(docs: DataFrame, doc_type: Optional[str] = None) -> DataFrame:
+    """docs(doc_id, markup[, doc_type]) → extracted spans, for callers that
+    already ran the span→markup codec (run_extraction_pipeline applies it
+    BEFORE the salting shuffle so the exchange carries one string column,
+    not the array-of-structs spans payload)."""
+    cols = [F.col("doc_id"), F.col("markup")]
+    if "doc_type" in docs.columns:
+        cols.append(F.col("doc_type"))
     return docs.select(*cols).mapInPandas(
         make_extract_markup_fn(doc_type), schema=EXTRACTED_SCHEMA
     )
