@@ -18,8 +18,10 @@ Design notes for 1000-executor scale:
   giant docs are round-robin repartitioned so no two land together — the
   classic salting move expressed with built-in primitives. AQE then
   coalesces small post-shuffle partitions.
-- The weight is computed with built-in F.aggregate over the spans array
-  (JVM-side, no Python), so the pre-shuffle pass is pure Catalyst.
+- The span→markup codec runs BEFORE the shuffle (pure Catalyst), so the
+  exchange carries one string column per doc, and the skew weight is a
+  free length(markup) — media spans keep their tag markup in `text`
+  (codec.encode_spans), so media-heavy docs weigh their true bytes.
 - Lineage aggregation is a map-side-combinable hash agg (Catalyst default),
   one row per bucket — trivially small output even at 10^12 docs.
 - Resume = broadcast anti-join of the input against committed bucket ids —
@@ -59,18 +61,6 @@ from .udfs import extract_markup_df, extract_spans_df, markup_from_spans_col
 # measured: salting 6 deliberately-colliding 7.5 MB giants made the job
 # ~40% SLOWER. Route only genuinely pathological documents.
 DEFAULT_GIANT_THRESHOLD = 32_000_000  # bytes of markup per doc
-
-
-def with_weight_and_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
-    """Add doc_weight (total span text bytes; JVM-side) + stable bucket id."""
-    weight = F.aggregate(
-        "spans",
-        F.lit(0).cast("long"),
-        lambda acc, s: acc + F.length(F.coalesce(s["text"], F.lit(""))),
-    )
-    return docs.withColumn("doc_weight", weight).withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets))
-    )
 
 
 def salt_partition(
