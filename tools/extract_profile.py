@@ -44,9 +44,21 @@ from fuzi_spark.pipeline import run_extraction_pipeline  # noqa: E402
 from fuzi_spark.udfs import extract_spans_df, markup_from_spans_col  # noqa: E402
 
 
-def _timed(fn, runs: int = 2) -> float:
-    fn()  # warm: JIT, codegen, python workers, parquet footers
-    return min((lambda t0: (fn(), time.time() - t0)[1])(time.time()) for _ in range(runs))
+def _measure_rungs(rungs) -> dict:
+    """Warm every rung once, then two mirrored passes (forward, reverse),
+    min per rung. Back-to-back per-rung sampling lets a co-tenant burst
+    land entirely inside one rung and fake a stage delta; mirrored
+    round-robin spreads drift across all rungs symmetrically (same
+    reasoning as bench.py's scaling-child protocol)."""
+    for _, fn in rungs:
+        fn()  # warm: JIT, codegen, python workers, parquet footers
+    times = {name: [] for name, _ in rungs}
+    for order in (list(rungs), list(reversed(rungs))):
+        for name, fn in order:
+            t0 = time.time()
+            fn()
+            times[name].append(time.time() - t0)
+    return {name: round(min(ts), 3) for name, ts in times.items()}
 
 
 def ladder(spark, corpus_path: str, cores: int) -> dict:
@@ -105,9 +117,7 @@ def ladder(spark, corpus_path: str, cores: int) -> dict:
         ("scan", scan), ("codec", codec), ("arrow", arrow),
         ("parse", parse), ("classify", classify), ("pipeline", pipeline),
     ]
-    cum = {}
-    for name, fn in rungs:
-        cum[name] = round(_timed(fn), 3)
+    cum = _measure_rungs(rungs)
     names = [n for n, _ in rungs]
     deltas = {
         names[0]: cum[names[0]],
