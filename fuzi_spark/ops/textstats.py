@@ -220,18 +220,31 @@ _SCRIPT_RANGES = (
 )
 
 
+# (word, lang_idx) long table for the vectorized Latin merge below
+_STOP_TABLE = pd.DataFrame(
+    [(w, i) for w, langs in _WORD_LANGS.items() for i in langs],
+    columns=["_tok", "_lang"],
+)
+
+
 @pandas_udf(StringType())
 def lang_id(text: pd.Series) -> pd.Series:
     """n-gram/stopword heuristic language ID.
 
-    Script detection first (CJK/Cyrillic/Arabic/Hebrew/Greek), then Latin
-    languages by stopword-hit profile. The per-row inner work is one
-    numpy codepoint-array pass per script range (a single comparison over
-    the UTF-32 view), not a per-character Python loop."""
-    out = []
-    for t in text:
+    Script detection first (CJK/Cyrillic/Arabic/Hebrew/Greek): one numpy
+    codepoint-array pass per script range over the UTF-32 view, with a
+    max() early-exit for pure-Latin text. Latin languages then resolve in
+    ONE vectorized block for the whole batch — lowercase/split/explode,
+    per-row token dedup, merge against the (stopword, lang) table, and a
+    per-(row, lang) hit count — instead of a per-row Python set
+    intersection. Tie rule preserved: highest DISTINCT-stopword count,
+    first language in _LATIN_LANGS order on ties, "und" on zero hits."""
+    out = [None] * len(text)
+    latin_idx: list[int] = []
+    latin_sample: list[str] = []
+    for j, t in enumerate(text):
         if not t:
-            out.append("und")
+            out[j] = "und"
             continue
         sample = t[:2000]
         # errors="replace": unpaired surrogates (possible in malformed
@@ -250,17 +263,29 @@ def lang_id(text: pd.Series) -> pd.Series:
                     tag = name
                     break
         if tag is not None:
-            out.append(tag)
-            continue
-        counts = [0] * len(_LATIN_LANGS)
-        for w in set(sample.lower().split()) & _STOP_UNION:
-            for i in _WORD_LANGS[w]:
-                counts[i] += 1
-        best, best_hits = "und", 0
-        for i, lang in enumerate(_LATIN_LANGS):
-            if counts[i] > best_hits:
-                best, best_hits = lang, counts[i]
-        out.append(best)
+            out[j] = tag
+        else:
+            latin_idx.append(j)
+            latin_sample.append(sample)
+    if latin_idx:
+        toks = (
+            pd.Series(latin_sample)
+            .str.lower()
+            .str.split()
+            .explode()
+            .rename("_tok")
+            .reset_index()  # index = position within latin_sample
+            .drop_duplicates()  # DISTINCT stopword types per row
+        )
+        hits = toks.merge(_STOP_TABLE, on="_tok")
+        counts = hits.groupby(["index", "_lang"]).size().reset_index(name="_n")
+        # first-max-wins tie rule: stable sort by (count desc, lang asc)
+        counts = counts.sort_values(
+            ["index", "_n", "_lang"], ascending=[True, False, True], kind="stable"
+        ).drop_duplicates("index")
+        best = dict(zip(counts["index"], counts["_lang"]))
+        for pos, j in enumerate(latin_idx):
+            out[j] = _LATIN_LANGS[best[pos]] if pos in best else "und"
     return pd.Series(out, dtype=object)
 
 

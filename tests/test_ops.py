@@ -151,6 +151,65 @@ class TestTextStats:
         for r in rows:
             assert r.n == len(r.text.split()), r.doc_id
 
+    def test_lang_id_vectorized_matches_scalar_reference(self):
+        """The batched Latin path (explode + merge + groupby over the whole
+        Arrow batch) must be decision-identical to the original per-row
+        set-intersection, including the tie rule (first language in
+        _LATIN_LANGS order wins equal counts) and the degenerate inputs
+        (None, empty, unpaired surrogates, mixed scripts)."""
+        import random
+
+        import numpy as np
+        import pandas as pd
+
+        import fuzi_spark.ops.textstats as T
+
+        def scalar_ref(series):
+            out = []
+            for t in series:
+                if not t:
+                    out.append("und")
+                    continue
+                sample = t[:2000]
+                cp = np.frombuffer(
+                    sample.encode("utf-32-le", errors="replace"), dtype=np.uint32
+                )
+                n = len(cp)
+                tag = None
+                if int(cp.max(initial=0)) >= 0x0370:
+                    for lo, hi, frac, name in T._SCRIPT_RANGES:
+                        if np.count_nonzero((cp >= lo) & (cp <= hi)) > frac * n:
+                            tag = name
+                            break
+                if tag is not None:
+                    out.append(tag)
+                    continue
+                counts = [0] * len(T._LATIN_LANGS)
+                for w in set(sample.lower().split()) & T._STOP_UNION:
+                    for i in T._WORD_LANGS[w]:
+                        counts[i] += 1
+                best, bh = "und", 0
+                for i, lang in enumerate(T._LATIN_LANGS):
+                    if counts[i] > bh:
+                        best, bh = lang, counts[i]
+                out.append(best)
+            return out
+
+        rng = random.Random(13)
+        words = list(T._STOP_UNION) + ["xyzzy", "foo", "Baz", "l'eau", "1234"]
+        cases = [
+            "", None, "the and of to in", "el la de que y",
+            "der die und das ist", "\ud800 the of and",
+            "汉字" * 50 + " the of", "Привет мир " * 30,
+            "mixed Ελληνικά and the of in a way",
+        ]
+        for _ in range(800):
+            cases.append(
+                " ".join(rng.choice(words) for _ in range(rng.randint(0, 40)))
+            )
+        s = pd.Series(cases, dtype=object)
+        assert list(T.lang_id.func(s)) == scalar_ref(s)
+
     def test_lang_id_script_detection(self, spark):
         from fuzi_spark.ops.textstats import lang_id
 
