@@ -483,6 +483,32 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(pairs)
 
 
+def q_dedup_keep(spark, sf_dir):
+    """Keeper election over the planted component chains: groups from
+    dedup_components (4-node chains), quality = node_id % 7 (four
+    consecutive residues mod 7 are always distinct, so the winner is
+    SQL-predictable: the in-group max residue). The oracle recomputes the
+    election with a window rank — the Spark side uses a map-side
+    min(struct) agg + broadcast-back, same values, scale-shaped."""
+    from fuzi_spark.ops.dedup import dedup_components, dedup_representatives
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    m = 1000000
+
+    def pair(ka, kb):
+        return d.select(
+            (F.col("doc_id") + ka * m).alias("id_a"),
+            (F.col("doc_id") + kb * m).alias("id_b"),
+        )
+
+    pairs = pair(0, 1).unionByName(pair(1, 2)).unionByName(pair(2, 3))
+    groups = dedup_components(pairs)
+    quality = groups.select(
+        F.col("node_id"), (F.col("node_id") % 7).alias("quality")
+    )
+    return dedup_representatives(groups, quality)
+
+
 def q_extract_pdf(spark, sf_dir):
     """PDF/layout parse (north_rule): build a deterministic one-page PDF
     per document (24pt title = source, 12pt body = text), then run the
@@ -857,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "dedup_keep": q_dedup_keep,
         "extract_pdf": q_extract_pdf,
         "extract_pdf_cmap": q_extract_pdf_cmap,
         "repetition": q_repetition,
@@ -1070,6 +1097,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": (
             # identical copy ⇒ identical fingerprint ⇒ hamming-0 pair
             "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents"
+        ),
+        "dedup_keep": (
+            # window-rank re-election of the keeper the Spark agg picks:
+            # quality DESC then node_id ASC, rank 1 keeps
+            "WITH nodes AS ("
+            "  SELECT doc_id + k * 1000000 AS node_id, doc_id AS canonical_id "
+            "  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)"
+            "), r AS ("
+            "  SELECT node_id, canonical_id, row_number() OVER ("
+            "    PARTITION BY canonical_id "
+            "    ORDER BY node_id % 7 DESC, node_id ASC) AS rn FROM nodes"
+            ") SELECT node_id, canonical_id, "
+            "CASE WHEN rn = 1 THEN 1 ELSE 0 END AS keep FROM r"
         ),
         "quality_filter": (
             "WITH uni AS ("

@@ -427,3 +427,53 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def dedup_representatives(
+    groups: DataFrame,
+    quality: Optional[DataFrame] = None,
+    id_col: str = "node_id",
+    group_col: str = "canonical_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """One keeper per duplicate group — the last step of a dedup pipeline
+    (minhash/simhash/embedding pairs → dedup_components groups → keep one
+    doc per group, drop the rest).
+
+    Keeper rule: highest quality wins, ties break to the smallest id;
+    with no quality table the smallest id wins outright (deterministic
+    either way — a re-run keeps the same docs). Docs absent from the
+    quality table rank below every scored doc (quality −inf), never above.
+
+    Returns (id_col, group_col, keep:int) for every grouped doc.
+
+    Scale shape (10^12 docs, group rows ≪ corpus): an optional join to
+    attach quality, then ONE hash-agg shuffle keyed on the group — the
+    keeper election is min(struct(−quality, id)), which partial-aggregates
+    map-side — and the elected keepers (ONE row per group) broadcast back
+    onto the group rows. The group-row side never shuffles twice and
+    nothing corpus-sized moves at all."""
+    g = groups.select(F.col(id_col), F.col(group_col))
+    if quality is not None:
+        g = g.join(
+            quality.select(F.col(id_col), F.col(quality_col)), id_col, "left"
+        )
+        rank = -F.coalesce(
+            F.col(quality_col).cast("double"), F.lit(float("-inf"))
+        )
+    else:
+        rank = F.lit(0.0)
+    keepers = (
+        g.groupBy(group_col)
+        .agg(
+            F.min(
+                F.struct(rank.alias("_nq"), F.col(id_col).alias("_id"))
+            ).alias("_k")
+        )
+        .select(F.col(group_col), F.col("_k._id").alias("_keep_id"))
+    )
+    return (
+        g.join(F.broadcast(keepers), group_col)
+        .withColumn("keep", (F.col(id_col) == F.col("_keep_id")).cast("int"))
+        .select(id_col, group_col, "keep")
+    )

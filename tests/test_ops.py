@@ -45,6 +45,39 @@ class TestDedup:
         assert len(out) == docs.select("text").distinct().count()
         assert all(r.dup_count >= 2 for r in out)
 
+    def test_dedup_representatives_election(self, spark):
+        """Keeper rule pinned: max quality wins; quality TIES break to the
+        smallest id; docs missing from the quality table rank below every
+        scored doc; no-quality mode keeps the smallest id per group."""
+        from fuzi_spark.ops.dedup import dedup_representatives
+
+        groups = spark.createDataFrame(
+            [(1, 100), (2, 100), (3, 100),   # g100: tie 2 vs 3 at q=5
+             (7, 200), (8, 200),             # g200: 8 unscored
+             (9, 300), (10, 300)],           # g300: plain max
+            "node_id long, canonical_id long",
+        )
+        quality = spark.createDataFrame(
+            [(1, 1.0), (2, 5.0), (3, 5.0), (7, -2.0), (9, 0.5), (10, 3.0)],
+            "node_id long, quality double",
+        )
+        out = {
+            r.node_id: r.keep
+            for r in dedup_representatives(groups, quality).collect()
+        }
+        assert out == {1: 0, 2: 1, 3: 0, 7: 1, 8: 0, 9: 0, 10: 1}
+        # no-quality mode: deterministic min-id keeper
+        out2 = {
+            r.node_id: r.keep for r in dedup_representatives(groups).collect()
+        }
+        assert out2 == {1: 1, 2: 0, 3: 0, 7: 1, 8: 0, 9: 1, 10: 0}
+        # exactly one keeper per group either way
+        from collections import Counter
+
+        rows = dedup_representatives(groups, quality).collect()
+        per_group = Counter(r.canonical_id for r in rows if r.keep == 1)
+        assert all(v == 1 for v in per_group.values()) and len(per_group) == 3
+
     def test_minhash_finds_mutated_copies(self, spark, docs):
         from fuzi_spark.ops.dedup import minhash_lsh_candidates, ngram_jaccard
 
