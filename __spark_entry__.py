@@ -509,6 +509,36 @@ def q_dedup_keep(spark, sf_dir):
     return dedup_representatives(groups, quality)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Incremental (streaming-shaped) dedup kernel, run over three
+    deterministic batches: every doc appears in 3 copies (ids d, d+1M,
+    d+2M — same text), routed to batches by id % 3, so each text shows up
+    in EVERY batch and exactly one copy must survive. The kernel drops
+    digests already in the accumulated seen set, then keeps min id within
+    the batch — so the oracle's winner is rank-1 of
+    ORDER BY (id % 3), id per text. Exercises dedup-against-history
+    semantics (streaming.dedup_novel — the foreachBatch wrapper adds only
+    the manifest commit, tested in TestStreamingDedup)."""
+    from fuzi_spark.streaming import dedup_novel
+
+    m = 1000000
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    union = base
+    for k in (1, 2):
+        union = union.unionByName(
+            base.select((F.col("doc_id") + k * m).alias("doc_id"), "text")
+        )
+    seen = None
+    kept = None
+    for k in range(3):
+        batch = union.filter(F.col("doc_id") % 3 == k)
+        novel = dedup_novel(batch, seen).select("doc_id", "digest")
+        kept = novel if kept is None else kept.unionByName(novel)
+        dg = novel.select("digest")
+        seen = dg if seen is None else seen.unionByName(dg)
+    return kept
+
+
 def q_extract_pdf(spark, sf_dir):
     """PDF/layout parse (north_rule): build a deterministic one-page PDF
     per document (24pt title = source, 12pt body = text), then run the
@@ -884,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "dedup_keep": q_dedup_keep,
+        "stream_dedup": q_stream_dedup,
         "extract_pdf": q_extract_pdf,
         "extract_pdf_cmap": q_extract_pdf_cmap,
         "repetition": q_repetition,
@@ -1097,6 +1128,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": (
             # identical copy ⇒ identical fingerprint ⇒ hamming-0 pair
             "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents"
+        ),
+        "stream_dedup": (
+            # 3 copies of every text routed to batches by id % 3; the
+            # incremental kernel's survivor is rank-1 of (batch, id)
+            "WITH all_copies AS ("
+            "  SELECT doc_id + k * 1000000 AS doc_id, text "
+            "  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)"
+            "), r AS ("
+            "  SELECT doc_id, text, row_number() OVER ("
+            "    PARTITION BY text ORDER BY doc_id % 3, doc_id) AS rn "
+            "  FROM all_copies"
+            ") SELECT doc_id, sha256(text) AS digest FROM r WHERE rn = 1"
         ),
         "dedup_keep": (
             # window-rank re-election of the keeper the Spark agg picks:

@@ -7,8 +7,10 @@ with the built-in streaming operators (no custom state)."""
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -178,3 +180,122 @@ def streaming_windowed_events(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def dedup_novel(
+    batch: DataFrame,
+    seen_digests: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Novel rows of `batch`: drop everything whose content digest is in
+    the historical `seen_digests` set, then elect one keeper per digest
+    WITHIN the batch (smallest id — deterministic under redelivery).
+    Returns the keeper rows with a `digest` column appended.
+
+    Scale shape: the history check is a digest-keyed anti-join — 32-byte
+    keys, never document bytes; at 10^12 seen docs, write the digest table
+    bucketed on digest (pipeline.write_bucketed) so the anti-join
+    co-locates without shuffling the history. The within-batch election is
+    one shuffle of the (micro-)batch keyed on digest; dup groups are tiny,
+    so the per-key sort is trivial."""
+    from pyspark.sql import Window
+
+    b = batch.withColumn("digest", F.sha2(F.col(text_col), 256))
+    if seen_digests is not None:
+        b = b.join(seen_digests.select("digest").distinct(), "digest", "left_anti")
+    w = Window.partitionBy("digest").orderBy(id_col)
+    return (
+        b.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Continuously ingest documents and emit only never-seen-before
+    content: each micro-batch is deduplicated against ITSELF and against
+    every previously committed batch (the training-ingest "have we crawled
+    this page before" gate).
+
+    Same manifest protocol as the extraction job (pipeline module
+    docstring): novel rows land first under a fresh run_id, then the
+    (digest, batch_id, run_id) rows are appended to the digest manifest —
+    the manifest append IS the commit. foreachBatch is at-least-once; a
+    redelivered batch whose batch_id is already in the manifest is skipped
+    wholesale, and a batch killed between the two writes leaves novel rows
+    whose (batch_id, run_id) never reaches the manifest — invisible to
+    `read_novel_docs`, re-written by the redelivery. The seen-set read
+    only trusts manifest digests, so orphans can never suppress a
+    legitimate novel row either."""
+    stream_reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        stream_reader = stream_reader.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        )
+    stream = stream_reader.parquet(input_path)
+
+    novel_path = os.path.join(output_dir, "novel")
+    digest_path = os.path.join(output_dir, "digests")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import uuid as _uuid
+
+        s = batch_df.sparkSession
+        seen = None
+        try:
+            seen = s.read.parquet(digest_path)
+            if (
+                seen.filter(F.col("batch_id") == batch_id).limit(1).count()
+            ):
+                return  # redelivered, already committed
+        except AnalysisException:
+            pass  # first batch ever
+        run_id = _uuid.uuid4().hex
+        novel = dedup_novel(batch_df, seen, text_col, id_col).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).withColumn("run_id", F.lit(run_id))
+        novel.write.mode("append").parquet(novel_path)
+        # commit point: manifest rows derive from the durable novel files
+        # (no second dedup pass, and the manifest can never disagree with
+        # what was actually written)
+        (
+            s.read.parquet(novel_path)
+            .filter((F.col("batch_id") == batch_id) & (F.col("run_id") == run_id))
+            .select("digest", "batch_id", "run_id")
+            .write.mode("append")
+            .parquet(digest_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_novel_docs(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Committed-only read view of the streaming dedup output: novel rows
+    whose (batch_id, run_id) is recorded in the digest manifest. Broadcast
+    semi-join against the metadata-sized (batch, run) pairs — the novel
+    table never shuffles."""
+    novel = spark.read.parquet(os.path.join(output_dir, "novel"))
+    manifest = (
+        spark.read.parquet(os.path.join(output_dir, "digests"))
+        .select("batch_id", "run_id")
+        .distinct()
+    )
+    return novel.join(F.broadcast(manifest), ["batch_id", "run_id"], "left_semi")

@@ -558,3 +558,70 @@ class TestJobCLI:
         finally:
             for t in ("job_docs", "job_spans", "job_lineage"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestStreamingDedup:
+    def test_kernel_within_batch_and_against_seen(self, spark):
+        from pyspark.sql import functions as F
+
+        from fuzi_spark.streaming import dedup_novel
+
+        batch = spark.createDataFrame(
+            [(1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "ccc")],
+            "doc_id long, text string",
+        )
+        seen = spark.createDataFrame([("x",)], "digest string").select(
+            F.sha2(F.lit("ccc"), 256).alias("digest")
+        )
+        out = {r.doc_id for r in dedup_novel(batch, seen).collect()}
+        # aaa keeps min id 1, bbb keeps 3, ccc already seen
+        assert out == {1, 3}
+        # no-history mode: all three digests keep their min id
+        assert {r.doc_id for r in dedup_novel(batch).collect()} == {1, 3, 4}
+
+    def test_stream_dedups_against_history_exactly_once(self, spark, tmp_path):
+        """3 micro-batches with within-batch AND cross-batch duplicates:
+        the committed novel set carries each distinct text EXACTLY once
+        (same distinct-digest set as a batch-mode dedup of the full
+        corpus), and a restart on the same checkpoint appends nothing."""
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from fuzi_spark.streaming import read_novel_docs, streaming_exact_dedup
+
+        inp = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        cp = str(tmp_path / "cp")
+        # batch k: ids k*100+i; texts overlap within batch (i//2) and
+        # across batches (t0..t4 appear in every batch)
+        rows = []
+        for k in range(3):
+            for i in range(10):
+                rows.append((k * 100 + i, f"t{i // 2}" * 3))
+            rows.append((k * 100 + 50, f"only-batch-{k}"))
+        for k in range(3):  # one file per batch
+            spark.createDataFrame(
+                [r for r in rows if r[0] // 100 == k or r[0] == k * 100 + 50],
+                "doc_id long, text string",
+            ).coalesce(1).write.mode("append").parquet(inp)
+
+        q = streaming_exact_dedup(
+            spark, inp, out, cp, max_files_per_trigger=1
+        )
+        q.awaitTermination(120)
+
+        novel = read_novel_docs(spark, out)
+        texts = [r.text for r in novel.collect()]
+        expected = {r[1] for r in rows}
+        assert sorted(texts) == sorted(set(texts)), "a text was kept twice"
+        assert set(texts) == expected, "a distinct text was lost"
+        # keeper determinism within a batch: min id per digest
+        first_seen = novel.filter(F.col("text") == "t0t0t0").collect()
+        assert len(first_seen) == 1 and first_seen[0].doc_id % 100 == 0
+
+        # restart on the same checkpoint: no new input -> nothing appended
+        n = novel.count()
+        q2 = streaming_exact_dedup(spark, inp, out, cp, max_files_per_trigger=1)
+        q2.awaitTermination(60)
+        assert read_novel_docs(spark, out).count() == n
