@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_keep",
+    "stream_dedup",
     "extract_pdf",
     "extract_pdf_cmap",
     "text_quality",
