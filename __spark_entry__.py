@@ -519,6 +519,7 @@ def q_stream_dedup(spark, sf_dir):
     ORDER BY (id % 3), id per text. Exercises dedup-against-history
     semantics (streaming.dedup_novel — the foreachBatch wrapper adds only
     the manifest commit, tested in TestStreamingDedup)."""
+    from fuzi_spark.ops.cache import scoped_persist
     from fuzi_spark.streaming import dedup_novel
 
     m = 1000000
@@ -532,7 +533,13 @@ def q_stream_dedup(spark, sf_dir):
     kept = None
     for k in range(3):
         batch = union.filter(F.col("doc_id") % 3 == k)
-        novel = dedup_novel(batch, seen).select("doc_id", "digest")
+        # persist each round's novel set: round k's seen side otherwise
+        # RE-RUNS every earlier round's anti-join+election inside one
+        # lazy plan (the real streaming wrapper reads durable parquet per
+        # batch, so only this in-process harness loop has the blowup)
+        novel = scoped_persist(
+            dedup_novel(batch, seen).select("doc_id", "digest")
+        )
         kept = novel if kept is None else kept.unionByName(novel)
         dg = novel.select("digest")
         seen = dg if seen is None else seen.unionByName(dg)
