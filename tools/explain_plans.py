@@ -71,6 +71,16 @@ CASES = [
      "Subset-font PDF parse. Wants: the same shape as extract_pdf — one "
      "scan, Python only in the two pandas UDF stages (builder + parser), "
      "no extra exchanges beyond the dev repartition."),
+    ("dedup_keep",
+     "Keeper election per dedup group. Wants: partial_min(struct) BEFORE "
+     "the group exchange (map-side combine), then BroadcastHashJoin of "
+     "the one-row-per-group keeper set back onto the group rows — the "
+     "group-row side shuffles once and nothing corpus-sized moves."),
+    ("stream_dedup",
+     "Incremental dedup kernel (3 harness rounds). Wants: per round, one "
+     "anti-join keyed on the 32-byte digest (never document bytes) + one "
+     "window election shuffle; earlier rounds read from cache (InMemory "
+     "scans), never re-derived."),
 ]
 
 
