@@ -625,3 +625,77 @@ class TestStreamingDedup:
         q2 = streaming_exact_dedup(spark, inp, out, cp, max_files_per_trigger=1)
         q2.awaitTermination(60)
         assert read_novel_docs(spark, out).count() == n
+
+
+class TestSkewSalting:
+    def test_salting_spreads_colliding_giants(self, spark):
+        """Find doc_ids whose plain hash(doc_id) keys collide into ONE
+        partition, mark them giant, and assert salt_partition routes them
+        to MULTIPLE partitions while normal docs keep doc_id-hash routing
+        (the SPARK-23207-safe deterministic salt)."""
+        from pyspark.sql import functions as F
+
+        from fuzi_spark.pipeline import salt_partition
+
+        nparts = 4
+        ids = spark.range(200).select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.lit(1).cast("long").alias("doc_weight"),
+        )
+        # observe ACTUAL plain routing (repartition re-hashes the key, so
+        # the partition is not pmod(xxhash64(id), n) — measure, don't model)
+        routed = salt_partition(ids, nparts, giant_threshold=10).select(
+            "doc_id", F.spark_partition_id().alias("p")
+        )
+        by_part = {}
+        for r in routed.collect():
+            by_part.setdefault(r.p, []).append(r.doc_id)
+        colliding = next(v for v in by_part.values() if len(v) >= 6)[:6]
+        docs = spark.createDataFrame(
+            [(d, 1_000_000) for d in colliding], "doc_id string, doc_weight long"
+        )
+        # below threshold: all six land together (the skew this cures)
+        plain = salt_partition(docs, nparts, giant_threshold=10_000_000)
+        plain_parts = (
+            plain.select(F.spark_partition_id().alias("sp"))
+            .distinct()
+            .count()
+        )
+        assert plain_parts == 1
+        # above threshold: the salted second hash spreads them
+        salted = salt_partition(docs, nparts, giant_threshold=10_000)
+        salted_parts = (
+            salted.select(F.spark_partition_id().alias("sp"))
+            .distinct()
+            .count()
+        )
+        assert salted_parts > 1, "giants were not spread by the salt"
+        # determinism: same input → same routing (stage-retry safety)
+        again = salt_partition(docs, nparts, giant_threshold=10_000)
+        a = sorted((r.doc_id, r.sp) for r in salted.select(
+            "doc_id", F.spark_partition_id().alias("sp")).collect())
+        b = sorted((r.doc_id, r.sp) for r in again.select(
+            "doc_id", F.spark_partition_id().alias("sp")).collect())
+        assert a == b
+
+    def test_salting_is_semantics_neutral(self, spark):
+        """Same extracted span sequences whether or not the giant path
+        triggers — salting only changes WHERE a doc is parsed."""
+        from fuzi_spark.corpus import corpus_df
+        from fuzi_spark.pipeline import run_extraction_pipeline
+
+        docs = corpus_df(spark, include_fixtures=False, skew=True)
+
+        def run(threshold):
+            e, _ = run_extraction_pipeline(
+                spark, docs, output_dir=None, n_buckets=4,
+                num_partitions=4, giant_threshold=threshold,
+            )
+            return sorted(
+                (r.doc_id, r.seq, r.kind, r.text, r.media_ref)
+                for r in e.collect()
+            )
+
+        # 5k: the skew-tail docs exceed it and take the salted route;
+        # huge: nothing does
+        assert run(5_000) == run(10_000_000_000)
