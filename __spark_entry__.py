@@ -509,6 +509,40 @@ def q_dedup_keep(spark, sf_dir):
     return dedup_representatives(groups, quality)
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """The COMPLETE dedup DAG in one call (LSH → exact verify →
+    components → keeper election → keep/drop list), on a corpus where
+    every pairwise similarity is controlled: doc i's text is 25 tokens
+    'w{i}_1..w{i}_25' (cross-doc shingle overlap is exactly ZERO by
+    construction), even docs get a near-copy at id+1M (one token
+    appended → J = 23/24 ≥ 0.9 after 3-shingling), odd docs stay
+    singletons. So the oracle is total: even docs pair with their copy
+    (keeper = the original, smaller id), odd docs are their own group
+    with keep=1."""
+    from fuzi_spark.ops.dedup import dedup_pipeline
+
+    m = 1000000
+    ids = _docs(spark, sf_dir).select("doc_id")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(25)),
+            lambda j: F.concat(
+                F.lit("w"), F.col("doc_id").cast("string"), F.lit("_"),
+                j.cast("string"),
+            ),
+        ),
+    )
+    base = ids.select("doc_id", text.alias("text"))
+    copies = base.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + m).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    return dedup_pipeline(
+        base.unionByName(copies), jaccard_threshold=0.9, min_shingles=20
+    )
+
+
 def q_stream_dedup(spark, sf_dir):
     """Incremental (streaming-shaped) dedup kernel, run over three
     deterministic batches: every doc appears in 3 copies (ids d, d+1M,
@@ -922,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_keep": q_dedup_keep,
         "stream_dedup": q_stream_dedup,
+        "dedup_pipeline": q_dedup_pipeline,
         "extract_pdf": q_extract_pdf,
         "extract_pdf_cmap": q_extract_pdf_cmap,
         "repetition": q_repetition,
@@ -1135,6 +1170,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": (
             # identical copy ⇒ identical fingerprint ⇒ hamming-0 pair
             "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents"
+        ),
+        "dedup_pipeline": (
+            # even docs: {i, i+1M} group, keeper = i; odd docs: singleton
+            "SELECT doc_id, doc_id AS group_id, 1 AS keep FROM documents "
+            "WHERE doc_id % 2 = 1 "
+            "UNION ALL "
+            "SELECT doc_id, doc_id AS group_id, 1 AS keep FROM documents "
+            "WHERE doc_id % 2 = 0 "
+            "UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, doc_id AS group_id, 0 AS keep "
+            "FROM documents WHERE doc_id % 2 = 0"
         ),
         "stream_dedup": (
             # 3 copies of every text routed to batches by id % 3; the

@@ -286,6 +286,28 @@ def dedup_components(
       any-label-changed probe.
     Raises RuntimeError if max_iter rounds don't converge (pathological
     graph or max_iter set too low) rather than returning wrong labels."""
+    # Deterministic release of superseded checkpoints: localCheckpoint
+    # TRUNCATES lineage, so its blocks ARE the data — a block set may only
+    # be unpersisted once nothing future derives from it (i.e. after the
+    # NEXT round's eager checkpoint has its own blocks). Without this,
+    # every superseded label table stays pinned until JVM GC happens to
+    # collect the py4j handle — at 10^12 nodes that is a node-table of
+    # executor storage per round. The edge table is used by every round's
+    # join and is released at return; the FINAL label table backs the
+    # returned DataFrame and must stay.
+    sc = pairs.sparkSession.sparkContext
+
+    def _persist_ids():
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids):
+        m = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            h = m.get(i)
+            if h is not None:
+                h.unpersist(False)
+
+    before = _persist_ids()
     sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -294,12 +316,15 @@ def dedup_components(
         .distinct()
         .localCheckpoint()
     )
+    sym_ids = _persist_ids() - before
+    before = _persist_ids()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    label_ids = _persist_ids() - before
     for _ in range(max_iter):
         # min label among each node's neighbors
         neigh = (
@@ -308,6 +333,7 @@ def dedup_components(
             .groupBy("node")
             .agg(F.min("label").alias("nmin"))
         )
+        before = _persist_ids()
         new_labels = (
             labels.select("node", F.col("label").alias("old_label"))
             .join(neigh, "node", "left")
@@ -321,13 +347,19 @@ def dedup_components(
             )
             .localCheckpoint()
         )
+        new_ids = _persist_ids() - before
         changed = (
             new_labels.filter(F.col("label") != F.col("old_label"))
             .limit(1)
             .count()
         )
+        # new_labels' eager checkpoint holds its own blocks now — the
+        # superseded round's blocks have no future readers
+        _release(label_ids)
+        label_ids = new_ids
         labels = new_labels.select("node", "label")
         if changed == 0:
+            _release(sym_ids)
             return labels.select(
                 F.col("node").alias("node_id"),
                 F.col("label").alias("canonical_id"),
@@ -435,6 +467,7 @@ def dedup_representatives(
     id_col: str = "node_id",
     group_col: str = "canonical_id",
     quality_col: str = "quality",
+    broadcast_keepers: bool = True,
 ) -> DataFrame:
     """One keeper per duplicate group — the last step of a dedup pipeline
     (minhash/simhash/embedding pairs → dedup_components groups → keep one
@@ -472,8 +505,69 @@ def dedup_representatives(
         )
         .select(F.col(group_col), F.col("_k._id").alias("_keep_id"))
     )
+    k = F.broadcast(keepers) if broadcast_keepers else keepers
     return (
-        g.join(F.broadcast(keepers), group_col)
+        g.join(k, group_col)
         .withColumn("keep", (F.col(id_col) == F.col("_keep_id")).cast("int"))
         .select(id_col, group_col, "keep")
+    )
+
+
+def dedup_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    min_shingles: int = 1,
+    quality: Optional[DataFrame] = None,
+) -> DataFrame:
+    """The complete near-dup dedup DAG in one call:
+
+        LSH candidates → exact n-gram-Jaccard verify (≥ threshold) →
+        connected components → keeper election → full keep/drop list.
+
+    Returns one row PER INPUT DOC: (id_col, group_id, keep:int). Docs in
+    no near-dup group are their own group with keep=1; grouped docs keep
+    exactly one member (highest quality / smallest id —
+    dedup_representatives rules).
+
+    Composes the individually-scale-shaped operators without adding any
+    new shuffle: signatures map-side, banded bucket self-join, broadcast
+    -pairs verify on precomputed shingles (computed ONCE here and shared
+    by the size filter, the signatures, and the verify), O(diameter)
+    checkpointed label propagation, map-side keeper election + broadcast
+    join-back, and a final left join of the group table onto the corpus
+    ids (AQE broadcasts it when small). Wrap calls in ops.cache.cache_scope()
+    to release the operator persists when done."""
+    sh = scoped_persist(
+        docs.select(
+            F.col(id_col), shingle_hashes(text_col, shingle_n).alias("_sh")
+        ).filter(F.size(F.col("_sh")) >= min_shingles)
+    )
+    cands = minhash_lsh_candidates(
+        sh, id_col=id_col, n_hashes=n_hashes, bands=bands, shingles_col="_sh"
+    )
+    verified = ngram_jaccard(cands, sh, id_col=id_col, shingles_col="_sh").filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    groups = dedup_components(verified)
+    reps = dedup_representatives(
+        groups,
+        quality.withColumnRenamed(id_col, "node_id") if quality is not None else None,
+        id_col="node_id",
+        group_col="canonical_id",
+    )
+    # NO forced broadcast here: the group table is one row per GROUPED
+    # DOC — metadata-sized on typical corpora (AQE broadcasts it), but at
+    # duplicate-heavy extremes it is a real table and the id-keyed
+    # shuffle join is the correct shape
+    ids = docs.select(F.col(id_col))
+    joined = ids.join(reps.withColumnRenamed("node_id", id_col), id_col, "left")
+    return joined.select(
+        id_col,
+        F.coalesce(F.col("canonical_id"), F.col(id_col)).alias("group_id"),
+        F.coalesce(F.col("keep"), F.lit(1)).alias("keep"),
     )
