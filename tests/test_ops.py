@@ -612,6 +612,24 @@ class TestNearDupRecall:
                 )
 
 
+    def test_simhash_chunk_join_is_pigeonhole_exact(self, spark):
+        """The chunked candidate join must return EXACTLY the pairs at
+        hamming <= max_hamming — by pigeonhole, a within-distance pair
+        always shares one exact 16-bit chunk, so any divergence between
+        "fingerprints within 3 bits" and "pairs the operator returned" is
+        a join bug, not sampling noise. (Full operating-point curve:
+        tools/simhash_curve.py → RECALL_simhash_r3.json.)"""
+        import sys
+
+        sys.path.insert(0, ".")
+        from tools.simhash_curve import measure
+
+        out = measure(spark, n_pairs_per_rate=50)  # asserts exactness inside
+        # near-exact dups (1% token mutation) must mostly land within h3
+        b0 = out["buckets"][0]
+        assert b0["mutation_rate"] == 0.01 and b0["recall_at_h3"] >= 0.6
+
+
 class TestRepetitionMetrics:
     def test_entropy_and_dup_fracs_vs_python(self, spark):
         import math
