@@ -934,6 +934,71 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style cross-document line dedup on a constructed 4-line
+    corpus: HDR/FTR lines are shared by every doc (always removed at
+    min_docs=2), the 'U{id} {text}' line is unique per doc (always
+    kept), and the 'LANG {lang}' line is removed iff >= 2 docs share the
+    language — so the oracle predicts the exact surviving text, kept
+    count, and removed count per doc from a window count over lang."""
+    from fuzi_spark.ops.dedup import line_dedup
+
+    txt = F.concat_ws(
+        "\n",
+        F.lit("HDR common header"),
+        F.concat(
+            F.lit("U"), F.col("doc_id").cast("string"), F.lit(" "), F.col("text")
+        ),
+        F.concat(F.lit("LANG "), F.col("lang")),
+        F.lit("FTR common footer"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", txt.alias("text"))
+    return line_dedup(d, min_docs=2)
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash-stratified sampling: per-lang keep rates
+    (en .5 / de .25 / fr .125 / es .75 / zh 1.0) decided by an
+    md5-prefix threshold — a pure scan predicate, and exactly
+    recomputable by the oracle because both engines agree on md5."""
+    from fuzi_spark.ops.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(
+        d,
+        {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.75, "zh": 1.0},
+        stratum_col="lang",
+        key_col="doc_id",
+        salt="fuzi",
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination over a zero-cross-overlap corpus
+    (doc i's text is 25 tokens 'w{i}_1..w{i}_25', so inter-doc 5-gram
+    overlap is exactly zero by construction): the 'benchmark' is every
+    10th doc's text, so contaminated docs are exactly doc_id % 10 == 0
+    with all 21 distinct 5-gram shingles matched — the oracle is total."""
+    from fuzi_spark.ops.dedup import decontaminate
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(25)),
+            lambda j: F.concat(
+                F.lit("w"),
+                F.col("doc_id").cast("string"),
+                F.lit("_"),
+                j.cast("string"),
+            ),
+        ),
+    )
+    corpus = ids.select("doc_id", text.alias("text"))
+    bench = corpus.filter(F.col("doc_id") % 10 == 0).select("text")
+    return decontaminate(corpus, bench, shingle_n=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -972,6 +1037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_decode": q_multimodal_decode,
+        "line_dedup": q_line_dedup,
+        "hash_sample": q_hash_sample,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1268,6 +1336,41 @@ def oracle_sql() -> dict[str, str]:
             "CAST(16 + (13 * length('img/' || CAST(doc_id AS VARCHAR) || '.jpg')) % 96 "
             "  AS INTEGER) AS height, "
             "CAST(3 AS INTEGER) AS channels, CAST(1 AS INTEGER) AS decode_ok "
+            "FROM documents"
+        ),
+        "line_dedup": (
+            # 4 constructed lines per doc: HDR/FTR shared by all docs
+            # (removed), U-line unique (kept), LANG-line removed iff the
+            # language has >= 2 docs — recomputed with a window count
+            "WITH lc AS (SELECT doc_id, text, lang, "
+            "  COUNT(*) OVER (PARTITION BY lang) AS lang_n FROM documents) "
+            "SELECT doc_id, "
+            "CASE WHEN lang_n >= 2 "
+            "  THEN 'U' || CAST(doc_id AS VARCHAR) || ' ' || text "
+            "  ELSE 'U' || CAST(doc_id AS VARCHAR) || ' ' || text || chr(10) "
+            "       || 'LANG ' || lang END AS clean_text, "
+            "CAST(CASE WHEN lang_n >= 2 THEN 1 ELSE 2 END AS BIGINT) AS n_kept, "
+            "CAST(CASE WHEN lang_n >= 2 THEN 3 ELSE 2 END AS BIGINT) AS n_removed "
+            "FROM lc"
+        ),
+        "hash_sample": (
+            # the sampler's predicate verbatim: md5 prefix vs per-lang
+            # hex thresholds (hex_threshold(.5/.25/.125/.75/1.0)); both
+            # engines agree on md5 of the same string
+            "SELECT doc_id, lang FROM documents "
+            "WHERE substr(md5('fuzi:' || CAST(doc_id AS VARCHAR)), 1, 8) < "
+            "CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000' "
+            "WHEN 'fr' THEN '20000000' WHEN 'es' THEN 'c0000000' "
+            "WHEN 'zh' THEN 'g' ELSE '00000000' END"
+        ),
+        "decontaminate": (
+            # zero cross-doc overlap by construction; every 10th doc IS
+            # the benchmark, so it matches all 25-4 = 21 distinct 5-grams
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 10 = 0 THEN 21 ELSE 0 END AS BIGINT) "
+            "  AS n_contaminated, "
+            "CAST(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS INTEGER) "
+            "  AS contaminated "
             "FROM documents"
         ),
     }

@@ -18,6 +18,7 @@ set.
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 import numpy as np
@@ -459,6 +460,121 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document line dedup (the CCNet boilerplate pass): drop every
+    line whose exact content appears in >= min_docs DISTINCT documents
+    (headers, footers, nav chrome, cookie banners), keep the rest in
+    original order.
+
+    Returns one row per input doc:
+    (id_col, clean_text, n_kept:long, n_removed:long) — a doc whose every
+    line is boilerplate comes back with clean_text = '' and n_kept = 0,
+    never dropped from the output.
+
+    Scale shape for a 100 TB corpus:
+    - lines are a flat posexplode (no shuffle), keyed by xxhash64(line)
+      so the counting shuffle carries 8-byte digests, not line text;
+    - boilerplate election is ONE map-side-combinable agg
+      (count_distinct(doc) per digest >= min_docs). The surviving
+      boilerplate set is heavy-hitters-only — metadata-sized next to the
+      corpus — so it BROADCASTS back onto the line stream (left_anti)
+      and the corpus-grain side never shuffles for the filter;
+    - reassembly is the one unavoidable doc-keyed shuffle
+      (groupBy doc, order by line position). Line-grain intermediates
+      are deliberately NOT persisted: at corpus scale they are as large
+      as the input, so the two passes re-scan the (columnar, pruned)
+      source instead of pinning executor storage.
+    """
+    pat = re.escape(sep)
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pat)).alias("pos", "line"),
+    ).withColumn("dg", F.xxhash64("line"))
+    boiler = (
+        lines.groupBy("dg")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("dg")
+    )
+    kept = lines.join(F.broadcast(boiler), "dg", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), pat)).cast("long").alias("n_lines"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any n-word
+    shingle with an eval/benchmark corpus (the pre-training hygiene step
+    that keeps test sets out of the training data).
+
+    Returns one row per corpus doc:
+    (id_col, n_contaminated:long, contaminated:int) — n_contaminated is
+    the number of DISTINCT doc shingles that also occur in the benchmark.
+
+    Scale shape: the benchmark side is eval-set-sized (millions of
+    shingles at most), so its distinct digest set BROADCASTS; the corpus
+    side is a flat explode of hashed shingles (no shuffle) filtered by
+    the broadcast hash join, and the only shuffle is the per-doc hit
+    count over the MATCHED rows — rare by construction in a clean corpus.
+    The final join-back of the hit table onto the doc ids is
+    metadata-sized (AQE broadcasts it)."""
+    bench = (
+        benchmark.select(
+            F.explode(shingle_hashes(bench_text_col, shingle_n)).alias("dg")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingle_hashes(text_col, shingle_n)).alias("dg")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench), "dg")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce(F.col("_n"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
 
 
 def dedup_representatives(

@@ -739,3 +739,182 @@ class TestHofBind:
         # one split() for the bound token array; the per-gram lambda
         # references the lambda variable, never re-splits
         assert plan.count("split(") == 1, plan
+
+
+class TestLineDedup:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_boilerplate_removed_unique_kept_order_preserved(self, spark):
+        from fuzi_spark.ops.dedup import line_dedup
+
+        d = self._mk(
+            spark,
+            [
+                (1, "HDR\nalpha one\nFTR"),
+                (2, "HDR\nbeta two\nFTR"),
+                (3, "HDR\ngamma three\nmid unique\nFTR"),
+            ],
+        )
+        got = {r.doc_id: r for r in line_dedup(d, min_docs=2).collect()}
+        assert got[1].clean_text == "alpha one"
+        assert got[2].clean_text == "beta two"
+        # two kept lines stay in original order
+        assert got[3].clean_text == "gamma three\nmid unique"
+        assert (got[3].n_kept, got[3].n_removed) == (2, 2)
+
+    def test_all_lines_boilerplate_doc_survives_empty(self, spark):
+        from fuzi_spark.ops.dedup import line_dedup
+
+        d = self._mk(spark, [(1, "HDR\nFTR"), (2, "HDR\nFTR"), (3, "solo")])
+        got = {r.doc_id: r for r in line_dedup(d, min_docs=2).collect()}
+        assert set(got) == {1, 2, 3}, "no doc may vanish from the output"
+        assert got[1].clean_text == "" and got[1].n_kept == 0
+        assert got[1].n_removed == 2
+        assert got[3].clean_text == "solo" and got[3].n_removed == 0
+
+    def test_min_docs_threshold_counts_distinct_docs(self, spark):
+        from fuzi_spark.ops.dedup import line_dedup
+
+        # 'dup' repeats TWICE inside doc 1 but appears in only one doc:
+        # at min_docs=2 an in-doc repeat must NOT count as boilerplate
+        d = self._mk(spark, [(1, "dup\nx\ndup"), (2, "y")])
+        got = {r.doc_id: r for r in line_dedup(d, min_docs=2).collect()}
+        assert got[1].clean_text == "dup\nx\ndup"
+        # but with min_docs=1 every line trivially qualifies
+        got1 = {r.doc_id: r for r in line_dedup(d, min_docs=1).collect()}
+        assert got1[1].clean_text == "" and got1[2].clean_text == ""
+
+
+class TestHashSampling:
+    def test_deterministic_across_layouts(self, spark):
+        """Same keys → same sample, regardless of partitioning (the
+        property RNG-based df.sample does NOT have)."""
+        from fuzi_spark.ops.sampling import hash_sample
+
+        d = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id for r in hash_sample(d, 0.3).collect()}
+        b = {
+            r.doc_id
+            for r in hash_sample(d.repartition(17, "doc_id"), 0.3).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_rate_accuracy_and_nesting(self, spark):
+        from fuzi_spark.ops.sampling import hash_sample
+
+        d = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        s25 = {r.doc_id for r in hash_sample(d, 0.25).collect()}
+        s50 = {r.doc_id for r in hash_sample(d, 0.5).collect()}
+        assert abs(len(s25) / 5000 - 0.25) < 0.03
+        assert abs(len(s50) / 5000 - 0.5) < 0.03
+        assert s25 <= s50, "threshold samples must nest"
+
+    def test_edge_rates(self, spark):
+        from fuzi_spark.ops.sampling import hash_sample
+
+        d = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+        assert hash_sample(d, 1.0).count() == 200
+        assert hash_sample(d, 0.0).count() == 0
+
+    def test_salt_gives_independent_sample(self, spark):
+        from fuzi_spark.ops.sampling import hash_sample
+
+        d = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id for r in hash_sample(d, 0.5, salt="a").collect()}
+        b = {r.doc_id for r in hash_sample(d, 0.5, salt="b").collect()}
+        inter = len(a & b) / 5000
+        assert abs(inter - 0.25) < 0.04, "independent salts ≈ product rate"
+
+    def test_stratified_rates_and_default(self, spark):
+        from fuzi_spark.ops.sampling import stratified_sample
+
+        d = (
+            spark.range(0, 6000)
+            .withColumnRenamed("id", "doc_id")
+            .withColumn(
+                "lang",
+                F.when(F.col("doc_id") % 3 == 0, "en")
+                .when(F.col("doc_id") % 3 == 1, "de")
+                .otherwise("xx"),
+            )
+        )
+        out = stratified_sample(
+            d, {"en": 0.5, "de": 1.0}, stratum_col="lang", default_rate=0.0
+        )
+        counts = {
+            r.lang: r.n
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts.get("de") == 2000, "rate 1.0 keeps the whole stratum"
+        assert "xx" not in counts, "unmapped stratum gets default_rate"
+        assert abs(counts["en"] / 2000 - 0.5) < 0.04
+
+    def test_no_shuffle_in_plan(self, spark):
+        from fuzi_spark.ops.sampling import stratified_sample
+
+        d = (
+            spark.range(0, 100)
+            .withColumnRenamed("id", "doc_id")
+            .withColumn("lang", F.lit("en"))
+        )
+        plan = (
+            stratified_sample(d, {"en": 0.5}, stratum_col="lang")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+
+
+class TestDecontaminate:
+    def test_planted_overlap_found_clean_docs_zero(self, spark):
+        from fuzi_spark.ops.dedup import decontaminate
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h"),   # shares the bench 5-grams
+                (2, "p q r s t u v w"),   # disjoint
+                (3, "x a b c d e f y"),   # contains bench gram 'a b c d e' + 'b c d e f'
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [("a b c d e f",)], "text string"
+        )  # 5-grams: 'a b c d e', 'b c d e f'
+        got = {
+            r.doc_id: r for r in decontaminate(corpus, bench, shingle_n=5).collect()
+        }
+        assert got[1].contaminated == 1 and got[1].n_contaminated == 2
+        assert got[2].contaminated == 0 and got[2].n_contaminated == 0
+        assert got[3].contaminated == 1 and got[3].n_contaminated == 2
+
+    def test_duplicate_grams_counted_once(self, spark):
+        from fuzi_spark.ops.dedup import decontaminate
+
+        # the same 5-gram repeats inside the doc; shingle sets are
+        # distinct, so it may only count once
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e a b c d e")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame([("a b c d e",)], "text string")
+        row = decontaminate(corpus, bench, shingle_n=5).collect()[0]
+        assert row.contaminated == 1
+        # doc grams: distinct 5-grams of 10 tokens that also occur in
+        # bench = just 'a b c d e'
+        assert row.n_contaminated == 1
+
+    def test_broadcast_join_in_plan(self, spark):
+        from fuzi_spark.ops.dedup import decontaminate
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame([("a b c d e",)], "text string")
+        plan = (
+            decontaminate(corpus, bench)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
