@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "similarity_topk",
     "similarity_lsh",
     "embedding_near_dups",
+    "line_dedup",
+    "hash_sample",
+    "decontaminate",
 ]
 
 

@@ -485,12 +485,17 @@ def line_dedup(
     - boilerplate election is ONE map-side-combinable agg
       (count_distinct(doc) per digest >= min_docs). The surviving
       boilerplate set is heavy-hitters-only — metadata-sized next to the
-      corpus — so it BROADCASTS back onto the line stream (left_anti)
-      and the corpus-grain side never shuffles for the filter;
-    - reassembly is the one unavoidable doc-keyed shuffle
-      (groupBy doc, order by line position). Line-grain intermediates
-      are deliberately NOT persisted: at corpus scale they are as large
-      as the input, so the two passes re-scan the (columnar, pruned)
+      corpus — so it BROADCASTS back onto the line stream as a LEFT join
+      carrying only a flag, and the corpus-grain side never shuffles for
+      the filter;
+    - reassembly is the one unavoidable doc-keyed shuffle. The flag join
+      (rather than a left_anti) keeps removed lines in the stream, so a
+      single groupBy(doc) yields kept text AND both counts — no third
+      scan of the source for per-doc totals and no corpus-grain
+      join-back (collect_list skips the nulls the when() leaves on
+      boilerplate rows). Line-grain intermediates are deliberately NOT
+      persisted: at corpus scale they are as large as the input, so the
+      two passes (election, reassembly) re-scan the columnar, pruned
       source instead of pinning executor storage.
     """
     pat = re.escape(sep)
@@ -502,30 +507,22 @@ def line_dedup(
         lines.groupBy("dg")
         .agg(F.count_distinct(id_col).alias("nd"))
         .filter(F.col("nd") >= min_docs)
-        .select("dg")
+        .select("dg", F.lit(True).alias("is_boiler"))
     )
-    kept = lines.join(F.broadcast(boiler), "dg", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    flagged = lines.join(F.broadcast(boiler), "dg", "left")
+    kept_struct = F.when(
+        F.col("is_boiler").isNull(), F.struct("pos", "line")
+    )
+    return flagged.groupBy(id_col).agg(
         F.concat_ws(
             sep,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(F.collect_list(kept_struct)),
                 lambda s: s["line"],
             ),
         ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    totals = docs.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), pat)).cast("long").alias("n_lines"),
-    )
-    return totals.join(rebuilt, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
+        F.count(kept_struct).alias("n_kept"),
+        F.count("is_boiler").alias("n_removed"),
     )
 
 

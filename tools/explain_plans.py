@@ -81,6 +81,22 @@ CASES = [
      "anti-join keyed on the 32-byte digest (never document bytes) + one "
      "window election shuffle; earlier rounds read from cache (InMemory "
      "scans), never re-derived."),
+    ("line_dedup",
+     "Cross-document line dedup (CCNet boilerplate pass). Wants: lines "
+     "keyed by xxhash64 digest (8 bytes through the counting shuffle, "
+     "never line text), map-side partial count_distinct, the boilerplate "
+     "set BROADCAST back (left_anti) — the corpus-grain side shuffles "
+     "only once, for per-doc reassembly."),
+    ("hash_sample",
+     "Deterministic stratified sampling. Wants: ZERO exchanges — the "
+     "md5-threshold decision is a single codegen'd scan predicate (the "
+     "strata thresholds ride a literal create_map), so sampling 10^12 "
+     "docs costs exactly one pruned scan."),
+    ("decontaminate",
+     "Benchmark decontamination. Wants: the eval-set shingle digests "
+     "(metadata-sized) BROADCAST; the corpus side is a flat explode "
+     "filtered by the broadcast hash join, and the only shuffle is the "
+     "per-doc hit count over MATCHED rows — rare by construction."),
 ]
 
 
