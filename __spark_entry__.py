@@ -999,6 +999,56 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, shingle_n=5)
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing over a constructed corpus: every 3rd doc gets a
+    planted email, every 4th an IPv4, every 5th a phone — but the oracle
+    does not assume those rates; it re-runs the identical RE2-compatible
+    patterns (regexp_extract_all / regexp_replace 'g') on the same
+    constructed string, so counts AND masked text are recomputed."""
+    from fuzi_spark.ops.redact import redact_pii
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit(" mail u"), i.cast("string"), F.lit("@ex.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit(" ip 10."),
+                (i % 200).cast("string"),
+                F.lit(".0."),
+                (i % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.concat(F.lit(" call +41"), (7000000 + i).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return redact_pii(d.select("doc_id", txt.alias("text")))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Quota packing of the corpus into ~20k-char context windows over
+    8 explicit buckets (doc_id % 8 so the oracle can recompute the
+    bucket; production uses the default xxhash64 bucket). The oracle is
+    the same closed-form window arithmetic in DuckDB."""
+    from fuzi_spark.ops.packing import pack_sequences
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return pack_sequences(
+        d,
+        budget=20000,
+        tokens_col="n_chars",
+        key_col="doc_id",
+        bucket=F.col("doc_id") % 8,
+    ).select("doc_id", "bucket", "pack_id", "pack_pos")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1040,6 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
         "decontaminate": q_decontaminate,
+        "redact_pii": q_redact_pii,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1372,6 +1424,60 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS INTEGER) "
             "  AS contaminated "
             "FROM documents"
+        ),
+        "redact_pii": (
+            # recompute the IDENTICAL patterns with RE2 on the same
+            # constructed string: counts via regexp_extract_all, masking
+            # via chained regexp_replace(..., 'g') in the same order
+            "WITH t AS (SELECT doc_id, text "
+            "  || CASE WHEN doc_id % 3 = 0 THEN ' mail u' "
+            "     || CAST(doc_id AS VARCHAR) || '@ex.org' ELSE '' END "
+            "  || CASE WHEN doc_id % 4 = 0 THEN ' ip 10.' "
+            "     || CAST(doc_id % 200 AS VARCHAR) || '.0.' "
+            "     || CAST(doc_id % 250 AS VARCHAR) ELSE '' END "
+            "  || CASE WHEN doc_id % 5 = 0 THEN ' call +41' "
+            "     || CAST(7000000 + doc_id AS VARCHAR) ELSE '' END AS txt "
+            "FROM documents) "
+            # each class counts on the text AFTER the previous classes'
+            # replacements, mirroring the op's placeholder-exact counts
+            ", e AS (SELECT doc_id, txt, regexp_replace(txt, "
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "  '<EMAIL>', 'g') AS t1 FROM t) "
+            ", ii AS (SELECT doc_id, txt, t1, regexp_replace(t1, "
+            "  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', "
+            "  '<IP>', 'g') AS t2 FROM e) "
+            "SELECT doc_id, "
+            "regexp_replace(t2, '\\+[0-9]{7,15}\\b', '<PHONE>', 'g') "
+            "  AS clean_text, "
+            "CAST(len(regexp_extract_all(txt, "
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+            "CAST(len(regexp_extract_all(t1, "
+            "  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4, "
+            "CAST(len(regexp_extract_all(t2, "
+            "  '\\+[0-9]{7,15}\\b')) AS BIGINT) AS n_phone, "
+            "CAST(len(regexp_extract_all(txt, "
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            " + len(regexp_extract_all(t1, "
+            "  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) "
+            " + len(regexp_extract_all(t2, "
+            "  '\\+[0-9]{7,15}\\b')) AS BIGINT) AS n_pii "
+            "FROM ii"
+        ),
+        "pack_sequences": (
+            # the same closed-form quota-packing window arithmetic:
+            # prev_cum = per-bucket keyed running sum EXCLUDING current,
+            # pack = floor(prev_cum / budget), pos = rank within pack
+            "WITH c AS (SELECT doc_id, doc_id % 8 AS bucket, n_chars, "
+            "  SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "    - n_chars AS prev_cum "
+            "  FROM documents), "
+            "p AS (SELECT doc_id, bucket, "
+            "  CAST(FLOOR(prev_cum / 20000) AS BIGINT) AS pack_id FROM c) "
+            "SELECT doc_id, CAST(bucket AS INTEGER) AS bucket, pack_id, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY bucket, pack_id "
+            "  ORDER BY doc_id) - 1 AS BIGINT) AS pack_pos "
+            "FROM p"
         ),
     }
 

@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "line_dedup",
     "hash_sample",
     "decontaminate",
+    "redact_pii",
+    "pack_sequences",
 ]
 
 

@@ -918,3 +918,124 @@ class TestDecontaminate:
             .toString()
         )
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestRedactPii:
+    def _one(self, spark, text):
+        from fuzi_spark.ops.redact import redact_pii
+
+        d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return redact_pii(d).collect()[0]
+
+    def test_planted_pii_masked_and_counted(self, spark):
+        r = self._one(
+            spark,
+            "write bob.smith+x@mail.example.co or 192.168.0.1 / +41791234567",
+        )
+        assert r.clean_text == "write <EMAIL> or <IP> / <PHONE>"
+        assert (r.n_email, r.n_ipv4, r.n_phone, r.n_pii) == (1, 1, 1, 3)
+
+    def test_clean_text_is_fixpoint(self, spark):
+        from fuzi_spark.ops.redact import redact_pii
+
+        d = spark.createDataFrame(
+            [(1, "a@b.io 1.2.3.4 +12345678 a@b.io")], "doc_id long, text string"
+        )
+        once = redact_pii(d).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        r = redact_pii(once).collect()[0]
+        assert r.n_pii == 0, "placeholders must never re-match"
+        assert r.clean_text == "<EMAIL> <IP> <PHONE> <EMAIL>"
+
+    def test_no_pii_text_untouched(self, spark):
+        r = self._one(spark, "plain words. v2.1 release; cost +5 dollars")
+        # 'v2.1' is not a quad, '+5' is below the 7-digit phone floor
+        assert r.clean_text == "plain words. v2.1 release; cost +5 dollars"
+        assert r.n_pii == 0
+
+    def test_email_masked_before_phone_scan(self, spark):
+        # digit-heavy local part must become <EMAIL>, not a phone hit
+        r = self._one(spark, "+12345678901@relay.example.com")
+        assert r.clean_text == "<EMAIL>"
+        assert (r.n_email, r.n_phone) == (1, 0)
+
+    def test_scan_speed_plan(self, spark):
+        from fuzi_spark.ops.redact import redact_pii
+
+        d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = redact_pii(d)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py not in plan, plan
+
+
+class TestPackSequences:
+    def _packed(self, spark, rows, budget, **kw):
+        from fuzi_spark.ops.packing import pack_sequences
+
+        d = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        return pack_sequences(
+            d, budget, tokens_col="n_tokens", key_col="doc_id", **kw
+        )
+
+    def test_quota_semantics_single_bucket(self, spark):
+        rows = [(i, 40) for i in range(10)]  # cum 40,80,...,400
+        got = {
+            r.doc_id: r
+            for r in self._packed(
+                spark, rows, budget=100, bucket=F.lit(0)
+            ).collect()
+        }
+        # prev_cum: 0,40,80,120,... → packs 0,0,0,1,1,2,2,2,3,3
+        assert [got[i].pack_id for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+        assert [got[i].pack_pos for i in range(10)] == [0, 1, 2, 0, 1, 0, 1, 2, 0, 1]
+
+    def test_overshoot_bounded_by_one_doc(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, rng.randint(1, 90)) for i in range(400)]
+        out = self._packed(spark, rows, budget=200, n_buckets=4).collect()
+        per_pack = {}
+        for r in out:
+            per_pack.setdefault((r.bucket, r.pack_id), []).append(r.n_tokens)
+        for toks in per_pack.values():
+            assert sum(toks) < 200 + 90, "pack may overshoot by < one doc"
+
+    def test_giant_doc_owns_its_pack_range(self, spark):
+        rows = [(1, 350), (2, 10), (3, 10)]
+        got = {
+            r.doc_id: r
+            for r in self._packed(
+                spark, rows, budget=100, bucket=F.lit(0)
+            ).collect()
+        }
+        assert got[1].pack_id == 0
+        # the giant doc consumed packs 0-2; doc 2 starts at cum 350 → pack 3
+        assert got[2].pack_id == 3 and got[3].pack_id == 3
+
+    def test_deterministic_across_layouts(self, spark):
+        from fuzi_spark.ops.packing import pack_sequences
+
+        d = spark.createDataFrame(
+            [(i, 25 + i % 7) for i in range(300)], "doc_id long, n_tokens long"
+        )
+        a = {
+            (r.doc_id, r.bucket, r.pack_id, r.pack_pos)
+            for r in pack_sequences(d, 150, tokens_col="n_tokens").collect()
+        }
+        b = {
+            (r.doc_id, r.bucket, r.pack_id, r.pack_pos)
+            for r in pack_sequences(
+                d.repartition(13), 150, tokens_col="n_tokens"
+            ).collect()
+        }
+        assert a == b
+        assert len({x[1] for x in a}) > 1, "default hash bucket must spread"
+
+    def test_budget_validation(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            self._packed(spark, [(1, 1)], budget=0)

@@ -97,6 +97,15 @@ CASES = [
      "(metadata-sized) BROADCAST; the corpus side is a flat explode "
      "filtered by the broadcast hash join, and the only shuffle is the "
      "per-doc hit count over MATCHED rows — rare by construction."),
+    ("redact_pii",
+     "PII scrubbing. Wants: ZERO exchanges and ZERO Python — the whole "
+     "count+mask chain (regexp_count / regexp_replace per class) is one "
+     "whole-stage-codegen'd Project on the scan."),
+    ("pack_sequences",
+     "Context-window quota packing. Wants: ONE shuffle (hash-partition "
+     "by bucket) over metadata-width rows (key + token count, never "
+     "text), then per-bucket window sort; both window functions reuse "
+     "the same partitioning — no second exchange."),
 ]
 
 
