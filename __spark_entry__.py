@@ -1049,6 +1049,68 @@ def q_pack_sequences(spark, sf_dir):
     ).select("doc_id", "bucket", "pack_id", "pack_pos")
 
 
+def _doc_urls(spark, sf_dir):
+    """documents + a constructed url column: every 13th doc gets a
+    scheme-less relative ref (host extraction must yield '' and keep
+    the row), the rest a mixed-case https URL derived from source —
+    both recomputable by the oracle."""
+    d = _docs(spark, sf_dir)
+    url = F.when(
+        F.col("doc_id") % 13 == 0, F.lit("relative/path.html")
+    ).otherwise(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".Example.COM/d/"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    return d.select("doc_id", "n_chars", url.alias("url"))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain rollup over constructed URLs: host extraction
+    (lowercased; '' for scheme-less refs) + one map-side-combinable agg
+    keyed by domain. The oracle recomputes the identical RE2 pattern."""
+    from fuzi_spark.ops.web import domain_stats
+
+    return domain_stats(_doc_urls(spark, sf_dir))
+
+
+def q_blocked_domains(spark, sf_dir):
+    """Blocklist filter: drop docs whose URL host is on a (mixed-case)
+    two-domain blocklist — broadcast left_anti on the extracted host;
+    rows pass through otherwise unchanged."""
+    from fuzi_spark.ops.web import filter_blocked_domains
+
+    d = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    blocked = spark.createDataFrame(
+        [("SRC1.Example.Com",), ("src3.EXAMPLE.com",)], "domain string"
+    )
+    return filter_blocked_domains(d, blocked)
+
+
+def q_top_terms(spark, sf_dir):
+    """Top-3 most document-specific terms per doc, scored tf/df (IEEE
+    division — bit-exact in both engines, unlike log-idf), ties broken
+    (tf desc, term asc); the oracle is the same window over the same
+    whitespace tokenization."""
+    from fuzi_spark.ops.web import top_terms
+
+    return top_terms(_docs(spark, sf_dir).select("doc_id", "text"), k=3)
+
+
+def q_corpus_report(spark, sf_dir):
+    """Per-(lang, source) corpus profile with exact quantiles — Spark's
+    percentile and DuckDB's quantile_cont share the R-7 linear-
+    interpolation definition, so median/p90 match to the bit."""
+    from fuzi_spark.ops.textstats import corpus_report
+
+    return corpus_report(
+        _docs(spark, sf_dir), group_cols=["lang", "source"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1092,6 +1154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
         "pack_sequences": q_pack_sequences,
+        "domain_stats": q_domain_stats,
+        "blocked_domains": q_blocked_domains,
+        "top_terms": q_top_terms,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -1478,6 +1544,54 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROW_NUMBER() OVER (PARTITION BY bucket, pack_id "
             "  ORDER BY doc_id) - 1 AS BIGINT) AS pack_pos "
             "FROM p"
+        ),
+        "domain_stats": (
+            # identical host regexp (RE2 = Java subset), lowercased;
+            # scheme-less refs extract '' and roll up under ''
+            "WITH u AS (SELECT doc_id, n_chars, "
+            "  CASE WHEN doc_id % 13 = 0 THEN 'relative/path.html' "
+            "  ELSE 'https://' || source || '.Example.COM/d/' "
+            "    || CAST(doc_id AS VARCHAR) END AS url FROM documents), "
+            "h AS (SELECT lower(regexp_extract(url, "
+            "  '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS domain, "
+            "  n_chars FROM u) "
+            "SELECT domain, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "CAST(MAX(n_chars) AS BIGINT) AS max_chars "
+            "FROM h GROUP BY domain"
+        ),
+        "blocked_domains": (
+            "WITH u AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 13 = 0 THEN 'relative/path.html' "
+            "  ELSE 'https://' || source || '.Example.COM/d/' "
+            "    || CAST(doc_id AS VARCHAR) END AS url FROM documents) "
+            "SELECT doc_id, url FROM u "
+            "WHERE lower(regexp_extract(url, "
+            "  '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) "
+            "NOT IN ('src1.example.com', 'src3.example.com')"
+        ),
+        "top_terms": (
+            # same whitespace tokenization, same tf/df IEEE-exact score,
+            # same (score desc, tf desc, term asc) deterministic ties
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+            "  lower(text), '\\s+')) AS term FROM documents), "
+            "t AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks "
+            "  WHERE term <> '' GROUP BY doc_id, term), "
+            "d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term), "
+            "s AS (SELECT t.doc_id, t.term, t.tf, d.df, "
+            "  t.tf / d.df AS score FROM t JOIN d USING (term)), "
+            "r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "  ORDER BY score DESC, tf DESC, term ASC) AS INTEGER) AS rank "
+            "  FROM s) "
+            "SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3"
+        ),
+        "corpus_report": (
+            # quantile_cont = R-7 linear interpolation = Spark percentile
+            "SELECT lang, source, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS median_chars, "
+            "CAST(quantile_cont(n_chars, 0.9) AS DOUBLE) AS p90_chars "
+            "FROM documents GROUP BY lang, source"
         ),
     }
 

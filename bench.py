@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "decontaminate",
     "redact_pii",
     "pack_sequences",
+    "domain_stats",
+    "blocked_domains",
+    "top_terms",
+    "corpus_report",
 ]
 
 

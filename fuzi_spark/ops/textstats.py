@@ -345,3 +345,49 @@ def text_stats_df(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": winnow_fingerprint_udf()(F.col(text_col)),
         }
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    group_cols: list[str],
+    chars_col: str = "n_chars",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-stratum corpus profile — the summary a mixing decision reads:
+    (group_cols..., n_docs:long, total_chars:long, median_chars:double,
+    p90_chars:double).
+
+    `exact=True` uses Spark's exact `percentile` (R-7 linear
+    interpolation — the SAME definition as DuckDB's quantile_cont, so
+    the oracle matches to the bit). Exact percentile buffers each
+    group's values in the aggregation state, which is fine for stratum
+    cardinalities (languages × sources) but NOT for adversarial group
+    sizes at 10^12 docs — pass exact=False there to switch to
+    approx_percentile (t-digest sketch, map-side combinable, bounded
+    state; no longer oracle-exact, accuracy 1e-4 relative rank).
+
+    Scale shape: ONE group-keyed shuffle either way; count/sum always
+    combine map-side.
+    """
+    pct = (
+        F.percentile(F.col(chars_col), F.array(F.lit(0.5), F.lit(0.9)))
+        if exact
+        else F.approx_percentile(
+            F.col(chars_col), F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+        )
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col(chars_col)).cast("long").alias("total_chars"),
+            pct.alias("_pct"),
+        )
+        .select(
+            *group_cols,
+            "n_docs",
+            "total_chars",
+            F.col("_pct")[0].cast("double").alias("median_chars"),
+            F.col("_pct")[1].cast("double").alias("p90_chars"),
+        )
+    )

@@ -1,0 +1,127 @@
+"""Web-corpus domain operators: host extraction, per-domain rollups,
+domain blocklist filtering.
+
+A crawled corpus is curated at DOMAIN granularity before anything else:
+per-domain document counts and byte totals drive sampling weights, and
+blocklists (spam, SEO farms, opted-out sites) remove whole hosts. Both
+need the host extracted from the document URL at scan speed.
+
+Host extraction is a single `regexp_extract` kept in the Java∩RE2
+pattern subset (so the DuckDB oracle re-runs it verbatim) rather than
+`parse_url`: the JVM's parse_url delegates to java.net.URI, which
+RAISES on the malformed URLs a crawl is full of, and has no RE2
+equivalent for the oracle. The regex is total — no match → empty
+string, flagged rather than dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://host, stopping at the first of / : ? #. Lowercased — hosts
+# are case-insensitive (RFC 3986 §3.2.2) and mixed-case duplicates
+# would split a domain's rollup row.
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+
+
+def host_of(url_col: str) -> Column:
+    """Lowercased host of a URL; '' when the value has no scheme://host
+    prefix (relative refs, garbage) — callers decide drop vs keep."""
+    return F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-domain rollup: (domain, n_docs:long, total_chars:long,
+    max_chars:long). Unparseable URLs roll up under domain ''.
+
+    Scale shape: ONE shuffle, keyed by domain, with map-side partial
+    aggregation — 10^12 rows reduce to ~domain-count rows per task
+    before moving. Domain skew (a few giant hosts) only skews the
+    REDUCE side of a partial agg, where each hot key is already one
+    row per upstream task; AQE's skew handling covers the residue.
+    """
+    return (
+        docs.select(
+            host_of(url_col).alias("domain"),
+            F.col(chars_col).cast("long").alias("_c"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_c").alias("total_chars"),
+            F.max("_c").alias("max_chars"),
+        )
+    )
+
+
+def filter_blocked_domains(
+    docs: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    blocked_col: str = "domain",
+) -> DataFrame:
+    """Drop every doc whose URL host appears in `blocked` (case-
+    insensitive). Returns the input rows unchanged, minus blocked ones.
+
+    Scale shape: blocklists are list-sized (10^4-10^7 hosts) next to the
+    corpus, so the block set BROADCASTS and the corpus never shuffles —
+    a left_anti BroadcastHashJoin on the extracted host.
+    """
+    blk = blocked.select(F.lower(F.col(blocked_col)).alias("_blk")).distinct()
+    return (
+        docs.withColumn("_host", host_of(url_col))
+        .join(F.broadcast(blk), F.col("_host") == F.col("_blk"), "left_anti")
+        .drop("_host")
+    )
+
+
+def top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k most document-specific terms per doc, TF-IDF-family scored.
+
+    score = tf / df — term frequency in the doc over the number of docs
+    containing the term. Rank-equivalent to tf·idf with the inverse-df
+    weighting; chosen over log-idf because IEEE division is bit-exact
+    across engines (the DuckDB oracle reproduces every score to the
+    bit), while two libm `ln`s are only ULP-close. Ties break by
+    (tf desc, term asc), so the output is fully deterministic.
+
+    Returns (id_col, term, tf:long, df:long, score:double, rank:int).
+
+    Scale shape: three shuffles, each the minimal one for its reduction
+    — (doc,term) tf agg and term df agg are both map-side combinable
+    (10^12·L token rows reduce per-task before moving); the tf⋈df join
+    is term-keyed with the df side vocabulary-sized (AQE broadcasts it
+    when it fits, and its skew-join splits the stopword keys when it
+    does not); the per-doc top-k window reuses doc-hash partitioning
+    over ≤|doc vocabulary| rows per doc.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf") / F.col("df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

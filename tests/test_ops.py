@@ -1039,3 +1039,324 @@ class TestPackSequences:
 
         with pytest.raises(ValueError):
             self._packed(spark, [(1, 1)], budget=0)
+
+
+class TestWebDomains:
+    def test_host_extraction_forms(self, spark):
+        from fuzi_spark.ops.web import host_of
+
+        rows = [
+            (1, "https://WWW.Example.COM/a/b?q=1"),
+            (2, "http://sub.host.org:8080/x"),
+            (3, "ftp+ssh://files.example.net#frag"),
+            (4, "relative/path.html"),
+            (5, "not a url at all"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {
+            r.doc_id: r.h
+            for r in d.select("doc_id", host_of("url").alias("h")).collect()
+        }
+        assert got[1] == "www.example.com"
+        assert got[2] == "sub.host.org", "port must not be part of the host"
+        assert got[3] == "files.example.net"
+        assert got[4] == "" and got[5] == ""
+
+    def test_domain_stats_rollup(self, spark):
+        from fuzi_spark.ops.web import domain_stats
+
+        rows = [
+            (1, "https://a.com/1", 10),
+            (2, "https://A.COM/2", 30),
+            (3, "https://b.org/1", 5),
+            (4, "garbage", 7),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+        got = {r.domain: r for r in domain_stats(d).collect()}
+        assert got["a.com"].n_docs == 2, "mixed-case hosts must merge"
+        assert got["a.com"].total_chars == 40 and got["a.com"].max_chars == 30
+        assert got["b.org"].n_docs == 1
+        assert got[""].n_docs == 1, "unparseable URLs roll up under ''"
+
+    def test_blocklist_case_insensitive_and_plan(self, spark):
+        from fuzi_spark.ops.web import filter_blocked_domains
+
+        d = spark.createDataFrame(
+            [
+                (1, "https://Spam.example.com/x"),
+                (2, "https://good.example.com/y"),
+                (3, "relative/ref"),
+            ],
+            "doc_id long, url string",
+        )
+        blocked = spark.createDataFrame([("SPAM.EXAMPLE.COM",)], "domain string")
+        out = filter_blocked_domains(d, blocked)
+        kept = {r.doc_id for r in out.collect()}
+        assert kept == {2, 3}, "block is case-insensitive; unparseable rows pass"
+        assert out.columns == ["doc_id", "url"], "helper column must not leak"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+    def test_top_terms_scores_and_ties(self, spark):
+        from fuzi_spark.ops.web import top_terms
+
+        d = spark.createDataFrame(
+            [
+                (1, "apple apple banana"),
+                (2, "banana cherry"),
+                (3, "cherry cherry cherry dog"),
+            ],
+            "doc_id long, text string",
+        )
+        out = top_terms(d, k=2).collect()
+        by_doc = {}
+        for r in sorted(out, key=lambda r: (r.doc_id, r.rank)):
+            by_doc.setdefault(r.doc_id, []).append(r)
+        d1 = by_doc[1]
+        assert [(r.term, r.tf, r.df, r.score) for r in d1] == [
+            ("apple", 2, 1, 2.0),
+            ("banana", 1, 2, 0.5),
+        ]
+        # doc 2: banana and cherry tie on score (0.5) and tf (1) →
+        # term asc breaks the tie deterministically
+        assert [r.term for r in by_doc[2]] == ["banana", "cherry"]
+        assert [r.term for r in by_doc[3]] == ["cherry", "dog"]
+        assert all(len(v) <= 2 for v in by_doc.values())
+
+    def test_top_terms_case_folded_tokens(self, spark):
+        from fuzi_spark.ops.web import top_terms
+
+        d = spark.createDataFrame([(1, "Dog dog DOG")], "doc_id long, text string")
+        rows = top_terms(d, k=1).collect()
+        assert len(rows) == 1 and rows[0].term == "dog" and rows[0].tf == 3
+
+
+class TestHygieneDifferential:
+    """Seeded randomized differentials: each corpus-hygiene operator vs
+    an independent pure-Python reference over a random corpus — one
+    Spark job per op, every row compared. Catches semantics drift the
+    hand-picked fixtures cannot (the same evidence style as the
+    tokenizer/XPath differentials)."""
+
+    VOCAB = ["alpha", "beta", "gamma", "delta", "nav", "home", "©2026", "x"]
+
+    def _corpus(self, n=250, seed=11):
+        import random
+
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n):
+            n_lines = rng.randint(1, 6)
+            lines = [
+                " ".join(
+                    rng.choices(self.VOCAB, k=rng.randint(1, 5))
+                )
+                for _ in range(n_lines)
+            ]
+            rows.append((i, "\n".join(lines)))
+        return rows
+
+    def test_line_dedup_matches_python_reference(self, spark):
+        from collections import defaultdict
+
+        from fuzi_spark.ops.dedup import line_dedup
+
+        rows = self._corpus()
+        docs_with = defaultdict(set)
+        for i, text in rows:
+            for ln in text.split("\n"):
+                docs_with[ln].add(i)
+        boiler = {ln for ln, ids in docs_with.items() if len(ids) >= 2}
+        expect = {}
+        for i, text in rows:
+            lines = text.split("\n")
+            kept = [ln for ln in lines if ln not in boiler]
+            expect[i] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+            for r in line_dedup(d, min_docs=2).collect()
+        }
+        assert got == expect
+
+    def test_pack_sequences_matches_python_reference(self, spark):
+        import random
+
+        from fuzi_spark.ops.packing import pack_sequences
+
+        rng = random.Random(23)
+        rows = [(i, rng.randint(1, 120)) for i in range(300)]
+        budget, nb = 250, 7
+
+        by_bucket = {}
+        for i, t in rows:
+            by_bucket.setdefault(i % nb, []).append((i, t))
+        expect = {}
+        for b, items in by_bucket.items():
+            cum = 0
+            for pos_src in sorted(items):
+                i, t = pos_src
+                expect[i] = (b, cum // budget)
+                cum += t
+        # pack_pos: rank within (bucket, pack) in key order
+        pos_ctr = {}
+        for i in sorted(expect):
+            key = expect[i]
+            expect[i] = key + (pos_ctr.setdefault(key, 0),)
+            pos_ctr[key] += 1
+
+        d = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = {
+            r.doc_id: (r.bucket, r.pack_id, r.pack_pos)
+            for r in pack_sequences(
+                d, budget, tokens_col="n_tokens", bucket=F.col("doc_id") % nb
+            ).collect()
+        }
+        assert got == expect
+
+    def test_hash_sample_matches_python_reference(self, spark):
+        import hashlib
+
+        from fuzi_spark.ops.sampling import hash_sample, hex_threshold
+
+        d = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+        rate, salt = 0.37, "diff"
+        got = {r.doc_id for r in hash_sample(d, rate, salt=salt).collect()}
+        thr = hex_threshold(rate)
+        expect = {
+            i
+            for i in range(3000)
+            if hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8] < thr
+        }
+        assert got == expect
+
+    def test_redact_pii_matches_python_reference(self, spark):
+        import random
+        import re as _re
+
+        from fuzi_spark.ops.redact import PII_PATTERNS, redact_pii
+
+        rng = random.Random(31)
+        pieces = [
+            "plain words",
+            "u{0}@mail-{0}.example.org",
+            "10.{1}.0.{2}",
+            "+41{3}",
+            "v2.1 notes +5",
+            "a@b",  # not an email (no dot-tld)
+            "999.999.999.999",  # quad pattern matches (range unchecked)
+        ]
+        rows = []
+        for i in range(200):
+            k = rng.randint(1, 5)
+            txt = " ".join(
+                rng.choice(pieces).format(
+                    i, rng.randint(0, 255), rng.randint(0, 255),
+                    rng.randint(7000000, 99999999),
+                )
+                for _ in range(k)
+            )
+            rows.append((i, txt))
+
+        expect = {}
+        for i, txt in rows:
+            counts, cur = [], txt
+            for _, pat, token in PII_PATTERNS:
+                counts.append(len(_re.findall(pat, cur)))
+                cur = _re.sub(pat, token, cur)
+            expect[i] = (cur, *counts, sum(counts))
+
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.clean_text, r.n_email, r.n_ipv4, r.n_phone, r.n_pii)
+            for r in redact_pii(d).collect()
+        }
+        assert got == expect
+
+    def test_top_terms_matches_python_reference(self, spark):
+        from collections import Counter
+
+        from fuzi_spark.ops.web import top_terms
+
+        rows = self._corpus(n=150, seed=41)
+        rows = [(i, t.replace("\n", " ")) for i, t in rows]
+        tf = {i: Counter(t.lower().split()) for i, t in rows}
+        df = Counter()
+        for c in tf.values():
+            df.update(c.keys())
+        expect = {}
+        for i, c in tf.items():
+            scored = sorted(
+                ((t, n, df[t], n / df[t]) for t, n in c.items()),
+                key=lambda x: (-x[3], -x[1], x[0]),
+            )[:3]
+            expect[i] = [
+                (t, n, d_, s, r + 1) for r, (t, n, d_, s) in enumerate(scored)
+            ]
+
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in top_terms(d, k=3).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.term, r.tf, r.df, r.score, r.rank)
+            )
+        got = {i: sorted(v, key=lambda x: x[4]) for i, v in got.items()}
+        assert got == expect
+
+    def test_decontaminate_matches_python_reference(self, spark):
+        import random
+
+        from fuzi_spark.ops.dedup import decontaminate
+
+        rng = random.Random(53)
+        mk = lambda k: " ".join(rng.choices(self.VOCAB, k=k))
+        corpus_rows = [(i, mk(rng.randint(3, 12))) for i in range(200)]
+        bench_rows = [(mk(rng.randint(3, 8)),) for _ in range(20)]
+
+        def shingles(text, n=3):
+            toks = [t for t in text.split() if t]
+            return {
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            }
+
+        bench_set = set()
+        for (t,) in bench_rows:
+            bench_set |= shingles(t)
+        expect = {}
+        for i, t in corpus_rows:
+            hits = len(shingles(t) & bench_set)
+            expect[i] = (hits, 1 if hits else 0)
+
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        bench = spark.createDataFrame(bench_rows, "text string")
+        got = {
+            r.doc_id: (r.n_contaminated, r.contaminated)
+            for r in decontaminate(corpus, bench, shingle_n=3).collect()
+        }
+        assert got == expect
+
+
+class TestCorpusReport:
+    def test_exact_quantiles_hand_checked(self, spark):
+        from fuzi_spark.ops.textstats import corpus_report
+
+        # en: [10, 20, 30, 40] → median (R-7) = 25.0, p90 = 37.0
+        rows = [("en", c) for c in (10, 20, 30, 40)] + [("de", 7)]
+        d = spark.createDataFrame(rows, "lang string, n_chars long")
+        got = {r.lang: r for r in corpus_report(d, ["lang"]).collect()}
+        assert got["en"].n_docs == 4 and got["en"].total_chars == 100
+        assert got["en"].median_chars == 25.0
+        assert abs(got["en"].p90_chars - 37.0) < 1e-9
+        assert got["de"].median_chars == 7.0 and got["de"].p90_chars == 7.0
+
+    def test_approx_path_same_schema_close_values(self, spark):
+        from fuzi_spark.ops.textstats import corpus_report
+
+        rows = [("en", c) for c in range(1, 1001)]
+        d = spark.createDataFrame(rows, "lang string, n_chars long")
+        ex = corpus_report(d, ["lang"]).collect()[0]
+        ap = corpus_report(d, ["lang"], exact=False).collect()[0]
+        assert ex.asDict().keys() == ap.asDict().keys()
+        assert abs(ap.median_chars - ex.median_chars) <= 2
+        assert abs(ap.p90_chars - ex.p90_chars) <= 2

@@ -106,6 +106,24 @@ CASES = [
      "by bucket) over metadata-width rows (key + token count, never "
      "text), then per-bucket window sort; both window functions reuse "
      "the same partitioning — no second exchange."),
+    ("domain_stats",
+     "Per-domain rollup. Wants: host regexp in the scan projection, ONE "
+     "domain-keyed shuffle with partial_ aggregates before the exchange "
+     "(10^12 rows reduce to ~domain-count rows per task)."),
+    ("blocked_domains",
+     "Domain blocklist. Wants: BroadcastHashJoin LeftAnti on the "
+     "extracted host — the corpus side never shuffles; the blocklist "
+     "(list-sized) broadcasts."),
+    ("top_terms",
+     "Per-doc TF-IDF-family top-k. Wants: tf and df aggs both map-side "
+     "combinable, tf⋈df join term-keyed with the vocabulary-sized df "
+     "side (AQE broadcasts when it fits), window top-k per doc as the "
+     "only doc-keyed shuffle."),
+    ("corpus_report",
+     "Per-stratum corpus profile. Wants: ONE group-keyed shuffle; "
+     "count/sum partial-agg map-side; exact percentile buffers per "
+     "group (stratum cardinality — languages × sources; exact=False "
+     "switches to the t-digest sketch for adversarial group sizes)."),
 ]
 
 
