@@ -1111,6 +1111,46 @@ def q_corpus_report(spark, sf_dir):
     )
 
 
+def q_link_graph(spark, sf_dir):
+    """Integration query: construct HTML with formula-planted anchors
+    (one mixed-case absolute link per doc; a second for even ids; a
+    DUPLICATE-domain link for ids % 3 == 0 so in_degree > n_sources;
+    plus a relative href and an href-less anchor that must drop), parse
+    with the real HTML parser, select '//a' via the XPath surface, and
+    roll up in-degree per target domain. The oracle recomputes the
+    planted graph from the same formulas — never trusting the parser."""
+    from fuzi_spark.ops.web import link_graph
+
+    i = F.col("doc_id")
+    t1 = ((i * 7 + 1) % 20).cast("string")
+    t2 = ((i * 11 + 3) % 20).cast("string")
+    markup = F.concat(
+        F.lit('<html><body><a href="https://Src'),
+        t1,
+        F.lit('.Example.com/p/1">one</a>'),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit('<a href="https://src'),
+                t2,
+                F.lit('.example.com/q">two</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit('<a href="https://src'),
+                t1,
+                F.lit('.example.com/other">again</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="/relative/x">rel</a><a name="nohref">n</a>'
+              "</body></html>"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", markup.alias("markup"))
+    return link_graph(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1158,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_domains": q_blocked_domains,
         "top_terms": q_top_terms,
         "corpus_report": q_corpus_report,
+        "link_graph": q_link_graph,
     }
 
 
@@ -1592,6 +1633,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS median_chars, "
             "CAST(quantile_cont(n_chars, 0.9) AS DOUBLE) AS p90_chars "
             "FROM documents GROUP BY lang, source"
+        ),
+        "link_graph": (
+            # recompute the PLANTED graph from the construction formulas
+            # (planted-invariant oracle — independent of the parser):
+            # every doc links to src((7d+1)%20); even docs also to
+            # src((11d+3)%20); docs %3==0 link AGAIN to the first domain
+            "WITH l AS ("
+            "  SELECT doc_id, 'src' || CAST((doc_id*7+1)%20 AS VARCHAR) "
+            "    || '.example.com' AS domain FROM documents "
+            "  UNION ALL "
+            "  SELECT doc_id, 'src' || CAST((doc_id*11+3)%20 AS VARCHAR) "
+            "    || '.example.com' FROM documents WHERE doc_id % 2 = 0 "
+            "  UNION ALL "
+            "  SELECT doc_id, 'src' || CAST((doc_id*7+1)%20 AS VARCHAR) "
+            "    || '.example.com' FROM documents WHERE doc_id % 3 = 0) "
+            "SELECT domain, COUNT(*) AS in_degree, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_sources "
+            "FROM l GROUP BY domain"
         ),
     }
 

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "blocked_domains",
     "top_terms",
     "corpus_report",
+    "link_graph",
 ]
 
 

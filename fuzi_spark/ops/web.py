@@ -125,3 +125,43 @@ def top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def link_graph(
+    docs: DataFrame, markup_col: str = "markup", id_col: str = "doc_id"
+) -> DataFrame:
+    """Outbound-link graph rollup: parse each document's HTML, select
+    every anchor with the XPath surface, and aggregate in-degree per
+    target domain — the crawl-frontier/PageRank-feeder step, and the
+    integration of the two halves of this engine (Fuzi query surface →
+    relational analytics).
+
+    Returns (domain, in_degree:long, n_sources:long) — n_sources is the
+    count of DISTINCT linking docs. Relative/garbage hrefs (no
+    scheme://host) are dropped; anchors without href never surface
+    (null-href rows fail the domain filter).
+
+    Scale shape: ONE Arrow-batched parse pass (the same xpath_select
+    UDF the query surface uses — never per-row Python), an explode of
+    href STRINGS only (snapshots are pruned to the one attribute before
+    the explode), then a domain-keyed map-side-combinable agg: the only
+    shuffle carries (domain, partial counts).
+    """
+    from ..udfs import xpath_select
+
+    snaps = xpath_select("//a", doc_type="html")(F.col(markup_col))
+    hrefs = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(snaps, lambda s: s["attributes"]["href"])
+        ).alias("url"),
+    )
+    return (
+        hrefs.withColumn("domain", host_of("url"))
+        .filter(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("in_degree"),
+            F.count_distinct(id_col).alias("n_sources"),
+        )
+    )

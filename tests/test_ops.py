@@ -1360,3 +1360,37 @@ class TestCorpusReport:
         assert ex.asDict().keys() == ap.asDict().keys()
         assert abs(ap.median_chars - ex.median_chars) <= 2
         assert abs(ap.p90_chars - ex.p90_chars) <= 2
+
+
+class TestLinkGraph:
+    def test_planted_anchors_counted_per_domain(self, spark):
+        from fuzi_spark.ops.web import link_graph
+
+        rows = [
+            # doc 1: two links to a.com (dup domain), one to B.org
+            (1, '<html><body><a href="https://a.com/1">x</a>'
+                '<a href="https://a.com/2">y</a>'
+                '<a href="https://B.org/z">z</a></body></html>'),
+            # doc 2: one link to a.com; relative + no-href dropped
+            (2, '<html><body><a href="https://A.COM/q">q</a>'
+                '<a href="/rel">r</a><a name="n">n</a></body></html>'),
+            # doc 3: no anchors at all
+            (3, "<html><body><p>text</p></body></html>"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, markup string")
+        got = {r.domain: r for r in link_graph(d).collect()}
+        assert set(got) == {"a.com", "b.org"}
+        assert got["a.com"].in_degree == 3
+        assert got["a.com"].n_sources == 2, "dup links from one doc count once"
+        assert got["b.org"].in_degree == 1 and got["b.org"].n_sources == 1
+
+    def test_tag_soup_anchor_still_found(self, spark):
+        from fuzi_spark.ops.web import link_graph
+
+        # unclosed <a>, unquoted attribute — the recovering parser's job
+        d = spark.createDataFrame(
+            [(1, "<body><a href=https://soup.example.net/x>link")],
+            "doc_id long, markup string",
+        )
+        got = link_graph(d).collect()
+        assert len(got) == 1 and got[0].domain == "soup.example.net"

@@ -124,6 +124,12 @@ CASES = [
      "count/sum partial-agg map-side; exact percentile buffers per "
      "group (stratum cardinality — languages × sources; exact=False "
      "switches to the t-digest sketch for adversarial group sizes)."),
+    ("link_graph",
+     "Outbound-link graph rollup. Wants: one Arrow-batched parse pass "
+     "(the query surface's xpath_select UDF), snapshots pruned to href "
+     "strings BEFORE the explode, then a domain-keyed map-side-"
+     "combinable count(+distinct) — the only shuffle carries (domain, "
+     "partials)."),
 ]
 
 
