@@ -1151,6 +1151,17 @@ def q_link_graph(spark, sf_dir):
     return link_graph(d)
 
 
+def q_vocab_table(spark, sf_dir):
+    """Corpus vocabulary with deterministic dense ids (count desc,
+    token asc) at min_count=5 — the tokenizer-training input; the
+    oracle is the same count + global window rank."""
+    from fuzi_spark.ops.textstats import vocab_table
+
+    return vocab_table(
+        _docs(spark, sf_dir).select("text"), min_count=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1199,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "corpus_report": q_corpus_report,
         "link_graph": q_link_graph,
+        "vocab_table": q_vocab_table,
     }
 
 
@@ -1651,6 +1663,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT domain, COUNT(*) AS in_degree, "
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_sources "
             "FROM l GROUP BY domain"
+        ),
+        "vocab_table": (
+            "WITH t AS (SELECT unnest(string_split_regex(lower(text), "
+            "  '\\s+')) AS token FROM documents), "
+            "c AS (SELECT token, COUNT(*) AS n FROM t WHERE token <> '' "
+            "  GROUP BY token HAVING COUNT(*) >= 5) "
+            "SELECT token, n, CAST(ROW_NUMBER() OVER "
+            "  (ORDER BY n DESC, token ASC) - 1 AS INTEGER) AS token_id "
+            "FROM c"
         ),
     }
 

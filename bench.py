@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "top_terms",
     "corpus_report",
     "link_graph",
+    "vocab_table",
 ]
 
 

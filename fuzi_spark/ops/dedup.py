@@ -57,7 +57,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(text_col: str, n: int = 3):
-    """n-word shingles as an array column (JVM-side).
+    """n-word shingles as an array column (JVM-side), as the JOINED
+    STRINGS — the bit-exact surface `ngram_jaccard(hashed=False)` and
+    human debugging read. The hot dedup paths use `shingle_hashes`
+    below, which never materializes these strings.
 
     The token array is bound once per row (ops.hof.bind): referencing
     the split() directly inside the per-shingle lambda would re-tokenize
@@ -76,13 +79,38 @@ def word_shingles(text_col: str, n: int = 3):
 
 def shingle_hashes(text_col: str, n: int = 3):
     """Distinct 31-bit hashes of the n-word shingles, as an array column.
-    Entirely JVM-side; the document string never leaves the projection."""
-    return F.array_distinct(
-        F.transform(
-            word_shingles(text_col, n),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)),
+    Entirely JVM-side; the document string never leaves the projection.
+
+    Hot-path formulation (round 3): hash each TOKEN once, then each
+    shingle hash is xxhash64 over the n consecutive token hashes —
+    3 array probes + one fixed-arity hash per shingle. The previous
+    per-shingle `slice + concat_ws + xxhash64(string)` re-materialized
+    every shingle as a string inside an interpreted lambda and was the
+    single largest cost of the whole minhash pipeline (measured 3.9 s of
+    dedup_minhash's 4.3 s at sf0.1; this cut the operator ~2×). Short
+    docs (< n tokens) keep the one-truncated-shingle semantics: F.get
+    past the end is null and xxhash64 skips null inputs, so the single
+    shingle hashes exactly the tokens that exist. Values differ from the
+    string formulation (different family, same distribution); every
+    consumer is planted-invariant, so only the family's quality matters,
+    not its values."""
+
+    def mk(th):
+        k = F.greatest(F.size(th) - (n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.pmod(
+                    F.xxhash64(*[F.get(th, i - 1 + j) for j in range(n)]),
+                    F.lit(1 << 31),
+                ),
+            )
         )
+
+    token_hashes = F.transform(
+        F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
     )
+    return bind(token_hashes, mk)
 
 
 def minhash_signatures(

@@ -391,3 +391,37 @@ def corpus_report(
             F.col("_pct")[1].cast("double").alias("p90_chars"),
         )
     )
+
+
+def vocab_table(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus vocabulary with deterministic ids — the input a tokenizer
+    trainer (BPE/unigram) reads: (token, n:long, token_id:int), ids
+    dense 0..V-1 assigned by (count desc, token asc).
+
+    The tie-break makes the id assignment a pure function of the corpus
+    — re-runs and cluster-size changes produce the identical vocabulary,
+    so checkpointed training jobs can resume against it.
+
+    Scale shape: the token count is ONE map-side-combinable shuffle
+    (10^12·L token rows reduce to partial (token, n) pairs per task
+    before moving). The global rank is a single-partition window sort —
+    deliberate: after the agg + min_count cut the vocabulary is
+    metadata-sized (10^5-10^8 rows) next to the corpus, and a total
+    order is exactly what id assignment needs.
+    """
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("int")
+    )

@@ -1394,3 +1394,37 @@ class TestLinkGraph:
         )
         got = link_graph(d).collect()
         assert len(got) == 1 and got[0].domain == "soup.example.net"
+
+
+class TestVocabTable:
+    def test_ids_dense_and_deterministic(self, spark):
+        from fuzi_spark.ops.textstats import vocab_table
+
+        d = spark.createDataFrame(
+            [("b b b a a c",), ("a c",)], "text string"
+        )
+        rows = {r.token: r for r in vocab_table(d).collect()}
+        # counts: a=3, b=3, c=2 → rank by (n desc, token asc): a,b,c
+        assert (rows["a"].n, rows["a"].token_id) == (3, 0)
+        assert (rows["b"].n, rows["b"].token_id) == (3, 1)
+        assert (rows["c"].n, rows["c"].token_id) == (2, 2)
+
+    def test_min_count_cut_and_case_fold(self, spark):
+        from fuzi_spark.ops.textstats import vocab_table
+
+        d = spark.createDataFrame([("Dog dog cat",)], "text string")
+        rows = {r.token: r for r in vocab_table(d, min_count=2).collect()}
+        assert set(rows) == {"dog"} and rows["dog"].n == 2
+
+    def test_layout_invariance(self, spark):
+        from fuzi_spark.ops.textstats import vocab_table
+
+        d = spark.createDataFrame(
+            [(f"w{i % 17} w{i % 5}",) for i in range(400)], "text string"
+        )
+        a = {(r.token, r.n, r.token_id) for r in vocab_table(d).collect()}
+        b = {
+            (r.token, r.n, r.token_id)
+            for r in vocab_table(d.repartition(13)).collect()
+        }
+        assert a == b

@@ -130,6 +130,11 @@ CASES = [
      "strings BEFORE the explode, then a domain-keyed map-side-"
      "combinable count(+distinct) — the only shuffle carries (domain, "
      "partials)."),
+    ("vocab_table",
+     "Tokenizer-training vocabulary. Wants: the token count map-side "
+     "combinable (the only corpus-sized shuffle), then the global id "
+     "rank as a single-partition window over the metadata-sized post-"
+     "cut vocabulary."),
 ]
 
 
