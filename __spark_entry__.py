@@ -1162,6 +1162,32 @@ def q_vocab_table(spark, sf_dir):
     )
 
 
+def q_repeated_passages(spark, sf_dir):
+    """Passage-repetition flagging on a constructed corpus: every doc =
+    a common 40-token prefix (shared corpus-wide) + a unique tail of
+    10 + (doc_id % 4)·10 tokens. With k=20, stride=10 the windows at
+    offsets 0/10/20 lie fully in the prefix (repeated in all docs) and
+    every later window straddles into the unique tail — so the oracle
+    predicts exactly n_windows = L/10 − 1 = 4 + doc_id % 4 and
+    n_repeated = 3 per doc, no parsing trusted."""
+    from fuzi_spark.ops.dedup import repeated_passages
+
+    i = F.col("doc_id")
+    prefix = " ".join(f"c{j}" for j in range(40))
+    tail = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (10 + (i % 4) * 10).cast("int")),
+            lambda j: F.concat(
+                F.lit("u"), i.cast("string"), F.lit("_"), j.cast("string")
+            ),
+        ),
+        " ",
+    )
+    txt = F.concat(F.lit(prefix + " "), tail)
+    d = _docs(spark, sf_dir).select("doc_id", txt.alias("text"))
+    return repeated_passages(d, k=20, stride=10, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1211,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "link_graph": q_link_graph,
         "vocab_table": q_vocab_table,
+        "repeated_passages": q_repeated_passages,
     }
 
 
@@ -1672,6 +1699,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, n, CAST(ROW_NUMBER() OVER "
             "  (ORDER BY n DESC, token ASC) - 1 AS INTEGER) AS token_id "
             "FROM c"
+        ),
+        "repeated_passages": (
+            # L = 40 + 10 + (d%4)*10 tokens; windows every 10 tokens of
+            # width 20 → n_windows = L/10 - 1; exactly the 3 windows at
+            # offsets 0/10/20 sit fully inside the corpus-wide prefix
+            "SELECT doc_id, "
+            "CAST(4 + doc_id % 4 AS BIGINT) AS n_windows, "
+            "CAST(3 AS BIGINT) AS n_repeated, "
+            "CAST(3.0 / (4 + doc_id % 4) AS DOUBLE) AS repeated_frac "
+            "FROM documents"
         ),
     }
 

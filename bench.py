@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "corpus_report",
     "link_graph",
     "vocab_table",
+    "repeated_passages",
 ]
 
 

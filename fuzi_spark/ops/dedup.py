@@ -712,3 +712,65 @@ def dedup_pipeline(
         F.coalesce(F.col("canonical_id"), F.col(id_col)).alias("group_id"),
         F.coalesce(F.col("keep"), F.lit(1)).alias("keep"),
     )
+
+
+def repeated_passages(
+    docs: DataFrame,
+    k: int = 20,
+    stride: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-repeated passage flagging: slide a k-token window every
+    `stride` tokens, and count how many of a doc's windows also occur in
+    >= min_docs DISTINCT documents — the passage-granular counterpart of
+    `line_dedup` (licence blocks, syndicated intros, templated sections
+    that don't align to line boundaries).
+
+    Returns one row per doc:
+    (id_col, n_windows:long, n_repeated:long, repeated_frac:double).
+    Docs shorter than k tokens contribute one truncated window, so no
+    doc divides by zero or vanishes.
+
+    Scale shape (same as line_dedup): window digests are built in ONE
+    codegen'd projection — each token hashed once, each window one
+    fixed-arity xxhash64 over its k token hashes (F.get past the end is
+    null and xxhash64 skips nulls, which truncates the final window
+    instead of erroring); the election is a map-side-combinable
+    count_distinct over 8-byte digests; the surviving repeated-passage
+    set is heavy-hitters-only, so it BROADCASTS back as a flag join and
+    the per-doc rollup is the one doc-keyed shuffle.
+    """
+    if k <= 0 or stride <= 0:
+        raise ValueError(f"k and stride must be positive, got k={k} stride={stride}")
+
+    def mk(th):
+        n_win = F.greatest(
+            F.floor((F.size(th) - k) / stride).cast("int") + 1, F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda w: F.xxhash64(
+                *[F.get(th, w * stride + j) for j in range(k)]
+            ),
+        )
+
+    token_hashes = F.transform(
+        F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
+    )
+    wins = docs.select(
+        F.col(id_col), F.explode(bind(token_hashes, mk)).alias("dg")
+    )
+    repeated = (
+        wins.groupBy("dg")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("dg", F.lit(True).alias("is_rep"))
+    )
+    flagged = wins.join(F.broadcast(repeated), "dg", "left")
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_windows"),
+        F.count("is_rep").alias("n_repeated"),
+        (F.count("is_rep") / F.count("*")).alias("repeated_frac"),
+    )

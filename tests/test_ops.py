@@ -1428,3 +1428,64 @@ class TestVocabTable:
             for r in vocab_table(d.repartition(13)).collect()
         }
         assert a == b
+
+
+class TestRepeatedPassages:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_shared_passage_flagged(self, spark):
+        from fuzi_spark.ops.dedup import repeated_passages
+
+        shared = " ".join(f"s{j}" for j in range(8))  # 8 shared tokens
+        rows = [
+            (1, shared + " a1 a2 a3 a4"),
+            (2, shared + " b1 b2 b3 b4"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+        ]
+        # k=4, stride=4, L=12 → 3 windows/doc at offsets 0,4,8;
+        # docs 1-2 share windows 0 and 4 (inside the 8-token prefix)
+        got = {
+            r.doc_id: r
+            for r in repeated_passages(
+                self._mk(spark, rows), k=4, stride=4, min_docs=2
+            ).collect()
+        }
+        assert got[1].n_windows == 3 and got[1].n_repeated == 2
+        assert abs(got[1].repeated_frac - 2 / 3) < 1e-12
+        assert got[2].n_repeated == 2
+        assert got[3].n_repeated == 0 and got[3].repeated_frac == 0.0
+
+    def test_within_doc_repeat_not_counted(self, spark):
+        from fuzi_spark.ops.dedup import repeated_passages
+
+        # doc 1 repeats its own passage twice; no OTHER doc has it
+        rows = [(1, "x1 x2 x3 x4 x1 x2 x3 x4"), (2, "y1 y2 y3 y4 y5 y6 y7 y8")]
+        got = {
+            r.doc_id: r
+            for r in repeated_passages(
+                self._mk(spark, rows), k=4, stride=4, min_docs=2
+            ).collect()
+        }
+        assert got[1].n_repeated == 0, "min_docs counts DISTINCT docs"
+
+    def test_short_doc_one_truncated_window(self, spark):
+        from fuzi_spark.ops.dedup import repeated_passages
+
+        rows = [(1, "a b"), (2, "a b"), (3, "z")]
+        got = {
+            r.doc_id: r
+            for r in repeated_passages(
+                self._mk(spark, rows), k=4, stride=4, min_docs=2
+            ).collect()
+        }
+        assert got[1].n_windows == 1 and got[1].n_repeated == 1
+        assert got[3].n_windows == 1 and got[3].n_repeated == 0
+
+    def test_validation(self, spark):
+        import pytest
+
+        from fuzi_spark.ops.dedup import repeated_passages
+
+        with pytest.raises(ValueError):
+            repeated_passages(self._mk(spark, [(1, "a")]), k=0)

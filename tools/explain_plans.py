@@ -135,6 +135,12 @@ CASES = [
      "combinable (the only corpus-sized shuffle), then the global id "
      "rank as a single-partition window over the metadata-sized post-"
      "cut vocabulary."),
+    ("repeated_passages",
+     "Corpus-repeated passage flagging. Wants: window digests built in "
+     "one codegen'd projection (token hashed once, fixed-arity xxhash64 "
+     "per window), map-side count_distinct election, the repeated set "
+     "BROADCAST back, one doc-keyed rollup shuffle — the line_dedup "
+     "shape at passage granularity."),
 ]
 
 
