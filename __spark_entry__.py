@@ -1619,7 +1619,7 @@ def oracle_sql() -> dict[str, str]:
             "    - n_chars AS prev_cum "
             "  FROM documents), "
             "p AS (SELECT doc_id, bucket, "
-            "  CAST(FLOOR(prev_cum / 20000) AS BIGINT) AS pack_id FROM c) "
+            "  CAST(prev_cum // 20000 AS BIGINT) AS pack_id FROM c) "
             "SELECT doc_id, CAST(bucket AS INTEGER) AS bucket, pack_id, "
             "CAST(ROW_NUMBER() OVER (PARTITION BY bucket, pack_id "
             "  ORDER BY doc_id) - 1 AS BIGINT) AS pack_pos "

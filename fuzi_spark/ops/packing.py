@@ -74,8 +74,11 @@ def pack_sequences(
             F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col),
         )
         .withColumn(
+            # integer division, not floor(double): exact at ANY per-
+            # bucket cumulative size (doubles misplace boundaries past
+            # 2^53); _prev_cum >= 0 so div == floor
             "pack_id",
-            F.floor(F.col("_prev_cum") / F.lit(budget)).cast("long"),
+            F.expr(f"_prev_cum div {int(budget)}").cast("long"),
         )
     )
     wp = (
