@@ -1188,6 +1188,19 @@ def q_repeated_passages(spark, sf_dir):
     return repeated_passages(d, k=20, stride=10, min_docs=2)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring: train an add-alpha bigram model
+    on the even-doc_id half of the corpus, score EVERY doc against it —
+    so odd docs exercise the unseen-bigram smoothing path and even docs
+    the in-model path. The oracle recomputes the identical counts,
+    vocabulary size, and add-0.1 formula in SQL."""
+    from fuzi_spark.ops.lm import lm_perplexity, train_bigram_lm
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    uni, bi = train_bigram_lm(d.filter(F.col("doc_id") % 2 == 0))
+    return lm_perplexity(d, uni, bi, alpha=0.1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1238,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "vocab_table": q_vocab_table,
         "repeated_passages": q_repeated_passages,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -1709,6 +1723,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(3 AS BIGINT) AS n_repeated, "
             "CAST(3.0 / (4 + doc_id % 4) AS DOUBLE) AS repeated_frac "
             "FROM documents"
+        ),
+        "lm_perplexity": (
+            # identical add-0.1 bigram model retrained in SQL: counts
+            # from the even-doc_id half, P = (cb+a)/(cu+a*V), ppl =
+            # exp(-avg ln P); short docs LEFT-JOIN back as n_bigrams=0
+            "WITH t AS (SELECT doc_id, "
+            "  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "    x -> x <> '') AS toks FROM documents), "
+            "uni AS (SELECT u.tok AS token, COUNT(*) AS cu "
+            "  FROM (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 2 = 0) u "
+            "  GROUP BY 1), "
+            "v AS (SELECT COUNT(*) AS vs FROM uni), "
+            "bg AS (SELECT t.doc_id, t.toks[g.i] AS w1, t.toks[g.i + 1] AS w2 "
+            "  FROM t, UNNEST(range(1, len(t.toks))) AS g(i)), "
+            "bi AS (SELECT w1, w2, COUNT(*) AS cb FROM bg "
+            "  WHERE doc_id % 2 = 0 GROUP BY 1, 2), "
+            "scored AS (SELECT bg.doc_id, "
+            "  ln((COALESCE(bi.cb, 0) + 0.1) / (COALESCE(uni.cu, 0) + 0.1 * v.vs)) "
+            "    AS logp "
+            "  FROM bg LEFT JOIN bi USING (w1, w2) "
+            "  LEFT JOIN uni ON bg.w1 = uni.token CROSS JOIN v), "
+            "agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, "
+            "  AVG(logp) AS avg_logprob FROM scored GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) "
+            "  AS n_bigrams, a.avg_logprob, "
+            "CASE WHEN a.n_bigrams > 0 THEN exp(-a.avg_logprob) END AS perplexity "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
     }
 

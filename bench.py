@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "link_graph",
     "vocab_table",
     "repeated_passages",
+    "lm_perplexity",
 ]
 
 

@@ -1489,3 +1489,145 @@ class TestRepeatedPassages:
 
         with pytest.raises(ValueError):
             repeated_passages(self._mk(spark, [(1, "a")]), k=0)
+
+
+class TestBigramLM:
+    """ops/lm.py — add-alpha bigram perplexity (the CCNet quality step),
+    checked against an independent pure-python model."""
+
+    CORPUS = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "the cat ate the fish"),
+    ]
+
+    def _py_model(self, texts):
+        uni, bi = {}, {}
+        for t in texts:
+            toks = t.lower().split()
+            for w in toks:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        return uni, bi
+
+    def _py_ppl(self, text, uni, bi, alpha=0.1):
+        import math
+
+        V = len(uni)
+        toks = text.lower().split()
+        if len(toks) < 2:
+            return 0, None
+        lps = [
+            math.log(
+                (bi.get((a, b), 0) + alpha) / (uni.get(a, 0) + alpha * V)
+            )
+            for a, b in zip(toks, toks[1:])
+        ]
+        return len(lps), math.exp(-sum(lps) / len(lps))
+
+    def test_matches_python_reference(self, spark):
+        from fuzi_spark.ops.lm import lm_perplexity, train_bigram_lm
+
+        train = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        score = spark.createDataFrame(
+            self.CORPUS + [(4, "the cat sat on the log"), (5, "zebra quark flux")],
+            "doc_id long, text string",
+        )
+        uni, bi = train_bigram_lm(train)
+        got = {
+            r.doc_id: (r.n_bigrams, r.avg_logprob, r.perplexity)
+            for r in lm_perplexity(score, uni, bi).collect()
+        }
+        puni, pbi = self._py_model([t for _, t in self.CORPUS])
+        for did, text in self.CORPUS + [
+            (4, "the cat sat on the log"),
+            (5, "zebra quark flux"),
+        ]:
+            n, ppl = self._py_ppl(text, puni, pbi)
+            assert got[did][0] == n
+            assert abs(got[did][2] - ppl) < 1e-9 * ppl, (did, got[did], ppl)
+
+    def test_unseen_context_scores_uniform(self, spark):
+        """c(w1)=0 and c(w1,w2)=0 → P = 1/V exactly (total model)."""
+        import math
+
+        from fuzi_spark.ops.lm import lm_perplexity, train_bigram_lm
+
+        train = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        uni, bi = train_bigram_lm(train)
+        V = uni.count()
+        row = lm_perplexity(
+            spark.createDataFrame(
+                [(9, "zzz qqq")], "doc_id long, text string"
+            ),
+            uni,
+            bi,
+            vocab_size=V,
+        ).collect()[0]
+        assert row.n_bigrams == 1
+        assert abs(row.perplexity - V) < 1e-9 * V
+        assert abs(row.avg_logprob - math.log(1.0 / V)) < 1e-12
+
+    def test_short_doc_is_null_not_dropped(self, spark):
+        from fuzi_spark.ops.lm import lm_perplexity, train_bigram_lm
+
+        train = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        uni, bi = train_bigram_lm(train)
+        rows = {
+            r.doc_id: r
+            for r in lm_perplexity(
+                spark.createDataFrame(
+                    [(1, "one"), (2, ""), (3, "  "), (4, "a b")],
+                    "doc_id long, text string",
+                ),
+                uni,
+                bi,
+            ).collect()
+        }
+        assert len(rows) == 4
+        for did in (1, 2, 3):
+            assert rows[did].n_bigrams == 0
+            assert rows[did].perplexity is None
+        assert rows[4].n_bigrams == 1
+
+    def test_filter_keeps_fluent_and_short(self, spark):
+        from fuzi_spark.ops.lm import perplexity_filter, train_bigram_lm
+
+        train = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        uni, bi = train_bigram_lm(train)
+        cand = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),  # in-model: low ppl
+                (2, "zebra quark flux bogon"),  # all-unseen: ppl = V = 9
+                (3, "hi"),                      # unscorable: kept
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.keep
+            for r in perplexity_filter(cand, uni, bi, max_perplexity=8.0).collect()
+        }
+        assert out == {1: 1, 2: 0, 3: 1}
+
+    def test_model_joins_are_broadcast(self, spark):
+        from fuzi_spark.ops.lm import lm_perplexity, train_bigram_lm
+
+        train = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        uni, bi = train_bigram_lm(train)
+        plan = (
+            lm_perplexity(train, uni, bi, vocab_size=uni.count())
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_empty_model_raises(self, spark):
+        from fuzi_spark.ops.lm import lm_perplexity, train_bigram_lm
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        uni, bi = train_bigram_lm(empty)
+        with pytest.raises(ValueError):
+            lm_perplexity(empty, uni, bi)

@@ -141,6 +141,13 @@ CASES = [
      "per window), map-side count_distinct election, the repeated set "
      "BROADCAST back, one doc-keyed rollup shuffle — the line_dedup "
      "shape at passage granularity."),
+    ("lm_perplexity",
+     "CCNet-style LM perplexity scoring. Wants: tokenize + bigram "
+     "pairing in ONE codegen'd projection (zip with own tail — no "
+     "self-join/window), map-side explode, BOTH model joins "
+     "BroadcastHashJoin (the model is metadata-sized by contract), and "
+     "one doc-keyed partial aggregation as the only corpus shuffle. "
+     "Training: two map-side-combinable count shuffles."),
 ]
 
 
