@@ -1201,6 +1201,17 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_perplexity(d, uni, bi, alpha=0.1)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping 120-char windows (overlap 20) over every document —
+    the chunking step before embedding/packing. Zero shuffles; the
+    oracle recomputes the same closed-form window arithmetic and
+    substring slices in DuckDB."""
+    from fuzi_spark.ops.packing import chunk_documents
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return chunk_documents(d, size=120, overlap=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1252,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_table": q_vocab_table,
         "repeated_passages": q_repeated_passages,
         "lm_perplexity": q_lm_perplexity,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1750,6 +1762,16 @@ def oracle_sql() -> dict[str, str]:
             "  AS n_bigrams, a.avg_logprob, "
             "CASE WHEN a.n_bigrams > 0 THEN exp(-a.avg_logprob) END AS perplexity "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "chunk_documents": (
+            # same closed-form chunk count (integer ceil-div, floored at
+            # 1) and the same substring slices: stride 100, width 120
+            "WITH c AS (SELECT doc_id, text, "
+            "  GREATEST(1, (len(text) - 20 + 99) // 100) AS n FROM documents) "
+            "SELECT doc_id, CAST(g.i AS INTEGER) AS chunk_id, "
+            "CAST(g.i * 100 AS BIGINT) AS offset, "
+            "substring(text, CAST(g.i * 100 + 1 AS INTEGER), 120) AS chunk "
+            "FROM c, UNNEST(range(0, n)) AS g(i)"
         ),
     }
 

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "vocab_table",
     "repeated_passages",
     "lm_perplexity",
+    "chunk_documents",
 ]
 
 

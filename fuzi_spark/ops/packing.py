@@ -90,3 +90,67 @@ def pack_sequences(
         out.withColumn("pack_pos", (F.count("*").over(wp) - 1).cast("long"))
         .drop("_prev_cum")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character windows —
+    the segmentation step before embedding / sequence packing when the
+    unit of training is a chunk, not a whole document.
+
+    Chunk i covers [i*stride, i*stride + size) with stride = size −
+    overlap; n_chunks = ceil((len − overlap) / stride), floored at 1 so
+    EVERY input row survives (an empty/short doc yields one chunk of
+    itself — droppable downstream, never silently lost). Output: the id
+    plus (chunk_id:int, offset:long 0-based char offset, chunk:string);
+    total, deterministic, a pure function of (text, size, overlap).
+
+    Scale shape: ZERO shuffles — the chunk array is built in one
+    codegen'd projection and exploded map-side. The full text is bound
+    once (hof.bind) and DROPPED before the explode: the generator emits
+    (chunk_id, offset, chunk) structs only, so a 10 MB document does
+    not ride along with each of its ~100 chunk rows through the
+    generate. n_chunks = floor((len − overlap + stride − 1) / stride)
+    in doubles — exact here because a single document's char length is
+    < 2^31 ≪ 2^53 (pack_id above cannot use this shortcut: its operand
+    is a cross-document cumulative sum that does pass 2^53).
+    """
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got overlap={overlap}")
+    stride = size - overlap
+
+    def mk(text):
+        n = F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(
+                (F.length(text) - F.lit(overlap) + F.lit(stride - 1))
+                / F.lit(stride)
+            ).cast("long"),
+        )
+        return F.transform(
+            F.sequence(F.lit(0).cast("long"), n - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                (i * stride).cast("long").alias("offset"),
+                text.substr(
+                    (i * stride + 1).cast("int"), F.lit(size)
+                ).alias("chunk"),
+            ),
+        )
+
+    from .hof import bind
+
+    chunks = bind(F.coalesce(F.col(text_col), F.lit("")), mk)
+    return (
+        df.withColumn("_chunks", chunks)
+        .drop(text_col)
+        .select(id_col, F.explode("_chunks").alias("_c"))
+        .select(id_col, "_c.chunk_id", "_c.offset", "_c.chunk")
+    )

@@ -148,6 +148,11 @@ CASES = [
      "BroadcastHashJoin (the model is metadata-sized by contract), and "
      "one doc-keyed partial aggregation as the only corpus shuffle. "
      "Training: two map-side-combinable count shuffles."),
+    ("chunk_documents",
+     "Overlapping char-window chunking. Wants: ZERO exchanges — chunk "
+     "array built in one codegen'd projection, full text DROPPED before "
+     "the map-side Generate (the generator emits (chunk_id, offset, "
+     "chunk) structs only, so giant docs don't ride along per chunk)."),
 ]
 
 
