@@ -1212,6 +1212,49 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(d, size=120, overlap=20)
 
 
+def q_url_dedup(spark, sf_dir):
+    """Crawl-side URL dedup over constructed messy URLs: doc_id%4 ∈
+    {0,1} are tracking-tagged/cased variants of the SAME page (must
+    collapse, min-id kept), %4==2 exercises the https:443 strip, %4==3
+    a relative ref with a kept param. The oracle writes the EXPECTED
+    canonical string from the construction formula — parser-independent
+    (the repeated_passages evidence style)."""
+    from fuzi_spark.ops.web import url_dedup
+
+    i = F.col("doc_id")
+    g = F.floor(i / 4).cast("long")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = (
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit("HTTP://Host"), s(g % 50), F.lit(".Example.COM:80/p/"),
+                s(g), F.lit("?utm_campaign=a&q="), s(g % 7), F.lit("#frag"),
+            ),
+        )
+        .when(
+            i % 4 == 1,
+            F.concat(
+                F.lit("http://host"), s(g % 50), F.lit(".example.com/p/"),
+                s(g), F.lit("?q="), s(g % 7),
+            ),
+        )
+        .when(
+            i % 4 == 2,
+            F.concat(
+                F.lit("HTTPS://Sec"), s(g), F.lit(".Example.Com:443/only/"), s(i)
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("rel/path"), s(i), F.lit(".html?utm_source=z&x=y#f")
+            )
+        )
+    )
+    d = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return url_dedup(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1264,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_passages": q_repeated_passages,
         "lm_perplexity": q_lm_perplexity,
         "chunk_documents": q_chunk_documents,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -1772,6 +1816,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(g.i * 100 AS BIGINT) AS offset, "
             "substring(text, CAST(g.i * 100 + 1 AS INTEGER), 120) AS chunk "
             "FROM c, UNNEST(range(0, n)) AS g(i)"
+        ),
+        "url_dedup": (
+            # expected canonical strings written straight from the URL
+            # construction formula (doc_id%4∈{0,1} collapse pairwise)
+            "WITH c AS (SELECT doc_id, doc_id % 4 AS m, doc_id // 4 AS g "
+            "  FROM documents), "
+            "e AS (SELECT doc_id, CASE "
+            "  WHEN m <= 1 THEN 'http://host' || (g % 50) || "
+            "    '.example.com/p/' || g || '?q=' || (g % 7) "
+            "  WHEN m = 2 THEN 'https://sec' || g || '.example.com/only/' "
+            "    || doc_id "
+            "  ELSE 'rel/path' || doc_id || '.html?x=y' END AS url_canon "
+            "  FROM c) "
+            "SELECT url_canon, MIN(doc_id) AS doc_id, "
+            "COUNT(*) AS dup_count FROM e GROUP BY 1"
         ),
     }
 

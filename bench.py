@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "repeated_passages",
     "lm_perplexity",
     "chunk_documents",
+    "url_dedup",
 ]
 
 

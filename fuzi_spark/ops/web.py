@@ -165,3 +165,77 @@ def link_graph(
             F.count_distinct(id_col).alias("n_sources"),
         )
     )
+
+
+# tracking-param names every major pipeline strips before URL dedup:
+# utm_* (Google Analytics campaign tags) plus the big click-id params.
+# Exact-name list kept small and documented — canonicalization must be
+# conservative (a dropped functional param aliases distinct pages).
+_TRACKING_EXACT = ("gclid", "fbclid", "msclkid", "igshid", "mc_eid")
+_SCHEME_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def canonicalize_url(url_col: str) -> Column:
+    """Canonical form of a URL for URL-level dedup and frontier keys:
+
+    1. fragment dropped ('#...' never reaches the server),
+    2. scheme://host prefix lowercased (RFC 3986 §3.1/§3.2.2 — scheme
+       and host are case-insensitive; path/query case is preserved),
+    3. default ports stripped (http://h:80/, https://h:443/),
+    4. tracking query params removed (utm_* prefix + the click-id list
+       above, matched on the NAME before '='); '&&' artifacts and a
+       left-over bare '?' disappear with them.
+
+    Total: no scheme://host prefix → steps 2-3 are identity and the
+    rest still apply, so relative refs and garbage pass through
+    deterministically instead of raising (the java.net.URI hazard —
+    see module header). Pure Catalyst, one codegen'd projection; every
+    regex is in the Java∩RE2 subset so a SQL oracle can recompute it.
+
+    Documented limits: userinfo (user:pass@host) is lowercased with the
+    host; path dot-segments ('/a/../b') and percent-encoding case are
+    left untouched (both need a real resolver to do safely).
+    """
+    u0 = F.regexp_replace(F.col(url_col), r"(?s)#.*", "")
+    base = F.regexp_extract(u0, r"(?s)^([^?]*)", 1)
+    query = F.regexp_extract(u0, r"(?s)^[^?]*\?(.*)", 1)
+    prefix = F.regexp_extract(base, _SCHEME_HOST_RE, 0)
+    lowered = F.concat(
+        F.lower(prefix), F.substring(base, F.length(prefix) + 1, 2**31 - 1)
+    )
+    deported = F.regexp_replace(
+        F.regexp_replace(
+            lowered, r"(?s)^(http://[^/:?#]+):80((/.*)?)$", "$1$2"
+        ),
+        r"(?s)^(https://[^/:?#]+):443((/.*)?)$",
+        "$1$2",
+    )
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.split(p, "=", 2).getItem(0).startswith("utm_")
+        & ~F.split(p, "=", 2).getItem(0).isin(*_TRACKING_EXACT),
+    )
+    return F.concat(
+        deported,
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level duplicate collapse: keep min id per canonical URL —
+    the crawl-side dedup that runs BEFORE content dedup (the same page
+    fetched via tracking-tagged links must not cost n_copies parses).
+
+    Returns (url_canon, doc_id, dup_count) — the exact_dedup contract
+    keyed by canonical URL. ONE map-side-combinable shuffle keyed by
+    the canonical string (bounded: URLs, not documents)."""
+    return (
+        df.groupBy(canonicalize_url(url_col).alias("url_canon"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select("url_canon", id_col, "dup_count")
+    )

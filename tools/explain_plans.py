@@ -153,6 +153,11 @@ CASES = [
      "array built in one codegen'd projection, full text DROPPED before "
      "the map-side Generate (the generator emits (chunk_id, offset, "
      "chunk) structs only, so giant docs don't ride along per chunk)."),
+    ("url_dedup",
+     "Crawl-side URL dedup. Wants: the whole canonicalization (fragment "
+     "strip, prefix lowering, default-port strip, tracking-param filter) "
+     "as ONE codegen'd projection on the scan, then a single map-side-"
+     "combinable shuffle keyed by the canonical string."),
 ]
 
 
