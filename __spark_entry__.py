@@ -1255,6 +1255,18 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(d)
 
 
+def q_encode_documents(spark, sf_dir):
+    """Tokenizer application: train a min_count=2 vocabulary on the
+    corpus (rare tokens drop out, so some positions encode as unk -1),
+    then encode every document to its token-id sequence. The oracle
+    retrains the identical deterministic vocabulary (count desc, token
+    asc dense ids) and re-encodes in SQL."""
+    from fuzi_spark.ops.textstats import encode_documents, vocab_table
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return encode_documents(d, vocab_table(d, min_count=2))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1308,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "chunk_documents": q_chunk_documents,
         "url_dedup": q_url_dedup,
+        "encode_documents": q_encode_documents,
     }
 
 
@@ -1831,6 +1844,32 @@ def oracle_sql() -> dict[str, str]:
             "  FROM c) "
             "SELECT url_canon, MIN(doc_id) AS doc_id, "
             "COUNT(*) AS dup_count FROM e GROUP BY 1"
+        ),
+        "encode_documents": (
+            # retrain the identical deterministic vocabulary (count
+            # desc, token asc dense ids; min_count=2) and re-encode
+            "WITH t AS (SELECT doc_id, "
+            "  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "    x -> x <> '') AS toks FROM documents), "
+            "cnt AS (SELECT u.tok AS token, COUNT(*) AS n "
+            "  FROM (SELECT unnest(toks) AS tok FROM t) u "
+            "  GROUP BY 1 HAVING COUNT(*) >= 2), "
+            "v AS (SELECT token, CAST(ROW_NUMBER() OVER "
+            "  (ORDER BY n DESC, token ASC) - 1 AS INTEGER) AS token_id "
+            "  FROM cnt), "
+            "pos AS (SELECT t.doc_id, g.i AS pos, t.toks[g.i] AS token "
+            "  FROM t, UNNEST(range(1, len(t.toks) + 1)) AS g(i)), "
+            "enc AS (SELECT pos.doc_id, pos.pos, "
+            "  CAST(COALESCE(v.token_id, -1) AS INTEGER) AS tid "
+            "  FROM pos LEFT JOIN v USING (token)), "
+            "agg AS (SELECT doc_id, list(tid ORDER BY pos) AS ids, "
+            "  COUNT(*) AS n_tokens, COUNT(*) FILTER (tid = -1) AS n_unk "
+            "  FROM enc GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(a.ids, CAST([] AS INTEGER[])) "
+            "  AS token_ids, "
+            "CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
     }
 

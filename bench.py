@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "chunk_documents",
     "url_dedup",
+    "encode_documents",
 ]
 
 

@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType, StringType
+from pyspark.sql.types import ArrayType, IntegerType, LongType, StringType
 
 from .hof import bind
 
@@ -424,4 +424,63 @@ def vocab_table(
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return counts.withColumn(
         "token_id", (F.row_number().over(w) - 1).cast("int")
+    )
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Apply a `vocab_table` vocabulary: token-id sequences per document
+    — the tokenizer-application step that turns curated text into
+    trainer input. Returns (id_col, token_ids:array<int>, n_tokens:long,
+    n_unk:long); out-of-vocabulary tokens encode as `unk_id`.
+
+    Tokenization matches vocab_table exactly (lowercase, split \\s+,
+    drop empty), so a vocabulary trained by it round-trips with
+    n_unk = 0 on its own training corpus (pinned in tests).
+
+    Scale shape: ZERO shuffles — the vocabulary is collected driver-side
+    and rides the closure to every task (tokenizer vocabularies are
+    32k-256k entries by construction; the collect is the same guarded
+    metadata-sized-query contract as similarity.cosine_topk_ivf). The
+    JVM-join alternative (explode → broadcast join → collect_list) would
+    re-shuffle every token of the corpus just to reassemble order. The
+    UDF is Arrow-batched; the per-token dict lookup is the irreducible
+    work of encoding.
+    """
+    pairs = vocab.select("token", "token_id").collect()
+    table = {r.token: r.token_id for r in pairs}
+    if not table:
+        raise ValueError("empty vocabulary")
+    unk = int(unk_id)
+
+    import re
+
+    split = re.compile(r"\s+", re.ASCII).split  # Java/RE2 \s parity
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _encode(text: pd.Series) -> pd.Series:
+        get = table.get
+        return pd.Series(
+            [
+                [get(w, unk) for w in split(t.lower().strip()) if w]
+                if t
+                else []
+                for t in text
+            ],
+            index=text.index,
+        )
+
+    ids = F.col("token_ids")
+    return (
+        df.select(F.col(id_col), _encode(F.col(text_col)).alias("token_ids"))
+        .withColumn("n_tokens", F.size(ids).cast("long"))
+        .withColumn(
+            "n_unk",
+            F.size(F.filter(ids, lambda x: x == unk)).cast("long"),
+        )
     )

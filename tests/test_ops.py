@@ -1784,3 +1784,58 @@ class TestCanonicalizeUrl:
             .toString()
         )
         assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+class TestEncodeDocuments:
+    """ops/textstats.py encode_documents — vocabulary application."""
+
+    def test_roundtrip_zero_unk_on_training_corpus(self, spark):
+        from fuzi_spark.ops.textstats import encode_documents, vocab_table
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "b c d"), (3, "A  B")],
+            "doc_id long, text string",
+        )
+        vocab = vocab_table(df)
+        out = {r.doc_id: r for r in encode_documents(df, vocab).collect()}
+        assert all(r.n_unk == 0 for r in out.values())
+        # ids deterministic: count desc, token asc -> b:0, a:1, c:2, d:3
+        assert out[1].token_ids == [1, 0, 2]
+        assert out[2].token_ids == [0, 2, 3]
+        assert out[3].token_ids == [1, 0]
+
+    def test_oov_and_empty(self, spark):
+        from fuzi_spark.ops.textstats import encode_documents, vocab_table
+
+        train = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+        vocab = vocab_table(train)
+        score = spark.createDataFrame(
+            [(1, "a zz b"), (2, ""), (3, None), (4, "   ")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r for r in encode_documents(score, vocab, unk_id=-1).collect()
+        }
+        assert out[1].token_ids == [0, -1, 1]
+        assert out[1].n_unk == 1 and out[1].n_tokens == 3
+        for did in (2, 3, 4):
+            assert out[did].token_ids == [] and out[did].n_tokens == 0
+
+    def test_zero_shuffles(self, spark):
+        from fuzi_spark.ops.textstats import encode_documents, vocab_table
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        plan = (
+            encode_documents(df, vocab_table(df))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+
+    def test_empty_vocab_raises(self, spark):
+        from fuzi_spark.ops.textstats import encode_documents, vocab_table
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            encode_documents(empty, vocab_table(empty))

@@ -158,6 +158,11 @@ CASES = [
      "strip, prefix lowering, default-port strip, tracking-param filter) "
      "as ONE codegen'd projection on the scan, then a single map-side-"
      "combinable shuffle keyed by the canonical string."),
+    ("encode_documents",
+     "Tokenizer application. Wants: ZERO corpus shuffles — the "
+     "vocabulary (32k-256k entries by construction) rides the closure; "
+     "one ArrowEvalPython pass per batch. The vocab-training side "
+     "(vocab_table) keeps its map-side-combinable count shuffle."),
 ]
 
 
