@@ -1267,6 +1267,30 @@ def q_encode_documents(spark, sf_dir):
     return encode_documents(d, vocab_table(d, min_count=2))
 
 
+def q_remove_passages(spark, sf_dir):
+    """Exact-substring REMOVAL on the repeated_passages corpus (40-token
+    shared prefix + unique tail): the three flagged windows cover token
+    positions [0,40) exactly, so the oracle predicts the cleaned text —
+    the unique tail verbatim — and n_removed = 40 from the construction
+    formula alone, no parsing trusted."""
+    from fuzi_spark.ops.dedup import remove_repeated_passages
+
+    i = F.col("doc_id")
+    prefix = " ".join(f"c{j}" for j in range(40))
+    tail = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (10 + (i % 4) * 10).cast("int")),
+            lambda j: F.concat(
+                F.lit("u"), i.cast("string"), F.lit("_"), j.cast("string")
+            ),
+        ),
+        " ",
+    )
+    txt = F.concat(F.lit(prefix + " "), tail)
+    d = _docs(spark, sf_dir).select("doc_id", txt.alias("text"))
+    return remove_repeated_passages(d, k=20, stride=10, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1321,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "url_dedup": q_url_dedup,
         "encode_documents": q_encode_documents,
+        "remove_passages": q_remove_passages,
     }
 
 
@@ -1870,6 +1895,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens, "
             "CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "remove_passages": (
+            # flagged windows cover exactly the 40-token shared prefix;
+            # cleaned text = the unique tail, written from the formula
+            "WITH c AS (SELECT doc_id, "
+            "  CAST(10 + (doc_id % 4) * 10 AS BIGINT) AS t FROM documents) "
+            "SELECT doc_id, "
+            "array_to_string(list_transform(range(1, t + 1), "
+            "  j -> 'u' || doc_id || '_' || j), ' ') AS text, "
+            "t AS n_tokens, CAST(40 AS BIGINT) AS n_removed FROM c"
         ),
     }
 

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "url_dedup",
     "encode_documents",
+    "remove_passages",
 ]
 
 

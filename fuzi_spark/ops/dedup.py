@@ -774,3 +774,94 @@ def repeated_passages(
         F.count("is_rep").alias("n_repeated"),
         (F.count("is_rep") / F.count("*")).alias("repeated_frac"),
     )
+
+
+def remove_repeated_passages(
+    docs: DataFrame,
+    k: int = 20,
+    stride: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut corpus-repeated passages OUT of the text — the removal step
+    of exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): a window that occurs in >=
+    min_docs distinct documents is removed from EVERY document, and the
+    surviving tokens are reassembled in order. `repeated_passages`
+    above is the measurement pass; this is the mutation.
+
+    Returns one row per input doc: (id_col, text = cleaned,
+    n_tokens:long = surviving tokens, n_removed:long). Overlapping
+    flagged windows merge naturally (a token is cut if ANY flagged
+    window covers it); a fully-templated doc cleans to ''. Tokens
+    between windows (stride > k gaps) are never cut — only positions a
+    flagged window actually covers.
+
+    Scale shape: same election as repeated_passages (one codegen'd
+    window-digest projection, map-side count_distinct, broadcast
+    repeated set), then the per-doc cut lists — only docs that HIT a
+    repeated passage, carrying window indices, not text — join back to
+    the corpus doc-keyed; the rebuild is one codegen'd filter+join
+    projection. The per-token cut test is exists() over the doc's cut
+    list: O(tokens x flagged windows) per doc, worst-case quadratic
+    only for a doc that is itself almost entirely repeated passages.
+    """
+    if k <= 0 or stride <= 0:
+        raise ValueError(f"k and stride must be positive, got k={k} stride={stride}")
+
+    def mk(th):
+        n_win = F.greatest(
+            F.floor((F.size(th) - k) / stride).cast("int") + 1, F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda w: F.xxhash64(
+                *[F.get(th, w * stride + j) for j in range(k)]
+            ),
+        )
+
+    token_hashes = F.transform(
+        F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
+    )
+    wins = docs.select(
+        F.col(id_col), F.posexplode(bind(token_hashes, mk)).alias("w", "dg")
+    )
+    repeated = (
+        wins.groupBy("dg")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("dg")
+    )
+    cuts = (
+        wins.join(F.broadcast(repeated), "dg")
+        .groupBy(id_col)
+        .agg(F.collect_list("w").alias("_cut_w"))
+    )
+    joined = docs.join(cuts, id_col, "left").withColumn(
+        "_cut_w", F.coalesce(F.col("_cut_w"), F.array().cast("array<int>"))
+    )
+
+    def rebuild(tokens):
+        kept = F.filter(
+            tokens,
+            lambda t, i: ~F.exists(
+                F.col("_cut_w"),
+                lambda w: (i >= w * stride) & (i < w * stride + k),
+            ),
+        )
+        return F.struct(
+            F.array_join(kept, " ").alias("clean"),
+            F.size(kept).cast("long").alias("n_tokens"),
+            (F.size(tokens) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+
+    out = joined.withColumn(
+        "_r", bind(F.split(F.col(text_col), " "), rebuild)
+    )
+    return out.select(
+        id_col,
+        F.col("_r.clean").alias(text_col),
+        F.col("_r.n_tokens").alias("n_tokens"),
+        F.col("_r.n_removed").alias("n_removed"),
+    )

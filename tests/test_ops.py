@@ -1839,3 +1839,79 @@ class TestEncodeDocuments:
         empty = spark.createDataFrame([], "doc_id long, text string")
         with pytest.raises(ValueError):
             encode_documents(empty, vocab_table(empty))
+
+
+class TestRemoveRepeatedPassages:
+    """ops/dedup.py remove_repeated_passages — exact-substring removal."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_prefix_removed(self, spark):
+        from fuzi_spark.ops.dedup import remove_repeated_passages
+
+        pre = " ".join(f"c{j}" for j in range(25))
+        rows = [
+            (d, pre + " " + " ".join(f"u{d}_{j}" for j in range(10)))
+            for d in range(4)
+        ] + [(9, "lone wolf text that shares nothing at all here ok")]
+        out = {
+            r.doc_id: r
+            for r in remove_repeated_passages(
+                self._mk(spark, rows), k=10, stride=5, min_docs=2
+            ).collect()
+        }
+        for d in range(4):
+            assert out[d].text == " ".join(f"u{d}_{j}" for j in range(10))
+            assert out[d].n_removed == 25 and out[d].n_tokens == 10
+        assert out[9].n_removed == 0 and out[9].n_tokens == 10
+
+    def test_full_duplicate_cleans_to_empty(self, spark):
+        from fuzi_spark.ops.dedup import remove_repeated_passages
+
+        t = " ".join(f"w{j}" for j in range(30))
+        out = {
+            r.doc_id: r
+            for r in remove_repeated_passages(
+                self._mk(spark, [(1, t), (2, t)]), k=10, stride=5
+            ).collect()
+        }
+        for d in (1, 2):
+            assert out[d].text == "" and out[d].n_tokens == 0
+            assert out[d].n_removed == 30
+
+    def test_stride_gap_tokens_survive(self, spark):
+        """stride > k leaves uncovered gaps; gap tokens must never be
+        cut even when every window is flagged."""
+        from fuzi_spark.ops.dedup import remove_repeated_passages
+
+        # 10 tokens, k=3, stride=5: windows at 0 ([0,3)) and 5 ([5,8));
+        # positions 3,4,8,9 are uncovered
+        t = " ".join(f"w{j}" for j in range(10))
+        out = remove_repeated_passages(
+            self._mk(spark, [(1, t), (2, t)]), k=3, stride=5
+        ).collect()
+        for r in out:
+            assert r.text == "w3 w4 w8 w9", r.text
+            assert r.n_removed == 6
+
+    def test_within_doc_repeat_not_cut(self, spark):
+        """min_docs counts DISTINCT docs — a passage repeated inside one
+        doc only is not corpus boilerplate."""
+        from fuzi_spark.ops.dedup import remove_repeated_passages
+
+        t = "a b c d e a b c d e"
+        out = remove_repeated_passages(
+            self._mk(spark, [(1, t), (2, "totally different words here pad pad")]),
+            k=5,
+            stride=5,
+            min_docs=2,
+        ).collect()
+        got = {r.doc_id: r for r in out}
+        assert got[1].n_removed == 0 and got[1].text == t
+
+    def test_param_validation(self, spark):
+        from fuzi_spark.ops.dedup import remove_repeated_passages
+
+        with pytest.raises(ValueError):
+            remove_repeated_passages(self._mk(spark, [(1, "a")]), k=0)

@@ -163,6 +163,12 @@ CASES = [
      "vocabulary (32k-256k entries by construction) rides the closure; "
      "one ArrowEvalPython pass per batch. The vocab-training side "
      "(vocab_table) keeps its map-side-combinable count shuffle."),
+    ("remove_passages",
+     "Exact-substring passage removal. Wants: the repeated_passages "
+     "election shape (codegen'd window digests, map-side "
+     "count_distinct, repeated set BROADCAST), cut lists carrying "
+     "window INDICES not text, one doc-keyed join back, rebuild as a "
+     "codegen'd filter projection."),
 ]
 
 
