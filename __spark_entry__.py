@@ -1291,6 +1291,91 @@ def q_remove_passages(spark, sf_dir):
     return remove_repeated_passages(d, k=20, stride=10, min_docs=2)
 
 
+def _synth_spans(i):
+    """Deterministic interleaved spans: heading=source, paragraph=text,
+    one media ref, a caption, and an empty paragraph (must be dropped
+    by the renderer) — every field recomputable by the oracle."""
+
+    def span(kind, text, ref, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            (F.lit(ref) if ref is None else ref).cast("string").alias(
+                "media_ref"
+            ),
+            F.lit(off).alias("offset"),
+        )
+
+    return F.array(
+        span("heading", F.col("source"), None, 0),
+        span("paragraph", F.col("text"), None, 1),
+        span(
+            "media",
+            F.lit(""),
+            F.concat(F.lit("img/"), i.cast("string"), F.lit(".jpg")),
+            2,
+        ),
+        span("caption", F.concat(F.lit("cap "), i.cast("string")), None, 3),
+        span("paragraph", F.lit(""), None, 4),
+    )
+
+
+def q_interleaved_text(spark, sf_dir):
+    """Interleaved-sequence assembly: render constructed spans (heading,
+    paragraph, media, caption, empty paragraph) to trainer text with
+    <image> sentinels. The oracle writes the expected string from the
+    same construction formula."""
+    from fuzi_spark.ops.assemble import interleaved_training_text
+
+    i = F.col("doc_id")
+    d = _docs(spark, sf_dir).select("doc_id", _synth_spans(i).alias("spans"))
+    return interleaved_training_text(d)
+
+
+def q_media_balance(spark, sf_dir):
+    """Media-balance gate over constructed spans with doc_id%40 media
+    refs and the real text: exercises too_many_media (>32), the
+    chars-per-media ratio rejection, and the text-only pass-through."""
+    from fuzi_spark.ops.assemble import media_balance_filter
+
+    i = F.col("doc_id")
+    m = (i % 40).cast("int")
+    media = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(
+                    F.lit("img/"), i.cast("string"), F.lit("_"),
+                    j.cast("string"), F.lit(".jpg"),
+                ).alias("media_ref"),
+                j.alias("offset"),
+            ),
+        ),
+    ).otherwise(F.array().cast(SPANS_SQL_TYPE))
+    textspan = F.array(
+        F.struct(
+            F.lit("paragraph").alias("kind"),
+            F.col("text").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(textspan, media).alias("spans")
+    )
+    return media_balance_filter(
+        d, max_media=32, min_chars_per_media=10
+    ).select("doc_id", "n_media", "n_text_chars", "keep", "reject_reason")
+
+
+SPANS_SQL_TYPE = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1346,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "encode_documents": q_encode_documents,
         "remove_passages": q_remove_passages,
+        "interleaved_text": q_interleaved_text,
+        "media_balance": q_media_balance,
     }
 
 
@@ -1905,6 +1992,30 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(list_transform(range(1, t + 1), "
             "  j -> 'u' || doc_id || '_' || j), ' ') AS text, "
             "t AS n_tokens, CAST(40 AS BIGINT) AS n_removed FROM c"
+        ),
+        "interleaved_text": (
+            # expected render written from the span construction:
+            # '# source' ␤␤ text ␤␤ <image> ␤␤ 'cap id' (empty dropped)
+            "SELECT doc_id, "
+            "'# ' || source || chr(10) || chr(10) || text || chr(10) || "
+            "chr(10) || '<image>' || chr(10) || chr(10) || 'cap ' || doc_id "
+            "  AS text, "
+            "CAST(1 AS BIGINT) AS n_media, "
+            "CAST(len(source) + len(text) + len('cap ' || doc_id) AS BIGINT) "
+            "  AS n_text_chars "
+            "FROM documents"
+        ),
+        "media_balance": (
+            "WITH c AS (SELECT doc_id, doc_id % 40 AS m, len(text) AS tc "
+            "  FROM documents) "
+            "SELECT doc_id, CAST(m AS BIGINT) AS n_media, "
+            "CAST(tc AS BIGINT) AS n_text_chars, "
+            "CASE WHEN m > 32 THEN 'too_many_media' "
+            "  WHEN m > 0 AND tc < 10 * m THEN 'media_text_ratio' END "
+            "  AS reject_reason, "
+            "CASE WHEN m > 32 OR (m > 0 AND tc < 10 * m) THEN 0 ELSE 1 END "
+            "  AS keep "
+            "FROM c"
         ),
     }
 

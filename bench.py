@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "url_dedup",
     "encode_documents",
     "remove_passages",
+    "interleaved_text",
+    "media_balance",
 ]
 
 

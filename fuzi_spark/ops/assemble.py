@@ -1,0 +1,129 @@
+"""Interleaved-sequence assembly: extracted spans → trainer input.
+
+The extraction pipeline emits ordered (kind, text, media_ref, offset)
+spans per document (fuzi_spark/extract.py — kinds: heading, paragraph,
+list, caption, media, text). A multimodal trainer consumes one string
+per document with media positions marked by a sentinel token the
+loader later swaps for pixel embeddings. This module is that last
+assembly step, plus the media-balance gate interleaved corpora apply
+before it (a page that is 40 thumbnails and one sentence is gallery
+boilerplate, not a training document).
+
+Everything here is pure Catalyst over the spans array — one codegen'd
+projection per operator, zero shuffles, zero Python. At 10^12 docs
+these run at scan speed on the extraction output table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def render_spans(spans: Column, image_token: str = "<image>") -> Column:
+    """Render an ordered spans array to one training string:
+
+    - media     → the sentinel `image_token` (alt text is metadata for
+                  the media table, not trainer input),
+    - heading   → '# ' + text (one marker level — the extractor does
+                  not preserve h1-h6 depth, so pretending would lie),
+    - list      → '- ' + text,
+    - all else  → text verbatim (paragraph, caption, text),
+    - non-media spans whose text is empty/NULL are dropped,
+
+    joined by blank lines ('\\n\\n'), preserving span order.
+    """
+    rendered = F.transform(
+        spans,
+        lambda s: F.when(s["kind"] == "media", F.lit(image_token))
+        .when(
+            (s["kind"] == "heading") & (F.length(s["text"]) > 0),
+            F.concat(F.lit("# "), s["text"]),
+        )
+        .when(
+            (s["kind"] == "list") & (F.length(s["text"]) > 0),
+            F.concat(F.lit("- "), s["text"]),
+        )
+        .otherwise(F.coalesce(s["text"], F.lit(""))),
+    )
+    return F.coalesce(
+        F.array_join(F.filter(rendered, lambda t: t != ""), "\n\n"),
+        F.lit(""),  # NULL spans array → empty doc, total either way
+    )
+
+
+def interleaved_training_text(
+    df: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    image_token: str = "<image>",
+) -> DataFrame:
+    """One trainer-ready row per document: (id_col, text, n_media:long,
+    n_text_chars:long) — n_text_chars counts SOURCE span text (media
+    sentinels and the inserted '# '/'- ' markers excluded), so the
+    media-balance numbers match `media_balance_filter` exactly."""
+    s = F.col(spans_col)
+    return df.select(
+        F.col(id_col),
+        render_spans(s, image_token).alias("text"),
+        _n_media(s).alias("n_media"),
+        _n_text_chars(s).alias("n_text_chars"),
+    )
+
+
+def _n_media(spans: Column) -> Column:
+    return F.coalesce(
+        F.size(F.filter(spans, lambda s: s["kind"] == "media")),
+        F.lit(0),
+    ).cast("long")
+
+
+def _n_text_chars(spans: Column) -> Column:
+    return F.coalesce(
+        F.aggregate(
+            spans,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.when(
+                s["kind"] != "media",
+                F.coalesce(F.length(s["text"]), F.lit(0)),
+            ).otherwise(F.lit(0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
+def media_balance_filter(
+    df: DataFrame,
+    max_media: int = 32,
+    min_chars_per_media: int = 100,
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Interleaved-corpus gate on the media/text balance. Adds
+    (n_media:long, n_text_chars:long, keep:int, reject_reason:string)
+    — first-failure reason codes, the quality_filter contract:
+
+    - 'too_many_media'   n_media > max_media (gallery/spam pages),
+    - 'media_text_ratio' n_media > 0 and n_text_chars <
+                         min_chars_per_media * n_media (thumbnails
+                         with no prose),
+    - text-only docs (n_media = 0) always pass this gate — stack
+      quality_filter for pure-text criteria.
+    """
+    s = F.col(spans_col)
+    m = df.withColumn("n_media", _n_media(s)).withColumn(
+        "n_text_chars", _n_text_chars(s)
+    )
+    reason = F.when(
+        F.col("n_media") > max_media, F.lit("too_many_media")
+    ).when(
+        (F.col("n_media") > 0)
+        & (
+            F.col("n_text_chars")
+            < F.lit(min_chars_per_media) * F.col("n_media")
+        ),
+        F.lit("media_text_ratio"),
+    )
+    return m.withColumn("reject_reason", reason).withColumn(
+        "keep", F.col("reject_reason").isNull().cast("int")
+    )

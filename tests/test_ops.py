@@ -1915,3 +1915,87 @@ class TestRemoveRepeatedPassages:
 
         with pytest.raises(ValueError):
             remove_repeated_passages(self._mk(spark, [(1, "a")]), k=0)
+
+
+class TestAssemble:
+    """ops/assemble.py — interleaved span rendering + media balance."""
+
+    SCHEMA = (
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+
+    def test_render_order_markers_and_drops(self, spark):
+        from fuzi_spark.ops.assemble import interleaved_training_text
+
+        rows = [
+            (1, [("heading", "Title", None, 0),
+                 ("paragraph", "Hello world.", None, 1),
+                 ("media", "alt ignored", "img/1.jpg", 2),
+                 ("caption", "a cat", None, 3),
+                 ("paragraph", "", None, 4),          # dropped
+                 ("list", "item one", None, 5)]),
+            (2, [("media", "", "img/2.jpg", 0)]),
+            (3, []),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        got = {
+            r.doc_id: r
+            for r in interleaved_training_text(df).collect()
+        }
+        assert got[1].text == (
+            "# Title\n\nHello world.\n\n<image>\n\na cat\n\n- item one"
+        )
+        assert got[1].n_media == 1
+        # source text chars only: Title(5)+Hello world.(12)+a cat(5)+''+item one(8)
+        assert got[1].n_text_chars == 30
+        assert got[2].text == "<image>" and got[2].n_text_chars == 0
+        assert got[3].text == "" and got[3].n_media == 0
+        assert got[4].text == "" and got[4].n_media == 0  # NULL spans total
+
+    def test_custom_image_token(self, spark):
+        from fuzi_spark.ops.assemble import interleaved_training_text
+
+        df = spark.createDataFrame(
+            [(1, [("media", "", "m", 0)])], self.SCHEMA
+        )
+        r = interleaved_training_text(df, image_token="<|img|>").collect()[0]
+        assert r.text == "<|img|>"
+
+    def test_media_balance_classes(self, spark):
+        from fuzi_spark.ops.assemble import media_balance_filter
+
+        text40 = ("paragraph", "x" * 400, None, 0)
+        media = lambda i: ("media", "", f"img/{i}", i)  # noqa: E731
+        rows = [
+            (1, [text40, media(1)]),                      # balanced: keep
+            (2, [text40] + [media(i) for i in range(5)]), # >max_media
+            (3, [("paragraph", "short", None, 0), media(1), media(2)]),
+            (4, [text40]),                                # text-only: keep
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        got = {
+            r.doc_id: (r.keep, r.reject_reason)
+            for r in media_balance_filter(
+                df, max_media=4, min_chars_per_media=100
+            ).collect()
+        }
+        assert got[1] == (1, None)
+        assert got[2] == (0, "too_many_media")
+        assert got[3] == (0, "media_text_ratio")
+        assert got[4] == (1, None)
+
+    def test_zero_shuffles_zero_python(self, spark):
+        from fuzi_spark.ops.assemble import interleaved_training_text
+
+        df = spark.createDataFrame(
+            [(1, [("paragraph", "t", None, 0)])], self.SCHEMA
+        )
+        plan = (
+            interleaved_training_text(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan, plan

@@ -169,6 +169,10 @@ CASES = [
      "count_distinct, repeated set BROADCAST), cut lists carrying "
      "window INDICES not text, one doc-keyed join back, rebuild as a "
      "codegen'd filter projection."),
+    ("interleaved_text",
+     "Interleaved-sequence assembly (spans → trainer text with <image> "
+     "sentinels). Wants: ZERO exchanges, ZERO Python — one codegen'd "
+     "transform/filter/array_join projection over the spans array."),
 ]
 
 
