@@ -1376,6 +1376,58 @@ SPANS_SQL_TYPE = (
 )
 
 
+def q_curate(spark, sf_dir):
+    """The full hygiene DAG on a planted ten-class corpus (doc_id % 10
+    selects the stage that must reject the doc — or keep it): blocklist,
+    canonical-URL dedup, language, quality, exact dedup, and
+    decontamination all fire, in precedence order, with elections run on
+    survivors. The oracle is the construction formula itself."""
+    from fuzi_spark.ops.curate import curate
+
+    i = F.col("doc_id")
+    m = i % 10
+    g = F.floor(i / 10).cast("long")
+    s = lambda c: c.cast("string")  # noqa: E731
+    clean = F.concat(
+        F.lit("the common corpus document number n"), s(i),
+        F.lit(" is a fine example of clean text"),
+    )
+    dup = F.concat(
+        F.lit("the shared duplicate body is a copy of the alpha beta "
+              "gamma text g"), s(g),
+    )
+    text = (
+        F.when(m == 3, F.lit("the the the the the the the the"))
+        .when(m == 4, F.concat(
+            F.lit("привет мир это тест документ номер "), s(i)))
+        .when((m == 5) | (m == 6), dup)
+        .when(m == 7, F.concat(
+            F.lit("the quick brown fox says leaked benchmark answer "
+                  "sequence token alpha and more words n"), s(i)))
+        .otherwise(clean)
+    )
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://OK.example.com/p/"), s(g)))
+        .when(m == 1, F.concat(
+            F.lit("https://ok.example.com:443/p/"), s(g),
+            F.lit("?utm_source=x")))
+        .when(m == 2, F.concat(F.lit("https://Spam.Example.COM/x"), s(i)))
+        .otherwise(F.concat(F.lit("https://ok.example.com/u/"), s(i)))
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", text.alias("text"), url.alias("url")
+    )
+    blocked = spark.createDataFrame([("spam.example.com",)], "domain string")
+    ev = spark.createDataFrame(
+        [(1, "leaked benchmark answer sequence token alpha")],
+        "doc_id long, text string",
+    )
+    return curate(
+        d, url_col="url", blocked_domains=blocked, lang_allow=["en"],
+        eval_set=ev,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1433,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_passages": q_remove_passages,
         "interleaved_text": q_interleaved_text,
         "media_balance": q_media_balance,
+        "curate": q_curate,
     }
 
 
@@ -2016,6 +2069,17 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN m > 32 OR (m > 0 AND tc < 10 * m) THEN 0 ELSE 1 END "
             "  AS keep "
             "FROM c"
+        ),
+        "curate": (
+            # the planted ten-class corpus: the expected stage verdict
+            # is a pure function of doc_id % 10
+            "SELECT doc_id, CASE doc_id % 10 "
+            "  WHEN 1 THEN 'url_duplicate' WHEN 2 THEN 'blocked_domain' "
+            "  WHEN 3 THEN 'quality:too_repetitive' WHEN 4 THEN 'language' "
+            "  WHEN 6 THEN 'exact_duplicate' WHEN 7 THEN 'contaminated' "
+            "  END AS reject_reason, "
+            "CASE WHEN doc_id % 10 IN (0, 5, 8, 9) THEN 1 ELSE 0 END AS keep "
+            "FROM documents"
         ),
     }
 

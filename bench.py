@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "remove_passages",
     "interleaved_text",
     "media_balance",
+    "curate",
 ]
 
 

@@ -1999,3 +1999,128 @@ class TestAssemble:
             .toString()
         )
         assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+class TestCurate:
+    """ops/curate.py — the one-call hygiene DAG."""
+
+    def _corpus(self, spark, decades=2):
+        rows = []
+        for g in range(decades):
+            d = 10 * g
+            clean = (
+                lambda i: f"the common corpus document number n{i} "
+                "is a fine example of clean text"
+            )
+            dup = (
+                f"the shared duplicate body is a copy of the alpha "
+                f"beta gamma text g{g}"
+            )
+            rows += [
+                (d + 0, clean(d + 0), f"https://OK.example.com/p/{g}"),
+                (d + 1, clean(d + 1),
+                 f"https://ok.example.com:443/p/{g}?utm_source=x"),
+                (d + 2, clean(d + 2), f"https://Spam.Example.COM/x{d+2}"),
+                (d + 3, "the the the the the the the the",
+                 f"https://ok.example.com/u/{d+3}"),
+                (d + 4, f"привет мир это тест документ номер {d+4}",
+                 f"https://ok.example.com/u/{d+4}"),
+                (d + 5, dup, f"https://ok.example.com/u/{d+5}"),
+                (d + 6, dup, f"https://ok.example.com/u/{d+6}"),
+                (d + 7, "the quick brown fox says leaked benchmark answer "
+                 f"sequence token alpha and more words n{d+7}",
+                 f"https://ok.example.com/u/{d+7}"),
+                (d + 8, clean(d + 8), f"https://ok.example.com/u/{d+8}"),
+                (d + 9, clean(d + 9), f"https://ok.example.com/u/{d+9}"),
+            ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, url string"
+        )
+
+    EXPECT = {
+        0: None, 1: "url_duplicate", 2: "blocked_domain",
+        3: "quality:too_repetitive", 4: "language", 5: None,
+        6: "exact_duplicate", 7: "contaminated", 8: None, 9: None,
+    }
+
+    def _run(self, spark, docs):
+        from fuzi_spark.ops.curate import curate
+
+        blocked = spark.createDataFrame(
+            [("spam.example.com",)], "domain string"
+        )
+        ev = spark.createDataFrame(
+            [(1, "leaked benchmark answer sequence token alpha")],
+            "doc_id long, text string",
+        )
+        return curate(
+            docs, url_col="url", blocked_domains=blocked,
+            lang_allow=["en"], eval_set=ev,
+        )
+
+    def test_every_stage_fires_on_its_class(self, spark):
+        docs = self._corpus(spark)
+        got = {
+            r.doc_id: (r.reject_reason, r.keep)
+            for r in self._run(spark, docs).collect()
+        }
+        assert len(got) == 20
+        for did, (reason, keep) in got.items():
+            want = self.EXPECT[did % 10]
+            assert reason == want, (did, reason, want)
+            assert keep == (1 if want is None else 0)
+
+    def test_blocklist_precedes_quality(self, spark):
+        """A doc that is both blocked and quality-rejectable reports the
+        EARLIER stage."""
+        from fuzi_spark.ops.curate import curate
+
+        docs = spark.createDataFrame(
+            [(1, "!!!", "https://spam.x/"),
+             (2, "the good document text here is fine and long enough",
+              "https://ok.x/")],
+            "doc_id long, text string, url string",
+        )
+        blocked = spark.createDataFrame([("spam.x",)], "domain string")
+        got = {
+            r.doc_id: r.reject_reason
+            for r in curate(
+                docs, url_col="url", blocked_domains=blocked
+            ).collect()
+        }
+        assert got[1] == "blocked_domain"
+        assert got[2] is None
+
+    def test_elections_run_on_survivors(self, spark):
+        """The URL winner is elected BEFORE quality: if the min-id twin
+        then fails quality, the loser stays url_duplicate (it never
+        re-enters the pool) — the documented sequential semantic."""
+        from fuzi_spark.ops.curate import curate
+
+        docs = spark.createDataFrame(
+            [(1, "!!!", "https://a.x/p"),                      # winner, bad quality
+             (2, "the perfectly fine document body goes right here",
+              "https://a.x/p")],                               # loser, good text
+            "doc_id long, text string, url string",
+        )
+        got = {
+            r.doc_id: r.reject_reason
+            for r in curate(docs, url_col="url").collect()
+        }
+        assert got[1] == "quality:too_few_tokens"
+        assert got[2] == "url_duplicate"
+
+    def test_optional_stages_off(self, spark):
+        from fuzi_spark.ops.curate import curate
+
+        docs = spark.createDataFrame(
+            [(1, "the clean document body is long enough to pass", "u"),
+             (2, "the clean document body is long enough to pass", "u")],
+            "doc_id long, text string, url string",
+        )
+        got = {
+            r.doc_id: (r.reject_reason, r.keep)
+            for r in curate(docs).collect()
+        }
+        assert got[1] == (None, 1)
+        assert got[2] == ("exact_duplicate", 0)

@@ -173,6 +173,13 @@ CASES = [
      "Interleaved-sequence assembly (spans → trainer text with <image> "
      "sentinels). Wants: ZERO exchanges, ZERO Python — one codegen'd "
      "transform/filter/array_join projection over the spans array."),
+    ("curate",
+     "One-call hygiene DAG (blocklist → URL dedup → language → quality "
+     "→ exact dedup → decontamination). Wants: each stage only its "
+     "operator's documented shuffle (two elections + the contamination "
+     "hit count); blocklist/eval sides BROADCAST; reject tables carry "
+     "(id, reason) only, assembled with one left join onto the corpus "
+     "ids."),
 ]
 
 
