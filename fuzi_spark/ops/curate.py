@@ -23,8 +23,10 @@ Stage order and reason codes:
     2. 'url_duplicate'      not the min-id for its canonical URL
     3. 'language'           lang_id(text) not in the allow list
     4. 'quality:<code>'     quality_filter rejection (code appended)
-    5. 'exact_duplicate'    not the min-id for its content digest
-    6. 'contaminated'       shares an n-gram shingle with the eval set
+    5. 'perplexity'         LM perplexity above the cut (optional:
+                            pass lm_model + max_perplexity)
+    6. 'exact_duplicate'    not the min-id for its content digest
+    7. 'contaminated'       shares an n-gram shingle with the eval set
 
 Language runs BEFORE quality (the CCNet order): the quality rules are
 Latin-script heuristics (Java \\w is ASCII), so a Cyrillic/CJK doc must
@@ -47,6 +49,8 @@ def curate(
     blocked_domains: Optional[DataFrame] = None,
     lang_allow: Optional[list[str]] = None,
     eval_set: Optional[DataFrame] = None,
+    lm_model: Optional[tuple[DataFrame, DataFrame]] = None,
+    max_perplexity: Optional[float] = None,
     min_tokens: int = 5,
     max_mean_token_len: float = 15.0,
     max_punct_ratio: float = 0.3,
@@ -56,8 +60,12 @@ def curate(
     """Run the full hygiene DAG; see module docstring for stage order.
 
     Returns one row per input doc: (id_col, reject_reason:string,
-    keep:int). Optional stages (blocklist, URL dedup, language,
-    decontamination) are skipped when their inputs are None.
+    keep:int). Optional stages (blocklist, URL dedup, language, LM
+    perplexity, decontamination) are skipped when their inputs are
+    None. `lm_model` is the (unigrams, bigrams) pair from
+    lm.train_bigram_lm — train it on a TRUSTED reference corpus, not
+    on the corpus being curated (the CCNet contract); unscorable docs
+    (<2 tokens) pass the LM stage, as in lm.perplexity_filter.
     """
     from .dedup import decontaminate
     from .textstats import lang_id, quality_filter
@@ -111,6 +119,23 @@ def curate(
         F.concat(F.lit("quality:"), F.col("reject_reason")),
     )
     cur = q.filter(F.col("keep") == 1).select(*cur.columns)
+
+    if lm_model is not None and max_perplexity is not None:
+        from .lm import lm_perplexity
+
+        uni, bi = lm_model
+        ppl = lm_perplexity(cur, uni, bi, text_col=text_col, id_col=id_col)
+        reject(
+            ppl.filter(F.col("perplexity") > float(max_perplexity)),
+            F.lit("perplexity"),
+        )
+        cur = cur.join(
+            ppl.filter(F.col("perplexity") > float(max_perplexity)).select(
+                F.col(id_col)
+            ),
+            id_col,
+            "left_anti",
+        )
 
     d = cur.withColumn("_dg", F.sha2(F.col(text_col), 256))
     winners = d.groupBy("_dg").agg(F.min(id_col).alias("_win"))

@@ -2124,3 +2124,30 @@ class TestCurate:
         }
         assert got[1] == (None, 1)
         assert got[2] == ("exact_duplicate", 0)
+
+    def test_lm_stage_rejects_out_of_distribution(self, spark):
+        """Optional LM stage: trained on a tiny trusted corpus, an
+        all-OOV doc scores ppl = V and is cut; in-model docs and
+        unscorable short docs pass."""
+        from fuzi_spark.ops.curate import curate
+        from fuzi_spark.ops.lm import train_bigram_lm
+
+        ref = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "the dog sat on the log"),
+             (3, "the cat ate the fish and the dog ate the bone")],
+            "doc_id long, text string",
+        )
+        lm = train_bigram_lm(ref)
+        docs = spark.createDataFrame(
+            [(1, "the cat sat on the mat and the dog ate the fish"),
+             (2, "zebra quark flux bogon lepton meson tachyon gluon")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.reject_reason
+            for r in curate(
+                docs, lm_model=lm, max_perplexity=10.0
+            ).collect()
+        }
+        assert got[1] is None
+        assert got[2] == "perplexity"
