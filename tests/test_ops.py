@@ -2151,3 +2151,28 @@ class TestCurate:
         }
         assert got[1] is None
         assert got[2] == "perplexity"
+
+    def test_canonicalization_idempotent(self, spark):
+        """canon(canon(x)) == canon(x) over randomized URL-ish strings —
+        a second pass must never find more to strip (the property that
+        makes the canonical form a stable dedup/frontier key)."""
+        import random
+
+        from fuzi_spark.ops.web import canonicalize_url
+
+        rng = random.Random(7)
+        frag = ["http://", "HTTPS://", "", "Host.COM", ":80", ":443",
+                ":8080", "/Path", "/p/q", "?", "?a=1", "&utm_source=x",
+                "&gclid=2", "#frag", "?utm_a&b=2", "user:P@", "//", "..",
+                "%20", " ", "é"]
+        urls = [
+            "".join(rng.choice(frag) for _ in range(rng.randrange(1, 8)))
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = df.select(canonicalize_url("url").alias("url"))
+        twice = once.select(
+            F.col("url").alias("c1"), canonicalize_url("url").alias("c2")
+        )
+        bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+        assert not bad, bad[:5]
