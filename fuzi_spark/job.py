@@ -16,6 +16,12 @@ Usage (cluster):
 Dev (sandbox): python -m fuzi_spark.job --input /root/testdata/sf0.001/... \
     --output /tmp/out --master 'local[8]'
 
+Curation mode (same deployment surface, the ops.curate hygiene DAG):
+
+    python -m fuzi_spark.job --mode curate --input /path/corpus_parquet \
+        --output /path/verdicts --blocklist /path/domains \
+        --lang-allow en --eval-set /path/benchmarks
+
 Design notes:
 - No master is set unless --master is passed: spark-submit owns deployment.
 - Iceberg I/O goes through the catalog-qualified table name
@@ -40,11 +46,24 @@ import time
 
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
-        prog="fuzi_spark.job", description="Distributed main-content extraction"
+        prog="fuzi_spark.job",
+        description="Distributed main-content extraction / corpus curation",
+    )
+    p.add_argument(
+        "--mode", choices=("extract", "curate"), default="extract",
+        help="extract: (doc_id, spans) markup → span table (default). "
+        "curate: (doc_id, text[, url]) corpus → keep/drop verdicts "
+        "with first-failure reason codes (ops.curate DAG)",
     )
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="parquet path of (doc_id, spans) documents")
     src.add_argument("--input-table", help="catalog table (Iceberg) of documents")
+    # curate-mode options (ignored under --mode extract)
+    p.add_argument("--blocklist", help="curate: parquet of (domain) to drop")
+    p.add_argument("--eval-set", help="curate: parquet of (text) eval docs "
+                   "for decontamination")
+    p.add_argument("--lang-allow", help="curate: comma-separated lang codes "
+                   "(e.g. en,fr); omit to skip language filtering")
     p.add_argument("--output", help="output dir (parquet dev surface)")
     p.add_argument("--output-table", help="catalog table (Iceberg) for spans")
     p.add_argument("--lineage-table", help="catalog table (Iceberg) for lineage")
@@ -106,6 +125,51 @@ def append_table(df, table: str) -> None:
         df.write.mode("append").saveAsTable(table)
 
 
+def run_curate(spark, docs, args, t0) -> int:
+    """--mode curate: the ops.curate hygiene DAG as a deployable job.
+    Emits one verdict row per input doc and a one-line JSON summary
+    with per-reason counts (the numbers an orchestrator alerts on)."""
+    from pyspark.sql import functions as F
+
+    from .ops.curate import curate
+
+    blocked = (
+        spark.read.parquet(args.blocklist) if args.blocklist else None
+    )
+    ev = spark.read.parquet(args.eval_set) if args.eval_set else None
+    langs = args.lang_allow.split(",") if args.lang_allow else None
+    url_col = "url" if "url" in docs.columns else None
+    verdicts = curate(
+        docs,
+        url_col=url_col,
+        blocked_domains=blocked,
+        lang_allow=langs,
+        eval_set=ev,
+    )
+    if args.output:
+        verdicts.write.mode("overwrite").parquet(args.output)
+        verdicts = spark.read.parquet(args.output)
+    elif args.output_table:
+        append_table(verdicts, args.output_table)
+        verdicts = spark.table(args.output_table)
+    by_reason = {
+        r["reject_reason"]: r["n"]
+        for r in verdicts.groupBy("reject_reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kept = by_reason.pop(None, 0)
+    summary = {
+        "mode": "curate",
+        "docs": int(kept + sum(by_reason.values())),
+        "kept": int(kept),
+        "rejected": {k: int(v) for k, v in sorted(by_reason.items())},
+        "wall_sec": round(time.time() - t0, 2),
+    }
+    print(json.dumps(summary), flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     from pyspark.sql import functions as F
 
@@ -119,6 +183,9 @@ def main(argv=None) -> int:
         docs = spark.read.table(args.input_table)
     else:
         docs = spark.read.parquet(args.input)
+
+    if args.mode == "curate":
+        return run_curate(spark, docs, args, t0)
 
     extracted, lineage = run_extraction_pipeline(
         spark,

@@ -699,3 +699,52 @@ class TestSkewSalting:
         # 5k: the skew-tail docs exceed it and take the salted route;
         # huge: nothing does
         assert run(5_000) == run(10_000_000_000)
+
+
+class TestJobCurateCLI:
+    """fuzi_spark.job --mode curate — the hygiene DAG as a deployable
+    job: verdicts written to parquet, per-reason counts in the JSON
+    summary."""
+
+    def test_curate_summary_and_verdicts(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from fuzi_spark.job import main
+
+        inp = str(tmp_path / "docs")
+        out = str(tmp_path / "verdicts")
+        bl = str(tmp_path / "blocklist")
+        rows = [
+            (1, "the good document body is long enough to pass the gate",
+             "https://ok.x/a"),
+            (2, "the good document body is long enough to pass the gate",
+             "https://ok.x/b"),                       # exact duplicate of 1
+            (3, "!!!", "https://ok.x/c"),             # quality reject
+            (4, "the other fine body with plenty of distinct words here",
+             "https://Spam.X/z"),                     # blocked domain
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, url string"
+        ).write.parquet(inp)
+        spark.createDataFrame([("spam.x",)], "domain string").write.parquet(bl)
+        rc = main(
+            ["--mode", "curate", "--input", inp, "--output", out,
+             "--blocklist", bl]
+        )
+        assert rc == 0
+        summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["mode"] == "curate"
+        assert summary["docs"] == 4 and summary["kept"] == 1
+        assert summary["rejected"] == {
+            "blocked_domain": 1,
+            "exact_duplicate": 1,
+            "quality:too_few_tokens": 1,
+        }
+        got = {
+            r.doc_id: (r.keep, r.reject_reason)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got[1] == (1, None)
+        assert got[2] == (0, "exact_duplicate")
+        assert got[3] == (0, "quality:too_few_tokens")
+        assert got[4] == (0, "blocked_domain")
