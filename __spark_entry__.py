@@ -1428,6 +1428,24 @@ def q_curate(spark, sf_dir):
     )
 
 
+def q_materialize_packs(spark, sf_dir):
+    """Pack materialization: the pack_sequences assignment emitted as
+    actual trainer rows — member texts concatenated in pack order. Same
+    explicit doc_id%8 bucket as the assignment query; the oracle is the
+    identical window arithmetic + ordered string_agg in DuckDB."""
+    from fuzi_spark.ops.packing import materialize_packs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    return materialize_packs(
+        d,
+        budget=20000,
+        text_col="text",
+        tokens_col="n_chars",
+        key_col="doc_id",
+        bucket=F.col("doc_id") % 8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1486,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_text": q_interleaved_text,
         "media_balance": q_media_balance,
         "curate": q_curate,
+        "materialize_packs": q_materialize_packs,
     }
 
 
@@ -2080,6 +2099,20 @@ def oracle_sql() -> dict[str, str]:
             "  END AS reject_reason, "
             "CASE WHEN doc_id % 10 IN (0, 5, 8, 9) THEN 1 ELSE 0 END AS keep "
             "FROM documents"
+        ),
+        "materialize_packs": (
+            # the pack_sequences window arithmetic + ordered string_agg
+            "WITH c AS (SELECT doc_id, text, doc_id % 8 AS bucket, "
+            "  SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "    - n_chars AS prev_cum, n_chars FROM documents), "
+            "p AS (SELECT doc_id, text, n_chars, "
+            "  CAST(bucket AS INTEGER) AS bucket, "
+            "  CAST(prev_cum // 20000 AS BIGINT) AS pack_id FROM c) "
+            "SELECT bucket, pack_id, "
+            "string_agg(text, E'\\n\\n' ORDER BY doc_id) AS text, "
+            "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_tokens "
+            "FROM p GROUP BY 1, 2"
         ),
     }
 

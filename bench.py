@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "interleaved_text",
     "media_balance",
     "curate",
+    "materialize_packs",
 ]
 
 

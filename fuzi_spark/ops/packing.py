@@ -154,3 +154,48 @@ def chunk_documents(
         .select(id_col, F.explode("_chunks").alias("_c"))
         .select(id_col, "_c.chunk_id", "_c.offset", "_c.chunk")
     )
+
+
+def materialize_packs(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    tokens_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    bucket: Optional[Column] = None,
+    n_buckets: int = 64,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """pack_sequences' assignment turned into the actual trainer input:
+    one row per (bucket, pack_id) with the member documents concatenated
+    in pack_pos order. Returns (bucket:int, pack_id:long, text:string,
+    n_docs:long, n_tokens:long).
+
+    Scale shape: pack_sequences' ONE bucket-keyed window shuffle (this
+    time carrying the text — materialization is the step where the
+    bytes must move), then a (bucket, pack_id)-keyed agg that collects
+    each pack's members. A pack holds ~budget tokens by construction,
+    so the collected group is bounded by the budget, not by the corpus
+    — no unbounded collect_list. Determinism: members sort by
+    (pack_pos) inside the aggregate, so output text is a pure function
+    of (corpus, budget, bucket), same as the assignment.
+    """
+    packed = pack_sequences(
+        df, budget, tokens_col=tokens_col, key_col=key_col,
+        bucket=bucket, n_buckets=n_buckets,
+    )
+    members = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("pack_pos"), F.col(text_col).alias("t"))
+        )
+    )
+    return (
+        packed.groupBy("bucket", "pack_id")
+        .agg(
+            F.array_join(
+                F.transform(members, lambda m: m["t"]), sep
+            ).alias("text"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(tokens_col).cast("long").alias("n_tokens"),
+        )
+    )

@@ -2176,3 +2176,46 @@ class TestCurate:
         )
         bad = twice.filter(F.col("c1") != F.col("c2")).collect()
         assert not bad, bad[:5]
+
+
+class TestMaterializePacks:
+    """ops/packing.py materialize_packs — pack assignment → trainer rows."""
+
+    def test_concatenation_order_and_totals(self, spark):
+        from fuzi_spark.ops.packing import materialize_packs
+
+        rows = [(i, f"doc{i}", 40) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, n_tokens long")
+        out = {
+            (r.bucket, r.pack_id): r
+            for r in materialize_packs(df, budget=100, bucket=F.lit(0)).collect()
+        }
+        assert out[(0, 0)].text == "doc0\n\ndoc1\n\ndoc2"
+        assert out[(0, 0)].n_docs == 3 and out[(0, 0)].n_tokens == 120
+        assert out[(0, 3)].text == "doc8\n\ndoc9"
+
+    def test_deterministic_across_layouts(self, spark):
+        from fuzi_spark.ops.packing import materialize_packs
+
+        rows = [(i, f"d{i}", 10 + i % 7) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, n_tokens long")
+        a = {
+            (r.bucket, r.pack_id): r.text
+            for r in materialize_packs(df, budget=40).collect()
+        }
+        b = {
+            (r.bucket, r.pack_id): r.text
+            for r in materialize_packs(df.repartition(13), budget=40).collect()
+        }
+        assert a == b
+
+    def test_custom_separator(self, spark):
+        from fuzi_spark.ops.packing import materialize_packs
+
+        df = spark.createDataFrame(
+            [(1, "a", 5), (2, "b", 5)], "doc_id long, text string, n_tokens long"
+        )
+        r = materialize_packs(
+            df, budget=100, bucket=F.lit(0), sep="<|doc|>"
+        ).collect()[0]
+        assert r.text == "a<|doc|>b"
