@@ -180,6 +180,11 @@ CASES = [
      "hit count); blocklist/eval sides BROADCAST; reject tables carry "
      "(id, reason) only, assembled with one left join onto the corpus "
      "ids."),
+    ("materialize_packs",
+     "Pack materialization. Wants: pack_sequences' single bucket-keyed "
+     "window shuffle (now carrying text — the step where bytes must "
+     "move), then a (bucket, pack)-keyed agg whose collect is bounded "
+     "by the pack BUDGET, not the corpus."),
 ]
 
 
