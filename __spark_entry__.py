@@ -1446,6 +1446,54 @@ def q_materialize_packs(spark, sf_dir):
     )
 
 
+def q_group_quota(spark, sf_dir):
+    """Per-source token-budget quota (no single domain may exceed the
+    cap): deterministic hash-priority prefix per source, kept while the
+    inclusive running n_chars total stays <= 4000. The oracle is the
+    identical windowed cumulative sum in DuckDB — both engines agree on
+    the md5-hex priority order and the ROWS frame."""
+    from fuzi_spark.ops.sampling import group_quota
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+    return group_quota(d, 4000, "source", "w")
+
+
+def q_split_by_group(spark, sf_dir):
+    """Leakage-safe train/val/test split: the corpus is doubled (each
+    text appears under two doc_ids, the dedup_exact construction), and
+    the split is assigned by md5 of the CONTENT hash so both copies of
+    a text land in the same split — the invariant that blocks benchmark
+    contamination. Oracle: the same CASE/threshold chain in DuckDB."""
+    from fuzi_spark.ops.sampling import split_assign
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    out = split_assign(
+        doubled,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_key=F.md5(F.col("text")),
+    )
+    return out.select("doc_id", "split")
+
+
+def q_epoch_order(spark, sf_dir):
+    """Deterministic epoch shuffle: every doc gets its 0-based position
+    in epoch 1's permutation (sort order of md5('fuzi-epoch:1:key')),
+    computed with the bucketed offset+rank plan — no single-task global
+    sort. Oracle: plain ROW_NUMBER over the same hash order (the
+    differential the bucketing must match byte-for-byte)."""
+    from fuzi_spark.ops.packing import epoch_order
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return epoch_order(d, epoch=1, key_cols=("doc_id",), n_buckets=256).select(
+        "doc_id", "epoch", "epoch_pos"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1505,6 +1553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_balance": q_media_balance,
         "curate": q_curate,
         "materialize_packs": q_materialize_packs,
+        "group_quota": q_group_quota,
+        "split_by_group": q_split_by_group,
+        "epoch_order": q_epoch_order,
     }
 
 
@@ -2113,6 +2164,40 @@ def oracle_sql() -> dict[str, str]:
             "string_agg(text, E'\\n\\n' ORDER BY doc_id) AS text, "
             "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_tokens "
             "FROM p GROUP BY 1, 2"
+        ),
+        "group_quota": (
+            # the quota predicate verbatim: md5-hex priority order, ROWS
+            # frame, inclusive cumulative sum <= budget
+            "SELECT doc_id, source, w FROM ("
+            "  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, "
+            "    SUM(CAST(n_chars AS BIGINT)) OVER ("
+            "      PARTITION BY source "
+            "      ORDER BY substr(md5('fuzi-quota:' || CAST(doc_id AS VARCHAR)), 1, 8), "
+            "               CAST(doc_id AS VARCHAR) "
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "  FROM documents) WHERE cum <= 4000"
+        ),
+        "split_by_group": (
+            # thresholds are hex_threshold(0.8)/hex_threshold(0.8+0.1)
+            # through the implementation's exact float path: cccccccc /
+            # e6666666; group key = md5(text) so both copies co-assign
+            "SELECT doc_id, "
+            "CASE WHEN h < 'cccccccc' THEN 'train' "
+            "     WHEN h < 'e6666666' THEN 'val' ELSE 'test' END AS split "
+            "FROM (SELECT doc_id, "
+            "        substr(md5('fuzi-split:' || md5(text)), 1, 8) AS h "
+            "      FROM (SELECT doc_id, text FROM documents "
+            "            UNION ALL "
+            "            SELECT doc_id + 1000000, text FROM documents))"
+        ),
+        "epoch_order": (
+            # the bucketed offset+rank plan must equal plain ROW_NUMBER
+            # over the same md5 order (ties impossible: md5 over unique
+            # keys)
+            "SELECT doc_id, CAST(1 AS INTEGER) AS epoch, "
+            "CAST(ROW_NUMBER() OVER ("
+            "  ORDER BY md5('fuzi-epoch:1:' || CAST(doc_id AS VARCHAR))"
+            ") - 1 AS BIGINT) AS epoch_pos FROM documents"
         ),
     }
 

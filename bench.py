@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "media_balance",
     "curate",
     "materialize_packs",
+    "group_quota",
+    "split_by_group",
+    "epoch_order",
 ]
 
 

@@ -199,3 +199,72 @@ def materialize_packs(
             F.sum(tokens_col).cast("long").alias("n_tokens"),
         )
     )
+
+
+def epoch_order(
+    df: DataFrame,
+    epoch: int,
+    key_cols: tuple[str, ...] = ("bucket", "pack_id"),
+    salt: str = "fuzi-epoch",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic global shuffle order for one training epoch: adds
+    (epoch:int, epoch_pos:long) where epoch_pos is the row's 0-based
+    position in the epoch's permutation. The permutation is the sort
+    order of md5(salt:epoch:key) — content-stable pseudo-randomness, so
+    every epoch reshuffles differently yet any re-run (or resumed job)
+    reproduces the identical order with no RNG state to checkpoint.
+
+    Scale shape: a global position normally means a global sort, but a
+    total-order `Window.orderBy` collapses into ONE task. Instead the
+    hash's leading hex digits define `n_buckets` contiguous hash ranges
+    (bucket b holds exactly the rows whose order-hash starts with b's
+    prefix, so bucket order IS global order); positions are then
+    offset[bucket] + rank-within-bucket, where the offsets come from a
+    metadata-sized per-bucket count aggregate broadcast back. One hash
+    shuffle + one tiny agg, every bucket an independent task — same
+    layout as pack_sequences, and byte-identical to the single-task
+    ROW_NUMBER (pinned by a differential test).
+
+    md5 ties are broken by the key columns, so the order is total even
+    on (astronomically unlikely) hash collisions.
+    """
+    if not (1 <= n_buckets <= 16**6):
+        raise ValueError(f"n_buckets must be in [1, 16^6], got {n_buckets}")
+    hexw = max(len(format(n_buckets - 1, "x")), 1)
+    h = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(salt),
+            F.lit(int(epoch)).cast("string"),
+            *[F.col(c).cast("string") for c in key_cols],
+        )
+    )
+    # bucket = the hash's leading hex digits scaled into [0, n_buckets):
+    # a PREFIX of the sort key, so (bucket, h) order == h order
+    b = (F.conv(F.substring(h, 1, hexw), 16, 10).cast("long") * n_buckets) / (
+        16**hexw
+    )
+    rows = df.withColumn("_eh", h).withColumn("_eb", b.cast("int"))
+    counts = rows.groupBy("_eb").count()
+    woff = (
+        Window.orderBy("_eb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the offsets window runs over <= n_buckets metadata rows — the one
+    # place a single-task sort is the RIGHT plan
+    offsets = counts.select(
+        "_eb", (F.sum("count").over(woff) - F.col("count")).alias("_off")
+    )
+    wrank = Window.partitionBy("_eb").orderBy(
+        "_eh", *[F.col(c).cast("string") for c in key_cols]
+    )
+    return (
+        rows.join(F.broadcast(offsets), "_eb")
+        .withColumn(
+            "epoch_pos",
+            (F.col("_off") + F.row_number().over(wrank) - 1).cast("long"),
+        )
+        .withColumn("epoch", F.lit(int(epoch)))
+        .drop("_eh", "_eb", "_off")
+    )

@@ -24,7 +24,9 @@ whole-stage-codegens into the scan's filter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_WIDTH = 8
@@ -89,3 +91,102 @@ def stratified_sample(
         mapping[F.col(stratum_col)], F.lit(hex_threshold(default_rate))
     )
     return df.filter(_bucket(key_col, salt) < thr)
+
+
+def group_quota(
+    df: DataFrame,
+    budget: int,
+    group_col: str,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "fuzi-quota",
+) -> DataFrame:
+    """Cap total weight per group at `budget` (the "no single domain may
+    exceed X tokens" curation rule).
+
+    Within each group, documents are ranked by their deterministic hash
+    bucket (a random-looking but content-stable priority — no RNG, so
+    re-runs and resumes keep the identical subset), and a doc is KEPT
+    iff the running weight total INCLUDING it stays <= budget. That
+    makes the kept set prefix-closed in priority order: shrinking the
+    budget only removes docs, never swaps them. A single doc heavier
+    than the whole budget is dropped (its inclusive total already
+    exceeds the cap) — quota is a hard ceiling, not best-effort.
+
+    Scale shape: ONE hash shuffle on the group key plus a per-group
+    window sort over metadata-width rows (the window needs only key +
+    weight; text rides along untouched). A window partition
+    materializes in one task, so a pathologically hot group (a domain
+    with billions of docs) bounds the task size; for that regime
+    pre-filter hot groups with `stratified_sample` (rate ≈
+    budget/total_weight) to decimate them before the exact pass —
+    two-phase quota, same final invariant.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_bucket(key_col, salt), F.col(key_col).cast("string"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cum_w", F.sum(F.col(weight_col)).over(w))
+        .filter(F.col("_cum_w") <= F.lit(int(budget)))
+        .drop("_cum_w")
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    group_key: Optional[Column] = None,
+    salt: str = "fuzi-split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a `split` column.
+
+    `weights` maps split name -> relative weight (normalized here);
+    the assignment is the interval the row's hash bucket falls into,
+    with interval boundaries at the cumulative weights — so the same
+    key always lands in the same split, on any cluster, any run.
+
+    Leakage safety: pass `group_key` (any Column — e.g.
+    `F.md5(F.col("text"))` for exact-dup cohesion, or the group id from
+    `dedup_components` for near-dup cohesion) and every row of a group
+    gets the SAME split — duplicated or near-duplicated documents can
+    never straddle train and eval, the classic contamination bug that
+    inflates benchmark scores.
+
+    Scale shape: a pure per-row CASE chain on the scan — no shuffle, no
+    state; whole-stage-codegens into the scan's filter like
+    `hash_sample`. Split names are emitted in the dict's insertion
+    order; the LAST split absorbs the tail interval so the partition is
+    exhaustive even under float rounding.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    if any(v < 0 for v in weights.values()):
+        raise ValueError(f"split weights must be >= 0, got {weights}")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError(f"split weights must sum > 0, got {weights}")
+    key = (
+        group_key
+        if group_key is not None
+        else F.col(key_col).cast("string")
+    )
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"))),
+        1,
+        _HEX_WIDTH,
+    )
+    names = list(weights)
+    expr = F.lit(names[-1])  # tail absorbs rounding
+    cum = 0.0
+    cases = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cases.append((name, hex_threshold(cum)))
+    for name, thr in reversed(cases):
+        expr = F.when(bucket < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

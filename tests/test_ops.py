@@ -2219,3 +2219,222 @@ class TestMaterializePacks:
             df, budget=100, bucket=F.lit(0), sep="<|doc|>"
         ).collect()[0]
         assert r.text == "a<|doc|>b"
+
+
+class TestGroupQuota:
+    def _corpus(self, spark, n=600):
+        return (
+            spark.range(0, n)
+            .withColumnRenamed("id", "doc_id")
+            .withColumn(
+                "source",
+                F.when(F.col("doc_id") % 3 == 0, "a")
+                .when(F.col("doc_id") % 3 == 1, "b")
+                .otherwise("c"),
+            )
+            .withColumn("w", (F.col("doc_id") % 7 + 1).cast("long"))
+        )
+
+    def test_budget_is_a_hard_per_group_ceiling(self, spark):
+        from fuzi_spark.ops.sampling import group_quota
+
+        d = self._corpus(spark)
+        kept = group_quota(d, 120, "source", "w")
+        sums = {
+            r.source: r.s
+            for r in kept.groupBy("source").agg(F.sum("w").alias("s")).collect()
+        }
+        assert sums and all(s <= 120 for s in sums.values()), sums
+        # the quota should be nearly used up (min weight is 1, so the
+        # greedy prefix can leave at most max_weight-1 = 6 unfilled)
+        assert all(s >= 120 - 6 for s in sums.values()), sums
+
+    def test_prefix_closed_under_smaller_budget(self, spark):
+        """Shrinking the budget only removes docs (priority order is
+        budget-independent) — curriculum re-weighting without re-runs."""
+        from fuzi_spark.ops.sampling import group_quota
+
+        d = self._corpus(spark)
+        big = {r.doc_id for r in group_quota(d, 200, "source", "w").collect()}
+        small = {r.doc_id for r in group_quota(d, 80, "source", "w").collect()}
+        assert small < big
+
+    def test_deterministic_across_layouts(self, spark):
+        from fuzi_spark.ops.sampling import group_quota
+
+        d = self._corpus(spark)
+        a = {r.doc_id for r in group_quota(d, 100, "source", "w").collect()}
+        b = {
+            r.doc_id
+            for r in group_quota(
+                d.repartition(13, "w"), 100, "source", "w"
+            ).collect()
+        }
+        assert a == b and a
+
+    def test_group_under_budget_kept_whole(self, spark):
+        from fuzi_spark.ops.sampling import group_quota
+
+        d = self._corpus(spark, n=60)
+        total = d.agg(F.sum("w")).collect()[0][0]
+        assert group_quota(d, int(total), "source", "w").count() == 60
+
+    def test_doc_heavier_than_budget_dropped(self, spark):
+        from fuzi_spark.ops.sampling import group_quota
+
+        d = spark.createDataFrame(
+            [(1, "a", 50), (2, "a", 3)], "doc_id long, source string, w long"
+        )
+        kept = {r.doc_id for r in group_quota(d, 10, "source", "w").collect()}
+        assert kept == {2}
+
+    def test_rejects_nonpositive_budget(self, spark):
+        from fuzi_spark.ops.sampling import group_quota
+
+        d = self._corpus(spark, n=10)
+        with pytest.raises(ValueError):
+            group_quota(d, 0, "source", "w")
+
+
+class TestSplitAssign:
+    def test_partition_is_exhaustive_and_disjoint(self, spark):
+        from fuzi_spark.ops.sampling import split_assign
+
+        d = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+        out = split_assign(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {
+            r.split: r.n
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        assert sum(counts.values()) == 4000
+        assert set(counts) == {"train", "val", "test"}
+        assert abs(counts["train"] / 4000 - 0.8) < 0.03
+        assert abs(counts["val"] / 4000 - 0.1) < 0.02
+        assert abs(counts["test"] / 4000 - 0.1) < 0.02
+
+    def test_weights_are_normalized(self, spark):
+        from fuzi_spark.ops.sampling import split_assign
+
+        d = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        a = split_assign(d, {"x": 8.0, "y": 2.0}).collect()
+        b = split_assign(d, {"x": 0.8, "y": 0.2}).collect()
+        assert {(r.doc_id, r.split) for r in a} == {
+            (r.doc_id, r.split) for r in b
+        }
+
+    def test_group_cohesion_blocks_leakage(self, spark):
+        """Rows sharing a group key (here: identical text) must land in
+        the same split — dup'd docs can never straddle train/eval."""
+        from fuzi_spark.ops.sampling import split_assign
+
+        d = spark.createDataFrame(
+            [(i, f"t{i % 50}") for i in range(1000)],
+            "doc_id long, text string",
+        )
+        out = split_assign(
+            d, {"train": 0.5, "test": 0.5}, group_key=F.md5(F.col("text"))
+        )
+        per_text = (
+            out.groupBy("text")
+            .agg(F.countDistinct("split").alias("k"))
+            .agg(F.max("k"))
+            .collect()[0][0]
+        )
+        assert per_text == 1
+        # and both splits are actually populated at this group count
+        assert out.select("split").distinct().count() == 2
+
+    def test_deterministic_across_layouts(self, spark):
+        from fuzi_spark.ops.sampling import split_assign
+
+        d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {(r.doc_id, r.split) for r in split_assign(d, {"a": 1, "b": 1}).collect()}
+        b = {
+            (r.doc_id, r.split)
+            for r in split_assign(d.repartition(11, "doc_id"), {"a": 1, "b": 1}).collect()
+        }
+        assert a == b
+
+    def test_rejects_bad_weights(self, spark):
+        from fuzi_spark.ops.sampling import split_assign
+
+        d = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            split_assign(d, {})
+        with pytest.raises(ValueError):
+            split_assign(d, {"a": -1.0, "b": 2.0})
+        with pytest.raises(ValueError):
+            split_assign(d, {"a": 0.0})
+
+
+class TestEpochOrder:
+    def _packs(self, spark, n=3000):
+        return (
+            spark.range(0, n)
+            .select(
+                (F.col("id") % 64).cast("int").alias("bucket"),
+                (F.col("id") / 64).cast("long").alias("pack_id"),
+            )
+        )
+
+    def test_positions_are_a_permutation(self, spark):
+        from fuzi_spark.ops.packing import epoch_order
+
+        d = self._packs(spark)
+        pos = [r.epoch_pos for r in epoch_order(d, epoch=0).collect()]
+        assert sorted(pos) == list(range(3000))
+
+    def test_matches_global_row_number(self, spark):
+        """The bucketed offset+rank computation must be byte-identical
+        to the single-task ROW_NUMBER over the same hash order."""
+        from pyspark.sql import Window
+        from fuzi_spark.ops.packing import epoch_order
+
+        d = self._packs(spark, n=2000)
+        got = {
+            (r.bucket, r.pack_id): r.epoch_pos
+            for r in epoch_order(d, epoch=3, n_buckets=32).collect()
+        }
+        h = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit("fuzi-epoch"),
+                F.lit("3"),
+                F.col("bucket").cast("string"),
+                F.col("pack_id").cast("string"),
+            )
+        )
+        ref = {
+            (r.bucket, r.pack_id): r.pos - 1
+            for r in d.withColumn(
+                "pos", F.row_number().over(Window.orderBy(h))
+            ).collect()
+        }
+        assert got == ref
+
+    def test_epochs_permute_differently_but_reproducibly(self, spark):
+        from fuzi_spark.ops.packing import epoch_order
+
+        d = self._packs(spark, n=1500)
+        e0 = {
+            (r.bucket, r.pack_id): r.epoch_pos
+            for r in epoch_order(d, epoch=0).collect()
+        }
+        e1 = {
+            (r.bucket, r.pack_id): r.epoch_pos
+            for r in epoch_order(d, epoch=1).collect()
+        }
+        e0again = {
+            (r.bucket, r.pack_id): r.epoch_pos
+            for r in epoch_order(d.repartition(7), epoch=0).collect()
+        }
+        assert e0 == e0again, "same epoch must reproduce exactly"
+        moved = sum(1 for k in e0 if e0[k] != e1[k])
+        assert moved > 1400, "different epochs must reshuffle nearly everything"
+
+    def test_rejects_bad_bucket_count(self, spark):
+        from fuzi_spark.ops.packing import epoch_order
+
+        d = self._packs(spark, n=10)
+        with pytest.raises(ValueError):
+            epoch_order(d, epoch=0, n_buckets=0)

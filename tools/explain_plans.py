@@ -185,6 +185,22 @@ CASES = [
      "window shuffle (now carrying text — the step where bytes must "
      "move), then a (bucket, pack)-keyed agg whose collect is bounded "
      "by the pack BUDGET, not the corpus."),
+    ("group_quota",
+     "Per-domain token-budget cap. Wants: ONE group-keyed shuffle + "
+     "per-group window sort over metadata-width rows (key, weight, "
+     "md5 priority); the keep decision is a codegen'd filter on the "
+     "running sum — no second exchange, no driver state."),
+    ("split_by_group",
+     "Leakage-safe split assignment. Wants: ZERO exchanges — the "
+     "content-hash bucket and the CASE threshold chain are one "
+     "whole-stage-codegen'd Project on the scan (union of two scan "
+     "branches here; each stays exchange-free)."),
+    ("epoch_order",
+     "Epoch shuffle order. Wants: NO single-task global sort — one "
+     "hash-bucket shuffle for the per-bucket rank windows, a "
+     "metadata-sized per-bucket count agg whose offsets BROADCAST "
+     "back; the one single-partition window runs over <= n_buckets "
+     "count rows, never corpus rows."),
 ]
 
 
