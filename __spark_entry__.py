@@ -1494,6 +1494,26 @@ def q_epoch_order(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Token-mass corpus mixing: re-balance to 35% en / 25% de / 20% fr
+    / 20% es by n_chars (zh is absent from the mix and dropped; de is
+    the binding stratum and keeps rate 1.0). The oracle recomputes the
+    IDENTICAL rate arithmetic in SQL — same aggregates, same IEEE op
+    sequence (t/share, MIN, T*share/t, r*2^32) — and compares the md5
+    bucket numerically, so the match is bit-exact, not approximate."""
+    from fuzi_spark.ops.sampling import mixture_by_tokens
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("w")
+    )
+    return mixture_by_tokens(
+        d,
+        {"en": 0.35, "de": 0.25, "fr": 0.2, "es": 0.2},
+        stratum_col="lang",
+        weight_col="w",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1556,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quota": q_group_quota,
         "split_by_group": q_split_by_group,
         "epoch_order": q_epoch_order,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -2198,6 +2219,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROW_NUMBER() OVER ("
             "  ORDER BY md5('fuzi-epoch:1:' || CAST(doc_id AS VARCHAR))"
             ") - 1 AS BIGINT) AS epoch_pos FROM documents"
+        ),
+        "mixture_sample": (
+            # mixture_rates' exact IEEE sequence: t/share, MIN -> T,
+            # LEAST(1, T*share/t) -> rate, keep iff md5 bucket (parsed
+            # numerically via the 0x cast) < rate * 2^32
+            "WITH tot AS ("
+            "  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS t "
+            "  FROM documents GROUP BY lang), "
+            "sh AS ("
+            "  SELECT lang, t, CASE lang WHEN 'en' THEN 0.35 "
+            "    WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.2 "
+            "    WHEN 'es' THEN 0.2 END AS share "
+            "  FROM tot WHERE t > 0), "
+            "tmax AS (SELECT MIN(t / share) AS tm FROM sh "
+            "         WHERE share IS NOT NULL), "
+            "rates AS ("
+            "  SELECT lang, LEAST(1.0, tm * share / t) AS r "
+            "  FROM sh, tmax WHERE share IS NOT NULL) "
+            "SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS w "
+            "FROM documents d JOIN rates USING (lang) "
+            "WHERE CAST(('0x' || substr(md5('fuzi-mix:' "
+            "  || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)::DOUBLE "
+            "  < r * 4294967296.0"
         ),
     }
 

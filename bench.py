@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "group_quota",
     "split_by_group",
     "epoch_order",
+    "mixture_sample",
 ]
 
 

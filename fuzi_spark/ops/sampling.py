@@ -190,3 +190,75 @@ def split_assign(
     for name, thr in reversed(cases):
         expr = F.when(bucket < F.lit(thr), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def mixture_rates(
+    totals: dict[str, float], shares: dict[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep rates that move the corpus to the target token
+    mix while keeping the maximum feasible mass.
+
+    The feasible post-sample total T obeys T*share_s <= totals_s for
+    every stratum, so T = min_s(totals_s / share_s) and the binding
+    stratum keeps rate 1.0 — nothing is thrown away that the mix could
+    have used. Exposed separately so the oracle (and callers with
+    pre-aggregated totals) can reproduce the EXACT float sequence:
+    every operation below is a single IEEE-754 op mirrored verbatim in
+    the SQL twin (t/share, min, T*share/t — same order, same ops)."""
+    norm = float(sum(shares.values()))
+    if norm <= 0:
+        raise ValueError(f"shares must sum > 0, got {shares}")
+    normed = {s: w / norm for s, w in shares.items()}
+    present = {s: sh for s, sh in normed.items() if totals.get(s)}
+    if not present:
+        raise ValueError("no stratum in `shares` has any mass in the data")
+    t_max = min(float(totals[s]) / sh for s, sh in present.items())
+    return {
+        s: min(1.0, t_max * sh / float(totals[s])) for s, sh in present.items()
+    }
+
+
+def mixture_by_tokens(
+    df: DataFrame,
+    shares: dict[str, float],
+    stratum_col: str,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "fuzi-mix",
+) -> DataFrame:
+    """Re-balance the corpus to a target TOKEN mix (the data-mixing step:
+    "make the training set 35% en / 25% de / ... by token mass"), by
+    deterministic hash downsampling per stratum at `mixture_rates`.
+
+    Strata absent from `shares` are dropped — the mix defines the
+    training universe. The realized mix matches the target in
+    expectation (hash-uniform thinning); exactness improves with doc
+    count per stratum.
+
+    The per-stratum totals are collected driver-side: strata are
+    languages/sources/quality buckets — metadata-sized by contract
+    (same guarded pattern as encode_documents' vocabulary). The keep
+    decision compares the md5 bucket NUMERICALLY (conv(hex,16,10) <
+    rate*2^32) rather than against a truncated hex threshold, so the
+    oracle can recompute the identical rate arithmetic in SQL and
+    match bit-for-bit.
+
+    Scale shape: one map-side-combinable agg over (stratum, weight) for
+    the totals, then a pure scan predicate — no corpus shuffle."""
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).agg(F.sum(weight_col)).collect()
+        if r[0] is not None and r[1] is not None
+    }
+    rates = mixture_rates(totals, shares)
+    bucket_num = F.conv(_bucket(key_col, salt), 16, 10).cast("bigint").cast(
+        "double"
+    )
+    thr = F.create_map(
+        *[
+            lit
+            for s, r in sorted(rates.items())
+            for lit in (F.lit(s), F.lit(r * float(_ONE)))
+        ]
+    )[F.col(stratum_col)]
+    return df.filter(bucket_num < thr)

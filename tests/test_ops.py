@@ -2438,3 +2438,72 @@ class TestEpochOrder:
         d = self._packs(spark, n=10)
         with pytest.raises(ValueError):
             epoch_order(d, epoch=0, n_buckets=0)
+
+
+class TestMixtureByTokens:
+    def _corpus(self, spark):
+        # en-heavy corpus: en 3000 docs x w=10, de 1000 x 10, fr 200 x 10
+        rows = (
+            [(i, "en", 10) for i in range(3000)]
+            + [(10000 + i, "de", 10) for i in range(1000)]
+            + [(20000 + i, "fr", 10) for i in range(200)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, lang string, w long")
+
+    def test_rates_math(self):
+        from fuzi_spark.ops.sampling import mixture_rates
+
+        r = mixture_rates(
+            {"en": 30000.0, "de": 10000.0, "fr": 2000.0},
+            {"en": 0.5, "de": 0.3, "fr": 0.2},
+        )
+        # fr binds: T = 2000/0.2 = 10000 -> en keeps 10000*0.5/30000
+        assert r["fr"] == 1.0
+        assert abs(r["en"] - 10000 * 0.5 / 30000) < 1e-12
+        assert abs(r["de"] - 10000 * 0.3 / 10000) < 1e-12
+
+    def test_realized_mix_tracks_target(self, spark):
+        from fuzi_spark.ops.sampling import mixture_by_tokens
+
+        out = mixture_by_tokens(
+            self._corpus(spark), {"en": 0.5, "de": 0.3, "fr": 0.2},
+            stratum_col="lang", weight_col="w",
+        ).groupBy("lang").agg(F.sum("w").alias("t")).collect()
+        mass = {r.lang: r.t for r in out}
+        total = sum(mass.values())
+        # fr binds (2000 tokens / share .2 -> feasible total 10000)
+        assert mass["fr"] == 2000, "binding stratum must be kept whole"
+        assert abs(mass["en"] / total - 0.5) < 0.05
+        assert abs(mass["de"] / total - 0.3) < 0.05
+
+    def test_stratum_absent_from_shares_dropped(self, spark):
+        from fuzi_spark.ops.sampling import mixture_by_tokens
+
+        out = mixture_by_tokens(
+            self._corpus(spark), {"en": 0.7, "de": 0.3},
+            stratum_col="lang", weight_col="w",
+        )
+        assert out.filter(F.col("lang") == "fr").count() == 0
+
+    def test_deterministic_across_layouts(self, spark):
+        from fuzi_spark.ops.sampling import mixture_by_tokens
+
+        d = self._corpus(spark)
+        sh = {"en": 0.5, "de": 0.3, "fr": 0.2}
+        a = {r.doc_id for r in mixture_by_tokens(d, sh, "lang", "w").collect()}
+        b = {
+            r.doc_id
+            for r in mixture_by_tokens(d.repartition(19), sh, "lang", "w").collect()
+        }
+        assert a == b and a
+
+    def test_rejects_bad_shares(self, spark):
+        from fuzi_spark.ops.sampling import mixture_by_tokens, mixture_rates
+
+        with pytest.raises(ValueError):
+            mixture_rates({"en": 10.0}, {})
+        with pytest.raises(ValueError):
+            mixture_rates({"en": 10.0}, {"zz": 1.0})
+        d = self._corpus(spark)
+        with pytest.raises(ValueError):
+            mixture_by_tokens(d, {"zz": 1.0}, "lang", "w")

@@ -201,6 +201,11 @@ CASES = [
      "metadata-sized per-bucket count agg whose offsets BROADCAST "
      "back; the one single-partition window runs over <= n_buckets "
      "count rows, never corpus rows."),
+    ("mixture_sample",
+     "Token-mass corpus mixing. Wants: one map-side-combinable "
+     "(stratum, weight) agg for the totals (metadata-sized result, "
+     "driver-computed rates), then a pure scan predicate — the keep "
+     "decision whole-stage-codegens; no corpus shuffle."),
 ]
 
 
