@@ -870,6 +870,59 @@ def q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup keep/drop list: each vector unioned with an exact copy
+    (id+10000). An exact copy always lands in the SAME k-means cell
+    (identical vector => identical assignment) and, processed after its
+    original in the ascending-id greedy, always finds a kept vector at
+    cosine >= threshold (its original if kept, else whatever kept vector
+    dropped the original, at the identical cosine) — so every copy is
+    dropped, regardless of organic near-dups among the originals. The
+    query projects exactly that invariant."""
+    from fuzi_spark.ops.similarity import semantic_dedup
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    doubled = vecs.unionByName(
+        vecs.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    res = semantic_dedup(doubled, n_cells=8, threshold=0.999)
+    return (
+        res.filter((F.col("vec_id") >= 10000) & (F.col("keep") == 0))
+        .select("vec_id")
+    )
+
+
+def q_normalize_text(spark, sf_dir):
+    """Canonical text normalization over a constructed messy corpus:
+    padded whitespace runs, tabs/newlines, C0 controls, and decomposed
+    Unicode (combining acute/ring/diaeresis), including a combining mark
+    separated from its base by a control byte (exercises the strip-
+    before-NFC stage-order contract). The oracle rebuilds the identical
+    messy string and applies the same regex pipeline + nfc_normalize in
+    DuckDB — bit-exact."""
+    from fuzi_spark.ops.textstats import normalize_text
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    messy = F.concat(
+        F.lit("  "),
+        F.col("text"),
+        F.lit("\tx\n\ny  "),
+        F.when(
+            i % 2 == 0, F.lit(" Café du\x01nord e\x02́")
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 3 == 0, F.lit(" Ångström\x07 \x0b ok")
+        ).otherwise(F.lit("")),
+    )
+    return normalize_text(d.select("doc_id", messy.alias("text"))).select(
+        "doc_id", "norm_text"
+    )
+
+
 def q_events_window(spark, sf_dir):
     """Tumbling-window aggregation over the events stream table (batch
     form of the watermarked streaming operator in fuzi_spark.streaming)."""
@@ -1551,6 +1604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_dedup": q_semantic_dedup,
+        "normalize_text": q_normalize_text,
         "multimodal_decode": q_multimodal_decode,
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
@@ -1732,6 +1787,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_near_dups": (
             "SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings"
+        ),
+        "semantic_dedup": (
+            # the planted invariant: every exact copy is dropped (see
+            # q_semantic_dedup docstring for why this holds regardless of
+            # organic near-dups among the originals)
+            "SELECT vec_id + 10000 AS vec_id FROM embeddings"
+        ),
+        "normalize_text": (
+            # identical messy construction (chr() for controls/combining
+            # marks), identical stage order: strip C0-except-ws + DEL,
+            # collapse ws runs, trim, then NFC — bit-exact vs Spark
+            "WITH messy AS (SELECT doc_id, '  ' || text || chr(9) || 'x' "
+            "|| chr(10) || chr(10) || 'y  ' "
+            "|| CASE WHEN doc_id % 2 = 0 THEN ' Cafe' || chr(769) "
+            "   || ' du' || chr(1) || 'nord e' || chr(2) || chr(769) "
+            "   ELSE '' END "
+            "|| CASE WHEN doc_id % 3 = 0 THEN ' A' || chr(778) "
+            "   || 'ngstro' || chr(776) || 'm' || chr(7) || ' ' "
+            "   || chr(11) || ' ok' ELSE '' END AS t FROM documents) "
+            "SELECT doc_id, nfc_normalize(trim(regexp_replace("
+            "regexp_replace(t, '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), "
+            "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS norm_text FROM messy"
         ),
         "sessionize": (
             "WITH flagged AS ("

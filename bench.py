@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "split_by_group",
     "epoch_order",
     "mixture_sample",
+    "normalize_text",
+    "semantic_dedup",
 ]
 
 

@@ -423,3 +423,77 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse spherical-k-means cells, then a
+    DETERMINISTIC greedy prune inside each cell in ascending id order —
+    a vector is dropped iff its cosine to some already-kept vector in
+    the same cell is >= threshold; `dup_of` records the FIRST (lowest-id)
+    kept vector that triggered the drop.
+
+    Returns (id, cell:int, keep:int, dup_of:long|null). Differs from
+    embedding_near_dups (pair list) by producing the training-pipeline
+    artifact directly: a keep/drop list with a representative per
+    semantic group, no pair materialization.
+
+    Scale shape: cell assignment is one broadcast matmul per Arrow batch
+    (ivf_assign_udf); the only shuffle is the groupBy(cell) exchange,
+    keyed by a smallint. The within-cell prune is O(m_c^2 * dim) numpy
+    flops worst-case, so n_cells is the knob that bounds per-task work —
+    at 10^12 rows pick n_cells ~ corpus/10^5 so cells stay ~100k rows
+    (the paper's operating point; cells are processed independently, so
+    more cells = more parallelism AND less work). Exact copies always
+    share a cell (identical vector => identical assignment), which is
+    the invariant the driver oracle checks; recall on organic
+    0.95<=cos<1 pairs is bounded by cell co-residency, same contract as
+    the paper.
+    """
+    cents = ivf_centroids(
+        vectors, n_cells, id_col, vec_col, sample_rows=sample_rows
+    )
+    assign = ivf_assign_udf(cents)
+    assigned = vectors.select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cell")
+    )
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        keep = np.ones(n, dtype=np.int32)
+        dup_of: list = [None] * n
+        kept_rows: list[int] = []
+        for i in range(n):
+            if kept_rows:
+                # one matvec against the kept block per row (numpy),
+                # never per-element Python
+                sims = M[kept_rows] @ M[i]
+                hit = np.nonzero(sims >= threshold)[0]
+                if hit.size:
+                    keep[i] = 0
+                    dup_of[i] = int(ids[kept_rows[int(hit[0])]])
+                    continue
+            kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": pdf["cell"].to_numpy(),
+                "keep": keep,
+                "dup_of": pd.array(dup_of, dtype="Int64"),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        _prune, schema=f"{id_col} long, cell int, keep int, dup_of long"
+    )

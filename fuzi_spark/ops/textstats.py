@@ -88,6 +88,53 @@ def quality_filter(
     )
 
 
+# ------------------------------------------------------------ normalize
+
+# C0 control characters except the whitespace ones handled by the
+# collapse below (\t \n \r \f \x0B), plus DEL. Explicit byte ranges so
+# the Java (Spark) and RE2 (DuckDB oracle) engines agree character-for-
+# character — never \p classes, whose Unicode coverage differs.
+_CTRL_CLASS = "[\\x00-\\x08\\x0E-\\x1F\\x7F]"
+_WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
+
+
+@pandas_udf(StringType())
+def _nfc_udf(s: pd.Series) -> pd.Series:
+    # pandas Series.str.normalize is the vectorized unicodedata.normalize
+    # (one pass per Arrow batch, nulls propagate) — never per-row Python.
+    return s.str.normalize("NFC")
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Canonical text normalization (the CCNet-style cleanup pass that
+    fronts every dedup/quality stage): strip non-whitespace C0 controls
+    and DEL, collapse whitespace runs to single spaces, trim, then Unicode
+    NFC composition.
+
+    Stage order is part of the contract (and mirrored exactly by the
+    DuckDB oracle): controls are stripped BEFORE composition so a
+    combining mark separated from its base by a control byte still
+    composes; whitespace collapse cannot be affected by NFC (composition
+    never produces ASCII whitespace).
+
+    The regex stages are JVM Catalyst expressions (codegen'd, scan-speed
+    at any scale); only the NFC pass crosses into Arrow, on the
+    already-shrunk string. Reference parity: the reference gets its
+    whitespace handling from libxml2/XPath normalize-space()
+    (/root/reference/Sources/Fuzi/Queryable.swift XPath surface); this is
+    the corpus-scale generalization of that primitive."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), _CTRL_CLASS, ""),
+            _WS_CLASS,
+            " ",
+        )
+    )
+    return df.withColumn(out_col, _nfc_udf(cleaned))
+
+
 def _clean_tokens(text_col: str):
     """Whitespace tokens with the empty-token artifact removed (split on
     '' yields [''] — same guard as dedup.token_hashes_col)."""

@@ -2507,3 +2507,157 @@ class TestMixtureByTokens:
         d = self._corpus(spark)
         with pytest.raises(ValueError):
             mixture_by_tokens(d, {"zz": 1.0}, "lang", "w")
+
+
+class TestNormalizeText:
+    """normalize_text: strip C0-except-ws + DEL, collapse whitespace,
+    trim, then NFC — stage order is part of the contract."""
+
+    def _run(self, spark, texts):
+        from fuzi_spark.ops.textstats import normalize_text
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        out = normalize_text(df).orderBy("doc_id").collect()
+        return [r["norm_text"] for r in out]
+
+    def test_nfc_composition(self, spark):
+        # decomposed e + combining acute composes to the single codepoint
+        got = self._run(spark, ["Café"])
+        assert got == ["Café"]
+
+    def test_control_strip_before_nfc(self, spark):
+        # a combining mark separated from its base by a control byte
+        # still composes: controls are stripped BEFORE NFC
+        got = self._run(spark, ["e\x02́x"])
+        assert got == ["éx"]
+
+    def test_whitespace_collapse_and_trim(self, spark):
+        got = self._run(spark, ["  a\t\tb\n\nc \x0b d  ", "\t\n", ""])
+        assert got == ["a b c d", "", ""]
+
+    def test_controls_stripped_del_too(self, spark):
+        got = self._run(spark, ["a\x00b\x07c\x7fd"])
+        assert got == ["abcd"]
+
+    def test_null_propagates(self, spark):
+        from fuzi_spark.ops.textstats import normalize_text
+
+        df = spark.createDataFrame(
+            [(0, None), (1, "ok")], "doc_id long, text string"
+        )
+        rows = {
+            r["doc_id"]: r["norm_text"]
+            for r in normalize_text(df).collect()
+        }
+        assert rows[0] is None and rows[1] == "ok"
+
+    def test_idempotent(self, spark):
+        """Normalizing an already-normalized string is the identity —
+        randomized soup of controls/whitespace/combining marks."""
+        import random
+
+        rng = random.Random(42)
+        alphabet = (
+            list("abc XYZ.,!") + ["\t", "\n", "\x01", "\x7f", "\x0b"]
+            + ["́", "̊", "é", "é"]
+        )
+        soup = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+            for _ in range(200)
+        ]
+        once = self._run(spark, soup)
+        twice = self._run(spark, once)
+        assert once == twice
+
+
+class TestSemanticDedup:
+    """semantic_dedup: deterministic greedy within-cell prune, verified
+    against a plain-numpy reference implementation of the same rule."""
+
+    def _vectors(self, n=120, dim=16, seed=7):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        # 4 tight clusters + noise: plenty of organic near-dups
+        centers = rng.randn(4, dim)
+        rows = []
+        for i in range(n):
+            c = centers[i % 4]
+            v = c + 0.001 * rng.randn(dim)
+            rows.append((i, [float(x) for x in v]))
+        # exact copies of the first 10 at ids 1000+
+        rows += [(1000 + i, list(rows[i][1])) for i in range(10)]
+        return rows
+
+    @staticmethod
+    def _reference(rows, cents, threshold):
+        """Numpy reference: identical cell assignment + greedy rule."""
+        import numpy as np
+
+        C = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        ids = np.array([r[0] for r in rows])
+        M = np.array([r[1] for r in rows], dtype=np.float64)
+        U = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        cells = np.argmax(U @ C.T, axis=1)
+        out = {}
+        for cell in sorted(set(cells.tolist())):
+            idx = np.nonzero(cells == cell)[0]
+            idx = idx[np.argsort(ids[idx], kind="stable")]
+            kept = []
+            for i in idx:
+                hit = None
+                for j in kept:
+                    if float(U[j] @ U[i]) >= threshold:
+                        hit = j
+                        break
+                if hit is None:
+                    kept.append(i)
+                    out[int(ids[i])] = (int(cell), 1, None)
+                else:
+                    out[int(ids[i])] = (int(cell), 0, int(ids[hit]))
+        return out
+
+    def test_matches_numpy_reference(self, spark):
+        from fuzi_spark.ops.similarity import (
+            ivf_centroids,
+            semantic_dedup,
+        )
+
+        rows = self._vectors()
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            r["vec_id"]: (r["cell"], r["keep"], r["dup_of"])
+            for r in semantic_dedup(
+                df, n_cells=4, threshold=0.999, sample_rows=1000
+            ).collect()
+        }
+        cents = ivf_centroids(df, 4, "vec_id", "embedding", sample_rows=1000)
+        want = self._reference(rows, cents, 0.999)
+        assert got == want
+
+    def test_exact_copies_always_dropped(self, spark):
+        from fuzi_spark.ops.similarity import semantic_dedup
+
+        rows = self._vectors()
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        res = semantic_dedup(df, n_cells=4, threshold=0.999, sample_rows=1000)
+        copies = {r["vec_id"]: r for r in res.filter("vec_id >= 1000").collect()}
+        assert len(copies) == 10
+        for vid, r in copies.items():
+            assert r["keep"] == 0, f"exact copy {vid} was kept"
+            assert r["dup_of"] is not None and r["dup_of"] < vid
+
+    def test_deterministic(self, spark):
+        from fuzi_spark.ops.similarity import semantic_dedup
+
+        rows = self._vectors(seed=11)
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = sorted(
+            map(tuple, semantic_dedup(df, n_cells=4, sample_rows=1000).collect())
+        )
+        b = sorted(
+            map(tuple, semantic_dedup(df, n_cells=4, sample_rows=1000).collect())
+        )
+        assert a == b
