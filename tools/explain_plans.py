@@ -206,6 +206,23 @@ CASES = [
      "(stratum, weight) agg for the totals (metadata-sized result, "
      "driver-computed rates), then a pure scan predicate — the keep "
      "decision whole-stage-codegens; no corpus shuffle."),
+    ("normalize_text",
+     "Canonical text cleanup. Wants: the control-strip / whitespace- "
+     "collapse / trim regexes fused into ONE codegen'd Project on the "
+     "scan, a single ArrowEvalPython for the NFC pass on the already- "
+     "shrunk string, and ZERO exchanges — normalization must be a "
+     "scan-speed map at 10^12 docs. (The one RoundRobin exchange in "
+     "the recorded plan is the dev-surface single-file scan spread from "
+     "_docs(), not the operator — a real multi-file corpus scan has no "
+     "exchange here.)"),
+    ("semantic_dedup",
+     "SemDeDup keep/drop list. Wants: cell assignment as one "
+     "ArrowEvalPython (broadcast-centroid matmul) in the scan stage, "
+     "then exactly ONE exchange keyed on the smallint cell id feeding "
+     "FlatMapGroupsInPandas — never a pair-join or a vector shuffle "
+     "beyond the single groupBy(cell). (The RoundRobin exchanges under "
+     "the Union are the dev-surface single-file scan spread, not the "
+     "operator.)"),
 ]
 
 
