@@ -923,6 +923,29 @@ def q_normalize_text(spark, sf_dir):
     )
 
 
+def q_content_filter(spark, sf_dir):
+    """C4-style content wordlist gate over a constructed corpus: planted
+    blocked words at known id rates, in mixed case and with punctuation
+    glued on (exercises the lowercase + [^a-z0-9]+ split contract), plus
+    a superstring near-miss ('badger12') that must NOT match. The oracle
+    does not assume the rates: it rebuilds the identical string and
+    re-runs the identical token pipeline in DuckDB."""
+    from fuzi_spark.ops.textstats import content_filter
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(i % 5 == 0, F.lit(" BADGER1, badger1")).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit(" toxic2! ok")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit(" badger12 clean")).otherwise(F.lit("")),
+    )
+    return content_filter(
+        d.select("doc_id", txt.alias("text")),
+        ["badger1", "toxic2", "unused3"],
+    ).select("doc_id", "n_blocked", "keep", "reject_reason")
+
+
 def q_events_window(spark, sf_dir):
     """Tumbling-window aggregation over the events stream table (batch
     form of the watermarked streaming operator in fuzi_spark.streaming)."""
@@ -1606,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "semantic_dedup": q_semantic_dedup,
         "normalize_text": q_normalize_text,
+        "content_filter": q_content_filter,
         "multimodal_decode": q_multimodal_decode,
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
@@ -1809,6 +1833,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, nfc_normalize(trim(regexp_replace("
             "regexp_replace(t, '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), "
             "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS norm_text FROM messy"
+        ),
+        "content_filter": (
+            # identical construction + identical token pipeline:
+            # lowercase, [^a-z0-9]+ split, exact-token blocklist count
+            "WITH t AS (SELECT doc_id, text "
+            "|| CASE WHEN doc_id % 5 = 0 THEN ' BADGER1, badger1' "
+            "   ELSE '' END "
+            "|| CASE WHEN doc_id % 7 = 0 THEN ' toxic2! ok' ELSE '' END "
+            "|| CASE WHEN doc_id % 3 = 0 THEN ' badger12 clean' "
+            "   ELSE '' END AS x FROM documents), "
+            "h AS (SELECT doc_id, len(list_filter("
+            "regexp_split_to_array(lower(x), '[^a-z0-9]+'), "
+            "tk -> list_contains(['badger1','toxic2','unused3'], tk))) "
+            "AS nb FROM t) "
+            "SELECT doc_id, CAST(nb AS INT) AS n_blocked, "
+            "CAST(CASE WHEN nb = 0 THEN 1 ELSE 0 END AS INT) AS keep, "
+            "CASE WHEN nb > 0 THEN 'blocked_word' END AS reject_reason "
+            "FROM h"
         ),
         "sessionize": (
             "WITH flagged AS ("

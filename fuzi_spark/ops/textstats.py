@@ -88,6 +88,47 @@ def quality_filter(
     )
 
 
+def content_filter(
+    df: DataFrame,
+    blocked_words: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style content wordlist gate (Raffel et al. 2020 §2.2 dropped
+    any page containing a word from a public blocklist): lowercase,
+    split on non-alphanumeric runs, count tokens that appear in the
+    blocklist (multiplicity included), reject when any hit.
+
+    Adds n_blocked:int, keep:int, reject_reason ('blocked_word'|null).
+
+    Matching contract — exact token equality after lowercasing and
+    [^a-z0-9]+ splitting — is deliberately substring-free: 'class'
+    never trips a block on 'ass'. Empty tokens from leading/trailing
+    delimiters can never match (blocklist entries are non-empty), so
+    engine differences in empty-token handling are immaterial — which
+    is what lets the DuckDB oracle mirror this bit-exactly.
+
+    Scale shape: the blocklist ships as a literal array (real-world
+    lists are a few hundred entries), so the whole gate is ONE
+    codegen'd Project on the scan — zero shuffles, zero Python. Each
+    token probes the list linearly inside codegen; for lists beyond
+    ~10k entries switch to an explode + broadcast join instead."""
+    words = F.array(
+        *[F.lit(w.lower()) for w in sorted(set(blocked_words))]
+    )
+    tokens = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    nb = F.size(F.filter(tokens, lambda t: F.array_contains(words, t)))
+    return (
+        df.withColumn("n_blocked", nb)
+        .withColumn("keep", (F.col("n_blocked") == 0).cast("int"))
+        .withColumn(
+            "reject_reason",
+            F.when(F.col("n_blocked") > 0, F.lit("blocked_word")).cast(
+                "string"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------------ normalize
 
 # C0 control characters except the whitespace ones handled by the

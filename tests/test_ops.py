@@ -2661,3 +2661,113 @@ class TestSemanticDedup:
             map(tuple, semantic_dedup(df, n_cells=4, sample_rows=1000).collect())
         )
         assert a == b
+
+
+class TestContentFilter:
+    """content_filter: C4-style exact-token wordlist gate."""
+
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_exact_token_match_only(self, spark):
+        from fuzi_spark.ops.textstats import content_filter
+
+        out = content_filter(
+            self._df(
+                spark,
+                [
+                    "a clean document",
+                    "contains badword here",
+                    "superstring badwords must not match",
+                    "class pass assign",  # substrings of 'ass' never trip
+                    "BADWORD, uppercase and punctuation",
+                ],
+            ),
+            ["badword", "ass"],
+        ).orderBy("doc_id").collect()
+        got = [(r["n_blocked"], r["keep"], r["reject_reason"]) for r in out]
+        assert got == [
+            (0, 1, None),
+            (1, 0, "blocked_word"),
+            (0, 1, None),
+            (0, 1, None),
+            (1, 0, "blocked_word"),
+        ]
+
+    def test_multiplicity_counted(self, spark):
+        from fuzi_spark.ops.textstats import content_filter
+
+        out = content_filter(
+            self._df(spark, ["x bad bad BAD y", ""]), ["bad"]
+        ).orderBy("doc_id").collect()
+        assert out[0]["n_blocked"] == 3
+        assert out[1]["n_blocked"] == 0 and out[1]["keep"] == 1
+
+    def test_python_differential(self, spark):
+        """Randomized soup vs a plain-Python re-implementation of the
+        matching contract."""
+        import random
+        import re
+
+        from fuzi_spark.ops.textstats import content_filter
+
+        rng = random.Random(9)
+        vocab = ["ok", "fine", "bad1", "Bad1", "bad1.", "bad12", "x,bad1", ""]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12)))
+            for _ in range(300)
+        ]
+        blocked = ["bad1"]
+        got = {
+            r["doc_id"]: r["n_blocked"]
+            for r in content_filter(self._df(spark, texts), blocked).collect()
+        }
+        for i, t in enumerate(texts):
+            toks = re.split(r"[^a-z0-9]+", t.lower())
+            want = sum(1 for tk in toks if tk in blocked)
+            assert got[i] == want, (i, t)
+
+
+class TestCurateContentStage:
+    """The optional blocked-words stage in the curation DAG."""
+
+    def test_blocked_word_stage_fires_and_precedes_language(self, spark):
+        from fuzi_spark.ops.curate import curate
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a perfectly clean document with enough words here",
+                 "https://ok.x/a"),
+                (2, "this document mentions BADWORD37, so it must go",
+                 "https://ok.x/b"),
+                # blocked word AND non-English: the EARLIER stage reports
+                (3, "привет badword37 мир это тест документ номер три",
+                 "https://ok.x/c"),
+            ],
+            "doc_id long, text string, url string",
+        )
+        got = {
+            r.doc_id: (r.reject_reason, r.keep)
+            for r in curate(
+                docs,
+                url_col="url",
+                blocked_words=["badword37"],
+                lang_allow=["en"],
+            ).collect()
+        }
+        assert got[1] == (None, 1)
+        assert got[2] == ("blocked_word", 0)
+        assert got[3] == ("blocked_word", 0)
+
+    def test_stage_off_by_default(self, spark):
+        from fuzi_spark.ops.curate import curate
+
+        docs = spark.createDataFrame(
+            [(1, "contains badword37 but no wordlist was passed today ok",
+              "https://ok.x/a")],
+            "doc_id long, text string, url string",
+        )
+        got = curate(docs, url_col="url").collect()
+        assert got[0].reject_reason is None and got[0].keep == 1

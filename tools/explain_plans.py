@@ -175,11 +175,14 @@ CASES = [
      "transform/filter/array_join projection over the spans array."),
     ("curate",
      "One-call hygiene DAG (blocklist → URL dedup → language → quality "
-     "→ exact dedup → decontamination). Wants: each stage only its "
-     "operator's documented shuffle (two elections + the contamination "
-     "hit count); blocklist/eval sides BROADCAST; reject tables carry "
-     "(id, reason) only, assembled with one left join onto the corpus "
-     "ids."),
+     "→ exact dedup → decontamination; round-3 rework). Wants: each "
+     "stage's reject set materialized once (InMemoryTableScans where "
+     "branches reuse it), survivors chained by anti-joins against the "
+     "cached metadata-width id sets, elections as window-min (one "
+     "exchange each, no self-join) — the lang-ID UDF and the election "
+     "shuffles appear ONCE in the whole plan, not once per downstream "
+     "branch; blocklist/eval sides BROADCAST; final assembly one left "
+     "join onto the corpus ids."),
     ("materialize_packs",
      "Pack materialization. Wants: pack_sequences' single bucket-keyed "
      "window shuffle (now carrying text — the step where bytes must "
@@ -215,6 +218,10 @@ CASES = [
      "the recorded plan is the dev-surface single-file scan spread from "
      "_docs(), not the operator — a real multi-file corpus scan has no "
      "exchange here.)"),
+    ("content_filter",
+     "C4 wordlist gate. Wants: ZERO exchanges and ZERO Python — the "
+     "lowercase/split/blocklist-count chain is one whole-stage-codegen'd "
+     "Project on the scan (the list rides as a literal array)."),
     ("semantic_dedup",
      "SemDeDup keep/drop list. Wants: cell assignment as one "
      "ArrowEvalPython (broadcast-centroid matmul) in the scan stage, "
