@@ -1227,6 +1227,30 @@ def q_link_graph(spark, sf_dir):
     return link_graph(d)
 
 
+def q_domain_rank(spark, sf_dir):
+    """PageRank over a formula-planted domain graph: src d(i%20) →
+    dst d((7i+1)%25), so nodes d20..d24 are pure sinks (dangling — they
+    receive rank, contribute none; the documented no-redistribution
+    contract). Two power-method iterations; the oracle unrolls the same
+    recurrence as two join+agg rounds in SQL. Ranks rounded to 8
+    decimals on both sides (float-sum order is the only freedom)."""
+    from fuzi_spark.ops.web import domain_rank
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    e = d.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 20).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("d"), ((F.col("doc_id") * 7 + 1) % 25).cast("string")
+        ).alias("dst"),
+    )
+    r = domain_rank(e, n_iter=2)
+    return r.select(
+        F.col("node").alias("domain"), F.round("rank", 8).alias("rank")
+    )
+
+
 def q_vocab_table(spark, sf_dir):
     """Corpus vocabulary with deterministic dense ids (count desc,
     token asc) at min_count=5 — the tokenizer-training input; the
@@ -1630,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "normalize_text": q_normalize_text,
         "content_filter": q_content_filter,
+        "domain_rank": q_domain_rank,
         "multimodal_decode": q_multimodal_decode,
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
@@ -2148,6 +2173,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT domain, COUNT(*) AS in_degree, "
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_sources "
             "FROM l GROUP BY domain"
+        ),
+        "domain_rank": (
+            # the identical recurrence, unrolled for n_iter=2:
+            # r0 = 1/N; r_{k+1}(v) = 0.15/N + 0.85*sum r_k(u)*share(u,v);
+            # dangling mass NOT redistributed (documented contract)
+            "WITH e0 AS (SELECT 'd' || CAST(doc_id % 20 AS VARCHAR) AS src, "
+            "  'd' || CAST((doc_id*7+1) % 25 AS VARCHAR) AS dst "
+            "  FROM documents), "
+            "e AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w "
+            "  FROM e0 GROUP BY 1, 2), "
+            "outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1), "
+            "sh AS (SELECT e.src, e.dst, e.w/outw.ow AS share "
+            "  FROM e JOIN outw ON e.src = outw.src), "
+            "nodes AS (SELECT DISTINCT src AS node FROM e "
+            "  UNION SELECT DISTINCT dst FROM e), "
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+            "r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank "
+            "  FROM nodes), "
+            "c1 AS (SELECT sh.dst, SUM(r0.rank * sh.share) AS c "
+            "  FROM sh JOIN r0 ON sh.src = r0.node GROUP BY sh.dst), "
+            "r1 AS (SELECT node, 0.15/(SELECT n FROM nn) "
+            "  + 0.85*COALESCE(c1.c, 0.0) AS rank "
+            "  FROM nodes LEFT JOIN c1 ON node = c1.dst), "
+            "c2 AS (SELECT sh.dst, SUM(r1.rank * sh.share) AS c "
+            "  FROM sh JOIN r1 ON sh.src = r1.node GROUP BY sh.dst), "
+            "r2 AS (SELECT node, 0.15/(SELECT n FROM nn) "
+            "  + 0.85*COALESCE(c2.c, 0.0) AS rank "
+            "  FROM nodes LEFT JOIN c2 ON node = c2.dst) "
+            "SELECT node AS domain, ROUND(rank, 8) AS rank FROM r2"
         ),
         "vocab_table": (
             "WITH t AS (SELECT unnest(string_split_regex(lower(text), "

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "normalize_text",
     "semantic_dedup",
     "content_filter",
+    "domain_rank",
 ]
 
 

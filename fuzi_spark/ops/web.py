@@ -239,3 +239,107 @@ def url_dedup(
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
         .select("url_canon", id_col, "dup_count")
     )
+
+
+def domain_rank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank over the domain link graph — the crawl-
+    prioritization / quality-weighting signal a web-scale pipeline
+    derives from link_graph's edges (CommonCrawl publishes exactly this
+    kind of host-level ranking).
+
+    Fixed-iteration power method, DETERMINISTIC up to float addition
+    order:
+
+        r_0(v)    = 1/N
+        r_{k+1}(v) = (1-d)/N + d * sum_{(u,v) in E} r_k(u) * w(u,v)/out(u)
+
+    Dangling nodes (no out-edges) contribute nothing — their mass is NOT
+    redistributed (the common simplification for host ranking; ranks
+    then sum to < 1 when danglers exist). That contract is what lets the
+    driver's DuckDB oracle mirror the recurrence as n_iter unrolled
+    join+agg rounds, bit-stable at the hash's 6-significant-digit float
+    normalization.
+
+    Scale shape: the share-annotated edge table is built once
+    (groupBy(src,dst) + one out-weight join) and persisted; each round
+    is ONE src-keyed join with the (node, rank) table plus a dst-keyed
+    map-side-combinable sum — both metadata-width (domains, not docs).
+    Rounds are localCheckpoint'd like dedup_components (the iterative
+    plan-growth trap documented at dedup.py) with superseded rank
+    tables released deterministically once the next round's blocks
+    exist; the edge/node tables release via the caller's cache_scope.
+    """
+    from .cache import scoped_persist
+
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("_ow"))
+    share = scoped_persist(
+        e.join(outw, "src").select(
+            "src", "dst", (F.col("w") / F.col("_ow")).alias("share")
+        )
+    )
+    nodes = scoped_persist(
+        share.select(F.col("src").alias("node"))
+        .unionByName(share.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    base = (1.0 - damping) / n
+
+    sc = edges.sparkSession.sparkContext
+
+    def _persist_ids():
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids):
+        m = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            h = m.get(i)
+            if h is not None:
+                h.unpersist(False)
+
+    before = _persist_ids()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    rank_ids = _persist_ids() - before
+    for _ in range(n_iter):
+        contrib = (
+            share.join(ranks, share["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("_c"))
+        )
+        before = _persist_ids()
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        new_ids = _persist_ids() - before
+        _release(rank_ids)
+        rank_ids = new_ids
+    return ranks

@@ -2771,3 +2771,86 @@ class TestCurateContentStage:
         )
         got = curate(docs, url_col="url").collect()
         assert got[0].reject_reason is None and got[0].keep == 1
+
+
+class TestDomainRank:
+    """domain_rank: fixed-iteration weighted PageRank, verified against
+    a plain-Python reference of the same recurrence."""
+
+    EDGES = [
+        ("a", "b"), ("a", "b"), ("a", "c"),   # weighted multi-edge a->b
+        ("b", "c"),
+        ("c", "a"),
+        ("d", "c"),                            # d has no in-links
+        ("b", "sink"),                         # sink is dangling
+    ]
+
+    @staticmethod
+    def _reference(edges, n_iter, d=0.85):
+        from collections import defaultdict
+
+        w = defaultdict(float)
+        for s, t in edges:
+            w[(s, t)] += 1.0
+        nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+        out = defaultdict(float)
+        for (s, _), ww in w.items():
+            out[s] += ww
+        n = len(nodes)
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(n_iter):
+            nxt = {v: (1.0 - d) / n for v in nodes}
+            for (s, t), ww in w.items():
+                nxt[t] += d * r[s] * ww / out[s]
+            r = nxt
+        return r
+
+    def test_matches_reference(self, spark):
+        from fuzi_spark.ops.web import domain_rank
+
+        df = spark.createDataFrame(self.EDGES, "src string, dst string")
+        got = {
+            r["node"]: r["rank"]
+            for r in domain_rank(df, n_iter=4).collect()
+        }
+        want = self._reference(self.EDGES, 4)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+
+    def test_dangling_gets_base_plus_inflow_only(self, spark):
+        """'sink' has no out-edges: it accumulates rank but its mass is
+        never redistributed (the documented contract), so total rank
+        sums to < 1."""
+        from fuzi_spark.ops.web import domain_rank
+
+        df = spark.createDataFrame(self.EDGES, "src string, dst string")
+        rows = domain_rank(df, n_iter=3).collect()
+        total = sum(r["rank"] for r in rows)
+        assert total < 1.0
+        want = self._reference(self.EDGES, 3)
+        got_sink = [r["rank"] for r in rows if r["node"] == "sink"][0]
+        assert abs(got_sink - want["sink"]) < 1e-12
+
+    def test_no_pinned_storage_after_scope(self, spark):
+        """Superseded per-round checkpoints and the scoped edge/node
+        persists must all release; only the FINAL rank checkpoint (the
+        returned data itself) may outlive the scope."""
+        from fuzi_spark.ops.cache import cache_scope
+        from fuzi_spark.ops.web import domain_rank
+
+        sc = spark.sparkContext
+
+        def pinned():
+            return {
+                int(k)
+                for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+            }
+
+        before = pinned()
+        df = spark.createDataFrame(self.EDGES, "src string, dst string")
+        with cache_scope():
+            out = domain_rank(df, n_iter=3)
+            out.collect()
+        new = pinned() - before
+        assert len(new) <= 1, f"{len(new)} new pinned RDDs after scope"

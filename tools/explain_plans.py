@@ -218,6 +218,13 @@ CASES = [
      "the recorded plan is the dev-surface single-file scan spread from "
      "_docs(), not the operator — a real multi-file corpus scan has no "
      "exchange here.)"),
+    ("domain_rank",
+     "PageRank over the domain graph (one round shown; rounds are "
+     "localCheckpoint'd like dedup_components). Wants: per-round cost = "
+     "one src-keyed join of the persisted share table with the rank "
+     "checkpoint + one dst-keyed map-side-combinable sum — all tables "
+     "domain-width, never corpus-width; superseded rank checkpoints "
+     "released each round."),
     ("content_filter",
      "C4 wordlist gate. Wants: ZERO exchanges and ZERO Python — the "
      "lowercase/split/blocklist-count chain is one whole-stage-codegen'd "
