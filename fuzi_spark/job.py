@@ -50,7 +50,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
         description="Distributed main-content extraction / corpus curation",
     )
     p.add_argument(
-        "--mode", choices=("extract", "curate"), default="extract",
+        "--mode", choices=("extract", "curate", "dedup"), default="extract",
         help="extract: (doc_id, spans) markup → span table (default). "
         "curate: (doc_id, text[, url]) corpus → keep/drop verdicts "
         "with first-failure reason codes (ops.curate DAG)",
@@ -62,6 +62,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--blocklist", help="curate: parquet of (domain) to drop")
     p.add_argument("--eval-set", help="curate: parquet of (text) eval docs "
                    "for decontamination")
+    p.add_argument("--jaccard-threshold", type=float, default=0.8,
+                   help="dedup: exact n-gram Jaccard keep threshold")
     p.add_argument("--lang-allow", help="curate: comma-separated lang codes "
                    "(e.g. en,fr); omit to skip language filtering")
     p.add_argument("--output", help="output dir (parquet dev surface)")
@@ -170,6 +172,45 @@ def run_curate(spark, docs, args, t0) -> int:
     return 0
 
 
+def run_dedup(spark, docs, args, t0) -> int:
+    """--mode dedup: the ops.dedup near-dup DAG (LSH → exact verify →
+    connected components → keeper election) as a deployable job. Emits
+    one (doc_id, group_id, keep) row per input doc and a one-line JSON
+    summary (docs, kept, dropped, groups-with-dups)."""
+    from pyspark.sql import functions as F
+
+    from .ops.cache import cache_scope
+    from .ops.dedup import dedup_pipeline
+
+    with cache_scope():
+        verdicts = dedup_pipeline(
+            docs, jaccard_threshold=args.jaccard_threshold
+        )
+        if args.output:
+            verdicts.write.mode("overwrite").parquet(args.output)
+            verdicts = spark.read.parquet(args.output)
+        elif args.output_table:
+            append_table(verdicts, args.output_table)
+            verdicts = spark.table(args.output_table)
+        stats = verdicts.agg(
+            F.count("*").alias("docs"),
+            F.sum("keep").alias("kept"),
+            F.count_distinct(
+                F.when(F.col("keep") == 0, F.col("group_id"))
+            ).alias("dup_groups"),
+        ).collect()[0]
+    summary = {
+        "mode": "dedup",
+        "docs": int(stats["docs"]),
+        "kept": int(stats["kept"]),
+        "dropped": int(stats["docs"] - stats["kept"]),
+        "dup_groups": int(stats["dup_groups"]),
+        "wall_sec": round(time.time() - t0, 2),
+    }
+    print(json.dumps(summary), flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     from pyspark.sql import functions as F
 
@@ -186,6 +227,8 @@ def main(argv=None) -> int:
 
     if args.mode == "curate":
         return run_curate(spark, docs, args, t0)
+    if args.mode == "dedup":
+        return run_dedup(spark, docs, args, t0)
 
     extracted, lineage = run_extraction_pipeline(
         spark,

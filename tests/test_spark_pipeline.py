@@ -748,3 +748,61 @@ class TestJobCurateCLI:
         assert got[2] == (0, "exact_duplicate")
         assert got[3] == (0, "quality:too_few_tokens")
         assert got[4] == (0, "blocked_domain")
+
+
+class TestJobDedupCLI:
+    """fuzi_spark.job --mode dedup — the near-dup DAG as a deployable
+    job: (doc_id, group_id, keep) verdicts + one-line JSON summary."""
+
+    def test_dedup_summary_and_verdicts(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from fuzi_spark.job import main
+
+        base = (
+            "the quick brown fox jumps over the lazy dog near the river "
+            "bank every single morning before the sun rises fully"
+        )
+        rows = [
+            (1, base),
+            (2, base + " extra"),          # near-dup of 1
+            (3, "a completely different document about spark catalyst "
+                "plans and shuffle exchanges in distributed execution"),
+        ]
+        inp = str(tmp_path / "docs")
+        out = str(tmp_path / "verdicts")
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            inp
+        )
+        pinned_before = {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet()
+            .toArray()
+        }
+        rc = main(["--mode", "dedup", "--input", inp, "--output", out,
+                   "--jaccard-threshold", "0.5"])
+        assert rc == 0
+        summary = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )
+        assert summary["mode"] == "dedup"
+        assert summary["docs"] == 3
+        assert summary["kept"] == 2 and summary["dropped"] == 1
+        assert summary["dup_groups"] == 1
+        got = {
+            r.doc_id: (r.keep, r.group_id)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got[1][0] == 1 and got[3][0] == 1
+        assert got[2][0] == 0 and got[2][1] == got[1][1]
+        # no pinned operator caches leak out of the job (cache_scope);
+        # only the components checkpoints (lineage-truncated data) may
+        # remain
+        pinned_after = {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet()
+            .toArray()
+        }
+        assert len(pinned_after - pinned_before) <= 2
