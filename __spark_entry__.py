@@ -1251,6 +1251,62 @@ def q_domain_rank(spark, sf_dir):
     )
 
 
+def q_page_metadata(spark, sf_dir):
+    """Page-level metadata extraction over formula-planted HTML: title
+    always present; description (mixed-case META/NAME) on even ids;
+    canonical link on ids %3==0; OpenGraph title on %5==0; meta robots
+    'NOINDEX, nofollow' on %4==0 and 'index, follow' on %4==2 (only the
+    former sets the flag). The oracle predicts every column from the
+    construction formulas — independent of the parser."""
+    from fuzi_spark.ops.web import page_metadata
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    markup = F.concat(
+        F.lit("<html><head><title>Page "),
+        s,
+        F.lit("</title>"),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit('<META NAME="Description" content="Desc '),
+                s,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit('<link rel="Canonical" href="https://c.example.com/'),
+                s,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="OG '),
+                s,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 0,
+            F.lit('<meta name="robots" content="NOINDEX, nofollow">'),
+        )
+        .when(
+            i % 4 == 2,
+            F.lit('<meta name="robots" content="index, follow">'),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", markup.alias("markup"))
+    return d.select("doc_id", page_metadata().alias("m")).select(
+        "doc_id", "m.*"
+    )
+
+
 def q_vocab_table(spark, sf_dir):
     """Corpus vocabulary with deterministic dense ids (count desc,
     token asc) at min_count=5 — the tokenizer-training input; the
@@ -1655,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "content_filter": q_content_filter,
         "domain_rank": q_domain_rank,
+        "page_metadata": q_page_metadata,
         "multimodal_decode": q_multimodal_decode,
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
@@ -2173,6 +2230,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT domain, COUNT(*) AS in_degree, "
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_sources "
             "FROM l GROUP BY domain"
+        ),
+        "page_metadata": (
+            # every column predicted from the construction formulas
+            "SELECT doc_id, "
+            "'Page ' || CAST(doc_id AS VARCHAR) AS title, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'Desc ' || CAST(doc_id AS VARCHAR) END "
+            "  AS description, "
+            "CASE WHEN doc_id % 3 = 0 THEN "
+            "  'https://c.example.com/' || CAST(doc_id AS VARCHAR) END "
+            "  AS canonical_url, "
+            "CASE WHEN doc_id % 5 = 0 THEN 'OG ' || CAST(doc_id AS VARCHAR) END "
+            "  AS og_title, "
+            "CAST(NULL AS VARCHAR) AS og_image, "
+            "CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT) "
+            "  AS robots_noindex "
+            "FROM documents"
         ),
         "domain_rank": (
             # the identical recurrence, unrolled for n_iter=2:

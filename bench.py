@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "content_filter",
     "domain_rank",
+    "page_metadata",
 ]
 
 

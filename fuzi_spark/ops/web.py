@@ -16,8 +16,11 @@ string, flagged rather than dropped.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 # scheme://host, stopping at the first of / : ? #. Lowercased — hosts
 # are case-insensitive (RFC 3986 §3.2.2) and mixed-case duplicates
@@ -343,3 +346,79 @@ def domain_rank(
         _release(rank_ids)
         rank_ids = new_ids
     return ranks
+
+
+# ------------------------------------------------------------- metadata
+
+_PAGE_META_SCHEMA = (
+    "struct<title:string,description:string,canonical_url:string,"
+    "og_title:string,og_image:string,robots_noindex:int>"
+)
+
+
+def page_metadata(markup_col: str = "markup", doc_type: str = "html"):
+    """Column function: markup → struct of the page-level metadata a
+    crawl pipeline indexes per document — <title>, meta description,
+    canonical link, OpenGraph title/image, and a robots-noindex flag
+    (meta robots containing 'noindex', case-insensitive — pages a
+    compliant training pipeline must drop).
+
+    One parse per document, all fields pulled from the same DOM via the
+    engine's own query surface (css/XPath — the Fuzi-parity integration
+    path, same machinery as udfs.xpath_select). Arrow-batched pandas
+    UDF; missing tags are NULL, never ''. Attribute matching is
+    case-insensitive on the NAME side (the HTML parser lowercases
+    attribute names and tags) while VALUES keep their case except the
+    robots directive, compared lowercased per the spec.
+    """
+    from ..query import css
+    from ..udfs import _parse_doc
+
+    def _meta_content(doc, name_attr: str, value: str):
+        for el in css(doc, "meta"):
+            key = el.attr(name_attr)
+            if key is not None and key.strip().lower() == value:
+                return el.attr("content")
+        return None
+
+    @pandas_udf(_PAGE_META_SCHEMA)
+    def _udf(markup: pd.Series) -> pd.DataFrame:
+        rows = []
+        for m in markup:
+            doc = _parse_doc(m, doc_type) if m is not None else None
+            if doc is None:
+                rows.append((None, None, None, None, None, None))
+                continue
+            canonical = None
+            for el in css(doc, "link"):
+                rel = el.attr("rel")
+                if rel is not None and rel.strip().lower() == "canonical":
+                    canonical = el.attr("href")
+                    break
+            robots = _meta_content(doc, "name", "robots")
+            noindex = int(
+                robots is not None and "noindex" in robots.lower()
+            )
+            rows.append(
+                (
+                    doc.title,
+                    _meta_content(doc, "name", "description"),
+                    canonical,
+                    _meta_content(doc, "property", "og:title"),
+                    _meta_content(doc, "property", "og:image"),
+                    noindex,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "title",
+                "description",
+                "canonical_url",
+                "og_title",
+                "og_image",
+                "robots_noindex",
+            ],
+        )
+
+    return _udf(F.col(markup_col))

@@ -2854,3 +2854,74 @@ class TestDomainRank:
             out.collect()
         new = pinned() - before
         assert len(new) <= 1, f"{len(new)} new pinned RDDs after scope"
+
+
+class TestPageMetadata:
+    """page_metadata: one-parse struct of title/description/canonical/
+    OpenGraph/robots-noindex."""
+
+    def _run(self, spark, pages):
+        from fuzi_spark.ops.web import page_metadata
+
+        df = spark.createDataFrame(
+            [(i, m) for i, m in enumerate(pages)],
+            "doc_id long, markup string",
+        )
+        return {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id", page_metadata().alias("m")
+            ).select("doc_id", "m.*").collect()
+        }
+
+    def test_all_fields(self, spark):
+        got = self._run(
+            spark,
+            [
+                '<html><head><title>T0</title>'
+                '<META NAME="Description" content="D0">'
+                '<link rel="CANONICAL" href="https://c/0">'
+                '<meta property="og:title" content="O0">'
+                '<meta property="og:image" content="https://i/0.jpg">'
+                '<meta name="robots" content="NoIndex, nofollow">'
+                "</head><body>x</body></html>",
+            ],
+        )
+        r = got[0]
+        assert r["title"] == "T0"
+        assert r["description"] == "D0"
+        assert r["canonical_url"] == "https://c/0"
+        assert r["og_title"] == "O0"
+        assert r["og_image"] == "https://i/0.jpg"
+        assert r["robots_noindex"] == 1
+
+    def test_missing_tags_are_null(self, spark):
+        got = self._run(spark, ["<html><body><p>no head</p></body></html>"])
+        r = got[0]
+        assert r["title"] is None
+        assert r["description"] is None
+        assert r["canonical_url"] is None
+        assert r["og_title"] is None and r["og_image"] is None
+        assert r["robots_noindex"] == 0
+
+    def test_robots_index_not_flagged(self, spark):
+        got = self._run(
+            spark,
+            ['<html><head><title>t</title>'
+             '<meta name="robots" content="index, follow"></head></html>'],
+        )
+        assert got[0]["robots_noindex"] == 0
+
+    def test_tag_soup_recovers(self, spark):
+        # unclosed tags, unquoted attributes, stray brackets — the
+        # recovering parser must still produce the fields; junk never
+        # raises. (A tag left unterminated at EOF is dropped — the
+        # libxml2 recovery behavior — so the meta here is closed.)
+        got = self._run(
+            spark,
+            ["<title>Soup<p><b>x<meta name=robots content=noindex>",
+             "%%% not html at all >>>"],
+        )
+        assert got[0]["title"] == "Soup"
+        assert got[0]["robots_noindex"] == 1
+        assert got[1]["title"] is None or isinstance(got[1]["title"], str)

@@ -218,6 +218,11 @@ CASES = [
      "the recorded plan is the dev-surface single-file scan spread from "
      "_docs(), not the operator — a real multi-file corpus scan has no "
      "exchange here.)"),
+    ("page_metadata",
+     "Page-metadata struct extraction. Wants: ONE ArrowEvalPython for "
+     "the parse (all six fields from the same DOM — never one parse "
+     "per field), the struct unpacked in a codegen'd Project, zero "
+     "exchanges beyond the dev-scan spread."),
     ("domain_rank",
      "PageRank over the domain graph (one round shown; rounds are "
      "localCheckpoint'd like dedup_components). Wants: per-round cost = "
