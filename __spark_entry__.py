@@ -1251,6 +1251,55 @@ def q_domain_rank(spark, sf_dir):
     )
 
 
+def q_parse_warc(spark, sf_dir):
+    """WARC container parsing over formula-constructed archives: each
+    doc becomes a two-record WARC blob — an HTTP response record (html
+    body, Content-Length computed from the actual payload length) and a
+    metadata record. The oracle predicts every record field from the
+    construction formulas, never running a parser."""
+    from fuzi_spark.warc import parse_warc_df
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    body = F.concat(F.lit("<html><title>W"), s, F.lit("</title></html>"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body
+    )
+    rec0 = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.lit("https://w.example.com/"),
+        s,
+        F.lit("\r\nContent-Length: "),
+        F.length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+    )
+    meta_block = F.concat(F.lit('{"k":'), s, F.lit("}"))
+    rec1 = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: metadata\r\n"),
+        F.lit("Content-Type: application/json\r\nContent-Length: "),
+        F.length(meta_block).cast("string"),
+        F.lit("\r\n\r\n"),
+        meta_block,
+    )
+    blob = F.concat(rec0, F.lit("\r\n\r\n"), rec1, F.lit("\r\n\r\n"))
+    archives = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("archive_id"),
+        blob.cast("binary").alias("data"),
+    )
+    return parse_warc_df(archives).select(
+        "archive_id",
+        "record_idx",
+        "offset",
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "content_type",
+        "body_len",
+        "body_text",
+    )
+
+
 def q_page_metadata(spark, sf_dir):
     """Page-level metadata extraction over formula-planted HTML: title
     always present; description (mixed-case META/NAME) on even ids;
@@ -1712,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_filter": q_content_filter,
         "domain_rank": q_domain_rank,
         "page_metadata": q_page_metadata,
+        "parse_warc": q_parse_warc,
         "multimodal_decode": q_multimodal_decode,
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
@@ -2230,6 +2280,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT domain, COUNT(*) AS in_degree, "
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_sources "
             "FROM l GROUP BY domain"
+        ),
+        "parse_warc": (
+            # every record field predicted from the construction
+            # formulas (two records per archive, fixed order)
+            "WITH b AS (SELECT doc_id, "
+            "'<html><title>W' || CAST(doc_id AS VARCHAR) || '</title></html>' "
+            "AS body FROM documents) "
+            "SELECT doc_id AS archive_id, 0 AS record_idx, "
+            "CAST(0 AS BIGINT) AS offset, 'response' AS warc_type, "
+            "'https://w.example.com/' || CAST(doc_id AS VARCHAR) "
+            "  AS target_uri, "
+            "CAST(200 AS INT) AS http_status, 'text/html' AS content_type, "
+            "CAST(length(body) AS BIGINT) AS body_len, body AS body_text "
+            "FROM b "
+            "UNION ALL "
+            "SELECT doc_id, 1, "
+            # record-1 offset = len(rec0) + 4. rec0's fixed text is 165
+            # bytes; the id appears twice (uri + inside the body whose
+            # length feeds Content-Length); the Content-Length digits
+            # are length(73 + len(id)) — verified against the Spark
+            # construction for 1-4 digit ids
+            "CAST(169 + 2*length(CAST(doc_id AS VARCHAR)) "
+            " + length(CAST(73 + length(CAST(doc_id AS VARCHAR)) "
+            "   AS VARCHAR)) AS BIGINT), "
+            "'metadata', CAST(NULL AS VARCHAR), CAST(NULL AS INT), "
+            "'application/json', "
+            "CAST(length('{\"k\":' || CAST(doc_id AS VARCHAR) || '}') "
+            "  AS BIGINT), "
+            "'{\"k\":' || CAST(doc_id AS VARCHAR) || '}' "
+            "FROM b ORDER BY 1, 2"
         ),
         "page_metadata": (
             # every column predicted from the construction formulas

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "content_filter",
     "domain_rank",
     "page_metadata",
+    "parse_warc",
 ]
 
 

@@ -2925,3 +2925,99 @@ class TestPageMetadata:
         assert got[0]["title"] == "Soup"
         assert got[0]["robots_noindex"] == 1
         assert got[1]["title"] is None or isinstance(got[1]["title"], str)
+
+
+class TestWarc:
+    """fuzi_spark.warc — recovering WARC parser + Spark surface."""
+
+    @staticmethod
+    def _record(wtype, uri, block, extra=b""):
+        h = b"WARC/1.0\r\nWARC-Type: " + wtype + b"\r\n"
+        if uri:
+            h += b"WARC-Target-URI: " + uri + b"\r\n"
+        h += extra
+        h += b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n"
+        return h + block
+
+    def _http(self, body, status=b"200 OK", ctype=b"text/html"):
+        return (b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype
+                + b"\r\n\r\n" + body)
+
+    def test_roundtrip_two_records(self):
+        from fuzi_spark.warc import parse_warc
+
+        blob = (
+            self._record(b"response", b"https://x/1",
+                         self._http(b"<html>one</html>"))
+            + b"\r\n\r\n"
+            + self._record(b"metadata", None, b'{"a":1}',
+                           extra=b"Content-Type: application/json\r\n")
+            + b"\r\n\r\n"
+        )
+        recs = parse_warc(blob)
+        assert len(recs) == 2
+        r0, r1 = recs
+        assert r0["warc_type"] == "response"
+        assert r0["target_uri"] == "https://x/1"
+        assert r0["http_status"] == 200
+        assert r0["content_type"] == "text/html"
+        assert r0["body"] == b"<html>one</html>"
+        assert r1["warc_type"] == "metadata"
+        assert r1["http_status"] is None
+        assert r1["content_type"] == "application/json"
+        assert r1["body"] == b'{"a":1}'
+
+    def test_recovery_never_raises(self):
+        from fuzi_spark.warc import parse_warc
+
+        http = self._http(b"fine")
+        good = self._record(b"response", b"https://x/2", http)
+        cl = b"Content-Length: " + str(len(http)).encode()
+        assert cl in good  # the replacements below must actually fire
+        hostile = [
+            b"",
+            b"garbage" * 100,
+            good[:25],                                  # truncated header
+            good[:-2],                                  # truncated block
+            good.replace(cl, b"Content-Length: 999999"),  # lying length
+            good.replace(cl, b"Content-Length: nope"),  # unparsable length
+            b"\x00\xff" + good + b"\xfe trailing junk",
+        ]
+        for blob in hostile:
+            recs = parse_warc(blob)        # must not raise
+            assert isinstance(recs, list)
+        # garbage-wrapped, lying, and unparsable all still recover the
+        # record itself
+        assert parse_warc(hostile[-1])[0]["target_uri"] == "https://x/2"
+        assert parse_warc(hostile[-3])[0]["target_uri"] == "https://x/2"
+        assert parse_warc(hostile[-2])[0]["target_uri"] == "https://x/2"
+
+    def test_lying_length_still_finds_next_record(self):
+        from fuzi_spark.warc import parse_warc
+
+        http = self._http(b"abc")
+        r0 = self._record(b"response", b"https://x/3", http)
+        cl = b"Content-Length: " + str(len(http)).encode()
+        assert cl in r0
+        bad = r0.replace(cl, b"Content-Length: 999999")
+        blob = bad + b"\r\n\r\n" + self._record(b"metadata", None, b"m")
+        recs = parse_warc(blob)
+        assert [r["warc_type"] for r in recs] == ["response", "metadata"]
+
+    def test_spark_surface(self, spark):
+        from fuzi_spark.warc import parse_warc_df
+
+        blob = (
+            self._record(b"response", b"https://x/9",
+                         self._http("unicode ünïcode".encode("utf-8")))
+            + b"\r\n\r\n"
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(blob)), (2, None)],
+            "archive_id long, data binary",
+        )
+        rows = parse_warc_df(df).collect()
+        assert len(rows) == 1
+        assert rows[0]["archive_id"] == 1
+        assert rows[0]["body_text"] == "unicode ünïcode"
+        assert rows[0]["body_len"] == len("unicode ünïcode".encode("utf-8"))

@@ -218,6 +218,11 @@ CASES = [
      "the recorded plan is the dev-surface single-file scan spread from "
      "_docs(), not the operator — a real multi-file corpus scan has no "
      "exchange here.)"),
+    ("parse_warc",
+     "WARC container explode. Wants: ONE MapInPandas (the recovering "
+     "record scan), blob construction fused into the scan projection, "
+     "no exchange — record rows stream out of the same task that read "
+     "the archive."),
     ("page_metadata",
      "Page-metadata struct extraction. Wants: ONE ArrowEvalPython for "
      "the parse (all six fields from the same DOM — never one parse "
