@@ -1251,6 +1251,44 @@ def q_domain_rank(spark, sf_dir):
     )
 
 
+def q_apply_robots(spark, sf_dir):
+    """robots.txt crawl-compliance gate over formula-planted inputs:
+    20 domains, each with 'Disallow: /private' + 'Allow: /private/ok'
+    (longest-match precedence) except domains %5==0 which have NO
+    robots row (missing ⇒ allowed); URLs route to /private/ok/…,
+    /private/…, or /pub/… by doc_id %3. The oracle replays the
+    longest-literal-prefix decision in SQL (the planted rules are
+    wildcard-free by construction; wildcard/$ semantics are pinned in
+    TestRobots)."""
+    from fuzi_spark.ops.web import apply_robots
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    host = F.concat(F.lit("d"), (i % 20).cast("string"), F.lit(".example.com"))
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.when(i % 3 == 0, F.concat(F.lit("/private/ok/"), s))
+        .when(i % 3 == 1, F.concat(F.lit("/private/"), s))
+        .otherwise(F.concat(F.lit("/pub/"), s)),
+    )
+    urls = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    robots = (
+        spark.range(20)
+        .filter(F.col("id") % 5 != 0)
+        .select(
+            F.concat(
+                F.lit("d"), F.col("id").cast("string"), F.lit(".example.com")
+            ).alias("domain"),
+            F.lit(
+                "User-agent: evilbot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+            ).alias("robots_txt"),
+        )
+    )
+    return apply_robots(urls, robots).select("doc_id", "url", "allowed")
+
+
 def q_parse_warc(spark, sf_dir):
     """WARC container parsing over formula-constructed archives: each
     doc becomes a two-record WARC blob — an HTTP response record (html
@@ -1762,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rank": q_domain_rank,
         "page_metadata": q_page_metadata,
         "parse_warc": q_parse_warc,
+        "apply_robots": q_apply_robots,
         "multimodal_decode": q_multimodal_decode,
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
@@ -2280,6 +2319,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT domain, COUNT(*) AS in_degree, "
             "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_sources "
             "FROM l GROUP BY domain"
+        ),
+        "apply_robots": (
+            # replay: domains %5==0 have no robots row -> allowed;
+            # otherwise longest literal prefix of {/private (deny),
+            # /private/ok (allow)} decides; no match -> allowed
+            "SELECT doc_id, "
+            "'https://d' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' "
+            "|| CASE WHEN doc_id % 3 = 0 THEN '/private/ok/' "
+            "        WHEN doc_id % 3 = 1 THEN '/private/' "
+            "        ELSE '/pub/' END || CAST(doc_id AS VARCHAR) AS url, "
+            "CAST(CASE WHEN doc_id % 20 % 5 = 0 THEN 1 "
+            "  WHEN doc_id % 3 = 0 THEN 1 "
+            "  WHEN doc_id % 3 = 1 THEN 0 "
+            "  ELSE 1 END AS INT) AS allowed "
+            "FROM documents"
         ),
         "parse_warc": (
             # every record field predicted from the construction

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "domain_rank",
     "page_metadata",
     "parse_warc",
+    "apply_robots",
 ]
 
 

@@ -422,3 +422,126 @@ def page_metadata(markup_col: str = "markup", doc_type: str = "html"):
         )
 
     return _udf(F.col(markup_col))
+
+
+# --------------------------------------------------------------- robots
+
+def _robots_rules(txt: str, agent: str) -> list:
+    """Compile one robots.txt into [(allow:int, pattern:str)] for the
+    given user-agent, per RFC 9309 group selection: all groups whose
+    user-agent line matches `agent` exactly (case-insensitive); if none,
+    the '*' groups. Malformed lines are skipped — recovery, not errors."""
+    groups: list[tuple[list[str], list[tuple[int, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[int, str]] = []
+    in_rules = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        i = line.find(":")
+        if i <= 0:
+            continue
+        field = line[:i].strip().lower()
+        value = line[i + 1:].strip()
+        if field == "user-agent":
+            if in_rules:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules, in_rules = [], [], False
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_rules = True
+            if value:  # empty Disallow = no rule (allow all)
+                cur_rules.append((1 if field == "allow" else 0, value))
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+    a = agent.lower()
+    rules = [r for ags, rs in groups if a in ags for r in rs]
+    if not rules:
+        rules = [r for ags, rs in groups if "*" in ags for r in rs]
+    return rules
+
+
+def _robots_match(path: str, rules: list) -> int:
+    """RFC 9309 decision: most-specific (longest-pattern) matching rule
+    wins; tie → allow; no match → allow. '*' matches any run; '$'
+    anchors the end."""
+    import re
+
+    best_len = -1
+    best_allow = 1
+    for allow, pat in rules:
+        anchored = pat.endswith("$")
+        body = pat[:-1] if anchored else pat
+        rx = ".*".join(re.escape(seg) for seg in body.split("*"))
+        if anchored:
+            rx += "$"
+        if re.match(rx, path) is None:
+            continue
+        plen = len(pat)
+        if plen > best_len or (plen == best_len and allow > best_allow):
+            best_len, best_allow = plen, allow
+    return best_allow
+
+
+def apply_robots(
+    urls: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    domain_col: str = "domain",
+    content_col: str = "robots_txt",
+) -> DataFrame:
+    """Crawl-compliance gate: join each URL's host to its domain's
+    robots.txt and decide allowed/denied for `agent` per RFC 9309
+    (group selection, longest-match precedence, allow-wins-ties,
+    wildcards '*' and '$'). URLs whose host has no robots row are
+    allowed (the crawl convention for missing robots.txt).
+
+    Adds (allowed:int). Scale shape: rules are compiled ONCE per domain
+    in an Arrow-batched UDF on the (domain-count-sized) robots table —
+    never per URL — and the single join is host-keyed; under AQE the
+    compiled-rules side broadcasts when it fits (it is metadata-width:
+    domain + rule structs). The per-URL decision is one vectorized
+    pandas pass over (path, rules)."""
+    rules_schema = "array<struct<allow:int,pattern:string>>"
+
+    @pandas_udf(rules_schema)
+    def compile_udf(txt: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if t is None
+                else [
+                    {"allow": a, "pattern": p}
+                    for a, p in _robots_rules(t, agent)
+                ]
+                for t in txt
+            ]
+        )
+
+    @pandas_udf("int")
+    def decide_udf(path: pd.Series, rules: pd.Series) -> pd.Series:
+        out = []
+        for p, rs in zip(path, rules):
+            if rs is None or p is None:
+                out.append(1)
+                continue
+            out.append(
+                _robots_match(p, [(r["allow"], r["pattern"]) for r in rs])
+            )
+        return pd.Series(out, dtype="int32")
+
+    compiled = robots.select(
+        F.lower(F.col(domain_col)).alias("_host"),
+        compile_udf(F.col(content_col)).alias("_rules"),
+    )
+    path = F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1)
+    u = urls.withColumn("_host", host_of(url_col)).withColumn(
+        "_path", F.when(path == "", "/").otherwise(path)
+    )
+    return (
+        u.join(compiled, "_host", "left")
+        .withColumn("allowed", decide_udf(F.col("_path"), F.col("_rules")))
+        .drop("_host", "_path", "_rules")
+    )

@@ -3021,3 +3021,64 @@ class TestWarc:
         assert rows[0]["archive_id"] == 1
         assert rows[0]["body_text"] == "unicode ünïcode"
         assert rows[0]["body_len"] == len("unicode ünïcode".encode("utf-8"))
+
+
+class TestRobots:
+    """apply_robots: RFC 9309 group selection, longest-match precedence,
+    allow-wins-ties, wildcards, missing-robots convention."""
+
+    ROBOTS = (
+        "# comment line\n"
+        "User-agent: evilbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow:\n"            # empty Disallow: no rule
+        "garbage without colon\n"
+    )
+
+    def _run(self, spark, urls, agent="*"):
+        from fuzi_spark.ops.web import apply_robots
+
+        u = spark.createDataFrame(
+            [(i, x) for i, x in enumerate(urls)], "doc_id long, url string"
+        )
+        r = spark.createDataFrame(
+            [("site.example.com", self.ROBOTS)],
+            "domain string, robots_txt string",
+        )
+        return {
+            row["doc_id"]: row["allowed"]
+            for row in apply_robots(u, r, agent=agent).collect()
+        }
+
+    def test_longest_match_and_wildcards(self, spark):
+        got = self._run(
+            spark,
+            [
+                "https://site.example.com/private/x",      # deny
+                "https://site.example.com/private/ok/1",   # allow (longer)
+                "https://site.example.com/pub",            # no match: allow
+                "https://site.example.com/a/doc.pdf",      # $-anchored deny
+                "https://site.example.com/a/doc.pdfx",     # not anchored
+                "https://site.example.com",                # bare host -> '/'
+            ],
+        )
+        assert got == {0: 0, 1: 1, 2: 1, 3: 0, 4: 1, 5: 1}
+
+    def test_agent_group_selection(self, spark):
+        got = self._run(
+            spark, ["https://site.example.com/pub"], agent="EvilBot"
+        )
+        assert got[0] == 0  # evilbot group: Disallow: /
+
+    def test_missing_robots_allows(self, spark):
+        got = self._run(spark, ["https://other.example.com/anything"])
+        assert got[0] == 1
+
+    def test_case_insensitive_host_join(self, spark):
+        got = self._run(spark, ["https://SITE.Example.COM/private/x"])
+        assert got[0] == 0

@@ -218,6 +218,12 @@ CASES = [
      "the recorded plan is the dev-surface single-file scan spread from "
      "_docs(), not the operator — a real multi-file corpus scan has no "
      "exchange here.)"),
+    ("apply_robots",
+     "robots.txt compliance gate. Wants: rules compiled ONCE per domain "
+     "(one ArrowEvalPython on the domain-count-sized robots table), one "
+     "host-keyed join (broadcast under AQE — the compiled side is "
+     "metadata-width), one vectorized decision pass; the URL table "
+     "never shuffles more than the single join."),
     ("parse_warc",
      "WARC container explode. Wants: ONE MapInPandas (the recovering "
      "record scan), blob construction fused into the scan projection, "
