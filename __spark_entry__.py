@@ -1757,6 +1757,60 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_strip_media_chrome(spark, sf_dir):
+    """Boilerplate-media strip over formula-planted interleaved spans:
+    every doc carries a per-domain logo (domain = doc_id%25 ⇒ N/25 docs
+    share it), docs with doc_id%10==0 carry a corpus-wide banner, and
+    every doc carries a unique image. min_docs=10 ⇒ at sf0.01 (500
+    docs) logo (20 docs) and banner (50 docs) are chrome, the unique
+    image is content. The oracle replays the frequency decision from
+    the SAME group counts — data-driven, not constant-coded, so it
+    stays correct at any sf."""
+    from fuzi_spark.ops.media import strip_boilerplate_media
+
+    i = F.col("doc_id")
+    logo = F.concat(
+        F.lit("logo_d"), (i % 25).cast("string"), F.lit(".png")
+    )
+    img = F.concat(F.lit("img/"), i.cast("string"), F.lit(".jpg"))
+
+    def media_span(ref, off):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit("").alias("text"),
+            ref.alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    para = F.struct(
+        F.lit("paragraph").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    spans = F.when(
+        i % 10 == 0,
+        F.array(
+            para,
+            media_span(logo, 1),
+            media_span(F.lit("banner.png"), 2),
+            media_span(img, 3),
+        ),
+    ).otherwise(F.array(para, media_span(logo, 1), media_span(img, 3)))
+    d = _docs(spark, sf_dir).select("doc_id", spans.alias("spans"))
+    out = strip_boilerplate_media(d, min_docs=10)
+    kept = F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"] == "media"),
+        lambda s: s["media_ref"],
+    )
+    return out.select(
+        "doc_id",
+        "n_media_stripped",
+        F.size("spans").cast("long").alias("n_spans_after"),
+        F.array_join(kept, ",").alias("kept_refs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1827,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_group": q_split_by_group,
         "epoch_order": q_epoch_order,
         "mixture_sample": q_mixture_sample,
+        "strip_media_chrome": q_strip_media_chrome,
     }
 
 
@@ -2622,6 +2677,28 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(('0x' || substr(md5('fuzi-mix:' "
             "  || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)::DOUBLE "
             "  < r * 4294967296.0"
+        ),
+        "strip_media_chrome": (
+            # replay the frequency decision from the same group counts:
+            # logo chrome iff its domain has >= 10 docs, banner chrome
+            # iff >= 10 docs carry it, unique img always kept
+            "WITH d AS (SELECT doc_id, doc_id % 25 AS dm, "
+            "  (doc_id % 10 = 0) AS hasb FROM documents), "
+            "c AS (SELECT dm, COUNT(*) AS dom_cnt FROM d GROUP BY dm), "
+            "b AS (SELECT COUNT(*) AS ban_cnt FROM d WHERE hasb) "
+            "SELECT d.doc_id, "
+            "CAST((CASE WHEN c.dom_cnt >= 10 THEN 1 ELSE 0 END) "
+            "  + (CASE WHEN d.hasb AND b.ban_cnt >= 10 THEN 1 ELSE 0 END) "
+            "  AS BIGINT) AS n_media_stripped, "
+            "CAST(2 + (CASE WHEN c.dom_cnt < 10 THEN 1 ELSE 0 END) "
+            "  + (CASE WHEN d.hasb AND b.ban_cnt < 10 THEN 1 ELSE 0 END) "
+            "  AS BIGINT) AS n_spans_after, "
+            "concat_ws(',', "
+            "  CASE WHEN c.dom_cnt < 10 THEN "
+            "    'logo_d' || CAST(d.dm AS VARCHAR) || '.png' END, "
+            "  CASE WHEN d.hasb AND b.ban_cnt < 10 THEN 'banner.png' END, "
+            "  'img/' || CAST(d.doc_id AS VARCHAR) || '.jpg') AS kept_refs "
+            "FROM d JOIN c USING (dm) CROSS JOIN b"
         ),
     }
 

@@ -3082,3 +3082,95 @@ class TestRobots:
     def test_case_insensitive_host_join(self, spark):
         got = self._run(spark, ["https://SITE.Example.COM/private/x"])
         assert got[0] == 0
+
+
+class TestMediaBoilerplate:
+    """ops/media.py — cross-document media frequency + chrome strip."""
+
+    SCHEMA = (
+        "doc_id long, domain string, spans array<struct<kind:string,"
+        "text:string,media_ref:string,offset:int>>"
+    )
+
+    def _corpus(self, spark):
+        # logo.png on every doc of domain a (3 docs); banner.png on 2
+        # docs across domains; unique imgs once each; doc 4 text-only;
+        # doc 5 NULL-ref media span (decode placeholder) must survive.
+        rows = [
+            (1, "a", [("paragraph", "p1", None, 0),
+                      ("media", "", "logo.png", 1),
+                      ("media", "", "img/1.jpg", 2)]),
+            (2, "a", [("media", "", "logo.png", 0),
+                      ("media", "", "logo.png", 1),   # gallery repeat
+                      ("paragraph", "p2", None, 2)]),
+            (3, "a", [("media", "", "logo.png", 0),
+                      ("media", "", "banner.png", 1)]),
+            (4, "b", [("paragraph", "text only", None, 0)]),
+            (5, "b", [("media", "", None, 0),
+                      ("media", "", "banner.png", 1),
+                      ("media", "", "img/5.jpg", 2)]),
+        ]
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_frequency_distinct_docs_vs_occurrences(self, spark):
+        from fuzi_spark.ops.media import media_frequency
+
+        got = {
+            r.media_ref: (r.n_docs, r.n_occurrences)
+            for r in media_frequency(self._corpus(spark)).collect()
+        }
+        assert got["logo.png"] == (3, 4)     # doc 2's repeat = 1 doc, 2 occ
+        assert got["banner.png"] == (2, 2)
+        assert got["img/1.jpg"] == (1, 1)
+        assert None not in got               # NULL refs never counted
+
+    def test_frequency_domain_scoped(self, spark):
+        from fuzi_spark.ops.media import media_frequency
+
+        got = {
+            (r.domain, r.media_ref): r.n_docs
+            for r in media_frequency(
+                self._corpus(spark), domain_col="domain"
+            ).collect()
+        }
+        assert got[("a", "logo.png")] == 3
+        assert got[("a", "banner.png")] == 1
+        assert got[("b", "banner.png")] == 1
+
+    def test_strip_global_threshold(self, spark):
+        from fuzi_spark.ops.media import strip_boilerplate_media
+
+        out = strip_boilerplate_media(self._corpus(spark), min_docs=2)
+        got = {r.doc_id: r for r in out.collect()}
+        # logo (3 docs) and banner (2 docs) stripped; uniques kept
+        assert [s.media_ref for s in got[1].spans] == [None, "img/1.jpg"]
+        assert got[1].n_media_stripped == 1
+        assert got[2].n_media_stripped == 2  # both gallery repeats
+        assert [s.kind for s in got[2].spans] == ["paragraph"]
+        assert got[3].n_media_stripped == 2 and got[3].spans == []
+        assert got[4].n_media_stripped == 0  # text-only untouched
+        # NULL-ref media span survives; banner stripped; unique kept
+        assert [s.media_ref for s in got[5].spans] == [None, "img/5.jpg"]
+        assert got[5].n_media_stripped == 1
+
+    def test_strip_domain_scoped_spares_cross_domain(self, spark):
+        from fuzi_spark.ops.media import strip_boilerplate_media
+
+        out = strip_boilerplate_media(
+            self._corpus(spark), min_docs=2, domain_col="domain"
+        )
+        got = {r.doc_id: r for r in out.collect()}
+        # logo still >= 2 within domain a; banner is 1 per domain → kept
+        assert got[3].n_media_stripped == 1
+        assert [s.media_ref for s in got[3].spans] == ["banner.png"]
+        assert got[5].n_media_stripped == 0
+
+    def test_order_preserved_and_text_untouched(self, spark):
+        from fuzi_spark.ops.media import strip_boilerplate_media
+
+        out = strip_boilerplate_media(self._corpus(spark), min_docs=2)
+        got = {r.doc_id: r for r in out.collect()}
+        assert [(s.kind, s.offset) for s in got[1].spans] == [
+            ("paragraph", 0), ("media", 2)
+        ]
+        assert got[1].spans[0].text == "p1"
