@@ -1811,6 +1811,81 @@ def q_strip_media_chrome(spark, sf_dir):
     )
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap parsing over formula-constructed XML: docs with
+    doc_id%5==0 become <sitemapindex> blobs (2 child sitemaps, lastmod
+    planted), the rest <urlset> blobs (3 URLs exercising lastmod,
+    changefreq, priority, and absent-field NULLs). The oracle emits
+    the same rows from the construction formulas — the parser must
+    invert the construction exactly (namespaced default xmlns, field
+    order, 0-based seq)."""
+    from fuzi_spark.ops.discovery import parse_sitemap_df
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    index_xml = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<sitemap><loc>https://s"), s,
+        F.lit(".example.com/sitemap1.xml</loc>"
+              "<lastmod>2024-01-01</lastmod></sitemap>"
+              "<sitemap><loc>https://s"), s,
+        F.lit(".example.com/sitemap2.xml</loc>"
+              "<lastmod>2024-01-02</lastmod></sitemap></sitemapindex>"),
+    )
+    urlset_xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc>https://d"), s,
+        F.lit(".example.com/p/1</loc><lastmod>2024-02-01</lastmod></url>"
+              "<url><loc>https://d"), s,
+        F.lit(".example.com/p/2</loc><changefreq>weekly</changefreq></url>"
+              "<url><loc>https://d"), s,
+        F.lit(".example.com/p/3</loc><priority>0.3</priority></url></urlset>"),
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("site_id"),
+        F.when(i % 5 == 0, index_xml).otherwise(urlset_xml).alias("xml"),
+    )
+    return parse_sitemap_df(d)
+
+
+def q_extract_feed(spark, sf_dir):
+    """Feed parsing over formula-constructed Atom (even ids) and RSS
+    2.0 (odd ids) documents: Atom entries exercise rel='alternate'
+    link selection over rel='self', the rel-less default, the
+    published→updated fallback, and author/name; RSS items exercise
+    pubDate and author. Reference parity: the Atom walk is pinned
+    against Tests/Resources/atom.xml in TestDiscovery."""
+    from fuzi_spark.ops.discovery import parse_feed_df
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>Feed '), s,
+        F.lit("</title><entry><title>Post "), s,
+        F.lit('a</title><link rel="self" href="https://f'), s,
+        F.lit('/self"/><link rel="alternate" href="https://f'), s,
+        F.lit('/1"/><updated>2024-03-01</updated>'
+              "<author><name>A"), s,
+        F.lit("</name></author></entry><entry><title>Post "), s,
+        F.lit('b</title><link href="https://f'), s,
+        F.lit('/2"/><published>2024-03-02</published></entry></feed>'),
+    )
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>Chan '), s,
+        F.lit("</title><item><title>Item "), s,
+        F.lit("</title><link>https://r"), s,
+        F.lit("/1</link><pubDate>Tue, 02 Apr 2024</pubDate><author>a"), s,
+        F.lit("@e.com</author></item></channel></rss>"),
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("feed_id"),
+        F.when(i % 2 == 0, atom).otherwise(rss).alias("xml"),
+    )
+    return parse_feed_df(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1882,6 +1957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_order": q_epoch_order,
         "mixture_sample": q_mixture_sample,
         "strip_media_chrome": q_strip_media_chrome,
+        "sitemap_urls": q_sitemap_urls,
+        "extract_feed": q_extract_feed,
     }
 
 
@@ -2699,6 +2776,47 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN d.hasb AND b.ban_cnt < 10 THEN 'banner.png' END, "
             "  'img/' || CAST(d.doc_id AS VARCHAR) || '.jpg') AS kept_refs "
             "FROM d JOIN c USING (dm) CROSS JOIN b"
+        ),
+        "sitemap_urls": (
+            "WITH j2 AS (SELECT UNNEST([1,2]) AS j), "
+            "j3 AS (SELECT UNNEST([1,2,3]) AS j) "
+            "SELECT d.doc_id AS site_id, 'sitemap' AS kind, "
+            "CAST(j-1 AS INTEGER) AS seq, "
+            "'https://s' || CAST(d.doc_id AS VARCHAR) "
+            "  || '.example.com/sitemap' || CAST(j AS VARCHAR) "
+            "  || '.xml' AS loc, "
+            "'2024-01-0' || CAST(j AS VARCHAR) AS lastmod, "
+            "CAST(NULL AS VARCHAR) AS changefreq, "
+            "CAST(NULL AS DOUBLE) AS priority "
+            "FROM documents d CROSS JOIN j2 WHERE d.doc_id % 5 = 0 "
+            "UNION ALL "
+            "SELECT d.doc_id, 'url', CAST(j-1 AS INTEGER), "
+            "'https://d' || CAST(d.doc_id AS VARCHAR) "
+            "  || '.example.com/p/' || CAST(j AS VARCHAR), "
+            "CASE WHEN j = 1 THEN '2024-02-01' END, "
+            "CASE WHEN j = 2 THEN 'weekly' END, "
+            "CASE WHEN j = 3 THEN 0.3 END "
+            "FROM documents d CROSS JOIN j3 WHERE d.doc_id % 5 <> 0"
+        ),
+        "extract_feed": (
+            "WITH s AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS v "
+            "  FROM documents) "
+            "SELECT doc_id AS feed_id, 'atom' AS feed_type, "
+            "  'Feed ' || v AS feed_title, CAST(0 AS INTEGER) AS entry_idx, "
+            "  'Post ' || v || 'a' AS title, "
+            "  'https://f' || v || '/1' AS link, "
+            "  '2024-03-01' AS updated, 'A' || v AS author "
+            "FROM s WHERE doc_id % 2 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, 'atom', 'Feed ' || v, CAST(1 AS INTEGER), "
+            "  'Post ' || v || 'b', 'https://f' || v || '/2', "
+            "  '2024-03-02', CAST(NULL AS VARCHAR) "
+            "FROM s WHERE doc_id % 2 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, 'rss', 'Chan ' || v, CAST(0 AS INTEGER), "
+            "  'Item ' || v, 'https://r' || v || '/1', "
+            "  'Tue, 02 Apr 2024', 'a' || v || '@e.com' "
+            "FROM s WHERE doc_id % 2 = 1"
         ),
     }
 

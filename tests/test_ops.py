@@ -3174,3 +3174,125 @@ class TestMediaBoilerplate:
             ("paragraph", 0), ("media", 2)
         ]
         assert got[1].spans[0].text == "p1"
+
+
+class TestDiscovery:
+    """ops/discovery.py — sitemap + feed parsing (crawl discovery)."""
+
+    from conftest import fixture_bytes
+    fixture_bytes = staticmethod(fixture_bytes)
+
+    URLSET = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc> https://e.com/a </loc><lastmod>2024-01-01</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://e.com/b</loc><priority>not-a-number</priority></url>"
+        "<url><lastmod>2024-01-02</lastmod></url>"  # no loc → dropped
+        "<url><loc></loc></url>"                     # empty loc → dropped
+        "</urlset>"
+    )
+    INDEX = (
+        "<sitemapindex><sitemap><loc>https://e.com/s1.xml</loc>"
+        "<lastmod>2024-02-02</lastmod></sitemap>"
+        "<sitemap><loc>https://e.com/s2.xml</loc></sitemap></sitemapindex>"
+    )
+
+    def test_urlset_fields_trim_and_drops(self):
+        from fuzi_spark.ops.discovery import parse_sitemap
+
+        rows = parse_sitemap(self.URLSET)
+        assert len(rows) == 2
+        assert rows[0] == {
+            "kind": "url", "loc": "https://e.com/a",
+            "lastmod": "2024-01-01", "changefreq": "daily",
+            "priority": 0.8,
+        }
+        assert rows[1]["loc"] == "https://e.com/b"
+        assert rows[1]["priority"] is None  # non-numeric → None, no raise
+
+    def test_sitemapindex(self):
+        from fuzi_spark.ops.discovery import parse_sitemap
+
+        rows = parse_sitemap(self.INDEX)
+        assert [r["kind"] for r in rows] == ["sitemap", "sitemap"]
+        assert rows[0]["lastmod"] == "2024-02-02"
+        assert rows[1]["lastmod"] is None
+
+    def test_recovering_never_raises(self):
+        from fuzi_spark.ops.discovery import parse_sitemap, parse_feed
+
+        for bad in ["", "   ", "<<<garbage", "<html><body>x</body></html>",
+                    "\x00\x01"]:
+            assert parse_sitemap(bad) == []
+            assert parse_feed(bad) == []
+        # truncated input RECOVERS (libxml2-recover semantics): the
+        # complete entry survives the missing close tags
+        rows = parse_sitemap("<urlset><url><loc>u</loc>")
+        assert [r["loc"] for r in rows] == ["u"]
+
+    def test_atom_reference_fixture(self):
+        # the reference's own Atom test document (Tests/Resources/atom.xml)
+        from fuzi_spark.ops.discovery import parse_feed
+
+        rows = parse_feed(self.fixture_bytes("atom.xml"))
+        assert len(rows) == 1
+        e = rows[0]
+        assert e["feed_type"] == "atom"
+        assert e["feed_title"] == "Example Feed"
+        assert e["title"] == "Atom-Powered Robots Run Amok"
+        assert e["link"] == "http://example.org/2003/12/13/atom03"
+        assert e["updated"] == "2003-12-13T18:30:02Z"
+        assert e["author"] == "John Doe"
+
+    def test_atom_link_rel_selection(self):
+        from fuzi_spark.ops.discovery import parse_feed
+
+        src = (
+            '<feed xmlns="http://www.w3.org/2005/Atom"><title>t</title>'
+            '<entry><title>e</title>'
+            '<link rel="self" href="https://x/self"/>'
+            '<link rel="alternate" href="https://x/alt"/>'
+            "<published>2020-01-01</published></entry></feed>"
+        )
+        e = parse_feed(src)[0]
+        assert e["link"] == "https://x/alt"   # self skipped
+        assert e["updated"] == "2020-01-01"   # published fallback
+
+    def test_rss_items(self):
+        from fuzi_spark.ops.discovery import parse_feed
+
+        src = (
+            '<rss version="2.0"><channel><title>Chan</title>'
+            "<item><title>i1</title><link>https://r/1</link>"
+            "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>"
+            "<author>a@e.com</author></item>"
+            '<item xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            "<title>i2</title><dc:creator>Jane</dc:creator></item>"
+            "</channel></rss>"
+        )
+        rows = parse_feed(src)
+        assert [r["title"] for r in rows] == ["i1", "i2"]
+        assert rows[0]["author"] == "a@e.com"
+        assert rows[1]["author"] == "Jane"   # dc:creator by local name
+        assert rows[0]["feed_title"] == "Chan"
+
+    def test_spark_surface_explode(self, spark):
+        from fuzi_spark.ops.discovery import parse_sitemap_df, parse_feed_df
+
+        df = spark.createDataFrame(
+            [(1, self.URLSET), (2, self.INDEX), (3, "<<<"), (4, None)],
+            "site_id long, xml string",
+        )
+        got = parse_sitemap_df(df).collect()
+        assert len(got) == 4
+        by = {(r.site_id, r.seq): r for r in got}
+        assert by[(1, 0)].loc == "https://e.com/a"
+        assert by[(1, 0)].priority == 0.8
+        assert by[(2, 1)].kind == "sitemap"
+        fdf = spark.createDataFrame(
+            [(1, self.fixture_bytes("atom.xml").decode("utf-8"))],
+            "feed_id long, xml string",
+        )
+        fe = parse_feed_df(fdf).collect()
+        assert len(fe) == 1 and fe[0].author == "John Doe"
