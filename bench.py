@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "page_metadata",
     "parse_warc",
     "apply_robots",
+    "strip_media_chrome",
+    "sitemap_urls",
+    "extract_feed",
 ]
 
 
