@@ -1886,6 +1886,97 @@ def q_extract_feed(spark, sf_dir):
     return parse_feed_df(d)
 
 
+def q_to_markdown(spark, sf_dir):
+    """Structure-preserving markdown rendering over a formula-built
+    full-feature document (heading, paragraph, list, link, inline
+    code, blockquote, code fence, pipe table, emphasis, hr, image).
+    The oracle predicts the EXACT markdown string from the same
+    formulas — every rendering rule (marker placement, fence/table
+    layout, block joining) must hold byte-for-byte."""
+    from fuzi_spark.ops.markdown import to_markdown_df
+
+    s = F.col("doc_id").cast("string")
+    markup = F.concat(
+        F.lit("<html><head><title>Doc "), s,
+        F.lit("</title></head><body><h2>Section "), s,
+        F.lit("</h2><p>Intro paragraph for document "), s,
+        F.lit(" with plain text.</p><ul><li>alpha "), s,
+        F.lit("</li><li>beta "), s,
+        F.lit('</li></ul><p>See <a href="https://ex.com/'), s,
+        F.lit('">link '), s, F.lit("</a> and <code>v"), s,
+        F.lit("</code>.</p><blockquote><p>Quoted "), s,
+        F.lit("</p></blockquote><pre><code>code line "), s,
+        F.lit("\nsecond line</code></pre>"
+              "<table><tr><th>K</th><th>V</th></tr>"
+              "<tr><td>id</td><td>"), s,
+        F.lit("</td></tr></table><p>Tail <strong>bold "), s,
+        F.lit('</strong> and <em>it</em>.</p><hr><p><img src="img/'), s,
+        F.lit('.png" alt="pic '), s,
+        F.lit('"></p></body></html>'),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", markup.alias("markup"))
+    return to_markdown_df(d)
+
+
+def q_extract_tables(spark, sf_dir):
+    """Table explode over formula-built markup: every doc carries a
+    thead+tbody table (header K/V, two data rows), docs %3==0 a
+    second table whose all-<th> first row must classify as header
+    without a thead. Cells join with '|' for the value compare."""
+    from fuzi_spark.ops.tables import extract_tables_df
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    s2 = (i + 1).cast("string")
+    t1 = F.concat(
+        F.lit("<table><thead><tr><th>K</th><th>V</th></tr></thead>"
+              "<tbody><tr><td>id</td><td>"), s,
+        F.lit("</td></tr><tr><td>next</td><td>"), s2,
+        F.lit("</td></tr></tbody></table>"),
+    )
+    t2 = F.concat(
+        F.lit("<table><tr><th>X "), s,
+        F.lit("</th></tr><tr><td>y</td></tr></table>"),
+    )
+    markup = F.concat(
+        F.lit("<body>"), t1,
+        F.when(i % 3 == 0, t2).otherwise(F.lit("")),
+        F.lit("</body>"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", markup.alias("markup"))
+    return extract_tables_df(d).select(
+        "doc_id", "table_idx", "row_idx", "is_header",
+        F.array_join("cells", "|").alias("cells_joined"), "n_cells",
+    )
+
+
+def q_anchor_text(spark, sf_dir):
+    """Inbound anchor-text index over a formula-built link graph:
+    every doc links 'Target k' (k=doc_id%20), even docs add a 'Hub'
+    anchor to the same target, and every doc cross-links the next
+    residue — so each target URL aggregates links from two residue
+    classes and the most frequent anchor must win. The oracle replays
+    the same link formulas relationally (UNION ALL + window rank)."""
+    from fuzi_spark.ops.web import anchor_text_index
+
+    i = F.col("doc_id")
+    k = (i % 20).cast("string")
+    k1 = ((i + 1) % 20).cast("string")
+    link = lambda tgt, txt: F.concat(  # noqa: E731
+        F.lit('<a href="https://t'), tgt, F.lit('.example.com/p">'),
+        txt, F.lit("</a>"),
+    )
+    markup = F.concat(
+        F.lit("<body>"),
+        link(k, F.concat(F.lit("Target "), k)),
+        F.when(i % 2 == 0, link(k, F.lit("Hub"))).otherwise(F.lit("")),
+        link(k1, F.concat(F.lit("Target "), k1)),
+        F.lit("</body>"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", markup.alias("markup"))
+    return anchor_text_index(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -1959,6 +2050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_media_chrome": q_strip_media_chrome,
         "sitemap_urls": q_sitemap_urls,
         "extract_feed": q_extract_feed,
+        "to_markdown": q_to_markdown,
+        "extract_tables": q_extract_tables,
+        "anchor_text": q_anchor_text,
     }
 
 
@@ -2817,6 +2911,65 @@ def oracle_sql() -> dict[str, str]:
             "  'Item ' || v, 'https://r' || v || '/1', "
             "  'Tue, 02 Apr 2024', 'a' || v || '@e.com' "
             "FROM s WHERE doc_id % 2 = 1"
+        ),
+        "to_markdown": (
+            "WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s, "
+            "  chr(10) || chr(10) AS nn FROM documents), "
+            "m AS (SELECT doc_id, "
+            "  '# Doc ' || s || nn || "
+            "  '## Section ' || s || nn || "
+            "  'Intro paragraph for document ' || s "
+            "    || ' with plain text.' || nn || "
+            "  '- alpha ' || s || chr(10) || '- beta ' || s || nn || "
+            "  'See [link ' || s || '](https://ex.com/' || s "
+            "    || ') and `v' || s || '`.' || nn || "
+            "  '> Quoted ' || s || nn || "
+            "  '```' || chr(10) || 'code line ' || s || chr(10) "
+            "    || 'second line' || chr(10) || '```' || nn || "
+            "  '| K | V |' || chr(10) || '| --- | --- |' || chr(10) "
+            "    || '| id | ' || s || ' |' || nn || "
+            "  'Tail **bold ' || s || '** and *it*.' || nn || "
+            "  '---' || nn || "
+            "  '![pic ' || s || '](img/' || s || '.png)' AS markdown "
+            "FROM b) "
+            "SELECT doc_id, markdown, CAST(0 AS INTEGER) AS parse_error, "
+            "CAST(length(markdown) AS BIGINT) AS n_chars FROM m"
+        ),
+        "extract_tables": (
+            "WITH s AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS v, "
+            "  CAST(doc_id + 1 AS VARCHAR) AS v2 FROM documents) "
+            "SELECT doc_id, CAST(0 AS INTEGER) AS table_idx, "
+            "  CAST(0 AS INTEGER) AS row_idx, CAST(1 AS INTEGER) AS is_header, "
+            "  'K|V' AS cells_joined, CAST(2 AS INTEGER) AS n_cells FROM s "
+            "UNION ALL SELECT doc_id, 0, 1, 0, 'id|' || v, 2 FROM s "
+            "UNION ALL SELECT doc_id, 0, 2, 0, 'next|' || v2, 2 FROM s "
+            "UNION ALL SELECT doc_id, 1, 0, 1, 'X ' || v, 1 FROM s "
+            "  WHERE doc_id % 3 = 0 "
+            "UNION ALL SELECT doc_id, 1, 1, 0, 'y', 1 FROM s "
+            "  WHERE doc_id % 3 = 0"
+        ),
+        "anchor_text": (
+            "WITH links AS ("
+            "  SELECT doc_id, 'https://t' || CAST(doc_id % 20 AS VARCHAR) "
+            "    || '.example.com/p' AS url, "
+            "    'Target ' || CAST(doc_id % 20 AS VARCHAR) AS anchor "
+            "  FROM documents "
+            "  UNION ALL "
+            "  SELECT doc_id, 'https://t' || CAST(doc_id % 20 AS VARCHAR) "
+            "    || '.example.com/p', 'Hub' "
+            "  FROM documents WHERE doc_id % 2 = 0 "
+            "  UNION ALL "
+            "  SELECT doc_id, 'https://t' || CAST((doc_id + 1) % 20 AS VARCHAR) "
+            "    || '.example.com/p', "
+            "    'Target ' || CAST((doc_id + 1) % 20 AS VARCHAR) "
+            "  FROM documents), "
+            "per_url AS (SELECT url, COUNT(*) AS n_links, "
+            "  COUNT(DISTINCT doc_id) AS n_docs FROM links GROUP BY url), "
+            "ranked AS (SELECT url, anchor, ROW_NUMBER() OVER ("
+            "  PARTITION BY url ORDER BY COUNT(*) DESC, anchor ASC) AS rk "
+            "  FROM links GROUP BY url, anchor) "
+            "SELECT p.url, p.n_links, p.n_docs, r.anchor AS top_anchor "
+            "FROM per_url p JOIN ranked r ON p.url = r.url AND r.rk = 1"
         ),
     }
 

@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "strip_media_chrome",
     "sitemap_urls",
     "extract_feed",
+    "to_markdown",
+    "extract_tables",
+    "anchor_text",
 ]
 
 

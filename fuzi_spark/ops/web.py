@@ -170,6 +170,79 @@ def link_graph(
     )
 
 
+def anchor_text_index(
+    docs: DataFrame,
+    markup_col: str = "markup",
+    id_col: str = "doc_id",
+    min_links: int = 1,
+) -> DataFrame:
+    """Inbound anchor-text index per target URL — the classic web-IR
+    relevance signal (anchor text describes the TARGET page better
+    than the page itself; search engines and LLM-corpus quality
+    scorers both index it).
+
+    Per distinct href: (url, n_links, n_docs, top_anchor) where
+    top_anchor is the most frequent whitespace-normalized anchor text
+    (ties broken lexicographically — deterministic at any parallelism).
+    Empty/missing hrefs drop; empty anchor texts drop (icon links).
+
+    Scale shape: one Arrow-batched parse pass (the same xpath_select
+    UDF as link_graph), an explode of (href, anchor) STRING pairs only,
+    then two url-keyed aggs — (url, anchor) counts with a
+    WindowGroupLimit rank-1, and the url rollup — joined on url. Every
+    exchange is key-partitioned on url; both aggs partial-aggregate
+    map-side, so the shuffle carries one row per distinct (url, anchor)
+    / url, not per link."""
+    from pyspark.sql import Window
+
+    from ..udfs import xpath_select
+
+    snaps = xpath_select("//a", doc_type="html")(F.col(markup_col))
+    pairs = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    snaps,
+                    lambda s: F.struct(
+                        s["attributes"]["href"].alias("url"),
+                        s["string_value"].alias("anchor"),
+                    ),
+                )
+            ).alias("lnk"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("lnk.url").alias("url"),
+            F.trim(
+                F.regexp_replace(F.col("lnk.anchor"), r"\s+", " ")
+            ).alias("anchor"),
+        )
+        .filter(
+            F.col("url").isNotNull()
+            & (F.col("url") != "")
+            & (F.col("anchor") != "")
+        )
+    )
+    per_url = pairs.groupBy("url").agg(
+        F.count("*").alias("n_links"),
+        F.count_distinct(id_col).alias("n_docs"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.desc("anchor_count"), F.asc("anchor")
+    )
+    top = (
+        pairs.groupBy("url", "anchor")
+        .agg(F.count("*").alias("anchor_count"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("url", F.col("anchor").alias("top_anchor"))
+    )
+    return per_url.join(top, "url").filter(
+        F.col("n_links") >= min_links
+    )
+
+
 # tracking-param names every major pipeline strips before URL dedup:
 # utm_* (Google Analytics campaign tags) plus the big click-id params.
 # Exact-name list kept small and documented — canonicalization must be

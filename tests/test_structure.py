@@ -1,0 +1,266 @@
+"""Structure-preserving extraction: markdown rendering, table
+extraction, anchor-text indexing.
+
+Pure-Python semantics are pinned with exact goldens; the Spark
+surfaces are pinned equal to the pure functions on the same rows
+(the distributed path must be bit-identical to the single-process
+reference path — same contract as test_fastextract)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from conftest import fixture_bytes
+
+from fuzi_spark.ops.markdown import to_markdown, to_markdown_df
+from fuzi_spark.ops.tables import extract_tables, extract_tables_df
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("fuzi-structure-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+FULL_DOC = """<html><head><title>Doc 7</title></head><body>
+<h2>Section 7</h2>
+<p>Intro paragraph for document 7 with plain text.</p>
+<ul><li>alpha 7</li><li>beta 7</li></ul>
+<p>See <a href="https://ex.com/7">link 7</a> and <code>v7</code>.</p>
+<blockquote><p>Quoted 7</p></blockquote>
+<pre><code>code line 7
+second line</code></pre>
+<table><tr><th>K</th><th>V</th></tr><tr><td>id</td><td>7</td></tr></table>
+<p>Tail <strong>bold 7</strong> and <em>it</em>.</p>
+<hr>
+<p><img src="img/7.png" alt="pic 7"></p>
+</body></html>"""
+
+FULL_MD = (
+    "# Doc 7\n\n"
+    "## Section 7\n\n"
+    "Intro paragraph for document 7 with plain text.\n\n"
+    "- alpha 7\n- beta 7\n\n"
+    "See [link 7](https://ex.com/7) and `v7`.\n\n"
+    "> Quoted 7\n\n"
+    "```\ncode line 7\nsecond line\n```\n\n"
+    "| K | V |\n| --- | --- |\n| id | 7 |\n\n"
+    "Tail **bold 7** and *it*.\n\n"
+    "---\n\n"
+    "![pic 7](img/7.png)"
+)
+
+
+class TestMarkdown:
+    def test_full_document_golden(self):
+        md, err = to_markdown(FULL_DOC)
+        assert err == 0
+        assert md == FULL_MD
+
+    def test_nested_and_ordered_lists(self):
+        md, err = to_markdown(
+            "<body><ol><li>one<ul><li>inner</li></ul></li>"
+            "<li>two</li></ol></body>"
+        )
+        assert err == 0
+        assert md == "1. one\n  - inner\n2. two"
+
+    def test_br_and_inline_span_spacing(self):
+        assert to_markdown("<body><p>a<br>b</p></body>")[0] == "a\nb"
+        assert (
+            to_markdown("<body><p>a<span> b </span>c</p></body>")[0]
+            == "a b c"
+        )
+
+    def test_emphasis_markers_hug_text(self):
+        assert (
+            to_markdown("<body><p>x<b> y </b>z</p></body>")[0] == "x**y**z"
+        )
+        assert to_markdown("<body><p><em></em>e</p></body>")[0] == "e"
+
+    def test_pre_preserves_raw_whitespace(self):
+        md, _ = to_markdown(
+            "<body><pre>  indented\n\ttabbed  line</pre></body>"
+        )
+        assert md == "```\n  indented\n\ttabbed  line\n```"
+
+    def test_table_pipe_escaped(self):
+        md, _ = to_markdown(
+            "<body><table><tr><th>H</th></tr>"
+            "<tr><td>a|b</td></tr></table></body>"
+        )
+        assert "| a\\|b |" in md
+
+    def test_anchor_wrapped_image(self):
+        md, _ = to_markdown(
+            '<body><p><a href="u"><img src="s" alt="al"></a></p></body>'
+        )
+        assert md == "[![al](s)](u)"
+
+    def test_blockquote_multi_block(self):
+        md, _ = to_markdown(
+            "<body><blockquote><p>one</p><p>two</p></blockquote></body>"
+        )
+        assert md == "> one\n>\n> two"
+
+    def test_boilerplate_stripped_by_default(self):
+        doc = (
+            "<body><nav><a href='/a'>Home</a><a href='/b'>About</a></nav>"
+            "<p>Real content paragraph that survives the strip.</p>"
+            "<script>var x = 1;</script></body>"
+        )
+        md, _ = to_markdown(doc)
+        assert md == "Real content paragraph that survives the strip."
+        md_raw, _ = to_markdown(doc, strip=False)
+        assert "[Home](/a)" in md_raw
+        assert "var x" not in md_raw, "script text never renders"
+
+    def test_never_raises_and_error_flag(self):
+        assert to_markdown("") == ("", 1)
+        md, err = to_markdown("\x00\xff garbage <<<>")
+        assert isinstance(md, str)
+
+    def test_deep_chain_no_recursion(self):
+        deep = "<body>" + "<div>" * 1500 + "x" + "</div>" * 1500 + "</body>"
+        assert to_markdown(deep) == ("x", 0)
+
+    def test_xml_degrades_to_paragraphs(self):
+        md, err = to_markdown(
+            "<?xml version='1.0'?><r><a>one</a><b>two</b></r>"
+        )
+        assert err == 0
+        assert md == "one\n\ntwo"
+
+    def test_reference_fixture_renders(self):
+        web = fixture_bytes("web.html").decode("utf-8", "replace")
+        md, err = to_markdown(web)
+        assert err == 0
+        assert md.startswith("# mattt/Ono")
+        assert "<div" not in md and "<script" not in md
+
+    def test_spark_surface_matches_pure(self, spark):
+        rows = [
+            (1, FULL_DOC),
+            (2, "<body><p>plain</p></body>"),
+            (3, "garbage <<"),
+            (4, None),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, markup string")
+        got = {
+            r.doc_id: r for r in to_markdown_df(d).orderBy("doc_id").collect()
+        }
+        for did, markup in rows:
+            if markup is None:
+                assert got[did].markdown == "" and got[did].parse_error == 1
+            else:
+                md, err = to_markdown(markup)
+                assert got[did].markdown == md
+                assert got[did].parse_error == err
+        assert got[1].n_chars == len(FULL_MD)
+
+
+class TestExtractTables:
+    def test_header_detection_and_flatten(self):
+        rows = extract_tables(
+            "<body><table><thead><tr><th>A</th><th>B</th></tr></thead>"
+            "<tbody><tr><td>1</td><td><b>bold</b> cell</td></tr>"
+            "</tbody></table></body>"
+        )
+        assert rows == [
+            {"table_idx": 0, "row_idx": 0, "is_header": 1,
+             "cells": ["A", "B"]},
+            {"table_idx": 0, "row_idx": 1, "is_header": 0,
+             "cells": ["1", "bold cell"]},
+        ]
+
+    def test_all_th_row_is_header_without_thead(self):
+        rows = extract_tables(
+            "<table><tr><th>H</th></tr><tr><td>d</td></tr></table>"
+        )
+        assert [r["is_header"] for r in rows] == [1, 0]
+
+    def test_nested_table_own_index_no_double_count(self):
+        rows = extract_tables(
+            "<table><tr><td>outer<table><tr><td>inner</td></tr>"
+            "</table></td></tr></table>"
+        )
+        # stringValue concatenation (reference P5 contract): no space is
+        # injected between "outer" and the nested table's text
+        assert [(r["table_idx"], r["cells"]) for r in rows] == [
+            (0, ["outerinner"]),
+            (1, ["inner"]),
+        ]
+
+    def test_recovery_contract(self):
+        assert extract_tables("garbage <<") == []
+        assert extract_tables("<table><tr><td>solo") == [
+            {"table_idx": 0, "row_idx": 0, "is_header": 0,
+             "cells": ["solo"]}
+        ]
+
+    def test_spark_explode_matches_pure(self, spark):
+        rows = [
+            (1, "<table><tr><th>A</th></tr><tr><td>x</td></tr></table>"),
+            (2, "<p>no tables</p>"),
+            (3, None),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, markup string")
+        got = extract_tables_df(d).orderBy("doc_id", "table_idx", "row_idx")
+        out = [
+            (r.doc_id, r.table_idx, r.row_idx, r.is_header,
+             list(r.cells), r.n_cells)
+            for r in got.collect()
+        ]
+        assert out == [
+            (1, 0, 0, 1, ["A"], 1),
+            (1, 0, 1, 0, ["x"], 1),
+        ]
+
+
+class TestAnchorTextIndex:
+    def test_counts_top_anchor_and_tiebreak(self, spark):
+        from fuzi_spark.ops.web import anchor_text_index
+
+        rows = [
+            (1, '<body><a href="https://t.com/p">Best  Page</a>'
+                '<a href="https://t.com/p">Best Page</a>'
+                '<a href="https://t.com/p">alt</a></body>'),
+            (2, '<body><a href="https://t.com/p">alt</a>'
+                '<a href="https://o.com/q">Only</a>'
+                '<a href="https://o.com/q">  </a>'
+                '<a href="">empty</a></body>'),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, markup string")
+        got = {r.url: r for r in anchor_text_index(d).collect()}
+        assert set(got) == {"https://t.com/p", "https://o.com/q"}
+        t = got["https://t.com/p"]
+        # ws-normalized "Best Page" x2 vs "alt" x2 -> lexicographic tie
+        # break picks "Best Page" ("B" < "a")
+        assert t.n_links == 4 and t.n_docs == 2
+        assert t.top_anchor == "Best Page"
+        o = got["https://o.com/q"]
+        assert o.n_links == 1 and o.n_docs == 1, "blank anchors drop"
+        assert o.top_anchor == "Only"
+
+    def test_min_links_filter(self, spark):
+        from fuzi_spark.ops.web import anchor_text_index
+
+        d = spark.createDataFrame(
+            [(1, '<body><a href="https://a.com/x">a</a>'
+                 '<a href="https://a.com/x">a</a>'
+                 '<a href="https://b.com/y">b</a></body>')],
+            "doc_id long, markup string",
+        )
+        got = anchor_text_index(d, min_links=2).collect()
+        assert [r.url for r in got] == ["https://a.com/x"]
