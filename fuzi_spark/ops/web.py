@@ -186,13 +186,18 @@ def anchor_text_index(
     (ties broken lexicographically — deterministic at any parallelism).
     Empty/missing hrefs drop; empty anchor texts drop (icon links).
 
-    Scale shape: one Arrow-batched parse pass (the same xpath_select
-    UDF as link_graph), an explode of (href, anchor) STRING pairs only,
-    then two url-keyed aggs — (url, anchor) counts with a
-    WindowGroupLimit rank-1, and the url rollup — joined on url. Every
-    exchange is key-partitioned on url; both aggs partial-aggregate
-    map-side, so the shuffle carries one row per distinct (url, anchor)
-    / url, not per link."""
+    Scale shape: ONE linear tree — parse the corpus ONCE (the same
+    Arrow-batched xpath_select UDF as link_graph), explode (href,
+    anchor) STRING pairs only, ONE url-keyed exchange, then a
+    (url, anchor, doc) pre-agg and stacked url-partitioned windows for
+    every rollup (link total, distinct-doc count via the
+    first-occurrence-indicator trick, anchor-frequency rank). A naive
+    per_url-join-top formulation reads twice: Catalyst's ReuseExchange
+    cannot dedup the two branches because column pruning makes their
+    subplans non-identical, so the parse UDF would run per branch —
+    at 10^12 docs that doubles the dominant cost. HashPartitioning on
+    url satisfies every window/agg below it (subset clustering), so no
+    further shuffles."""
     from pyspark.sql import Window
 
     from ..udfs import xpath_select
@@ -223,23 +228,38 @@ def anchor_text_index(
             & (F.col("url") != "")
             & (F.col("anchor") != "")
         )
+        .repartition(F.col("url"))
     )
-    per_url = pairs.groupBy("url").agg(
-        F.count("*").alias("n_links"),
-        F.count_distinct(id_col).alias("n_docs"),
+    g = pairs.groupBy("url", "anchor", id_col).agg(
+        F.count("*").alias("cnt")
     )
-    w = Window.partitionBy("url").orderBy(
-        F.desc("anchor_count"), F.asc("anchor")
+    w_url = Window.partitionBy("url")
+    w_anchor = Window.partitionBy("url", "anchor")
+    w_doc = Window.partitionBy("url", id_col).orderBy("anchor")
+    w_rank = Window.partitionBy("url").orderBy(
+        F.desc("anchor_cnt"), F.asc("anchor"), F.asc(id_col)
     )
-    top = (
-        pairs.groupBy("url", "anchor")
-        .agg(F.count("*").alias("anchor_count"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("url", F.col("anchor").alias("top_anchor"))
+    t = (
+        g.withColumn("anchor_cnt", F.sum("cnt").over(w_anchor))
+        .withColumn("n_links", F.sum("cnt").over(w_url))
+        .withColumn("doc_rn", F.row_number().over(w_doc))
+        .withColumn(
+            "n_docs",
+            F.sum(
+                F.when(F.col("doc_rn") == 1, F.lit(1)).otherwise(F.lit(0))
+            ).over(w_url),
+        )
+        .withColumn("rk", F.row_number().over(w_rank))
     )
-    return per_url.join(top, "url").filter(
-        F.col("n_links") >= min_links
+    return (
+        t.filter(F.col("rk") == 1)
+        .select(
+            "url",
+            F.col("n_links").cast("long").alias("n_links"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("anchor").alias("top_anchor"),
+        )
+        .filter(F.col("n_links") >= min_links)
     )
 
 

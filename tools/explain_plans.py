@@ -253,6 +253,27 @@ CASES = [
      "beyond the single groupBy(cell). (The RoundRobin exchanges under "
      "the Union are the dev-surface single-file scan spread, not the "
      "operator.)"),
+    ("strip_media_chrome",
+     "Boilerplate-media strip. Wants: the media_ref frequency election "
+     "as a map-side-combinable agg whose result is metadata-width and "
+     "broadcast back (BroadcastHashJoin) — the span arrays themselves "
+     "shuffle ZERO times; the filter is a codegen'd array projection."),
+    ("to_markdown",
+     "Markdown rendering. Wants: a NARROW map — Scan -> "
+     "ArrowEvalPython(markdown_udf) -> Project, zero exchanges, zero "
+     "joins — so it composes with any downstream agg for free and "
+     "scales embarrassingly at 10^12 docs."),
+    ("extract_tables",
+     "Table-row explode. Wants: ONE MapInPandas on the scan (the "
+     "explode happens inside the Arrow batch), no exchange — output "
+     "rows inherit the input partitioning by doc."),
+    ("anchor_text",
+     "Anchor-text index. Wants: ONE linear tree — a single Arrow parse "
+     "pass (a join-of-two-aggs formulation re-parses the corpus per "
+     "branch; ReuseExchange cannot dedup column-pruned subplans), "
+     "explode of (href, anchor) STRINGS only, ONE url-keyed exchange, "
+     "then pre-agg + stacked url-partitioned windows with no further "
+     "shuffles."),
 ]
 
 
