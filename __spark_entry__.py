@@ -1977,6 +1977,45 @@ def q_anchor_text(spark, sf_dir):
     return anchor_text_index(d)
 
 
+def q_json_ld(spark, sf_dir):
+    """JSON-LD explode over formula-built markup: every doc carries an
+    Article script (headline→name fallback, author-object→name,
+    formula datePublished), docs %7==0 insert a MALFORMED script
+    between the Article and any @graph script (it must consume a
+    script_idx but emit no rows — pinning the index semantics), and
+    docs %4==0 append an @graph script whose two items exercise
+    @type-list-first and NULL fallbacks."""
+    from fuzi_spark.ops.jsonld import extract_json_ld_df
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    d9 = (i % 9 + 1).cast("string")
+    article = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"Article","headline":"Title '), s,
+        F.lit('","datePublished":"2024-05-0'), d9,
+        F.lit('","author":{"@type":"Person","name":"A'), s,
+        F.lit('"},"url":"https://e.com/'), s,
+        F.lit('"}</script>'),
+    )
+    bad = F.lit('<script type="application/ld+json">{bad json</script>')
+    graph = F.concat(
+        F.lit('<script type="application/ld+json">{"@graph":['
+              '{"@type":["NewsArticle","Article"],"name":"G'), s,
+        F.lit('"},{"@type":"WebPage","url":"https://e.com/w/'), s,
+        F.lit('"}]}</script>'),
+    )
+    markup = F.concat(
+        F.lit("<html><head>"),
+        article,
+        F.when(i % 7 == 0, bad).otherwise(F.lit("")),
+        F.when(i % 4 == 0, graph).otherwise(F.lit("")),
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", markup.alias("markup"))
+    return extract_json_ld_df(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -2053,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_markdown": q_to_markdown,
         "extract_tables": q_extract_tables,
         "anchor_text": q_anchor_text,
+        "json_ld": q_json_ld,
     }
 
 
@@ -2970,6 +3010,23 @@ def oracle_sql() -> dict[str, str]:
             "  FROM links GROUP BY url, anchor) "
             "SELECT p.url, p.n_links, p.n_docs, r.anchor AS top_anchor "
             "FROM per_url p JOIN ranked r ON p.url = r.url AND r.rk = 1"
+        ),
+        "json_ld": (
+            "WITH s AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS v, "
+            "  CAST(doc_id % 9 + 1 AS VARCHAR) AS d9, "
+            "  CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS gidx "
+            "  FROM documents) "
+            "SELECT doc_id, CAST(0 AS INTEGER) AS script_idx, "
+            "  CAST(0 AS INTEGER) AS item_idx, 'Article' AS ld_type, "
+            "  'Title ' || v AS name, '2024-05-0' || d9 AS date_published, "
+            "  'A' || v AS author, 'https://e.com/' || v AS url FROM s "
+            "UNION ALL "
+            "SELECT doc_id, CAST(gidx AS INTEGER), 0, 'NewsArticle', "
+            "  'G' || v, NULL, NULL, NULL FROM s WHERE doc_id % 4 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, CAST(gidx AS INTEGER), 1, 'WebPage', "
+            "  NULL, NULL, NULL, 'https://e.com/w/' || v "
+            "FROM s WHERE doc_id % 4 = 0"
         ),
     }
 

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "to_markdown",
     "extract_tables",
     "anchor_text",
+    "json_ld",
 ]
 
 

@@ -264,3 +264,66 @@ class TestAnchorTextIndex:
         )
         got = anchor_text_index(d, min_links=2).collect()
         assert [r.url for r in got] == ["https://a.com/x"]
+
+
+class TestJsonLd:
+    DOC = (
+        '<html><head>'
+        '<script type="application/ld+json">{"@type":"Article",'
+        '"headline":"T1","datePublished":"2024-01-02",'
+        '"author":{"@type":"Person","name":"Ann"},'
+        '"url":"https://e.com/1"}</script>'
+        '<script type="application/ld+json">{"@graph":['
+        '{"@type":["NewsArticle","Article"],"name":"G0",'
+        '"author":["Bob","Carl"]},'
+        '{"@type":"WebPage","url":"https://e.com/w"}]}</script>'
+        '<script type="application/ld+json">[{"@type":"BreadcrumbList",'
+        '"name":"B"},"stray"]</script>'
+        '<script type="application/ld+json">{bad json</script>'
+        '<script>var x=1;</script>'
+        '</head><body></body></html>'
+    )
+
+    def test_items_types_and_fallbacks(self):
+        from fuzi_spark.ops.jsonld import extract_json_ld
+
+        rows = extract_json_ld(self.DOC)
+        assert [(r["script_idx"], r["item_idx"], r["ld_type"]) for r in rows] == [
+            (0, 0, "Article"), (1, 0, "NewsArticle"),
+            (1, 1, "WebPage"), (2, 0, "BreadcrumbList"),
+        ]
+        a = rows[0]
+        # headline fallback for name; author object -> name
+        assert a["name"] == "T1" and a["author"] == "Ann"
+        assert a["date_published"] == "2024-01-02"
+        g = rows[1]
+        # @type list -> first; author list -> first entry
+        assert g["ld_type"] == "NewsArticle" and g["author"] == "Bob"
+        # malformed-JSON script consumed a script_idx but yields no rows
+        assert all(r["script_idx"] != 3 for r in rows)
+
+    def test_recovery(self):
+        from fuzi_spark.ops.jsonld import extract_json_ld
+
+        assert extract_json_ld("garbage") == []
+        assert extract_json_ld("<script type='application/ld+json'>null</script>") == []
+
+    def test_spark_explode_matches_pure(self, spark):
+        from fuzi_spark.ops.jsonld import extract_json_ld, extract_json_ld_df
+
+        d = spark.createDataFrame(
+            [(1, self.DOC), (2, "<p>none</p>"), (3, None)],
+            "doc_id long, markup string",
+        )
+        got = [
+            (r.doc_id, r.script_idx, r.item_idx, r.ld_type, r.name,
+             r.date_published, r.author, r.url)
+            for r in extract_json_ld_df(d)
+            .orderBy("doc_id", "script_idx", "item_idx").collect()
+        ]
+        want = [
+            (1, r["script_idx"], r["item_idx"], r["ld_type"], r["name"],
+             r["date_published"], r["author"], r["url"])
+            for r in extract_json_ld(self.DOC)
+        ]
+        assert got == want
