@@ -2016,6 +2016,52 @@ def q_json_ld(spark, sf_dir):
     return extract_json_ld_df(d)
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease over the REAL documents.text corpus (no
+    construction): the oracle recomputes the identical regex counts
+    and the identical IEEE arithmetic in DuckDB — Java regex and RE2
+    agree on the three character-class patterns by design."""
+    from fuzi_spark.ops.textstats import readability_metrics
+
+    return readability_metrics(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_hreflang(spark, sf_dir):
+    """hreflang alternate-link explode over formula-built <head>
+    markup: 'en' always, 'de' on even ids, an 'x-default' declared
+    with mixed-case rel='Alternate' on ids %3==0 (pinning the
+    case-insensitive rel match), plus a stylesheet link and a
+    hreflang-less alternate that must both be dropped. seq is the
+    0-based document-order index among SURFACED rows."""
+    from fuzi_spark.ops.web import hreflang_links
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    en = F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="https://e.com/'),
+        s, F.lit('/en">'),
+    )
+    de = F.concat(
+        F.lit('<link rel="alternate" hreflang="de" href="https://e.com/'),
+        s, F.lit('/de">'),
+    )
+    xd = F.concat(
+        F.lit('<link rel="Alternate" hreflang="x-default" '
+              'href="https://e.com/'),
+        s, F.lit('/x">'),
+    )
+    markup = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
+        en,
+        F.when(i % 2 == 0, de).otherwise(F.lit("")),
+        F.lit('<link rel="alternate" href="/no-hreflang">'),
+        F.when(i % 3 == 0, xd).otherwise(F.lit("")),
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", markup.alias("markup"))
+    return hreflang_links(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -2093,6 +2139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tables": q_extract_tables,
         "anchor_text": q_anchor_text,
         "json_ld": q_json_ld,
+        "readability": q_readability,
+        "hreflang": q_hreflang,
     }
 
 
@@ -3027,6 +3075,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(gidx AS INTEGER), 1, 'WebPage', "
             "  NULL, NULL, NULL, 'https://e.com/w/' || v "
             "FROM s WHERE doc_id % 4 = 0"
+        ),
+        "readability": (
+            "WITH c AS (SELECT doc_id, "
+            "  len(regexp_extract_all(text, '[A-Za-z]+')) AS w, "
+            "  GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sn, "
+            "  len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS sy "
+            "  FROM documents) "
+            "SELECT doc_id, CAST(w AS BIGINT) AS n_words, "
+            "  CAST(CASE WHEN w > 0 THEN sn ELSE 0 END AS BIGINT) "
+            "    AS n_sentences, "
+            "  CAST(sy AS BIGINT) AS n_syllables, "
+            "  CASE WHEN w > 0 THEN ROUND(206.835 "
+            "    - 1.015 * (CAST(w AS DOUBLE) / sn) "
+            "    - 84.6 * (CAST(sy AS DOUBLE) / w), 4) END AS flesch "
+            "FROM c"
+        ),
+        "hreflang": (
+            "WITH s AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS v "
+            "  FROM documents) "
+            "SELECT doc_id, CAST(0 AS INTEGER) AS seq, 'en' AS hreflang, "
+            "  'https://e.com/' || v || '/en' AS href FROM s "
+            "UNION ALL "
+            "SELECT doc_id, CAST(1 AS INTEGER), 'de', "
+            "  'https://e.com/' || v || '/de' FROM s WHERE doc_id % 2 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, "
+            "  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INTEGER), "
+            "  'x-default', 'https://e.com/' || v || '/x' "
+            "FROM s WHERE doc_id % 3 = 0"
         ),
     }
 

@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "extract_tables",
     "anchor_text",
     "json_ld",
+    "readability",
+    "hreflang",
 ]
 
 

@@ -572,3 +572,39 @@ def encode_documents(
             F.size(F.filter(ids, lambda x: x == unk)).cast("long"),
         )
     )
+
+
+def readability_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease readability — the classic complexity signal
+    curation recipes use to bucket corpora by audience level.
+
+    Deterministic approximation, identical in Spark and the SQL oracle:
+    words = '[A-Za-z]+' runs, sentences = '[.!?]+' runs (floored at 1
+    once any word exists), syllables = '[aeiouyAEIOUY]+' vowel groups
+    (the standard regex surrogate — no dictionary). flesch rounds to 4
+    decimals; a wordless document scores NULL, never a div-by-zero.
+
+    Scale shape: pure Catalyst — three regexp_count in ONE codegen'd
+    narrow projection on the scan; zero shuffles, zero Python."""
+    words = F.regexp_count(F.col(text_col), F.lit("[A-Za-z]+"))
+    sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit("[.!?]+")), F.lit(1)
+    )
+    syll = F.regexp_count(F.col(text_col), F.lit("[aeiouyAEIOUY]+"))
+    flesch = F.when(
+        words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words.cast("double") / sents)
+            - F.lit(84.6) * (syll.cast("double") / words),
+            4,
+        ),
+    )
+    return df.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        F.when(words > 0, sents).otherwise(F.lit(0))
+        .cast("long").alias("n_sentences"),
+        syll.cast("long").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

@@ -638,3 +638,42 @@ def apply_robots(
         .withColumn("allowed", decide_udf(F.col("_path"), F.col("_rules")))
         .drop("_host", "_path", "_rules")
     )
+
+
+def hreflang_links(
+    docs: DataFrame, markup_col: str = "markup", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode <link rel="alternate" hreflang=...> declarations into
+    (doc_id, hreflang, href) rows — the cross-language page-cluster
+    signal: a multilingual crawl dedups/aligns translated page groups
+    by exactly these edges, and x-default marks the canonical member.
+
+    rel matching is case-insensitive ('Alternate' counts); rows missing
+    either hreflang or href never surface. Document order is preserved
+    per doc via the 0-based seq column.
+
+    Scale shape: one Arrow-batched parse pass (the query surface's
+    xpath_select, same as link_graph), then filter + explode of
+    (hreflang, href) STRING structs only — a narrow map, no shuffle."""
+    from ..udfs import xpath_select
+
+    snaps = xpath_select("//link", doc_type="html")(F.col(markup_col))
+    alts = F.filter(
+        snaps,
+        lambda s: (
+            F.lower(F.trim(s["attributes"]["rel"])) == "alternate"
+        )
+        & s["attributes"]["hreflang"].isNotNull()
+        & s["attributes"]["href"].isNotNull(),
+    )
+    pos = F.transform(
+        alts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("seq"),
+            s["attributes"]["hreflang"].alias("hreflang"),
+            s["attributes"]["href"].alias("href"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(pos).alias("alt")
+    ).select(id_col, "alt.seq", "alt.hreflang", "alt.href")

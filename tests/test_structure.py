@@ -327,3 +327,44 @@ class TestJsonLd:
             for r in extract_json_ld(self.DOC)
         ]
         assert got == want
+
+
+class TestReadability:
+    def test_hand_computed_flesch(self, spark):
+        from fuzi_spark.ops.textstats import readability_metrics
+
+        d = spark.createDataFrame(
+            [(1, "Hello world. It is fun!"), (2, ""), (3, "...")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in readability_metrics(d).collect()}
+        r = got[1]
+        # words=5, sentences=2, vowel groups: He-llo(2) world(1) It(1)
+        # is(1) fun(1) = 6
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 6)
+        assert r.flesch == round(206.835 - 1.015 * (5 / 2) - 84.6 * (6 / 5), 4)
+        for did in (2, 3):
+            assert got[did].n_words == 0 and got[did].flesch is None
+            assert got[did].n_sentences == 0
+
+
+class TestHreflang:
+    def test_planted_alternates(self, spark):
+        from fuzi_spark.ops.web import hreflang_links
+
+        markup = (
+            '<head><link rel="stylesheet" href="/s.css">'
+            '<link rel="alternate" hreflang="en" href="/en">'
+            '<link rel="Alternate" hreflang="x-default" href="/x">'
+            '<link rel="alternate" href="/no-hreflang">'
+            '<link hreflang="fr" href="/fr"></head>'
+        )
+        d = spark.createDataFrame(
+            [(1, markup)], "doc_id long, markup string"
+        )
+        got = [
+            (r.seq, r.hreflang, r.href)
+            for r in hreflang_links(d).orderBy("seq").collect()
+        ]
+        # mixed-case rel matches; rel-less and hreflang-less links drop
+        assert got == [(0, "en", "/en"), (1, "x-default", "/x")]
