@@ -2062,6 +2062,73 @@ def q_hreflang(spark, sf_dir):
     return hreflang_links(d)
 
 
+def q_image_captions(spark, sf_dir):
+    """Image-caption pairing over formula-built markup exercising the
+    full precedence ladder: a figure whose figcaption must beat its
+    alt; an img whose alt exists only on even ids (odd ids fall
+    through to title); a bare src-only img on ids %3==0 (caption NULL,
+    source 'none'); and a src-LESS img with alt on ids %5==0 (the row
+    must survive with media_ref NULL). img_idx is the document-order
+    index over ALL imgs, so later indices shift with the %3 img."""
+    from fuzi_spark.ops.captions import extract_captions_df
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    fig = F.concat(
+        F.lit('<figure><img src="https://e.com/'), s,
+        F.lit('/a.jpg" alt="alt-a-'), s,
+        F.lit('"><figcaption>Fig '), s,
+        F.lit("</figcaption></figure>"),
+    )
+    img_b = F.concat(
+        F.lit('<img src="https://e.com/'), s, F.lit('/b.jpg"'),
+        F.when(
+            i % 2 == 0, F.concat(F.lit(' alt="alt-b-'), s, F.lit('"'))
+        ).otherwise(F.lit("")),
+        F.lit(' title="t-'), s, F.lit('">'),
+    )
+    img_c = F.concat(
+        F.lit('<img src="https://e.com/'), s, F.lit('/c.jpg">'),
+    )
+    img_d = F.concat(F.lit('<img alt="d-'), s, F.lit('">'))
+    markup = F.concat(
+        F.lit("<body>"), fig, img_b,
+        F.when(i % 3 == 0, img_c).otherwise(F.lit("")),
+        F.when(i % 5 == 0, img_d).otherwise(F.lit("")),
+        F.lit("<p>x</p></body>"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", markup.alias("markup"))
+    return extract_captions_df(d)
+
+
+def q_doc_outline(spark, sf_dir):
+    """Heading-outline explode over formula-built markup pinning the
+    stack semantics: h1 then (ids %3==0) a level-SKIPPING h4 that must
+    inherit the h1 alone, an h2 that pops it, (even ids) an h3 under
+    that h2, and a sibling h2 that must pop the h3+h2 subtree back to
+    the h1. seq is the document-order heading index."""
+    from fuzi_spark.ops.captions import extract_outline_df
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+
+    def h(level, name):
+        return F.concat(
+            F.lit(f"<h{level}>{name}"), s, F.lit(f"</h{level}>")
+        )
+
+    markup = F.concat(
+        F.lit("<body>"), h(1, "T"),
+        F.when(i % 3 == 0, h(4, "D")).otherwise(F.lit("")),
+        h(2, "A"),
+        F.when(i % 2 == 0, h(3, "B")).otherwise(F.lit("")),
+        h(2, "C"),
+        F.lit("<p>x</p></body>"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", markup.alias("markup"))
+    return extract_outline_df(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -2141,6 +2208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_ld": q_json_ld,
         "readability": q_readability,
         "hreflang": q_hreflang,
+        "image_captions": q_image_captions,
+        "doc_outline": q_doc_outline,
     }
 
 
@@ -3104,6 +3173,54 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INTEGER), "
             "  'x-default', 'https://e.com/' || v || '/x' "
             "FROM s WHERE doc_id % 3 = 0"
+        ),
+        "image_captions": (
+            "WITH s AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS v "
+            "  FROM documents) "
+            "SELECT doc_id, CAST(0 AS INTEGER) AS img_idx, "
+            "  'https://e.com/' || v || '/a.jpg' AS media_ref, "
+            "  'Fig ' || v AS caption, 'figcaption' AS caption_source "
+            "FROM s "
+            "UNION ALL "
+            "SELECT doc_id, CAST(1 AS INTEGER), "
+            "  'https://e.com/' || v || '/b.jpg', "
+            "  CASE WHEN doc_id % 2 = 0 THEN 'alt-b-' || v "
+            "       ELSE 't-' || v END, "
+            "  CASE WHEN doc_id % 2 = 0 THEN 'alt' ELSE 'title' END "
+            "FROM s "
+            "UNION ALL "
+            "SELECT doc_id, CAST(2 AS INTEGER), "
+            "  'https://e.com/' || v || '/c.jpg', "
+            "  CAST(NULL AS VARCHAR), 'none' "
+            "FROM s WHERE doc_id % 3 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, "
+            "  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END "
+            "    AS INTEGER), "
+            "  CAST(NULL AS VARCHAR), 'd-' || v, 'alt' "
+            "FROM s WHERE doc_id % 5 = 0"
+        ),
+        "doc_outline": (
+            "WITH s AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS v, "
+            "  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS d3, "
+            "  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS d2 "
+            "  FROM documents) "
+            "SELECT doc_id, CAST(0 AS INTEGER) AS seq, "
+            "  CAST(1 AS INTEGER) AS level, 'T' || v AS heading, "
+            "  '' AS path FROM s "
+            "UNION ALL "
+            "SELECT doc_id, CAST(1 AS INTEGER), CAST(4 AS INTEGER), "
+            "  'D' || v, 'T' || v FROM s WHERE d3 = 1 "
+            "UNION ALL "
+            "SELECT doc_id, CAST(1 + d3 AS INTEGER), "
+            "  CAST(2 AS INTEGER), 'A' || v, 'T' || v FROM s "
+            "UNION ALL "
+            "SELECT doc_id, CAST(2 + d3 AS INTEGER), "
+            "  CAST(3 AS INTEGER), 'B' || v, "
+            "  'T' || v || ' > A' || v FROM s WHERE d2 = 1 "
+            "UNION ALL "
+            "SELECT doc_id, CAST(2 + d3 + d2 AS INTEGER), "
+            "  CAST(2 AS INTEGER), 'C' || v, 'T' || v FROM s"
         ),
     }
 

@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "json_ld",
     "readability",
     "hreflang",
+    "image_captions",
+    "doc_outline",
 ]
 
 

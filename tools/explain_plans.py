@@ -274,6 +274,23 @@ CASES = [
      "explode of (href, anchor) STRINGS only, ONE url-keyed exchange, "
      "then pre-agg + stacked url-partitioned windows with no further "
      "shuffles."),
+    ("json_ld",
+     "JSON-LD explode. Wants: ONE MapInPandas on the scan, no "
+     "exchange — structured-data rows inherit the doc partitioning."),
+    ("readability",
+     "Flesch scoring. Wants: pure WholeStageCodegen — three "
+     "regexp_count + the formula in ONE Project on the scan, zero "
+     "Python stages, zero exchanges."),
+    ("hreflang",
+     "hreflang explode. Wants: one Arrow parse pass (ArrowEvalPython), "
+     "filter+explode of (hreflang, href) STRING structs only in a "
+     "codegen'd Generate — narrow map, zero exchanges."),
+    ("image_captions",
+     "Image-caption pairing. Wants: ONE MapInPandas on the scan (the "
+     "figure/alt/title walk is the parser itself), no exchange."),
+    ("doc_outline",
+     "Heading outline. Wants: ONE MapInPandas on the scan, no "
+     "exchange — section rows inherit the doc partitioning."),
 ]
 
 
