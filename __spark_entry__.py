@@ -2129,6 +2129,43 @@ def q_doc_outline(spark, sf_dir):
     return extract_outline_df(d)
 
 
+_MOJI_CLEAN = "café déjà vu — naïve"
+_MOJI_TEXT = _MOJI_CLEAN.encode("utf-8").decode("cp1252")
+
+
+def q_fix_mojibake(spark, sf_dir):
+    """Mojibake repair over a three-class constructed corpus: ids %3==0
+    carry real cp1252 double-encoding (must repair to the clean
+    literal), %3==1 carry clean text with a non-Latin-1 char (must pass
+    untouched), %3==2 carry a marker-bearing FRENCH phrase whose bytes
+    are not valid UTF-8 (the false-positive trap — must pass
+    untouched). Both sides embed the same literals, computed once from
+    clean.encode('utf-8').decode('cp1252')."""
+    from fuzi_spark.ops.textstats import fix_mojibake
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    text = (
+        F.when(i % 3 == 0, F.concat(F.lit(_MOJI_TEXT + " "), s))
+        .when(i % 3 == 1, F.concat(F.lit("plain "), s, F.lit(" ☃ text.")))
+        .otherwise(F.concat(F.lit("price Ã 10 euros "), s))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return fix_mojibake(d).select(
+        "doc_id", "fixed_text", "was_mojibake"
+    )
+
+
+def q_detect_code(spark, sf_dir):
+    """Code detection over the REAL documents.text corpus (no
+    construction): the oracle recomputes the identical (?m) line
+    regexes, keyword alternation, and IEEE score arithmetic in DuckDB —
+    all patterns in the Java∩RE2 subset."""
+    from fuzi_spark.ops.textstats import detect_code
+
+    return detect_code(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -2210,6 +2247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang": q_hreflang,
         "image_captions": q_image_captions,
         "doc_outline": q_doc_outline,
+        "fix_mojibake": q_fix_mojibake,
+        "detect_code": q_detect_code,
     }
 
 
@@ -3221,6 +3260,43 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT doc_id, CAST(2 + d3 + d2 AS INTEGER), "
             "  CAST(2 AS INTEGER), 'C' || v, 'T' || v FROM s"
+        ),
+        "fix_mojibake": (
+            "WITH s AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS v "
+            "  FROM documents) "
+            "SELECT doc_id, "
+            f"  CASE WHEN doc_id % 3 = 0 THEN '{_MOJI_CLEAN} ' || v "
+            "       WHEN doc_id % 3 = 1 "
+            "         THEN 'plain ' || v || ' ☃ text.' "
+            "       ELSE 'price Ã 10 euros ' || v END AS fixed_text, "
+            "  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END "
+            "    AS INTEGER) AS was_mojibake "
+            "FROM s"
+        ),
+        "detect_code": (
+            "WITH c AS (SELECT doc_id, "
+            "  CAST(length(text) - length(replace(text, chr(10), '')) "
+            "    + 1 AS DOUBLE) AS nl, "
+            "  CAST(len(regexp_extract_all(text, "
+            "    '(?m)[;{}][ \\t]*$')) AS DOUBLE) AS p, "
+            "  CAST(len(regexp_extract_all(text, "
+            "    '(?m)^(?:\\t|    )')) AS DOUBLE) AS ind, "
+            "  len(regexp_extract_all(text, "
+            "    '\\b(?:def|class|return|import|function|var|let|const|"
+            "void|public|static|if|else|for|while|struct|enum|fn|"
+            "println|printf)\\b')) AS kw "
+            "  FROM documents), "
+            "sc AS (SELECT doc_id, nl, p, ind, kw, "
+            "  ROUND(0.5 * (p / nl) + 0.3 * (ind / nl) "
+            "    + 0.2 * CAST(LEAST(kw, 10) AS DOUBLE) / 10.0, 4) "
+            "    AS code_score FROM c) "
+            "SELECT doc_id, CAST(nl AS BIGINT) AS n_lines, "
+            "  CAST(p AS BIGINT) AS n_punct_lines, "
+            "  CAST(ind AS BIGINT) AS n_indent_lines, "
+            "  CAST(kw AS BIGINT) AS n_keywords, code_score, "
+            "  CAST(CASE WHEN code_score >= 0.25 THEN 1 ELSE 0 END "
+            "    AS INTEGER) AS is_code "
+            "FROM sc"
         ),
     }
 

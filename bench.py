@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "hreflang",
     "image_captions",
     "doc_outline",
+    "fix_mojibake",
+    "detect_code",
 ]
 
 

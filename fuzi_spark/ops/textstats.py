@@ -608,3 +608,119 @@ def readability_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         syll.cast("long").alias("n_syllables"),
         flesch.alias("flesch"),
     )
+
+
+# ------------------------------------------------------- mojibake repair
+
+_MOJI_MARKERS = ("Ã", "Â", "â€")  # Ã, Â, â€ — the
+# cp1252 renderings of the UTF-8 lead bytes 0xC3/0xC2 and the 0xE2 0x80
+# punctuation prefix; virtually every Latin-script double-encoding shows
+# at least one.
+
+
+def _repair_mojibake_one(s: str) -> tuple:
+    """One repair pass on one string. A row repairs iff it carries a
+    marker, round-trips through cp1252 (then latin-1 for the few bytes
+    cp1252 leaves undefined), decodes as STRICT UTF-8, and the decode
+    actually changed something. Anything else — including marker-bearing
+    text whose bytes are NOT valid UTF-8 (real 'Ã la carte' French) —
+    passes through untouched. Total: never raises."""
+    if not any(m in s for m in _MOJI_MARKERS):
+        return s, 0
+    for enc in ("cp1252", "latin-1"):
+        try:
+            b = s.encode(enc)
+        except UnicodeEncodeError:
+            continue
+        try:
+            d = b.decode("utf-8")
+        except UnicodeDecodeError:
+            return s, 0
+        return (d, 1) if d != s else (s, 0)
+    return s, 0
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str = "text", out_col: str = "fixed_text"
+) -> DataFrame:
+    """Repair UTF-8-decoded-as-cp1252 double encoding ('cafÃ©' →
+    'café') — the most common encoding corruption in web crawls, where
+    an origin served UTF-8 bytes under a legacy-charset header and some
+    intermediate store re-encoded them.
+
+    Single-pass contract (pinned): one decode layer per call; feeding
+    the output back repairs deeper nestings. Detection is conservative —
+    see _repair_mojibake_one — so legitimate Latin-1-range text that is
+    not a valid UTF-8 byte image never changes.
+
+    Scale shape: ONE Arrow-batched pandas pass (same budget as
+    normalize_text's NFC stage); inside the batch only marker-bearing
+    rows (vectorized str.contains prefilter) pay the per-row codec
+    round-trip — clean corpora cost two vectorized scans per batch.
+    Zero shuffles, narrow map."""
+
+    @pandas_udf("struct<fixed: string, was: int>")
+    def _udf(s: pd.Series) -> pd.DataFrame:
+        fixed = s.copy()
+        was = pd.Series(0, index=s.index, dtype="int32")
+        mask = s.notna() & s.str.contains(
+            "Ã|Â|â€", regex=True
+        )
+        for i in s.index[mask]:
+            f, w = _repair_mojibake_one(s[i])
+            fixed[i], was[i] = f, w
+        return pd.DataFrame({"fixed": fixed, "was": was})
+
+    r = _udf(F.col(text_col))
+    return df.withColumn(out_col, r["fixed"]).withColumn(
+        "was_mojibake", r["was"]
+    )
+
+
+# ------------------------------------------------------- code detection
+
+_CODE_KEYWORDS = (
+    r"\b(?:def|class|return|import|function|var|let|const|void|public|"
+    r"static|if|else|for|while|struct|enum|fn|println|printf)\b"
+)
+
+
+def detect_code(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Source-code detection — the corpus-routing signal that splits a
+    web crawl into prose vs code streams (different tokenizers, quality
+    gates, and mixture weights downstream).
+
+    Deterministic feature formula, identical in Spark and the SQL
+    oracle (all regexes in the Java∩RE2 subset):
+    - punct_line_frac: lines ending in ; { or } (closing-brace lines,
+      statement terminators) over total lines
+    - indent_frac: lines starting with a tab or ≥4 spaces
+    - n_keywords: reserved-word hits across ~20 common languages
+    - code_score = 0.5·punct_line_frac + 0.3·indent_frac
+      + 0.2·min(n_keywords, 10)/10, rounded to 4 decimals
+    - is_code = score ≥ 0.25
+
+    Scale shape: pure Catalyst — four regexp_count + arithmetic in ONE
+    codegen'd projection on the scan; zero shuffles, zero Python."""
+    t = F.col(text_col)
+    n_lines = (
+        F.length(t) - F.length(F.regexp_replace(t, "\n", "")) + 1
+    ).cast("double")
+    punct = F.regexp_count(t, F.lit("(?m)[;{}][ \t]*$")).cast("double")
+    indent = F.regexp_count(t, F.lit("(?m)^(?:\t|    )")).cast("double")
+    kw = F.regexp_count(t, F.lit(_CODE_KEYWORDS))
+    score = F.round(
+        F.lit(0.5) * (punct / n_lines)
+        + F.lit(0.3) * (indent / n_lines)
+        + F.lit(0.2) * F.least(kw, F.lit(10)).cast("double") / F.lit(10.0),
+        4,
+    )
+    return df.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        punct.cast("long").alias("n_punct_lines"),
+        indent.cast("long").alias("n_indent_lines"),
+        kw.cast("long").alias("n_keywords"),
+        score.alias("code_score"),
+        (score >= 0.25).cast("int").alias("is_code"),
+    )

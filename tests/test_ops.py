@@ -3296,3 +3296,114 @@ class TestDiscovery:
         )
         fe = parse_feed_df(fdf).collect()
         assert len(fe) == 1 and fe[0].author == "John Doe"
+
+
+class TestFixMojibake:
+    """fix_mojibake: one cp1252 decode layer per call, conservative
+    detection (marker + strict-UTF-8 round trip), never raises."""
+
+    def _run(self, spark, texts):
+        from fuzi_spark.ops.textstats import fix_mojibake
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        out = fix_mojibake(df).orderBy("doc_id").collect()
+        return [(r["fixed_text"], r["was_mojibake"]) for r in out]
+
+    def test_classic_double_encoding_repairs(self, spark):
+        clean = "café déjà vu — naïve"
+        moji = clean.encode("utf-8").decode("cp1252")
+        assert self._run(spark, [moji]) == [(clean, 1)]
+
+    def test_clean_text_untouched(self, spark):
+        got = self._run(spark, ["plain ascii.", "snow ☃ man", ""])
+        assert got == [
+            ("plain ascii.", 0), ("snow ☃ man", 0), ("", 0)
+        ]
+
+    def test_french_a_grave_trap_untouched(self, spark):
+        # marker char present but bytes are NOT valid UTF-8 — the
+        # false-positive class the strict decode must reject
+        got = self._run(spark, ["prix Ã 10 euros"])
+        assert got == [("prix Ã 10 euros", 0)]
+
+    def test_null_text_survives(self, spark):
+        from fuzi_spark.ops.textstats import fix_mojibake
+
+        df = spark.createDataFrame(
+            [(0, None)], "doc_id long, text string"
+        )
+        r = fix_mojibake(df).collect()[0]
+        assert r["fixed_text"] is None and r["was_mojibake"] == 0
+
+    def test_python_differential(self, spark):
+        import random
+
+        from fuzi_spark.ops.textstats import _repair_mojibake_one
+
+        rng = random.Random(7)
+        pool = "aé—ñ☃Ã½ø cde\n"
+        texts = [
+            "".join(rng.choice(pool) for _ in range(rng.randrange(0, 30)))
+            for _ in range(60)
+        ]
+        # include encodable mojibake images of some of them
+        for t in list(texts)[:20]:
+            try:
+                texts.append(t.encode("utf-8").decode("cp1252"))
+            except UnicodeDecodeError:
+                pass
+        want = [_repair_mojibake_one(t) for t in texts]
+        assert self._run(spark, texts) == want
+
+
+class TestDetectCode:
+    def test_hand_computed_features(self, spark):
+        from fuzi_spark.ops.textstats import detect_code
+
+        code = (
+            "def f(x):\n"
+            "    return x + 1\n"
+            "\n"
+            "class C:\n"
+            "    pass\n"
+        )
+        prose = "It was a dark and stormy night. The rain fell."
+        df = spark.createDataFrame(
+            [(1, code), (2, prose)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in detect_code(df).collect()}
+        c = got[1]
+        # 6 lines (trailing \n opens an empty 6th), no ;{} line ends,
+        # 2 indented lines, keywords: def, return, class = 3
+        assert (c.n_lines, c.n_punct_lines, c.n_indent_lines,
+                c.n_keywords) == (6, 0, 2, 3)
+        assert c.code_score == round(0.3 * (2 / 6) + 0.2 * 3 / 10, 4)
+        assert c.is_code == 0  # indent+kw alone don't cross 0.25
+        p = got[2]
+        assert (p.n_punct_lines, p.n_indent_lines, p.n_keywords) == (
+            0, 0, 0,
+        )
+        assert p.code_score == 0.0 and p.is_code == 0
+
+    def test_braced_code_crosses_threshold(self, spark):
+        from fuzi_spark.ops.textstats import detect_code
+
+        code = (
+            "int main() {\n"
+            "    printf(\"hi\");\n"
+            "    return 0;\n"
+            "}\n"
+        )
+        df = spark.createDataFrame(
+            [(1, code)], "doc_id long, text string"
+        )
+        r = detect_code(df).collect()[0]
+        # lines ending in { ; ; } = 4 of 5; indented 2; kw: printf,
+        # return = 2 ('int'/'main' not in the list)
+        assert (r.n_punct_lines, r.n_indent_lines, r.n_keywords) == (
+            4, 2, 2,
+        )
+        assert r.is_code == 1

@@ -291,6 +291,13 @@ CASES = [
     ("doc_outline",
      "Heading outline. Wants: ONE MapInPandas on the scan, no "
      "exchange — section rows inherit the doc partitioning."),
+    ("fix_mojibake",
+     "Mojibake repair. Wants: one ArrowEvalPython pass (the codec "
+     "round-trip), everything else codegen'd; zero exchanges."),
+    ("detect_code",
+     "Code detection. Wants: pure WholeStageCodegen — four "
+     "regexp_count + the score formula in ONE Project on the scan, "
+     "zero Python stages, zero exchanges."),
 ]
 
 
