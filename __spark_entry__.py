@@ -2166,6 +2166,57 @@ def q_detect_code(spark, sf_dir):
     return detect_code(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_image_pixels(spark, sf_dir):
+    """REAL PNG pixel decode, oracle-checked end to end: per doc a
+    solid-color RGB PNG is ENCODED from formula pixels (build_png,
+    stdlib zlib), decoded back by the pure-stdlib pixel decoder, and
+    pooled to the 64-dim luma features — so first/last/mean feature must
+    all equal float32(0.299r + 0.587g + 0.114b) computed by the SQL
+    oracle in the same IEEE double-then-REAL arithmetic. Proves the
+    pixel path is real: a header-only or digest-fake implementation
+    cannot predict these values."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.multimodal import build_png, decode_features_df
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 8 + i % 9, 8 + i % 5
+            px = np.empty((h, w, 3), dtype=np.uint8)
+            px[:, :, 0] = i % 256
+            px[:, :, 1] = (2 * i) % 256
+            px[:, :, 2] = (3 * i) % 256
+            out.append(build_png(w, h, pixels=px))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("img/"), F.col("doc_id").cast("string"), F.lit(".png")
+        ).alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    dec = decode_features_df(media)
+    feats = F.col("features")
+    mean_f = F.aggregate(
+        feats, F.lit(0.0), lambda a, x: a + x.cast("double")
+    ) / F.size(feats)
+    return dec.select(
+        F.regexp_extract("media_ref", r"img/(\d+)\.png", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "width", "height", "channels", "decode_ok",
+        F.round(F.element_at(feats, 1).cast("double"), 4).alias("f_first"),
+        F.round(F.element_at(feats, 64).cast("double"), 4).alias("f_last"),
+        F.round(mean_f, 4).alias("mean_f"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -2249,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_outline": q_doc_outline,
         "fix_mojibake": q_fix_mojibake,
         "detect_code": q_detect_code,
+        "image_pixels": q_image_pixels,
     }
 
 
@@ -3297,6 +3349,25 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN code_score >= 0.25 THEN 1 ELSE 0 END "
             "    AS INTEGER) AS is_code "
             "FROM sc"
+        ),
+        "image_pixels": (
+            "WITH s AS (SELECT doc_id, "
+            "  CAST(doc_id % 256 AS DOUBLE) AS r, "
+            "  CAST((2 * doc_id) % 256 AS DOUBLE) AS g, "
+            "  CAST((3 * doc_id) % 256 AS DOUBLE) AS b "
+            "  FROM documents), "
+            "l AS (SELECT doc_id, "
+            "  ROUND(CAST(CAST(CAST(0.299 AS DOUBLE) * r "
+            "    + CAST(0.587 AS DOUBLE) * g "
+            "    + CAST(0.114 AS DOUBLE) * b AS REAL) AS DOUBLE), 4) "
+            "    AS v FROM s) "
+            "SELECT doc_id, "
+            "  CAST(8 + doc_id % 9 AS INTEGER) AS width, "
+            "  CAST(8 + doc_id % 5 AS INTEGER) AS height, "
+            "  CAST(3 AS INTEGER) AS channels, "
+            "  CAST(1 AS INTEGER) AS decode_ok, "
+            "  v AS f_first, v AS f_last, v AS mean_f "
+            "FROM l"
         ),
     }
 

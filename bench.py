@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "doc_outline",
     "fix_mojibake",
     "detect_code",
+    "image_pixels",
 ]
 
 

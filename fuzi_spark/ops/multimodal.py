@@ -4,12 +4,15 @@ with typed metadata.
 The Spark-side contract (schema, partitioning, UDF signatures, Arrow batch
 shape) is real and tested. Image METADATA decode (format, width, height,
 channels) is REAL — a pure-stdlib PNG/GIF/JPEG header parse
-(parse_image_header), no image library needed. Pixel-level work (feature
-extraction, resampling) still requires a codec: it uses PIL when present,
-and otherwise a DETERMINISTIC FAKE seeded from the content digest (the
-documented stub — the container ships no image/audio libraries), with the
-same schema so every downstream operator stays exercisable. Unparseable
-image bytes are a decode failure (decode_ok=0), never a fake success.
+(parse_image_header), no image library needed. PNG PIXELS are REAL too:
+decode_png_pixels inflates and unfilters baseline PNGs with stdlib zlib +
+numpy (all five filters, color types 0/2/3/4/6), so PNG features and
+thumbnails are computed from actual pixels. JPEG/GIF pixel work still
+requires a codec: it uses PIL when present, and otherwise a DETERMINISTIC
+FAKE seeded from the content digest (the documented stub — the container
+ships no JPEG/GIF codec), with the same schema so every downstream
+operator stays exercisable. Unparseable image bytes are a decode failure
+(decode_ok=0), never a fake success.
 """
 
 from __future__ import annotations
@@ -127,9 +130,13 @@ def parse_image_header(content) -> Optional[tuple]:
     return None
 
 
-def build_png(width: int, height: int, extra: bytes = b"") -> bytes:
-    """Fully valid all-black RGB PNG (stdlib zlib/crc32); `extra` lands in
-    a tEXt chunk so distinct payloads give distinct bytes."""
+def build_png(
+    width: int, height: int, extra: bytes = b"", pixels=None
+) -> bytes:
+    """Fully valid RGB PNG (stdlib zlib/crc32): all-black by default, or
+    the given (h, w, 3) uint8 `pixels`, written as filter-0 scanlines;
+    `extra` lands in a tEXt chunk so distinct payloads give distinct
+    bytes."""
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -140,7 +147,11 @@ def build_png(width: int, height: int, extra: bytes = b"") -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    raw = (b"\x00" + bytes(3 * width)) * height  # filter-0 scanlines
+    if pixels is not None:
+        px = np.asarray(pixels, dtype=np.uint8).reshape(height, width * 3)
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(height))
+    else:
+        raw = (b"\x00" + bytes(3 * width)) * height  # filter-0 scanlines
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if extra:
         out += chunk(b"tEXt", b"ref\x00" + extra)
@@ -173,6 +184,153 @@ def build_jpeg(width: int, height: int, extra: bytes = b"") -> bytes:
         + b"\x03\x01\x11\x00\x02\x11\x00\x03\x11\x00"
     )
     return b"\xff\xd8" + app0 + com + sof + b"\xff\xd9"
+
+
+# ----------------------------------------------- real PNG pixel decode
+
+_PNG_CTYPE_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_pixels(content) -> Optional[np.ndarray]:
+    """REAL pixel decode for baseline PNG — pure stdlib (zlib) + numpy,
+    no image library. Returns an (h, w, channels) uint8 array, palette
+    images expanded to RGB; None for anything outside the supported
+    envelope (bit depth 8, color types 0/2/3/4/6, non-interlaced) or
+    for corrupt streams — callers treat None as pixels-unavailable and
+    keep the header-only path.
+
+    All five scanline filters (None/Sub/Up/Average/Paeth) implemented
+    per the PNG spec's recurrences; Up is vectorized, the left-dependent
+    filters walk the scanline (sequential data dependence). Scale note:
+    the per-byte Python walk is O(w·h) per image — fine for the web's
+    thumbnail-to-photo range inside an Arrow batch; a cluster image that
+    ships PIL/libvips takes over via the existing _have_pil gate."""
+    if not content:
+        return None
+    b = bytes(content)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, plte, ihdr = 8, [], None, None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype = ihdr[8], ihdr[9]
+    comp, filt, interlace = ihdr[10], ihdr[11], ihdr[12]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    nch = _PNG_CTYPE_CH.get(ctype)
+    if nch is None or w <= 0 or h <= 0 or w * h > 64_000_000:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        o = y * (stride + 1)
+        f = raw[o]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=o + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                if f == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (line[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+                else:
+                    c0 = int(prev[x - nch]) if x >= nch else 0
+                    cur[x] = (
+                        line[x] + _paeth(a, int(prev[x]), c0)
+                    ) & 0xFF
+        else:
+            return None
+        prev = cur
+        out[y] = cur.astype(np.uint8)
+    arr = out.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None or len(plte) < 3:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        idx = arr[:, :, 0]
+        if int(idx.max()) >= len(pal):
+            return None
+        arr = pal[idx]
+    return arr
+
+
+def _gray(arr: np.ndarray) -> np.ndarray:
+    """(h, w) float64 luma: ITU-R 601 weights for color, the gray
+    channel for grayscale(+alpha)."""
+    a = arr.astype(np.float64)
+    if arr.shape[2] <= 2:
+        return a[:, :, 0]
+    return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+
+def _block_pool(gray: np.ndarray, t: int) -> np.ndarray:
+    """(t, t) block means with floor boundaries lo=(i·n)//t,
+    hi=max(lo+1, ((i+1)·n)//t) — total for any n ≥ 1 (upscale blocks
+    sample one pixel). The deterministic pooling contract the feature
+    and thumbnail paths share."""
+    h, w = gray.shape
+    ys = [(i * h) // t for i in range(t + 1)]
+    xs = [(i * w) // t for i in range(t + 1)]
+    out = np.empty((t, t), dtype=np.float64)
+    for y in range(t):
+        lo = min(ys[y], h - 1)
+        hi = min(max(ys[y] + 1, ys[y + 1]), h)
+        for x in range(t):
+            xlo = min(xs[x], w - 1)
+            xhi = min(max(xs[x] + 1, xs[x + 1]), w)
+            out[y, x] = gray[lo:hi, xlo:xhi].mean()
+    return out
+
+
+def _png_features(content) -> Optional[np.ndarray]:
+    """64-dim float32 feature vector = 8×8 block-mean luma of the REAL
+    decoded pixels; None when pixels are unavailable."""
+    arr = decode_png_pixels(content)
+    if arr is None:
+        return None
+    return _block_pool(_gray(arr), 8).ravel().astype(np.float32)
 
 
 def _have_pil() -> bool:
@@ -247,6 +405,10 @@ def decode_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                             ).ravel()
                         except Exception:
                             feats = None
+                    if feats is None and fmt == "png":
+                        # REAL pixels, no image library: stdlib inflate
+                        # + unfilter, 8×8 block-mean luma
+                        feats = _png_features(content)
                     if feats is None:
                         feats = _fake_decode(content)[3]
                     rows["format"].append(fmt)
@@ -315,6 +477,16 @@ def make_resize_fn(target: int = 32):
                         continue
                     except Exception:
                         pass
+                arr = decode_png_pixels(content)
+                if arr is not None:
+                    # REAL thumbnail: block-mean luma pooled to target²
+                    thumb = np.clip(
+                        np.rint(_block_pool(_gray(arr), target)), 0, 255
+                    ).astype(np.uint8)
+                    rows["width"].append(target)
+                    rows["height"].append(target)
+                    rows["thumb"].append(thumb.tobytes())
+                    continue
                 dig = hashlib.blake2b(content or b"", digest_size=32).digest()
                 rng = np.random.RandomState(int.from_bytes(dig[:4], "little"))
                 rows["width"].append(target)

@@ -3407,3 +3407,169 @@ class TestDetectCode:
             4, 2, 2,
         )
         assert r.is_code == 1
+
+
+class TestPngPixelDecode:
+    """decode_png_pixels: pure-stdlib baseline-PNG pixel decode,
+    differential-tested against an independent in-test encoder that
+    writes every filter type and color type."""
+
+    @staticmethod
+    def _encode(pixels, ctype, filt_choice, plte=None):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(
+                    ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+                )
+            )
+
+        h, w, nch = pixels.shape
+        store = pixels.reshape(h, w * nch).astype(np.int32)
+        raw = b""
+        prev = np.zeros(w * nch, dtype=np.int32)
+        for y in range(h):
+            cur = store[y]
+            f = filt_choice(y)
+            if f == 0:
+                enc = cur.copy()
+            elif f == 2:
+                enc = (cur - prev) & 0xFF
+            else:
+                enc = np.empty_like(cur)
+                for x in range(w * nch):
+                    a = int(cur[x - nch]) if x >= nch else 0
+                    b_ = int(prev[x])
+                    c_ = int(prev[x - nch]) if x >= nch else 0
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b_) >> 1
+                    else:
+                        p = a + b_ - c_
+                        pa, pb, pc = (
+                            abs(p - a), abs(p - b_), abs(p - c_)
+                        )
+                        pred = (
+                            a if (pa <= pb and pa <= pc)
+                            else (b_ if pb <= pc else c_)
+                        )
+                    enc[x] = (cur[x] - pred) & 0xFF
+            raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte.tobytes())
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(
+            b"IEND", b""
+        )
+
+    def test_all_filters_all_color_types(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import decode_png_pixels
+
+        rng = np.random.RandomState(42)
+        for trial in range(40):
+            h, w = rng.randint(1, 20), rng.randint(1, 20)
+            ctype = int(rng.choice([0, 2, 4, 6]))
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+            px = rng.randint(0, 256, size=(h, w, nch), dtype=np.uint8)
+            mode = rng.randint(0, 6)
+            rng2 = np.random.RandomState(trial)
+            fc = (
+                (lambda y: int(rng2.randint(0, 5)))
+                if mode == 5 else (lambda y: mode)
+            )
+            got = decode_png_pixels(self._encode(px, ctype, fc))
+            assert got is not None and np.array_equal(got, px), (
+                trial, ctype, mode,
+            )
+
+    def test_palette_expands_to_rgb(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import decode_png_pixels
+
+        rng = np.random.RandomState(1)
+        pal = np.arange(768, dtype=np.uint8)
+        idx = rng.randint(0, 256, size=(7, 5, 1), dtype=np.uint8)
+        got = decode_png_pixels(
+            self._encode(idx, 3, lambda y: 0, plte=pal)
+        )
+        assert np.array_equal(got, pal.reshape(-1, 3)[idx[:, :, 0]])
+
+    def test_build_png_round_trip(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import build_png, decode_png_pixels
+
+        rng = np.random.RandomState(3)
+        px = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_png_pixels(build_png(11, 9, b"x", pixels=px)), px
+        )
+
+    def test_rejects_never_raise(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import (
+            build_png,
+            decode_png_pixels,
+        )
+
+        assert decode_png_pixels(None) is None
+        assert decode_png_pixels(b"") is None
+        assert decode_png_pixels(b"\x89PNG\r\n\x1a\nJUNK") is None
+        # corrupt IDAT
+        good = build_png(4, 4)
+        assert decode_png_pixels(good[:-20] + b"\x00" * 20) is None
+        # 16-bit depth and interlaced rejected, not crashed
+        def variant(depth, interlace):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
+            chunk = (
+                struct.pack(">I", 13) + b"IHDR" + ihdr
+                + struct.pack(
+                    ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+                )
+            )
+            body = zlib.compress(b"\x00" + bytes(60))
+            idat = (
+                struct.pack(">I", len(body)) + b"IDAT" + body
+                + struct.pack(
+                    ">I", zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF
+                )
+            )
+            return b"\x89PNG\r\n\x1a\n" + chunk + idat
+        assert decode_png_pixels(variant(16, 0)) is None
+        assert decode_png_pixels(variant(8, 1)) is None
+        # random garbage fuzz
+        rng = np.random.RandomState(9)
+        for _ in range(30):
+            n = int(rng.randint(0, 200))
+            blob = b"\x89PNG\r\n\x1a\n" + rng.bytes(n)
+            decode_png_pixels(blob)  # must not raise
+
+    def test_block_pool_contract(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import _block_pool
+
+        # 16x16 gradient pooled to 8x8 = exact 2x2 block means
+        g = np.arange(256, dtype=np.float64).reshape(16, 16)
+        got = _block_pool(g, 8)
+        want = g.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+        assert np.allclose(got, want)
+        # tiny images stay total (upscale blocks sample one pixel)
+        assert _block_pool(np.full((1, 1), 7.0), 8).tolist() == (
+            [[7.0] * 8] * 8
+        )

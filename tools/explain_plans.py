@@ -298,6 +298,10 @@ CASES = [
      "Code detection. Wants: pure WholeStageCodegen — four "
      "regexp_count + the score formula in ONE Project on the scan, "
      "zero Python stages, zero exchanges."),
+    ("image_pixels",
+     "Real PNG pixel decode. Wants: encode UDF + the media_ref-hash "
+     "repartition (giant-binary spread, the one justified exchange) + "
+     "ONE MapInPandas decode; feature math codegen'd after."),
 ]
 
 
