@@ -2167,19 +2167,24 @@ def q_detect_code(spark, sf_dir):
 
 
 def q_image_pixels(spark, sf_dir):
-    """REAL PNG pixel decode, oracle-checked end to end: per doc a
-    solid-color RGB PNG is ENCODED from formula pixels (build_png,
-    stdlib zlib), decoded back by the pure-stdlib pixel decoder, and
-    pooled to the 64-dim luma features — so first/last/mean feature must
-    all equal float32(0.299r + 0.587g + 0.114b) computed by the SQL
-    oracle in the same IEEE double-then-REAL arithmetic. Proves the
-    pixel path is real: a header-only or digest-fake implementation
-    cannot predict these values."""
+    """REAL pixel decode for BOTH stdlib codecs, oracle-checked end to
+    end: per doc a solid-color image is ENCODED from formula pixels —
+    even ids as RGB PNG (build_png, zlib scanlines), odd ids as
+    palette GIF (build_gif, real LZW stream) — decoded back by the
+    pure-stdlib decoders and pooled to the 64-dim luma features, so
+    first/last/mean feature must all equal float32(0.299r + 0.587g +
+    0.114b) computed by the SQL oracle in the same IEEE double-then-REAL
+    arithmetic. Proves both pixel paths are real: a header-only or
+    digest-fake implementation cannot predict these values."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
-    from fuzi_spark.ops.multimodal import build_png, decode_features_df
+    from fuzi_spark.ops.multimodal import (
+        build_gif,
+        build_png,
+        decode_features_df,
+    )
 
     @pandas_udf("binary")
     def mk(ids: pd.Series) -> pd.Series:
@@ -2187,11 +2192,19 @@ def q_image_pixels(spark, sf_dir):
         for i in ids:
             i = int(i)
             w, h = 8 + i % 9, 8 + i % 5
-            px = np.empty((h, w, 3), dtype=np.uint8)
-            px[:, :, 0] = i % 256
-            px[:, :, 1] = (2 * i) % 256
-            px[:, :, 2] = (3 * i) % 256
-            out.append(build_png(w, h, pixels=px))
+            r, g, b = i % 256, (2 * i) % 256, (3 * i) % 256
+            if i % 2 == 0:
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[:, :, 0], px[:, :, 1], px[:, :, 2] = r, g, b
+                out.append(build_png(w, h, pixels=px))
+            else:
+                out.append(
+                    build_gif(
+                        w, h,
+                        pixels=np.zeros((h, w), dtype=np.uint8),
+                        palette=bytes([r, g, b]),
+                    )
+                )
         return pd.Series(out)
 
     media = _docs(spark, sf_dir).select(
@@ -2210,11 +2223,127 @@ def q_image_pixels(spark, sf_dir):
         F.regexp_extract("media_ref", r"img/(\d+)\.png", 1)
         .cast("long")
         .alias("doc_id"),
+        "format",
         "width", "height", "channels", "decode_ok",
         F.round(F.element_at(feats, 1).cast("double"), 4).alias("f_first"),
         F.round(F.element_at(feats, 64).cast("double"), 4).alias("f_last"),
         F.round(mean_f, 4).alias("mean_f"),
     )
+
+
+def q_audio_features(spark, sf_dir):
+    """REAL WAV PCM decode, oracle-checked end to end: per doc a
+    constant-amplitude PCM WAV is built from formula parameters
+    (amplitude, channel count) and decoded back — every window-RMS
+    feature must equal float32(amplitude/32768), which the SQL oracle
+    computes independently. A digest-fake audio path cannot predict
+    these values."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.multimodal import build_wav, decode_features_df
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            out.append(
+                build_wav(
+                    rate=8000 * (1 + i % 3),
+                    n_frames=640 + i % 97,
+                    channels=1 + i % 2,
+                    bits=16,
+                    amplitude=100 + (i * 37) % 30000,
+                )
+            )
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("au/"), F.col("doc_id").cast("string"), F.lit(".wav")
+        ).alias("media_ref"),
+        F.lit("audio").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    dec = decode_features_df(media)
+    feats = F.col("features")
+    mean_f = F.aggregate(
+        feats, F.lit(0.0), lambda a, x: a + x.cast("double")
+    ) / F.size(feats)
+    return dec.select(
+        F.regexp_extract("media_ref", r"au/(\d+)\.wav", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "format", "channels", "decode_ok",
+        F.round(F.element_at(feats, 1).cast("double"), 4).alias("f_first"),
+        F.round(F.element_at(feats, 64).cast("double"), 4).alias("f_last"),
+        F.round(mean_f, 4).alias("mean_f"),
+    )
+
+
+def q_span_language(spark, sf_dir):
+    """Per-span language ID over formula-built interleaved span arrays
+    (code-switch detection): every doc opens with an English paragraph,
+    even ids add a German one, ids %3==0 add a Russian heading, and a
+    media span plus an empty-text paragraph are planted in every doc to
+    pin the skip rules. seq is the position in the ORIGINAL array, so
+    the oracle predicts it from the same conditionals."""
+    from fuzi_spark.ops.textstats import span_language
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+
+    def sp(kind, text_col, ref=None):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text_col.alias("text"),
+            (F.lit(ref) if ref else F.lit(None)).cast("string")
+            .alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+
+    en = sp("paragraph", F.concat(F.lit(_LANG_PHRASES[0][1] + " "), s))
+    media = sp("media", F.lit(""), "img/x.jpg")
+    de = sp("paragraph", F.concat(F.lit(_LANG_PHRASES[3][1] + " "), s))
+    ru = sp("heading", F.lit(_LANG_PHRASES[4][1]))
+    empty = sp("paragraph", F.lit(""))
+    spans = F.concat(
+        F.array(en, media),
+        F.when(i % 2 == 0, F.array(de)).otherwise(
+            F.array().cast("array<struct<kind:string,text:string,"
+                           "media_ref:string,offset:int>>")
+        ),
+        F.when(i % 3 == 0, F.array(ru)).otherwise(
+            F.array().cast("array<struct<kind:string,text:string,"
+                           "media_ref:string,offset:int>>")
+        ),
+        F.array(empty),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", spans.alias("spans"))
+    return span_language(d)
+
+
+def q_snapshot_delta(spark, sf_dir):
+    """Crawl-refresh delta over two formula-derived snapshots of the
+    documents table: ids %4==0 exist only in the current crawl (added),
+    %4==1 only in the previous one (removed), the rest in both — with
+    ids %7==0 re-served with different text (changed) and everything
+    else byte-identical (unchanged)."""
+    from fuzi_spark.ops.web import snapshot_delta
+
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://e.com/d/"), i.cast("string"))
+    base = _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), "text"
+    )
+    cur = base.filter(i % 4 != 1)
+    prev = base.filter(i % 4 != 0).withColumn(
+        "text",
+        F.when(i % 7 == 0, F.concat(F.col("text"), F.lit(" old")))
+        .otherwise(F.col("text")),
+    )
+    return snapshot_delta(cur, prev)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2301,6 +2430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "detect_code": q_detect_code,
         "image_pixels": q_image_pixels,
+        "span_language": q_span_language,
+        "snapshot_delta": q_snapshot_delta,
+        "audio_features": q_audio_features,
     }
 
 
@@ -3362,9 +3494,50 @@ def oracle_sql() -> dict[str, str]:
             "    + CAST(0.114 AS DOUBLE) * b AS REAL) AS DOUBLE), 4) "
             "    AS v FROM s) "
             "SELECT doc_id, "
+            "  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END "
+            "    AS format, "
             "  CAST(8 + doc_id % 9 AS INTEGER) AS width, "
             "  CAST(8 + doc_id % 5 AS INTEGER) AS height, "
             "  CAST(3 AS INTEGER) AS channels, "
+            "  CAST(1 AS INTEGER) AS decode_ok, "
+            "  v AS f_first, v AS f_last, v AS mean_f "
+            "FROM l"
+        ),
+        "span_language": (
+            "WITH s AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS d2 "
+            "  FROM documents) "
+            "SELECT doc_id, CAST(0 AS INTEGER) AS seq, "
+            "  'paragraph' AS kind, 'en' AS lang FROM s "
+            "UNION ALL "
+            "SELECT doc_id, CAST(2 AS INTEGER), 'paragraph', 'de' "
+            "FROM s WHERE d2 = 1 "
+            "UNION ALL "
+            "SELECT doc_id, CAST(2 + d2 AS INTEGER), 'heading', 'ru' "
+            "FROM s WHERE doc_id % 3 = 0"
+        ),
+        "snapshot_delta": (
+            "SELECT 'https://e.com/d/' || CAST(doc_id AS VARCHAR) "
+            "    AS url, "
+            "  CASE WHEN doc_id % 4 = 0 THEN 'added' "
+            "       WHEN doc_id % 4 = 1 THEN 'removed' "
+            "       WHEN doc_id % 7 = 0 THEN 'changed' "
+            "       ELSE 'unchanged' END AS status, "
+            "  CASE WHEN doc_id % 4 = 1 THEN NULL ELSE doc_id END "
+            "    AS cur_id, "
+            "  CASE WHEN doc_id % 4 = 0 THEN NULL ELSE doc_id END "
+            "    AS prev_id "
+            "FROM documents"
+        ),
+        "audio_features": (
+            "WITH s AS (SELECT doc_id, "
+            "  CAST(100 + (doc_id * 37) % 30000 AS DOUBLE) AS a "
+            "  FROM documents), "
+            "l AS (SELECT doc_id, "
+            "  ROUND(CAST(CAST(a / 32768.0 AS REAL) AS DOUBLE), 4) "
+            "    AS v FROM s) "
+            "SELECT doc_id, 'wav' AS format, "
+            "  CAST(1 + doc_id % 2 AS INTEGER) AS channels, "
             "  CAST(1 AS INTEGER) AS decode_ok, "
             "  v AS f_first, v AS f_last, v AS mean_f "
             "FROM l"

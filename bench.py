@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "fix_mojibake",
     "detect_code",
     "image_pixels",
+    "span_language",
+    "snapshot_delta",
+    "audio_features",
 ]
 
 

@@ -4,13 +4,16 @@ with typed metadata.
 The Spark-side contract (schema, partitioning, UDF signatures, Arrow batch
 shape) is real and tested. Image METADATA decode (format, width, height,
 channels) is REAL — a pure-stdlib PNG/GIF/JPEG header parse
-(parse_image_header), no image library needed. PNG PIXELS are REAL too:
-decode_png_pixels inflates and unfilters baseline PNGs with stdlib zlib +
-numpy (all five filters, color types 0/2/3/4/6), so PNG features and
-thumbnails are computed from actual pixels. JPEG/GIF pixel work still
+(parse_image_header), no image library needed. PNG and GIF PIXELS are
+REAL too: decode_png_pixels inflates and unfilters baseline PNGs with
+stdlib zlib + numpy (all five filters, color types 0/2/3/4/6), and
+decode_gif_pixels implements the GIF LZW variant (variable code width,
+clear/KwKwK, interlace, local/global palettes) — so PNG/GIF features and
+thumbnails are computed from actual pixels. JPEG pixel work still
 requires a codec: it uses PIL when present, and otherwise a DETERMINISTIC
 FAKE seeded from the content digest (the documented stub — the container
-ships no JPEG/GIF codec), with the same schema so every downstream
+ships no JPEG codec, and baseline-DCT entropy decoding is out of scope
+for a stdlib reimplementation), with the same schema so every downstream
 operator stays exercisable. Unparseable image bytes are a decode failure
 (decode_ok=0), never a fake success.
 """
@@ -158,14 +161,91 @@ def build_png(
     return out + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
 
 
-def build_gif(width: int, height: int, extra: bytes = b"") -> bytes:
-    """Header-valid GIF89a (correct logical-screen descriptor; body is a
-    comment-extension payload, not decodable pixels — header parse only)."""
-    head = b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+def _gif_lzw_encode(indices, min_code: int) -> bytes:
+    """Spec GIF LZW encode (variable width, clear-at-4096), LSB-first
+    packed — the differential twin of _gif_lzw and the pixel source for
+    synthetic GIF corpora."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    def reset():
+        return {(i,): i for i in range(clear)}, end + 1, min_code + 1
+
+    table, next_code, code_size = reset()
+    codes, sizes = [clear], [code_size]
+    buf = ()
+    for px in indices:
+        nbuf = buf + (int(px),)
+        if nbuf in table:
+            buf = nbuf
+            continue
+        codes.append(table[buf])
+        sizes.append(code_size)
+        table[nbuf] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code > 4096:
+            codes.append(clear)
+            sizes.append(code_size)
+            table, next_code, code_size = reset()
+        buf = (int(px),)
+    if buf:
+        codes.append(table[buf])
+        sizes.append(code_size)
+    codes.append(end)
+    sizes.append(code_size)
+    bits = []
+    for c, wdt in zip(codes, sizes):
+        for k in range(wdt):
+            bits.append((c >> k) & 1)
+    while len(bits) % 8:
+        bits.append(0)
+    by = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for k in range(8):
+            v |= bits[i + k] << k
+        by.append(v)
+    return bytes(by)
+
+
+def build_gif(
+    width: int,
+    height: int,
+    extra: bytes = b"",
+    pixels=None,
+    palette: bytes = None,
+) -> bytes:
+    """GIF89a builder. Default: header-valid logical-screen descriptor
+    with a comment-extension body (header parse only). With `pixels`
+    ((h, w) uint8 palette indices) and `palette` (RGB triples), emits a
+    fully DECODABLE single-frame GIF (real LZW stream) that
+    decode_gif_pixels round-trips."""
+    head = b"GIF89a" + struct.pack("<HH", width, height)
     comment = b""
     if extra:
         comment = b"\x21\xfe" + bytes([min(len(extra), 255)]) + extra[:255] + b"\x00"
-    return head + comment + b"\x3b"
+    if pixels is None:
+        return head + b"\x00\x00\x00" + comment + b"\x3b"
+    pal = palette or bytes(
+        bytearray(v for i in range(256) for v in (i, i, i))
+    )
+    ncol = len(pal) // 3
+    pal_bits = max(1, (ncol - 1).bit_length())
+    pal = pal[: (1 << pal_bits) * 3].ljust((1 << pal_bits) * 3, b"\x00")
+    px = np.asarray(pixels, dtype=np.uint8).reshape(height, width)
+    head += bytes([0x80 | (pal_bits - 1), 0, 0]) + pal
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    min_code = max(2, pal_bits)
+    data = _gif_lzw_encode(px.ravel(), min_code)
+    blocks = b""
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        head + comment + desc + bytes([min_code]) + blocks
+        + b"\x00\x3b"
+    )
 
 
 def build_jpeg(width: int, height: int, extra: bytes = b"") -> bytes:
@@ -296,6 +376,250 @@ def decode_png_pixels(content) -> Optional[np.ndarray]:
     return arr
 
 
+# ------------------------------------------------- real WAV PCM decode
+
+
+def parse_wav(content):
+    """Recovering RIFF/WAVE parse → (sample_rate, n_channels, bits,
+    n_frames, pcm_bytes) for integer-PCM WAV, else None. Pure stdlib —
+    a manual chunk walk (fmt / data, odd-size padding honored) rather
+    than the file-object `wave` module, so truncated and trailing-junk
+    containers recover instead of raising."""
+    b = bytes(content or b"")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = int.from_bytes(b[pos + 4:pos + 8], "little")
+        body = b[pos + 8:pos + 8 + sz]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or ch < 1 or rate < 1 or bits not in (8, 16):
+        return None
+    frame = ch * (bits // 8)
+    n_frames = len(data) // frame
+    if n_frames == 0:
+        return None
+    return rate, ch, bits, n_frames, data[: n_frames * frame]
+
+
+def decode_wav_features(content) -> Optional[tuple]:
+    """REAL audio decode for integer-PCM WAV: (rate, channels, bits,
+    n_frames, duration_ms, features) where features = 64 window-RMS
+    values (float32) over the mono mix, samples normalized to [-1, 1]
+    (16-bit signed / 32768, 8-bit unsigned centered / 128). Window
+    boundaries use the same floor contract as _block_pool. None for
+    non-WAV / non-PCM bytes."""
+    hdr = parse_wav(content)
+    if hdr is None:
+        return None
+    rate, ch, bits, n_frames, data = hdr
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        x = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+            - 128.0
+        ) / 128.0
+    x = x.reshape(n_frames, ch).mean(axis=1)
+    bounds = [(i * n_frames) // 64 for i in range(65)]
+    feats = np.empty(64, dtype=np.float64)
+    for i in range(64):
+        lo = min(bounds[i], n_frames - 1)
+        hi = min(max(bounds[i] + 1, bounds[i + 1]), n_frames)
+        seg = x[lo:hi]
+        feats[i] = float(np.sqrt(np.mean(seg * seg)))
+    duration_ms = int(n_frames * 1000 // rate)
+    return rate, ch, bits, n_frames, duration_ms, feats.astype(
+        np.float32
+    )
+
+
+def build_wav(
+    rate: int = 16000,
+    n_frames: int = 1600,
+    channels: int = 1,
+    bits: int = 16,
+    amplitude: int = 0,
+) -> bytes:
+    """Fully valid constant-amplitude integer-PCM WAV (every sample ==
+    `amplitude`), so window RMS is exactly |amplitude|/full-scale —
+    the SQL-predictable synthetic audio source."""
+    if bits == 16:
+        sample = struct.pack("<h", amplitude)
+    else:
+        sample = bytes([amplitude & 0xFF])
+    data = sample * (channels * n_frames)
+    block = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block, block, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ----------------------------------------------- real GIF pixel decode
+
+
+def _gif_lzw(data: bytes, min_code: int, expect: int):
+    """GIF-variant LZW decode → list of palette indices, or None on a
+    corrupt stream. Implements the spec rules: variable code width
+    starting at min_code+1, width grows when the NEXT table slot reaches
+    2^width (capped at 12 bits), clear code resets the table, the
+    KwKwK case (code == next free slot) synthesizes prev+prev[0]."""
+    if not (2 <= min_code <= 11):
+        return None
+    clear = 1 << min_code
+    end = clear + 1
+    # bit-unpack once: GIF packs codes LSB-first
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8), bitorder="little"
+    )
+    nbits = len(bits)
+    pos = 0
+    code_size = min_code + 1
+    table: list = [(None, i) for i in range(clear)] + [None, None]
+    out: list = []
+    prev = None
+
+    def expand(code):
+        seq = []
+        while code is not None:
+            back, sym = table[code]
+            seq.append(sym)
+            code = back
+        seq.reverse()
+        return seq
+
+    while pos + code_size <= nbits and len(out) < expect:
+        c = 0
+        for k in range(code_size):
+            c |= int(bits[pos + k]) << k
+        pos += code_size
+        if c == clear:
+            table = [(None, i) for i in range(clear)] + [None, None]
+            code_size = min_code + 1
+            prev = None
+            continue
+        if c == end:
+            break
+        if prev is None:
+            if c >= len(table) or table[c] is None:
+                return None
+            out.extend(expand(c))
+        else:
+            if c < len(table) and table[c] is not None:
+                seq = expand(c)
+            elif c == len(table):
+                seq = expand(prev)
+                seq.append(seq[0])
+            else:
+                return None
+            out.extend(seq)
+            table.append((prev, seq[0]))
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = c
+    return out if len(out) >= expect else None
+
+
+def decode_gif_pixels(content) -> Optional[np.ndarray]:
+    """REAL pixel decode for GIF87a/GIF89a — pure stdlib + numpy, no
+    image library. Returns the FIRST image frame as an (h, w, 3) uint8
+    RGB array (palette applied, interlace unwoven); None outside the
+    supported envelope or on corrupt streams. Same caveats as
+    decode_png_pixels: per-code Python walk, a codec library takes over
+    via the _have_pil gate when the cluster image ships one."""
+    if not content:
+        return None
+    b = bytes(content)
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    flags = b[10]
+    gct = None
+    pos = 13
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 7))
+        gct = b[13:13 + n]
+        if len(gct) < n:
+            return None
+        pos += n
+    while pos < len(b):
+        bt = b[pos]
+        if bt == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif bt == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            iw = int.from_bytes(b[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(b[pos + 7:pos + 9], "little")
+            fl = b[pos + 9]
+            pos += 10
+            pal = gct
+            if fl & 0x80:
+                n = 3 * (2 << (fl & 7))
+                pal = b[pos:pos + n]
+                if len(pal) < n:
+                    return None
+                pos += n
+            if pal is None or iw <= 0 or ih <= 0:
+                return None
+            if iw * ih > 64_000_000 or pos >= len(b):
+                return None
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                sz = b[pos]
+                data += b[pos + 1:pos + 1 + sz]
+                pos += 1 + sz
+            idx = _gif_lzw(bytes(data), min_code, iw * ih)
+            if idx is None:
+                return None
+            arr = np.asarray(idx[: iw * ih], dtype=np.int32).reshape(
+                ih, iw
+            )
+            if fl & 0x40:  # Adam-less GIF interlace: 4 passes
+                order = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                un = np.empty_like(arr)
+                un[order] = arr
+                arr = un
+            ncol = len(pal) // 3
+            if int(arr.max(initial=0)) >= ncol:
+                return None
+            table = np.frombuffer(
+                pal[: ncol * 3], dtype=np.uint8
+            ).reshape(-1, 3)
+            return table[arr]
+        elif bt == 0x3B:
+            return None  # trailer before any image frame
+        else:
+            return None
+    return None
+
+
 def _gray(arr: np.ndarray) -> np.ndarray:
     """(h, w) float64 luma: ITU-R 601 weights for color, the gray
     channel for grayscale(+alpha)."""
@@ -324,10 +648,23 @@ def _block_pool(gray: np.ndarray, t: int) -> np.ndarray:
     return out
 
 
-def _png_features(content) -> Optional[np.ndarray]:
+def decode_image_pixels(content, fmt: Optional[str] = None):
+    """Dispatch to the real pure-stdlib pixel decoders (PNG, GIF);
+    None for JPEG and out-of-envelope streams."""
+    if fmt is None:
+        header = parse_image_header(content)
+        fmt = header[0] if header else None
+    if fmt == "png":
+        return decode_png_pixels(content)
+    if fmt == "gif":
+        return decode_gif_pixels(content)
+    return None
+
+
+def _pixel_features(content, fmt: Optional[str] = None) -> Optional[np.ndarray]:
     """64-dim float32 feature vector = 8×8 block-mean luma of the REAL
     decoded pixels; None when pixels are unavailable."""
-    arr = decode_png_pixels(content)
+    arr = decode_image_pixels(content, fmt)
     if arr is None:
         return None
     return _block_pool(_gray(arr), 8).ravel().astype(np.float32)
@@ -405,10 +742,10 @@ def decode_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                             ).ravel()
                         except Exception:
                             feats = None
-                    if feats is None and fmt == "png":
-                        # REAL pixels, no image library: stdlib inflate
-                        # + unfilter, 8×8 block-mean luma
-                        feats = _png_features(content)
+                    if feats is None and fmt in ("png", "gif"):
+                        # REAL pixels, no image library: stdlib
+                        # inflate/LZW + unfilter, 8×8 block-mean luma
+                        feats = _pixel_features(content, fmt)
                     if feats is None:
                         feats = _fake_decode(content)[3]
                     rows["format"].append(fmt)
@@ -418,13 +755,28 @@ def decode_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                     rows["decode_ok"].append(1)
                     rows["features"].append(feats)
             else:
-                w, h, c, feats = _fake_decode(content)
-                rows["format"].append(None)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["channels"].append(c)
-                rows["decode_ok"].append(1)
-                rows["features"].append(feats)
+                wav = (
+                    decode_wav_features(content)
+                    if mtype == "audio" else None
+                )
+                if wav is not None:
+                    # REAL PCM decode: window-RMS features; channels
+                    # carries the audio channel count, width/height NULL
+                    rate, ch, bits, n_frames, dur, feats = wav
+                    rows["format"].append("wav")
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["channels"].append(ch)
+                    rows["decode_ok"].append(1)
+                    rows["features"].append(feats)
+                else:
+                    w, h, c, feats = _fake_decode(content)
+                    rows["format"].append(None)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(c)
+                    rows["decode_ok"].append(1)
+                    rows["features"].append(feats)
             rows["media_ref"].append(ref)
             rows["media_type"].append(mtype)
         yield pd.DataFrame(rows)
@@ -477,7 +829,7 @@ def make_resize_fn(target: int = 32):
                         continue
                     except Exception:
                         pass
-                arr = decode_png_pixels(content)
+                arr = decode_image_pixels(content)
                 if arr is not None:
                     # REAL thumbnail: block-mean luma pooled to target²
                     thumb = np.clip(

@@ -724,3 +724,32 @@ def detect_code(df: DataFrame, text_col: str = "text") -> DataFrame:
         score.alias("code_score"),
         (score >= 0.25).cast("int").alias("is_code"),
     )
+
+
+def span_language(
+    df: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-span language ID over interleaved span arrays — the
+    code-switch signal: a multilingual page (or a boilerplate-injected
+    one) carries paragraphs in different languages, and routing/filtering
+    on the DOCUMENT-level lang_id mislabels every minority-language span.
+    Emits (doc_id, seq, kind, lang) for every textual span; media spans
+    and empty text are skipped, and seq is the span's position in the
+    ORIGINAL array so results join back against the span stream.
+
+    Scale shape: posexplode of (kind, text) STRINGS only (media_ref and
+    the rest never leave the row), then the SAME Arrow-batched lang_id
+    pass the document-level operator uses — narrow map, zero shuffles."""
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(spans_col)).alias("seq", "s"),
+    )
+    t = ex.filter(
+        (F.col("s.kind") != "media") & (F.length(F.col("s.text")) > 0)
+    )
+    return t.select(
+        id_col,
+        F.col("seq").cast("int").alias("seq"),
+        F.col("s.kind").alias("kind"),
+        lang_id(F.col("s.text")).alias("lang"),
+    )

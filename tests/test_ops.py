@@ -3573,3 +3573,262 @@ class TestPngPixelDecode:
         assert _block_pool(np.full((1, 1), 7.0), 8).tolist() == (
             [[7.0] * 8] * 8
         )
+
+
+class TestSpanLanguage:
+    def test_code_switch_and_skip_rules(self, spark):
+        from fuzi_spark.ops.textstats import span_language
+
+        spans = [
+            ("paragraph", "the cat and the dog was in the house for it",
+             None, 0),
+            ("media", "", "img/a.jpg", 1),
+            ("paragraph", "der die das und in den von zu mit ist", None, 2),
+            ("paragraph", "", None, 3),
+            ("heading", "это русский текст про собаку и кошку", None, 4),
+        ]
+        df = spark.createDataFrame(
+            [(1, spans)],
+            "doc_id long, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        got = [
+            (r.seq, r.kind, r.lang)
+            for r in span_language(df).orderBy("seq").collect()
+        ]
+        # media and empty-text spans never surface; seq keeps the
+        # ORIGINAL array positions
+        assert got == [
+            (0, "paragraph", "en"),
+            (2, "paragraph", "de"),
+            (4, "heading", "ru"),
+        ]
+
+    def test_empty_array_total(self, spark):
+        from fuzi_spark.ops.textstats import span_language
+
+        df = spark.createDataFrame(
+            [(1, [])],
+            "doc_id long, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        assert span_language(df).count() == 0
+
+
+class TestSnapshotDelta:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, url string, text string"
+        )
+
+    def test_four_classes(self, spark):
+        from fuzi_spark.ops.web import snapshot_delta
+
+        prev = self._mk(spark, [
+            (1, "u/removed", "gone"),
+            (2, "u/changed", "v1"),
+            (3, "u/unchanged", "same"),
+        ])
+        cur = self._mk(spark, [
+            (12, "u/changed", "v2"),
+            (13, "u/unchanged", "same"),
+            (14, "u/added", "new"),
+        ])
+        got = {
+            r.url: (r.status, r.cur_id, r.prev_id)
+            for r in snapshot_delta(cur, prev).collect()
+        }
+        assert got == {
+            "u/removed": ("removed", None, 1),
+            "u/changed": ("changed", 12, 2),
+            "u/unchanged": ("unchanged", 13, 3),
+            "u/added": ("added", 14, None),
+        }
+
+    def test_digest_ignores_ids(self, spark):
+        # same text under a different crawl id is still unchanged —
+        # content digest, not row identity, decides
+        from fuzi_spark.ops.web import snapshot_delta
+
+        prev = self._mk(spark, [(1, "u", "body")])
+        cur = self._mk(spark, [(999, "u", "body")])
+        (r,) = snapshot_delta(cur, prev).collect()
+        assert (r.status, r.cur_id, r.prev_id) == ("unchanged", 999, 1)
+
+
+class TestGifPixelDecode:
+    """decode_gif_pixels: pure-stdlib GIF LZW decode, differential-
+    tested against the package encoder across palette sizes, interlace,
+    dict growth, 12-bit width, and table resets."""
+
+    def test_differential_vs_encoder(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import (
+            build_gif,
+            decode_gif_pixels,
+        )
+
+        rng = np.random.RandomState(5)
+        for trial in range(25):
+            h, w = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+            bits = int(rng.choice([2, 4, 8]))
+            ncol = 1 << bits
+            if trial % 2:
+                px = rng.randint(0, ncol, size=(h, w)).astype(np.uint8)
+            else:  # low-entropy gradients exercise dict growth
+                px = (
+                    np.add.outer(np.arange(h), np.arange(w)) % ncol
+                ).astype(np.uint8)
+            pal = bytes(
+                bytearray(
+                    v
+                    for i in range(ncol)
+                    for v in (i % 256, (255 - i) % 256, (7 * i) % 256)
+                )
+            )
+            got = decode_gif_pixels(
+                build_gif(w, h, pixels=px, palette=pal)
+            )
+            table = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            assert got is not None and np.array_equal(got, table[px]), (
+                trial, bits,
+            )
+
+    def test_twelve_bit_growth_and_reset(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import (
+            build_gif,
+            decode_gif_pixels,
+        )
+
+        rng = np.random.RandomState(6)
+        px = rng.randint(0, 256, size=(80, 80)).astype(np.uint8)
+        got = decode_gif_pixels(build_gif(80, 80, pixels=px))
+        assert got is not None and np.array_equal(got[:, :, 0], px)
+
+    def test_interlaced_frame(self):
+        import numpy as np
+        import struct
+
+        from fuzi_spark.ops.multimodal import (
+            _gif_lzw_encode,
+            decode_gif_pixels,
+        )
+
+        h, w = 11, 6
+        px = (np.arange(h * w) % 4).astype(np.uint8).reshape(h, w)
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        pal = bytes(bytearray(v for i in range(4) for v in (i, i, i)))
+        head = (
+            b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes([0x80 | 1, 0, 0]) + pal
+        )
+        desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x40"
+        data = _gif_lzw_encode(px[order].ravel(), 2)
+        blocks = b""
+        for i in range(0, len(data), 255):
+            c = data[i:i + 255]
+            blocks += bytes([len(c)]) + c
+        blob = head + desc + b"\x02" + blocks + b"\x00\x3b"
+        got = decode_gif_pixels(blob)
+        assert got is not None and np.array_equal(got[:, :, 0], px)
+
+    def test_rejects_never_raise(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import (
+            build_gif,
+            decode_gif_pixels,
+        )
+
+        # header-only body (comment extension) has no frame → None
+        assert decode_gif_pixels(build_gif(5, 5, b"x")) is None
+        assert decode_gif_pixels(b"") is None
+        assert decode_gif_pixels(b"GIF89a") is None
+        rng = np.random.RandomState(9)
+        for _ in range(40):
+            blob = b"GIF89a" + rng.bytes(int(rng.randint(0, 120)))
+            decode_gif_pixels(blob)  # must not raise
+
+
+class TestWavDecode:
+    """parse_wav / decode_wav_features: pure-stdlib integer-PCM WAV
+    decode with window-RMS features, cross-validated against the
+    stdlib wave module reader."""
+
+    def test_constant_amplitude_rms_exact(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import (
+            build_wav,
+            decode_wav_features,
+        )
+
+        blob = build_wav(
+            rate=8000, n_frames=777, channels=2, bits=16, amplitude=1234
+        )
+        rate, ch, bits, nf, dur, feats = decode_wav_features(blob)
+        assert (rate, ch, bits, nf, dur) == (8000, 2, 16, 777, 97)
+        assert np.all(feats == np.float32(1234 / 32768.0))
+        f8 = decode_wav_features(
+            build_wav(rate=4000, n_frames=100, bits=8, amplitude=200)
+        )[5]
+        assert np.all(f8 == np.float32((200 - 128) / 128.0))
+
+    def test_stdlib_wave_agrees(self):
+        import io
+        import wave
+
+        from fuzi_spark.ops.multimodal import build_wav
+
+        w = wave.open(io.BytesIO(build_wav(
+            rate=8000, n_frames=777, channels=2, bits=16, amplitude=7
+        )))
+        assert (
+            w.getframerate(), w.getnchannels(),
+            w.getsampwidth(), w.getnframes(),
+        ) == (8000, 2, 2, 777)
+
+    def test_varying_signal_matches_numpy_reference(self):
+        import struct as st
+
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import decode_wav_features
+
+        frames = np.arange(-500, 500, dtype=np.int16)
+        data = frames.tobytes()
+        fmt = st.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        body = (
+            b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data
+        )
+        blob = b"RIFF" + st.pack("<I", len(body)) + body
+        feats = decode_wav_features(blob)[5]
+        x = frames.astype(np.float64) / 32768.0
+        bd = [(i * 1000) // 64 for i in range(65)]
+        ref = np.array(
+            [
+                np.sqrt(np.mean(x[bd[i]:max(bd[i] + 1, bd[i + 1])] ** 2))
+                for i in range(64)
+            ],
+            dtype=np.float32,
+        )
+        assert np.array_equal(feats, ref)
+
+    def test_rejects_never_raise(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import parse_wav
+
+        assert parse_wav(None) is None
+        assert parse_wav(b"junk") is None
+        assert parse_wav(b"RIFFxxxxWAVE") is None
+        rng = np.random.RandomState(2)
+        for _ in range(40):
+            parse_wav(b"RIFF" + rng.bytes(int(rng.randint(0, 80))))

@@ -302,6 +302,19 @@ CASES = [
      "Real PNG pixel decode. Wants: encode UDF + the media_ref-hash "
      "repartition (giant-binary spread, the one justified exchange) + "
      "ONE MapInPandas decode; feature math codegen'd after."),
+    ("span_language",
+     "Per-span lang ID. Wants: codegen'd Generate exploding (kind, "
+     "text) strings only, then ONE ArrowEvalPython lang_id pass — "
+     "narrow map, zero exchanges."),
+    ("snapshot_delta",
+     "Crawl-refresh delta. Wants: sha2 digests computed in each "
+     "side's scan Project, SortMergeJoin FullOuter keyed on url over "
+     "metadata-width rows — document text never reaches the "
+     "exchange."),
+    ("audio_features",
+     "Real WAV PCM decode. Wants: build UDF + media_ref-hash "
+     "repartition + ONE MapInPandas decode, RMS math inside the "
+     "batch; feature rollup codegen'd after."),
 ]
 
 
