@@ -2282,6 +2282,52 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_video_frames(spark, sf_dir):
+    """REAL AVI/MJPEG container decode, oracle-checked end to end: per
+    doc an AVI is built wrapping 3 + id%4 JPEG frames whose dimensions
+    follow a formula, at fps 10 + id%5 — the frame explode must recover
+    every frame's index, container-derived timestamp (i·uspf//1000),
+    and the REAL JPEG-header dimensions parsed from the frame bytes at
+    the recorded offsets. A digest-fake video path cannot predict
+    these."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.multimodal import (
+        avi_frames_df,
+        build_avi,
+        build_jpeg,
+    )
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            frames = [
+                build_jpeg(
+                    16 + (i + k) % 8, 9 + k, ("f%d" % k).encode()
+                )
+                for k in range(3 + i % 4)
+            ]
+            out.append(build_avi(64, 48, 10 + i % 5, frames))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("vid/"), F.col("doc_id").cast("string"), F.lit(".avi")
+        ).alias("media_ref"),
+        F.lit("video").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    return avi_frames_df(media).select(
+        F.regexp_extract("media_ref", r"vid/(\d+)\.avi", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "frame_idx", "ts_ms", "frame_w", "frame_h",
+    )
+
+
 def q_span_language(spark, sf_dir):
     """Per-span language ID over formula-built interleaved span arrays
     (code-switch detection): every doc opens with an English paragraph,
@@ -2433,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_language": q_span_language,
         "snapshot_delta": q_snapshot_delta,
         "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
     }
 
 
@@ -3541,6 +3588,20 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(1 AS INTEGER) AS decode_ok, "
             "  v AS f_first, v AS f_last, v AS mean_f "
             "FROM l"
+        ),
+        "video_frames": (
+            "WITH n AS (SELECT doc_id, 3 + doc_id % 4 AS nf, "
+            "  CASE doc_id % 5 WHEN 0 THEN 100000 WHEN 1 THEN 90909 "
+            "    WHEN 2 THEN 83333 WHEN 3 THEN 76923 "
+            "    ELSE 71429 END AS uspf "
+            "  FROM documents), "
+            "f AS (SELECT doc_id, uspf, "
+            "  unnest(range(nf)) AS i FROM n) "
+            "SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, "
+            "  CAST((i * uspf) // 1000 AS INTEGER) AS ts_ms, "
+            "  CAST(16 + (doc_id + i) % 8 AS INTEGER) AS frame_w, "
+            "  CAST(9 + i AS INTEGER) AS frame_h "
+            "FROM f"
         ),
     }
 

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "span_language",
     "snapshot_delta",
     "audio_features",
+    "video_frames",
 ]
 
 

@@ -3832,3 +3832,78 @@ class TestWavDecode:
         rng = np.random.RandomState(2)
         for _ in range(40):
             parse_wav(b"RIFF" + rng.bytes(int(rng.randint(0, 80))))
+
+
+class TestAviFrames:
+    """parse_avi / build_avi / avi_frames_df: real RIFF/AVI container
+    walk — frame byte ranges, container timing, per-frame JPEG dims."""
+
+    def test_round_trip_and_frame_bytes(self):
+        from fuzi_spark.ops.multimodal import (
+            build_avi,
+            build_jpeg,
+            parse_avi,
+            parse_image_header,
+        )
+
+        frames = [build_jpeg(10 + i, 20 + i, bytes([i])) for i in range(5)]
+        blob = build_avi(64, 48, 25.0, frames)
+        w, h, uspf, fr = parse_avi(blob)
+        assert (w, h, uspf, len(fr)) == (64, 48, 40000, 5)
+        for i, (off, sz) in enumerate(fr):
+            assert blob[off:off + sz] == frames[i]
+            fmt, fw, fh, _ = parse_image_header(blob[off:off + sz])
+            assert (fmt, fw, fh) == ("jpeg", 10 + i, 20 + i)
+
+    def test_odd_size_padding_and_truncation(self):
+        from fuzi_spark.ops.multimodal import (
+            build_avi,
+            build_jpeg,
+            parse_avi,
+        )
+
+        odd = b"\xff\xd8" + b"x" * 7 + b"\xff\xd9"  # 11 bytes
+        blob = build_avi(4, 4, 10.0, [odd, odd])
+        _, _, _, fr = parse_avi(blob)
+        assert len(fr) == 2
+        assert blob[fr[1][0]:fr[1][0] + fr[1][1]] == odd
+        # truncated mid-movi recovers frames seen so far, never raises
+        full = build_avi(
+            8, 8, 12.0, [build_jpeg(8, 8, b"q")] * 4
+        )
+        _, _, _, fr4 = parse_avi(full)
+        r = parse_avi(full[: fr4[2][0] + 4])
+        assert r is not None and len(r[3]) <= 3
+
+    def test_rejects_never_raise(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import parse_avi
+
+        assert parse_avi(None) is None
+        assert parse_avi(b"RIFFxxxxWAVE") is None
+        rng = np.random.RandomState(8)
+        for _ in range(40):
+            parse_avi(b"RIFF" + rng.bytes(int(rng.randint(0, 120))))
+
+    def test_spark_explode(self, spark):
+        from fuzi_spark.ops.multimodal import (
+            avi_frames_df,
+            build_avi,
+            build_jpeg,
+        )
+
+        blob = build_avi(
+            32, 24, 10.0, [build_jpeg(5, 6, b"a"), build_jpeg(7, 8, b"b")]
+        )
+        df = spark.createDataFrame(
+            [("v1", "video", bytearray(blob)),
+             ("junk", "video", bytearray(b"not an avi"))],
+            "media_ref string, media_type string, content binary",
+        )
+        got = [
+            (r.frame_idx, r.ts_ms, r.frame_w, r.frame_h)
+            for r in avi_frames_df(df).orderBy("frame_idx").collect()
+        ]
+        # non-AVI blob yields zero rows; timing = i*uspf//1000
+        assert got == [(0, 0, 5, 6), (1, 100, 7, 8)]

@@ -315,6 +315,10 @@ CASES = [
      "Real WAV PCM decode. Wants: build UDF + media_ref-hash "
      "repartition + ONE MapInPandas decode, RMS math inside the "
      "batch; feature rollup codegen'd after."),
+    ("video_frames",
+     "Real AVI/MJPEG frame explode. Wants: media_ref-hash "
+     "repartition + ONE MapInPandas (the RIFF walk + per-frame JPEG "
+     "header parse) — rows inherit the blob partitioning."),
 ]
 
 
