@@ -2328,6 +2328,49 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Capstone crawl DAG over formula-built discoveries: every doc's
+    page URL arrives twice (uppercase-host raw + a '#frag' variant —
+    both must collapse to ONE canonical row with n_sources=2), ids
+    %3==0 live under /private (robots-denied by the planted rule), ids
+    %4==0 are already in the crawled set (stored with uppercase host +
+    fragment, pinning canonicalization of THAT side too), ids %5==0
+    add a blocklisted-domain URL. First-failure precedence
+    blocked_domain > robots_denied > already_crawled is part of the
+    contract."""
+    from fuzi_spark.ops.web import crawl_frontier
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    path = F.when(i % 3 == 0, F.concat(F.lit("/private/p"), s)).otherwise(
+        F.concat(F.lit("/p/"), s)
+    )
+    raw = F.concat(F.lit("https://E.com"), path)
+    base = _docs(spark, sf_dir).select("doc_id", raw.alias("url"))
+    discovered = (
+        base.select("url")
+        .union(base.select(F.concat(F.col("url"), F.lit("#frag"))))
+        .union(
+            base.filter(i % 5 == 0).select(
+                F.concat(F.lit("https://blocked.com/x/"), s)
+            )
+        )
+    )
+    crawled = base.filter(i % 4 == 0).select(
+        F.concat(F.col("url"), F.lit("#c")).alias("url")
+    )
+    robots = spark.createDataFrame(
+        [("e.com", "User-agent: *\nDisallow: /private")],
+        "domain string, robots_txt string",
+    )
+    blocked = spark.createDataFrame(
+        [("Blocked.com",)], "domain string"
+    )
+    return crawl_frontier(
+        discovered, crawled=crawled, robots=robots, blocked=blocked
+    )
+
+
 def q_span_language(spark, sf_dir):
     """Per-span language ID over formula-built interleaved span arrays
     (code-switch detection): every doc opens with an English paragraph,
@@ -2480,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": q_snapshot_delta,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "crawl_frontier": q_crawl_frontier,
     }
 
 
@@ -3602,6 +3646,24 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(16 + (doc_id + i) % 8 AS INTEGER) AS frame_w, "
             "  CAST(9 + i AS INTEGER) AS frame_h "
             "FROM f"
+        ),
+        "crawl_frontier": (
+            "WITH s AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS v "
+            "  FROM documents) "
+            "SELECT 'https://e.com' || "
+            "  (CASE WHEN doc_id % 3 = 0 THEN '/private/p' "
+            "        ELSE '/p/' END) || v AS url, "
+            "  CAST(2 AS BIGINT) AS n_sources, "
+            "  CASE WHEN doc_id % 3 = 0 THEN 'robots_denied' "
+            "       WHEN doc_id % 4 = 0 THEN 'already_crawled' "
+            "       ELSE 'frontier' END AS reason, "
+            "  CAST(CASE WHEN doc_id % 3 <> 0 AND doc_id % 4 <> 0 "
+            "    THEN 1 ELSE 0 END AS INTEGER) AS fetch "
+            "FROM s "
+            "UNION ALL "
+            "SELECT 'https://blocked.com/x/' || v, CAST(1 AS BIGINT), "
+            "  'blocked_domain', CAST(0 AS INTEGER) "
+            "FROM s WHERE doc_id % 5 = 0"
         ),
     }
 

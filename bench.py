@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "snapshot_delta",
     "audio_features",
     "video_frames",
+    "crawl_frontier",
 ]
 
 

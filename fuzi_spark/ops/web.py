@@ -720,3 +720,75 @@ def snapshot_delta(
         c.join(p, "url", "full_outer")
         .select("url", status.alias("status"), "cur_id", "prev_id")
     )
+
+
+def crawl_frontier(
+    discovered: DataFrame,
+    crawled: Optional[DataFrame] = None,
+    robots: Optional[DataFrame] = None,
+    blocked: Optional[DataFrame] = None,
+    url_col: str = "url",
+    agent: str = "*",
+) -> DataFrame:
+    """Next-crawl frontier assembly — the capstone crawl-side DAG that
+    turns raw URL discoveries (sitemaps, anchors, feeds) into the list a
+    fetcher may actually request. One row per CANONICAL URL with a
+    first-failure reason, gates in pinned order:
+
+    1. canonicalize + collapse duplicates (n_sources counts them)
+    2. 'blocked_domain'   — host on the blocklist
+    3. 'robots_denied'    — RFC 9309 gate for `agent`
+    4. 'already_crawled'  — canonical URL present in the crawled set
+    5. 'frontier'         — fetch it
+
+    Scale shape: canonicalization and host extraction are codegen'd
+    scan projections; the duplicate collapse is ONE map-side-combinable
+    url-keyed agg; blocklist and crawled-set joins are left joins
+    against metadata-width sides (AQE broadcasts them when they fit —
+    the crawled set reduces to its canonical-url column first); the
+    robots gate reuses apply_robots (rules compiled once per domain).
+    The URL corpus itself shuffles once, as (url, n_sources) pairs."""
+    canon = (
+        discovered.select(canonicalize_url(url_col).alias("url"))
+        .where(F.col("url").isNotNull())
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_sources"))
+    )
+    if robots is not None:
+        canon = apply_robots(canon, robots, agent=agent)
+    else:
+        canon = canon.withColumn("allowed", F.lit(1))
+    if blocked is not None:
+        blk = blocked.select(
+            F.lower(F.col("domain")).alias("_blk"),
+            F.lit(1).alias("_is_blocked"),
+        ).distinct()
+        canon = (
+            canon.withColumn("_host", host_of("url"))
+            .join(blk, F.col("_host") == F.col("_blk"), "left")
+            .drop("_blk", "_host")
+        )
+    else:
+        canon = canon.withColumn("_is_blocked", F.lit(None).cast("int"))
+    if crawled is not None:
+        seen = (
+            crawled.select(canonicalize_url(url_col).alias("url"))
+            .where(F.col("url").isNotNull())
+            .distinct()
+            .withColumn("_seen", F.lit(1))
+        )
+        canon = canon.join(seen, "url", "left")
+    else:
+        canon = canon.withColumn("_seen", F.lit(None).cast("int"))
+    reason = (
+        F.when(F.col("_is_blocked").isNotNull(), F.lit("blocked_domain"))
+        .when(F.col("allowed") == 0, F.lit("robots_denied"))
+        .when(F.col("_seen").isNotNull(), F.lit("already_crawled"))
+        .otherwise(F.lit("frontier"))
+    )
+    return canon.select(
+        "url",
+        "n_sources",
+        reason.alias("reason"),
+        (reason == "frontier").cast("int").alias("fetch"),
+    )

@@ -3907,3 +3907,49 @@ class TestAviFrames:
         ]
         # non-AVI blob yields zero rows; timing = i*uspf//1000
         assert got == [(0, 0, 5, 6), (1, 100, 7, 8)]
+
+
+class TestCrawlFrontier:
+    def test_gates_and_precedence(self, spark):
+        from fuzi_spark.ops.web import crawl_frontier
+
+        discovered = spark.createDataFrame(
+            [
+                ("https://A.com/new",),
+                ("https://a.com/new#frag",),   # collapses with the above
+                ("https://a.com/private/x",),  # robots-denied
+                ("https://a.com/old",),        # already crawled
+                ("https://bad.com/private/y",),  # blocked AND denied:
+                                                 # blocked wins
+            ],
+            "url string",
+        )
+        crawled = spark.createDataFrame(
+            [("https://A.com/old#z",)], "url string"
+        )
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /private"),
+             ("bad.com", "User-agent: *\nDisallow: /private")],
+            "domain string, robots_txt string",
+        )
+        blocked = spark.createDataFrame([("BAD.com",)], "domain string")
+        got = {
+            r.url: (r.n_sources, r.reason, r.fetch)
+            for r in crawl_frontier(
+                discovered, crawled=crawled, robots=robots,
+                blocked=blocked,
+            ).collect()
+        }
+        assert got == {
+            "https://a.com/new": (2, "frontier", 1),
+            "https://a.com/private/x": (1, "robots_denied", 0),
+            "https://a.com/old": (1, "already_crawled", 0),
+            "https://bad.com/private/y": (1, "blocked_domain", 0),
+        }
+
+    def test_optional_inputs_default_open(self, spark):
+        from fuzi_spark.ops.web import crawl_frontier
+
+        d = spark.createDataFrame([("https://x.com/a",)], "url string")
+        (r,) = crawl_frontier(d).collect()
+        assert (r.reason, r.fetch) == ("frontier", 1)

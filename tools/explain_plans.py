@@ -319,6 +319,11 @@ CASES = [
      "Real AVI/MJPEG frame explode. Wants: media_ref-hash "
      "repartition + ONE MapInPandas (the RIFF walk + per-frame JPEG "
      "header parse) — rows inherit the blob partitioning."),
+    ("crawl_frontier",
+     "Frontier DAG. Wants: canonicalize codegen'd in the scan, ONE "
+     "url-keyed map-side-combinable agg, broadcast left joins for "
+     "blocklist/crawled/robots sides — the URL corpus shuffles "
+     "once."),
 ]
 
 
