@@ -2328,6 +2328,53 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_media_context(spark, sf_dir):
+    """Image-text alignment rows over formula-built span arrays: a
+    leading media span (no preceding text — context_before must be
+    NULL), a paragraph, an empty-alt media span on even ids (alt_text
+    NULL, both neighbors), a second paragraph on ids %3==0, and a
+    trailing media span whose context_before depends on which optional
+    spans exist. The oracle replays the neighbor rules relationally."""
+    from fuzi_spark.ops.assemble import media_context
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    empty = (
+        "array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+
+    def sp(kind, text_col, ref_col=None):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text_col.alias("text"),
+            (ref_col if ref_col is not None else F.lit(None))
+            .cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+
+    m0 = sp("media", F.concat(F.lit("a0-"), s),
+            F.concat(F.lit("img/"), s, F.lit("/0.jpg")))
+    p0 = sp("paragraph", F.concat(F.lit("P0 "), s))
+    m1 = sp("media", F.lit(""),
+            F.concat(F.lit("img/"), s, F.lit("/1.jpg")))
+    p1 = sp("paragraph", F.concat(F.lit("P1 "), s))
+    m2 = sp("media", F.concat(F.lit("c-"), s),
+            F.concat(F.lit("img/"), s, F.lit("/2.jpg")))
+    spans = F.concat(
+        F.array(m0, p0),
+        F.when(i % 2 == 0, F.array(m1)).otherwise(
+            F.array().cast(empty)
+        ),
+        F.when(i % 3 == 0, F.array(p1)).otherwise(
+            F.array().cast(empty)
+        ),
+        F.array(m2),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", spans.alias("spans"))
+    return media_context(d)
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Capstone crawl DAG over formula-built discoveries: every doc's
     page URL arrives twice (uppercase-host raw + a '#frag' variant —
@@ -2524,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
+        "media_context": q_media_context,
     }
 
 
@@ -3664,6 +3712,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'https://blocked.com/x/' || v, CAST(1 AS BIGINT), "
             "  'blocked_domain', CAST(0 AS INTEGER) "
             "FROM s WHERE doc_id % 5 = 0"
+        ),
+        "media_context": (
+            "WITH s AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS v, "
+            "  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS d2, "
+            "  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS d3 "
+            "  FROM documents) "
+            "SELECT doc_id, CAST(0 AS INTEGER) AS seq, "
+            "  'img/' || v || '/0.jpg' AS media_ref, "
+            "  'a0-' || v AS alt_text, "
+            "  CAST(NULL AS VARCHAR) AS context_before, "
+            "  'P0 ' || v AS context_after FROM s "
+            "UNION ALL "
+            "SELECT doc_id, CAST(2 AS INTEGER), "
+            "  'img/' || v || '/1.jpg', CAST(NULL AS VARCHAR), "
+            "  'P0 ' || v, "
+            "  CASE WHEN d3 = 1 THEN 'P1 ' || v END "
+            "FROM s WHERE d2 = 1 "
+            "UNION ALL "
+            "SELECT doc_id, CAST(2 + d2 + d3 AS INTEGER), "
+            "  'img/' || v || '/2.jpg', 'c-' || v, "
+            "  CASE WHEN d3 = 1 THEN 'P1 ' || v ELSE 'P0 ' || v END, "
+            "  CAST(NULL AS VARCHAR) "
+            "FROM s"
         ),
     }
 

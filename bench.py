@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "audio_features",
     "video_frames",
     "crawl_frontier",
+    "media_context",
 ]
 
 

@@ -127,3 +127,68 @@ def media_balance_filter(
     return m.withColumn("reject_reason", reason).withColumn(
         "keep", F.col("reject_reason").isNull().cast("int")
     )
+
+
+def media_context(
+    df: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """Image-text alignment rows from the interleaved span stream: for
+    every media span, its alt text plus the nearest non-empty textual
+    span BEFORE and AFTER it in document order — the (image, caption,
+    context) triples a caption-contrastive (CLIP-style) trainer pairs
+    with the pixels. Complements ops/captions.image_captions (which
+    needs the raw markup): this one runs on the already-extracted
+    spans table, no re-parse.
+
+    Columns: (doc_id, seq, media_ref, alt_text, context_before,
+    context_after) — seq is the span's position in the array; missing
+    neighbors and blank alt are NULL.
+
+    Scale shape: pure Catalyst array ops in ONE codegen'd projection —
+    for each media span the before/after texts come from filtered
+    slices of the SAME bound array (spans arrays are page-sized, so the
+    per-element slice is bounded); the explode is a narrow Generate.
+    Zero shuffles, zero Python."""
+    from .hof import bind
+
+    def is_text(s):
+        return (s["kind"] != "media") & s["text"].isNotNull() & (
+            F.length(s["text"]) > 0
+        )
+
+    def mk(spans):
+        n = F.size(spans)
+        return F.filter(
+            F.transform(
+                spans,
+                lambda s, i: F.struct(
+                    i.cast("int").alias("seq"),
+                    s["kind"].alias("kind"),
+                    s["media_ref"].alias("media_ref"),
+                    F.when(
+                        F.length(s["text"]) > 0, s["text"]
+                    ).alias("alt_text"),
+                    F.try_element_at(
+                        F.filter(F.slice(spans, 1, i), is_text),
+                        F.lit(-1),
+                    )["text"].alias("context_before"),
+                    F.try_element_at(
+                        F.filter(
+                            F.slice(spans, i + 2, n), is_text
+                        ),
+                        F.lit(1),
+                    )["text"].alias("context_after"),
+                ),
+            ),
+            lambda s: s["kind"] == "media",
+        )
+
+    rows = bind(F.col(spans_col), mk)
+    return df.select(F.col(id_col), F.explode(rows).alias("m")).select(
+        id_col,
+        "m.seq",
+        "m.media_ref",
+        "m.alt_text",
+        "m.context_before",
+        "m.context_after",
+    )

@@ -3953,3 +3953,44 @@ class TestCrawlFrontier:
         d = spark.createDataFrame([("https://x.com/a",)], "url string")
         (r,) = crawl_frontier(d).collect()
         assert (r.reason, r.fetch) == ("frontier", 1)
+
+
+class TestMediaContext:
+    def test_neighbor_rules(self, spark):
+        from fuzi_spark.ops.assemble import media_context
+
+        spans = [
+            ("media", "lead-alt", "img/l.jpg", 0),  # no preceding text
+            ("paragraph", "intro text", None, 1),
+            ("media", "alt0", "img/a.jpg", 2),
+            ("paragraph", "middle", None, 3),
+            ("media", "", "img/b.jpg", 4),   # blank alt → NULL
+            ("media", "alt2", "img/c.jpg", 5),
+            ("paragraph", "outro", None, 6),
+        ]
+        df = spark.createDataFrame(
+            [(1, spans), (2, [])],
+            "doc_id long, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        got = [
+            tuple(r)
+            for r in media_context(df).orderBy("doc_id", "seq").collect()
+        ]
+        assert got == [
+            (1, 0, "img/l.jpg", "lead-alt", None, "intro text"),
+            (1, 2, "img/a.jpg", "alt0", "intro text", "middle"),
+            (1, 4, "img/b.jpg", None, "middle", "outro"),
+            (1, 5, "img/c.jpg", "alt2", "middle", "outro"),
+        ]
+
+    def test_zero_shuffle_plan(self, spark):
+        from fuzi_spark.ops.assemble import media_context
+
+        df = spark.createDataFrame(
+            [(1, [("media", "a", "r", 0)])],
+            "doc_id long, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        plan = media_context(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan

@@ -324,6 +324,11 @@ CASES = [
      "url-keyed map-side-combinable agg, broadcast left joins for "
      "blocklist/crawled/robots sides — the URL corpus shuffles "
      "once."),
+    ("media_context",
+     "Image-text alignment. Wants: pure array ops in ONE codegen'd "
+     "projection (neighbor texts from filtered slices of the bound "
+     "spans array) + a narrow Generate — zero exchanges, zero "
+     "Python."),
 ]
 
 
