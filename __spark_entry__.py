@@ -2328,6 +2328,35 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer trained end-to-end on the classic weighted corpus
+    (low×5 lower×2 newest×6 widest×3, 6 merges — the textbook example,
+    reproduced by the deterministic tie rule), then applied to
+    formula-built documents. The oracle carries the hand-derivable
+    token sequences: merge learning AND greedy application must both
+    be correct to reproduce them."""
+    from fuzi_spark.ops.bpe import bpe_encode, train_bpe
+
+    train = spark.createDataFrame(
+        [(0, "low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(train, n_merges=6)
+    i = F.col("doc_id")
+    text = (
+        F.when(i % 3 == 0, F.lit("low lower"))
+        .when(i % 3 == 1, F.lit("newest widest"))
+        .otherwise(F.lit("lowest low"))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    enc = bpe_encode(d, merges)
+    return enc.select(
+        "doc_id",
+        F.array_join("tokens", "|").alias("tokens_joined"),
+        "n_tokens",
+    )
+
+
 def q_media_context(spark, sf_dir):
     """Image-text alignment rows over formula-built span arrays: a
     leading media span (no preceding text — context_before must be
@@ -2572,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
         "media_context": q_media_context,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -3735,6 +3765,18 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN d3 = 1 THEN 'P1 ' || v ELSE 'P0 ' || v END, "
             "  CAST(NULL AS VARCHAR) "
             "FROM s"
+        ),
+        "bpe_encode": (
+            "SELECT doc_id, "
+            "  CASE WHEN doc_id % 3 = 0 "
+            "    THEN 'low|</w>|low|e|r|</w>' "
+            "  WHEN doc_id % 3 = 1 "
+            "    THEN 'n|ew|est</w>|w|i|d|est</w>' "
+            "  ELSE 'low|est</w>|low|</w>' END AS tokens_joined, "
+            "  CAST(CASE WHEN doc_id % 3 = 0 THEN 6 "
+            "    WHEN doc_id % 3 = 1 THEN 7 ELSE 4 END AS BIGINT) "
+            "    AS n_tokens "
+            "FROM documents"
         ),
     }
 

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "video_frames",
     "crawl_frontier",
     "media_context",
+    "bpe_encode",
 ]
 
 

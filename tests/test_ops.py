@@ -3994,3 +3994,101 @@ class TestMediaContext:
         )
         plan = media_context(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestBpe:
+    """learn_bpe / apply_bpe / bpe_encode: weighted BPE over the
+    word-count reduction, differential-tested against a naive
+    full-rebuild reference implementation."""
+
+    @staticmethod
+    def _naive_learn(counts, n_merges):
+        from fuzi_spark.ops.bpe import END
+
+        vocab = {}
+        for w, c in counts.items():
+            k = tuple(w) + (END,)
+            vocab[k] = vocab.get(k, 0) + c
+        merges = []
+        for _ in range(n_merges):
+            pairs = {}
+            for sym, c in vocab.items():
+                for p in zip(sym, sym[1:]):
+                    pairs[p] = pairs.get(p, 0) + c
+            if not pairs:
+                break
+            maxn = max(pairs.values())
+            best = min(p for p, n in pairs.items() if n == maxn)
+            merges.append(best)
+            a, b = best
+            nv = {}
+            for sym, c in vocab.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if (
+                        i < len(sym) - 1
+                        and sym[i] == a and sym[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                k = tuple(out)
+                nv[k] = nv.get(k, 0) + c
+            vocab = nv
+        return merges
+
+    def test_incremental_matches_naive(self):
+        import random
+
+        from fuzi_spark.ops.bpe import learn_bpe
+
+        rng = random.Random(7)
+        for trial in range(30):
+            words = [
+                "".join(
+                    rng.choice("abcde")
+                    for _ in range(rng.randrange(1, 8))
+                )
+                for _ in range(rng.randrange(1, 40))
+            ]
+            counts = {}
+            for w in words:
+                counts[w] = counts.get(w, 0) + rng.randrange(1, 9)
+            n = rng.randrange(1, 25)
+            assert learn_bpe(dict(counts), n) == self._naive_learn(
+                dict(counts), n
+            ), trial
+
+    def test_textbook_example(self):
+        from fuzi_spark.ops.bpe import apply_bpe, learn_bpe
+
+        m = learn_bpe(
+            {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 6
+        )
+        assert m == [
+            ("e", "s"), ("es", "t"), ("est", "</w>"),
+            ("l", "o"), ("lo", "w"), ("e", "w"),
+        ]
+        ranks = {p: i for i, p in enumerate(m)}
+        # the held-out word: merges generalize
+        assert apply_bpe("lowest", ranks) == ["low", "est</w>"]
+
+    def test_spark_train_and_encode(self, spark):
+        from fuzi_spark.ops.bpe import bpe_encode, train_bpe
+
+        train = spark.createDataFrame(
+            [(0, "low " * 5 + "lower " * 2),
+             (1, "newest " * 6 + "widest " * 3)],
+            "doc_id long, text string",
+        )
+        merges = train_bpe(train, n_merges=6)
+        d = spark.createDataFrame(
+            [(1, "Lowest LOW"), (2, None)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in bpe_encode(d, merges).collect()}
+        # case-folds like the word-count pass; NULL text stays NULL
+        assert got[1].tokens == ["low", "est</w>", "low", "</w>"]
+        assert got[1].n_tokens == 4
+        assert got[2].tokens is None and got[2].n_tokens is None

@@ -329,6 +329,11 @@ CASES = [
      "projection (neighbor texts from filtered slices of the bound "
      "spans array) + a narrow Generate — zero exchanges, zero "
      "Python."),
+    ("bpe_encode",
+     "BPE apply after corpus-pass training. Wants: ONE "
+     "ArrowEvalPython pass with the merge ranks riding the closure — "
+     "zero corpus exchanges (training's word-count agg is the only "
+     "shuffle, map-side combined)."),
 ]
 
 
