@@ -2167,19 +2167,22 @@ def q_detect_code(spark, sf_dir):
 
 
 def q_image_pixels(spark, sf_dir):
-    """REAL pixel decode for BOTH stdlib codecs, oracle-checked end to
-    end: per doc a solid-color image is ENCODED from formula pixels —
-    even ids as RGB PNG (build_png, zlib scanlines), odd ids as
-    palette GIF (build_gif, real LZW stream) — decoded back by the
-    pure-stdlib decoders and pooled to the 64-dim luma features, so
-    first/last/mean feature must all equal float32(0.299r + 0.587g +
-    0.114b) computed by the SQL oracle in the same IEEE double-then-REAL
-    arithmetic. Proves both pixel paths are real: a header-only or
-    digest-fake implementation cannot predict these values."""
+    """REAL pixel decode for ALL THREE stdlib codecs, oracle-checked
+    end to end: per doc a solid-color image is ENCODED from formula
+    pixels — ids ≡0 (mod 3) as RGB PNG (build_png, zlib scanlines),
+    ≡1 as palette GIF (build_gif, real LZW stream), ≡2 as grayscale
+    baseline JPEG at quality 100 (ops/jpeg.py: huffman entropy coding
+    + DCT; all-ones quant tables make a solid gray bit-exact) — decoded
+    back by the pure-stdlib decoders and pooled to the 64-dim luma
+    features, so first/last/mean feature must all equal the formula
+    luma computed by the SQL oracle in the same IEEE double-then-REAL
+    arithmetic. Proves all three pixel paths are real: a header-only
+    or digest-fake implementation cannot predict these values."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
+    from fuzi_spark.ops.jpeg import encode_baseline
     from fuzi_spark.ops.multimodal import (
         build_gif,
         build_png,
@@ -2193,11 +2196,11 @@ def q_image_pixels(spark, sf_dir):
             i = int(i)
             w, h = 8 + i % 9, 8 + i % 5
             r, g, b = i % 256, (2 * i) % 256, (3 * i) % 256
-            if i % 2 == 0:
+            if i % 3 == 0:
                 px = np.empty((h, w, 3), dtype=np.uint8)
                 px[:, :, 0], px[:, :, 1], px[:, :, 2] = r, g, b
                 out.append(build_png(w, h, pixels=px))
-            else:
+            elif i % 3 == 1:
                 out.append(
                     build_gif(
                         w, h,
@@ -2205,6 +2208,9 @@ def q_image_pixels(spark, sf_dir):
                         palette=bytes([r, g, b]),
                     )
                 )
+            else:
+                px = np.full((h, w), i % 256, dtype=np.uint8)
+                out.append(encode_baseline(px, quality=100))
         return pd.Series(out)
 
     media = _docs(spark, sf_dir).select(
@@ -3658,16 +3664,20 @@ def oracle_sql() -> dict[str, str]:
             "  CAST((3 * doc_id) % 256 AS DOUBLE) AS b "
             "  FROM documents), "
             "l AS (SELECT doc_id, "
-            "  ROUND(CAST(CAST(CAST(0.299 AS DOUBLE) * r "
-            "    + CAST(0.587 AS DOUBLE) * g "
-            "    + CAST(0.114 AS DOUBLE) * b AS REAL) AS DOUBLE), 4) "
-            "    AS v FROM s) "
+            "  CASE WHEN doc_id % 3 = 2 "
+            "    THEN CAST(doc_id % 256 AS DOUBLE) "
+            "    ELSE ROUND(CAST(CAST(CAST(0.299 AS DOUBLE) * r "
+            "      + CAST(0.587 AS DOUBLE) * g "
+            "      + CAST(0.114 AS DOUBLE) * b AS REAL) AS DOUBLE), 4) "
+            "  END AS v FROM s) "
             "SELECT doc_id, "
-            "  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END "
-            "    AS format, "
+            "  CASE WHEN doc_id % 3 = 0 THEN 'png' "
+            "       WHEN doc_id % 3 = 1 THEN 'gif' "
+            "       ELSE 'jpeg' END AS format, "
             "  CAST(8 + doc_id % 9 AS INTEGER) AS width, "
             "  CAST(8 + doc_id % 5 AS INTEGER) AS height, "
-            "  CAST(3 AS INTEGER) AS channels, "
+            "  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END "
+            "    AS INTEGER) AS channels, "
             "  CAST(1 AS INTEGER) AS decode_ok, "
             "  v AS f_first, v AS f_last, v AS mean_f "
             "FROM l"

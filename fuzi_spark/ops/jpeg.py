@@ -1,0 +1,640 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT, huffman) decode + encode in
+pure stdlib + numpy — no image library.
+
+This closes the last multimodal pixel-codec stub: PNG and GIF pixel
+decodes are already real (ops/multimodal.py); with this module JPEG
+images and MJPEG video frames get real pixels too. The decoder reads
+what real encoders emit — arbitrary DQT/DHT tables, 4:4:4 / 4:2:2 /
+4:2:0 subsampling, restart markers, 16-bit quant entries — and returns
+None for anything outside the baseline envelope (progressive SOF2,
+arithmetic coding, 12-bit precision) or for corrupt/truncated streams;
+callers treat None as pixels-unavailable and keep the header-only path.
+
+The encoder exists to build test fixtures and synthetic corpora: it
+emits spec-legal baseline interleaved scans with self-describing DHT
+segments (simple canonical fixed-length tables — any decoder must read
+the tables from the stream, so optimal huffman lengths buy nothing for
+fixtures). At quality=100 every quant entry is 1, so a solid-gray
+image round-trips BIT-EXACTLY (DC-only blocks, zero AC, no chroma
+error) — which is what lets the SQL oracle predict decoded features
+from the construction formula (see q_image_pixels).
+
+Determinism: both directions are pure functions of their input bytes /
+pixels. The IDCT/FDCT are the exact orthonormal DCT-II matrices in
+float64 (T.81 Annex A defines the ideal transform; integer-DCT
+implementations approximate it, we don't have to).
+
+Scale note: entropy decoding walks the bitstream in Python (sequential
+data dependence, same caveat as the PNG unfilter walk) — fine for
+web-sized images inside an Arrow batch; a cluster image that ships
+PIL/libjpeg takes over via the existing _have_pil gate in
+ops/multimodal.py.
+
+Reference parity note: the reference (kylehughes/Fuzi) has no media
+surface (/root/reference/Sources is XML/HTML only) — this is
+pipeline-brief scope (multimodal training-data preparation).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+
+# zigzag scan order: ZIGZAG[i] = natural (row-major) index of the i-th
+# coefficient in transmission order (T.81 Figure A.6).
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# T.81 Annex K.1 example quantization tables (the de-facto standard
+# base tables every IJG-derived encoder scales by quality).
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix C: FDCT F = C @ B @ C.T,
+    IDCT B = C.T @ F @ C."""
+    x = np.arange(8, dtype=np.float64)
+    u = x.reshape(-1, 1)
+    c = np.cos((2 * x + 1) * u * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: q<50 → 5000/q %, else (200−2q) %; entries
+    clamped to [1, 255]. quality=100 ⇒ all-ones (lossless-for-DC)."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+# --------------------------------------------------------------- decode
+
+
+class _BitReader:
+    """MSB-first bit reader over one entropy-coded segment (stuffing
+    already removed). Raises IndexError past the end — the decoder's
+    single corrupt-stream signal, caught at the top level."""
+
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.pos
+        if p + n > len(self.bits):
+            raise IndexError("bitstream exhausted")
+        self.pos = p + n
+        v = 0
+        for b in self.bits[p:p + n]:
+            v = (v << 1) | int(b)
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        length = 0
+        bits = self.bits
+        p = self.pos
+        n = len(bits)
+        while length < 16:
+            if p >= n:
+                raise IndexError("bitstream exhausted")
+            code = (code << 1) | int(bits[p])
+            p += 1
+            length += 1
+            v = table.get((length, code))
+            if v is not None:
+                self.pos = p
+                return v
+        raise IndexError("invalid huffman code")
+
+
+def _build_huff(bits: list, vals: bytes) -> dict:
+    """Canonical huffman per T.81 C.2: {(length, code): value}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s-bit magnitude to signed value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _split_scan(buf: bytes, pos: int):
+    """Entropy-coded data from pos: unstuff 0xFF00, split at RSTn,
+    stop at any other marker. Returns list of segments (bytes)."""
+    segs = []
+    cur = bytearray()
+    n = len(buf)
+    i = pos
+    while i < n:
+        b = buf[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = buf[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif m == 0xFF:  # fill byte
+            i += 1
+        else:  # real marker: end of scan
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def decode_baseline(content) -> Optional[np.ndarray]:
+    """Decode a baseline (SOF0/SOF1, huffman) JPEG to an (h, w, c)
+    uint8 array — c=3 RGB for color streams, c=1 for grayscale. None
+    for progressive/arithmetic/12-bit streams, missing tables, or
+    corrupt/truncated entropy data. Never raises."""
+    try:
+        return _decode(bytes(content))
+    except Exception:
+        return None
+
+
+def _decode(buf: bytes) -> Optional[np.ndarray]:
+    if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
+        return None
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    dri = 0
+    i = 2
+    n = len(buf)
+    while i + 4 <= n:
+        if buf[i] != 0xFF:
+            i += 1
+            continue
+        marker = buf[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        seglen = struct.unpack(">H", buf[i + 2:i + 4])[0]
+        seg = buf[i + 4:i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(
+                        seg[p:p + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(
+                        seg[p:p + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 128
+                if len(tbl) != 64:
+                    return None
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = tbl  # store in natural order
+                qt[tq] = nat
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1:p + 17])
+                cnt = sum(bits)
+                vals = seg[p + 17:p + 17 + cnt]
+                if len(vals) != cnt:
+                    return None
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(
+                    bits, vals
+                )
+                p += 17 + cnt
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext seq
+            prec = seg[0]
+            if prec != 8:
+                return None
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if h == 0 or w == 0 or ncomp not in (1, 3, 4):
+                return None
+            comps = []
+            for k in range(ncomp):
+                cid = seg[6 + 3 * k]
+                hv = seg[7 + 3 * k]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15,
+                     "tq": seg[8 + 3 * k]}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / lossless / arithmetic
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            ns = seg[0]
+            if ns != len(frame["comps"]):
+                return None  # multi-scan not supported
+            for k in range(ns):
+                cid = seg[1 + 2 * k]
+                td, ta = seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 15
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cid), None
+                )
+                if comp is None:
+                    return None
+                comp["td"], comp["ta"] = td, ta
+            return _decode_scan(
+                buf, i + 2 + seglen, frame, qt, huff_dc, huff_ac, dri
+            )
+        i += 2 + seglen
+    return None
+
+
+def _decode_scan(buf, pos, frame, qt, huff_dc, huff_ac, dri):
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax == 0 or vmax == 0 or hmax > 4 or vmax > 4:
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        if c["tq"] not in qt or c["td"] not in huff_dc \
+                or c["ta"] not in huff_ac:
+            return None
+        c["qtab"] = qt[c["tq"]].astype(np.float64)
+        c["dctab"] = huff_dc[c["td"]]
+        c["actab"] = huff_ac[c["ta"]]
+        c["plane"] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+        c["pred"] = 0
+
+    segs = _split_scan(buf, pos)
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    n_mcu = mcux * mcuy
+    coef = np.zeros(64, dtype=np.float64)
+    for m in range(n_mcu):
+        if dri and m and m % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                return None  # truncated: missing restart segment
+            reader = _BitReader(segs[seg_i])
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef[:] = 0.0
+                    s = reader.huff(c["dctab"])
+                    if s > 11:
+                        return None
+                    diff = _extend(reader.read(s), s)
+                    c["pred"] += diff
+                    coef[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = reader.huff(c["actab"])
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            return None
+                        coef[ZIGZAG[k]] = _extend(
+                            reader.read(sz), sz
+                        )
+                        k += 1
+                    block = (coef * c["qtab"]).reshape(8, 8)
+                    px = _C.T @ block @ _C + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    c["plane"][y0:y0 + 8, x0:x0 + 8] = px
+
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        planes.append(p[:h, :w])
+    if len(comps) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    if len(comps) == 4:
+        return None  # CMYK out of envelope
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------- encode
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF→0xFF00 stuffing; flush pads the
+    final byte with 1-bits (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _enc_tables():
+    """Fixture huffman tables (self-described in DHT, so any valid
+    table works): DC = twelve 4-bit codes for categories 0–11; AC =
+    162 8-bit codes for every (run, size) symbol. Canonical codes;
+    the all-ones code of each length stays unused as T.81 C.2 wants."""
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = bytes(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_syms.sort()
+    ac_bits = [0] * 16
+    ac_bits[7] = 162
+    ac_vals = bytes(ac_syms)
+    return dc_bits, dc_vals, ac_bits, ac_vals
+
+
+def _enc_codes(bits, vals):
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _csize(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_block(
+    wr: _BitWriter, block: np.ndarray, qtab: np.ndarray,
+    pred: int, dc_codes: dict, ac_codes: dict,
+) -> int:
+    f = _C @ (block - 128.0) @ _C.T
+    q = np.round(f / qtab.reshape(8, 8)).astype(np.int64)
+    zz = q.ravel()[ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred
+    s = _csize(diff)
+    code, ln = dc_codes[s]
+    wr.write(code, ln)
+    if s:
+        wr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    run = 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            wr.write(code, ln)
+            run -= 16
+        s = _csize(v)
+        code, ln = ac_codes[(run << 4) | s]
+        wr.write(code, ln)
+        wr.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]
+        wr.write(code, ln)
+    return dc
+
+
+def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_baseline(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8
+    array as a baseline interleaved JPEG. quality per IJG scaling
+    (100 ⇒ all-ones quant tables); subsampling '4:4:4' or '4:2:0'
+    (color only); restart_interval in MCUs (0 = none)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("bad dimensions")
+    if ch not in (1, 3):
+        raise ValueError("grayscale or RGB only")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be 4:4:4 or 4:2:0")
+    gray = ch == 1
+    qy = scale_quant(QT_LUMA, quality)
+    qc = scale_quant(QT_CHROMA, quality)
+    sub = 2 if (not gray and subsampling == "4:2:0") else 1
+
+    a = arr.astype(np.float64)
+    if gray:
+        planes = [a[:, :, 0]]
+    else:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sub == 2:
+            cbp = _pad_edge(cb, 2)
+            crp = _pad_edge(cr, 2)
+            cb = cbp.reshape(
+                cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2
+            ).mean(axis=(1, 3))
+            cr = crp.reshape(
+                crp.shape[0] // 2, 2, crp.shape[1] // 2, 2
+            ).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+
+    mcu = 8 * sub
+    planes[0] = _pad_edge(planes[0], mcu)
+    for i in range(1, len(planes)):
+        planes[i] = _pad_edge(planes[i], 8)
+        # chroma plane must cover ceil(padded_luma / sub) blocks
+        need_h = planes[0].shape[0] // sub
+        need_w = planes[0].shape[1] // sub
+        p = planes[i]
+        planes[i] = np.pad(
+            p,
+            ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])),
+            mode="edge",
+        )
+
+    dc_bits, dc_vals, ac_bits, ac_vals = _enc_tables()
+    dc_codes = _enc_codes(dc_bits, dc_vals)
+    ac_codes = _enc_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tq, tbl in ((0, qy),) + ((1, qc),) if not gray else ((0, qy),):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(x) for x in tbl[ZIGZAG])  # zigzag order
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08"
+    out += struct.pack(">HH", h, w) + bytes([ncomp])
+    if gray:
+        out += bytes([1, 0x11, 0])
+    else:
+        out += bytes([1, (sub << 4) | sub, 0, 2, 0x11, 1, 3, 0x11, 1])
+    for tc_th in (0x00, 0x10) if gray else (0x00, 0x10, 0x01, 0x11):
+        bits, vals = (
+            (dc_bits, dc_vals) if (tc_th >> 4) == 0
+            else (ac_bits, ac_vals)
+        )
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([tc_th]) + bytes(bits) + vals
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4)
+        out += struct.pack(">H", restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp)
+    out += bytes([ncomp])
+    if gray:
+        out += bytes([1, 0x00])
+    else:
+        out += bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    out += b"\x00\x3f\x00"
+
+    qtabs = [qy.astype(np.float64)] + (
+        [] if gray else [qc.astype(np.float64)] * 2
+    )
+    samp = [(sub, sub)] + ([] if gray else [(1, 1), (1, 1)])
+    mcux = planes[0].shape[1] // mcu
+    mcuy = planes[0].shape[0] // mcu
+    wr = _BitWriter()
+    preds = [0] * ncomp
+    m = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and m and m % restart_interval == 0:
+                wr.flush()
+                out += wr.out
+                out += bytes(
+                    [0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]
+                )
+                wr = _BitWriter()
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                hs, vs = samp[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        block = planes[ci][y0:y0 + 8, x0:x0 + 8]
+                        preds[ci] = _encode_block(
+                            wr, block, qtabs[ci], preds[ci],
+                            dc_codes, ac_codes,
+                        )
+            m += 1
+    wr.flush()
+    out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)

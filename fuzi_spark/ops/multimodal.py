@@ -9,13 +9,17 @@ REAL too: decode_png_pixels inflates and unfilters baseline PNGs with
 stdlib zlib + numpy (all five filters, color types 0/2/3/4/6), and
 decode_gif_pixels implements the GIF LZW variant (variable code width,
 clear/KwKwK, interlace, local/global palettes) — so PNG/GIF features and
-thumbnails are computed from actual pixels. JPEG pixel work still
-requires a codec: it uses PIL when present, and otherwise a DETERMINISTIC
-FAKE seeded from the content digest (the documented stub — the container
-ships no JPEG codec, and baseline-DCT entropy decoding is out of scope
-for a stdlib reimplementation), with the same schema so every downstream
-operator stays exercisable. Unparseable image bytes are a decode failure
-(decode_ok=0), never a fake success.
+thumbnails are computed from actual pixels. JPEG PIXELS are REAL as
+well: ops/jpeg.py is a from-scratch baseline-JPEG (T.81 sequential DCT)
+decoder — huffman entropy decode, dequant, exact float IDCT, 4:2:0/4:2:2
+chroma upsample, restart markers — so JPEG images AND MJPEG video frames
+(via parse_avi's real frame byte ranges) feed real pixels to features,
+thumbnails, and frame sampling. PIL, when present, still takes over via
+_have_pil (faster C path, plus formats we don't decode). The remaining
+DETERMINISTIC digest-seeded FAKES — progressive JPEG, non-MJPEG video
+codecs, non-WAV audio (no libav in this container) — keep the same
+schema so every downstream operator stays exercisable. Unparseable
+image bytes are a decode failure (decode_ok=0), never a fake success.
 """
 
 from __future__ import annotations
@@ -791,8 +795,8 @@ def _block_pool(gray: np.ndarray, t: int) -> np.ndarray:
 
 
 def decode_image_pixels(content, fmt: Optional[str] = None):
-    """Dispatch to the real pure-stdlib pixel decoders (PNG, GIF);
-    None for JPEG and out-of-envelope streams."""
+    """Dispatch to the real pure-stdlib pixel decoders (PNG, GIF,
+    baseline JPEG); None for out-of-envelope streams."""
     if fmt is None:
         header = parse_image_header(content)
         fmt = header[0] if header else None
@@ -800,6 +804,10 @@ def decode_image_pixels(content, fmt: Optional[str] = None):
         return decode_png_pixels(content)
     if fmt == "gif":
         return decode_gif_pixels(content)
+    if fmt == "jpeg":
+        from fuzi_spark.ops.jpeg import decode_baseline
+
+        return decode_baseline(content)
     return None
 
 
@@ -838,11 +846,13 @@ def decode_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     """mapInPandas: media rows → decoded metadata + feature vector.
 
     Images: format/width/height/channels come from the REAL container
-    header parse; the feature vector is a PIL 8x8 grayscale thumbnail when
-    PIL is present, else a deterministic content-digest fake (the
-    documented pixel-codec stub). Bytes that parse as no known image
-    format are decode_ok=0 — never a fake success. Non-image media keeps
-    the digest-seeded fake (no libav in this container)."""
+    header parse; the feature vector is the 8×8 block-mean luma of the
+    REAL decoded pixels (stdlib PNG/GIF/baseline-JPEG decoders; PIL
+    takes over when present), falling back to the deterministic
+    content-digest fake only for out-of-envelope streams (progressive
+    JPEG, 16-bit PNG). Bytes that parse as no known image format are
+    decode_ok=0 — never a fake success. Non-image media keeps the
+    digest-seeded fake except WAV audio (real PCM decode)."""
     use_pil = _have_pil()
     for pdf in batches:
         rows = {
@@ -884,9 +894,10 @@ def decode_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                             ).ravel()
                         except Exception:
                             feats = None
-                    if feats is None and fmt in ("png", "gif"):
+                    if feats is None and fmt in ("png", "gif", "jpeg"):
                         # REAL pixels, no image library: stdlib
-                        # inflate/LZW + unfilter, 8×8 block-mean luma
+                        # inflate/LZW/baseline-DCT decode, 8×8
+                        # block-mean luma
                         feats = _pixel_features(content, fmt)
                     if feats is None:
                         feats = _fake_decode(content)[3]
@@ -1005,10 +1016,16 @@ FRAMES_SCHEMA = StructType(
 
 def make_frame_sample_fn(n_frames: int = 4, fps_ms: int = 1000):
     """mapInPandas: video rows → n_frames sampled frame-feature rows each
-    (1 input row → N output rows, the frame-explosion shape). The decoder
-    is STUBBED (no libav in this container): frame features are
-    deterministic from (content digest, frame index); timestamps follow
-    the sampling grid."""
+    (1 input row → N output rows, the frame-explosion shape).
+
+    REAL path for MJPEG-in-AVI: parse_avi's frame byte ranges pick an
+    even sampling grid over the actual frames, timestamps come from the
+    container's microseconds-per-frame, and features are the 8×8
+    block-mean luma of the REAL baseline-JPEG frame decode (ops/jpeg.py)
+    — frame_idx is the sampled frame's real index in the stream. Videos
+    outside that envelope (non-AVI containers, non-JPEG frame payloads —
+    no libav in this container) keep the deterministic digest-seeded
+    fake on the fps_ms grid so the explosion shape stays exercisable."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1016,6 +1033,32 @@ def make_frame_sample_fn(n_frames: int = 4, fps_ms: int = 1000):
             for i in range(len(pdf)):
                 ref = pdf["media_ref"].iloc[i]
                 content = pdf["content"].iloc[i]
+                parsed = parse_avi(content)
+                if parsed is not None and parsed[3]:
+                    _w, _h, uspf, frames = parsed
+                    body = bytes(content)
+                    take = min(n_frames, len(frames))
+                    for s in range(take):
+                        fi = (s * len(frames)) // take
+                        off, size = frames[fi]
+                        feats = _pixel_features(
+                            body[off:off + size], "jpeg"
+                        )
+                        if feats is None:
+                            dig = hashlib.blake2b(
+                                body[off:off + size], digest_size=32
+                            ).digest()
+                            rng = np.random.RandomState(
+                                int.from_bytes(dig[:4], "little")
+                            )
+                            feats = rng.randn(_FEATURE_DIM).astype(
+                                np.float32
+                            )
+                        rows["media_ref"].append(ref)
+                        rows["frame_idx"].append(fi)
+                        rows["ts_ms"].append(fi * uspf // 1000)
+                        rows["features"].append(feats)
+                    continue
                 dig = hashlib.blake2b(content or b"", digest_size=32).digest()
                 for f in range(n_frames):
                     rng = np.random.RandomState(

@@ -4092,3 +4092,242 @@ class TestBpe:
         assert got[1].tokens == ["low", "est</w>", "low", "</w>"]
         assert got[1].n_tokens == 4
         assert got[2].tokens is None and got[2].n_tokens is None
+
+
+class TestJpegCodec:
+    """Baseline JPEG decode (ops/jpeg.py): hand-derived spec fixtures
+    anchor the decoder independently of our own encoder; round-trips
+    cover subsampling, restart markers, padding, and totality."""
+
+    def test_hand_fixture_dc_only(self):
+        """Minimal grayscale JPEG assembled byte-by-byte from T.81:
+        all-ones quant, DC category-4 value 8, EOB — every pixel must
+        decode to exactly 129 (8/8 + 128). Pins huffman canonical code
+        construction, EXTEND, dequant, IDCT scale, level shift."""
+        import numpy as np
+
+        import struct
+
+        from fuzi_spark.ops.jpeg import decode_baseline
+
+        soi = b"\xff\xd8"
+        dqt = (
+            b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+            + bytes([1] * 64)
+        )
+        sof = (
+            b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 8, 8) + b"\x01" + bytes([1, 0x11, 0])
+        )
+        dht_dc = (
+            b"\xff\xc4" + struct.pack(">H", 21) + b"\x00"
+            + bytes([0, 2] + [0] * 14) + bytes([0, 4])
+        )
+        dht_ac = (
+            b"\xff\xc4" + struct.pack(">H", 20) + b"\x10"
+            + bytes([1] + [0] * 15) + bytes([0x00])
+        )
+        sos = (
+            b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
+            + bytes([1, 0x00]) + b"\x00\x3f\x00"
+        )
+        jpg = soi + dqt + sof + dht_dc + dht_ac + sos + b"\x61\xff\xd9"
+        out = decode_baseline(jpg)
+        assert out is not None and out.shape == (8, 8, 1)
+        assert (out == 129).all()
+
+    def test_hand_fixture_ac_coefficient(self):
+        """Same stream plus one AC coefficient ((0,1) symbol, +1 at
+        zigzag k=1): decode must equal the independent IDCT of
+        F[0,0]=8, F[0,1]=1 — pins the zigzag placement and AC
+        run/size decode."""
+        import numpy as np
+
+        import struct
+
+        from fuzi_spark.ops.jpeg import decode_baseline
+
+        soi = b"\xff\xd8"
+        dqt = (
+            b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+            + bytes([1] * 64)
+        )
+        sof = (
+            b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 8, 8) + b"\x01" + bytes([1, 0x11, 0])
+        )
+        dht_dc = (
+            b"\xff\xc4" + struct.pack(">H", 21) + b"\x00"
+            + bytes([0, 2] + [0] * 14) + bytes([0, 4])
+        )
+        dht_ac2 = (
+            b"\xff\xc4" + struct.pack(">H", 21) + b"\x10"
+            + bytes([0, 2] + [0] * 14) + bytes([0x00, 0x01])
+        )
+        sos = (
+            b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
+            + bytes([1, 0x00]) + b"\x00\x3f\x00"
+        )
+        jpg = (
+            soi + dqt + sof + dht_dc + dht_ac2 + sos
+            + b"\x61\x9f\xff\xd9"
+        )
+        out = decode_baseline(jpg)
+        assert out is not None
+        c = np.zeros((8, 8))
+        x = np.arange(8)
+        for u in range(8):
+            c[u] = np.cos((2 * x + 1) * u * np.pi / 16) * np.sqrt(0.25)
+        c[0] = np.sqrt(0.125)
+        f = np.zeros((8, 8))
+        f[0, 0] = 8
+        f[0, 1] = 1
+        exp = np.clip(np.round(c.T @ f @ c + 128), 0, 255).astype(
+            np.uint8
+        )
+        assert (out[:, :, 0] == exp).all()
+
+    def test_solid_gray_quality100_bit_exact(self):
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import decode_baseline, encode_baseline
+
+        for v in (0, 7, 61, 128, 254, 255):
+            a = np.full((13, 21), v, dtype=np.uint8)
+            out = decode_baseline(encode_baseline(a, quality=100))
+            assert out is not None and out.shape == (13, 21, 1)
+            assert (out[:, :, 0] == v).all(), v
+        # solid gray RGB: Y==v exactly, Cb=Cr=128 -> exact too
+        a = np.full((10, 14, 3), 77, dtype=np.uint8)
+        out = decode_baseline(encode_baseline(a, quality=100))
+        assert out.shape == (10, 14, 3) and (out == 77).all()
+
+    def test_roundtrip_psnr_all_paths(self):
+        """Smooth gradient image: encode/decode PSNR must clear 40 dB
+        at q90 in 4:4:4 and 4:2:0, with and without restart markers,
+        across non-multiple-of-8/16 dimensions."""
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import decode_baseline, encode_baseline
+
+        yy, xx = np.mgrid[0:45, 0:61]
+        img = np.stack(
+            [(yy * 3) % 256, (xx * 2) % 256, (xx + yy) % 256], axis=2
+        ).astype(np.uint8)
+        for kw in (
+            {"subsampling": "4:4:4"},
+            {"subsampling": "4:2:0"},
+            {"subsampling": "4:4:4", "restart_interval": 3},
+            {"subsampling": "4:2:0", "restart_interval": 2},
+        ):
+            out = decode_baseline(encode_baseline(img, quality=90, **kw))
+            assert out is not None and out.shape == img.shape, kw
+            err = out.astype(float) - img.astype(float)
+            psnr = 10 * np.log10(255.0 ** 2 / (err ** 2).mean())
+            assert psnr > 40.0, (kw, psnr)
+
+    def test_grayscale_roundtrip(self):
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import decode_baseline, encode_baseline
+
+        rng = np.random.RandomState(3)
+        img = (
+            np.cumsum(rng.randint(-3, 4, (24, 31)), axis=1) % 200 + 20
+        ).astype(np.uint8)
+        out = decode_baseline(encode_baseline(img, quality=95))
+        assert out.shape == (24, 31, 1)
+        err = out[:, :, 0].astype(float) - img.astype(float)
+        psnr = 10 * np.log10(255.0 ** 2 / (err ** 2).mean())
+        assert psnr > 35.0, psnr
+
+    def test_out_of_envelope_and_totality(self):
+        """Progressive SOF2 -> None; truncation at every marker
+        boundary and random byte corruption never raise."""
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import decode_baseline, encode_baseline
+
+        img = np.full((16, 16), 90, dtype=np.uint8)
+        enc = bytearray(encode_baseline(img, quality=80))
+        # flip SOF0 -> SOF2 (progressive): must refuse, not garble
+        i = bytes(enc).find(b"\xff\xc0")
+        prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2:])
+        assert decode_baseline(prog) is None
+        assert decode_baseline(b"") is None
+        assert decode_baseline(None) is None
+        assert decode_baseline(b"\xff\xd8\xff\xd9") is None
+        import random
+
+        rnd = random.Random(11)
+        for cut in range(0, len(enc), max(1, len(enc) // 37)):
+            decode_baseline(bytes(enc[:cut]))  # must not raise
+        for _ in range(60):
+            j = rnd.randrange(len(enc))
+            mut = bytearray(enc)
+            mut[j] ^= 1 << rnd.randrange(8)
+            decode_baseline(bytes(mut))  # must not raise
+
+    def test_features_and_thumbnail_are_real_for_jpeg(self, spark):
+        """decode_features_df and resize_images_df must compute JPEG
+        features from REAL pixels now: a solid-gray baseline JPEG at
+        q100 yields features identically equal to the gray value — the
+        digest-fake path cannot do that."""
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import encode_baseline
+        from fuzi_spark.ops.multimodal import (
+            MEDIA_SCHEMA,
+            decode_features_df,
+            resize_images_df,
+        )
+
+        img = np.full((12, 17), 201, dtype=np.uint8)
+        rows = [
+            (
+                "img/real.jpg", "image",
+                encode_baseline(img, quality=100),
+                "jpg", None, None, None,
+            )
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        r = decode_features_df(media).collect()[0]
+        assert r.format == "jpeg" and r.decode_ok == 1
+        assert (r.width, r.height, r.channels) == (17, 12, 1)
+        assert all(f == 201.0 for f in r.features)
+        t = resize_images_df(media, target=8).collect()[0]
+        assert bytes(t.thumb) == bytes([201] * 64)
+
+    def test_frame_sample_real_mjpeg(self, spark):
+        """frame_sample_df over a REAL MJPEG AVI: sampled frame_idx
+        follows the even grid over the true frame count, ts_ms comes
+        from container timing, and features equal each frame's real
+        solid gray value."""
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import encode_baseline
+        from fuzi_spark.ops.multimodal import (
+            MEDIA_SCHEMA,
+            build_avi,
+            frame_sample_df,
+        )
+
+        frames = [
+            encode_baseline(
+                np.full((8, 8), 10 * k, dtype=np.uint8), quality=100
+            )
+            for k in range(9)
+        ]
+        avi = build_avi(8, 8, 25.0, frames)  # 40_000 us/frame
+        media = spark.createDataFrame(
+            [("vid/real.avi", "video", avi, "avi", None, None, None)],
+            MEDIA_SCHEMA,
+        )
+        out = sorted(
+            frame_sample_df(media, n_frames=4).collect(),
+            key=lambda r: r.frame_idx,
+        )
+        assert [r.frame_idx for r in out] == [0, 2, 4, 6]
+        assert [r.ts_ms for r in out] == [0, 80, 160, 240]
+        for r in out:
+            assert all(f == 10.0 * r.frame_idx for f in r.features)
