@@ -2363,6 +2363,55 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_image_dedup(spark, sf_dir):
+    """Perceptual-hash image dedup over REAL pixels: per doc a
+    structured picture (seeded 8×8 random blocks upsampled to 64×64,
+    seed = doc_id % 50) is encoded as a lossless PNG, pHashed through
+    the real decode path, and exact-deduped on the 64-bit hash.
+    Identical pictures (same doc_id mod 50) MUST collide and distinct
+    pictures MUST NOT (test_formula_pictures_all_distinct pins all 50
+    hashes distinct at min pairwise hamming ≥ 12), so the SQL oracle
+    can replay group sizes and canonical-keep flags from the formula
+    alone. A header-only or digest-fake pipeline cannot reproduce this
+    grouping."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.multimodal import build_png
+    from fuzi_spark.ops.phash import phash_dedup_groups, phash_df
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            rng = np.random.RandomState(int(i) % 50)
+            base = rng.randint(0, 256, (8, 8))
+            img = np.kron(
+                base, np.ones((8, 8), dtype=np.int64)
+            ).astype(np.uint8)
+            out.append(
+                build_png(64, 64, pixels=np.stack([img] * 3, axis=2))
+            )
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("img/"), F.col("doc_id").cast("string"), F.lit(".png")
+        ).alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    groups = phash_dedup_groups(phash_df(media))
+    return groups.select(
+        F.regexp_extract("media_ref", r"img/(\d+)\.png", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "group_size",
+        "keep",
+    )
+
+
 def q_media_context(spark, sf_dir):
     """Image-text alignment rows over formula-built span arrays: a
     leading media span (no preceding text — context_before must be
@@ -2608,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "media_context": q_media_context,
         "bpe_encode": q_bpe_encode,
+        "image_dedup": q_image_dedup,
     }
 
 
@@ -3787,6 +3837,16 @@ def oracle_sql() -> dict[str, str]:
             "    WHEN doc_id % 3 = 1 THEN 7 ELSE 4 END AS BIGINT) "
             "    AS n_tokens "
             "FROM documents"
+        ),
+        "image_dedup": (
+            "WITH m AS (SELECT doc_id, "
+            "  'img/' || CAST(doc_id AS VARCHAR) || '.png' AS ref, "
+            "  doc_id % 50 AS g FROM documents) "
+            "SELECT doc_id, "
+            "  COUNT(*) OVER (PARTITION BY g) AS group_size, "
+            "  CAST(CASE WHEN ref = MIN(ref) OVER (PARTITION BY g) "
+            "    THEN 1 ELSE 0 END AS INTEGER) AS keep "
+            "FROM m"
         ),
     }
 

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "crawl_frontier",
     "media_context",
     "bpe_encode",
+    "image_dedup",
 ]
 
 

@@ -1,0 +1,249 @@
+"""Perceptual image hashing (pHash) and image-level deduplication.
+
+The LAION-style image dedup pass for multimodal training corpora: a
+64-bit DCT perceptual hash per image, exact dedup by hash equality,
+near-dup pairs by hamming distance. Built on the repo's REAL pixel
+decoders (ops/multimodal.py PNG/GIF + ops/jpeg.py baseline JPEG) — the
+hash is a function of actual pixels, so recompressed / re-encoded
+copies of the same picture collide while different pictures don't.
+
+Algorithm (the classic pHash construction):
+1. decode → grayscale luma → mean-pool to 32×32 (the shared
+   _block_pool contract, so any input size normalizes identically);
+2. 2-D orthonormal DCT-II (exact float64 matrix, same transform family
+   as ops/jpeg.py);
+3. keep the top-left 8×8 low-frequency block, DROP the DC term, and
+   threshold the remaining 63 coefficients at their median — bit k is
+   1 iff coefficient k exceeds the median (bit 63, the DC slot, is
+   always 0). Median-thresholding makes the hash invariant to global
+   brightness/contrast scaling; dropping DC makes it invariant to
+   brightness offsets.
+
+Spark shapes:
+- phash_df: one narrow mapInPandas over the media table (the same
+  repartition-by-media_ref skew spread as decode_features_df) — no
+  shuffle beyond the explicit spread, hash computed once per image.
+- phash_dedup_groups: exact dedup = ONE map-side-combinable groupBy on
+  the 8-byte hash — the cheapest possible shuffle key at 10^12 images.
+- phash_near_dups: hamming ≤ k pairs WITHOUT the all-pairs join — the
+  same pigeonhole chunk join as ops/dedup.simhash_near_dups (split the
+  64-bit hash into k+1 chunks; any pair within hamming k shares at
+  least one exact chunk, which becomes the equi-join key). Bucket
+  sizes bound the join fan-out exactly as in the text simhash case.
+
+Determinism / operating point: the hash is bit-reproducible for a
+given pixel array within one BLAS environment; across environments the
+float DCT can flip bits whose coefficients sit within rounding jitter
+of the median (measured: 0 for natural-spectrum images, up to ~8 for
+pathological blocky synthetics recompressed at q85 — see
+TestPhash.test_dedup_groups_and_near_dups). Exact-equality dedup
+(phash_dedup_groups) therefore targets byte-identical or losslessly
+re-encoded copies computed within one job — the planted-oracle design;
+hamming thresholds for near-dups are operating points to be tuned per
+corpus, like the text simhash threshold.
+
+Reference parity note: the reference (kylehughes/Fuzi) has no media
+surface — this is pipeline-brief scope (multimodal training-data
+preparation at 100 TB).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from fuzi_spark.ops.cache import scoped_persist
+from fuzi_spark.ops.multimodal import (
+    _block_pool,
+    _gray,
+    decode_image_pixels,
+)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    x = np.arange(n, dtype=np.float64)
+    u = x.reshape(-1, 1)
+    c = np.cos((2 * x + 1) * u * np.pi / (2 * n)) * np.sqrt(2.0 / n)
+    c[0, :] = np.sqrt(1.0 / n)
+    return c
+
+
+_C32 = _dct_matrix(32)
+
+
+def phash_from_pixels(arr: np.ndarray) -> int:
+    """64-bit pHash of an (h, w, c) uint8 pixel array. Bit k (0..62,
+    LSB-first over the 8×8 low-frequency block in row-major order,
+    skipping the DC slot which is always 0) = coefficient > median."""
+    g = _block_pool(_gray(arr), 32)
+    coef = (_C32 @ g @ _C32.T)[:8, :8].ravel()
+    ac = coef[1:]  # drop DC
+    med = np.median(ac)
+    bits = ac > med
+    h = 0
+    for k in range(63):
+        if bits[k]:
+            h |= 1 << k
+    return h
+
+
+def phash_bytes(content, fmt: Optional[str] = None) -> Optional[int]:
+    """pHash of encoded image bytes via the real stdlib decoders;
+    None when pixels are unavailable (out-of-envelope or corrupt)."""
+    arr = decode_image_pixels(content, fmt)
+    if arr is None:
+        return None
+    return phash_from_pixels(arr)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("phash", LongType()),
+        StructField("decode_ok", IntegerType()),
+    ]
+)
+
+
+def _phash_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {
+            "media_ref": [],
+            "width": [],
+            "height": [],
+            "phash": [],
+            "decode_ok": [],
+        }
+        for i in range(len(pdf)):
+            rows["media_ref"].append(pdf["media_ref"].iloc[i])
+            arr = decode_image_pixels(pdf["content"].iloc[i])
+            if arr is None:
+                rows["width"].append(None)
+                rows["height"].append(None)
+                rows["phash"].append(None)
+                rows["decode_ok"].append(0)
+            else:
+                h, w = arr.shape[:2]
+                p = phash_from_pixels(arr)
+                # store as signed 64-bit (bit 63 is always 0 by
+                # construction, so no sign wrap in practice)
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["phash"].append(int(np.int64(np.uint64(p))))
+                rows["decode_ok"].append(1)
+        yield pd.DataFrame(rows)
+
+
+def phash_df(media: DataFrame) -> DataFrame:
+    """media(MEDIA_SCHEMA image rows) → PHASH_SCHEMA. Repartitions by
+    media_ref hash first (giant-binary skew spread, same contract as
+    decode_features_df)."""
+    return (
+        media.filter(F.col("media_type") == "image")
+        .repartition(
+            media.sparkSession.sparkContext.defaultParallelism,
+            "media_ref",
+        )
+        .mapInPandas(_phash_fn, schema=PHASH_SCHEMA)
+    )
+
+
+def phash_dedup_groups(hashed: DataFrame) -> DataFrame:
+    """Exact perceptual dedup: (media_ref, phash, group_size, keep)
+    where keep=1 marks the lexicographically-smallest media_ref of each
+    hash group (the canonical copy). One map-side-combinable shuffle on
+    the 8-byte hash; undecodable rows (phash NULL) are all kept — a
+    decode failure is never evidence of duplication."""
+    w = (
+        hashed.filter(F.col("phash").isNotNull())
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("media_ref").alias("_canon"),
+        )
+    )
+    dec = hashed.filter(F.col("phash").isNotNull()).join(w, "phash")
+    out = dec.select(
+        "media_ref",
+        "phash",
+        "group_size",
+        F.when(F.col("media_ref") == F.col("_canon"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )
+    und = hashed.filter(F.col("phash").isNull()).select(
+        "media_ref",
+        "phash",
+        F.lit(1).cast("long").alias("group_size"),
+        F.lit(1).alias("keep"),
+    )
+    return out.unionByName(und)
+
+
+def phash_near_dups(
+    hashed: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate image pairs (ref_a, ref_b, hamming ≤ max_hamming)
+    by the pigeonhole chunk join (see module docstring / ops/dedup.py
+    simhash_near_dups — the identical scale shape over a different
+    signal). 64 bits into max_hamming+1 chunks."""
+    chunks = max_hamming + 1
+    bits = 64 // chunks
+    base = hashed.filter(F.col("phash").isNotNull()).select(
+        "media_ref", "phash"
+    )
+    keyed = base.select(
+        "media_ref",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("phash"), i * bits)
+                        .bitwiseAND(F.lit((1 << bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select(
+        "media_ref",
+        "phash",
+        F.col("ck.chunk").alias("chunk"),
+        F.col("ck.key").alias("key"),
+    )
+    keyed = scoped_persist(keyed)
+    left, right = keyed.alias("l"), keyed.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.media_ref") < F.col("r.media_ref")),
+        )
+        .select(
+            F.col("l.media_ref").alias("ref_a"),
+            F.col("r.media_ref").alias("ref_b"),
+            F.bit_count(
+                F.col("l.phash").bitwiseXOR(F.col("r.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

