@@ -2363,6 +2363,39 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_nb_classifier(spark, sf_dir):
+    """Learned quality gate: multinomial NB trained on a fixed
+    6-doc clean-vs-spam corpus (pure Catalyst count aggregation),
+    then scored over formula test texts — one of which carries an
+    unseen token to exercise the smoothing default. The oracle
+    RETRAINS the identical model in SQL (counts, priors, add-1
+    smoothing, argmax with the same tie rule) — training and scoring
+    must both be right, down to the log-posterior at 4 decimals."""
+    from fuzi_spark.ops.classify import predict_nb, train_nb
+
+    train = spark.createDataFrame(
+        [
+            (0, "the quiet library held many old books"),
+            (0, "old books held the quiet answers"),
+            (0, "library answers many quiet questions"),
+            (1, "buy now click free offer buy"),
+            (1, "free offer now buy click fast"),
+            (1, "click fast free now offer deal"),
+        ],
+        "label int, text string",
+    )
+    classes, token_lik = train_nb(train, alpha=1.0)
+    i = F.col("doc_id")
+    text = (
+        F.when(i % 4 == 0, F.lit("the library held books"))
+        .when(i % 4 == 1, F.lit("buy free offer now"))
+        .when(i % 4 == 2, F.lit("click buy zebra"))
+        .otherwise(F.lit("old quiet books held"))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return predict_nb(d, classes, token_lik)
+
+
 def q_image_dedup(spark, sf_dir):
     """Perceptual-hash image dedup over REAL pixels: per doc a
     structured picture (seeded 8×8 random blocks upsampled to 64×64,
@@ -2658,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_context": q_media_context,
         "bpe_encode": q_bpe_encode,
         "image_dedup": q_image_dedup,
+        "nb_classifier": q_nb_classifier,
     }
 
 
@@ -3837,6 +3871,55 @@ def oracle_sql() -> dict[str, str]:
             "    WHEN doc_id % 3 = 1 THEN 7 ELSE 4 END AS BIGINT) "
             "    AS n_tokens "
             "FROM documents"
+        ),
+        "nb_classifier": (
+            # the identical NB retrained in SQL: same 6-doc corpus,
+            # same tokenization, add-1 smoothing, ln priors, argmax
+            # with (score DESC, label ASC)
+            "WITH train(label, txt) AS (VALUES "
+            "  (0, 'the quiet library held many old books'), "
+            "  (0, 'old books held the quiet answers'), "
+            "  (0, 'library answers many quiet questions'), "
+            "  (1, 'buy now click free offer buy'), "
+            "  (1, 'free offer now buy click fast'), "
+            "  (1, 'click fast free now offer deal')), "
+            "tt AS (SELECT label, unnest(list_filter("
+            "  regexp_split_to_array(trim(lower(txt)), '\\s+'), "
+            "  x -> x <> '')) AS token FROM train), "
+            "tl AS (SELECT token, label, COUNT(*) AS c "
+            "  FROM tt GROUP BY 1, 2), "
+            "tot AS (SELECT label, SUM(c) AS cl FROM tl GROUP BY 1), "
+            "v AS (SELECT COUNT(DISTINCT token) AS vs FROM tl), "
+            "pri AS (SELECT label, ln(COUNT(*) / "
+            "  (SELECT CAST(COUNT(*) AS DOUBLE) FROM train)) "
+            "  AS log_prior FROM train GROUP BY 1), "
+            "d AS (SELECT doc_id, CASE "
+            "  WHEN doc_id % 4 = 0 THEN 'the library held books' "
+            "  WHEN doc_id % 4 = 1 THEN 'buy free offer now' "
+            "  WHEN doc_id % 4 = 2 THEN 'click buy zebra' "
+            "  ELSE 'old quiet books held' END AS txt "
+            "  FROM documents), "
+            "dt AS (SELECT doc_id, unnest(list_filter("
+            "  regexp_split_to_array(trim(lower(txt)), '\\s+'), "
+            "  x -> x <> '')) AS token FROM d), "
+            "sc AS (SELECT dt.doc_id, lb.label, "
+            "  COALESCE(ln((tl.c + 1.0) / (tot.cl + v.vs)), "
+            "           ln(1.0 / (tot.cl + v.vs))) AS ll "
+            "  FROM dt CROSS JOIN (SELECT DISTINCT label FROM train) lb "
+            "  LEFT JOIN tl ON tl.token = dt.token "
+            "    AND tl.label = lb.label "
+            "  JOIN tot ON tot.label = lb.label CROSS JOIN v), "
+            "agg AS (SELECT sc.doc_id, sc.label, "
+            "  pri.log_prior + SUM(sc.ll) AS score, "
+            "  COUNT(*) AS n FROM sc JOIN pri ON pri.label = sc.label "
+            "  GROUP BY 1, 2, pri.log_prior), "
+            "rk AS (SELECT doc_id, label, score, n, "
+            "  ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "    ORDER BY score DESC, label ASC) AS r FROM agg) "
+            "SELECT doc_id, CAST(label AS INTEGER) AS pred_label, "
+            "  ROUND(score, 4) AS score, "
+            "  CAST(n AS BIGINT) AS n_tokens "
+            "FROM rk WHERE r = 1"
         ),
         "image_dedup": (
             "WITH m AS (SELECT doc_id, "

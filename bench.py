@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "media_context",
     "bpe_encode",
     "image_dedup",
+    "nb_classifier",
 ]
 
 

@@ -1,0 +1,184 @@
+"""Learned document quality classification: multinomial Naive Bayes
+as pure Catalyst dataflow.
+
+The industrial web-curation recipe (CCNet, RefinedWeb, DCLM) pairs the
+heuristic quality gates with a LEARNED classifier — a cheap linear
+model (fastText / logistic / NB over token features) trained on
+"trusted corpus vs crawl" labels, whose score decides keep/drop or
+mixture bucket. This module is that stage with multinomial NB, chosen
+because training IS a count aggregation — the one estimator whose
+fit maps exactly onto a map-side-combinable groupBy at 10^12 docs
+(no gradient loop, no driver synchronization per step):
+
+    P(label) = n_docs(label) / n_docs
+    P(token | label) = (c(token,label) + alpha) / (c(label) + alpha*V)
+
+Model = two DataFrames, corpus-derived but METADATA-sized (the
+(token, label) count table and the per-label totals — the lm.py
+contract), so scoring broadcasts the model to the corpus, never the
+reverse.
+
+Scale shape:
+- train_nb: ONE shuffle — the (token, label) count aggregation with
+  map-side partial counts; label totals and vocabulary size reduce
+  from that same table (no second corpus pass).
+- predict_nb: tokenize + explode map-side, one broadcast join against
+  the token table per the (token, label) key, one doc-keyed partial
+  aggregation, argmax via max_by — zero Python, zero UDFs, exactly one
+  corpus shuffle. Documents with no tokens fall back to the prior.
+- Unseen tokens take the per-label default log(alpha/(c+alpha*V)) via
+  coalesce — total by construction, no special cases, which keeps the
+  DuckDB oracle an exact SQL mirror (the lm.py design).
+
+Tokenization matches textstats.vocab_table / lm.py (lowercase, split
+\\s+, drop empty) so all learned stages share one contract.
+
+Reference parity note: the reference (kylehughes/Fuzi) has no
+classifier surface — pipeline-brief scope (training-data curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+def train_nb(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit multinomial NB. Returns (classes, token_lik):
+
+    classes:   (label, log_prior, log_default) — log_default is the
+               unseen-token log-likelihood for that label.
+    token_lik: (token, label, log_lik).
+
+    Both are metadata-sized model tables; nothing is collected."""
+    toks = labeled.select(
+        F.col(label_col).alias("label"),
+        F.explode(_tokens(text_col)).alias("token"),
+    )
+    tl = toks.groupBy("token", "label").agg(
+        F.count(F.lit(1)).alias("c_tl")
+    )
+    # label token totals + vocabulary size from the SAME count table —
+    # no second pass over the corpus
+    totals = tl.groupBy("label").agg(F.sum("c_tl").alias("c_l"))
+    vocab = tl.select("token").distinct().count()
+    doc_counts = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_total = labeled.count()
+    classes = doc_counts.join(F.broadcast(totals), "label", "left").select(
+        "label",
+        F.log(F.col("n_docs") / F.lit(float(n_total))).alias(
+            "log_prior"
+        ),
+        F.log(
+            F.lit(alpha)
+            / (
+                F.coalesce(F.col("c_l"), F.lit(0)).cast("double")
+                + F.lit(alpha * vocab)
+            )
+        ).alias("log_default"),
+    )
+    token_lik = tl.join(F.broadcast(totals), "label").select(
+        "token",
+        "label",
+        F.log(
+            (F.col("c_tl") + F.lit(alpha))
+            / (F.col("c_l") + F.lit(alpha * vocab))
+        ).alias("log_lik"),
+    )
+    return classes, token_lik
+
+
+def predict_nb(
+    docs: DataFrame,
+    classes: DataFrame,
+    token_lik: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score + argmax: (id_col, pred_label, score, n_tokens). Ties
+    break toward the smallest label (deterministic). score is the
+    winning unnormalized log-posterior rounded to 4 decimals."""
+    toks = docs.select(
+        F.col(id_col), F.explode_outer(_tokens(text_col)).alias("token")
+    )
+    # every (doc token) × every class; the classes side is tiny and the
+    # token model join is broadcast — one corpus shuffle at the end
+    per = (
+        toks.crossJoin(F.broadcast(classes))
+        .join(
+            F.broadcast(token_lik),
+            ["token", "label"],
+            "left",
+        )
+        .select(
+            id_col,
+            "label",
+            "log_prior",
+            F.when(F.col("token").isNull(), F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("log_lik"), F.col("log_default"))
+            )
+            .alias("ll"),
+            F.when(F.col("token").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("tk"),
+        )
+    )
+    scores = per.groupBy(id_col, "label", "log_prior").agg(
+        F.sum("ll").alias("sum_ll"), F.sum("tk").alias("n_tokens")
+    )
+    return (
+        scores.select(
+            id_col,
+            "n_tokens",
+            F.struct(
+                (F.col("log_prior") + F.col("sum_ll")).alias("score"),
+                (-F.col("label")).alias("neg_label"),
+            ).alias("sl"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max("sl").alias("best"),
+            F.first("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            (-F.col("best.neg_label")).alias("pred_label"),
+            F.round(F.col("best.score"), 4).alias("score"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def nb_quality_filter(
+    docs: DataFrame,
+    classes: DataFrame,
+    token_lik: DataFrame,
+    keep_label: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The curation gate: keep docs the classifier assigns keep_label.
+    Returns docs' columns + the score (callers thread it into the
+    curate DAG's reason codes)."""
+    pred = predict_nb(docs, classes, token_lik, text_col, id_col)
+    return docs.join(
+        pred.filter(F.col("pred_label") == keep_label).select(
+            id_col, "score"
+        ),
+        id_col,
+    )

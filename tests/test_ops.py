@@ -4468,3 +4468,89 @@ class TestPhash:
         assert ("img/a.png", "img/c.jpg") in pairs
         assert pairs[("img/a.png", "img/c.jpg")] <= 10
         assert not any("img/d.png" in k for k in pairs)
+
+
+class TestNbClassifier:
+    """Multinomial NB (ops/classify.py): trained as a count
+    aggregation, scored JVM-side, verified against hand-computed
+    posteriors and the prior-fallback / unseen-token edges."""
+
+    @staticmethod
+    def _train(spark):
+        return spark.createDataFrame(
+            [
+                (0, "good clean prose text"),
+                (0, "clean text reads well"),
+                (1, "spam buy click now"),
+                (1, "buy now spam offer"),
+            ],
+            "label int, text string",
+        )
+
+    def test_hand_computed_posterior(self, spark):
+        import math
+
+        from fuzi_spark.ops.classify import predict_nb, train_nb
+
+        classes, tl = train_nb(self._train(spark), alpha=1.0)
+        d = spark.createDataFrame(
+            [(1, "spam buy"), (2, "clean text"), (3, "zzz unseen")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in predict_nb(d, classes, tl).collect()}
+        assert got[1].pred_label == 1 and got[2].pred_label == 0
+        # V=11 distinct train tokens, each label has 8 tokens;
+        # 'spam' and 'buy' each occur twice in label 1:
+        # score = ln(0.5) + 2*ln((2+1)/(8+11))
+        exp = math.log(0.5) + 2 * math.log(3.0 / 19.0)
+        assert abs(got[1].score - round(exp, 4)) < 1e-9
+        # unseen tokens: both labels score prior + 2*default -> tie,
+        # broken toward the smaller label
+        assert got[3].pred_label == 0
+        assert got[3].n_tokens == 2
+
+    def test_empty_text_falls_back_to_prior(self, spark):
+        from fuzi_spark.ops.classify import predict_nb, train_nb
+
+        train = spark.createDataFrame(
+            [(0, "a b"), (0, "a c"), (0, "b c"), (1, "x y")],
+            "label int, text string",
+        )
+        classes, tl = train_nb(train)
+        d = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in predict_nb(d, classes, tl).collect()}
+        # 3:1 priors -> label 0 everywhere, zero tokens counted
+        for i in (1, 2):
+            assert got[i].pred_label == 0 and got[i].n_tokens == 0
+        # NULL text tokenizes to NULL -> kept via explode_outer
+        assert got[3].pred_label == 0 and got[3].n_tokens == 0
+
+    def test_quality_filter_gate(self, spark):
+        from fuzi_spark.ops.classify import nb_quality_filter, train_nb
+
+        classes, tl = train_nb(self._train(spark), alpha=1.0)
+        d = spark.createDataFrame(
+            [(1, "clean prose text"), (2, "buy spam click now offer")],
+            "doc_id long, text string",
+        )
+        kept = nb_quality_filter(d, classes, tl, keep_label=0).collect()
+        assert [r.doc_id for r in kept] == [1]
+        assert kept[0].text == "clean prose text"
+
+    def test_plan_is_broadcast_and_single_corpus_shuffle(self, spark):
+        from fuzi_spark.ops.classify import predict_nb, train_nb
+
+        classes, tl = train_nb(self._train(spark))
+        d = spark.createDataFrame(
+            [(1, "clean text")], "doc_id long, text string"
+        )
+        plan = (
+            predict_nb(d, classes, tl)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan

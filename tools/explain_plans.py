@@ -329,6 +329,12 @@ CASES = [
      "projection (neighbor texts from filtered slices of the bound "
      "spans array) + a narrow Generate — zero exchanges, zero "
      "Python."),
+    ("nb_classifier",
+     "Learned NB quality gate. Wants: tokenize+explode map-side, the "
+     "(token,label) model join and the classes join BOTH "
+     "BroadcastHashJoin, one doc-keyed exchange with partial "
+     "aggregation, argmax via max-struct — zero Python, zero "
+     "SortMergeJoin on the corpus."),
     ("image_dedup",
      "Perceptual-hash image dedup. Wants: one ArrowEvalPython/"
      "MapInPandas pass computing the 64-bit hash, then ONE map-side-"
