@@ -2363,6 +2363,45 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_reflow_text(spark, sf_dir):
+    """PDF/column-layout line-break repair over planted texts covering
+    every stage: dehyphenation (and the kept hyphen before a capital),
+    paragraph preservation, single-newline reflow, run collapse, trim.
+    The oracle writes the EXPECTED output strings from the
+    construction formula (parser-independent, the url_dedup evidence
+    style)."""
+    from fuzi_spark.ops.textstats import reflow_text
+
+    i = F.col("doc_id")
+    text = (
+        F.when(i % 4 == 0, F.lit("an exam-\nple of hyphen-\nation."))
+        .when(i % 4 == 1, F.lit("keep X-\nRay and page-\n9 intact"))
+        .when(i % 4 == 2, F.lit("para one\nsame line.\n\n  para two"))
+        .otherwise(F.lit("  spaced   out\ttext \n one line  "))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return reflow_text(d).select("doc_id", "reflowed")
+
+
+def q_split_sentences(spark, sf_dir):
+    """Sentence explosion over planted texts: terminator runs, quoted
+    and parenthesized openers, the no-split-inside-parens case, and a
+    single-sentence doc. The oracle enumerates the expected
+    (doc_id, sent_idx, sentence) rows from the formula."""
+    from fuzi_spark.ops.textstats import split_sentences
+
+    i = F.col("doc_id")
+    text = (
+        F.when(i % 3 == 0, F.lit("Alpha one. Beta two! Gamma three?"))
+        .when(i % 3 == 1, F.lit("Single sentence only"))
+        .otherwise(
+            F.lit('Quote test. "Quoted start." (Paren start.) End.')
+        )
+    )
+    d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return split_sentences(d)
+
+
 def q_nb_classifier(spark, sf_dir):
     """Learned quality gate: multinomial NB trained on a fixed
     6-doc clean-vs-spam corpus (pure Catalyst count aggregation),
@@ -2692,6 +2731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "image_dedup": q_image_dedup,
         "nb_classifier": q_nb_classifier,
+        "reflow_text": q_reflow_text,
+        "split_sentences": q_split_sentences,
     }
 
 
@@ -3871,6 +3912,44 @@ def oracle_sql() -> dict[str, str]:
             "    WHEN doc_id % 3 = 1 THEN 7 ELSE 4 END AS BIGINT) "
             "    AS n_tokens "
             "FROM documents"
+        ),
+        "reflow_text": (
+            # expected strings written from the construction formula:
+            # dehyphenated joins, kept hyphen before capital/digit
+            # (newline still reflows to a space), paragraph preserved
+            # as exactly \n\n, runs collapsed, trimmed
+            "SELECT doc_id, CASE "
+            "  WHEN doc_id % 4 = 0 "
+            "    THEN 'an example of hyphenation.' "
+            "  WHEN doc_id % 4 = 1 "
+            "    THEN 'keep X- Ray and page- 9 intact' "
+            "  WHEN doc_id % 4 = 2 "
+            "    THEN 'para one same line.' || chr(10) || chr(10) "
+            "      || 'para two' "
+            "  ELSE 'spaced out text one line' END AS reflowed "
+            "FROM documents"
+        ),
+        "split_sentences": (
+            # expected (doc_id, sent_idx, sentence) rows enumerated
+            # from the formula: 3-sentence doc, 1-sentence doc, and
+            # the quote/paren opener+closer cases
+            "WITH d AS (SELECT doc_id, doc_id % 3 AS m "
+            "  FROM documents) "
+            "SELECT doc_id, CAST(0 AS INTEGER) AS sent_idx, CASE "
+            "  WHEN m = 0 THEN 'Alpha one.' "
+            "  WHEN m = 1 THEN 'Single sentence only' "
+            "  ELSE 'Quote test.' END AS sentence FROM d "
+            "UNION ALL "
+            "SELECT doc_id, CAST(1 AS INTEGER), CASE "
+            "  WHEN m = 0 THEN 'Beta two!' "
+            "  ELSE '\"Quoted start.\"' END FROM d WHERE m <> 1 "
+            "UNION ALL "
+            "SELECT doc_id, CAST(2 AS INTEGER), CASE "
+            "  WHEN m = 0 THEN 'Gamma three?' "
+            "  ELSE '(Paren start.)' END FROM d WHERE m <> 1 "
+            "UNION ALL "
+            "SELECT doc_id, CAST(3 AS INTEGER), 'End.' "
+            "FROM d WHERE m = 2"
         ),
         "nb_classifier": (
             # the identical NB retrained in SQL: same 6-doc corpus,

@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "bpe_encode",
     "image_dedup",
     "nb_classifier",
+    "reflow_text",
+    "split_sentences",
 ]
 
 

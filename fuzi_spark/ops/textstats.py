@@ -753,3 +753,66 @@ def span_language(
         F.col("s.kind").alias("kind"),
         lang_id(F.col("s.text")).alias("lang"),
     )
+
+
+def reflow_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "reflowed"
+) -> DataFrame:
+    """Line-break repair for extracted text (the PDF/column-layout
+    cleanup normalize_text deliberately does NOT do — that pass
+    collapses ALL whitespace; this one PRESERVES paragraph structure):
+
+    1. dehyphenate words split at end-of-line: latin letter + '-' +
+       newline + lowercase latin letter joins with the hyphen removed
+       ('exam-\\nple' → 'example'); hyphens before capitals or digits
+       are kept (proper-noun compounds, page refs);
+    2. paragraph breaks (2+ newlines, with any interleaved spaces)
+       survive as exactly '\\n\\n';
+    3. remaining single newlines become spaces (the reflow);
+    4. horizontal whitespace runs (spaces, tabs) collapse to one
+       space.
+
+    Every stage is one JVM regexp_replace (codegen'd, scan-speed); the
+    DuckDB oracle mirrors the identical four-pattern chain, so the
+    contract IS the regex sequence. Stage order matters and is pinned:
+    dehyphenation must see raw newlines (before reflow), and paragraph
+    detection must run before single-newline reflow. The paragraph
+    sentinel is \\x00 — stripped from any input that went through
+    normalize_text's control-strip first, and vanishingly rare in real
+    extracted text otherwise."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, "([A-Za-z])-[ \\t]*\\n[ \\t]*([a-z])", "$1$2")
+    t = F.regexp_replace(t, "[ \\t]*\\n[ \\t]*(\\n[ \\t]*)+", "\x00")
+    t = F.regexp_replace(t, "[ \\t]*\\n[ \\t]*", " ")
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    t = F.regexp_replace(t, "\x00", "\n\n")
+    return df.withColumn(out_col, F.trim(t))
+
+
+def split_sentences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode documents into sentence rows: (id_col, sent_idx,
+    sentence) — the granularity decontamination and dedup sometimes
+    need below the passage level.
+
+    Rule (documented, deliberately simple): a sentence boundary is a
+    terminator [.!?] — optionally followed by one closing quote/paren
+    [\"')\\]] — then whitespace, then an opening capital [A-Z\"'( ; the
+    terminator (and its closer) stay with the left sentence. Java
+    lookbehind/lookahead keep the split zero-width, so sentences
+    reassemble to the original text minus the inter-sentence
+    whitespace. Known limitation (by design, pinned in tests):
+    abbreviations like 'Dr. Smith' split — a corpus-scale splitter
+    trades that for never holding per-language abbreviation tables in
+    the hot path. Zero Python; one Generate (explode) per doc."""
+    parts = F.split(
+        F.col(text_col), "(?<=[.!?][\"')\\]]?)\\s+(?=[A-Z\"'(])"
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode_outer(parts).alias("sent_idx", "sentence"),
+    )
+    return ex.filter(
+        F.col("sentence").isNull() | (F.trim(F.col("sentence")) != "")
+    )

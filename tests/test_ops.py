@@ -4554,3 +4554,78 @@ class TestNbClassifier:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestReflowAndSentences:
+    """reflow_text / split_sentences (ops/textstats.py): stage
+    semantics, idempotence, reassembly property, totality."""
+
+    def test_reflow_stages(self, spark):
+        from fuzi_spark.ops.textstats import reflow_text
+
+        d = spark.createDataFrame(
+            [
+                (0, "an exam-\nple of hyphen-\nation."),
+                (1, "keep X-\nRay and page-\n9 intact"),
+                (2, "para one\nsame line.\n\n  para two"),
+                (3, "  spaced   out\ttext \n one line  "),
+                (4, "a.\n \n \nb"),  # 3 newlines + spaces = ONE break
+                (5, None),
+                (6, ""),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.reflowed for r in reflow_text(d).collect()}
+        assert got[0] == "an example of hyphenation."
+        assert got[1] == "keep X- Ray and page- 9 intact"
+        assert got[2] == "para one same line.\n\npara two"
+        assert got[3] == "spaced out text one line"
+        assert got[4] == "a.\n\nb"
+        assert got[5] is None and got[6] == ""
+
+    def test_reflow_idempotent(self, spark):
+        from fuzi_spark.ops.textstats import reflow_text
+
+        import random
+
+        rnd = random.Random(4)
+        pieces = ["word", "Hy-", "\n", "\n\n", " ", "\t", "end."]
+        rows = [
+            (i, "".join(rnd.choice(pieces) for _ in range(30)))
+            for i in range(40)
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        once = reflow_text(d).select(
+            "doc_id", F.col("reflowed").alias("text")
+        )
+        twice = {
+            r.doc_id: r.reflowed for r in reflow_text(once).collect()
+        }
+        first = {r.doc_id: r.text for r in once.collect()}
+        assert first == twice
+
+    def test_sentences_reassemble_and_abbrev_limitation(self, spark):
+        from fuzi_spark.ops.textstats import split_sentences
+
+        text = 'He said "Stop." Then left! Was it Dr. Smith? (Yes.) Done.'
+        d = spark.createDataFrame(
+            [(1, text), (2, None), (3, "   ")], "doc_id long, text string"
+        )
+        rows = sorted(
+            split_sentences(d).collect(),
+            key=lambda r: (r.doc_id, r.sent_idx if r.sent_idx is not None else -1),
+        )
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r.sentence)
+        # the documented abbreviation limitation: 'Dr.' splits
+        assert by_doc[1] == [
+            'He said "Stop."', "Then left!", "Was it Dr.",
+            "Smith?", "(Yes.)", "Done.",
+        ]
+        # zero-width split: sentences reassemble to the original
+        # modulo the inter-sentence whitespace (single spaces here)
+        assert " ".join(by_doc[1]) == text
+        # NULL text survives as one NULL row; whitespace-only vanishes
+        assert by_doc[2] == [None]
+        assert 3 not in by_doc

@@ -329,6 +329,12 @@ CASES = [
      "projection (neighbor texts from filtered slices of the bound "
      "spans array) + a narrow Generate — zero exchanges, zero "
      "Python."),
+    ("reflow_text",
+     "Line-break repair. Wants: ONE codegen'd Project of chained "
+     "regexp_replace — zero exchanges, zero Python."),
+    ("split_sentences",
+     "Sentence explosion. Wants: one codegen'd split + a narrow "
+     "Generate (posexplode) — zero exchanges, zero Python."),
     ("nb_classifier",
      "Learned NB quality gate. Wants: tokenize+explode map-side, the "
      "(token,label) model join and the classes join BOTH "
