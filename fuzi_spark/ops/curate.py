@@ -41,8 +41,11 @@ Stage order and reason codes:
     5. 'quality:<code>'     quality_filter rejection (code appended)
     6. 'perplexity'         LM perplexity above the cut (optional:
                             pass lm_model + max_perplexity)
-    7. 'exact_duplicate'    not the min-id for its content digest
-    8. 'contaminated'       shares an n-gram shingle with the eval set
+    7. 'classifier'         learned NB quality gate assigns a label
+                            other than nb_keep_label (optional: pass
+                            nb_model from classify.train_nb)
+    8. 'exact_duplicate'    not the min-id for its content digest
+    9. 'contaminated'       shares an n-gram shingle with the eval set
 
 Language runs BEFORE quality (the CCNet order): the quality rules are
 Latin-script heuristics (Java \\w is ASCII), so a Cyrillic/CJK doc must
@@ -75,6 +78,8 @@ def curate(
     eval_set: Optional[DataFrame] = None,
     lm_model: Optional[tuple[DataFrame, DataFrame]] = None,
     max_perplexity: Optional[float] = None,
+    nb_model: Optional[tuple[DataFrame, DataFrame]] = None,
+    nb_keep_label: int = 0,
     min_tokens: int = 5,
     max_mean_token_len: float = 15.0,
     max_punct_ratio: float = 0.3,
@@ -90,6 +95,9 @@ def curate(
     lm.train_bigram_lm — train it on a TRUSTED reference corpus, not
     on the corpus being curated (the CCNet contract); unscorable docs
     (<2 tokens) pass the LM stage, as in lm.perplexity_filter.
+    `nb_model` is the (classes, token_lik) pair from classify.train_nb
+    (same trusted-labels contract); docs the classifier assigns a
+    label other than nb_keep_label reject with reason 'classifier'.
     """
     from .dedup import decontaminate
     from .textstats import lang_id, quality_filter
@@ -165,6 +173,18 @@ def curate(
         cur = reject_stage(
             ppl.filter(F.col("perplexity") > float(max_perplexity)),
             F.lit("perplexity"),
+        )
+
+    if nb_model is not None:
+        from .classify import predict_nb
+
+        classes, token_lik = nb_model
+        pred = predict_nb(
+            cur, classes, token_lik, text_col=text_col, id_col=id_col
+        )
+        cur = reject_stage(
+            pred.filter(F.col("pred_label") != int(nb_keep_label)),
+            F.lit("classifier"),
         )
 
     d = cur.withColumn("_dg", F.sha2(F.col(text_col), 256))

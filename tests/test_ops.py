@@ -4629,3 +4629,49 @@ class TestReflowAndSentences:
         # NULL text survives as one NULL row; whitespace-only vanishes
         assert by_doc[2] == [None]
         assert 3 not in by_doc
+
+
+class TestCurateClassifierStage:
+    """The optional learned-NB stage in the curation DAG (reason
+    'classifier', between perplexity and exact dedup)."""
+
+    def test_classifier_stage_rejects_and_orders(self, spark):
+        from fuzi_spark.ops.classify import train_nb
+        from fuzi_spark.ops.curate import curate
+
+        train = spark.createDataFrame(
+            [
+                (0, "clean prose reads well with many fine words"),
+                (0, "fine words and clean prose in every line"),
+                (1, "buy click offer spam deal now cheap win"),
+                (1, "spam deal click buy win cheap offer now"),
+            ],
+            "label int, text string",
+        )
+        nb = train_nb(train, alpha=1.0)
+        docs = spark.createDataFrame(
+            [
+                (1, "clean prose with many fine words in every line",
+                 "https://ok.x/a"),
+                (2, "buy click spam offer deal now and more spam",
+                 "https://ok.x/b"),
+                # spammy AND a duplicate: classifier runs BEFORE exact
+                # dedup, so both copies report 'classifier', not
+                # 'exact_duplicate'
+                (3, "win cheap offer click buy now spam deal",
+                 "https://ok.x/c"),
+                (4, "win cheap offer click buy now spam deal",
+                 "https://ok.x/d"),
+            ],
+            "doc_id long, text string, url string",
+        )
+        got = {
+            r.doc_id: (r.reject_reason, r.keep)
+            for r in curate(
+                docs, url_col="url", nb_model=nb, nb_keep_label=0
+            ).collect()
+        }
+        assert got[1] == (None, 1)
+        assert got[2] == ("classifier", 0)
+        assert got[3] == ("classifier", 0)
+        assert got[4] == ("classifier", 0)
