@@ -2334,6 +2334,60 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_audio_spectrogram(spark, sf_dir):
+    """REAL frequency-domain audio analysis, oracle-checked end to end:
+    per doc a pure sine tone WAV is built from formula parameters —
+    bin 4 + id%96 of a 256-point FFT, rate 8000·(1 + id%2), amplitude
+    4096·(1 + id%7) (so the periodic-Hann peak magnitude is EXACTLY
+    (1 + id%7)/16, a 4-decimal-exact value with a 5e-5 rounding margin
+    over the ≤1.5e-5 int16-quantization bound), 256·(2 + id%4) frames.
+    The STFT must recover the bin, the derived Hz, the window count,
+    and the analytic Hann peak magnitude — the SQL oracle computes all
+    of them independently from the construction formulas. A fake or
+    RMS-only audio path cannot predict these."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.multimodal import (
+        audio_spectrogram_df,
+        build_tone_wav,
+    )
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            rate = 8000 * (1 + i % 2)
+            out.append(
+                build_tone_wav(
+                    rate=rate,
+                    n_frames=256 * (2 + i % 4),
+                    freq_hz=(4 + i % 96) * rate / 256,
+                    amplitude=4096 * (1 + i % 7),
+                )
+            )
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("au/"), F.col("doc_id").cast("string"), F.lit(".wav")
+        ).alias("media_ref"),
+        F.lit("audio").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    spec = audio_spectrogram_df(media)
+    return spec.select(
+        F.regexp_extract("media_ref", r"au/(\d+)\.wav", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "sample_rate", "n_windows", "dominant_bin",
+        F.round(F.col("dominant_hz").cast("double"), 4).alias("dominant_hz"),
+        F.round(F.col("peak_mag").cast("double"), 4).alias("peak_mag"),
+        "decode_ok",
+    )
+
+
 def q_bpe_encode(spark, sf_dir):
     """BPE tokenizer trained end-to-end on the classic weighted corpus
     (low×5 lower×2 newest×6 widest×3, 6 merges — the textbook example,
@@ -2725,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_language": q_span_language,
         "snapshot_delta": q_snapshot_delta,
         "audio_features": q_audio_features,
+        "audio_spectrogram": q_audio_spectrogram,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
         "media_context": q_media_context,
@@ -3900,6 +3955,18 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN d3 = 1 THEN 'P1 ' || v ELSE 'P0 ' || v END, "
             "  CAST(NULL AS VARCHAR) "
             "FROM s"
+        ),
+        "audio_spectrogram": (
+            "SELECT doc_id, "
+            "  CAST(8000 * (1 + doc_id % 2) AS INTEGER) AS sample_rate, "
+            "  CAST(2 + doc_id % 4 AS INTEGER) AS n_windows, "
+            "  CAST(4 + doc_id % 96 AS INTEGER) AS dominant_bin, "
+            "  ROUND(CAST((4 + doc_id % 96) * (8000 * (1 + doc_id % 2)) "
+            "    / 256.0 AS DOUBLE), 4) AS dominant_hz, "
+            "  ROUND(CAST((1 + doc_id % 7) / 16.0 AS DOUBLE), 4) "
+            "    AS peak_mag, "
+            "  CAST(1 AS INTEGER) AS decode_ok "
+            "FROM documents"
         ),
         "bpe_encode": (
             "SELECT doc_id, "

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "span_language",
     "snapshot_delta",
     "audio_features",
+    "audio_spectrogram",
     "video_frames",
     "crawl_frontier",
     "media_context",

@@ -476,6 +476,151 @@ def build_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def build_tone_wav(
+    rate: int,
+    n_frames: int,
+    freq_hz: float,
+    amplitude: int,
+    channels: int = 1,
+) -> bytes:
+    """Valid 16-bit PCM WAV carrying a pure sine tone: sample_t =
+    round(amplitude * sin(2*pi*freq_hz*t/rate)). With freq_hz placed on
+    an exact FFT bin center (freq = bin * rate / n_fft) and n_frames a
+    multiple of n_fft, every STFT window sees the identical bin-centered
+    tone — the SQL-predictable synthetic source for the spectrogram
+    oracle (peak bin = bin, Hann peak magnitude = amplitude/32768/2)."""
+    t = np.arange(n_frames, dtype=np.float64)
+    x = np.round(amplitude * np.sin(2.0 * np.pi * freq_hz * t / rate))
+    samples = np.clip(x, -32768, 32767).astype("<i2")
+    data = np.repeat(samples, channels).tobytes()
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+SPECTROGRAM_BANDS = 32
+
+SPECTROGRAM_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_windows", IntegerType()),
+        StructField("dominant_bin", IntegerType()),
+        StructField("dominant_hz", FloatType()),
+        StructField("peak_mag", FloatType()),
+        StructField("decode_ok", IntegerType()),
+        StructField("spectrum", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_wav_spectrogram(content, n_fft: int = 256) -> Optional[tuple]:
+    """REAL frequency-domain audio features: STFT mean-magnitude
+    spectrum of the mono mix via numpy rfft.
+
+    Contract (all of it oracle-checkable):
+    - non-overlapping length-`n_fft` windows, periodic Hann
+      (w_t = 0.5 - 0.5*cos(2*pi*t/n_fft)); a clip shorter than one
+      window is zero-padded to a single window (n_windows = 1, never
+      dropped);
+    - per-window magnitudes are normalized as (2/n_fft)*|X[j]|, so a
+      bin-centered sine of full-scale amplitude `a` measures exactly
+      a/2 at its bin (Hann coherent gain 0.5) and a/4 at the two
+      neighbors; windows are then MEANed (constant content => identical
+      windows => the mean equals any one window);
+    - dominant_bin excludes DC (argmax over j >= 1): a constant-offset
+      artifact can never masquerade as the dominant tone;
+    - dominant_hz = dominant_bin * rate / n_fft;
+    - `spectrum` pools the n_fft//2+1 bins into SPECTROGRAM_BANDS
+      mean-bands with the same floor-boundary contract as _block_pool.
+
+    Returns (rate, n_windows, dominant_bin, dominant_hz, peak_mag,
+    spectrum_float32) or None for non-PCM-WAV bytes."""
+    hdr = parse_wav(content)
+    if hdr is None:
+        return None
+    rate, ch, bits, n_frames, data = hdr
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        x = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    x = x.reshape(n_frames, ch).mean(axis=1)
+    n_windows = n_frames // n_fft
+    if n_windows == 0:
+        x = np.pad(x, (0, n_fft - n_frames))
+        n_windows = 1
+    frames = x[: n_windows * n_fft].reshape(n_windows, n_fft)
+    t = np.arange(n_fft, dtype=np.float64)
+    hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * t / n_fft)
+    mags = (2.0 / n_fft) * np.abs(np.fft.rfft(frames * hann, axis=1))
+    mean_spec = mags.mean(axis=0)
+    dominant_bin = int(np.argmax(mean_spec[1:])) + 1
+    dominant_hz = dominant_bin * rate / n_fft
+    peak_mag = float(mean_spec[dominant_bin])
+    n_bins = mean_spec.shape[0]
+    bounds = [(i * n_bins) // SPECTROGRAM_BANDS for i in range(SPECTROGRAM_BANDS + 1)]
+    bands = np.empty(SPECTROGRAM_BANDS, dtype=np.float64)
+    for i in range(SPECTROGRAM_BANDS):
+        lo = min(bounds[i], n_bins - 1)
+        hi = min(max(bounds[i] + 1, bounds[i + 1]), n_bins)
+        bands[i] = float(mean_spec[lo:hi].mean())
+    return (
+        rate,
+        n_windows,
+        dominant_bin,
+        dominant_hz,
+        peak_mag,
+        bands.astype(np.float32),
+    )
+
+
+def audio_spectrogram_df(media: DataFrame, n_fft: int = 256) -> DataFrame:
+    """media(MEDIA_SCHEMA) → SPECTROGRAM_SCHEMA, partition-parallel.
+
+    One mapInPandas pass (same giant-binary spreading as
+    decode_features_df); non-WAV bytes yield decode_ok=0 with NULL
+    analysis columns — never a fake spectrum. The rfft batches all of a
+    clip's windows in one vectorized call, so per-row Python work is a
+    header parse plus numpy kernels."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in SPECTROGRAM_SCHEMA.fields}
+            for i in range(len(pdf)):
+                rows["media_ref"].append(pdf["media_ref"].iloc[i])
+                spec = decode_wav_spectrogram(
+                    pdf["content"].iloc[i], n_fft=n_fft
+                )
+                if spec is None:
+                    for k in (
+                        "sample_rate", "n_windows", "dominant_bin",
+                        "dominant_hz", "peak_mag", "spectrum",
+                    ):
+                        rows[k].append(None)
+                    rows["decode_ok"].append(0)
+                else:
+                    rate, nw, db, dhz, pm, bands = spec
+                    rows["sample_rate"].append(rate)
+                    rows["n_windows"].append(nw)
+                    rows["dominant_bin"].append(db)
+                    rows["dominant_hz"].append(dhz)
+                    rows["peak_mag"].append(pm)
+                    rows["spectrum"].append(bands)
+                    rows["decode_ok"].append(1)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_ref", "content").repartition(
+        media.sparkSession.sparkContext.defaultParallelism, "media_ref"
+    ).mapInPandas(gen, schema=SPECTROGRAM_SCHEMA)
+
+
 # ------------------------------------------- real AVI container decode
 
 

@@ -3834,6 +3834,163 @@ class TestWavDecode:
             parse_wav(b"RIFF" + rng.bytes(int(rng.randint(0, 80))))
 
 
+class TestWavSpectrogram:
+    """decode_wav_spectrogram / audio_spectrogram_df: real STFT
+    frequency-domain features (numpy rfft, periodic Hann) over the
+    PCM decode — Hann bin magnitudes are analytically checkable."""
+
+    def test_bin_centered_tone_analytic(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import (
+            build_tone_wav,
+            decode_wav_spectrogram,
+        )
+
+        # tone exactly on bin 17 of a 256-point FFT at 8 kHz
+        blob = build_tone_wav(
+            rate=8000, n_frames=1024, freq_hz=17 * 8000 / 256,
+            amplitude=12000,
+        )
+        rate, nw, db, dhz, pm, bands = decode_wav_spectrogram(blob)
+        a = 12000 / 32768.0
+        assert (rate, nw, db) == (8000, 4, 17)
+        assert dhz == 17 * 8000 / 256  # exact: /256 is a power of two
+        # periodic-Hann coherent gain: peak = a/2, neighbors = a/4
+        assert abs(pm - a / 2) < 1e-4
+        assert len(bands) == 32 and bands.dtype == np.float32
+
+    def test_neighbor_bins_and_quantization_bound(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import (
+            build_tone_wav,
+            decode_wav_spectrogram,
+            parse_wav,
+        )
+
+        blob = build_tone_wav(
+            rate=16000, n_frames=512, freq_hz=40 * 16000 / 256,
+            amplitude=20000,
+        )
+        rate, ch, bits, nf, data = parse_wav(blob)
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        frames = x.reshape(2, 256)
+        t = np.arange(256, dtype=np.float64)
+        hann = 0.5 - 0.5 * np.cos(2 * np.pi * t / 256)
+        ref = (2.0 / 256) * np.abs(np.fft.rfft(frames * hann, axis=1))
+        ref = ref.mean(axis=0)
+        a = 20000 / 32768.0
+        assert abs(ref[40] - a / 2) < 1e-4
+        assert abs(ref[39] - a / 4) < 1e-4
+        assert abs(ref[41] - a / 4) < 1e-4
+        # everything two or more bins away is quantization-noise floor
+        mask = np.ones(129, bool)
+        mask[39:42] = False
+        assert ref[mask].max() < 1e-3
+        _, _, db, _, pm, _ = decode_wav_spectrogram(blob)
+        assert db == 40 and abs(pm - ref[40]) < 1e-12
+
+    def test_arbitrary_signal_numpy_differential(self):
+        import struct as st
+
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import decode_wav_spectrogram
+
+        rng = np.random.RandomState(7)
+        frames = rng.randint(-30000, 30000, 700).astype(np.int16)
+        data = frames.tobytes()
+        fmt = st.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        body = (
+            b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data
+        )
+        blob = b"RIFF" + st.pack("<I", len(body)) + body
+        rate, nw, db, dhz, pm, bands = decode_wav_spectrogram(blob)
+        assert nw == 2  # 700 // 256
+        x = frames.astype(np.float64)[:512].reshape(2, 256) / 32768.0
+        t = np.arange(256.0)
+        hann = 0.5 - 0.5 * np.cos(2 * np.pi * t / 256)
+        spec = ((2.0 / 256) * np.abs(np.fft.rfft(x * hann, axis=1))).mean(0)
+        assert db == int(np.argmax(spec[1:])) + 1
+        assert abs(pm - spec[db]) < 1e-12
+        bd = [(i * 129) // 32 for i in range(33)]
+        ref = np.array(
+            [spec[bd[i]:max(bd[i] + 1, bd[i + 1])].mean() for i in range(32)],
+            dtype=np.float32,
+        )
+        assert np.array_equal(bands, ref)
+
+    def test_short_clip_zero_pads_one_window(self):
+        from fuzi_spark.ops.multimodal import (
+            build_tone_wav,
+            decode_wav_spectrogram,
+        )
+
+        blob = build_tone_wav(
+            rate=8000, n_frames=100, freq_hz=1000.0, amplitude=5000
+        )
+        _, nw, _, _, _, _ = decode_wav_spectrogram(blob)
+        assert nw == 1
+
+    def test_stronger_tone_wins(self):
+        import numpy as np
+        import struct as st
+
+        from fuzi_spark.ops.multimodal import decode_wav_spectrogram
+
+        t = np.arange(512, dtype=np.float64)
+        x = 15000 * np.sin(2 * np.pi * 30 * t / 256) + 6000 * np.sin(
+            2 * np.pi * 70 * t / 256
+        )
+        data = np.round(x).astype("<i2").tobytes()
+        fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (
+            b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data
+        )
+        _, _, db, _, _, _ = decode_wav_spectrogram(
+            b"RIFF" + st.pack("<I", len(body)) + body
+        )
+        assert db == 30
+
+    def test_spark_surface_and_rejects(self, spark):
+        from pyspark.sql import Row
+
+        from fuzi_spark.ops.multimodal import (
+            MEDIA_SCHEMA,
+            audio_spectrogram_df,
+            build_tone_wav,
+            decode_wav_spectrogram,
+        )
+
+        assert decode_wav_spectrogram(b"not audio") is None
+        rows = [
+            Row(
+                media_ref="a/0.wav", media_type="audio",
+                content=build_tone_wav(8000, 512, 20 * 8000 / 256, 9000),
+                format=None, width=None, height=None, duration_ms=None,
+            ),
+            Row(
+                media_ref="a/1.bin", media_type="audio",
+                content=b"garbage", format=None, width=None,
+                height=None, duration_ms=None,
+            ),
+        ]
+        out = {
+            r["media_ref"]: r
+            for r in audio_spectrogram_df(
+                spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+            ).collect()
+        }
+        ok = out["a/0.wav"]
+        assert ok["decode_ok"] == 1 and ok["dominant_bin"] == 20
+        assert ok["n_windows"] == 2 and len(ok["spectrum"]) == 32
+        bad = out["a/1.bin"]
+        assert bad["decode_ok"] == 0 and bad["spectrum"] is None
+
+
 class TestAviFrames:
     """parse_avi / build_avi / avi_frames_df: real RIFF/AVI container
     walk — frame byte ranges, container timing, per-frame JPEG dims."""
