@@ -2334,6 +2334,42 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-level decontamination on a provably-separable corpus:
+    doc i's vector is (1 + i%5)·e_{i%16} over a 16-dim basis, the eval
+    set is e_0..e_7 (ids 1000..1007). Same-basis pairs have cosine
+    EXACTLY 1 (scale divides out in float64: a/a = 1), disjoint-basis
+    pairs exactly 0 — so max_cos, the matched eval id (ties → lowest),
+    n_hits, and the contaminated flag are all pure functions of
+    doc_id % 16 that the SQL oracle replays independently."""
+    from fuzi_spark.ops.similarity import semantic_decontaminate
+
+    i = F.col("doc_id")
+    basis = (i % 16).cast("int")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: F.when(j == basis, (F.lit(1.0) + (i % 5).cast("double")))
+        .otherwise(F.lit(0.0)),
+    )
+    corpus = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), vec.alias("embedding")
+    )
+    k = F.col("id")
+    ev_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: F.when(j == k.cast("int"), F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    ev = spark.range(8).select(
+        (k + 1000).alias("vec_id"), ev_vec.alias("embedding")
+    )
+    out = semantic_decontaminate(corpus, ev, threshold=0.95)
+    return out.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(F.col("max_cos"), 4).alias("max_cos"),
+        "matched_eval", "n_hits", "contaminated",
+    )
+
+
 def q_audio_spectrogram(spark, sf_dir):
     """REAL frequency-domain audio analysis, oracle-checked end to end:
     per doc a pure sine tone WAV is built from formula parameters —
@@ -2780,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": q_snapshot_delta,
         "audio_features": q_audio_features,
         "audio_spectrogram": q_audio_spectrogram,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
         "media_context": q_media_context,
@@ -3955,6 +3992,18 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN d3 = 1 THEN 'P1 ' || v ELSE 'P0 ' || v END, "
             "  CAST(NULL AS VARCHAR) "
             "FROM s"
+        ),
+        "semantic_decontaminate": (
+            "SELECT doc_id, "
+            "  ROUND(CAST(CASE WHEN doc_id % 16 < 8 THEN 1.0 ELSE 0.0 END "
+            "    AS DOUBLE), 4) AS max_cos, "
+            "  CAST(CASE WHEN doc_id % 16 < 8 THEN 1000 + doc_id % 16 "
+            "    ELSE 1000 END AS BIGINT) AS matched_eval, "
+            "  CAST(CASE WHEN doc_id % 16 < 8 THEN 1 ELSE 0 END "
+            "    AS INTEGER) AS n_hits, "
+            "  CAST(CASE WHEN doc_id % 16 < 8 THEN 1 ELSE 0 END "
+            "    AS INTEGER) AS contaminated "
+            "FROM documents"
         ),
         "audio_spectrogram": (
             "SELECT doc_id, "

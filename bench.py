@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "mixture_sample",
     "normalize_text",
     "semantic_dedup",
+    "semantic_decontaminate",
     "content_filter",
     "domain_rank",
     "page_metadata",

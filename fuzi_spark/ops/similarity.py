@@ -497,3 +497,76 @@ def semantic_dedup(
     return assigned.groupBy("cell").applyInPandas(
         _prune, schema=f"{id_col} long, cell int, keep int, dup_of long"
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_eval_rows: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag corpus documents
+    whose embedding is cosine-close to ANY held-out eval-set embedding —
+    the semantic sibling of the n-gram `decontaminate` operator (which
+    misses paraphrased leakage; this catches it).
+
+    Returns (id, max_cos, matched_eval:long, n_hits:int, contaminated:int)
+    where max_cos is the best cosine against the eval set, matched_eval
+    the eval id achieving it (ties and the no-signal cos<=0 case resolve
+    to the LOWEST eval id — the eval matrix is sorted by id driver-side,
+    numpy argmax takes the first maximum), and n_hits counts eval rows
+    at or above the threshold.
+
+    Scale shape: the eval set is benchmark-sized BY CONTRACT
+    (thousands-to-100k rows; the guard fails fast past `max_eval_rows`
+    like IVF's metadata-sized-query contract) and ships to executors as
+    a normalized numpy matrix in the UDF closure; the corpus is scanned
+    ONCE with one (batch x dim) @ (dim x m) matmul per Arrow batch —
+    zero shuffles, zero corpus materialization. For eval sets too big to
+    broadcast, compose cosine_topk_lsh(corpus, eval) instead; this
+    operator is the exact path."""
+    probe = eval_vectors.select(id_col, vec_col).limit(max_eval_rows + 1)
+    rows = probe.collect()
+    if len(rows) > max_eval_rows:
+        raise ValueError(
+            f"semantic_decontaminate: eval set exceeds the broadcast "
+            f"contract ({max_eval_rows} rows); use cosine_topk_lsh for "
+            f"corpus-sized eval sets"
+        )
+    if not rows:
+        raise ValueError("semantic_decontaminate: empty eval set")
+    rows.sort(key=lambda r: r[0])
+    eval_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    E = np.array([r[1] for r in rows], dtype=np.float64)
+    E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+    ET = E.T
+    thr = float(threshold)
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            S = M @ ET  # (batch, m) cosines
+            best = np.argmax(S, axis=1)
+            max_cos = S[np.arange(len(S)), best]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "max_cos": max_cos,
+                    "matched_eval": eval_ids[best],
+                    "n_hits": (S >= thr).sum(axis=1).astype(np.int32),
+                    "contaminated": (max_cos >= thr).astype(np.int32),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _score,
+        schema=(
+            f"{id_col} long, max_cos double, matched_eval long, "
+            "n_hits int, contaminated int"
+        ),
+    )

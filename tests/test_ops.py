@@ -2663,6 +2663,91 @@ class TestSemanticDedup:
         assert a == b
 
 
+class TestSemanticDecontaminate:
+    """semantic_decontaminate: broadcast eval matrix, one matmul per
+    Arrow batch — verified against a plain-numpy reference and planted
+    exact-copy / orthogonal invariants."""
+
+    def test_numpy_reference_differential(self, spark):
+        import numpy as np
+
+        from fuzi_spark.ops.similarity import semantic_decontaminate
+
+        rng = np.random.RandomState(11)
+        corpus_rows = [
+            (i, [float(x) for x in rng.randn(12)]) for i in range(80)
+        ]
+        eval_rows = [
+            (500 + j, [float(x) for x in rng.randn(12)]) for j in range(9)
+        ]
+        # plant exact copies of eval 500 and 503 into the corpus
+        corpus_rows += [
+            (2000, list(eval_rows[0][1])),
+            (2001, list(eval_rows[3][1])),
+        ]
+        corpus = spark.createDataFrame(
+            corpus_rows, "vec_id long, embedding array<double>"
+        )
+        ev = spark.createDataFrame(
+            eval_rows, "vec_id long, embedding array<double>"
+        )
+        got = {
+            r["vec_id"]: r
+            for r in semantic_decontaminate(corpus, ev, 0.95).collect()
+        }
+        M = np.array([v for _, v in corpus_rows])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        E = np.array([v for _, v in eval_rows])
+        E = E / np.linalg.norm(E, axis=1, keepdims=True)
+        S = M @ E.T
+        for k, (cid, _) in enumerate(corpus_rows):
+            r = got[cid]
+            best = int(np.argmax(S[k]))
+            assert r["matched_eval"] == 500 + best
+            assert abs(r["max_cos"] - S[k][best]) < 1e-12
+            assert r["n_hits"] == int((S[k] >= 0.95).sum())
+            assert r["contaminated"] == int(S[k][best] >= 0.95)
+        # the planted copies flag with cosine exactly ~1
+        assert got[2000]["contaminated"] == 1
+        assert got[2000]["matched_eval"] == 500
+        assert got[2001]["matched_eval"] == 503
+        # random 12-dim vectors essentially never hit 0.95
+        n_flagged = sum(r["contaminated"] for r in got.values())
+        assert n_flagged == 2
+
+    def test_orthogonal_ties_resolve_to_lowest_eval_id(self, spark):
+        from fuzi_spark.ops.similarity import semantic_decontaminate
+
+        corpus = spark.createDataFrame(
+            [(0, [0.0, 0.0, 5.0])], "vec_id long, embedding array<double>"
+        )
+        ev = spark.createDataFrame(
+            [(7, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        r = semantic_decontaminate(corpus, ev, 0.9).collect()[0]
+        assert r["max_cos"] == 0.0 and r["matched_eval"] == 3
+        assert r["contaminated"] == 0 and r["n_hits"] == 0
+
+    def test_eval_contract_guards(self, spark):
+        import pytest as _pytest
+
+        from fuzi_spark.ops.similarity import semantic_decontaminate
+
+        corpus = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        big = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        with _pytest.raises(ValueError, match="broadcast contract"):
+            semantic_decontaminate(corpus, big, max_eval_rows=10)
+        empty = big.filter("vec_id < 0")
+        with _pytest.raises(ValueError, match="empty eval set"):
+            semantic_decontaminate(corpus, empty)
+
+
 class TestContentFilter:
     """content_filter: C4-style exact-token wordlist gate."""
 
