@@ -2574,6 +2574,65 @@ def q_image_dedup(spark, sf_dir):
     )
 
 
+def q_video_dedup(spark, sf_dir):
+    """Perceptual VIDEO dedup over real codecs end to end: per doc an
+    AVI wraps 3 + id%4 identical MJPEG frames of the seeded block
+    picture keyed by doc_id % 40 (encoded by our own baseline-JPEG
+    encoder at q95). Frame sampling + per-frame pHash + the majority
+    bit-vote must produce one fingerprint per picture key — same key
+    MUST collide (identical frames ⇒ identical vote), different keys
+    MUST NOT (test_query_formula_pictures_distinct_through_jpeg pins
+    all 40 JPEG-roundtripped hashes pairwise ≥ 10 bits apart) — so the
+    SQL oracle replays group sizes, canonical-keep flags, and the
+    sampling arithmetic from doc_id alone."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.jpeg import encode_baseline
+    from fuzi_spark.ops.multimodal import build_avi
+    from fuzi_spark.ops.phash import phash_dedup_groups, video_phash_df
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        cache = {}
+        out = []
+        for i in ids:
+            i = int(i)
+            key = i % 40
+            if key not in cache:
+                rng = np.random.RandomState(key)
+                base = rng.randint(0, 256, (8, 8))
+                img = np.kron(
+                    base, np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                cache[key] = encode_baseline(
+                    np.stack([img] * 3, axis=2), quality=95
+                )
+            out.append(build_avi(64, 64, 10.0, [cache[key]] * (3 + i % 4)))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("vid/"), F.col("doc_id").cast("string"), F.lit(".avi")
+        ).alias("media_ref"),
+        F.lit("video").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    hashed = video_phash_df(media)
+    groups = phash_dedup_groups(hashed.select("media_ref", "phash"))
+    out = hashed.select(
+        "media_ref", "n_frames_total", "n_sampled"
+    ).join(groups, "media_ref")
+    return out.select(
+        F.regexp_extract("media_ref", r"vid/(\d+)\.avi", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "n_frames_total", "n_sampled", "group_size", "keep",
+    )
+
+
 def q_media_context(spark, sf_dir):
     """Image-text alignment rows over formula-built span arrays: a
     leading media span (no preceding text — context_before must be
@@ -2822,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_context": q_media_context,
         "bpe_encode": q_bpe_encode,
         "image_dedup": q_image_dedup,
+        "video_dedup": q_video_dedup,
         "nb_classifier": q_nb_classifier,
         "reflow_text": q_reflow_text,
         "split_sentences": q_split_sentences,
@@ -4121,6 +4181,19 @@ def oracle_sql() -> dict[str, str]:
             "  'img/' || CAST(doc_id AS VARCHAR) || '.png' AS ref, "
             "  doc_id % 50 AS g FROM documents) "
             "SELECT doc_id, "
+            "  COUNT(*) OVER (PARTITION BY g) AS group_size, "
+            "  CAST(CASE WHEN ref = MIN(ref) OVER (PARTITION BY g) "
+            "    THEN 1 ELSE 0 END AS INTEGER) AS keep "
+            "FROM m"
+        ),
+        "video_dedup": (
+            "WITH m AS (SELECT doc_id, "
+            "  'vid/' || CAST(doc_id AS VARCHAR) || '.avi' AS ref, "
+            "  doc_id % 40 AS g, "
+            "  CAST(3 + doc_id % 4 AS INTEGER) AS nf FROM documents) "
+            "SELECT doc_id, nf AS n_frames_total, "
+            "  CAST(CASE WHEN nf < 4 THEN nf ELSE 4 END AS INTEGER) "
+            "    AS n_sampled, "
             "  COUNT(*) OVER (PARTITION BY g) AS group_size, "
             "  CAST(CASE WHEN ref = MIN(ref) OVER (PARTITION BY g) "
             "    THEN 1 ELSE 0 END AS INTEGER) AS keep "

@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "media_context",
     "bpe_encode",
     "image_dedup",
+    "video_dedup",
     "nb_classifier",
     "reflow_text",
     "split_sentences",

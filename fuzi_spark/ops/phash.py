@@ -247,3 +247,97 @@ def phash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------ video-level pHash
+
+VIDEO_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("n_frames_total", IntegerType()),
+        StructField("n_sampled", IntegerType()),
+        StructField("phash", LongType()),
+        StructField("decode_ok", IntegerType()),
+    ]
+)
+
+
+def video_phash_from_frame_hashes(hashes) -> int:
+    """Per-bit STRICT-majority vote over the sampled frames' pHashes —
+    the video-level perceptual fingerprint. Strict majority (ties → 0)
+    keeps the vote deterministic and total; a single-frame video's
+    fingerprint IS its frame hash; bit 63 stays 0 because every input
+    has it 0 (pHash drops DC into that slot)."""
+    H = np.asarray(hashes, dtype=np.uint64)
+    bits = (H[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+    votes = bits.sum(axis=0)
+    out = np.uint64(0)
+    for b in np.nonzero(2 * votes > len(H))[0]:
+        out |= np.uint64(1) << np.uint64(b)
+    return int(np.int64(out))
+
+
+def _video_phash_fn(n_frames: int):
+    from fuzi_spark.ops.multimodal import parse_avi
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in VIDEO_PHASH_SCHEMA.fields}
+            for i in range(len(pdf)):
+                rows["media_ref"].append(pdf["media_ref"].iloc[i])
+                content = pdf["content"].iloc[i]
+                parsed = parse_avi(content)
+                frames = parsed[3] if parsed else []
+                if not frames:
+                    rows["n_frames_total"].append(None)
+                    rows["n_sampled"].append(None)
+                    rows["phash"].append(None)
+                    rows["decode_ok"].append(0)
+                    continue
+                blob = bytes(content)
+                total = len(frames)
+                n_s = min(n_frames, total)
+                hashes = []
+                for k in range(n_s):
+                    off, sz = frames[(k * total) // n_s]
+                    arr = decode_image_pixels(blob[off:off + sz], "jpeg")
+                    if arr is not None:
+                        hashes.append(
+                            np.uint64(phash_from_pixels(arr))
+                        )
+                if not hashes:
+                    rows["n_frames_total"].append(total)
+                    rows["n_sampled"].append(0)
+                    rows["phash"].append(None)
+                    rows["decode_ok"].append(0)
+                    continue
+                rows["n_frames_total"].append(total)
+                rows["n_sampled"].append(len(hashes))
+                rows["phash"].append(video_phash_from_frame_hashes(hashes))
+                rows["decode_ok"].append(1)
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def video_phash_df(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """media(MEDIA_SCHEMA video rows) → VIDEO_PHASH_SCHEMA: evenly
+    sample up to `n_frames` MJPEG frames per video (index (k·total)//n,
+    the same grid as make_frame_sample_fn), pHash each through the REAL
+    baseline-JPEG pixel decode, and majority-vote the bits into one
+    64-bit video fingerprint. ONE narrow mapInPandas pass with the
+    usual giant-binary repartition spread; only sampled frames are
+    decoded, so per-video work is bounded by n_frames regardless of
+    clip length. Dedup composes downstream: phash_dedup_groups /
+    phash_near_dups are generic over (media_ref, phash), so video
+    exact-dedup is the same map-side-combinable 8-byte-key shuffle and
+    video near-dups the same pigeonhole chunk join as images."""
+    return (
+        media.filter(F.col("media_type") == "video")
+        .repartition(
+            media.sparkSession.sparkContext.defaultParallelism,
+            "media_ref",
+        )
+        .select("media_ref", "content")
+        .mapInPandas(_video_phash_fn(n_frames), schema=VIDEO_PHASH_SCHEMA)
+    )

@@ -4712,6 +4712,134 @@ class TestPhash:
         assert not any("img/d.png" in k for k in pairs)
 
 
+class TestVideoPhash:
+    """Video-level perceptual dedup (ops/phash.py video surface):
+    frame-sampling grid, strict-majority bit vote, composition with
+    the generic hash-dedup groups, and decode-failure totality."""
+
+    def test_majority_vote_hand_case(self):
+        from fuzi_spark.ops.phash import video_phash_from_frame_hashes
+
+        # bit 2 appears in 2/3 hashes (strict majority), bit 1 in 1/3
+        assert video_phash_from_frame_hashes([0b0110, 0b0100, 0b0000]) == 0b0100
+        # single frame: fingerprint IS the frame hash
+        assert video_phash_from_frame_hashes([12345]) == 12345
+        # tie (1 of 2) is NOT a strict majority
+        assert video_phash_from_frame_hashes([0b1, 0b0]) == 0
+
+    def test_identical_content_collides_distinct_differs(self):
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import encode_baseline
+        from fuzi_spark.ops.multimodal import build_avi
+        from fuzi_spark.ops.phash import _video_phash_fn
+        import pandas as pd
+
+        def vid(seed, nf):
+            frames = [
+                encode_baseline(TestPhash._blocks(seed), quality=95)
+                for _ in range(nf)
+            ]
+            return build_avi(64, 64, 10.0, frames)
+
+        pdf = pd.DataFrame(
+            {
+                "media_ref": ["a", "b", "c", "d"],
+                "content": [vid(3, 3), vid(3, 6), vid(9, 3), b"junk"],
+            }
+        )
+        out = next(_video_phash_fn(4)([pdf]))
+        by = {r["media_ref"]: r for _, r in out.iterrows()}
+        # same pictures, different frame counts: same fingerprint
+        assert by["a"]["phash"] == by["b"]["phash"]
+        assert by["a"]["decode_ok"] == 1
+        assert (by["a"]["n_frames_total"], by["a"]["n_sampled"]) == (3, 3)
+        assert (by["b"]["n_frames_total"], by["b"]["n_sampled"]) == (6, 4)
+        # distinct seeded pictures: far apart
+        ham = bin(int(by["a"]["phash"]) ^ int(by["c"]["phash"])).count("1")
+        assert ham >= 10
+        assert by["d"]["decode_ok"] == 0 and pd.isna(by["d"]["phash"])
+
+    def test_recompression_stability_natural_spectrum(self):
+        import pandas as pd
+
+        from fuzi_spark.ops.jpeg import encode_baseline
+        from fuzi_spark.ops.multimodal import build_avi
+        from fuzi_spark.ops.phash import _video_phash_fn
+
+        img = TestPhash._pic(5)
+        v95 = build_avi(
+            64, 64, 10.0, [encode_baseline(img, quality=95)] * 3
+        )
+        v80 = build_avi(
+            64, 64, 10.0,
+            [encode_baseline(img, quality=80, subsampling="4:2:0")] * 3,
+        )
+        pdf = pd.DataFrame(
+            {"media_ref": ["hi", "lo"], "content": [v95, v80]}
+        )
+        out = next(_video_phash_fn(4)([pdf]))
+        a, b = int(out["phash"].iloc[0]), int(out["phash"].iloc[1])
+        assert bin(a ^ b).count("1") <= 6
+
+    def test_query_formula_pictures_distinct_through_jpeg(self):
+        """Pins the invariant the video_dedup oracle rests on: the 40
+        block pictures of the query formula, JPEG-encoded at q95 and
+        decoded back through the real codec, hash pairwise-distinct
+        with a wide margin — so group sizes are a pure function of
+        doc_id % 40."""
+        from itertools import combinations
+
+        from fuzi_spark.ops.jpeg import encode_baseline
+        from fuzi_spark.ops.phash import phash_bytes
+
+        hashes = [
+            phash_bytes(
+                encode_baseline(TestPhash._blocks(g), quality=95), "jpeg"
+            )
+            for g in range(40)
+        ]
+        assert all(h is not None for h in hashes)
+        min_ham = min(
+            bin(a ^ b).count("1") for a, b in combinations(hashes, 2)
+        )
+        assert min_ham >= 10
+
+    def test_spark_surface_composes_with_dedup_groups(self, spark):
+        from pyspark.sql import Row
+
+        from fuzi_spark.ops.jpeg import encode_baseline
+        from fuzi_spark.ops.multimodal import MEDIA_SCHEMA, build_avi
+        from fuzi_spark.ops.phash import phash_dedup_groups, video_phash_df
+
+        def vid(seed, nf):
+            frames = [
+                encode_baseline(TestPhash._blocks(seed), quality=95)
+                for _ in range(nf)
+            ]
+            return build_avi(64, 64, 10.0, frames)
+
+        rows = [
+            Row(media_ref=f"v/{i}.avi", media_type="video",
+                content=vid(i % 2, 3 + i), format=None, width=None,
+                height=None, duration_ms=None)
+            for i in range(4)
+        ]
+        media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+        hashed = video_phash_df(media)
+        groups = {
+            r["media_ref"]: r
+            for r in phash_dedup_groups(
+                hashed.select("media_ref", "phash")
+            ).collect()
+        }
+        assert groups["v/0.avi"]["group_size"] == 2
+        assert groups["v/1.avi"]["group_size"] == 2
+        # canonical keep: lexicographically smallest ref per group
+        assert groups["v/0.avi"]["keep"] == 1
+        assert groups["v/2.avi"]["keep"] == 0
+
+
 class TestNbClassifier:
     """Multinomial NB (ops/classify.py): trained as a count
     aggregation, scored JVM-side, verified against hand-computed
