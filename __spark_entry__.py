@@ -2334,6 +2334,35 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_edit_verify(spark, sf_dir):
+    """Edit-distance verification of candidate pairs: docs carry a
+    family prefix (doc_id % 25), an optional 'extra ' insertion
+    (doc_id % 3 == 0), and a digit tail (doc_id % 9); candidates pair
+    each doc with doc_id + 25 (same family, different mutation). The
+    oracle replays the IDENTICAL construction and recomputes
+    levenshtein itself in DuckDB — distance, similarity, and the keep
+    gate must agree value-for-value on every pair."""
+    from fuzi_spark.ops.dedup import edit_similarity_pairs
+
+    i = F.col("doc_id")
+    text = F.concat(
+        F.lit("family "), (i % 25).cast("string"),
+        F.lit(" common body text "),
+        F.when(i % 3 == 0, F.lit("extra ")).otherwise(F.lit("")),
+        F.lit("tail-"), (i % 9).cast("string"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 25)
+    out = edit_similarity_pairs(docs, pairs, threshold=0.9)
+    return out.select(
+        "id_a", "id_b", "edit_dist",
+        F.round(F.col("edit_sim"), 4).alias("edit_sim"),
+        "keep",
+    )
+
+
 def q_semantic_decontaminate(spark, sf_dir):
     """Embedding-level decontamination on a provably-separable corpus:
     doc i's vector is (1 + i%5)·e_{i%16} over a 16-dim basis, the eval
@@ -2876,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_spectrogram": q_audio_spectrogram,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "edit_verify": q_edit_verify,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
         "media_context": q_media_context,
@@ -4051,6 +4081,25 @@ def oracle_sql() -> dict[str, str]:
             "  'img/' || v || '/2.jpg', 'c-' || v, "
             "  CASE WHEN d3 = 1 THEN 'P1 ' || v ELSE 'P0 ' || v END, "
             "  CAST(NULL AS VARCHAR) "
+            "FROM s"
+        ),
+        "edit_verify": (
+            "WITH d AS (SELECT doc_id, "
+            "  'family ' || CAST(doc_id % 25 AS VARCHAR) || "
+            "  ' common body text ' || "
+            "  (CASE WHEN doc_id % 3 = 0 THEN 'extra ' ELSE '' END) || "
+            "  'tail-' || CAST(doc_id % 9 AS VARCHAR) AS text "
+            "  FROM documents), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  a.text AS ta, b.text AS tb "
+            "  FROM d a JOIN d b ON b.doc_id = a.doc_id + 25), "
+            "s AS (SELECT id_a, id_b, levenshtein(ta, tb) AS edit_dist, "
+            "  GREATEST(LENGTH(ta), LENGTH(tb)) AS big FROM p) "
+            "SELECT id_a, id_b, CAST(edit_dist AS INTEGER) AS edit_dist, "
+            "  ROUND(CAST(1.0 - CAST(edit_dist AS DOUBLE) / big "
+            "    AS DOUBLE), 4) AS edit_sim, "
+            "  CAST(CASE WHEN 1.0 - CAST(edit_dist AS DOUBLE) / big "
+            "    >= 0.9 THEN 1 ELSE 0 END AS INTEGER) AS keep "
             "FROM s"
         ),
         "semantic_decontaminate": (

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_keep",
+    "edit_verify",
     "stream_dedup",
     "extract_pdf",
     "extract_pdf_cmap",

@@ -2663,6 +2663,80 @@ class TestSemanticDedup:
         assert a == b
 
 
+class TestEditSimilarity:
+    """edit_similarity_pairs: exact levenshtein verify stage over
+    candidate pairs — python-reference differential, empty/prefix
+    semantics, threshold gate."""
+
+    @staticmethod
+    def _lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    def test_python_reference_differential(self, spark):
+        import random
+
+        from fuzi_spark.ops.dedup import edit_similarity_pairs
+
+        rng = random.Random(5)
+        alphabet = "abcdx "
+        texts = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+            for _ in range(14)
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(i, j) for i in range(14) for j in range(i + 1, 14)][:40],
+            "id_a long, id_b long",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r
+            for r in edit_similarity_pairs(docs, pairs, threshold=0.5).collect()
+        }
+        for (ia, ib), r in got.items():
+            d = self._lev(texts[ia], texts[ib])
+            assert r["edit_dist"] == d
+            big = max(len(texts[ia]), len(texts[ib]))
+            sim = 1.0 - d / big if big else 1.0
+            assert abs(r["edit_sim"] - sim) < 1e-12
+            assert r["keep"] == int(sim >= 0.5)
+
+    def test_empty_and_prefix_semantics(self, spark):
+        from fuzi_spark.ops.dedup import edit_similarity_pairs
+
+        docs = spark.createDataFrame(
+            [(0, ""), (1, ""), (2, "abcdef"), (3, "abcxyz")],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (0, 2), (2, 3)], "id_a long, id_b long"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r
+            for r in edit_similarity_pairs(docs, pairs).collect()
+        }
+        # both empty: identical by definition
+        assert got[(0, 1)]["edit_sim"] == 1.0 and got[(0, 1)]["keep"] == 1
+        assert got[(0, 2)]["edit_dist"] == 6 and got[(0, 2)]["edit_sim"] == 0.0
+        # prefix cap: only the first 3 chars are compared
+        capped = {
+            (r["id_a"], r["id_b"]): r
+            for r in edit_similarity_pairs(docs, pairs, prefix_len=3).collect()
+        }
+        assert capped[(2, 3)]["edit_dist"] == 0
+        assert got[(2, 3)]["edit_dist"] == 3
+
+
 class TestSemanticDecontaminate:
     """semantic_decontaminate: broadcast eval matrix, one matmul per
     Arrow batch — verified against a plain-numpy reference and planted
