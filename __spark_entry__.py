@@ -2334,6 +2334,28 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_bloom_seen(spark, sf_dir):
+    """Bloom-filter membership gate, decision-exact: seen keys are
+    'url-<id>' for ids % 10 == 0, probes are 'url-<id%97>'. The oracle
+    replays the EXACT position arithmetic (md5('bloom:i:key') hex
+    prefix mod 2^20, the cross-engine contract) and the all-k-set
+    decision relationally — so n_set and the seen flag match
+    bit-for-bit, FALSE POSITIVES INCLUDED (none occur at this m/n, but
+    the replay would reproduce them if they did)."""
+    from fuzi_spark.ops.bloom import bloom_seen_filter
+
+    i = F.col("doc_id")
+    seen = _docs(spark, sf_dir).filter(i % 10 == 0).select(
+        F.concat(F.lit("url-"), i.cast("string")).alias("key")
+    )
+    probes = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("url-"), (i % 97).cast("string")).alias("key"),
+    )
+    out = bloom_seen_filter(probes, seen, m_bits=1 << 20, k=4)
+    return out.select("doc_id", "key", "n_set", "seen")
+
+
 def q_edit_verify(spark, sf_dir):
     """Edit-distance verification of candidate pairs: docs carry a
     family prefix (doc_id % 25), an optional 'extra ' insertion
@@ -2906,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectrogram": q_audio_spectrogram,
         "semantic_decontaminate": q_semantic_decontaminate,
         "edit_verify": q_edit_verify,
+        "bloom_seen": q_bloom_seen,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
         "media_context": q_media_context,
@@ -4082,6 +4105,29 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN d3 = 1 THEN 'P1 ' || v ELSE 'P0 ' || v END, "
             "  CAST(NULL AS VARCHAR) "
             "FROM s"
+        ),
+        "bloom_seen": (
+            "WITH seen AS (SELECT 'url-' || CAST(doc_id AS VARCHAR) AS key "
+            "  FROM documents WHERE doc_id % 10 = 0), "
+            "hs AS (SELECT unnest(range(4)) AS i), "
+            "spos AS (SELECT DISTINCT "
+            "  CAST(('0x' || substr(md5('bloom:' || CAST(i AS VARCHAR) "
+            "    || ':' || key), 1, 15)) AS BIGINT) % 1048576 AS pos "
+            "  FROM seen, hs), "
+            "pr AS (SELECT doc_id, "
+            "  'url-' || CAST(doc_id % 97 AS VARCHAR) AS key "
+            "  FROM documents), "
+            "pp AS (SELECT doc_id, key, "
+            "  CAST(('0x' || substr(md5('bloom:' || CAST(i AS VARCHAR) "
+            "    || ':' || key), 1, 15)) AS BIGINT) % 1048576 AS pos "
+            "  FROM pr, hs), "
+            "cnt AS (SELECT doc_id, key, COUNT(s.pos) AS n_set "
+            "  FROM pp LEFT JOIN spos s USING (pos) "
+            "  GROUP BY doc_id, key) "
+            "SELECT doc_id, key, CAST(n_set AS INTEGER) AS n_set, "
+            "  CAST(CASE WHEN n_set = 4 THEN 1 ELSE 0 END AS INTEGER) "
+            "    AS seen "
+            "FROM cnt"
         ),
         "edit_verify": (
             "WITH d AS (SELECT doc_id, "

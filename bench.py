@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "embedding_near_dups",
     "line_dedup",
     "hash_sample",
+    "bloom_seen",
     "decontaminate",
     "redact_pii",
     "pack_sequences",

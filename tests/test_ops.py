@@ -2663,6 +2663,64 @@ class TestSemanticDedup:
         assert a == b
 
 
+class TestBloom:
+    """ops/bloom.py: cross-engine position contract (JVM md5 build vs
+    hashlib probe), no-false-negatives, bitmap-driven decisions."""
+
+    def test_jvm_and_python_positions_agree(self, spark):
+        from fuzi_spark.ops.bloom import _position_cols, _positions_py
+
+        keys = ["url-0", "a b:c", "émoji→", ""]
+        df = spark.createDataFrame([(x,) for x in keys], "key string")
+        got = df.select(
+            "key", F.array(*_position_cols(F.col("key"), "s1", 4, 4096)).alias("p")
+        ).collect()
+        for r in got:
+            assert list(r["p"]) == _positions_py(r["key"], "s1", 4, 4096)
+
+    def test_no_false_negatives_and_fp_behavior(self, spark):
+        from fuzi_spark.ops.bloom import bloom_build, bloom_probe_df
+
+        seen = spark.createDataFrame(
+            [(f"k-{i}",) for i in range(300)], "key string"
+        )
+        bitmap = bloom_build(seen, m_bits=1 << 16, k=4)
+        probes = spark.createDataFrame(
+            [(f"k-{i}",) for i in range(300)]
+            + [(f"other-{i}",) for i in range(1000)],
+            "key string",
+        )
+        rows = bloom_probe_df(probes, bitmap).collect()
+        members = [r for r in rows if r["key"].startswith("k-")]
+        others = [r for r in rows if r["key"].startswith("other-")]
+        # Bloom guarantee: zero false negatives
+        assert all(r["seen"] == 1 and r["n_set"] == 4 for r in members)
+        # adequately sized (m ≈ 218n bits): essentially no false positives
+        assert sum(r["seen"] for r in others) <= 2
+        # a starved filter (m = 512 bits for 300 keys) saturates — the
+        # decision provably follows the bitmap, not key equality
+        tiny = bloom_build(seen, m_bits=512, k=4)
+        tiny_rows = bloom_probe_df(probes, tiny).collect()
+        assert sum(
+            r["seen"] for r in tiny_rows if r["key"].startswith("other-")
+        ) > 500
+
+    def test_null_key_and_compose(self, spark):
+        from fuzi_spark.ops.bloom import bloom_seen_filter
+
+        docs = spark.createDataFrame(
+            [(0, "u-1"), (1, "u-2"), (2, None)],
+            "doc_id long, key string",
+        )
+        seen = spark.createDataFrame([("u-1",)], "key string")
+        got = {
+            r["doc_id"]: r for r in bloom_seen_filter(docs, seen).collect()
+        }
+        assert got[0]["seen"] == 1
+        assert got[1]["seen"] == 0
+        assert got[2]["seen"] == 0 and got[2]["n_set"] == 0
+
+
 class TestEditSimilarity:
     """edit_similarity_pairs: exact levenshtein verify stage over
     candidate pairs — python-reference differential, empty/prefix
