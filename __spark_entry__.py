@@ -2334,6 +2334,29 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_crawl_schedule(spark, sf_dir):
+    """Politeness scheduling over a formula frontier: 20 hosts × ~25
+    URLs with priority doc_id % 11. The oracle replays the md5 shard
+    arithmetic, the (priority DESC, url ASC) per-host window, and the
+    10-per-host budget relationally — shard cohesion, queue positions,
+    and the dropped overflow must all match row-for-row."""
+    from fuzi_spark.ops.web import crawl_schedule
+
+    i = F.col("doc_id")
+    frontier = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (i % 20).cast("string"), F.lit(".com/p"),
+            (i % 7).cast("string"), F.lit("-"), i.cast("string"),
+        ).alias("url"),
+        (i % 11).cast("double").alias("priority"),
+    )
+    out = crawl_schedule(
+        frontier, priority_col="priority", n_shards=64, max_per_host=10
+    )
+    return out.select("doc_id", "url", "host", "shard", "fetch_seq")
+
+
 def q_bloom_seen(spark, sf_dir):
     """Bloom-filter membership gate, decision-exact: seen keys are
     'url-<id>' for ids % 10 == 0, probes are 'url-<id%97>'. The oracle
@@ -2929,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": q_semantic_decontaminate,
         "edit_verify": q_edit_verify,
         "bloom_seen": q_bloom_seen,
+        "crawl_schedule": q_crawl_schedule,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
         "media_context": q_media_context,
@@ -4105,6 +4129,23 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN d3 = 1 THEN 'P1 ' || v ELSE 'P0 ' || v END, "
             "  CAST(NULL AS VARCHAR) "
             "FROM s"
+        ),
+        "crawl_schedule": (
+            "WITH f AS (SELECT doc_id, "
+            "  'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.com/p' || "
+            "  CAST(doc_id % 7 AS VARCHAR) || '-' || "
+            "  CAST(doc_id AS VARCHAR) AS url, "
+            "  CAST(doc_id % 11 AS DOUBLE) AS priority, "
+            "  'h' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS host "
+            "  FROM documents), "
+            "w AS (SELECT doc_id, url, host, "
+            "  CAST(CAST(('0x' || substr(md5(host), 1, 15)) AS BIGINT) "
+            "    % 64 AS INTEGER) AS shard, "
+            "  CAST(ROW_NUMBER() OVER (PARTITION BY host "
+            "    ORDER BY priority DESC, url ASC) AS INTEGER) AS fetch_seq "
+            "  FROM f) "
+            "SELECT doc_id, url, host, shard, fetch_seq FROM w "
+            "WHERE fetch_seq <= 10"
         ),
         "bloom_seen": (
             "WITH seen AS (SELECT 'url-' || CAST(doc_id AS VARCHAR) AS key "

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "audio_spectrogram",
     "video_frames",
     "crawl_frontier",
+    "crawl_schedule",
     "media_context",
     "bpe_encode",
     "image_dedup",

@@ -792,3 +792,52 @@ def crawl_frontier(
         reason.alias("reason"),
         (reason == "frontier").cast("int").alias("fetch"),
     )
+
+
+def crawl_schedule(
+    frontier: DataFrame,
+    url_col: str = "url",
+    priority_col: str = None,
+    n_shards: int = 256,
+    max_per_host: int = 0,
+) -> DataFrame:
+    """Politeness-aware crawl scheduling: assign every frontier URL a
+    fetcher SHARD (all of a host's URLs land on the same shard, so one
+    fetcher owns a host's rate limit) and a per-host FETCH_SEQ (the
+    politeness queue position — a fetcher issues a host's requests in
+    this order, one connection per host).
+
+    - shard = md5-bucket of the lowercased host mod n_shards (md5 so
+      the driver oracle can replay the assignment; any well-mixed hash
+      works — same rationale as ops/sampling.py);
+    - fetch_seq = dense per-host position ordering by (priority DESC,
+      url ASC) when `priority_col` is given (crawl the high-value pages
+      of a host first), else url ASC — deterministic either way;
+    - max_per_host > 0 drops a host's overflow beyond that many URLs
+      per cycle (the standard per-cycle host budget; dropped rows are
+      simply absent — re-discovered next cycle).
+
+    Scale shape: ONE host-keyed window exchange (the corpus shuffles
+    once, keyed by host); the shard column is a scan-side projection.
+    Host skew is real (a few giant hosts own much of any frontier) but
+    bounded by max_per_host: the window's per-partition work is capped
+    at the budget wherever the budget is set."""
+    from pyspark.sql import Window
+
+    host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(host), 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+    base = frontier.withColumn("_host", host)
+    if priority_col:
+        order = [F.col(priority_col).desc(), F.col(url_col).asc()]
+    else:
+        order = [F.col(url_col).asc()]
+    w = Window.partitionBy("_host").orderBy(*order)
+    out = base.withColumn(
+        "fetch_seq", F.row_number().over(w).cast("int")
+    ).withColumn("shard", shard)
+    if max_per_host > 0:
+        out = out.filter(F.col("fetch_seq") <= max_per_host)
+    return out.withColumnRenamed("_host", "host")

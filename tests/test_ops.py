@@ -4283,6 +4283,65 @@ class TestAviFrames:
         assert got == [(0, 0, 5, 6), (1, 100, 7, 8)]
 
 
+class TestCrawlSchedule:
+    """crawl_schedule: host-cohesive shard assignment + per-host
+    politeness ordering + host budget."""
+
+    def test_host_cohesion_priority_order_and_budget(self, spark):
+        import hashlib
+
+        from fuzi_spark.ops.web import crawl_schedule
+
+        rows = [
+            ("https://a.com/p3", 1.0),
+            ("https://a.com/p1", 9.0),
+            ("https://a.com/p2", 9.0),
+            ("https://B.com/x", 5.0),
+            ("https://b.com/y", 2.0),
+            ("not a url", 1.0),
+        ]
+        df = spark.createDataFrame(rows, "url string, priority double")
+        got = {
+            r["url"]: r
+            for r in crawl_schedule(
+                df, priority_col="priority", n_shards=64
+            ).collect()
+        }
+        # all of a host's URLs share one shard, and the shard replays
+        # the md5 arithmetic
+        exp_shard = (
+            int(hashlib.md5(b"a.com").hexdigest()[:15], 16) % 64
+        )
+        a_rows = [got[u] for u in ("https://a.com/p1", "https://a.com/p2",
+                                   "https://a.com/p3")]
+        assert {r["shard"] for r in a_rows} == {exp_shard}
+        # priority DESC then url ASC: p1 (9.0) then p2 (9.0) then p3
+        assert [r["fetch_seq"] for r in a_rows] == [1, 2, 3]
+        # case-folded hosts cohere
+        assert got["https://B.com/x"]["host"] == "b.com"
+        assert got["https://B.com/x"]["fetch_seq"] == 1  # priority 5 > 2
+        # garbage URL → '' host, still scheduled deterministically
+        assert got["not a url"]["host"] == ""
+        # host budget caps each host's queue
+        capped = crawl_schedule(
+            df, priority_col="priority", max_per_host=2
+        ).collect()
+        hosts = [r["host"] for r in capped]
+        assert hosts.count("a.com") == 2
+        assert {
+            r["url"] for r in capped if r["host"] == "a.com"
+        } == {"https://a.com/p1", "https://a.com/p2"}
+
+    def test_default_order_is_url_asc(self, spark):
+        from fuzi_spark.ops.web import crawl_schedule
+
+        df = spark.createDataFrame(
+            [("https://h.com/b",), ("https://h.com/a",)], "url string"
+        )
+        got = {r["url"]: r["fetch_seq"] for r in crawl_schedule(df).collect()}
+        assert got["https://h.com/a"] == 1 and got["https://h.com/b"] == 2
+
+
 class TestCrawlFrontier:
     def test_gates_and_precedence(self, spark):
         from fuzi_spark.ops.web import crawl_frontier
