@@ -2334,6 +2334,61 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_image_exif(spark, sf_dir):
+    """REAL EXIF decode end to end: per doc an APP1 TIFF IFD is built
+    from formula parameters — byte order alternates II/MM (both
+    endiannesses exercised every run), make 'Cam<id%5>' (offset-
+    addressed ASCII), model 'M-<id%4>' (inline ASCII), orientation
+    1 + id%8, a formula DateTime, GPS IFD present on id%3==0 — and
+    every 7th doc ships NO EXIF at all. The SQL oracle predicts every
+    field including the geotag-PII flag from the formulas."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.multimodal import (
+        build_exif_jpeg,
+        build_jpeg,
+        exif_df,
+    )
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        base = build_jpeg(8, 8)
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 7 == 0:
+                out.append(base)
+                continue
+            out.append(
+                build_exif_jpeg(
+                    base,
+                    byte_order="II" if i % 2 == 0 else "MM",
+                    make=f"Cam{i % 5}",
+                    model=f"M-{i % 4}",
+                    orientation=1 + i % 8,
+                    datetime=f"2024:0{1 + i % 9}:01 00:00:00",
+                    gps=i % 3 == 0,
+                )
+            )
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("img/"), F.col("doc_id").cast("string"), F.lit(".jpg")
+        ).alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    return exif_df(media).select(
+        F.regexp_extract("media_ref", r"img/(\d+)\.jpg", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "byte_order", "orientation", "make", "model", "datetime",
+        "has_gps", "exif_ok",
+    )
+
+
 def q_crawl_schedule(spark, sf_dir):
     """Politeness scheduling over a formula frontier: 20 hosts × ~25
     URLs with priority doc_id % 11. The oracle replays the md5 shard
@@ -2953,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_verify": q_edit_verify,
         "bloom_seen": q_bloom_seen,
         "crawl_schedule": q_crawl_schedule,
+        "image_exif": q_image_exif,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
         "media_context": q_media_context,
@@ -4129,6 +4185,25 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN d3 = 1 THEN 'P1 ' || v ELSE 'P0 ' || v END, "
             "  CAST(NULL AS VARCHAR) "
             "FROM s"
+        ),
+        "image_exif": (
+            "SELECT doc_id, "
+            "  CASE WHEN doc_id % 7 = 0 THEN NULL "
+            "    WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order, "
+            "  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL "
+            "    ELSE 1 + doc_id % 8 END AS INTEGER) AS orientation, "
+            "  CASE WHEN doc_id % 7 = 0 THEN NULL "
+            "    ELSE 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS make, "
+            "  CASE WHEN doc_id % 7 = 0 THEN NULL "
+            "    ELSE 'M-' || CAST(doc_id % 4 AS VARCHAR) END AS model, "
+            "  CASE WHEN doc_id % 7 = 0 THEN NULL "
+            "    ELSE '2024:0' || CAST(1 + doc_id % 9 AS VARCHAR) || "
+            "    ':01 00:00:00' END AS datetime, "
+            "  CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 3 = 0 "
+            "    THEN 1 ELSE 0 END AS INTEGER) AS has_gps, "
+            "  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END "
+            "    AS INTEGER) AS exif_ok "
+            "FROM documents"
         ),
         "crawl_schedule": (
             "WITH f AS (SELECT doc_id, "

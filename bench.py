@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "fix_mojibake",
     "detect_code",
     "image_pixels",
+    "image_exif",
     "span_language",
     "snapshot_delta",
     "audio_features",

@@ -621,6 +621,224 @@ def audio_spectrogram_df(media: DataFrame, n_fft: int = 256) -> DataFrame:
     ).mapInPandas(gen, schema=SPECTROGRAM_SCHEMA)
 
 
+# --------------------------------------------------- real EXIF decode
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("byte_order", StringType()),  # 'II' | 'MM'
+        StructField("orientation", IntegerType()),
+        StructField("make", StringType()),
+        StructField("model", StringType()),
+        StructField("datetime", StringType()),
+        StructField("has_gps", IntegerType()),
+        StructField("exif_ok", IntegerType()),
+    ]
+)
+
+_EXIF_TAGS = {
+    0x010F: "make",
+    0x0110: "model",
+    0x0112: "orientation",
+    0x0132: "datetime",
+    0x8825: "gps",
+}
+
+
+def parse_exif(content) -> Optional[dict]:
+    """Recovering EXIF parse for JPEG: walk the segment stream to the
+    APP1 'Exif\\0\\0' payload, then the TIFF IFD0 — byte order (II/MM),
+    Make/Model/DateTime (ASCII, inline or offset-addressed),
+    Orientation (SHORT), and GPS-IFD presence (tag 0x8825 — the
+    geotag-PII signal a curation gate needs BEFORE pixels are ever
+    decoded). Pure stdlib; truncated/bogus structures degrade to None
+    or partial fields, never raise."""
+    b = bytes(content or b"")
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    i = 2
+    payload = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            break
+        marker = b[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:  # scan data: no EXIF past this point
+            break
+        seglen = int.from_bytes(b[i + 2:i + 4], "big")
+        if seglen < 2:
+            break
+        if marker == 0xE1 and b[i + 4:i + 10] == b"Exif\x00\x00":
+            payload = b[i + 10:i + 2 + seglen]
+            break
+        i += 2 + seglen
+    if payload is None or len(payload) < 8:
+        return None
+    bo = payload[0:2]
+    if bo == b"II":
+        end = "little"
+    elif bo == b"MM":
+        end = "big"
+    else:
+        return None
+
+    def rd(off, n):
+        return int.from_bytes(payload[off:off + n], end)
+
+    if rd(2, 2) != 42:
+        return None
+    ifd = rd(4, 4)
+    out = {
+        "byte_order": bo.decode(),
+        "orientation": None,
+        "make": None,
+        "model": None,
+        "datetime": None,
+        "has_gps": 0,
+    }
+    if ifd + 2 > len(payload):
+        return out
+    n = rd(ifd, 2)
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(payload):
+            break
+        tag, typ, cnt = rd(e, 2), rd(e + 2, 2), rd(e + 4, 4)
+        name = _EXIF_TAGS.get(tag)
+        if name is None:
+            continue
+        if name == "gps":
+            out["has_gps"] = 1
+        elif name == "orientation" and typ == 3 and cnt >= 1:
+            out["orientation"] = rd(e + 8, 2)
+        elif typ == 2 and cnt > 0:  # ASCII
+            if cnt <= 4:
+                raw = payload[e + 8:e + 8 + cnt]
+            else:
+                off = rd(e + 8, 4)
+                raw = payload[off:off + cnt]
+            out[name] = (
+                raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+                if raw
+                else None
+            )
+    return out
+
+
+def build_exif_jpeg(
+    jpeg: bytes,
+    byte_order: str = "II",
+    make: str = None,
+    model: str = None,
+    orientation: int = None,
+    datetime: str = None,
+    gps: bool = False,
+) -> bytes:
+    """Insert a spec-shaped EXIF APP1 segment (TIFF IFD0) right after
+    SOI of an existing JPEG — the synthetic fixture source. ASCII
+    values longer than 4 bytes are offset-addressed into a data area
+    after the IFD, exercising both TIFF value encodings."""
+    end = "little" if byte_order == "II" else "big"
+
+    def pk(v, n):
+        return v.to_bytes(n, end)
+
+    entries = []
+    data = b""
+    # data area begins after: 8 TIFF hdr + 2 count + 12*n + 4 next-IFD
+    def add_ascii(tag, s):
+        nonlocal data
+        raw = s.encode("ascii") + b"\x00"
+        if len(raw) <= 4:
+            entries.append((tag, pk(tag, 2) + pk(2, 2) + pk(len(raw), 4)
+                            + raw.ljust(4, b"\x00")))
+        else:
+            entries.append((tag, None, raw))  # patched after layout
+
+    if make is not None:
+        add_ascii(0x010F, make)
+    if model is not None:
+        add_ascii(0x0110, model)
+    if orientation is not None:
+        entries.append((
+            0x0112,
+            pk(0x0112, 2) + pk(3, 2) + pk(1, 4) + pk(orientation, 2)
+            + b"\x00\x00",
+        ))
+    if datetime is not None:
+        add_ascii(0x0132, datetime)
+    if gps:
+        entries.append((0x8825, None, b"__GPSIFD"))
+    entries.sort(key=lambda t: t[0])
+    n = len(entries)
+    data_base = 8 + 2 + 12 * n + 4
+    blobs, fixed = [], []
+    cursor = data_base
+    for ent in entries:
+        if ent[1] is not None:
+            fixed.append(ent[1])
+            continue
+        tag, _, raw = ent
+        if raw == b"__GPSIFD":
+            # pointer to a minimal (0-entry) GPS IFD in the data area
+            fixed.append(pk(tag, 2) + pk(4, 2) + pk(1, 4) + pk(cursor, 4))
+            raw = pk(0, 2) + pk(0, 4)
+        else:
+            fixed.append(pk(tag, 2) + pk(2, 2) + pk(len(raw), 4)
+                         + pk(cursor, 4))
+        blobs.append(raw)
+        cursor += len(raw)
+    tiff = (
+        byte_order.encode() + pk(42, 2) + pk(8, 4)
+        + pk(n, 2) + b"".join(fixed) + pk(0, 4) + b"".join(blobs)
+    )
+    seg = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(seg) + 2).to_bytes(2, "big") + seg
+    assert jpeg[:2] == b"\xff\xd8"
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def exif_df(media: DataFrame) -> DataFrame:
+    """media(MEDIA_SCHEMA image rows) → EXIF_SCHEMA, one narrow
+    mapInPandas pass (header-only work — no pixel decode, so this runs
+    at scan speed even on giant images; same skew spread as the other
+    media surfaces). Images without an EXIF segment are exif_ok=0 with
+    NULL fields — absence is knowledge, not failure."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in EXIF_SCHEMA.fields}
+            for i in range(len(pdf)):
+                rows["media_ref"].append(pdf["media_ref"].iloc[i])
+                meta = parse_exif(pdf["content"].iloc[i])
+                if meta is None:
+                    for k in ("byte_order", "orientation", "make",
+                              "model", "datetime"):
+                        rows[k].append(None)
+                    rows["has_gps"].append(0)
+                    rows["exif_ok"].append(0)
+                else:
+                    for k in ("byte_order", "orientation", "make",
+                              "model", "datetime", "has_gps"):
+                        rows[k].append(meta[k])
+                    rows["exif_ok"].append(1)
+            yield pd.DataFrame(rows)
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .repartition(
+            media.sparkSession.sparkContext.defaultParallelism, "media_ref"
+        )
+        .select("media_ref", "content")
+        .mapInPandas(gen, schema=EXIF_SCHEMA)
+    )
+
+
 # ------------------------------------------- real AVI container decode
 
 

@@ -4208,6 +4208,111 @@ class TestWavSpectrogram:
         assert bad["decode_ok"] == 0 and bad["spectrum"] is None
 
 
+class TestExif:
+    """parse_exif / build_exif_jpeg / exif_df: real TIFF-IFD walk in
+    the JPEG APP1 segment — both byte orders, inline vs
+    offset-addressed ASCII, GPS-presence PII signal, recovery."""
+
+    def test_round_trip_both_byte_orders(self):
+        from fuzi_spark.ops.multimodal import (
+            build_exif_jpeg,
+            build_jpeg,
+            parse_exif,
+            parse_image_header,
+        )
+
+        j = build_jpeg(10, 8)
+        for bo in ("II", "MM"):
+            b = build_exif_jpeg(
+                j, byte_order=bo, make="CamX", model="Model 3000",
+                orientation=6, datetime="2024:01:02 03:04:05", gps=True,
+            )
+            m = parse_exif(b)
+            assert m == {
+                "byte_order": bo, "orientation": 6, "make": "CamX",
+                "model": "Model 3000",
+                "datetime": "2024:01:02 03:04:05", "has_gps": 1,
+            }
+            # the inserted APP1 does not disturb dimension parsing
+            assert parse_image_header(b) == ("jpeg", 10, 8, 3)
+
+    def test_inline_vs_offset_ascii_and_absence(self):
+        from fuzi_spark.ops.multimodal import (
+            build_exif_jpeg,
+            build_jpeg,
+            parse_exif,
+        )
+
+        j = build_jpeg(6, 6)
+        # 'abc'+NUL = 4 bytes → inline; 'CamX'+NUL = 5 → offset area
+        m = parse_exif(build_exif_jpeg(j, make="abc"))
+        assert m["make"] == "abc" and m["has_gps"] == 0
+        assert m["orientation"] is None and m["model"] is None
+        assert parse_exif(j) is None  # no APP1 at all
+
+    def test_pixels_survive_exif_insertion(self):
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import decode_baseline, encode_baseline
+        from fuzi_spark.ops.multimodal import build_exif_jpeg
+
+        img = np.full((16, 16), 128, dtype=np.uint8)
+        plain = encode_baseline(img, quality=100)
+        tagged = build_exif_jpeg(plain, make="Cam", gps=True)
+        assert np.array_equal(decode_baseline(plain), decode_baseline(tagged))
+
+    def test_recovery_never_raises(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import (
+            build_exif_jpeg,
+            build_jpeg,
+            parse_exif,
+        )
+
+        assert parse_exif(None) is None
+        assert parse_exif(b"junk") is None
+        assert parse_exif(b"\xff\xd8\xff\xe1\x00\x04Ex") is None
+        blob = build_exif_jpeg(build_jpeg(6, 6), make="CamX", gps=True)
+        rng = np.random.RandomState(3)
+        for _ in range(60):
+            cut = int(rng.randint(2, len(blob)))
+            parse_exif(blob[:cut])
+            mut = bytearray(blob)
+            mut[int(rng.randint(2, len(blob)))] = int(rng.randint(256))
+            parse_exif(bytes(mut))
+
+    def test_spark_surface(self, spark):
+        from pyspark.sql import Row
+
+        from fuzi_spark.ops.multimodal import (
+            MEDIA_SCHEMA,
+            build_exif_jpeg,
+            build_jpeg,
+            exif_df,
+        )
+
+        j = build_jpeg(6, 6)
+        rows = [
+            Row(media_ref="i/0.jpg", media_type="image",
+                content=build_exif_jpeg(j, make="CamA", orientation=3),
+                format=None, width=None, height=None, duration_ms=None),
+            Row(media_ref="i/1.jpg", media_type="image", content=j,
+                format=None, width=None, height=None, duration_ms=None),
+        ]
+        got = {
+            r["media_ref"]: r
+            for r in exif_df(
+                spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+            ).collect()
+        }
+        assert got["i/0.jpg"]["exif_ok"] == 1
+        assert got["i/0.jpg"]["make"] == "CamA"
+        assert got["i/0.jpg"]["orientation"] == 3
+        assert got["i/1.jpg"]["exif_ok"] == 0
+        assert got["i/1.jpg"]["has_gps"] == 0
+
+
 class TestAviFrames:
     """parse_avi / build_avi / avi_frames_df: real RIFF/AVI container
     walk — frame byte ranges, container timing, per-frame JPEG dims."""
