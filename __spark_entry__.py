@@ -580,6 +580,37 @@ def q_stream_dedup(spark, sf_dir):
     return kept
 
 
+def q_stream_near_dedup(spark, sf_dir):
+    """Incremental NEAR-dedup kernel over three deterministic batches:
+    50 families of 10 EXACT copies (family f = id % 50, text = 30
+    family-unique tokens, families shingle-disjoint), batched by
+    id % 3. Exact copies band identically, so every later copy is
+    dropped against history or within-batch, and the survivor is
+    rank-1 of ORDER BY (id % 3), id per family — which the oracle
+    replays as a window. Mid-Jaccard mutation behavior is pinned in
+    TestStreamingNearDedup; this oracle proves the history/commit/
+    election machinery on certainty-class collisions."""
+    from fuzi_spark.ops.cache import scoped_persist
+    from fuzi_spark.streaming import near_novel
+
+    f = (F.col("doc_id") % 50).cast("string")
+    text = F.concat_ws(
+        " ",
+        *[F.concat(F.lit(f"f"), f, F.lit(f"w{j}")) for j in range(30)],
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    seen = None
+    kept = None
+    for k in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == k)
+        novel, nb = near_novel(batch, seen)
+        novel = scoped_persist(novel.select("doc_id"))
+        bands = scoped_persist(nb.select("band", "bucket"))
+        kept = novel if kept is None else kept.unionByName(novel)
+        seen = bands if seen is None else seen.unionByName(bands)
+    return kept
+
+
 def q_extract_pdf(spark, sf_dir):
     """PDF/layout parse (north_rule): build a deterministic one-page PDF
     per document (24pt title = source, 12pt body = text), then run the
@@ -3006,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectrogram": q_audio_spectrogram,
         "semantic_decontaminate": q_semantic_decontaminate,
         "edit_verify": q_edit_verify,
+        "stream_near_dedup": q_stream_near_dedup,
         "bloom_seen": q_bloom_seen,
         "crawl_schedule": q_crawl_schedule,
         "image_exif": q_image_exif,
@@ -4221,6 +4253,13 @@ def oracle_sql() -> dict[str, str]:
             "  FROM f) "
             "SELECT doc_id, url, host, shard, fetch_seq FROM w "
             "WHERE fetch_seq <= 10"
+        ),
+        "stream_near_dedup": (
+            "WITH m AS (SELECT doc_id, doc_id % 50 AS f, "
+            "  doc_id % 3 AS b FROM documents), "
+            "r AS (SELECT doc_id, ROW_NUMBER() OVER "
+            "  (PARTITION BY f ORDER BY b, doc_id) AS rn FROM m) "
+            "SELECT doc_id FROM r WHERE rn = 1"
         ),
         "bloom_seen": (
             "WITH seen AS (SELECT 'url-' || CAST(doc_id AS VARCHAR) AS key "

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "dedup_keep",
     "edit_verify",
     "stream_dedup",
+    "stream_near_dedup",
     "extract_pdf",
     "extract_pdf_cmap",
     "text_quality",

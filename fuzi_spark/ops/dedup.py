@@ -174,7 +174,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_bands(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -183,11 +183,17 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     shingles_col: Optional[str] = None,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded LSH.
-
-    rows_per_band = n_hashes // bands; two docs collide if any band of
-    their signatures hashes equal. Returns (id_a, id_b) with id_a < id_b,
-    deduped across bands."""
+    """(id, band, bucket) LSH band keys — the shareable artifact behind
+    minhash_lsh_candidates (batch self-join) AND the streaming
+    near-dedup history manifest (streaming.near_novel): a document is a
+    near-dup CANDIDATE of anything that shares one (band, bucket) key,
+    so committed band keys are exactly the state an incremental dedup
+    needs to carry forward. Construction is bit-identical to what
+    minhash_lsh_candidates always banded (concat_ws of the band's slot
+    minima → xxhash64), so batch and streaming agree on every key.
+    Shingle-less docs (shorter than the shingle width) band as
+    xxhash64('')-constant buckets — callers that must not collide them
+    filter on shingle presence (see near_novel)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(
         df, text_col, id_col, n_hashes, shingle_n, shingles_col=shingles_col
@@ -207,9 +213,33 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         id_col, F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    shingles_col: Optional[str] = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    rows_per_band = n_hashes // bands; two docs collide if any band of
+    their signatures hashes equal. Returns (id_a, id_b) with id_a < id_b,
+    deduped across bands."""
+    banded = minhash_bands(
+        df, text_col, id_col, n_hashes, bands, shingle_n,
+        shingles_col=shingles_col,
+    )
     # the signature table is tiny next to the corpus (n_docs × bands rows);
     # persist it so the self-join doesn't recompute the signature pipeline
     # for each side (prod: write signatures to a table once). Released by

@@ -299,3 +299,168 @@ def read_novel_docs(spark: SparkSession, output_dir: str) -> DataFrame:
         .distinct()
     )
     return novel.join(F.broadcast(manifest), ["batch_id", "run_id"], "left_semi")
+
+
+def near_novel(
+    batch: DataFrame,
+    seen_bands: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+):
+    """NEAR-duplicate novelty gate for a (micro-)batch: drop every doc
+    whose minhash-LSH band keys collide with the committed history
+    (`seen_bands`, rows (band, bucket)) or with a SMALLER-id doc in the
+    same batch, and return (novel_rows, novel_band_keys) — the band
+    keys of the survivors are exactly the state to commit forward.
+
+    Semantics, pinned:
+    - the within-batch rule is the GREEDY streaming election: a doc is
+      dropped iff it band-collides with any smaller id, whether or not
+      that smaller id itself survives — deterministic under redelivery,
+      conservative (it can drop a chain's tail that exact component
+      labeling would keep: ingest order is the arrival order, same as
+      any streaming dedup);
+    - docs shorter than the shingle width keep shingle_hashes'
+      one-truncated-shingle semantics: they band on the tokens they
+      have, so identical short docs dedup and different short docs
+      never constant-collide;
+    - band keys, not signatures, are the history: 17× smaller rows
+      ((band:int, bucket:long) vs 64 longs), and the collision test is
+      a pure equi-join on metadata-width keys. At 10^12 docs, write the
+      committed band table bucketed on (band, bucket) so the probe
+      co-locates without shuffling history.
+    """
+    from fuzi_spark.ops.cache import scoped_persist
+    from fuzi_spark.ops.dedup import minhash_bands
+
+    base = scoped_persist(batch)
+    bk = scoped_persist(
+        minhash_bands(base, text_col, id_col, n_hashes, bands, shingle_n)
+    )
+    drop_ids = None
+    if seen_bands is not None:
+        drop_ids = (
+            bk.join(
+                seen_bands.select("band", "bucket").distinct(),
+                ["band", "bucket"],
+            )
+            .select(id_col)
+            .distinct()
+        )
+    l, r = bk.alias("l"), bk.alias("r")
+    intra = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"r.{id_col}").alias(id_col))
+        .distinct()
+    )
+    drop_ids = intra if drop_ids is None else drop_ids.unionByName(intra)
+    novel = base.join(drop_ids, id_col, "left_anti")
+    novel_bands = bk.join(
+        novel.select(id_col), id_col, "left_semi"
+    )
+    return novel, novel_bands
+
+
+def streaming_near_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Continuous NEAR-dedup ingest: each micro-batch keeps only docs
+    that are not near-duplicates (minhash-LSH collision) of anything
+    previously committed or of an earlier doc in the same batch.
+
+    Identical manifest protocol to streaming_exact_dedup — novel rows
+    land under a fresh run_id, then the survivors' BAND KEYS (band,
+    bucket, batch_id, run_id) are appended to the band manifest; the
+    manifest append IS the commit. Redelivered batch_ids are skipped;
+    a crash between the writes leaves orphan novel rows invisible to
+    read_novel_docs and re-written by the redelivery; the seen-set
+    only trusts manifest keys. Output layout: novel/ + bands/ under
+    output_dir (read_novel_docs reads novel/ against bands/)."""
+    stream_reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        stream_reader = stream_reader.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        )
+    stream = stream_reader.parquet(input_path)
+
+    novel_path = os.path.join(output_dir, "novel")
+    bands_path = os.path.join(output_dir, "bands")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import uuid as _uuid
+
+        from fuzi_spark.ops.cache import cache_scope
+
+        s = batch_df.sparkSession
+        seen = None
+        try:
+            seen = s.read.parquet(bands_path)
+            if seen.filter(F.col("batch_id") == batch_id).limit(1).count():
+                return  # redelivered, already committed
+        except AnalysisException:
+            pass  # first batch ever
+        run_id = _uuid.uuid4().hex
+        with cache_scope():
+            novel, novel_bands = near_novel(
+                batch_df, seen, text_col, id_col, n_hashes, bands, shingle_n
+            )
+            novel = novel.withColumn("batch_id", F.lit(batch_id)).withColumn(
+                "run_id", F.lit(run_id)
+            )
+            novel.write.mode("append").parquet(novel_path)
+            # commit point: band keys derive from the DURABLE novel rows
+            committed_ids = (
+                s.read.parquet(novel_path)
+                .filter(
+                    (F.col("batch_id") == batch_id)
+                    & (F.col("run_id") == run_id)
+                )
+                .select(id_col)
+            )
+            (
+                novel_bands.join(committed_ids, id_col, "left_semi")
+                .select("band", "bucket")
+                .withColumn("batch_id", F.lit(batch_id))
+                .withColumn("run_id", F.lit(run_id))
+                .write.mode("append")
+                .parquet(bands_path)
+            )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_near_novel_docs(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Committed-only view of streaming_near_dedup output: novel rows
+    whose (batch_id, run_id) is in the band manifest."""
+    novel = spark.read.parquet(os.path.join(output_dir, "novel"))
+    manifest = (
+        spark.read.parquet(os.path.join(output_dir, "bands"))
+        .select("batch_id", "run_id")
+        .distinct()
+    )
+    return novel.join(
+        F.broadcast(manifest), ["batch_id", "run_id"], "left_semi"
+    )

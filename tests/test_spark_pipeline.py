@@ -627,6 +627,97 @@ class TestStreamingDedup:
         assert read_novel_docs(spark, out).count() == n
 
 
+class TestStreamingNearDedup:
+    WORDS = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd we wf".split()
+
+    @classmethod
+    def _text(cls, mutate_at=None, tag="z"):
+        toks = list(cls.WORDS) * 2
+        if mutate_at is not None:
+            toks[mutate_at] = tag
+        return " ".join(toks)
+
+    def test_near_novel_kernel(self, spark):
+        from fuzi_spark.ops.cache import cache_scope
+        from fuzi_spark.streaming import near_novel
+
+        base = self._text()
+        batch = spark.createDataFrame(
+            [
+                (1, base),                      # keeper
+                (2, base),                      # exact copy → dropped
+                (3, self._text(5)),             # 1-token mutation → dropped
+                (4, "completely different content about other things "
+                    "with many distinct tokens here now today ok fine"),
+                (5, "hi"),                      # short: truncated shingle
+                (6, "hi"),                      # identical short → dropped
+                (7, "yo"),                      # different short → kept
+            ],
+            "doc_id long, text string",
+        )
+        with cache_scope():
+            novel, nb = near_novel(batch)
+            ids = {r.doc_id for r in novel.collect()}
+            band_ids = {r.doc_id for r in nb.collect()}
+        # mutation 3 collides with 1 (J≈0.97: collision probability
+        # 1-(1-J^4)^16 ≈ 1-1e-10 under the fixed deterministic hashes);
+        # identical short docs dedup on their truncated shingle,
+        # different short docs never constant-collide
+        assert ids == {1, 4, 5, 7}
+        assert {1, 4, 5, 7} <= band_ids and 6 not in band_ids
+
+    def test_near_novel_against_history(self, spark):
+        from fuzi_spark.ops.cache import cache_scope
+        from fuzi_spark.ops.dedup import minhash_bands
+        from fuzi_spark.streaming import near_novel
+
+        hist = spark.createDataFrame(
+            [(100, self._text())], "doc_id long, text string"
+        )
+        seen = minhash_bands(hist).select("band", "bucket")
+        batch = spark.createDataFrame(
+            [(1, self._text(3)), (2, "fresh unrelated text with plenty "
+                                     "of new tokens to shingle properly")],
+            "doc_id long, text string",
+        )
+        with cache_scope():
+            novel, _ = near_novel(batch, seen)
+            ids = {r.doc_id for r in novel.collect()}
+        assert ids == {2}
+
+    def test_stream_near_dedup_exactly_once(self, spark, tmp_path):
+        from fuzi_spark.streaming import (
+            read_near_novel_docs,
+            streaming_near_dedup,
+        )
+
+        inp = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        cp = str(tmp_path / "cp")
+        # every batch re-delivers the same base text (cross-batch near
+        # dup) plus one genuinely new doc per batch
+        for k in range(3):
+            spark.createDataFrame(
+                [
+                    (k * 100, self._text(k)),   # near-dup of batch 0's base
+                    (k * 100 + 1,
+                     f"unique content for batch {k} " * 4 + "end marker"),
+                ],
+                "doc_id long, text string",
+            ).coalesce(1).write.mode("append").parquet(inp)
+
+        q = streaming_near_dedup(spark, inp, out, cp, max_files_per_trigger=1)
+        q.awaitTermination(120)
+        novel = read_near_novel_docs(spark, out)
+        ids = sorted(r.doc_id for r in novel.collect())
+        # batch 0 keeps both docs; later batches keep only their unique doc
+        assert ids == [0, 1, 101, 201]
+        # restart on the same checkpoint: nothing appended
+        q2 = streaming_near_dedup(spark, inp, out, cp, max_files_per_trigger=1)
+        q2.awaitTermination(60)
+        assert read_near_novel_docs(spark, out).count() == 4
+
+
 class TestSkewSalting:
     def test_salting_spreads_colliding_giants(self, spark):
         """Find doc_ids whose plain hash(doc_id) keys collide into ONE
