@@ -2780,7 +2780,11 @@ def q_video_dedup(spark, sf_dir):
         F.lit("video").alias("media_type"),
         mk(F.col("doc_id")).alias("content"),
     )
-    hashed = video_phash_df(media)
+    from fuzi_spark.ops.cache import scoped_persist
+
+    # one decode pass: the groups agg and the frame-count join both read
+    # the hashed table (prod: write it once)
+    hashed = scoped_persist(video_phash_df(media))
     groups = phash_dedup_groups(hashed.select("media_ref", "phash"))
     out = hashed.select(
         "media_ref", "n_frames_total", "n_sampled"

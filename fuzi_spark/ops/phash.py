@@ -280,6 +280,24 @@ def video_phash_from_frame_hashes(hashes) -> int:
 def _video_phash_fn(n_frames: int):
     from fuzi_spark.ops.multimodal import parse_avi
 
+    # content-addressed frame-hash memo, bounded per task: duplicated
+    # media is EXACTLY the dedup workload (the same logo/intro frame
+    # appears across thousands of clips), so paying the JPEG decode
+    # once per distinct frame instead of once per occurrence is the
+    # honest hot-path shape — and the bound keeps executor memory flat.
+    memo: dict = {}
+    MEMO_CAP = 8192
+
+    def frame_hash(fb: bytes):
+        got = memo.get(fb)
+        if got is None and fb not in memo:
+            arr = decode_image_pixels(fb, "jpeg")
+            got = None if arr is None else np.uint64(phash_from_pixels(arr))
+            if len(memo) >= MEMO_CAP:
+                memo.clear()
+            memo[fb] = got
+        return got
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k.name: [] for k in VIDEO_PHASH_SCHEMA.fields}
@@ -300,11 +318,9 @@ def _video_phash_fn(n_frames: int):
                 hashes = []
                 for k in range(n_s):
                     off, sz = frames[(k * total) // n_s]
-                    arr = decode_image_pixels(blob[off:off + sz], "jpeg")
-                    if arr is not None:
-                        hashes.append(
-                            np.uint64(phash_from_pixels(arr))
-                        )
+                    h = frame_hash(blob[off:off + sz])
+                    if h is not None:
+                        hashes.append(h)
                 if not hashes:
                     rows["n_frames_total"].append(total)
                     rows["n_sampled"].append(0)

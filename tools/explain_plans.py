@@ -352,6 +352,47 @@ CASES = [
      "ArrowEvalPython pass with the merge ranks riding the closure — "
      "zero corpus exchanges (training's word-count agg is the only "
      "shuffle, map-side combined)."),
+    ("audio_spectrogram",
+     "STFT audio features. Wants: one MapInPandas pass (all of a "
+     "clip's windows batch into a single vectorized rfft) after the "
+     "media_ref skew-spread repartition — the only exchange; no "
+     "second pass over the PCM bytes."),
+    ("semantic_decontaminate",
+     "Embedding-level eval leakage. Wants: ZERO shuffles — the eval "
+     "matrix rides the UDF closure (metadata-sized by contract) and "
+     "the corpus is one scan + one MapInPandas matmul; no join, no "
+     "exchange, no vector materialization."),
+    ("video_dedup",
+     "Video pHash dedup. Wants: one MapInPandas pass decoding only "
+     "the SAMPLED frames (per-video work bounded by n_frames), then "
+     "the same map-side-combinable 8-byte-hash exchange as "
+     "image_dedup; nothing re-reads the video bytes."),
+    ("edit_verify",
+     "Edit-distance pair verification. Wants: levenshtein fully "
+     "codegen'd (zero Python), the metadata-width pair side driving "
+     "both id joins (AQE broadcasts it), corpus scanned not shuffled; "
+     "substring cap visible in the scan projection."),
+    ("bloom_seen",
+     "Bloom membership gate. Wants: the BUILD side's position explode "
+     "+ distinct as the only exchange (bounded by min(n·k, m_bits) "
+     "rows); the PROBE side pure scan + MapInPandas with the bitmap "
+     "in the closure — the corpus never shuffles."),
+    ("crawl_schedule",
+     "Politeness scheduling. Wants: ONE host-keyed window exchange "
+     "(fetch_seq); the md5 shard assignment is a codegen'd scan "
+     "projection; the host budget is a post-window filter, no second "
+     "shuffle."),
+    ("image_exif",
+     "EXIF metadata decode. Wants: header-only MapInPandas (no pixel "
+     "decode anywhere in the plan) after the skew-spread repartition; "
+     "scan-speed on giant images because only segment headers are "
+     "walked."),
+    ("stream_near_dedup",
+     "Incremental near-dedup kernel (3 harness rounds). Wants: per "
+     "round, band keys from cache (InMemory scans), the history probe "
+     "an equi-join on (band, bucket) metadata keys, the election a "
+     "band self-join — document text never shuffles; earlier rounds "
+     "never re-derive."),
 ]
 
 
