@@ -580,6 +580,135 @@ def q_stream_dedup(spark, sf_dir):
     return kept
 
 
+def q_audio_mp3(spark, sf_dir):
+    """REAL MP3 metadata decode end to end: per doc an ID3v2 tag
+    (v2.3 on even ids, v2.4 syncsafe on odd; UTF-16 text every third
+    doc) wraps 3 + id%5 real MPEG1-Layer-III frames at formula
+    bitrate/rate — the frame WALK must count them (frame length
+    computed per header) and derive the duration. Every seventh doc is
+    tag-less junk (decode_ok=0). The SQL oracle predicts every column
+    from the formulas, including the 1152-samples-per-frame duration
+    arithmetic."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.multimodal import build_mp3, mp3_meta_df
+
+    rates = [44100, 48000, 32000]
+    brs = [128, 192, 320]
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 7 == 0:
+                out.append(b"not an mp3 stream")
+                continue
+            out.append(
+                build_mp3(
+                    title=f"Track {i}",
+                    artist=f"Artist {i % 9}",
+                    bitrate_kbps=brs[i % 3],
+                    sample_rate=rates[i % 3],
+                    n_frames=3 + i % 5,
+                    mono=i % 2 == 1,
+                    v24=i % 2 == 1,
+                    utf16=i % 3 == 0,
+                )
+            )
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("au/"), F.col("doc_id").cast("string"), F.lit(".mp3")
+        ).alias("media_ref"),
+        F.lit("audio").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    return mp3_meta_df(media).select(
+        F.regexp_extract("media_ref", r"au/(\d+)\.mp3", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "title", "artist", "bitrate_kbps", "sample_rate", "channels",
+        "n_frames", "duration_ms", "decode_ok",
+    )
+
+
+def q_redact_cc(spark, sf_dir):
+    """Luhn-gated credit-card masking on a four-class formula corpus:
+    a valid Visa test number (masked), the same number with its check
+    digit broken (candidate but NOT masked — the Luhn gate at work), a
+    dash-separated valid Amex (separator form), and no-number text.
+    The oracle writes expected clean_text and both counts from
+    doc_id % 4 — a regex-only masker (no checksum) fails class 1."""
+    from fuzi_spark.ops.redact import redact_credit_cards
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    text = (
+        F.when(i % 4 == 0, F.concat(F.lit("pay 4111111111111111 id "), s))
+        .when(i % 4 == 1, F.concat(F.lit("ref 4111111111111112 id "), s))
+        .when(i % 4 == 2, F.concat(F.lit("amex 3782-822463-10005 id "), s))
+        .otherwise(F.concat(F.lit("plain text id "), s))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return redact_credit_cards(docs)
+
+
+def q_subtitles(spark, sf_dir):
+    """Subtitle parse end to end, both dialects every run: even docs
+    carry SRT (CRLF, explicit indices), odd docs WebVTT (NOTE block to
+    skip, <i> markup to strip, dot decimals). Cue count 2 + id%3,
+    start = 10000·k + (id%7)·10 ms, end = start + 900 + k — every
+    output row is predicted by the SQL oracle from the formulas; a
+    parser that mishandles either dialect, the markup strip, or the
+    millisecond arithmetic cannot match."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.subtitles import parse_subtitles_df
+
+    def ts(ms, sep):
+        s, ms2 = divmod(ms, 1000)
+        h, rem = divmod(s, 3600)
+        m, sec = divmod(rem, 60)
+        return f"{h:02d}:{m:02d}:{sec:02d}{sep}{ms2:03d}"
+
+    @pandas_udf("string")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            cues = []
+            for k in range(2 + i % 3):
+                s = 10000 * k + (i % 7) * 10
+                e = s + 900 + k
+                if i % 2 == 0:
+                    cues.append(
+                        f"{k + 1}\r\n{ts(s, ',')} --> {ts(e, ',')}\r\n"
+                        f"line {i}-{k}\r\n"
+                    )
+                else:
+                    cues.append(
+                        f"{ts(s, '.')} --> {ts(e, '.')}\n"
+                        f"<i>line {i}-{k}</i>\n"
+                    )
+            if i % 2 == 0:
+                out.append("\r\n".join(cues))
+            else:
+                out.append(
+                    "WEBVTT\n\nNOTE\nsynthetic fixture\n\n"
+                    + "\n".join(cues)
+                )
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", mk(F.col("doc_id")).alias("subs")
+    )
+    return parse_subtitles_df(docs)
+
+
 def q_stream_near_dedup(spark, sf_dir):
     """Incremental NEAR-dedup kernel over three deterministic batches:
     50 families of 10 EXACT copies (family f = id % 50, text = 30
@@ -3042,6 +3171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": q_semantic_decontaminate,
         "edit_verify": q_edit_verify,
         "stream_near_dedup": q_stream_near_dedup,
+        "subtitles": q_subtitles,
+        "redact_cc": q_redact_cc,
+        "audio_mp3": q_audio_mp3,
         "bloom_seen": q_bloom_seen,
         "crawl_schedule": q_crawl_schedule,
         "image_exif": q_image_exif,
@@ -4257,6 +4389,60 @@ def oracle_sql() -> dict[str, str]:
             "  FROM f) "
             "SELECT doc_id, url, host, shard, fetch_seq FROM w "
             "WHERE fetch_seq <= 10"
+        ),
+        "audio_mp3": (
+            "WITH p AS (SELECT doc_id, doc_id % 7 = 0 AS bad, "
+            "  CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 192 "
+            "    ELSE 320 END AS br, "
+            "  CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+            "    ELSE 32000 END AS sr, "
+            "  3 + doc_id % 5 AS nf FROM documents) "
+            "SELECT doc_id, "
+            "  CASE WHEN bad THEN NULL "
+            "    ELSE 'Track ' || CAST(doc_id AS VARCHAR) END AS title, "
+            "  CASE WHEN bad THEN NULL ELSE 'Artist ' || "
+            "    CAST(doc_id % 9 AS VARCHAR) END AS artist, "
+            "  CAST(CASE WHEN bad THEN NULL ELSE br END AS INTEGER) "
+            "    AS bitrate_kbps, "
+            "  CAST(CASE WHEN bad THEN NULL ELSE sr END AS INTEGER) "
+            "    AS sample_rate, "
+            "  CAST(CASE WHEN bad THEN NULL "
+            "    WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS INTEGER) "
+            "    AS channels, "
+            "  CAST(CASE WHEN bad THEN NULL ELSE nf END AS INTEGER) "
+            "    AS n_frames, "
+            "  CAST(CASE WHEN bad THEN NULL "
+            "    ELSE (nf * 1152 * 1000) // sr END AS INTEGER) "
+            "    AS duration_ms, "
+            "  CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INTEGER) "
+            "    AS decode_ok "
+            "FROM p"
+        ),
+        "redact_cc": (
+            "SELECT doc_id, "
+            "  CASE doc_id % 4 "
+            "    WHEN 0 THEN 'pay <CC> id ' || CAST(doc_id AS VARCHAR) "
+            "    WHEN 1 THEN 'ref 4111111111111112 id ' "
+            "      || CAST(doc_id AS VARCHAR) "
+            "    WHEN 2 THEN 'amex <CC> id ' || CAST(doc_id AS VARCHAR) "
+            "    ELSE 'plain text id ' || CAST(doc_id AS VARCHAR) "
+            "  END AS clean_text, "
+            "  CAST(CASE WHEN doc_id % 4 < 3 THEN 1 ELSE 0 END AS BIGINT) "
+            "    AS n_cc_candidates, "
+            "  CAST(CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 2 "
+            "    THEN 1 ELSE 0 END AS BIGINT) AS n_cc_valid "
+            "FROM documents"
+        ),
+        "subtitles": (
+            "WITH n AS (SELECT doc_id, 2 + doc_id % 3 AS nc, "
+            "  (doc_id % 7) * 10 AS off FROM documents), "
+            "c AS (SELECT doc_id, off, unnest(range(nc)) AS k FROM n) "
+            "SELECT doc_id, CAST(k + 1 AS INTEGER) AS seq, "
+            "  CAST(10000 * k + off AS BIGINT) AS start_ms, "
+            "  CAST(10000 * k + off + 900 + k AS BIGINT) AS end_ms, "
+            "  'line ' || CAST(doc_id AS VARCHAR) || '-' || "
+            "  CAST(k AS VARCHAR) AS text "
+            "FROM c"
         ),
         "stream_near_dedup": (
             "WITH m AS (SELECT doc_id, doc_id % 50 AS f, "

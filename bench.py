@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "bloom_seen",
     "decontaminate",
     "redact_pii",
+    "redact_cc",
     "pack_sequences",
     "domain_stats",
     "blocked_domains",
@@ -117,7 +118,9 @@ BENCH_QUERIES = [
     "snapshot_delta",
     "audio_features",
     "audio_spectrogram",
+    "audio_mp3",
     "video_frames",
+    "subtitles",
     "crawl_frontier",
     "crawl_schedule",
     "media_context",

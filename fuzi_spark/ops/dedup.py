@@ -174,6 +174,109 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_oph(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+    shingles_col: Optional[str] = None,
+) -> DataFrame:
+    """One-permutation-hashing MinHash (Li, Owen & Zhang 2012) with
+    rotation densification (Shrivastava & Li 2014): ONE xxhash64 per
+    shingle instead of n_hashes — the shingle's hash g both selects a
+    bin (pmod(g, k)) and competes for that bin's minimum. Empty bins
+    (short docs: with ~80 shingles over 64 bins, ~a third are empty)
+    borrow the nearest non-empty bin to the right, circularly, found
+    in log2(k) doubling rounds of zip_with-with-rotation — all
+    Catalyst, zero Python, zero shuffles, same (id, mh0..mhN) output
+    contract as minhash_signatures.
+
+    Per-shingle hash work drops n_hashes× — but measured wall-time at
+    sf0.1 is PARITY with the classic family (0.79 s vs 0.72 s steady),
+    because both formulations are bound by the k-slot array rebuild
+    inside the Catalyst aggregate, not by hashing. Stated so the
+    option is chosen for the right reason: pick OPH when the hash
+    budget itself matters (longer shingle arrays, wider signatures, or
+    a cheaper accumulator substrate than Catalyst's); at this repo's
+    defaults it is an equal-cost alternative family with a measured
+    recall curve (RECALL_minhash_oph_r3.json — recall sits ABOVE the
+    independent-band theory curve at mid-J because densified copied
+    slots correlate bands; the flip side is more false-positive
+    candidates for the verify stage, the usual recall/precision lever).
+
+    The statistical trade, stated plainly: bin minima are drawn
+    WITHOUT replacement from one permutation (slight negative slot
+    correlation) and densified slots are copies, not independent draws
+    — per-band collision probabilities sit near, not exactly at, J^r.
+    Identical docs still produce identical signatures (exact-dup
+    recovery is unconditional). Values are a DIFFERENT family than
+    minhash_signatures — callers pick one family per corpus and stay
+    with it."""
+    hashed = df.select(
+        F.col(id_col),
+        (
+            F.col(shingles_col)
+            if shingles_col
+            else shingle_hashes(text_col, shingle_n)
+        ).alias("_sh"),
+    )
+    long_max = (1 << 63) - 1
+    k = n_hashes
+
+    # Expression-duplication discipline: every stage below lands in its
+    # OWN projection and references the previous stage as a plain
+    # column. The first formulation chained slice/concat/zip_with over
+    # one expression tree — each densification round referenced `sig`
+    # three times, so six rounds expanded the aggregate ~3^6× and the
+    # operator measured 50× slower than the classic family it was
+    # supposed to beat. Columns are evaluated once per row; inline
+    # expression trees are not.
+    pairs = F.transform(
+        F.transform(F.col("_sh"), lambda h: F.xxhash64(h, F.lit(seed))),
+        lambda g: F.struct(
+            F.pmod(g, F.lit(k)).cast("int").alias("b"), g.alias("g")
+        ),
+    )
+    staged = hashed.select(
+        F.col(id_col), F.size("_sh").alias("_n"), pairs.alias("_pg")
+    )
+
+    def _step(acc, p):
+        return F.transform(
+            acc,
+            lambda a, idx: F.when(
+                idx == p.getField("b"), F.least(a, p.getField("g"))
+            ).otherwise(a),
+        )
+
+    sig = F.aggregate(
+        F.col("_pg"), F.array_repeat(F.lit(long_max), k), _step
+    )
+    cur = staged.select(F.col(id_col), "_n", sig.alias("_s"))
+    # rotation densification in log2(k) doubling rounds: after round r
+    # every slot sees the nearest non-MAX slot within 2^(r+1) to its
+    # right (circular); one projection per round (see note above)
+    step = 1
+    while step < k:
+        s = F.col("_s")
+        rot = F.concat(F.slice(s, step + 1, k - step), F.slice(s, 1, step))
+        dens = F.zip_with(
+            s, rot, lambda a, b: F.when(a == long_max, b).otherwise(a)
+        )
+        cur = cur.select(F.col(id_col), "_n", dens.alias("_s"))
+        step *= 2
+    out = cur.select(
+        F.col(id_col),
+        F.when(F.col("_n") > 0, F.col("_s")).alias("_sig"),
+    )
+    return out.select(
+        id_col,
+        *[F.element_at("_sig", i + 1).alias(f"mh{i}") for i in range(n_hashes)],
+    )
+
+
 def minhash_bands(
     df: DataFrame,
     text_col: str = "text",
@@ -182,6 +285,7 @@ def minhash_bands(
     bands: int = 16,
     shingle_n: int = 3,
     shingles_col: Optional[str] = None,
+    method: str = "classic",
 ) -> DataFrame:
     """(id, band, bucket) LSH band keys — the shareable artifact behind
     minhash_lsh_candidates (batch self-join) AND the streaming
@@ -195,7 +299,10 @@ def minhash_bands(
     xxhash64('')-constant buckets — callers that must not collide them
     filter on shingle presence (see near_novel)."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(
+    sig_fn = (
+        minhash_signatures_oph if method == "oph" else minhash_signatures
+    )
+    sig = sig_fn(
         df, text_col, id_col, n_hashes, shingle_n, shingles_col=shingles_col
     )
     band_structs = [
@@ -230,15 +337,19 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     shingles_col: Optional[str] = None,
+    method: str = "classic",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
     rows_per_band = n_hashes // bands; two docs collide if any band of
     their signatures hashes equal. Returns (id_a, id_b) with id_a < id_b,
-    deduped across bands."""
+    deduped across bands. method='oph' switches the signature family to
+    one-permutation hashing (minhash_signatures_oph — one hash per
+    shingle, the 100 TB operating point) at slightly noisier per-band
+    collision probabilities."""
     banded = minhash_bands(
         df, text_col, id_col, n_hashes, bands, shingle_n,
-        shingles_col=shingles_col,
+        shingles_col=shingles_col, method=method,
     )
     # the signature table is tiny next to the corpus (n_docs × bands rows);
     # persist it so the self-join doesn't recompute the signature pipeline

@@ -168,6 +168,10 @@ def phash_dedup_groups(hashed: DataFrame) -> DataFrame:
     hash group (the canonical copy). One map-side-combinable shuffle on
     the 8-byte hash; undecodable rows (phash NULL) are all kept — a
     decode failure is never evidence of duplication."""
+    # the hash table feeds BOTH the group agg and the join-back; persist
+    # it so the decode/DCT UDF upstream runs once, not once per side
+    # (released by the caller's cache_scope; prod writes it to a table)
+    hashed = scoped_persist(hashed)
     w = (
         hashed.filter(F.col("phash").isNotNull())
         .groupBy("phash")

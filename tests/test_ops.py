@@ -920,6 +920,69 @@ class TestDecontaminate:
         assert "BroadcastHashJoin" in plan, plan
 
 
+class TestRedactCreditCards:
+    """redact_credit_cards: Luhn-gated masking — python differential
+    for the checksum, separator forms, false-positive rejection."""
+
+    @staticmethod
+    def _luhn(digits: str) -> bool:
+        s = 0
+        for i, ch in enumerate(reversed(digits)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            s += d
+        return 13 <= len(digits) <= 19 and s % 10 == 0
+
+    def test_known_cards_and_separators(self, spark):
+        from fuzi_spark.ops.redact import redact_credit_cards
+
+        rows = [
+            (0, "pay 4111111111111111 now"),            # valid visa test
+            (1, "ref 4111111111111112 is an order id"),  # fails Luhn
+            (2, "amex 3782-822463-10005 ok"),            # valid, dashed
+            (3, "call 5500 0055 5555 5559 twice "
+                "5500 0055 5555 5559"),                  # valid, spaced, twice
+            (4, "ts 1234567890123456 end"),              # fails Luhn
+            (5, "no numbers here"),
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in redact_credit_cards(df).collect()}
+        assert got[0]["clean_text"] == "pay <CC> now"
+        assert got[0]["n_cc_valid"] == 1
+        assert got[1]["clean_text"] == rows[1][1]  # untouched
+        assert got[1]["n_cc_candidates"] == 1 and got[1]["n_cc_valid"] == 0
+        assert got[2]["clean_text"] == "amex <CC> ok"
+        assert got[3]["clean_text"] == "call <CC> twice <CC>"
+        assert got[3]["n_cc_valid"] == 2
+        assert got[4]["n_cc_valid"] == 0
+        assert got[5]["n_cc_candidates"] == 0
+        assert got[6]["n_cc_candidates"] == 0 and got[6]["clean_text"] is None
+
+    def test_python_differential_random_numbers(self, spark):
+        import random
+
+        from fuzi_spark.ops.redact import redact_credit_cards
+
+        rng = random.Random(17)
+        nums = [
+            "".join(rng.choice("0123456789") for _ in range(rng.randint(13, 19)))
+            for _ in range(60)
+        ]
+        df = spark.createDataFrame(
+            [(i, f"x {n} y") for i, n in enumerate(nums)],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in redact_credit_cards(df).collect()}
+        for i, n in enumerate(nums):
+            expect = self._luhn(n)
+            assert got[i]["n_cc_valid"] == int(expect), (n, expect)
+            assert ("<CC>" in got[i]["clean_text"]) == expect
+
+
 class TestRedactPii:
     def _one(self, spark, text):
         from fuzi_spark.ops.redact import redact_pii
@@ -2663,6 +2726,96 @@ class TestSemanticDedup:
         assert a == b
 
 
+class TestSubtitles:
+    """ops/subtitles.py: recovering SRT/WebVTT cue parsing, markup
+    strip, format autodetection, frame alignment."""
+
+    SRT = (
+        "﻿1\r\n00:00:01,000 --> 00:00:04,500\r\nHello world\r\n"
+        "second line\r\n\r\n"
+        "00:01:02,250 --> 00:01:03,000\r\nNo index cue\r\n\r\n"
+        "3\r\nBAD TIMESTAMP --> 00:00:9\r\nskipped\r\n\r\n"
+        "4\r\n01:00:00,001 --> 01:00:00,500\r\nlast\r\n"
+    )
+
+    def test_srt_round_trip_and_recovery(self):
+        from fuzi_spark.ops.subtitles import parse_srt
+
+        cues = parse_srt(self.SRT)
+        assert cues == [
+            (1, 1000, 4500, "Hello world\nsecond line"),
+            (2, 62250, 63000, "No index cue"),
+            (3, 3600001, 3600500, "last"),
+        ]
+        assert parse_srt("") == [] and parse_srt(None) == []
+        # end < start is rejected, not wrapped
+        assert parse_srt("1\n00:00:05,000 --> 00:00:01,000\nx\n") == []
+
+    def test_vtt_blocks_markup_and_short_form(self):
+        from fuzi_spark.ops.subtitles import parse_vtt
+
+        vtt = (
+            "WEBVTT - with header text\n\n"
+            "NOTE\nthis is a comment\n\n"
+            "STYLE\n::cue { color: red }\n\n"
+            "intro-cue\n00:01.000 --> 00:02.500 position:50%\n"
+            "<v Speaker>Hi <i>there</i></v>\n\n"
+            "00:00:03.000 --> 00:00:04.000\n<00:00:03.500>timed text\n"
+        )
+        cues = parse_vtt(vtt)
+        assert cues == [
+            (1, 1000, 2500, "Hi there"),
+            (2, 3000, 4000, "timed text"),
+        ]
+        # not a VTT at all
+        assert parse_vtt("1\n00:00:01,000 --> 00:00:02,000\nx") == []
+
+    def test_spark_surface_autodetect(self, spark):
+        from fuzi_spark.ops.subtitles import parse_subtitles_df
+
+        vtt = "WEBVTT\n\n00:01.000 --> 00:02.000\nvtt cue\n"
+        rows = [
+            (0, self.SRT),
+            (1, vtt),
+            (2, None),
+            (3, "not subtitles at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, subs string")
+        got = parse_subtitles_df(df).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(by_doc[0]) == 3
+        assert by_doc[1][0]["text"] == "vtt cue"
+        assert 2 not in by_doc and 3 not in by_doc
+
+    def test_align_frames(self, spark):
+        from fuzi_spark.ops.subtitles import (
+            align_frames_to_subtitles,
+            parse_subtitles_df,
+        )
+
+        frames = spark.createDataFrame(
+            [(0, 0, 500), (0, 1, 1500), (0, 2, 9000), (1, 0, 1500)],
+            "doc_id long, frame_idx int, ts_ms long",
+        )
+        subs = parse_subtitles_df(
+            spark.createDataFrame(
+                [
+                    (0, "1\n00:00:01,000 --> 00:00:02,000\ncue A\n"),
+                    (1, "1\n00:00:01,000 --> 00:00:02,000\ncue B\n"),
+                ],
+                "doc_id long, subs string",
+            )
+        )
+        got = {
+            (r["doc_id"], r["frame_idx"]): r["cue_text"]
+            for r in align_frames_to_subtitles(frames, subs).collect()
+        }
+        # only the frames inside a cue interval align, per doc
+        assert got == {(0, 1): "cue A", (1, 0): "cue B"}
+
+
 class TestBloom:
     """ops/bloom.py: cross-engine position contract (JVM md5 build vs
     hashlib probe), no-false-negatives, bitmap-driven decisions."""
@@ -2719,6 +2872,78 @@ class TestBloom:
         assert got[0]["seen"] == 1
         assert got[1]["seen"] == 0
         assert got[2]["seen"] == 0 and got[2]["n_set"] == 0
+
+
+class TestOphMinhash:
+    """minhash_signatures_oph: one-permutation hashing + rotation
+    densification — exact-copy invariance, densification totality,
+    Jaccard estimation sanity, banding integration."""
+
+    def test_exact_copies_identical_and_deterministic(self, spark):
+        from fuzi_spark.ops.dedup import minhash_signatures_oph
+
+        text = " ".join(f"tok{j}" for j in range(80))
+        df = spark.createDataFrame(
+            [(1, text), (2, text), (3, "something else entirely here ok")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in minhash_signatures_oph(df).collect()}
+        sig1 = [rows[1][f"mh{i}"] for i in range(64)]
+        sig2 = [rows[2][f"mh{i}"] for i in range(64)]
+        sig3 = [rows[3][f"mh{i}"] for i in range(64)]
+        assert sig1 == sig2
+        assert sig1 != sig3
+        # all slots densified: no LONG_MAX sentinel survives
+        assert max(sig1) < (1 << 63) - 1
+        # second run bit-identical
+        again = {r["doc_id"]: r for r in minhash_signatures_oph(df).collect()}
+        assert [again[1][f"mh{i}"] for i in range(64)] == sig1
+
+    def test_single_shingle_densifies_everywhere(self, spark):
+        from fuzi_spark.ops.dedup import minhash_signatures_oph
+
+        df = spark.createDataFrame(
+            [(1, "one two three")], "doc_id long, text string"
+        )
+        r = minhash_signatures_oph(df).collect()[0]
+        vals = {r[f"mh{i}"] for i in range(64)}
+        # one shingle → one bin filled → rotation copies it to all 64
+        assert len(vals) == 1 and (1 << 63) - 1 not in vals
+
+    def test_jaccard_estimate_tracks_overlap(self, spark):
+        from fuzi_spark.ops.dedup import minhash_signatures_oph
+
+        a = " ".join(f"w{j}" for j in range(200))
+        b = " ".join(f"w{j}" for j in range(100)) + " " + " ".join(
+            f"x{j}" for j in range(100)
+        )
+        df = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in minhash_signatures_oph(df).collect()}
+        match = sum(
+            rows[1][f"mh{i}"] == rows[2][f"mh{i}"] for i in range(64)
+        )
+        # true shingle J ≈ 98/300 ≈ 0.33; OPH slot-match rate is a
+        # noisier estimator than classic minhash — wide tolerance
+        assert 0.10 <= match / 64 <= 0.60
+
+    def test_oph_banding_integration(self, spark):
+        from fuzi_spark.ops.cache import cache_scope
+        from fuzi_spark.ops.dedup import minhash_lsh_candidates
+
+        text = " ".join(f"tok{j}" for j in range(60))
+        other = " ".join(f"zzz{j}" for j in range(60))
+        df = spark.createDataFrame(
+            [(1, text), (2, text), (3, other)],
+            "doc_id long, text string",
+        )
+        with cache_scope():
+            pairs = {
+                (r["id_a"], r["id_b"])
+                for r in minhash_lsh_candidates(df, method="oph").collect()
+            }
+        assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
 
 
 class TestEditSimilarity:
@@ -4206,6 +4431,83 @@ class TestWavSpectrogram:
         assert ok["n_windows"] == 2 and len(ok["spectrum"]) == 32
         bad = out["a/1.bin"]
         assert bad["decode_ok"] == 0 and bad["spectrum"] is None
+
+
+class TestMp3:
+    """parse_mp3 / build_mp3 / mp3_meta_df: ID3v2.3/2.4 text frames
+    (latin-1 and UTF-16), real MPEG1-Layer-III frame walk, recovery."""
+
+    def test_round_trip_all_variants(self):
+        from fuzi_spark.ops.multimodal import build_mp3, parse_mp3
+
+        for v24 in (False, True):
+            for utf16 in (False, True):
+                m = parse_mp3(
+                    build_mp3("Tïtle", "Artist X", 192, 48000, 7,
+                              mono=True, v24=v24, utf16=utf16)
+                )
+                assert m["title"] == "Tïtle" and m["artist"] == "Artist X"
+                assert (
+                    m["bitrate_kbps"], m["sample_rate"],
+                    m["channels"], m["n_frames"],
+                ) == (192, 48000, 1, 7)
+                assert m["duration_ms"] == 7 * 1152 * 1000 // 48000
+
+    def test_resync_truncation_and_tag_only(self):
+        from fuzi_spark.ops.multimodal import build_mp3, parse_mp3
+
+        # junk prefix: the frame walk re-syncs at the first real header
+        m = parse_mp3(b"junkjunk" + build_mp3(None, None, 128, 44100, 2))
+        assert m["n_frames"] == 2 and m["channels"] == 2
+        # truncated tail: the cut frame doesn't count
+        m = parse_mp3(build_mp3(None, "A", 128, 44100, 5)[:-100])
+        assert m["n_frames"] == 4 and m["artist"] == "A"
+        # tag-only file: metadata without audio frames
+        m = parse_mp3(build_mp3("OnlyTag", "A", 128, 44100, 0))
+        assert m["title"] == "OnlyTag" and m["n_frames"] == 0
+        assert m["duration_ms"] is None
+        assert parse_mp3(b"no audio at all") is None
+        assert parse_mp3(None) is None
+
+    def test_never_raises_fuzz(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import build_mp3, parse_mp3
+
+        blob = build_mp3("T", "A", 128, 44100, 4)
+        rng = np.random.RandomState(9)
+        for _ in range(60):
+            cut = int(rng.randint(0, len(blob)))
+            parse_mp3(blob[:cut])
+            mut = bytearray(blob)
+            mut[int(rng.randint(len(blob)))] = int(rng.randint(256))
+            parse_mp3(bytes(mut))
+
+    def test_spark_surface(self, spark):
+        from pyspark.sql import Row
+
+        from fuzi_spark.ops.multimodal import (
+            MEDIA_SCHEMA,
+            build_mp3,
+            mp3_meta_df,
+        )
+
+        rows = [
+            Row(media_ref="a/0.mp3", media_type="audio",
+                content=build_mp3("S", "B", 320, 32000, 3),
+                format=None, width=None, height=None, duration_ms=None),
+            Row(media_ref="a/1.mp3", media_type="audio", content=b"xx",
+                format=None, width=None, height=None, duration_ms=None),
+        ]
+        got = {
+            r["media_ref"]: r
+            for r in mp3_meta_df(
+                spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+            ).collect()
+        }
+        assert got["a/0.mp3"]["bitrate_kbps"] == 320
+        assert got["a/0.mp3"]["decode_ok"] == 1
+        assert got["a/1.mp3"]["decode_ok"] == 0
 
 
 class TestExif:

@@ -74,7 +74,9 @@ def build_corpus(n_pairs_per_rate: int, doc_len: int = 80, vocab: int = 5000,
     return rows, planted
 
 
-def measure(spark: SparkSession, n_pairs_per_rate: int = 250):
+def measure(
+    spark: SparkSession, n_pairs_per_rate: int = 250, method: str = "classic"
+):
     rows, planted = build_corpus(n_pairs_per_rate)
     docs = spark.createDataFrame(rows, "doc_id string, text string").repartition(
         spark.sparkContext.defaultParallelism
@@ -90,7 +92,7 @@ def measure(spark: SparkSession, n_pairs_per_rate: int = 250):
         found = {
             (r.id_a, r.id_b)
             for r in minhash_lsh_candidates(
-                docs, n_hashes=N_HASHES, bands=BANDS
+                docs, n_hashes=N_HASHES, bands=BANDS, method=method
             ).collect()
         }
 
@@ -114,6 +116,7 @@ def measure(spark: SparkSession, n_pairs_per_rate: int = 250):
             }
         )
     return {
+        "method": method,
         "n_hashes": N_HASHES,
         "bands": BANDS,
         "rows_per_band": ROWS,
@@ -132,8 +135,9 @@ def main():
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    method = sys.argv[3] if len(sys.argv) > 3 else "classic"
     try:
-        out = measure(spark, n)
+        out = measure(spark, n, method=method)
     finally:
         spark.stop()
     line = json.dumps(out)
