@@ -580,6 +580,59 @@ def q_stream_dedup(spark, sf_dir):
     return kept
 
 
+def q_parse_archive(spark, sf_dir):
+    """Archive-source explode, both container formats every run: even
+    docs carry a ZIP (1 + id%3 text members plus one binary member of
+    5 + id%4 NUL bytes), odd docs a TAR.GZ (text members only); every
+    9th doc is junk (archive_ok=0 stub row). Member names, sizes
+    (LENGTH of the identically-constructed string), text/binary
+    classification, and archive order are all predicted by the SQL
+    oracle from the formulas."""
+    import io
+    import tarfile
+    import zipfile
+
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.archive import parse_archive_df
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 9 == 0:
+                out.append(b"not an archive at all")
+                continue
+            members = [
+                (f"m{k}.txt", f"content {i}-{k}")
+                for k in range(1 + i % 3)
+            ]
+            if i % 2 == 0:
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+                    for name, data in members:
+                        z.writestr(name, data)
+                    z.writestr("blob.bin", b"\x00" * (5 + i % 4))
+                out.append(buf.getvalue())
+            else:
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w:gz") as t:
+                    for name, data in members:
+                        enc = data.encode()
+                        info = tarfile.TarInfo(name)
+                        info.size = len(enc)
+                        t.addfile(info, io.BytesIO(enc))
+                out.append(buf.getvalue())
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", mk(F.col("doc_id")).alias("content")
+    )
+    return parse_archive_df(docs)
+
+
 def q_audio_mp3(spark, sf_dir):
     """REAL MP3 metadata decode end to end: per doc an ID3v2 tag
     (v2.3 on even ids, v2.4 syncsafe on odd; UTF-16 text every third
@@ -3174,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtitles": q_subtitles,
         "redact_cc": q_redact_cc,
         "audio_mp3": q_audio_mp3,
+        "parse_archive": q_parse_archive,
         "bloom_seen": q_bloom_seen,
         "crawl_schedule": q_crawl_schedule,
         "image_exif": q_image_exif,
@@ -4389,6 +4443,36 @@ def oracle_sql() -> dict[str, str]:
             "  FROM f) "
             "SELECT doc_id, url, host, shard, fetch_seq FROM w "
             "WHERE fetch_seq <= 10"
+        ),
+        "parse_archive": (
+            "WITH d AS (SELECT doc_id, doc_id % 9 = 0 AS bad, "
+            "  doc_id % 2 = 0 AS is_zip, 1 + doc_id % 3 AS nm "
+            "  FROM documents), "
+            "txt AS (SELECT doc_id, "
+            "  CASE WHEN is_zip THEN 'zip' ELSE 'tar' END "
+            "    AS archive_format, "
+            "  CAST(1 AS INTEGER) AS archive_ok, "
+            "  CAST(k AS INTEGER) AS seq, "
+            "  'm' || CAST(k AS VARCHAR) || '.txt' AS member_name, "
+            "  CAST(LENGTH('content ' || CAST(doc_id AS VARCHAR) "
+            "    || '-' || CAST(k AS VARCHAR)) AS BIGINT) AS member_size, "
+            "  CAST(1 AS INTEGER) AS is_text, "
+            "  'content ' || CAST(doc_id AS VARCHAR) || '-' || "
+            "    CAST(k AS VARCHAR) AS text "
+            "  FROM (SELECT doc_id, is_zip, nm, unnest(range(nm)) AS k "
+            "        FROM d WHERE NOT bad)), "
+            "bin AS (SELECT doc_id, 'zip', CAST(1 AS INTEGER), "
+            "  CAST(nm AS INTEGER), 'blob.bin', "
+            "  CAST(5 + doc_id % 4 AS BIGINT), CAST(0 AS INTEGER), "
+            "  CAST(NULL AS VARCHAR) "
+            "  FROM d WHERE NOT bad AND is_zip), "
+            "stub AS (SELECT doc_id, CAST(NULL AS VARCHAR), "
+            "  CAST(0 AS INTEGER), CAST(NULL AS INTEGER), "
+            "  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
+            "  CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR) "
+            "  FROM d WHERE bad) "
+            "SELECT * FROM txt UNION ALL SELECT * FROM bin "
+            "UNION ALL SELECT * FROM stub"
         ),
         "audio_mp3": (
             "WITH p AS (SELECT doc_id, doc_id % 7 = 0 AS bad, "

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "domain_rank",
     "page_metadata",
     "parse_warc",
+    "parse_archive",
     "apply_robots",
     "strip_media_chrome",
     "sitemap_urls",

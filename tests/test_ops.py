@@ -2726,6 +2726,84 @@ class TestSemanticDedup:
         assert a == b
 
 
+class TestArchive:
+    """ops/archive.py: ZIP/TAR member explode — sniffing, text/binary
+    classification, recovery, Spark surface."""
+
+    @staticmethod
+    def _zip(members):
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            for name, data in members:
+                z.writestr(name, data)
+        return buf.getvalue()
+
+    @staticmethod
+    def _tgz(members):
+        import io
+        import tarfile
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:gz") as t:
+            for name, data in members:
+                if isinstance(data, str):
+                    data = data.encode()
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                t.addfile(info, io.BytesIO(data))
+        return buf.getvalue()
+
+    def test_zip_and_tar_members(self):
+        from fuzi_spark.ops.archive import parse_archive
+
+        fmt, members = parse_archive(
+            self._zip([("a/doc.txt", "hello"), ("b.bin", b"\x00\x01")])
+        )
+        assert fmt == "zip"
+        assert members == [
+            (0, "a/doc.txt", 5, 1, "hello"),
+            (1, "b.bin", 2, 0, None),
+        ]
+        fmt, members = parse_archive(self._tgz([("x.txt", "tar text")]))
+        assert fmt == "tar"
+        assert members == [(0, "x.txt", 8, 1, "tar text")]
+
+    def test_recovery_and_caps(self):
+        from fuzi_spark.ops.archive import parse_archive
+
+        assert parse_archive(b"junk") == (None, None)
+        assert parse_archive(None) == (None, None)
+        # corrupt zip tail: zipfile refuses -> not silently wrong
+        blob = self._zip([("a.txt", "x" * 100)])
+        assert parse_archive(blob[: len(blob) // 2]) == (None, None)
+        # text cap truncates the decode, not the size
+        fmt, members = parse_archive(
+            self._zip([("big.txt", "y" * 500)]), text_cap=10
+        )
+        assert members[0][2] == 500 and members[0][4] == "y" * 10
+
+    def test_spark_surface(self, spark):
+        from fuzi_spark.ops.archive import parse_archive_df
+
+        rows = [
+            (0, self._zip([("a.txt", "za")])),
+            (1, self._tgz([("b.txt", "tb"), ("c.txt", "tc")])),
+            (2, b"not an archive"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, content binary")
+        got = {}
+        for r in parse_archive_df(df).collect():
+            got.setdefault(r["doc_id"], []).append(r)
+        assert got[0][0]["archive_format"] == "zip"
+        assert got[0][0]["text"] == "za"
+        assert {r["member_name"] for r in got[1]} == {"b.txt", "c.txt"}
+        assert got[2][0]["archive_ok"] == 0
+        assert got[2][0]["member_name"] is None
+
+
 class TestSubtitles:
     """ops/subtitles.py: recovering SRT/WebVTT cue parsing, markup
     strip, format autodetection, frame alignment."""
