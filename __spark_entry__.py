@@ -2979,6 +2979,67 @@ def q_video_dedup(spark, sf_dir):
     )
 
 
+def q_video_scenes(spark, sf_dir):
+    """Scene-change detection end to end: per doc an AVI carries
+    1 + id%3 segments of 2 + id%2 identical frames each (segment s
+    uses the pinned block picture (id + s) % 40; distinct pictures are
+    pinned ≥ 10 bits apart through the JPEG round-trip, threshold 8
+    sits below that and above the 0-bit identical-frame floor), at fps
+    10 + id%5. Scene starts must land exactly on segment boundaries
+    and timestamps must follow the container timing — both pure
+    functions of doc_id that the SQL oracle replays. hamming_prev is
+    real measurement (not formula-predictable) and is exercised in
+    TestVideoScenes instead."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.jpeg import encode_baseline
+    from fuzi_spark.ops.multimodal import build_avi
+    from fuzi_spark.ops.phash import video_scenes_df
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        cache = {}
+
+        def jp(key):
+            if key not in cache:
+                rng = np.random.RandomState(key)
+                base = rng.randint(0, 256, (8, 8))
+                img = np.kron(
+                    base, np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                cache[key] = encode_baseline(
+                    np.stack([img] * 3, axis=2), quality=95
+                )
+            return cache[key]
+
+        out = []
+        for i in ids:
+            i = int(i)
+            frames = []
+            for seg in range(1 + i % 3):
+                frames += [jp((i + seg) % 40)] * (2 + i % 2)
+            out.append(build_avi(64, 64, 10 + i % 5, frames))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("vid/"), F.col("doc_id").cast("string"), F.lit(".avi")
+        ).alias("media_ref"),
+        F.lit("video").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    scenes = video_scenes_df(media, threshold=8)
+    return scenes.select(
+        F.regexp_extract("media_ref", r"vid/(\d+)\.avi", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "frame_idx", "ts_ms", "is_scene_start",
+    )
+
+
 def q_media_context(spark, sf_dir):
     """Image-text alignment rows over formula-built span arrays: a
     leading media span (no preceding text — context_before must be
@@ -3237,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "image_dedup": q_image_dedup,
         "video_dedup": q_video_dedup,
+        "video_scenes": q_video_scenes,
         "nb_classifier": q_nb_classifier,
         "reflow_text": q_reflow_text,
         "split_sentences": q_split_sentences,
@@ -4709,6 +4771,22 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN ref = MIN(ref) OVER (PARTITION BY g) "
             "    THEN 1 ELSE 0 END AS INTEGER) AS keep "
             "FROM m"
+        ),
+        "video_scenes": (
+            "WITH p AS (SELECT doc_id, "
+            "  CASE doc_id % 5 WHEN 0 THEN 100000 WHEN 1 THEN 90909 "
+            "    WHEN 2 THEN 83333 WHEN 3 THEN 76923 "
+            "    ELSE 71429 END AS uspf, "
+            "  2 + doc_id % 2 AS fpseg, "
+            "  (1 + doc_id % 3) * (2 + doc_id % 2) AS total "
+            "  FROM documents), "
+            "f AS (SELECT doc_id, uspf, fpseg, "
+            "  unnest(range(total)) AS fi FROM p) "
+            "SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx, "
+            "  CAST((fi * uspf) // 1000 AS INTEGER) AS ts_ms, "
+            "  CAST(CASE WHEN fi % fpseg = 0 THEN 1 ELSE 0 END "
+            "    AS INTEGER) AS is_scene_start "
+            "FROM f"
         ),
         "video_dedup": (
             "WITH m AS (SELECT doc_id, "

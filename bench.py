@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "image_dedup",
     "video_dedup",
+    "video_scenes",
     "nb_classifier",
     "reflow_text",
     "split_sentences",

@@ -361,3 +361,88 @@ def video_phash_df(media: DataFrame, n_frames: int = 4) -> DataFrame:
         .select("media_ref", "content")
         .mapInPandas(_video_phash_fn(n_frames), schema=VIDEO_PHASH_SCHEMA)
     )
+
+
+# ------------------------------------------- scene-change detection
+
+SCENES_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("hamming_prev", IntegerType()),
+        StructField("is_scene_start", IntegerType()),
+    ]
+)
+
+
+def _video_scenes_fn(threshold: int):
+    from fuzi_spark.ops.multimodal import parse_avi
+
+    memo: dict = {}
+    MEMO_CAP = 8192
+
+    def frame_hash(fb: bytes):
+        got = memo.get(fb)
+        if got is None and fb not in memo:
+            arr = decode_image_pixels(fb, "jpeg")
+            got = None if arr is None else int(phash_from_pixels(arr))
+            if len(memo) >= MEMO_CAP:
+                memo.clear()
+            memo[fb] = got
+        return got
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in SCENES_SCHEMA.fields}
+            for i in range(len(pdf)):
+                ref = pdf["media_ref"].iloc[i]
+                content = pdf["content"].iloc[i]
+                parsed = parse_avi(content)
+                if not parsed or not parsed[3]:
+                    continue
+                _, _, uspf, frames = parsed
+                blob = bytes(content)
+                prev = None
+                for idx, (off, sz) in enumerate(frames):
+                    h = frame_hash(blob[off:off + sz])
+                    if h is None:
+                        continue
+                    ham = None if prev is None else bin(h ^ prev).count("1")
+                    rows["media_ref"].append(ref)
+                    rows["frame_idx"].append(idx)
+                    rows["ts_ms"].append(int(idx * uspf // 1000))
+                    rows["hamming_prev"].append(ham)
+                    rows["is_scene_start"].append(
+                        1 if (ham is None or ham > threshold) else 0
+                    )
+                    prev = h
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def video_scenes_df(media: DataFrame, threshold: int = 12) -> DataFrame:
+    """Scene-change detection over MJPEG video: every frame's pHash is
+    compared to its PREDECESSOR's; a frame whose hamming distance
+    exceeds `threshold` starts a new scene (frame 0 always does). The
+    scene starts are the keyframes a multimodal training pipeline
+    samples — one representative per visually-distinct segment instead
+    of a blind every-N grid (make_frame_sample_fn), so a static talking
+    head contributes one frame while a cut-heavy clip contributes one
+    per cut.
+
+    Every frame decodes exactly once (sequential walk + the bounded
+    content-addressed memo for repeated frames); ONE narrow mapInPandas
+    pass, no shuffle. Threshold semantics inherit the pHash operating
+    points measured in TestPhash (recompression jitter ≤6 bits on
+    natural spectra — the default 12 sits above codec noise and below
+    the ≥20-bit separation of distinct pictures)."""
+    return (
+        media.filter(F.col("media_type") == "video")
+        .repartition(
+            media.sparkSession.sparkContext.defaultParallelism, "media_ref"
+        )
+        .select("media_ref", "content")
+        .mapInPandas(_video_scenes_fn(threshold), schema=SCENES_SCHEMA)
+    )

@@ -5516,6 +5516,43 @@ class TestVideoPhash:
         assert groups["v/2.avi"]["keep"] == 0
 
 
+class TestVideoScenes:
+    """video_scenes_df: consecutive-frame pHash deltas → scene starts
+    (the keyframe grid for multimodal sampling)."""
+
+    def test_segments_become_scenes(self, spark):
+        from pyspark.sql import Row
+
+        from fuzi_spark.ops.jpeg import encode_baseline
+        from fuzi_spark.ops.multimodal import MEDIA_SCHEMA, build_avi
+        from fuzi_spark.ops.phash import video_scenes_df
+
+        def jp(seed):
+            return encode_baseline(TestPhash._blocks(seed), quality=95)
+
+        frames = [jp(1)] * 3 + [jp(2)] * 3 + [jp(3)]
+        rows = [
+            Row(media_ref="v/0.avi", media_type="video",
+                content=build_avi(64, 64, 10.0, frames), format=None,
+                width=None, height=None, duration_ms=None),
+            Row(media_ref="v/1.avi", media_type="video", content=b"junk",
+                format=None, width=None, height=None, duration_ms=None),
+        ]
+        media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+        got = sorted(
+            (r for r in video_scenes_df(media).collect()),
+            key=lambda r: r["frame_idx"],
+        )
+        assert [r["media_ref"] for r in got] == ["v/0.avi"] * 7
+        starts = [r["frame_idx"] for r in got if r["is_scene_start"] == 1]
+        assert starts == [0, 3, 6]
+        # within-segment repeats are hamming 0; ts from container fps
+        assert got[1]["hamming_prev"] == 0
+        assert got[0]["hamming_prev"] is None
+        assert got[3]["hamming_prev"] > 12
+        assert got[2]["ts_ms"] == 200  # 10 fps → 100 ms per frame
+
+
 class TestNbClassifier:
     """Multinomial NB (ops/classify.py): trained as a count
     aggregation, scored JVM-side, verified against hand-computed
