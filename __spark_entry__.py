@@ -2602,6 +2602,28 @@ def q_image_exif(spark, sf_dir):
     )
 
 
+def q_skew_report(spark, sf_dir):
+    """Partition-skew prediction on a deliberately skewed corpus: host
+    'hot.com' owns a quarter of the rows, the rest spread over 37
+    hosts. With the md5 hasher the entire report — bucket assignment,
+    row/key counts, weight sums, and the heaviest-key election with
+    its (count DESC, key ASC) tie rule — is replayed relationally by
+    the oracle. The 'spark' hasher variant (bucket == physical
+    partition id under repartition) is pinned in TestSkewReport."""
+    from fuzi_spark.ops.diagnostics import skew_report
+
+    i = F.col("doc_id")
+    host = F.when(i % 4 == 0, F.lit("hot.com")).otherwise(
+        F.concat(F.lit("h"), (i % 37).cast("string"), F.lit(".com"))
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", host.alias("host"), (10 + i % 5).cast("long").alias("w")
+    )
+    return skew_report(
+        docs, "host", n_buckets=16, weight_col="w", hasher="md5"
+    )
+
+
 def q_crawl_schedule(spark, sf_dir):
     """Politeness scheduling over a formula frontier: 20 hosts × ~25
     URLs with priority doc_id % 11. The oracle replays the md5 shard
@@ -3291,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_archive": q_parse_archive,
         "bloom_seen": q_bloom_seen,
         "crawl_schedule": q_crawl_schedule,
+        "skew_report": q_skew_report,
         "image_exif": q_image_exif,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
@@ -4488,6 +4511,28 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END "
             "    AS INTEGER) AS exif_ok "
             "FROM documents"
+        ),
+        "skew_report": (
+            "WITH d AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 4 = 0 THEN 'hot.com' "
+            "    ELSE 'h' || CAST(doc_id % 37 AS VARCHAR) || '.com' "
+            "  END AS host, "
+            "  10 + doc_id % 5 AS w FROM documents), "
+            "b AS (SELECT host, w, "
+            "  CAST(CAST(('0x' || substr(md5(host), 1, 15)) AS BIGINT) "
+            "    % 16 AS INTEGER) AS bucket FROM d), "
+            "pk AS (SELECT bucket, host, COUNT(*) AS kn, "
+            "  SUM(w) AS kw FROM b GROUP BY bucket, host), "
+            "tot AS (SELECT bucket, SUM(kn) AS n_rows, "
+            "  COUNT(*) AS n_keys, SUM(kw) AS total_weight "
+            "  FROM pk GROUP BY bucket), "
+            "hv AS (SELECT bucket, host AS max_key, kn AS max_key_rows "
+            "  FROM (SELECT bucket, host, kn, ROW_NUMBER() OVER "
+            "    (PARTITION BY bucket ORDER BY kn DESC, host ASC) AS rn "
+            "    FROM pk) WHERE rn = 1) "
+            "SELECT t.bucket, t.n_rows, t.n_keys, h.max_key, "
+            "  h.max_key_rows, t.total_weight "
+            "FROM tot t JOIN hv h ON t.bucket = h.bucket"
         ),
         "crawl_schedule": (
             "WITH f AS (SELECT doc_id, "

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "redact_pii",
     "redact_cc",
     "pack_sequences",
+    "skew_report",
     "domain_stats",
     "blocked_domains",
     "top_terms",

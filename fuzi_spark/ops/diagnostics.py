@@ -1,0 +1,96 @@
+"""Job-shape diagnostics: predict partition skew BEFORE paying for it.
+
+At 10^12 rows the difference between a job that finishes and one that
+straggles for hours is usually one skewed key. `skew_report` computes
+the per-partition load a hash-partitioned shuffle WILL produce — row
+counts, distinct keys, the heaviest key, and an optional weight column
+(bytes) — from a cheap aggregation, so the operator that owns the big
+exchange can be re-keyed/salted/AQE-tuned before it runs.
+
+Two hashers:
+- 'spark': pmod(hash(key), n) — `F.hash` IS the Murmur3(seed 42) that
+  Spark's HashPartitioning uses, so the reported bucket equals the
+  physical partition id a `repartition(n, key)` would assign. Pinned
+  against actual `spark_partition_id()` in tests.
+- 'md5': the repo's cross-engine md5-prefix bucket (same contract as
+  ops/sampling.py), so the driver's DuckDB oracle replays the whole
+  report relationally.
+
+Shape: groupBy(bucket, key) with map-side partial counts, then one
+bucket-keyed window + agg over the PER-KEY table — every exchange
+carries metadata-width rows (bucket, key, partials), never the data."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .cache import scoped_persist
+
+
+def bucket_col(key, n_buckets: int, hasher: str = "spark"):
+    key = key.cast("string")
+    if hasher == "spark":
+        return F.pmod(F.hash(key), F.lit(n_buckets)).cast("int")
+    if hasher == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        ).cast("int")
+    raise ValueError(f"unknown hasher: {hasher}")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 64,
+    weight_col: str = None,
+    hasher: str = "spark",
+) -> DataFrame:
+    """Per-bucket load report for a prospective hash-partitioning on
+    `key_col`: (bucket, n_rows, n_keys, max_key, max_key_rows,
+    total_weight). max_key is the heaviest key in the bucket (ties →
+    lexicographically smallest, deterministic); total_weight sums
+    `weight_col` when given (bytes, token counts) else equals n_rows.
+    A bucket whose n_rows is many × the mean — or whose max_key_rows
+    approaches its n_rows — is the straggler to salt.
+
+    The corpus is reduced to (bucket, key, count, weight) in ONE
+    map-side-combinable shuffle; the totals agg and the heaviest-key
+    window both run over that metadata-width table (persisted once)."""
+    key = F.col(key_col).cast("string")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    per_key = scoped_persist(
+        df.select(
+            bucket_col(key, n_buckets, hasher).alias("bucket"),
+            key.alias("_k"),
+            w.alias("_w"),
+        )
+        .groupBy("bucket", "_k")
+        .agg(F.count(F.lit(1)).alias("_kn"), F.sum("_w").alias("_kw"))
+    )
+    totals = per_key.groupBy("bucket").agg(
+        F.sum("_kn").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_kw").alias("total_weight"),
+    )
+    win = Window.partitionBy("bucket").orderBy(
+        F.col("_kn").desc(), F.col("_k").asc()
+    )
+    heavy = (
+        per_key.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "bucket",
+            F.col("_k").alias("max_key"),
+            F.col("_kn").alias("max_key_rows"),
+        )
+    )
+    return totals.join(heavy, "bucket").select(
+        "bucket", "n_rows", "n_keys", "max_key", "max_key_rows",
+        "total_weight",
+    )

@@ -2726,6 +2726,70 @@ class TestSemanticDedup:
         assert a == b
 
 
+class TestSkewReport:
+    """ops/diagnostics.py: the 'spark' hasher must predict PHYSICAL
+    partition placement; counts/weights/heavy-key election verified
+    against a python reference."""
+
+    def test_spark_hasher_matches_physical_partitions(self, spark):
+        from fuzi_spark.ops.diagnostics import bucket_col
+
+        df = spark.createDataFrame(
+            [(f"key-{i}",) for i in range(500)], "k string"
+        )
+        n = 8
+        predicted = {
+            r["k"]: r["b"]
+            for r in df.select(
+                "k", bucket_col(F.col("k"), n).alias("b")
+            ).collect()
+        }
+        actual = {
+            r["k"]: r["p"]
+            for r in df.repartition(n, "k")
+            .select("k", F.spark_partition_id().alias("p"))
+            .collect()
+        }
+        assert predicted == actual
+
+    def test_report_against_python_reference(self, spark):
+        import hashlib
+        from collections import Counter, defaultdict
+
+        from fuzi_spark.ops.cache import cache_scope
+        from fuzi_spark.ops.diagnostics import skew_report
+
+        rows = []
+        for i in range(400):
+            # skewed: key 'hot' owns a quarter of the rows
+            k = "hot" if i % 4 == 0 else f"k{i % 37}"
+            rows.append((i, k, 10 + i % 5))
+        df = spark.createDataFrame(rows, "doc_id long, host string, w long")
+        with cache_scope():
+            got = {
+                r["bucket"]: r
+                for r in skew_report(
+                    df, "host", n_buckets=16, weight_col="w",
+                    hasher="md5",
+                ).collect()
+            }
+        buckets = defaultdict(list)
+        for _, k, w in rows:
+            b = int(hashlib.md5(k.encode()).hexdigest()[:15], 16) % 16
+            buckets[b].append((k, w))
+        assert set(got) == set(buckets)
+        for b, items in buckets.items():
+            counts = Counter(k for k, _ in items)
+            r = got[b]
+            assert r["n_rows"] == len(items)
+            assert r["n_keys"] == len(counts)
+            assert r["total_weight"] == sum(w for _, w in items)
+            best = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            assert (r["max_key"], r["max_key_rows"]) == best
+
+
 class TestArchive:
     """ops/archive.py: ZIP/TAR member explode — sniffing, text/binary
     classification, recovery, Spark surface."""

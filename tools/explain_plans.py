@@ -393,6 +393,26 @@ CASES = [
      "an equi-join on (band, bucket) metadata keys, the election a "
      "band self-join — document text never shuffles; earlier rounds "
      "never re-derive."),
+    ("audio_mp3",
+     "MP3/ID3 metadata decode. Wants: header-only MapInPandas (the "
+     "frame walk skips payloads by computed length, never reads "
+     "them); one pass, no shuffle beyond the skew spread."),
+    ("subtitles",
+     "SRT/WebVTT cue explode. Wants: ONE MapInPandas explode per "
+     "blob (the parse_warc shape) — cue rows are the only fan-out, "
+     "zero shuffles."),
+    ("redact_cc",
+     "Luhn-gated card masking. Wants: ZERO exchanges and ZERO Python "
+     "— candidate regex, per-span Luhn aggregate, and the literal-"
+     "replace fold all in one codegen'd Project on the scan."),
+    ("parse_archive",
+     "ZIP/TAR member explode. Wants: one MapInPandas explode after "
+     "the giant-archive id repartition; member rows are the fan-out, "
+     "no shuffle after."),
+    ("video_scenes",
+     "Scene-change keyframes. Wants: one sequential-decode "
+     "MapInPandas pass (bounded frame memo), scene rows the only "
+     "fan-out, no shuffle."),
 ]
 
 
