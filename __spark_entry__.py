@@ -2602,6 +2602,46 @@ def q_image_exif(spark, sf_dir):
     )
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt: per doc a robots blob with
+    doc_id % 3 Sitemap directives (mixed field-name casing by j % 2)
+    plus a commented-out decoy and a rules group. Host lowering, the
+    global (group-independent) extraction, and in-file order are all
+    replayed from the formulas by the oracle; zero-directive docs
+    contribute no rows."""
+    from fuzi_spark.ops.web import robots_sitemaps
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    lines = [
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.lit("# Sitemap: https://decoy.com/no.xml\n"),
+    ]
+    directive_lines = F.transform(
+        F.sequence(F.lit(0), (i % 3).cast("int") - 1),
+        lambda j: F.concat(
+            F.when(j % 2 == 0, F.lit("Sitemap: ")).otherwise(
+                F.lit("sitemap: ")
+            ),
+            F.lit("https://d"), s, F.lit(".com/sm-"),
+            j.cast("string"), F.lit(".xml\n"),
+        ),
+    )
+    sm = F.concat_ws(
+        "",
+        *lines,
+        # sequence(0, -1) DESCENDS in Spark — guard the zero case
+        F.when(i % 3 > 0, directive_lines).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    robots = _docs(spark, sf_dir).select(
+        F.concat(F.lit("D"), s, F.lit(".com")).alias("domain"),
+        sm.alias("robots_txt"),
+    )
+    return robots_sitemaps(robots)
+
+
 def q_skew_report(spark, sf_dir):
     """Partition-skew prediction on a deliberately skewed corpus: host
     'hot.com' owns a quarter of the rows, the rest spread over 37
@@ -3314,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen": q_bloom_seen,
         "crawl_schedule": q_crawl_schedule,
         "skew_report": q_skew_report,
+        "robots_sitemaps": q_robots_sitemaps,
         "image_exif": q_image_exif,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
@@ -4511,6 +4552,16 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END "
             "    AS INTEGER) AS exif_ok "
             "FROM documents"
+        ),
+        "robots_sitemaps": (
+            "WITH d AS (SELECT doc_id, doc_id % 3 AS ns FROM documents "
+            "  WHERE doc_id % 3 > 0), "
+            "e AS (SELECT doc_id, unnest(range(ns)) AS j FROM d) "
+            "SELECT 'd' || CAST(doc_id AS VARCHAR) || '.com' AS host, "
+            "  CAST(j AS INTEGER) AS seq, "
+            "  'https://d' || CAST(doc_id AS VARCHAR) || '.com/sm-' || "
+            "  CAST(j AS VARCHAR) || '.xml' AS sitemap_url "
+            "FROM e"
         ),
         "skew_report": (
             "WITH d AS (SELECT doc_id, "

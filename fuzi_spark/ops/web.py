@@ -841,3 +841,31 @@ def crawl_schedule(
     if max_per_host > 0:
         out = out.filter(F.col("fetch_seq") <= max_per_host)
     return out.withColumnRenamed("_host", "host")
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Sitemap discovery from robots.txt: per RFC 9309 §2.3 /
+    sitemaps.org, `Sitemap:` lines are GLOBAL (not group-scoped) and a
+    file may carry several. Returns (host, seq, sitemap_url) — seq is
+    the in-file order — feeding straight into ops/discovery.py's
+    sitemap parser: robots fetch → sitemap URLs → URL frontier is the
+    standard crawl bootstrap chain.
+
+    All-Catalyst: one regexp_extract_all per robots blob (case-
+    insensitive field name, whole-line value), a posexplode, and host
+    lowering — zero Python, and the robots table is domain-sized, so
+    this costs nothing next to any real stage."""
+    urls = F.regexp_extract_all(
+        F.col(robots_col), F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)\s*$"), 1
+    )
+    return (
+        robots.select(
+            F.lower(F.col(domain_col)).alias("host"),
+            F.posexplode(urls).alias("seq", "sitemap_url"),
+        )
+        .select("host", F.col("seq").cast("int").alias("seq"), "sitemap_url")
+    )

@@ -4832,6 +4832,36 @@ class TestAviFrames:
         assert got == [(0, 0, 5, 6), (1, 100, 7, 8)]
 
 
+class TestRobotsSitemaps:
+    """robots_sitemaps: global Sitemap: directive extraction."""
+
+    def test_extraction_rules(self, spark):
+        from fuzi_spark.ops.web import robots_sitemaps
+
+        txt = (
+            "User-agent: *\nDisallow: /private\n"
+            "Sitemap: https://a.com/s1.xml\n"
+            "sitemap:https://a.com/s2.xml\n"
+            "SITEMAP:   https://a.com/s3.xml  \n"
+            "# Sitemap: https://a.com/commented.xml\n"
+            "NotSitemap: https://a.com/no.xml\n"
+        )
+        df = spark.createDataFrame(
+            [("A.com", txt), ("b.com", "User-agent: *\nDisallow:\n")],
+            "domain string, robots_txt string",
+        )
+        got = robots_sitemaps(df).collect()
+        a = sorted(
+            (r["seq"], r["sitemap_url"]) for r in got if r["host"] == "a.com"
+        )
+        assert a == [
+            (0, "https://a.com/s1.xml"),
+            (1, "https://a.com/s2.xml"),
+            (2, "https://a.com/s3.xml"),
+        ]
+        assert not [r for r in got if r["host"] == "b.com"]
+
+
 class TestCrawlSchedule:
     """crawl_schedule: host-cohesive shard assignment + per-host
     politeness ordering + host budget."""
