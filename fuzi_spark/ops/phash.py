@@ -120,6 +120,35 @@ PHASH_SCHEMA = StructType(
 
 
 def _phash_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # content-addressed memo, bounded per task (same rationale as the
+    # video frame memo below): byte-identical images are EXACTLY the
+    # dedup workload — the same logo/spacer/avatar bytes recur across
+    # thousands of pages — so the decode+DCT runs once per DISTINCT
+    # content, not once per occurrence. Cap keeps executor memory flat.
+    memo: dict = {}
+    MEMO_CAP = 4096
+
+    def decode_memo(content):
+        key = bytes(content)
+        if key in memo:
+            return memo[key]
+        arr = decode_image_pixels(key)
+        if arr is None:
+            got = None
+        else:
+            h, w = arr.shape[:2]
+            # store phash as signed 64-bit (bit 63 is always 0 by
+            # construction, so no sign wrap in practice)
+            got = (
+                int(w),
+                int(h),
+                int(np.int64(np.uint64(phash_from_pixels(arr)))),
+            )
+        if len(memo) >= MEMO_CAP:
+            memo.clear()
+        memo[key] = got
+        return got
+
     for pdf in batches:
         rows = {
             "media_ref": [],
@@ -130,20 +159,16 @@ def _phash_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         }
         for i in range(len(pdf)):
             rows["media_ref"].append(pdf["media_ref"].iloc[i])
-            arr = decode_image_pixels(pdf["content"].iloc[i])
-            if arr is None:
+            got = decode_memo(pdf["content"].iloc[i])
+            if got is None:
                 rows["width"].append(None)
                 rows["height"].append(None)
                 rows["phash"].append(None)
                 rows["decode_ok"].append(0)
             else:
-                h, w = arr.shape[:2]
-                p = phash_from_pixels(arr)
-                # store as signed 64-bit (bit 63 is always 0 by
-                # construction, so no sign wrap in practice)
-                rows["width"].append(int(w))
-                rows["height"].append(int(h))
-                rows["phash"].append(int(np.int64(np.uint64(p))))
+                rows["width"].append(got[0])
+                rows["height"].append(got[1])
+                rows["phash"].append(got[2])
                 rows["decode_ok"].append(1)
         yield pd.DataFrame(rows)
 
