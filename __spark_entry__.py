@@ -3256,6 +3256,45 @@ def q_snapshot_delta(spark, sf_dir):
     return snapshot_delta(cur, prev)
 
 
+def q_site_template(spark, sf_dir):
+    """Cross-document site-template detection driven through the REAL
+    extraction pass: per doc a page is built as markup (`<p>NAV
+    {domain}</p><p>unique {id}</p>` + even ids `<p>FOOT {domain}</p>`),
+    extracted by the actual parser, then template_stats runs with
+    min_frac=0.6 — NAV (every page of its domain) must flag, FOOT
+    (~half the domain's pages, under the 0.6 bar) must NOT, unique
+    never. The oracle replays the doc-frequency election RELATIONALLY
+    (counts + the greatest(min_docs, ceil(frac*domain_docs)) threshold
+    from the same formula corpus), so the decision rule itself is
+    verified, not just the fixture outcome."""
+    from fuzi_spark.ops.template import template_stats
+    from fuzi_spark.udfs import extract_markup_df
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    dom = F.concat(F.lit("d"), (i % 7).cast("string"))
+    markup = F.concat(
+        F.lit("<body><p>NAV "), dom, F.lit("</p><p>unique "), s,
+        F.when(i % 2 == 0, F.concat(F.lit("</p><p>FOOT "), dom))
+        .otherwise(F.lit("")),
+        F.lit("</p></body>"),
+    )
+    d = _docs(spark, sf_dir).select(
+        i.cast("string").alias("doc_id"), markup.alias("markup")
+    )
+    spans = extract_markup_df(d).withColumn(
+        "domain",
+        F.concat(
+            F.lit("d"), (F.col("doc_id").cast("long") % 7).cast("string")
+        ),
+    )
+    out = template_stats(spans, min_docs=2, min_frac=0.6)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_spans", "n_template", "template_frac", "main_text",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -3366,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": q_nb_classifier,
         "reflow_text": q_reflow_text,
         "split_sentences": q_split_sentences,
+        "site_template": q_site_template,
     }
 
 
@@ -4896,6 +4936,40 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN ref = MIN(ref) OVER (PARTITION BY g) "
             "    THEN 1 ELSE 0 END AS INTEGER) AS keep "
             "FROM m"
+        ),
+        "site_template": (
+            "WITH s AS (SELECT doc_id, "
+            "  'd' || CAST(doc_id % 7 AS VARCHAR) AS domain, "
+            "  CAST(doc_id AS VARCHAR) AS v, "
+            "  doc_id % 2 = 0 AS ev FROM documents), "
+            "blocks AS ("
+            "  SELECT doc_id, domain, 0 AS seq, "
+            "    'NAV ' || domain AS btext FROM s "
+            "  UNION ALL SELECT doc_id, domain, 1, 'unique ' || v "
+            "    FROM s "
+            "  UNION ALL SELECT doc_id, domain, 2, 'FOOT ' || domain "
+            "    FROM s WHERE ev), "
+            "dd AS (SELECT domain, COUNT(DISTINCT doc_id) AS nd "
+            "  FROM blocks GROUP BY domain), "
+            "bf AS (SELECT domain, btext, "
+            "  COUNT(DISTINCT doc_id) AS bd "
+            "  FROM blocks GROUP BY domain, btext), "
+            "fl AS (SELECT bf.domain, bf.btext, "
+            "  bd >= GREATEST(2, CAST(CEIL(0.6 * nd) AS BIGINT)) "
+            "    AS is_t "
+            "  FROM bf JOIN dd ON bf.domain = dd.domain), "
+            "tg AS (SELECT b.doc_id, b.seq, b.btext, fl.is_t "
+            "  FROM blocks b JOIN fl ON b.domain = fl.domain "
+            "    AND b.btext = fl.btext) "
+            "SELECT doc_id, COUNT(*) AS n_spans, "
+            "  CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) "
+            "    AS n_template, "
+            "  CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) "
+            "    / COUNT(*) AS template_frac, "
+            "  COALESCE(STRING_AGG("
+            "    CASE WHEN NOT is_t THEN btext END, chr(10) "
+            "    ORDER BY seq), '') AS main_text "
+            "FROM tg GROUP BY doc_id"
         ),
     }
 

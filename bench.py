@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "nb_classifier",
     "reflow_text",
     "split_sentences",
+    "site_template",
 ]
 
 

@@ -5852,3 +5852,87 @@ class TestCurateClassifierStage:
         assert got[2] == ("classifier", 0)
         assert got[3] == ("classifier", 0)
         assert got[4] == ("classifier", 0)
+
+
+class TestSiteTemplate:
+    """Cross-document site-template detection (ops/template.py)."""
+
+    def _spans(self, spark):
+        # two domains: a.com has 4 pages, b.com has 2, solo.net has 1.
+        # "NAV A" on all 4 a.com pages; "PROMO A" on 2 of 4 (=0.5, at
+        # the min_frac bar exactly -> ceil(0.5*4)=2 <= 2 -> template);
+        # "RARE A" on 1 page; b.com's "NAV B" on both pages; the
+        # single-page domain repeats its own block but min_docs=2
+        # counts DISTINCT docs, so nothing there may flag.
+        rows = []
+        for d in range(4):
+            rows.append(("a.com", d, 0, "NAV  A"))  # ws-normalized dup
+            rows.append(("a.com", d, 1, f"body a{d}"))
+        rows.append(("a.com", 0, 2, "PROMO A"))
+        rows.append(("a.com", 1, 2, "PROMO A"))
+        rows.append(("a.com", 2, 2, "RARE A"))
+        for d in (10, 11):
+            rows.append(("b.com", d, 0, "NAV B"))
+            rows.append(("b.com", d, 1, f"body b{d}"))
+        rows.append(("solo.net", 20, 0, "SOLO"))
+        rows.append(("solo.net", 20, 1, "SOLO"))
+        return spark.createDataFrame(
+            rows, "domain string, doc_id long, seq int, text string"
+        )
+
+    def test_flags_and_threshold(self, spark):
+        from fuzi_spark.ops.template import block_digests, template_flags
+
+        flags = template_flags(
+            block_digests(self._spans(spark)), min_docs=2, min_frac=0.5
+        )
+        got = {
+            (r.domain, r.block_docs, r.domain_docs): r.is_template
+            for r in flags.collect()
+        }
+        assert got[("a.com", 4, 4)] is True       # NAV A
+        assert got[("a.com", 2, 4)] is True       # PROMO A: ceil(.5*4)=2
+        assert got[("b.com", 2, 2)] is True       # NAV B
+        assert got[("solo.net", 1, 1)] is False   # min_docs floor
+        # body/RARE blocks: block_docs == 1 in a 4-doc domain
+        assert got[("a.com", 1, 4)] is False
+
+    def test_stats_strip_and_order(self, spark):
+        from fuzi_spark.ops.template import template_stats
+
+        out = {
+            r.doc_id: r
+            for r in template_stats(
+                self._spans(spark), min_docs=2, min_frac=0.5
+            ).collect()
+        }
+        # doc 0: NAV A (template) + body a0 + PROMO A (template)
+        assert out[0].n_spans == 3 and out[0].n_template == 2
+        assert out[0].main_text == "body a0"
+        # doc 2: NAV A template, RARE A kept, seq order preserved
+        assert out[2].main_text == "body a2\nRARE A"
+        # single-page domain keeps everything, frac 0
+        assert out[20].n_template == 0 and out[20].template_frac == 0.0
+        assert out[20].main_text == "SOLO\nSOLO"
+
+    def test_whitespace_normalized_digest(self, spark):
+        from fuzi_spark.ops.template import block_digests
+
+        spans = spark.createDataFrame(
+            [
+                ("x", 1, 0, "cookie   notice"),
+                ("x", 2, 0, " cookie\tnotice "),
+            ],
+            "domain string, doc_id long, seq int, text string",
+        )
+        digs = [r.block_digest for r in block_digests(spans).collect()]
+        assert digs[0] == digs[1]
+
+    def test_cache_hygiene(self, spark):
+        from fuzi_spark.ops.cache import cache_scope
+        from fuzi_spark.ops.template import template_stats
+
+        spark.catalog.clearCache()  # scope-less earlier tests may pin
+        with cache_scope():
+            template_stats(self._spans(spark)).count()
+        assert not spark.sparkContext._jsc.getPersistentRDDs()
