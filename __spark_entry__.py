@@ -2642,6 +2642,45 @@ def q_robots_sitemaps(spark, sf_dir):
     return robots_sitemaps(robots)
 
 
+def q_hidden_text(spark, sf_dir):
+    """Hidden-text (SEO cloaking) stats over formula-built pages: a
+    visible paragraph of 10+i%7 'v' chars plus an always-visible
+    opacity:0.5 decoy ('dd'), a display:none div of 5+i%4 'h' chars on
+    ids %3==0, and on ids %5==0 a `hidden`-boolean span ('xxx') with a
+    NESTED visibility:hidden bold ('yy') — the nested element adds
+    text but must NOT add a second block (subtree-once semantics). A
+    <script> body must count as neither. The oracle replays all four
+    counters and the 0.4 cloak threshold relationally."""
+    from fuzi_spark.ops.web import hidden_text
+
+    i = F.col("doc_id")
+    vis_p = F.concat(
+        F.lit("<p>"), F.repeat(F.lit("v"), (10 + i % 7).cast("int")),
+        F.lit("</p>"),
+    )
+    hid_div = F.concat(
+        F.lit('<div style="display:none">'),
+        F.repeat(F.lit("h"), (5 + i % 4).cast("int")),
+        F.lit("</div>"),
+    )
+    hid_span = F.lit(
+        '<span hidden>xxx<b style="visibility:hidden">yy</b></span>'
+    )
+    markup = F.concat(
+        F.lit("<html><head><title>TT</title></head><body>"),
+        vis_p,
+        F.lit('<p style="opacity:0.5">dd</p>'),
+        F.when(i % 3 == 0, hid_div).otherwise(F.lit("")),
+        F.when(i % 5 == 0, hid_span).otherwise(F.lit("")),
+        F.lit("<script>junk()</script></body></html>"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", markup.alias("markup"))
+    return d.select("doc_id", hidden_text("markup").alias("h")).select(
+        "doc_id", "h.visible_len", "h.hidden_len", "h.n_hidden_blocks",
+        "h.hidden_frac", "h.cloaked",
+    )
+
+
 def q_skew_report(spark, sf_dir):
     """Partition-skew prediction on a deliberately skewed corpus: host
     'hot.com' owns a quarter of the rows, the rest spread over 37
@@ -3394,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,
         "skew_report": q_skew_report,
         "robots_sitemaps": q_robots_sitemaps,
+        "hidden_text": q_hidden_text,
         "image_exif": q_image_exif,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
@@ -4602,6 +4642,22 @@ def oracle_sql() -> dict[str, str]:
             "  'https://d' || CAST(doc_id AS VARCHAR) || '.com/sm-' || "
             "  CAST(j AS VARCHAR) || '.xml' AS sitemap_url "
             "FROM e"
+        ),
+        "hidden_text": (
+            "WITH d AS (SELECT doc_id, "
+            "  12 + doc_id % 7 AS vis, "
+            "  (CASE WHEN doc_id % 3 = 0 THEN 5 + doc_id % 4 ELSE 0 END "
+            "   + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END) AS hid, "
+            "  (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END "
+            "   + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS blocks "
+            "  FROM documents) "
+            "SELECT doc_id, CAST(vis AS INTEGER) AS visible_len, "
+            "  CAST(hid AS INTEGER) AS hidden_len, "
+            "  CAST(blocks AS INTEGER) AS n_hidden_blocks, "
+            "  CAST(hid AS DOUBLE) / (vis + hid) AS hidden_frac, "
+            "  CAST(CASE WHEN CAST(hid AS DOUBLE) / (vis + hid) > 0.4 "
+            "    THEN 1 ELSE 0 END AS INTEGER) AS cloaked "
+            "FROM d"
         ),
         "skew_report": (
             "WITH d AS (SELECT doc_id, "

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "reflow_text",
     "split_sentences",
     "site_template",
+    "hidden_text",
 ]
 
 

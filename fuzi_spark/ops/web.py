@@ -16,6 +16,8 @@ string, flagged rather than dropped.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -869,3 +871,110 @@ def robots_sitemaps(
         )
         .select("host", F.col("seq").cast("int").alias("seq"), "sitemap_url")
     )
+
+
+# ----------------------------------------------------- hidden text / cloaking
+
+_HIDDEN_STYLE_RE = re.compile(
+    r"(?:^|;)\s*(?:display\s*:\s*none|visibility\s*:\s*hidden"
+    r"|opacity\s*:\s*0(?:\.0+)?\s*(?:;|$)|font-size\s*:\s*0(?:px|pt|em|rem|%)?\s*(?:;|$))",
+    re.IGNORECASE,
+)
+
+_HIDDEN_SKIP_TAGS = frozenset(
+    "script style noscript template title head".split()
+)
+
+_HIDDEN_SCHEMA = (
+    "struct<visible_len:int,hidden_len:int,n_hidden_blocks:int,"
+    "hidden_frac:double,cloaked:int>"
+)
+
+
+def _el_is_hidden(el) -> bool:
+    style = el.attr("style")
+    if style is not None and _HIDDEN_STYLE_RE.search(style):
+        return True
+    if el.attr("hidden") is not None:  # boolean attribute: presence hides
+        return True
+    aria = el.attr("aria-hidden")
+    return aria is not None and aria.strip().lower() == "true"
+
+
+def hidden_text(
+    markup_col: str = "markup",
+    doc_type: str = "html",
+    cloak_frac: float = 0.4,
+):
+    """Column function: markup → hidden-text (cloaking) stats — the
+    SEO-spam signal where a page stuffs keyword text users never see
+    (display:none / visibility:hidden / zero font-size / opacity:0
+    inline styles, the HTML5 `hidden` boolean attribute,
+    aria-hidden="true"). A training pipeline wants these pages DOWN-
+    weighted: their token stream diverges from their rendered content.
+
+    Per document (one parse, one iterative DOM walk — no recursion, so
+    the 10^12-corpus depth tail can't blow the Python stack):
+    - visible_len / hidden_len: whitespace-normalized char counts of
+      rendered vs hidden text (script/style/template/head text counts
+      as NEITHER — it was never prose);
+    - n_hidden_blocks: hidden-root elements (a hidden subtree counts
+      once, matching how a spam filter reasons about injected blocks);
+    - hidden_frac = hidden / (visible + hidden), 0.0 for empty pages;
+    - cloaked = 1 when hidden_frac > cloak_frac.
+
+    Style matching is declaration-anchored ((?:^|;) boundary), so
+    `display:none` matches while `opacity:0.5` or a `font-size:10px`
+    never false-positive. Arrow-batched pandas UDF; parse failure →
+    all-NULL struct (never a fake zero)."""
+    from ..dom import ELEMENT_NODE, TEXT_NODE
+    from ..udfs import _parse_doc
+
+    def _stats(doc):
+        root = doc.root
+        if root is None:
+            return (0, 0, 0, 0.0, 0)
+        vis = hid = blocks = 0
+        todo = [(root, False)]
+        while todo:
+            node, hidden = todo.pop()
+            if node.type == TEXT_NODE:
+                n = len("".join(node.content.split()))
+                if hidden:
+                    hid += n
+                else:
+                    vis += n
+                continue
+            if node.type != ELEMENT_NODE:
+                continue
+            if node.tag in _HIDDEN_SKIP_TAGS:
+                continue
+            h = hidden
+            if not hidden and _el_is_hidden(node):
+                h = True
+                blocks += 1
+            todo.extend((c, h) for c in node.children)
+        total = vis + hid
+        frac = (hid / total) if total else 0.0
+        return (vis, hid, blocks, frac, int(frac > cloak_frac))
+
+    @pandas_udf(_HIDDEN_SCHEMA)
+    def _udf(markup: pd.Series) -> pd.DataFrame:
+        rows = []
+        for m in markup:
+            doc = _parse_doc(m, doc_type) if m is not None else None
+            rows.append(
+                (None, None, None, None, None) if doc is None else _stats(doc)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "visible_len",
+                "hidden_len",
+                "n_hidden_blocks",
+                "hidden_frac",
+                "cloaked",
+            ],
+        )
+
+    return _udf(F.col(markup_col))

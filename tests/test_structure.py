@@ -466,3 +466,66 @@ class TestDocOutline:
         # unclosed heading recovers, emits once
         rows = extract_outline("<h2>open<h2>next</h2>")
         assert [r["heading"] for r in rows][0].startswith("open")
+
+
+class TestHiddenText:
+    """SEO-cloaking stats: inline-style / boolean-attribute hiding,
+    subtree-once block counting, neither-class script text."""
+
+    MARKUP = (
+        "<html><head><title>TT</title></head><body>"
+        "<p>vvvv</p>"
+        '<div style="display:none">hhh<b>ii</b></div>'
+        '<span hidden>xxx<b style="visibility:hidden">yy</b></span>'
+        '<p style="opacity:0.5">dd</p>'
+        '<p style="font-size:10px">ee</p>'
+        '<i aria-hidden="true">zz</i>'
+        "<script>junk()</script></body></html>"
+    )
+
+    def test_planted_page(self, spark):
+        from fuzi_spark.ops.web import hidden_text
+
+        d = spark.createDataFrame(
+            [(1, self.MARKUP), (2, "<p>abc</p>"), (3, None)],
+            "doc_id long, markup string",
+        )
+        got = {
+            r.doc_id: r
+            for r in d.select(
+                "doc_id", hidden_text("markup").alias("h")
+            ).select("doc_id", "h.*").collect()
+        }
+        r = got[1]
+        # visible: vvvv + dd + ee = 8 (title/script are NEITHER;
+        # opacity:0.5 and font-size:10px are decoys, stay visible)
+        # hidden: hhh+ii (display:none div, nested b inherits) +
+        # xxx+yy (hidden-boolean span, nested visibility:hidden b
+        # inherits WITHOUT a second block) + zz (aria-hidden) = 12
+        assert (r.visible_len, r.hidden_len, r.n_hidden_blocks) == (8, 12, 3)
+        assert r.hidden_frac == 12 / 20 and r.cloaked == 1
+        clean = got[2]
+        assert (clean.visible_len, clean.hidden_len, clean.cloaked) == (
+            3, 0, 0,
+        )
+        assert clean.hidden_frac == 0.0
+        # NULL markup -> all-NULL struct, never a fake zero
+        assert got[3].visible_len is None and got[3].cloaked is None
+
+    def test_style_regex_boundaries(self):
+        from fuzi_spark.ops.web import _HIDDEN_STYLE_RE as R
+
+        assert R.search("display:none")
+        assert R.search("color:red; display : NONE ;")
+        assert R.search("opacity:0")
+        assert R.search("opacity:0.00;color:red")
+        assert R.search("font-size:0")
+        assert R.search("font-size:0px;x:y")
+        assert R.search("visibility:hidden")
+        assert not R.search("opacity:0.5")
+        assert not R.search("font-size:10px")
+        assert not R.search("font-size:0.8em")
+        # declaration anchor: a property NAME ending in the keyword
+        # must not match
+        assert not R.search("my-display:none")
+        assert not R.search("padding:1px; xopacity:0.5")
