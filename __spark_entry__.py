@@ -2681,6 +2681,61 @@ def q_hidden_text(spark, sf_dir):
     )
 
 
+def q_publish_date(spark, sf_dir):
+    """Publish-date precedence over four formula classes: ids %4==0
+    carry a valid article:published_time META (and a decoy URL date
+    that must LOSE), %4==1 a datetime-less <time> decoy followed by a
+    valid <time datetime>, %4==2 only a /YYYY/M/D/ URL path (pinning
+    the JVM lpad zero-padding), %4==3 an INVALID meta date, an
+    impossible time datetime (month 99) and a date-less URL — all
+    three must be rejected, yielding NULL. The oracle replays the
+    winning source and the normalized YYYY-MM-DD relationally."""
+    from fuzi_spark.ops.web import publish_date
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    meta_ok = F.concat(
+        F.lit('<meta property="article:published_time" content="2023-0'),
+        (1 + i % 9).cast("string"), F.lit('-11T08:30:00Z">'),
+    )
+    time_ok = F.concat(
+        F.lit("<time>plain</time><article><time datetime=\"2022-1"),
+        (i % 2).cast("string"),
+        F.lit('-05T00:00:00">d</time></article>'),
+    )
+    markup = (
+        F.when(i % 4 == 0, F.concat(
+            F.lit("<html><head>"), meta_ok,
+            F.lit("</head><body><p>x</p></body></html>"),
+        ))
+        .when(i % 4 == 1, F.concat(
+            F.lit('<html><head><meta property="og:title" content="T">'
+                  "</head><body>"), time_ok, F.lit("</body></html>"),
+        ))
+        .when(i % 4 == 2, F.lit("<html><body><p>x</p></body></html>"))
+        .otherwise(F.lit(
+            '<html><head><meta property="article:published_time" '
+            'content="not-a-date"></head><body>'
+            '<time datetime="2023-99-99">bad</time></body></html>'
+        ))
+    )
+    url = (
+        F.when(i % 4 == 0, F.concat(
+            F.lit("https://h.com/2019/1/2/a-"), s,
+        ))
+        .when(i % 4 == 2, F.concat(
+            F.lit("https://h.com/"), (2020 + i % 3).cast("string"),
+            F.lit("/"), (1 + i % 12).cast("string"),
+            F.lit("/"), (1 + i % 28).cast("string"), F.lit("/post"),
+        ))
+        .otherwise(F.concat(F.lit("https://h.com/about-"), s))
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", markup.alias("markup"), url.alias("url")
+    )
+    return publish_date(d)
+
+
 def q_skew_report(spark, sf_dir):
     """Partition-skew prediction on a deliberately skewed corpus: host
     'hot.com' owns a quarter of the rows, the rest spread over 37
@@ -3434,6 +3489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "robots_sitemaps": q_robots_sitemaps,
         "hidden_text": q_hidden_text,
+        "publish_date": q_publish_date,
         "image_exif": q_image_exif,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
@@ -4642,6 +4698,23 @@ def oracle_sql() -> dict[str, str]:
             "  'https://d' || CAST(doc_id AS VARCHAR) || '.com/sm-' || "
             "  CAST(j AS VARCHAR) || '.xml' AS sitemap_url "
             "FROM e"
+        ),
+        "publish_date": (
+            "WITH d AS (SELECT doc_id, doc_id % 4 AS c FROM documents) "
+            "SELECT doc_id, "
+            "  CASE WHEN c = 0 THEN '2023-0' || "
+            "    CAST(1 + doc_id % 9 AS VARCHAR) || '-11' "
+            "  WHEN c = 1 THEN '2022-1' || "
+            "    CAST(doc_id % 2 AS VARCHAR) || '-05' "
+            "  WHEN c = 2 THEN CAST(2020 + doc_id % 3 AS VARCHAR) || '-' "
+            "    || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-' "
+            "    || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') "
+            "  ELSE NULL END AS published, "
+            "  CASE WHEN c = 0 THEN 'meta' WHEN c = 1 THEN 'time' "
+            "    WHEN c = 2 THEN 'url' ELSE NULL END AS date_source, "
+            "  CAST(CASE WHEN c < 3 THEN 1 ELSE 0 END AS INTEGER) "
+            "    AS has_date "
+            "FROM d"
         ),
         "hidden_text": (
             "WITH d AS (SELECT doc_id, "

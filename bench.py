@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "split_sentences",
     "site_template",
     "hidden_text",
+    "publish_date",
 ]
 
 

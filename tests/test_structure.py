@@ -529,3 +529,48 @@ class TestHiddenText:
         # must not match
         assert not R.search("my-display:none")
         assert not R.search("padding:1px; xopacity:0.5")
+
+
+class TestPublishDate:
+    def test_precedence_and_fallthrough(self, spark):
+        from fuzi_spark.ops.web import publish_date
+
+        rows = [
+            # meta wins over time and url
+            (1, '<html><head><meta property="article:published_time" '
+                'content="2023-05-11T08:30:00Z"></head><body>'
+                '<time datetime="2020-01-01">x</time></body></html>',
+             "https://h.com/2019/1/2/a"),
+            # INVALID meta falls through to the valid time
+            (2, '<html><head><meta property="article:published_time" '
+                'content="2023-99-11"></head><body>'
+                '<time datetime="2021-12-31T23:00">x</time></body></html>',
+             "https://h.com/x"),
+            # no DOM date; url path date zero-pads
+            (3, "<html><body><p>x</p></body></html>",
+             "https://h.com/2022/3/7/post"),
+            # impossible url month (13) is rejected -> NULL
+            (4, "<html><body><p>x</p></body></html>",
+             "https://h.com/2022/13/7/post"),
+            # NULL markup, date-less url -> NULL
+            (5, None, "https://h.com/about"),
+        ]
+        d = spark.createDataFrame(
+            rows, "doc_id long, markup string, url string"
+        )
+        got = {r.doc_id: r for r in publish_date(d).collect()}
+        assert (got[1].published, got[1].date_source) == ("2023-05-11", "meta")
+        assert (got[2].published, got[2].date_source) == ("2021-12-31", "time")
+        assert (got[3].published, got[3].date_source) == ("2022-03-07", "url")
+        assert got[4].published is None and got[4].date_source is None
+        assert got[5].published is None and got[5].has_date == 0
+
+    def test_valid_iso_prefix(self):
+        from fuzi_spark.ops.web import _valid_iso_prefix
+
+        assert _valid_iso_prefix("2024-02-29T10:00:00Z") == "2024-02-29"
+        assert _valid_iso_prefix(" 2024-01-01 ") == "2024-01-01"
+        assert _valid_iso_prefix("2024-00-10") is None
+        assert _valid_iso_prefix("2024-12-32") is None
+        assert _valid_iso_prefix("yesterday") is None
+        assert _valid_iso_prefix(None) is None
