@@ -2736,6 +2736,54 @@ def q_publish_date(spark, sf_dir):
     return publish_date(d)
 
 
+def q_paywall(spark, sf_dir):
+    """Paywall/login-wall signals over five formula classes: %5==0
+    clean article (all zero), %5==1 a class="paywall-overlay" div
+    whose text is a wall phrase (marker AND phrase), %5==2 head
+    JSON-LD isAccessibleForFree:false (schema — pins that <head> is
+    descended), %5==3 a password login form (login gate but NOT
+    paywalled), %5==4 decoys that must all stay zero: a
+    subscribe-button class, isAccessibleForFree:true, and 'subscribe
+    to our newsletter' prose. The oracle replays every flag from the
+    class arithmetic."""
+    from fuzi_spark.ops.web import paywall_signals
+
+    i = F.col("doc_id")
+    markup = (
+        F.when(i % 5 == 0, F.lit(
+            "<html><body><article><p>Plain article text.</p>"
+            "</article></body></html>"
+        ))
+        .when(i % 5 == 1, F.lit(
+            '<html><body><p>Teaser.</p><div class="paywall-overlay">'
+            "Subscribe to continue reading.</div></body></html>"
+        ))
+        .when(i % 5 == 2, F.lit(
+            '<html><head><script type="application/ld+json">'
+            '{"@type":"NewsArticle","isAccessibleForFree": false}'
+            "</script></head><body><p>Teaser only.</p></body></html>"
+        ))
+        .when(i % 5 == 3, F.lit(
+            '<html><body><form action="/login">'
+            '<input type="text" name="u">'
+            '<input type="Password" name="p"></form></body></html>'
+        ))
+        .otherwise(F.lit(
+            '<html><head><script type="application/ld+json">'
+            '{"isAccessibleForFree": true}</script></head>'
+            '<body><button class="subscribe-button">Go</button>'
+            "<p>Subscribe to our newsletter.</p></body></html>"
+        ))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", markup.alias("markup"))
+    return d.select(
+        "doc_id", paywall_signals("markup").alias("p")
+    ).select(
+        "doc_id", "p.has_password_input", "p.has_paywall_schema",
+        "p.n_wall_markers", "p.has_wall_phrase", "p.paywalled",
+    )
+
+
 def q_skew_report(spark, sf_dir):
     """Partition-skew prediction on a deliberately skewed corpus: host
     'hot.com' owns a quarter of the rows, the rest spread over 37
@@ -3490,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "hidden_text": q_hidden_text,
         "publish_date": q_publish_date,
+        "paywall": q_paywall,
         "image_exif": q_image_exif,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
@@ -4698,6 +4747,21 @@ def oracle_sql() -> dict[str, str]:
             "  'https://d' || CAST(doc_id AS VARCHAR) || '.com/sm-' || "
             "  CAST(j AS VARCHAR) || '.xml' AS sitemap_url "
             "FROM e"
+        ),
+        "paywall": (
+            "WITH d AS (SELECT doc_id, doc_id % 5 AS c FROM documents) "
+            "SELECT doc_id, "
+            "  CAST(CASE WHEN c = 3 THEN 1 ELSE 0 END AS INTEGER) "
+            "    AS has_password_input, "
+            "  CAST(CASE WHEN c = 2 THEN 1 ELSE 0 END AS INTEGER) "
+            "    AS has_paywall_schema, "
+            "  CAST(CASE WHEN c = 1 THEN 1 ELSE 0 END AS INTEGER) "
+            "    AS n_wall_markers, "
+            "  CAST(CASE WHEN c = 1 THEN 1 ELSE 0 END AS INTEGER) "
+            "    AS has_wall_phrase, "
+            "  CAST(CASE WHEN c = 1 OR c = 2 THEN 1 ELSE 0 END "
+            "    AS INTEGER) AS paywalled "
+            "FROM d"
         ),
         "publish_date": (
             "WITH d AS (SELECT doc_id, doc_id % 4 AS c FROM documents) "

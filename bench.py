@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "site_template",
     "hidden_text",
     "publish_date",
+    "paywall",
 ]
 
 

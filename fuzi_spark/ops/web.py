@@ -1096,3 +1096,122 @@ def publish_date(
         source.alias("date_source"),
         published.isNotNull().cast("int").alias("has_date"),
     )
+
+
+# ---------------------------------------------------- paywall / login wall
+
+_LDJSON_WALL_RE = re.compile(
+    r'"isAccessibleForFree"\s*:\s*(?:false|"false")', re.IGNORECASE
+)
+
+# visible-text phrases that mark a metered/hard wall. Matched on the
+# lowercased whitespace-collapsed text, so markup breaks inside the
+# phrase can't hide it.
+_WALL_PHRASES = (
+    "subscribe to continue",
+    "subscribe to read",
+    "sign in to continue",
+    "to continue reading",
+    "already a subscriber",
+)
+
+_PAYWALL_SCHEMA = (
+    "struct<has_password_input:int,has_paywall_schema:int,"
+    "n_wall_markers:int,has_wall_phrase:int,paywalled:int>"
+)
+
+
+def paywall_signals(markup_col: str = "markup", doc_type: str = "html"):
+    """Column function: markup → paywall/login-wall signals. A trainer
+    must drop walled pages: their extractable text is the TEASER plus
+    wall chrome, not the article — keeping them teaches the model to
+    emit "Subscribe to continue reading".
+
+    Four independent signals from ONE parse + ONE iterative walk:
+    - has_password_input: any <input type="password"> (login gate —
+      reported separately because a login form alone is not a paywall);
+    - has_paywall_schema: schema.org `"isAccessibleForFree": false`
+      inside an application/ld+json script (the standards-track wall
+      declaration publishers actually emit);
+    - n_wall_markers: elements whose class tokens or id contain
+      'paywall' or 'regwall' (wall-overlay chrome; 'subscribe-button'
+      deliberately does NOT match);
+    - has_wall_phrase: a wall phrase in the text (style/title text
+      excluded; a phrase inside a hidden overlay still counts — walls
+      ship display:none until metering fires).
+
+    paywalled = schema OR phrase OR markers>0. JSON-LD in <head> is
+    reached (head is descended, only its text-bearing decoys are
+    skipped). Arrow-batched pandas UDF; parse failure → all-NULL."""
+    from ..dom import ELEMENT_NODE, TEXT_NODE
+    from ..udfs import _parse_doc
+
+    def _scan(doc):
+        root = doc.root
+        if root is None:
+            return (0, 0, 0, 0, 0)
+        pw = schema = markers = 0
+        texts = []
+        todo = [root]
+        while todo:
+            node = todo.pop()
+            if node.type == TEXT_NODE:
+                texts.append(node.content)
+                continue
+            if node.type != ELEMENT_NODE:
+                continue
+            tag = node.tag
+            if tag == "script":
+                t = node.attr("type")
+                if (
+                    t is not None
+                    and t.strip().lower() == "application/ld+json"
+                    and _LDJSON_WALL_RE.search(node.string_value)
+                ):
+                    schema = 1
+                continue
+            if tag in ("style", "noscript", "template", "title"):
+                continue
+            if tag == "input":
+                t = node.attr("type")
+                if t is not None and t.strip().lower() == "password":
+                    pw = 1
+            toks = []
+            cls = node.attr("class")
+            if cls:
+                toks.extend(cls.lower().split())
+            nid = node.attr("id")
+            if nid:
+                toks.append(nid.lower())
+            if any("paywall" in t or "regwall" in t for t in toks):
+                markers += 1
+            # reversed: LIFO pop then yields DOCUMENT order, so a wall
+            # phrase split across inline elements stays contiguous
+            todo.extend(reversed(node.children))
+        text = " ".join(" ".join(texts).lower().split())
+        phrase = int(any(p in text for p in _WALL_PHRASES))
+        return (
+            pw, schema, markers, phrase,
+            int(bool(schema or phrase or markers)),
+        )
+
+    @pandas_udf(_PAYWALL_SCHEMA)
+    def _udf(markup: pd.Series) -> pd.DataFrame:
+        rows = []
+        for m in markup:
+            doc = _parse_doc(m, doc_type) if m is not None else None
+            rows.append(
+                (None, None, None, None, None) if doc is None else _scan(doc)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "has_password_input",
+                "has_paywall_schema",
+                "n_wall_markers",
+                "has_wall_phrase",
+                "paywalled",
+            ],
+        )
+
+    return _udf(F.col(markup_col))

@@ -574,3 +574,42 @@ class TestPublishDate:
         assert _valid_iso_prefix("2024-12-32") is None
         assert _valid_iso_prefix("yesterday") is None
         assert _valid_iso_prefix(None) is None
+
+
+class TestPaywall:
+    def test_signal_classes(self, spark):
+        from fuzi_spark.ops.web import paywall_signals
+
+        rows = [
+            # combined: hidden overlay (marker) + phrase split by markup
+            (1, '<html><body><div class="meter paywall-msg" '
+                'style="display:none"><b>Subscribe</b> to '
+                "<i>continue</i></div></body></html>"),
+            # id-based regwall marker, no phrase
+            (2, '<html><body><div id="regwall-root">Locked</div>'
+                "</body></html>"),
+            # phrase inside a <script> must NOT count
+            (3, "<html><body><script>var m='subscribe to continue';"
+                "</script><p>free text</p></body></html>"),
+            # schema false in BODY json-ld
+            (4, '<html><body><script type="application/ld+json">'
+                '{"isAccessibleForFree":"False"}</script></body></html>'),
+            (5, None),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, markup string")
+        got = {
+            r.doc_id: r
+            for r in d.select(
+                "doc_id", paywall_signals("markup").alias("p")
+            ).select("doc_id", "p.*").collect()
+        }
+        r1 = got[1]
+        assert (r1.n_wall_markers, r1.has_wall_phrase, r1.paywalled) == (
+            1, 1, 1,
+        )
+        assert (got[2].n_wall_markers, got[2].has_wall_phrase) == (1, 0)
+        assert got[2].paywalled == 1
+        r3 = got[3]
+        assert (r3.has_wall_phrase, r3.paywalled) == (0, 0)
+        assert (got[4].has_paywall_schema, got[4].paywalled) == (1, 1)
+        assert got[5].paywalled is None
