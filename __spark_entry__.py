@@ -2784,6 +2784,35 @@ def q_paywall(spark, sf_dir):
     )
 
 
+def q_script_mix(spark, sf_dir):
+    """Homoglyph-spoof signals over four constructed script classes:
+    %4==0 pure Latin 'ab'×(3+i%5), %4==1 pure Cyrillic 'дом '×(2+i%3),
+    %4==2 the spoof class — 'xа ' (Latin x + CYRILLIC а) ×(1+i%4),
+    each token one adjacent confusable pair, %4==3 Greek 'αβ '×(1+i%2).
+    The Spark side counts with JVM regexp_count over the real unicode
+    ranges; the oracle replays every count from the construction
+    arithmetic — including the latin-priority tie in the spoof class's
+    dominant_script."""
+    from fuzi_spark.ops.textstats import script_mix
+
+    i = F.col("doc_id")
+    k0 = (3 + i % 5).cast("int")
+    k1 = (2 + i % 3).cast("int")
+    k2 = (1 + i % 4).cast("int")
+    k3 = (1 + i % 2).cast("int")
+    text = (
+        F.when(i % 4 == 0, F.repeat(F.lit("ab"), k0))
+        .when(i % 4 == 1, F.repeat(F.lit("дом "), k1))
+        .when(i % 4 == 2, F.repeat(F.lit("xа "), k2))
+        .otherwise(F.repeat(F.lit("αβ "), k3))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return script_mix(d).select(
+        "doc_id", "n_latin", "n_cyrillic", "n_greek",
+        "n_confusable_pairs", "dominant_script", "script_spoof",
+    )
+
+
 def q_skew_report(spark, sf_dir):
     """Partition-skew prediction on a deliberately skewed corpus: host
     'hot.com' owns a quarter of the rows, the rest spread over 37
@@ -3539,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hidden_text": q_hidden_text,
         "publish_date": q_publish_date,
         "paywall": q_paywall,
+        "script_mix": q_script_mix,
         "image_exif": q_image_exif,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
@@ -4747,6 +4777,27 @@ def oracle_sql() -> dict[str, str]:
             "  'https://d' || CAST(doc_id AS VARCHAR) || '.com/sm-' || "
             "  CAST(j AS VARCHAR) || '.xml' AS sitemap_url "
             "FROM e"
+        ),
+        "script_mix": (
+            "WITH d AS (SELECT doc_id, doc_id % 4 AS c, "
+            "  3 + doc_id % 5 AS k0, 2 + doc_id % 3 AS k1, "
+            "  1 + doc_id % 4 AS k2, 1 + doc_id % 2 AS k3 "
+            "  FROM documents) "
+            "SELECT doc_id, "
+            "  CAST(CASE WHEN c = 0 THEN 2 * k0 "
+            "    WHEN c = 2 THEN k2 ELSE 0 END AS BIGINT) AS n_latin, "
+            "  CAST(CASE WHEN c = 1 THEN 3 * k1 "
+            "    WHEN c = 2 THEN k2 ELSE 0 END AS BIGINT) AS n_cyrillic, "
+            "  CAST(CASE WHEN c = 3 THEN 2 * k3 ELSE 0 END AS BIGINT) "
+            "    AS n_greek, "
+            "  CAST(CASE WHEN c = 2 THEN k2 ELSE 0 END AS BIGINT) "
+            "    AS n_confusable_pairs, "
+            "  CASE WHEN c = 0 OR c = 2 THEN 'latin' "
+            "    WHEN c = 1 THEN 'cyrillic' ELSE 'greek' END "
+            "    AS dominant_script, "
+            "  CAST(CASE WHEN c = 2 THEN 1 ELSE 0 END AS INTEGER) "
+            "    AS script_spoof "
+            "FROM d"
         ),
         "paywall": (
             "WITH d AS (SELECT doc_id, doc_id % 5 AS c FROM documents) "

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "hidden_text",
     "publish_date",
     "paywall",
+    "script_mix",
 ]
 
 

@@ -816,3 +816,64 @@ def split_sentences(
     return ex.filter(
         F.col("sentence").isNull() | (F.trim(F.col("sentence")) != "")
     )
+
+
+# ---------------------------------------------------- script mixing / spoof
+
+# letter classes of the three mutually-confusable European scripts —
+# Cyrillic 'а/о/е/р/с' and Greek 'ο/ν' render identically to Latin in
+# most fonts, which is exactly what homoglyph spam exploits.
+_LATIN_CLS = "[A-Za-z]"
+_CYR_CLS = "[Ѐ-ӿ]"
+_GREEK_CLS = "[Ͱ-Ͽ]"
+# lookahead form: each match consumes ONE char and asserts the next,
+# so a latin-cyr-latin run counts BOTH transitions (a plain two-char
+# class pair would consume the shared middle char and undercount —
+# regexp_count matches non-overlapping)
+_CONFUSABLE_PAIR = (
+    f"(?:{_LATIN_CLS}(?=[Ѐ-ӿͰ-Ͽ])"
+    f"|[Ѐ-ӿͰ-Ͽ](?={_LATIN_CLS}))"
+)
+
+
+def script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode script-mixing signals — the homoglyph-spoof/spam filter
+    (keyword stuffing that swaps Latin letters for identical-looking
+    Cyrillic/Greek ones to evade exact-match dedup and blocklists;
+    a tokenizer then shatters such words into byte junk, so a trainer
+    wants them flagged).
+
+    Adds, all as JVM regexp_count expressions inside one codegen'd
+    projection — zero Python, scan-speed at any corpus size:
+    - n_latin / n_cyrillic / n_greek: letters per script;
+    - n_confusable_pairs: ADJACENT cross-script letter pairs
+      (Latin↔Cyrillic/Greek inside a word — organic multilingual text
+      switches scripts at word boundaries, spoofed words switch
+      mid-word);
+    - dominant_script: 'latin'|'cyrillic'|'greek'|'none', ties by
+      that fixed priority — deterministic at any parallelism;
+    - script_spoof: 1 when any confusable pair exists.
+
+    NULL text propagates NULL (never a fake clean row)."""
+    t = F.col(text_col)
+    n_lat = F.regexp_count(t, F.lit(_LATIN_CLS))
+    n_cyr = F.regexp_count(t, F.lit(_CYR_CLS))
+    n_grk = F.regexp_count(t, F.lit(_GREEK_CLS))
+    pairs = F.regexp_count(t, F.lit(_CONFUSABLE_PAIR))
+    dominant = (
+        F.when(t.isNull(), F.lit(None).cast("string"))
+        .when((n_lat == 0) & (n_cyr == 0) & (n_grk == 0), F.lit("none"))
+        .when((n_lat >= n_cyr) & (n_lat >= n_grk), F.lit("latin"))
+        .when(n_cyr >= n_grk, F.lit("cyrillic"))
+        .otherwise(F.lit("greek"))
+    )
+    return df.withColumns(
+        {
+            "n_latin": n_lat.cast("long"),
+            "n_cyrillic": n_cyr.cast("long"),
+            "n_greek": n_grk.cast("long"),
+            "n_confusable_pairs": pairs.cast("long"),
+            "dominant_script": dominant,
+            "script_spoof": (pairs > 0).cast("int"),
+        }
+    )

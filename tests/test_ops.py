@@ -5936,3 +5936,36 @@ class TestSiteTemplate:
         with cache_scope():
             template_stats(self._spans(spark)).count()
         assert not spark.sparkContext._jsc.getPersistentRDDs()
+
+
+class TestScriptMix:
+    def test_spoof_and_organic_multilingual(self, spark):
+        from fuzi_spark.ops.textstats import script_mix
+
+        rows = [
+            # spoofed word: Latin 'p' + CYRILLIC 'аy' + Latin 'pal'
+            (1, "pаypal login"),
+            # organic multilingual: scripts switch at WORD boundaries
+            (2, "hello мир kosmos"),
+            (3, "ελληνικά only"),
+            (4, ""),
+            (5, None),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in script_mix(d).collect()}
+        r1 = got[1]
+        # 'pаypal login': latin p,y,p,a,l,l,o,g,i,n = 10; cyrillic а = 1
+        # pairs: p|а and а|y -> 2
+        assert (r1.n_latin, r1.n_cyrillic, r1.n_confusable_pairs) == (
+            10, 1, 2,
+        )
+        assert r1.script_spoof == 1 and r1.dominant_script == "latin"
+        r2 = got[2]
+        assert r2.n_confusable_pairs == 0 and r2.script_spoof == 0
+        assert (r2.n_latin, r2.n_cyrillic) == (11, 3)
+        assert got[3].dominant_script == "greek"
+        # Greek-only text mixes Greek letters with latin 'only'
+        assert got[3].n_latin == 4 and got[3].script_spoof == 0
+        assert got[4].dominant_script == "none"
+        assert got[5].dominant_script is None
+        assert got[5].script_spoof is None
