@@ -2813,6 +2813,37 @@ def q_script_mix(spark, sf_dir):
     )
 
 
+def q_compress_ratio(spark, sf_dir):
+    """Compression-ratio gate over three constructed entropy classes:
+    %3==0 ~235 chars of varied prose (measured zlib ratio 0.716-0.737
+    across 3000 ids — keep), %3==1 'spam '×(80+i%5) (ratio ≤0.045 —
+    too_repetitive), %3==2 the doc_id's sha2-256 hex (ratio
+    0.859-0.953 — too_random). Thresholds 0.25/0.80 sit ≥0.06 from
+    every measured class boundary, so the DECISION is construction-
+    stable; the oracle replays reason and keep from the class
+    arithmetic (the raw ratio is pinned in pytest, not hashed here)."""
+    from fuzi_spark.ops.textstats import compression_signals
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    prose = F.concat(
+        F.lit(
+            "The committee released its findings on Tuesday after "
+            "months of deliberation. Researchers noted that river "
+            "levels had fallen sharply since spring. Local farmers "
+            "described the harvest as unusually early this year. doc-"
+        ),
+        s, F.lit(" review pending."),
+    )
+    text = (
+        F.when(i % 3 == 0, prose)
+        .when(i % 3 == 1, F.repeat(F.lit("spam "), (80 + i % 5).cast("int")))
+        .otherwise(F.sha2(s, 256))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return compression_signals(d).select("doc_id", "reject_reason", "keep")
+
+
 def q_skew_report(spark, sf_dir):
     """Partition-skew prediction on a deliberately skewed corpus: host
     'hot.com' owns a quarter of the rows, the rest spread over 37
@@ -3569,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "publish_date": q_publish_date,
         "paywall": q_paywall,
         "script_mix": q_script_mix,
+        "compress_ratio": q_compress_ratio,
         "image_exif": q_image_exif,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
@@ -4777,6 +4809,15 @@ def oracle_sql() -> dict[str, str]:
             "  'https://d' || CAST(doc_id AS VARCHAR) || '.com/sm-' || "
             "  CAST(j AS VARCHAR) || '.xml' AS sitemap_url "
             "FROM e"
+        ),
+        "compress_ratio": (
+            "SELECT doc_id, "
+            "  CASE WHEN doc_id % 3 = 1 THEN 'too_repetitive' "
+            "    WHEN doc_id % 3 = 2 THEN 'too_random' "
+            "    ELSE NULL END AS reject_reason, "
+            "  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END "
+            "    AS INTEGER) AS keep "
+            "FROM documents"
         ),
         "script_mix": (
             "WITH d AS (SELECT doc_id, doc_id % 4 AS c, "

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "publish_date",
     "paywall",
     "script_mix",
+    "compress_ratio",
 ]
 
 

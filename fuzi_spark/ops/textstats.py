@@ -877,3 +877,62 @@ def script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
             "script_spoof": (pairs > 0).cast("int"),
         }
     )
+
+
+# ------------------------------------------------------ compression ratio
+
+_COMPRESS_SCHEMA = "struct<zlib_ratio:double,reject_reason:string,keep:int>"
+
+
+def compression_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    min_ratio: float = 0.25,
+    max_ratio: float = 0.80,
+) -> DataFrame:
+    """Compression-ratio quality gate: zlib(level 6) bytes over raw
+    utf-8 bytes. Natural prose lands mid-range (~0.6-0.8 at paragraph
+    lengths); templated/repeated junk compresses away (ratio → 0);
+    high-entropy non-language debris (hashes, base64, minified blobs,
+    DNA-soup spam) stays near 1. Both extremes are exactly what a
+    training corpus drops, and the signal needs no language model —
+    one cheap pass per doc.
+
+    reject_reason: 'too_repetitive' (< min_ratio) | 'too_random'
+    (> max_ratio) | 'empty' | NULL (keep). NULL text → all-NULL row.
+    Thresholds are length-sensitive (zlib's ~8-byte header dominates
+    tiny inputs, pushing SHORT clean text over max_ratio) — callers
+    gate on a minimum length first (quality_filter's min_tokens).
+
+    Arrow-batched pandas UDF — zlib is C-speed and the only Python in
+    the loop is the per-row call; at corpus scale this is I/O-bound
+    next to the parquet scan."""
+    import zlib
+
+    lo, hi = float(min_ratio), float(max_ratio)
+
+    @pandas_udf(_COMPRESS_SCHEMA)
+    def _udf(text: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in text:
+            if t is None:
+                rows.append((None, None, None))
+                continue
+            raw = t.encode("utf-8", "replace")
+            if not raw:
+                rows.append((None, "empty", 0))
+                continue
+            ratio = len(zlib.compress(raw, 6)) / len(raw)
+            reason = (
+                "too_repetitive" if ratio < lo
+                else "too_random" if ratio > hi
+                else None
+            )
+            rows.append((ratio, reason, int(reason is None)))
+        return pd.DataFrame(
+            rows, columns=["zlib_ratio", "reject_reason", "keep"]
+        )
+
+    return df.withColumn("_c", _udf(F.col(text_col))).select(
+        "*", "_c.zlib_ratio", "_c.reject_reason", "_c.keep"
+    ).drop("_c")

@@ -5969,3 +5969,45 @@ class TestScriptMix:
         assert got[4].dominant_script == "none"
         assert got[5].dominant_script is None
         assert got[5].script_spoof is None
+
+
+class TestCompressionSignals:
+    def test_ratio_values_and_gates(self, spark):
+        import zlib
+
+        from fuzi_spark.ops.textstats import compression_signals
+
+        prose = (
+            "The committee released its findings on Tuesday after "
+            "months of deliberation. Researchers noted that river "
+            "levels had fallen sharply since spring."
+        )
+        rows = [
+            (1, prose),
+            (2, "spam " * 100),
+            (3, "a9f" * 1 + "0b7c" * 0 + "e3d1c5a9f40b7c2e" * 4),
+            (4, ""),
+            (5, None),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in compression_signals(d).collect()}
+        for did, t in rows[:3]:
+            raw = t.encode()
+            want = len(zlib.compress(raw, 6)) / len(raw)
+            assert got[did].zlib_ratio == want, did
+        assert got[1].reject_reason is None and got[1].keep == 1
+        assert got[2].reject_reason == "too_repetitive" and got[2].keep == 0
+        assert got[4].reject_reason == "empty" and got[4].keep == 0
+        assert got[4].zlib_ratio is None
+        assert got[5].reject_reason is None and got[5].keep is None
+
+    def test_threshold_overrides(self, spark):
+        from fuzi_spark.ops.textstats import compression_signals
+
+        d = spark.createDataFrame(
+            [(1, "abcdefgh" * 40)], "doc_id long, text string"
+        )
+        strict = compression_signals(d, min_ratio=0.99).collect()[0]
+        assert strict.reject_reason == "too_repetitive"
+        loose = compression_signals(d, min_ratio=0.0, max_ratio=2.0)
+        assert loose.collect()[0].keep == 1
