@@ -36,16 +36,26 @@ Stage order and reason codes:
                             (optional: pass blocked_words — the C4
                             content gate; runs early because it is a
                             pure scan predicate)
-    3. 'url_duplicate'      not the min-id for its canonical URL
-    4. 'language'           lang_id(text) not in the allow list
-    5. 'quality:<code>'     quality_filter rejection (code appended)
-    6. 'perplexity'         LM perplexity above the cut (optional:
+    3. 'script_spoof'       adjacent confusable-script letters —
+                            homoglyph spam (optional: pass
+                            reject_script_spoof=True; a pure scan
+                            predicate, so it runs with the early
+                            cheap gates)
+    4. 'url_duplicate'      not the min-id for its canonical URL
+    5. 'language'           lang_id(text) not in the allow list
+    6. 'quality:<code>'     quality_filter rejection (code appended)
+    7. 'compression:<code>' zlib-ratio extreme (optional: pass
+                            zlib_bounds=(lo, hi); runs AFTER quality
+                            so min_tokens has already pruned the
+                            short docs whose zlib header skews the
+                            ratio)
+    8. 'perplexity'         LM perplexity above the cut (optional:
                             pass lm_model + max_perplexity)
-    7. 'classifier'         learned NB quality gate assigns a label
+    9. 'classifier'         learned NB quality gate assigns a label
                             other than nb_keep_label (optional: pass
                             nb_model from classify.train_nb)
-    8. 'exact_duplicate'    not the min-id for its content digest
-    9. 'contaminated'       shares an n-gram shingle with the eval set
+    10. 'exact_duplicate'   not the min-id for its content digest
+    11. 'contaminated'      shares an n-gram shingle with the eval set
 
 Language runs BEFORE quality (the CCNet order): the quality rules are
 Latin-script heuristics (Java \\w is ASCII), so a Cyrillic/CJK doc must
@@ -85,6 +95,8 @@ def curate(
     max_punct_ratio: float = 0.3,
     min_distinct_ratio: float = 0.2,
     shingle_n: int = 5,
+    reject_script_spoof: bool = False,
+    zlib_bounds: Optional[tuple[float, float]] = None,
 ) -> DataFrame:
     """Run the full hygiene DAG; see module docstring for stage order.
 
@@ -138,6 +150,14 @@ def curate(
             cf.filter(F.col("n_blocked") > 0), F.lit("blocked_word")
         )
 
+    if reject_script_spoof:
+        from .textstats import script_mix
+
+        sm = script_mix(cur, text_col=text_col)
+        cur = reject_stage(
+            sm.filter(F.col("script_spoof") == 1), F.lit("script_spoof")
+        )
+
     if url_col is not None:
         c = cur.withColumn("_canon", canonicalize_url(url_col))
         win = F.min(id_col).over(Window.partitionBy("_canon"))
@@ -164,6 +184,18 @@ def curate(
         q.filter(F.col("keep") == 0),
         F.concat(F.lit("quality:"), F.col("reject_reason")),
     )
+
+    if zlib_bounds is not None:
+        from .textstats import compression_signals
+
+        lo, hi = zlib_bounds
+        cs = compression_signals(
+            cur, text_col=text_col, min_ratio=lo, max_ratio=hi
+        )
+        cur = reject_stage(
+            cs.filter(F.col("keep") == 0),
+            F.concat(F.lit("compression:"), F.col("reject_reason")),
+        )
 
     if lm_model is not None and max_perplexity is not None:
         from .lm import lm_perplexity

@@ -6011,3 +6011,52 @@ class TestCompressionSignals:
         assert strict.reject_reason == "too_repetitive"
         loose = compression_signals(d, min_ratio=0.0, max_ratio=2.0)
         assert loose.collect()[0].keep == 1
+
+
+class TestCurateNewGates:
+    """Round-3 optional stages: script_spoof and compression."""
+
+    def test_spoof_and_compression_stages(self, spark):
+        from fuzi_spark.ops.curate import curate
+
+        prose = (
+            "The committee released its findings on Tuesday after "
+            "months of deliberation. Researchers noted that river "
+            "levels had fallen sharply since spring. Local farmers "
+            "described the harvest as unusually early this year, "
+            "citing warm weather and new irrigation schedules."
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, prose),
+                # homoglyph: Latin word with embedded Cyrillic 'а'
+                (2, "pаypal account verification " + prose),
+                # survives quality (distinct tokens) but zlib-collapses
+                (3, ("alpha beta gamma delta " * 30)),
+                # too short: quality fires BEFORE compression
+                (4, "ok"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.reject_reason, r.keep)
+            for r in curate(
+                docs,
+                reject_script_spoof=True,
+                zlib_bounds=(0.25, 0.80),
+                min_distinct_ratio=0.01,
+            ).collect()
+        }
+        assert got[1] == (None, 1)
+        assert got[2] == ("script_spoof", 0)
+        assert got[3] == ("compression:too_repetitive", 0)
+        assert got[4] == ("quality:too_few_tokens", 0)
+
+    def test_gates_default_off(self, spark):
+        from fuzi_spark.ops.curate import curate
+
+        docs = spark.createDataFrame(
+            [(1, "pаypal spam spam " + "alpha beta gamma delta " * 30)],
+            "doc_id long, text string",
+        )
+        assert curate(docs, min_distinct_ratio=0.01).collect()[0].keep == 1
