@@ -413,6 +413,22 @@ CASES = [
      "Scene-change keyframes. Wants: one sequential-decode "
      "MapInPandas pass (bounded frame memo), scene rows the only "
      "fan-out, no shuffle."),
+    ("hidden_text",
+     "Cloaked-text stats. Wants: ONE ArrowEvalPython (parse + walk in "
+     "the same UDF), zero exchanges — a pure per-doc map on the scan."),
+    ("publish_date",
+     "Date precedence. Wants: one ArrowEvalPython for the DOM fields; "
+     "the URL fallback (regexp_extract + lpad) stays in the codegen'd "
+     "Project around it — date-less markup costs no second Python pass."),
+    ("paywall",
+     "Wall signals. Wants: ONE ArrowEvalPython, zero exchanges."),
+    ("script_mix",
+     "Homoglyph counters. Wants: ZERO Python and ZERO exchanges — four "
+     "regexp_counts and the dominant-script CASE in one codegen'd "
+     "Project on the scan."),
+    ("compress_ratio",
+     "zlib gate. Wants: one ArrowEvalPython (zlib is C-speed inside "
+     "it), zero exchanges."),
 ]
 
 
