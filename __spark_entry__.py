@@ -2844,6 +2844,41 @@ def q_compress_ratio(spark, sf_dir):
     return compression_signals(d).select("doc_id", "reject_reason", "keep")
 
 
+def q_url_signals(spark, sf_dir):
+    """URL-shape signals over five formula classes: a plain 3-deep
+    article path, a /search?q= page with a utm_ tracker, a
+    /tag/.../page/N/ index (path pagination), an article with
+    ?page=N&ref= (param pagination; 'ref' must NOT count as search),
+    and a bare root. Every counter and flag is replayed from the
+    class arithmetic by the oracle."""
+    from fuzi_spark.ops.web import url_signals
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = (
+        F.when(i % 5 == 0, F.concat(
+            F.lit("https://h.com/a/b/c-"), s,
+        ))
+        .when(i % 5 == 1, F.lit(
+            "https://h.com/search?q=x&utm_source=feed"
+        ))
+        .when(i % 5 == 2, F.concat(
+            F.lit("https://h.com/tag/python/page/"),
+            (1 + i % 9).cast("string"), F.lit("/"),
+        ))
+        .when(i % 5 == 3, F.concat(
+            F.lit("https://h.com/article-"), s, F.lit("?page="),
+            (1 + i % 7).cast("string"), F.lit("&ref=rss"),
+        ))
+        .otherwise(F.lit("https://h.com/"))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return url_signals(d).select(
+        "doc_id", "path_depth", "n_query_params", "is_search",
+        "is_index", "is_paginated", "has_tracking",
+    )
+
+
 def q_skew_report(spark, sf_dir):
     """Partition-skew prediction on a deliberately skewed corpus: host
     'hot.com' owns a quarter of the rows, the rest spread over 37
@@ -3601,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paywall": q_paywall,
         "script_mix": q_script_mix,
         "compress_ratio": q_compress_ratio,
+        "url_signals": q_url_signals,
         "image_exif": q_image_exif,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
@@ -4809,6 +4845,24 @@ def oracle_sql() -> dict[str, str]:
             "  'https://d' || CAST(doc_id AS VARCHAR) || '.com/sm-' || "
             "  CAST(j AS VARCHAR) || '.xml' AS sitemap_url "
             "FROM e"
+        ),
+        "url_signals": (
+            "WITH d AS (SELECT doc_id, doc_id % 5 AS c FROM documents) "
+            "SELECT doc_id, "
+            "  CAST(CASE WHEN c = 0 THEN 3 WHEN c = 1 THEN 1 "
+            "    WHEN c = 2 THEN 4 WHEN c = 3 THEN 1 ELSE 0 END "
+            "    AS INTEGER) AS path_depth, "
+            "  CAST(CASE WHEN c = 1 THEN 2 WHEN c = 3 THEN 2 "
+            "    ELSE 0 END AS INTEGER) AS n_query_params, "
+            "  CAST(CASE WHEN c = 1 THEN 1 ELSE 0 END AS INTEGER) "
+            "    AS is_search, "
+            "  CAST(CASE WHEN c = 2 THEN 1 ELSE 0 END AS INTEGER) "
+            "    AS is_index, "
+            "  CAST(CASE WHEN c = 2 OR c = 3 THEN 1 ELSE 0 END "
+            "    AS INTEGER) AS is_paginated, "
+            "  CAST(CASE WHEN c = 1 THEN 1 ELSE 0 END AS INTEGER) "
+            "    AS has_tracking "
+            "FROM d"
         ),
         "compress_ratio": (
             "SELECT doc_id, "

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "paywall",
     "script_mix",
     "compress_ratio",
+    "url_signals",
 ]
 
 

@@ -1215,3 +1215,61 @@ def paywall_signals(markup_col: str = "markup", doc_type: str = "html"):
         )
 
     return _udf(F.col(markup_col))
+
+
+# ------------------------------------------------------------ URL signals
+
+# path part: everything after scheme://host up to ? or #
+_URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+
+_INDEX_SEGMENTS = ("tag", "tags", "category", "categories", "archive")
+_SEARCH_PARAM_RE = "(?:^|&)(?:q|s|search|query)="
+_PAGINATION_PATH_RE = "/page/[0-9]+(?:/|$)"
+_PAGINATION_PARAM_RE = "(?:^|&)(?:page|p)=[0-9]+"
+_TRACKING_PARAM_RE = "(?:^|&)utm_[a-z]+="
+
+
+def url_signals(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-shape curation signals — the pre-fetch/pre-parse gate a
+    crawl pipeline applies to its frontier and a corpus pipeline to
+    its manifests. Search results, tag/category/archive indexes, and
+    deep pagination are boilerplate-dominant link farms: their TEXT is
+    mostly titles repeated from the pages they list, so a trainer
+    drops or down-weights them before spending a parse.
+
+    Adds, all JVM regexp expressions in one codegen'd projection
+    (zero Python, zero shuffles — scan-speed at frontier scale):
+    - path_depth: non-empty /-segments after the host;
+    - n_query_params: &-separated non-empty query segments;
+    - is_search: first path segment 'search' OR a q/s/search/query
+      parameter;
+    - is_index: first path segment tag(s)/categor(y|ies)/archive;
+    - is_paginated: /page/N path or page=N / p=N parameter;
+    - has_tracking: any utm_* parameter (the canonicalize_url strip
+      candidates — flagged here, stripped there).
+
+    NULL url propagates NULL."""
+    u = F.col(url_col)
+    path = F.regexp_extract(u, _URL_PATH_RE, 1)
+    query = F.regexp_extract(u, _URL_QUERY_RE, 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    first_seg = F.lower(F.regexp_extract(path, "^/([^/]+)", 1))
+    qp = F.filter(F.split(query, "&"), lambda s: s != "")
+    lquery = F.lower(query)
+    return df.withColumns(
+        {
+            "path_depth": F.size(segs).cast("int"),
+            "n_query_params": F.size(qp).cast("int"),
+            "is_search": (
+                (first_seg == "search")
+                | lquery.rlike(_SEARCH_PARAM_RE)
+            ).cast("int"),
+            "is_index": first_seg.isin(*_INDEX_SEGMENTS).cast("int"),
+            "is_paginated": (
+                F.lower(path).rlike(_PAGINATION_PATH_RE)
+                | lquery.rlike(_PAGINATION_PARAM_RE)
+            ).cast("int"),
+            "has_tracking": lquery.rlike(_TRACKING_PARAM_RE).cast("int"),
+        }
+    )

@@ -6060,3 +6060,33 @@ class TestCurateNewGates:
             "doc_id long, text string",
         )
         assert curate(docs, min_distinct_ratio=0.01).collect()[0].keep == 1
+
+
+class TestUrlSignals:
+    def test_shape_classes(self, spark):
+        from fuzi_spark.ops.web import url_signals
+
+        rows = [
+            (1, "https://h.com/a/b//c"),            # empty seg dropped
+            (2, "https://h.com/Search?Query=x"),     # case-insensitive
+            (3, "https://h.com/TAG/py/"),
+            (4, "https://h.com/x?p=3&utm_campaign=a&"),
+            (5, "https://h.com/research?quarter=1"), # decoys: no match
+            (6, "relative/path"),                    # no scheme://host
+            (7, None),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {r.doc_id: r for r in url_signals(d).collect()}
+        assert got[1].path_depth == 3 and got[1].n_query_params == 0
+        assert (got[2].is_search, got[2].n_query_params) == (1, 1)
+        assert got[3].is_index == 1 and got[3].path_depth == 2
+        r4 = got[4]
+        assert (r4.is_paginated, r4.has_tracking, r4.n_query_params) == (
+            1, 1, 2,
+        )
+        # 'research' is not the 'search' segment; 'quarter' is not 'q'
+        r5 = got[5]
+        assert (r5.is_search, r5.is_index, r5.is_paginated) == (0, 0, 0)
+        # scheme-less: path regex doesn't match -> depth 0, flags 0
+        assert got[6].path_depth == 0 and got[6].is_search == 0
+        assert got[7].path_depth is None and got[7].is_search is None
