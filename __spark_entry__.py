@@ -2879,6 +2879,56 @@ def q_url_signals(spark, sf_dir):
     )
 
 
+def q_bitext_pairs(spark, sf_dir):
+    """Reciprocal-hreflang bitext mining over 4-doc clusters (base
+    b = id - id%4): member 0 is the English page declaring its German
+    twin, member 1 the German page declaring English BACK (with a
+    mixed-case rel='Alternate' to pin case-insensitivity) — the
+    surviving pair. Members 2/3 are the one-way spam pattern: 2
+    declares a de alternate at 3's URL, but 3 points its en link at a
+    foreign host — the reciprocity semi-join must kill that pair. The
+    oracle replays the surviving (src,tgt) set as a pure relational
+    join on the cluster arithmetic (incomplete tail clusters drop on
+    both sides identically)."""
+    from fuzi_spark.ops.web import bitext_pairs
+
+    i = F.col("doc_id")
+    b = (i - i % 4).cast("string")
+    base = F.concat(F.lit("https://e.com/"), b, F.lit("/"))
+    url = (
+        F.when(i % 4 == 0, F.concat(base, F.lit("en")))
+        .when(i % 4 == 1, F.concat(base, F.lit("de")))
+        .when(i % 4 == 2, F.concat(base, F.lit("en2")))
+        .otherwise(F.concat(base, F.lit("de2")))
+    )
+    link = (
+        F.when(i % 4 == 0, F.concat(
+            F.lit('<link rel="alternate" hreflang="de" href="'),
+            base, F.lit('de">'),
+        ))
+        .when(i % 4 == 1, F.concat(
+            F.lit('<link rel="Alternate" hreflang="en" href="'),
+            base, F.lit('en">'),
+        ))
+        .when(i % 4 == 2, F.concat(
+            F.lit('<link rel="alternate" hreflang="de" href="'),
+            base, F.lit('de2">'),
+        ))
+        .otherwise(F.lit(
+            '<link rel="alternate" hreflang="en" '
+            'href="https://other.com/x">'
+        ))
+    )
+    markup = F.concat(
+        F.lit("<html><head>"), link,
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", markup.alias("markup"), url.alias("url")
+    )
+    return bitext_pairs(d)
+
+
 def q_skew_report(spark, sf_dir):
     """Partition-skew prediction on a deliberately skewed corpus: host
     'hot.com' owns a quarter of the rows, the rest spread over 37
@@ -3637,6 +3687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix": q_script_mix,
         "compress_ratio": q_compress_ratio,
         "url_signals": q_url_signals,
+        "bitext_pairs": q_bitext_pairs,
         "image_exif": q_image_exif,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
@@ -4845,6 +4896,20 @@ def oracle_sql() -> dict[str, str]:
             "  'https://d' || CAST(doc_id AS VARCHAR) || '.com/sm-' || "
             "  CAST(j AS VARCHAR) || '.xml' AS sitemap_url "
             "FROM e"
+        ),
+        "bitext_pairs": (
+            "WITH d0 AS (SELECT doc_id AS src_id, "
+            "    doc_id - (doc_id % 4) AS b "
+            "  FROM documents WHERE doc_id % 4 = 0), "
+            "d1 AS (SELECT doc_id AS tgt_id, "
+            "    doc_id - (doc_id % 4) AS b "
+            "  FROM documents WHERE doc_id % 4 = 1) "
+            "SELECT src_id, tgt_id, "
+            "  'https://e.com/' || CAST(b AS VARCHAR) || '/en' "
+            "    AS src_url, "
+            "  'https://e.com/' || CAST(b AS VARCHAR) || '/de' "
+            "    AS tgt_url "
+            "FROM d0 JOIN d1 USING (b)"
         ),
         "url_signals": (
             "WITH d AS (SELECT doc_id, doc_id % 5 AS c FROM documents) "

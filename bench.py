@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "script_mix",
     "compress_ratio",
     "url_signals",
+    "bitext_pairs",
 ]
 
 

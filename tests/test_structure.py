@@ -613,3 +613,65 @@ class TestPaywall:
         assert (r3.has_wall_phrase, r3.paywalled) == (0, 0)
         assert (got[4].has_paywall_schema, got[4].paywalled) == (1, 1)
         assert got[5].paywalled is None
+
+
+class TestBitextPairs:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, url string, markup string"
+        )
+
+    @staticmethod
+    def _page(*links):
+        return (
+            "<html><head>" + "".join(links)
+            + "</head><body><p>x</p></body></html>"
+        )
+
+    def test_reciprocal_handshake(self, spark):
+        from fuzi_spark.ops.web import bitext_pairs
+
+        alt = '<link rel="alternate" hreflang="%s" href="%s">'
+        rows = [
+            (1, "https://e.com/a/en", self._page(
+                alt % ("de", "https://e.com/a/de"))),
+            (2, "https://e.com/a/de", self._page(
+                alt % ("en", "https://e.com/a/en"))),
+            # one-way: 3 declares 4, 4 declares NOTHING
+            (3, "https://e.com/b/en", self._page(
+                alt % ("de", "https://e.com/b/de"))),
+            (4, "https://e.com/b/de", self._page()),
+            # alternate href resolves to NO doc in the corpus
+            (5, "https://e.com/c/en", self._page(
+                alt % ("de", "https://gone.com/c/de"))),
+            # self-declaration must not pair with itself
+            (6, "https://e.com/d/en", self._page(
+                alt % ("de", "https://e.com/d/en"))),
+        ]
+        d = self._docs(spark, rows)
+        got = [
+            (r.src_id, r.tgt_id)
+            for r in bitext_pairs(d).collect()
+        ]
+        assert got == [(1, 2)]
+        loose = {
+            (r.src_id, r.tgt_id)
+            for r in bitext_pairs(d, require_reciprocal=False).collect()
+        }
+        assert loose == {(1, 2), (3, 4)}
+
+    def test_lang_pair_selection(self, spark):
+        from fuzi_spark.ops.web import bitext_pairs
+
+        alt = '<link rel="alternate" hreflang="%s" href="%s">'
+        rows = [
+            (1, "https://e.com/fr-src", self._page(
+                alt % ("FR", "https://e.com/fr-tgt"))),
+            (2, "https://e.com/fr-tgt", self._page(
+                alt % ("en", "https://e.com/fr-src"))),
+        ]
+        d = self._docs(spark, rows)
+        # default en->de finds nothing; en->fr finds the pair
+        assert bitext_pairs(d).count() == 0
+        got = bitext_pairs(d, src_lang="en", tgt_lang="fr").collect()
+        assert [(r.src_id, r.tgt_id) for r in got] == [(1, 2)]
