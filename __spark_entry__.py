@@ -2929,6 +2929,57 @@ def q_bitext_pairs(spark, sf_dir):
     return bitext_pairs(d)
 
 
+def q_media_quality(spark, sf_dir):
+    """LAION-style image gate over REAL PNG bytes with formula dims:
+    %4==0 keeps (100+i%50 × 120), %4==1 a 32×200 icon (too_small — and
+    its 6.25 aspect must NOT fire: first-failure precedence), %4==2 a
+    600×80 banner (extreme_aspect), %4==3 a truncated PNG
+    (decode_failed, NULL dims/aspect). Decode is the real header
+    parse; the oracle replays dims, the GREATEST-ratio aspect, and
+    the precedence chain relationally."""
+    from pyspark.sql.types import BinaryType
+
+    from fuzi_spark.ops.multimodal import (
+        decode_features_df, media_quality_filter,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def mk(ids: pd.Series) -> pd.Series:
+        from fuzi_spark.ops.multimodal import build_png
+
+        out = []
+        for i in ids:
+            c = i % 4
+            if c == 3:
+                out.append(b"\x89PNG\r\n\x1a\nJUNK")
+            elif c == 0:
+                out.append(build_png(int(100 + i % 50), 120))
+            elif c == 1:
+                out.append(build_png(32, 200))
+            else:
+                out.append(build_png(600, 80))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("img/"), F.col("doc_id").cast("string"), F.lit(".png")
+        ).alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+        F.lit("png").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    gated = media_quality_filter(decode_features_df(media))
+    return gated.select(
+        F.regexp_extract("media_ref", r"img/(\d+)\.png", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "width", "height", "aspect", "reject_reason", "keep",
+    )
+
+
 def q_skew_report(spark, sf_dir):
     """Partition-skew prediction on a deliberately skewed corpus: host
     'hot.com' owns a quarter of the rows, the rest spread over 37
@@ -3688,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_ratio": q_compress_ratio,
         "url_signals": q_url_signals,
         "bitext_pairs": q_bitext_pairs,
+        "media_quality": q_media_quality,
         "image_exif": q_image_exif,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
@@ -4896,6 +4948,28 @@ def oracle_sql() -> dict[str, str]:
             "  'https://d' || CAST(doc_id AS VARCHAR) || '.com/sm-' || "
             "  CAST(j AS VARCHAR) || '.xml' AS sitemap_url "
             "FROM e"
+        ),
+        "media_quality": (
+            "WITH d AS (SELECT doc_id, doc_id % 4 AS c, "
+            "  CASE WHEN doc_id % 4 = 0 THEN 100 + doc_id % 50 "
+            "    WHEN doc_id % 4 = 1 THEN 32 "
+            "    WHEN doc_id % 4 = 2 THEN 600 ELSE NULL END AS w, "
+            "  CASE WHEN doc_id % 4 = 0 THEN 120 "
+            "    WHEN doc_id % 4 = 1 THEN 200 "
+            "    WHEN doc_id % 4 = 2 THEN 80 ELSE NULL END AS h "
+            "  FROM documents) "
+            "SELECT doc_id, CAST(w AS INTEGER) AS width, "
+            "  CAST(h AS INTEGER) AS height, "
+            "  CASE WHEN c = 3 THEN NULL "
+            "    ELSE GREATEST(CAST(w AS DOUBLE) / h, "
+            "                  CAST(h AS DOUBLE) / w) END AS aspect, "
+            "  CASE WHEN c = 3 THEN 'decode_failed' "
+            "    WHEN c = 1 THEN 'too_small' "
+            "    WHEN c = 2 THEN 'extreme_aspect' "
+            "    ELSE NULL END AS reject_reason, "
+            "  CAST(CASE WHEN c = 0 THEN 1 ELSE 0 END AS INTEGER) "
+            "    AS keep "
+            "FROM d"
         ),
         "bitext_pairs": (
             "WITH d0 AS (SELECT doc_id AS src_id, "

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "compress_ratio",
     "url_signals",
     "bitext_pairs",
+    "media_quality",
 ]
 
 

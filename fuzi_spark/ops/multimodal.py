@@ -1713,3 +1713,48 @@ def synth_media_df(spark, docs_extracted: DataFrame) -> DataFrame:
             )
 
     return refs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------- media quality gate
+
+def media_quality_filter(
+    decoded: DataFrame,
+    min_width: int = 64,
+    min_height: int = 64,
+    max_aspect: float = 4.0,
+) -> DataFrame:
+    """Image quality gate for caption-pair curation (the LAION-style
+    pre-filter): icons/trackers (too small), banner strips (extreme
+    aspect), and undecodable blobs are what a multimodal trainer drops
+    before pairing images with their surrounding text.
+
+    Input is a DECODED_SCHEMA-shaped frame (decode_features_df output —
+    the REAL header parse supplies width/height/decode_ok). Adds:
+    - aspect: max(w/h, h/w) as double (NULL when decode failed);
+    - reject_reason, first-failure precedence: 'decode_failed' →
+      'too_small' → 'extreme_aspect' → NULL;
+    - keep: 1 iff no reason fired.
+
+    Pure Catalyst over already-decoded metadata — zero Python, zero
+    shuffles; at 10^12-media scale this is a scan predicate over the
+    (ref, dims) sidecar table, never touching the blobs."""
+    w = F.col("width").cast("double")
+    h = F.col("height").cast("double")
+    aspect = F.greatest(w / h, h / w)
+    ok = F.col("decode_ok") == 1
+    reason = (
+        F.when(~ok | F.col("decode_ok").isNull(), F.lit("decode_failed"))
+        .when(
+            (F.col("width") < min_width) | (F.col("height") < min_height),
+            F.lit("too_small"),
+        )
+        .when(aspect > float(max_aspect), F.lit("extreme_aspect"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return decoded.withColumns(
+        {
+            "aspect": F.when(ok, aspect),
+            "reject_reason": reason,
+            "keep": reason.isNull().cast("int"),
+        }
+    )

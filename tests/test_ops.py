@@ -6090,3 +6090,47 @@ class TestUrlSignals:
         # scheme-less: path regex doesn't match -> depth 0, flags 0
         assert got[6].path_depth == 0 and got[6].is_search == 0
         assert got[7].path_depth is None and got[7].is_search is None
+
+
+class TestMediaQualityFilter:
+    def test_precedence_and_thresholds(self, spark):
+        from fuzi_spark.ops.multimodal import media_quality_filter
+
+        rows = [
+            # (ref, format, width, height, decode_ok)
+            (1, "png", 640, 480, 1),    # keep
+            (2, "png", 63, 480, 1),     # too_small (width edge)
+            (3, "png", 64, 64, 1),      # keep (exact min)
+            (4, "png", 800, 100, 1),    # aspect 8 -> extreme
+            (5, "png", 256, 64, 1),     # aspect exactly 4.0 -> keep
+            (6, "png", 10, 4000, 0),    # decode_failed wins precedence
+            (7, "png", None, None, 0),  # decode_failed, NULL dims
+        ]
+        d = spark.createDataFrame(
+            [(i, f, w, h, ok) for i, f, w, h, ok in rows],
+            "media_ref long, format string, width int, height int, "
+            "decode_ok int",
+        )
+        got = {
+            r.media_ref: r for r in media_quality_filter(d).collect()
+        }
+        assert got[1].keep == 1 and got[1].aspect == 640 / 480
+        assert got[2].reject_reason == "too_small"
+        assert got[3].keep == 1
+        assert got[4].reject_reason == "extreme_aspect"
+        assert got[5].keep == 1 and got[5].aspect == 4.0
+        assert got[6].reject_reason == "decode_failed"
+        assert got[6].aspect is None
+        assert got[7].reject_reason == "decode_failed"
+
+    def test_threshold_overrides(self, spark):
+        from fuzi_spark.ops.multimodal import media_quality_filter
+
+        d = spark.createDataFrame(
+            [(1, 100, 100, 1)],
+            "media_ref long, width int, height int, decode_ok int",
+        )
+        strict = media_quality_filter(d, min_width=128).collect()[0]
+        assert strict.reject_reason == "too_small"
+        sq = media_quality_filter(d, max_aspect=1.0).collect()[0]
+        assert sq.keep == 1, "aspect 1.0 is not > 1.0"
