@@ -429,6 +429,18 @@ CASES = [
     ("compress_ratio",
      "zlib gate. Wants: one ArrowEvalPython (zlib is C-speed inside "
      "it), zero exchanges."),
+    ("url_signals",
+     "URL-shape gate. Wants: ZERO Python and ZERO exchanges — all six "
+     "signals as regexp expressions in one codegen'd Project."),
+    ("bitext_pairs",
+     "Reciprocal-hreflang mining. Wants: ONE parse UDF pass, edges as "
+     "string rows; the href→doc resolution is the only corpus-sized "
+     "shuffle (url-keyed equi-join); the handshake is a semi-join on "
+     "the reversed url pair — no markup moves through either exchange."),
+    ("media_quality",
+     "Image gate. Wants: the filter itself pure codegen over the "
+     "decoded (ref, dims) rows; the only Python is the upstream header "
+     "decode MapInPandas."),
 ]
 
 
