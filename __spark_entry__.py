@@ -2980,6 +2980,52 @@ def q_media_quality(spark, sf_dir):
     )
 
 
+def q_interleave_episodes(spark, sf_dir):
+    """Episode splitting under (max_images=1, max_chars=25) budgets
+    over a formula span sequence [P,M,P,M,P] + (i%3) extra paragraphs
+    (P = 10 chars): episode 0 is always [P,M,P] (the second image
+    rolls), episode 1 absorbs [M,P] plus one extra paragraph when
+    present (20 ≤ 25), and the second extra overflows into episode 2.
+    The oracle enumerates every episode's rendered text (real
+    newlines via chr(10)), media_refs list, and counts from the class
+    arithmetic."""
+    from fuzi_spark.ops.assemble import interleave_episodes
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    A = "aaaaaaaaaa"
+
+    def p(off):
+        return F.struct(
+            F.lit("paragraph").alias("kind"),
+            F.lit(A).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    def m(j, off):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit("<img>").alias("text"),
+            F.concat(
+                F.lit("m/"), s, F.lit(f"/{j}.jpg")
+            ).alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,"
+        "offset:int>>"
+    )
+    spans = F.concat(
+        F.array(p(0), m(0, 1), p(2), m(1, 3), p(4)),
+        F.when(i % 3 >= 1, F.array(p(5))).otherwise(empty),
+        F.when(i % 3 == 2, F.array(p(6))).otherwise(empty),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", spans.alias("spans"))
+    return interleave_episodes(d, max_images=1, max_chars=25)
+
+
 def q_skew_report(spark, sf_dir):
     """Partition-skew prediction on a deliberately skewed corpus: host
     'hot.com' owns a quarter of the rows, the rest spread over 37
@@ -3740,6 +3786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_signals": q_url_signals,
         "bitext_pairs": q_bitext_pairs,
         "media_quality": q_media_quality,
+        "interleave_episodes": q_interleave_episodes,
         "image_exif": q_image_exif,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
@@ -4948,6 +4995,33 @@ def oracle_sql() -> dict[str, str]:
             "  'https://d' || CAST(doc_id AS VARCHAR) || '.com/sm-' || "
             "  CAST(j AS VARCHAR) || '.xml' AS sitemap_url "
             "FROM e"
+        ),
+        "interleave_episodes": (
+            "WITH d AS (SELECT doc_id, doc_id % 3 AS x, "
+            "  'aaaaaaaaaa' AS A, chr(10) || chr(10) AS nn "
+            "  FROM documents), "
+            "e0 AS (SELECT doc_id, 0 AS episode_idx, "
+            "  A || nn || '<image>' || nn || A AS text, "
+            "  ['m/' || CAST(doc_id AS VARCHAR) || '/0.jpg'] "
+            "    AS media_refs, "
+            "  CAST(1 AS BIGINT) AS n_media, "
+            "  CAST(20 AS BIGINT) AS n_text_chars FROM d), "
+            "e1 AS (SELECT doc_id, 1 AS episode_idx, "
+            "  CASE WHEN x = 0 THEN '<image>' || nn || A "
+            "    ELSE '<image>' || nn || A || nn || A END AS text, "
+            "  ['m/' || CAST(doc_id AS VARCHAR) || '/1.jpg'] "
+            "    AS media_refs, "
+            "  CAST(1 AS BIGINT) AS n_media, "
+            "  CAST(CASE WHEN x = 0 THEN 10 ELSE 20 END AS BIGINT) "
+            "    AS n_text_chars FROM d), "
+            "e2 AS (SELECT doc_id, 2 AS episode_idx, A AS text, "
+            "  CAST([] AS VARCHAR[]) AS media_refs, "
+            "  CAST(0 AS BIGINT) AS n_media, "
+            "  CAST(10 AS BIGINT) AS n_text_chars FROM d WHERE x = 2) "
+            "SELECT doc_id, CAST(episode_idx AS INTEGER) AS episode_idx, "
+            "  text, media_refs, n_media, n_text_chars FROM ("
+            "  SELECT * FROM e0 UNION ALL SELECT * FROM e1 "
+            "  UNION ALL SELECT * FROM e2)"
         ),
         "media_quality": (
             "WITH d AS (SELECT doc_id, doc_id % 4 AS c, "

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "url_signals",
     "bitext_pairs",
     "media_quality",
+    "interleave_episodes",
 ]
 
 

@@ -192,3 +192,115 @@ def media_context(
         "m.context_before",
         "m.context_after",
     )
+
+
+def interleave_episodes(
+    df: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    max_images: int = 8,
+    max_chars: int = 4096,
+    image_token: str = "<image>",
+) -> DataFrame:
+    """Split each document's ordered span sequence into trainer
+    EPISODES — the interleaved multimodal format (text with
+    `image_token` sentinels + an aligned media_refs array) under two
+    budgets: at most `max_images` media spans and at most `max_chars`
+    SOURCE text chars per episode. Greedy in document order: a span
+    that would overflow either budget starts the next episode; an
+    episode is never empty, so a single over-budget span still forms
+    its own episode (flagged by its counts) rather than being silently
+    dropped. Docs with NULL/empty spans emit no rows.
+
+    Returns (id_col, episode_idx:int, text, media_refs:array<string>,
+    n_media:long, n_text_chars:long) — counts use the same source-char
+    convention as media_balance_filter.
+
+    Pure Catalyst, zero shuffles: ONE sequential `aggregate` pass tags
+    every span with its episode id (the greedy state — running chars,
+    running media, current-episode size — lives in the fold
+    accumulator), then per-episode slices and the render are separate
+    PROJECTIONS (one stage per derivation — the chained-HOF expansion
+    lesson from the minhash/OPH work: columns are evaluated once per
+    row, inline expression trees are not)."""
+    s = F.col(spans_col)
+    acc0 = F.struct(
+        F.lit(0).cast("int").alias("ep"),
+        F.lit(0).cast("long").alias("chars"),
+        F.lit(0).cast("int").alias("media"),
+        F.lit(0).cast("int").alias("cur_n"),
+        F.array().cast("array<int>").alias("eps"),
+    )
+
+    def step(acc, sp):
+        is_media = sp["kind"] == "media"
+        add_c = (
+            F.when(is_media, F.lit(0))
+            .otherwise(F.coalesce(F.length(sp["text"]), F.lit(0)))
+            .cast("long")
+        )
+        add_m = F.when(is_media, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        roll = (acc["cur_n"] > 0) & (
+            (acc["chars"] + add_c > max_chars)
+            | (acc["media"] + add_m > max_images)
+        )
+        new_ep = (
+            F.when(roll, acc["ep"] + 1).otherwise(acc["ep"]).cast("int")
+        )
+        return F.struct(
+            new_ep.alias("ep"),
+            F.when(roll, add_c)
+            .otherwise(acc["chars"] + add_c)
+            .cast("long")
+            .alias("chars"),
+            F.when(roll, add_m)
+            .otherwise(acc["media"] + add_m)
+            .cast("int")
+            .alias("media"),
+            F.when(roll, F.lit(1))
+            .otherwise(acc["cur_n"] + 1)
+            .cast("int")
+            .alias("cur_n"),
+            F.concat(acc["eps"], F.array(new_ep)).alias("eps"),
+        )
+
+    tagged = (
+        df.filter(F.size(s) > 0)
+        .select(F.col(id_col), s.alias("_s"))
+        .withColumn("_t", F.aggregate(F.col("_s"), acc0, step))
+    )
+    zipped = tagged.select(
+        id_col,
+        F.col("_t.ep").alias("_last"),
+        F.zip_with(
+            F.col("_s"),
+            F.col("_t.eps"),
+            lambda sp, e: F.struct(
+                e.alias("ep"),
+                sp["kind"].alias("kind"),
+                sp["text"].alias("text"),
+                sp["media_ref"].alias("media_ref"),
+            ),
+        ).alias("_z"),
+    )
+    exploded = zipped.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_last")),
+                lambda e: F.filter(F.col("_z"), lambda z: z["ep"] == e),
+            )
+        ).alias("episode_idx", "_ep_spans"),
+    )
+    ep = F.col("_ep_spans")
+    return exploded.select(
+        id_col,
+        F.col("episode_idx").cast("int").alias("episode_idx"),
+        render_spans(ep, image_token).alias("text"),
+        F.transform(
+            F.filter(ep, lambda z: z["kind"] == "media"),
+            lambda z: z["media_ref"],
+        ).alias("media_refs"),
+        _n_media(ep).alias("n_media"),
+        _n_text_chars(ep).alias("n_text_chars"),
+    )

@@ -6134,3 +6134,64 @@ class TestMediaQualityFilter:
         assert strict.reject_reason == "too_small"
         sq = media_quality_filter(d, max_aspect=1.0).collect()[0]
         assert sq.keep == 1, "aspect 1.0 is not > 1.0"
+
+
+class TestInterleaveEpisodes:
+    @staticmethod
+    def _span(kind, text, ref=None, off=0):
+        return {"kind": kind, "text": text, "media_ref": ref,
+                "offset": off}
+
+    def test_budget_rolls_and_render(self, spark):
+        from fuzi_spark.ops.assemble import interleave_episodes
+
+        A = "a" * 10
+        spans = [
+            self._span("paragraph", A, off=0),
+            self._span("media", "<img>", "m/0.jpg", 1),
+            self._span("paragraph", A, off=2),
+            self._span("media", "<img>", "m/1.jpg", 3),
+            self._span("paragraph", A, off=4),
+            self._span("paragraph", A, off=5),
+            self._span("paragraph", A, off=6),
+        ]
+        d = spark.createDataFrame(
+            [(1, spans), (2, []), (3, None)],
+            "doc_id long, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        got = (
+            interleave_episodes(d, max_images=1, max_chars=25)
+            .orderBy("doc_id", "episode_idx")
+            .collect()
+        )
+        # docs 2/3 emit nothing
+        assert [r.doc_id for r in got] == [1, 1, 1]
+        e0, e1, e2 = got
+        # ep0: P,M,P fits (20 chars, 1 image); second image rolls
+        assert e0.text == f"{A}\n\n<image>\n\n{A}"
+        assert e0.media_refs == ["m/0.jpg"]
+        assert (e0.n_media, e0.n_text_chars) == (1, 20)
+        # ep1: M,P,P (20 chars); third paragraph would hit 30 > 25
+        assert e1.text == f"<image>\n\n{A}\n\n{A}"
+        assert e1.media_refs == ["m/1.jpg"]
+        assert (e1.n_media, e1.n_text_chars) == (1, 20)
+        assert e2.text == A and e2.media_refs == []
+        assert (e2.n_media, e2.n_text_chars) == (0, 10)
+
+    def test_oversized_span_never_dropped(self, spark):
+        from fuzi_spark.ops.assemble import interleave_episodes
+
+        big = "x" * 100
+        d = spark.createDataFrame(
+            [(1, [self._span("paragraph", big),
+                  self._span("paragraph", "tail")])],
+            "doc_id long, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        got = interleave_episodes(d, max_chars=25).orderBy(
+            "episode_idx"
+        ).collect()
+        assert len(got) == 2
+        assert got[0].text == big and got[0].n_text_chars == 100
+        assert got[1].text == "tail"
