@@ -441,6 +441,10 @@ CASES = [
      "Image gate. Wants: the filter itself pure codegen over the "
      "decoded (ref, dims) rows; the only Python is the upstream header "
      "decode MapInPandas."),
+    ("interleave_episodes",
+     "Episode splitting. Wants: ZERO Python and ZERO exchanges — the "
+     "greedy fold, the per-episode slices, and the render are staged "
+     "Projects around one Generate (the episode explode)."),
 ]
 
 
