@@ -3679,6 +3679,92 @@ def q_site_template(spark, sf_dir):
     )
 
 
+def q_bitext_margin(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019) over the
+    embeddings table split even(src)/odd(tgt): ratio margin with k=4
+    neighborhoods, mutual-best intersection, threshold 1.0. The oracle
+    replays the ENTIRE pipeline in SQL — all cross cosines
+    (list_cosine_similarity on the same double-cast vectors), both
+    top-4 neighborhoods, the hubness-normalizing denominator, the
+    margin, and the mutual argmax — so the mining rule itself is
+    verified end to end."""
+    from fuzi_spark.ops.similarity import margin_bitext
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    src = vecs.filter(F.col("vec_id") % 2 == 0)
+    tgt = vecs.filter(F.col("vec_id") % 2 == 1)
+    return margin_bitext(src, tgt, k=4, threshold=1.0)
+
+
+def q_audio_dedup(spark, sf_dir):
+    """Perceptual audio dedup over REAL WAV decode + STFT landmark
+    fingerprints (ops/audiofp.py): per doc a 3-note bin-centered
+    melody WAV is built from g = doc_id % 40 (bins 5+g / 50+g /
+    30+(g*7)%40, two 256-pt windows per note) with the GAIN varied
+    within each group (amplitude 4096·(1+doc_id%3)) — so group
+    membership is recoverable only by a fingerprint that is a function
+    of the spectral peak sequence, not of the sample bytes (byte-exact
+    dedup sees 120 distinct blobs, not 40 groups). The oracle predicts
+    groups relationally from the construction formula."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.audiofp import audio_dedup_groups, audio_fingerprint_df
+    from fuzi_spark.ops.multimodal import build_melody_wav
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            g = i % 40
+            out.append(
+                build_melody_wav(
+                    rate=16000,
+                    bins=[5 + g, 50 + g, 30 + (g * 7) % 40],
+                    amplitude=4096 * (1 + i % 3),
+                )
+            )
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("au/"), F.col("doc_id").cast("string"), F.lit(".wav")
+        ).alias("media_ref"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    return audio_dedup_groups(audio_fingerprint_df(media)).select(
+        F.regexp_extract("media_ref", r"au/(\d+)\.wav", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "n_windows", "group_size", "keep",
+    )
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): target = the
+    doc_id%3==0 third of the corpus, raw pool = everything; hashed
+    unigram+bigram bucket counts (B=10000, md5 bucket — engine-
+    portable), add-1 smoothing over the full bucket spine, per-doc
+    log-weight, then deterministic Gumbel top-200 selection. The
+    oracle recomputes the ENTIRE pipeline in SQL — featurize, both
+    distributions, totals, log-ratios, doc scores, Gumbel priorities,
+    top-k — so the scoring math and the selection rule are both
+    verified, not just row plumbing."""
+    from fuzi_spark.ops.dsir import dsir_log_ratios, dsir_sample, dsir_weights
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 3 == 0)
+    ratios = dsir_log_ratios(d, target, n_buckets=10000, smoothing=1.0)
+    w = dsir_weights(d, ratios, n_buckets=10000)
+    return dsir_sample(w, k=200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -3799,6 +3885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reflow_text": q_reflow_text,
         "split_sentences": q_split_sentences,
         "site_template": q_site_template,
+        "dsir_select": q_dsir_select,
+        "audio_dedup": q_audio_dedup,
+        "bitext_margin": q_bitext_margin,
     }
 
 
@@ -5522,6 +5611,97 @@ def oracle_sql() -> dict[str, str]:
             "    CASE WHEN NOT is_t THEN btext END, chr(10) "
             "    ORDER BY seq), '') AS main_text "
             "FROM tg GROUP BY doc_id"
+        ),
+        "dsir_select": (
+            # full DSIR replay: hashed unigram+bigram buckets (md5 8-hex
+            # % 10000), add-1 smoothed target(p)/raw(q) bucket
+            # distributions over the complete 0..B-1 spine, per-doc
+            # log-weight sum, md5-derived Gumbel priority, top-200
+            "WITH t AS (SELECT doc_id, "
+            "  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "    x -> x <> '') AS toks FROM documents), "
+            "uf AS (SELECT doc_id, unnest(toks) AS f FROM t), "
+            "bg AS (SELECT t.doc_id, t.toks[g.i] || ' ' || t.toks[g.i + 1] "
+            "    AS f FROM t, UNNEST(range(1, len(t.toks))) AS g(i)), "
+            "feats AS (SELECT doc_id, f FROM uf "
+            "  UNION ALL SELECT doc_id, f FROM bg), "
+            "fb AS (SELECT doc_id, "
+            "  CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 10000 AS b "
+            "  FROM feats), "
+            "q AS (SELECT b, COUNT(*) AS cq FROM fb GROUP BY 1), "
+            "p AS (SELECT b, COUNT(*) AS cp FROM fb "
+            "  WHERE doc_id % 3 = 0 GROUP BY 1), "
+            "tot AS (SELECT (SELECT COUNT(*) FROM fb) AS tq, "
+            "  (SELECT COUNT(*) FROM fb WHERE doc_id % 3 = 0) AS tp), "
+            "r AS (SELECT g.i AS b, "
+            "  ln((COALESCE(p.cp, 0) + 1.0) / (tot.tp + 1.0 * 10000)) - "
+            "  ln((COALESCE(q.cq, 0) + 1.0) / (tot.tq + 1.0 * 10000)) "
+            "    AS log_ratio "
+            "  FROM UNNEST(range(0, 10000)) AS g(i) "
+            "  LEFT JOIN q ON q.b = g.i LEFT JOIN p ON p.b = g.i "
+            "  CROSS JOIN tot), "
+            "sc AS (SELECT fb.doc_id, COUNT(*) AS nf, "
+            "  SUM(r.log_ratio) AS lw "
+            "  FROM fb JOIN r ON fb.b = r.b GROUP BY 1), "
+            "w AS (SELECT d.doc_id, "
+            "  CAST(COALESCE(sc.nf, 0) AS BIGINT) AS n_feats, sc.lw "
+            "  FROM documents d LEFT JOIN sc USING (doc_id)), "
+            "g AS (SELECT doc_id, n_feats, lw AS log_weight, "
+            "  COALESCE(lw, 0.0) + -ln(-ln((CAST(('0x' || "
+            "    substr(md5('dsir-gumbel:' || CAST(doc_id AS VARCHAR)), "
+            "    1, 8)) AS BIGINT) + 0.5) / 4294967296.0)) AS priority "
+            "  FROM w) "
+            "SELECT doc_id, n_feats, log_weight, priority FROM g "
+            "ORDER BY priority DESC, doc_id LIMIT 200"
+        ),
+        "audio_dedup": (
+            # relational replay of the melody-group construction:
+            # group = doc_id % 40, n_windows = 3 notes × 2 windows,
+            # keep = lexicographically-smallest media_ref of the group
+            # (the STRING 'au/<id>.wav' min, exactly as the operator
+            # elects canonicals)
+            "WITH m AS (SELECT doc_id, "
+            "  'au/' || CAST(doc_id AS VARCHAR) || '.wav' AS ref, "
+            "  doc_id % 40 AS g FROM documents) "
+            "SELECT doc_id, CAST(6 AS INTEGER) AS n_windows, "
+            "  COUNT(*) OVER (PARTITION BY g) AS group_size, "
+            "  CAST(CASE WHEN ref = MIN(ref) OVER (PARTITION BY g) "
+            "    THEN 1 ELSE 0 END AS INTEGER) AS keep "
+            "FROM m"
+        ),
+        "bitext_margin": (
+            # full margin-mining replay: cross cosines on the same
+            # double-cast vectors, top-4 neighborhoods both ways,
+            # ratio margin cos/(a_src/2 + a_tgt/2), mutual argmax
+            # (ties to the smaller partner id), threshold 1.0
+            "WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "  FROM embeddings WHERE vec_id % 2 = 0), "
+            "t AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "  FROM embeddings WHERE vec_id % 2 = 1), "
+            "c AS (SELECT s.vec_id AS sid, t.vec_id AS tid, "
+            "  list_cosine_similarity(s.v, t.v) AS cosine FROM s, t), "
+            "fr AS (SELECT sid, tid, cosine, ROW_NUMBER() OVER "
+            "  (PARTITION BY sid ORDER BY cosine DESC, tid ASC) AS r "
+            "  FROM c), "
+            "br AS (SELECT sid, tid, cosine, ROW_NUMBER() OVER "
+            "  (PARTITION BY tid ORDER BY cosine DESC, sid ASC) AS r "
+            "  FROM c), "
+            "ax AS (SELECT sid, AVG(cosine) AS a_src FROM fr "
+            "  WHERE r <= 4 GROUP BY 1), "
+            "ay AS (SELECT tid, AVG(cosine) AS a_tgt FROM br "
+            "  WHERE r <= 4 GROUP BY 1), "
+            "cand AS (SELECT sid, tid, cosine FROM fr WHERE r <= 4 "
+            "  UNION SELECT sid, tid, cosine FROM br WHERE r <= 4), "
+            "m AS (SELECT cand.sid, cand.tid, cand.cosine, "
+            "  cand.cosine / (ax.a_src / 2.0 + ay.a_tgt / 2.0) AS margin "
+            "  FROM cand JOIN ax USING (sid) JOIN ay USING (tid)), "
+            "bf AS (SELECT sid, tid, cosine, margin, "
+            "  ROW_NUMBER() OVER (PARTITION BY sid "
+            "    ORDER BY margin DESC, tid ASC) AS rf, "
+            "  ROW_NUMBER() OVER (PARTITION BY tid "
+            "    ORDER BY margin DESC, sid ASC) AS rb FROM m) "
+            "SELECT sid AS src_id, tid AS tgt_id, cosine, margin "
+            "FROM bf WHERE rf = 1 AND rb = 1 AND margin >= 1.0"
         ),
     }
 

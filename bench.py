@@ -143,6 +143,9 @@ BENCH_QUERIES = [
     "bitext_pairs",
     "media_quality",
     "interleave_episodes",
+    "dsir_select",
+    "audio_dedup",
+    "bitext_margin",
 ]
 
 

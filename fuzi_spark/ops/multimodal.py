@@ -503,6 +503,39 @@ def build_tone_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def build_melody_wav(
+    rate: int,
+    bins: list,
+    amplitude: int,
+    n_fft: int = 256,
+    windows_per_note: int = 2,
+) -> bytes:
+    """Valid 16-bit PCM WAV carrying a SEQUENCE of bin-centered sine
+    notes (freq_i = bins[i] * rate / n_fft), each lasting exactly
+    `windows_per_note` STFT windows. Because every note boundary
+    aligns to an n_fft window boundary, window t's spectral peak is
+    exactly bins[t // windows_per_note] — the SQL-predictable source
+    for the landmark-fingerprint oracle (ops/audiofp.py): the peak
+    SEQUENCE, and hence the landmark hash set, is a pure function of
+    `bins`, independent of `amplitude` (argmax is scale-invariant)."""
+    note_frames = n_fft * windows_per_note
+    t = np.arange(note_frames, dtype=np.float64)
+    chunks = []
+    for b in bins:
+        x = np.round(
+            amplitude * np.sin(2.0 * np.pi * (b * rate / n_fft) * t / rate)
+        )
+        chunks.append(np.clip(x, -32768, 32767).astype("<i2"))
+    data = np.concatenate(chunks).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 SPECTROGRAM_BANDS = 32
 
 SPECTROGRAM_SCHEMA = StructType(

@@ -570,3 +570,116 @@ def semantic_decontaminate(
             "n_hits int, contaminated int"
         ),
     )
+
+
+# ------------------------------------------------ margin-based bitext
+
+
+def _cross_cosines(a: DataFrame, b: DataFrame, id_col: str, vec_col: str):
+    """All (a_id, b_id, cosine) pairs with the b side broadcast —
+    the exact kernel for margin mining (b is the broadcastable side)."""
+    left = a.select(
+        F.col(id_col).alias("_aid"), F.col(vec_col).alias("_av")
+    )
+    right = b.select(
+        F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bv")
+    )
+    return left.crossJoin(F.broadcast(right)).select(
+        "_aid",
+        "_bid",
+        cosine_col(F.col("_av"), F.col("_bv")).alias("cosine"),
+    )
+
+
+def margin_bitext(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based parallel-sentence mining (Artetxe & Schwenk, ACL
+    2019, arXiv:1811.01136 — the LASER/CCMatrix recipe): score every
+    candidate cross-language pair by the RATIO margin
+
+        margin(x, y) = cos(x, y) /
+            ( mean_{z in NN_k(x, tgt)} cos(x, z) / 2
+            + mean_{z in NN_k(y, src)} cos(y, z) / 2 )
+
+    and keep MUTUAL best matches above `threshold` — raw cosine
+    thresholds fail because some sentences are "hubs" that are close to
+    everything; dividing by the average similarity of each side's
+    k-neighborhood normalizes that hubness away (the paper's core
+    point, and why CCMatrix mines with margin, not cosine).
+
+    Returns (src_id, tgt_id, cosine, margin): pairs where tgt_id is
+    src_id's argmax-margin candidate AND vice versa (the paper's "max"
+    strategy intersected both ways), with margin >= threshold. Ties
+    break to the smaller partner id — fully deterministic.
+
+    Scale shape: this is the EXACT kernel — each direction is one
+    broadcast cross join + a per-id window top-k (TakeOrdered-style
+    heap under AQE), sized for a benchmark-scale language side (the
+    semantic_decontaminate broadcast contract). For two corpus-sized
+    sides, generate candidates with cosine_topk_lsh / cosine_topk_ivf
+    first and feed ONLY the candidate pairs through the same margin
+    formula — the scoring stages below consume (src, tgt, cosine)
+    tuples and do not care how they were produced.
+
+    Reference parity note: the reference (kylehughes/Fuzi) has no
+    embedding surface — pipeline-brief scope (cross-lingual curation;
+    complements ops/web.py bitext_pairs' hreflang handshake with a
+    content-similarity miner)."""
+    kk = int(k)
+    fwd = _cross_cosines(src, tgt, id_col, vec_col).select(
+        F.col("_aid").alias("sid"), F.col("_bid").alias("tid"), "cosine"
+    )
+    bwd = _cross_cosines(tgt, src, id_col, vec_col).select(
+        F.col("_bid").alias("sid"), F.col("_aid").alias("tid"), "cosine"
+    )
+    wf = Window.partitionBy("sid").orderBy(
+        F.col("cosine").desc(), F.col("tid").asc()
+    )
+    wb = Window.partitionBy("tid").orderBy(
+        F.col("cosine").desc(), F.col("sid").asc()
+    )
+    fr = fwd.withColumn("r", F.row_number().over(wf)).filter(F.col("r") <= kk)
+    br = bwd.withColumn("r", F.row_number().over(wb)).filter(F.col("r") <= kk)
+    ax = fr.groupBy("sid").agg(F.avg("cosine").alias("a_src"))
+    ay = br.groupBy("tid").agg(F.avg("cosine").alias("a_tgt"))
+    cand = (
+        fr.select("sid", "tid", "cosine")
+        .unionByName(br.select("sid", "tid", "cosine"))
+        .dropDuplicates(["sid", "tid"])
+    )
+    m = (
+        cand.join(ax, "sid")
+        .join(ay, "tid")
+        .withColumn(
+            "margin",
+            F.col("cosine")
+            / (F.col("a_src") / F.lit(2.0) + F.col("a_tgt") / F.lit(2.0)),
+        )
+    )
+    mf = Window.partitionBy("sid").orderBy(
+        F.col("margin").desc(), F.col("tid").asc()
+    )
+    mb = Window.partitionBy("tid").orderBy(
+        F.col("margin").desc(), F.col("sid").asc()
+    )
+    best = (
+        m.withColumn("rf", F.row_number().over(mf))
+        .withColumn("rb", F.row_number().over(mb))
+        .filter(
+            (F.col("rf") == 1)
+            & (F.col("rb") == 1)
+            & (F.col("margin") >= F.lit(float(threshold)))
+        )
+    )
+    return best.select(
+        F.col("sid").alias("src_id"),
+        F.col("tid").alias("tgt_id"),
+        "cosine",
+        "margin",
+    )

@@ -6201,3 +6201,222 @@ class TestInterleaveEpisodes:
         assert len(got) == 2
         assert got[0].text == big and got[0].n_text_chars == 100
         assert got[1].text == "tail"
+
+
+class TestDsir:
+    """DSIR importance resampling (Xie et al. 2023): planted two-
+    vocabulary corpus — target-flavored docs must out-score spam-
+    flavored docs, and the Gumbel top-k selection must be deterministic
+    and weight-respecting."""
+
+    def _corpus(self, spark):
+        rows = []
+        # 20 target-flavored docs (vocab A), 20 spam-flavored (vocab B)
+        for i in range(20):
+            rows.append(
+                (i, f"quiet library ancient books study shelf row{i % 5}")
+            )
+        for i in range(20, 40):
+            rows.append((i, f"buy click offer free deal now row{i % 5}"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_target_vocab_outscores_spam(self, spark):
+        from fuzi_spark.ops.dsir import dsir_log_ratios, dsir_weights
+
+        docs = self._corpus(spark)
+        target = docs.filter(F.col("doc_id") < 10)  # pure vocab-A sample
+        ratios = dsir_log_ratios(docs, target, n_buckets=2048)
+        w = {r.doc_id: r.log_weight for r in dsir_weights(
+            docs, ratios, n_buckets=2048).collect()}
+        worst_a = min(w[i] for i in range(20))
+        best_b = max(w[i] for i in range(20, 40))
+        assert worst_a > best_b, (worst_a, best_b)
+
+    def test_feature_count_unigrams_plus_bigrams(self, spark):
+        from fuzi_spark.ops.dsir import dsir_log_ratios, dsir_weights
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "solo"), (3, "   "), (4, None)],
+            "doc_id long, text string",
+        )
+        ratios = dsir_log_ratios(docs, docs.filter("doc_id = 1"),
+                                 n_buckets=64)
+        out = {r.doc_id: r for r in dsir_weights(
+            docs, ratios, n_buckets=64).collect()}
+        assert out[1].n_feats == 5  # a, b, c, 'a b', 'b c'
+        assert out[2].n_feats == 1
+        assert out[3].n_feats == 0 and out[3].log_weight is None
+        assert out[4].n_feats == 0 and out[4].log_weight is None
+
+    def test_gumbel_topk_deterministic_and_weight_respecting(self, spark):
+        from fuzi_spark.ops.dsir import (
+            dsir_log_ratios, dsir_sample, dsir_weights,
+        )
+
+        docs = self._corpus(spark)
+        target = docs.filter(F.col("doc_id") < 10)
+        ratios = dsir_log_ratios(docs, target, n_buckets=2048)
+        w = dsir_weights(docs, ratios, n_buckets=2048)
+        pick1 = sorted(r.doc_id for r in dsir_sample(w, k=10).collect())
+        pick2 = sorted(r.doc_id for r in dsir_sample(w, k=10).collect())
+        assert pick1 == pick2  # content-stable, no RNG
+        # weight-respecting: the A/B log-weight gap here is >> Gumbel
+        # spread, so the top-10 must be vocab-A docs only
+        assert all(i < 20 for i in pick1), pick1
+        # nested behaviour: top-5 is a subset of top-10 priorities
+        top5 = {r.doc_id for r in dsir_sample(w, k=5).collect()}
+        assert top5 <= set(pick1)
+
+
+class TestAudioFingerprint:
+    """Spectral-landmark audio fingerprints (ops/audiofp.py): gain-
+    invariant grouping, melody discrimination, partial-overlap
+    candidates, undecodable handling."""
+
+    def _media(self, spark, rows):
+        import pandas as pd
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        return spark.createDataFrame(rows, "media_ref string, content binary")
+
+    def test_gain_invariant_groups(self, spark):
+        from fuzi_spark.ops.audiofp import (
+            audio_dedup_groups, audio_fingerprint_df,
+        )
+        from fuzi_spark.ops.multimodal import build_melody_wav
+
+        rows = [
+            ("a/1.wav", build_melody_wav(16000, [10, 60, 33], 4096)),
+            ("a/2.wav", build_melody_wav(16000, [10, 60, 33], 12288)),
+            ("a/3.wav", build_melody_wav(16000, [11, 60, 33], 4096)),
+            ("a/4.wav", b"not a wav"),
+        ]
+        out = {
+            r.media_ref: r
+            for r in audio_dedup_groups(
+                audio_fingerprint_df(self._media(spark, rows))
+            ).collect()
+        }
+        # same melody at 3x the gain: SAME group (perceptual, not byte)
+        assert out["a/1.wav"].group_size == 2
+        assert out["a/2.wav"].group_size == 2
+        assert out["a/1.wav"].keep == 1 and out["a/2.wav"].keep == 0
+        # one-bin-different melody: its own group
+        assert out["a/3.wav"].group_size == 1 and out["a/3.wav"].keep == 1
+        # undecodable: kept, never grouped
+        assert out["a/4.wav"].keep == 1 and out["a/4.wav"].group_size == 1
+        assert out["a/4.wav"].n_windows is None
+
+    def test_landmark_values_and_window_peaks(self, spark):
+        from fuzi_spark.ops.audiofp import audio_landmarks
+        from fuzi_spark.ops.multimodal import build_melody_wav
+
+        rate, nw, hashes = audio_landmarks(
+            build_melody_wav(16000, [10, 60], 4096, windows_per_note=2)
+        )
+        assert (rate, nw) == (16000, 4)
+        # peaks = [10,10,60,60]; exact distinct landmark set, dt 1..3
+        got = set(hashes)
+        assert got == {
+            (10 << 16) | (10 << 8) | 1,   # t0->t1
+            (10 << 16) | (60 << 8) | 2,   # t0->t2
+            (10 << 16) | (60 << 8) | 3,   # t0->t3
+            (10 << 16) | (60 << 8) | 1,   # t1->t2
+            (60 << 16) | (60 << 8) | 1,   # t2->t3
+        }, got
+
+    def test_near_dups_partial_overlap(self, spark):
+        from fuzi_spark.ops.audiofp import (
+            audio_fingerprint_df, audio_near_dups,
+        )
+        from fuzi_spark.ops.multimodal import build_melody_wav
+
+        # clips B/C share a 4-note run (20,30,40,50); D is disjoint
+        rows = [
+            ("b.wav", build_melody_wav(16000, [20, 30, 40, 50, 70], 4096)),
+            ("c.wav", build_melody_wav(16000, [90, 20, 30, 40, 50], 4096)),
+            ("d.wav", build_melody_wav(16000, [100, 110, 120], 4096)),
+        ]
+        fp = audio_fingerprint_df(self._media(spark, rows))
+        pairs = audio_near_dups(fp, min_shared=4).collect()
+        assert len(pairs) == 1
+        p = pairs[0]
+        assert (p.ref_a, p.ref_b) == ("b.wav", "c.wav")
+        assert p.n_shared >= 4
+
+    def test_single_window_clip_total(self, spark):
+        from fuzi_spark.ops.audiofp import audio_landmarks
+        from fuzi_spark.ops.multimodal import build_tone_wav
+
+        rate, nw, hashes = audio_landmarks(
+            build_tone_wav(8000, 128, 8 * 8000 / 256, 4096)
+        )
+        assert nw == 1 and len(hashes) == 1  # lone-peak self mark
+
+
+class TestMarginBitext:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019): aligned
+    pairs must be mined, hub vectors must be demoted by the
+    neighborhood-normalized margin, mutual-best must hold."""
+
+    def _sides(self, spark):
+        # src (even ids) and tgt (odd ids). 0<->1 and 2<->3 are clean
+        # aligned pairs whose SECOND-nearest neighbors are far (k=2
+        # neighborhood mean ~0.55). 4<->5 live in a dense "hub"
+        # subspace (dims 3-4) crowded by 6/7/8/9, so both sides'
+        # k=2 neighborhood means are ~0.95: the margin denominator
+        # is what separates hub pairs from clean pairs, exactly the
+        # paper's motivating asymmetry.
+        src = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0, 0.0]),
+                (2, [0.0, 1.0, 0.0, 0.0]),
+                (4, [0.0, 0.0, 1.0, 0.0]),
+                (6, [0.0, 0.0, 0.9, 0.436]),
+                (8, [0.0, 0.0, 0.9, -0.436]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        tgt = spark.createDataFrame(
+            [
+                (1, [0.995, 0.1, 0.0, 0.0]),
+                (3, [0.1, 0.995, 0.0, 0.0]),
+                (5, [0.0, 0.0, 1.0, 0.02]),
+                (7, [0.0, 0.0, 0.9, 0.436]),
+                (9, [0.0, 0.0, 0.9, -0.436]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        return src, tgt
+
+    def test_mines_aligned_pairs_mutually(self, spark):
+        from fuzi_spark.ops.similarity import margin_bitext
+
+        src, tgt = self._sides(spark)
+        out = {(r.src_id, r.tgt_id): r for r in
+               margin_bitext(src, tgt, k=2, threshold=1.0).collect()}
+        assert (0, 1) in out and (2, 3) in out
+        assert all(r.margin >= 1.0 for r in out.values())
+        # every mined pair is mutual-best: no src or tgt appears twice
+        srcs = [s for s, _ in out]
+        tgts = [t for _, t in out]
+        assert len(srcs) == len(set(srcs)) and len(tgts) == len(set(tgts))
+
+    def test_threshold_prunes_everything_when_high(self, spark):
+        from fuzi_spark.ops.similarity import margin_bitext
+
+        src, tgt = self._sides(spark)
+        assert margin_bitext(src, tgt, k=2, threshold=10.0).count() == 0
+
+    def test_margin_beats_cosine_on_hubs(self, spark):
+        """The paper's motivating case: a hub pair with high ABSOLUTE
+        cosine must score a LOWER margin than a clean aligned pair,
+        because the hub's whole neighborhood is close (denominator
+        grows). Raw-cosine ranking gets this wrong by construction."""
+        from fuzi_spark.ops.similarity import margin_bitext
+
+        src, tgt = self._sides(spark)
+        rows = {(r.src_id, r.tgt_id): r for r in
+                margin_bitext(src, tgt, k=2, threshold=0.0).collect()}
+        if (4, 5) in rows:
+            assert rows[(4, 5)].margin < rows[(0, 1)].margin
