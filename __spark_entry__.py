@@ -3765,6 +3765,236 @@ def q_dsir_select(spark, sf_dir):
     return dsir_sample(w, k=200)
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (ops/relational.py): every click event picks up the
+    value of the user's most recent purchase at-or-before its
+    timestamp — the union+carry-forward window shape (ONE shuffle on
+    user_id, no per-key blowup). The oracle is DuckDB's NATIVE `ASOF
+    LEFT JOIN` — an independent implementation of the semantics, not
+    a replay of ours."""
+    from fuzi_spark.ops.relational import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purch, on="user_id", left_ts="ts", right_ts="ts",
+        payload=["purchase_value"],
+    ).select(
+        "event_id", "user_id", "asof_purchase_value", "asof_ts_matched"
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Range (interval-containment) join (ops/relational.py): lineitem
+    prices against order-derived price bands [o_totalprice,
+    o_totalprice+300], via bin-grid equi-join + residual filter (never
+    a broadcast-nested-loop). The oracle is the naive BETWEEN join —
+    independent semantics, so the binning rewrite is verified to
+    produce exactly the same pair set."""
+    from fuzi_spark.ops.relational import range_join
+
+    iv = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 25 == 0)
+        .select(
+            F.col("o_orderkey").alias("iv_id"),
+            F.col("o_totalprice").alias("lo"),
+            (F.col("o_totalprice") + F.lit(300.0)).alias("hi"),
+        )
+    )
+    pts = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_partkey") % 10 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+    return range_join(pts, iv, "price", "lo", "hi", bin_width=500.0).select(
+        "iv_id", "l_orderkey", "l_linenumber", "price"
+    )
+
+
+def q_merge_upsert(spark, sf_dir):
+    """CDC latest-wins merge (ops/relational.py): a synthetic recrawl
+    batch (every 7th doc re-extracted with +1000 chars, every 21st now
+    a 404 delete) folded into the corpus — union + one rank-1 window,
+    the MERGE INTO kernel. Oracle replays the version/source
+    precedence relationally."""
+    from fuzi_spark.ops.relational import merge_upsert
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.lit(1).alias("version"),
+    )
+    upd = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.lit("recrawl").alias("source"),
+            (F.col("n_chars") + 1000).alias("n_chars"),
+            F.lit(2).alias("version"),
+            (F.col("doc_id") % 21 == 0).alias("is_del"),
+        )
+    )
+    return merge_upsert(base, upd, "doc_id", "version", delete_col="is_del")
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order layout plan (ops/relational.py): lineitem clustered on
+    (l_partkey, l_suppkey) Morton values into 64 target files; returns
+    per-file row counts + min/max of BOTH dims — the manifest-level
+    statistics that make 2-D predicates prune files. Bounds come from
+    one metadata aggregate (what a real layout writer samples); the
+    oracle replays the integer quantization + bit-interleave ladder
+    bit-for-bit."""
+    from fuzi_spark.ops.relational import zorder_layout
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    return zorder_layout(
+        li, "l_partkey", "l_suppkey",
+        int(b[0]), int(b[1]), int(b[2]), int(b[3]), n_files=64,
+    )
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min heavy hitters (ops/sketch.py): the exact top-50
+    corpus tokens scored by a 4x1024 count-min sketch (md5-seeded
+    rows, engine-portable) — (token, exact, est) with est >= exact by
+    the CMS one-sided guarantee. The oracle replays tokenization, the
+    sketch build, and the min-over-rows estimate, so the sketch
+    arithmetic itself is hash-verified."""
+    from fuzi_spark.ops.sketch import heavy_hitters
+
+    return heavy_hitters(
+        _docs(spark, sf_dir), text_col="text", top_n=50, depth=4, width=1024
+    )
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector int8 max-abs quantization telemetry (ops/quantize.py):
+    scale, saturation count, integer code checksum, reconstruction
+    cosine and MSE for every embedding — the quality gate you run
+    before rewriting the float32 lake to int8 (4x smaller). Pure
+    projection, zero shuffles. Oracle replays the whole codec
+    (round-half-up spelled as floor(x+0.5) in both engines)."""
+    from fuzi_spark.ops.quantize import quantize_report
+
+    return quantize_report(_embeddings(spark, sf_dir))
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (ops/negatives.py):
+    for each query vector (vec_id % 25 == 0) the top-5 most-similar
+    corpus vectors with a DIFFERENT label and cosine <= 0.95 (the
+    false-negative ceiling). Broadcast query side + WindowGroupLimit
+    top-k. Oracle replays filter + rank over list_cosine_similarity."""
+    from fuzi_spark.ops.negatives import hard_negatives
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    return hard_negatives(emb, qs, k=5, ceiling=0.95, floor=0.0)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token cardinality per language
+    (ops/sketch.py): the register table is a 256-row-per-group
+    monoid you can store and merge per crawl batch — unlike
+    approx_count_distinct's opaque driver-side sketch. Returned next
+    to the exact distinct count so the estimate's error is visible in
+    the artifact. Oracle replays hash → register → max-rank →
+    harmonic estimate (the 2^-rho sum is exact dyadic arithmetic, so
+    aggregation order cannot perturb it)."""
+    from fuzi_spark.ops.sketch import hll_estimate, hll_sketch
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        )).alias("token")
+    )
+    est = hll_estimate(hll_sketch(toks, "token", ["lang"]), ["lang"])
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("token").alias("distinct_exact")
+    )
+    return est.join(exact, "lang")
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 retrieval (ops/bm25.py): top-20 documents for the query
+    'hash join merge scan' — inverted-index build (one map-side-
+    combinable groupBy), Lucene idf, tf saturation + length
+    normalization, broadcast query-term join, TakeOrdered top-n.
+    Oracle replays the whole scoring pipeline (constants spelled as
+    the same arithmetic — 1.2 + 1.0, not 2.2 — so both engines fold
+    identical doubles)."""
+    from fuzi_spark.ops.bm25 import bm25_search
+
+    return bm25_search(
+        _docs(spark, sf_dir), "hash join merge scan", top_n=20
+    )
+
+
+def q_hash_embed(spark, sf_dir):
+    """Feature-hashing embeddings (ops/hashembed.py): every document
+    to a 64-dim signed-hash vector with zero shuffles and zero Python
+    — the model-free bridge from text to the embedding operator suite.
+    The unnormalized accumulator is integer-valued (exact in doubles),
+    so the vectors are bit-identical across engines; oracle rebuilds
+    them relationally (explode → signed sums → dense spine → ordered
+    list) and replays the L2 normalization."""
+    from fuzi_spark.ops.hashembed import hash_embed
+
+    return hash_embed(_docs(spark, sf_dir), dims=64)
+
+
+def q_thread_assembly(spark, sf_dir):
+    """Discussion-thread assembly (ops/threads.py): a deterministic
+    forum is synthesized from the documents table (groups of 10 doc
+    ids form a binary-heap tree, sibling order scrambled by
+    (doc_id*37)%100), then every post is resolved to (root, depth,
+    DFS thread_order) by bounded iterative ancestor joins. The oracle
+    is a WITH RECURSIVE walk — a genuinely different mechanism that
+    must land the identical assignment."""
+    from fuzi_spark.ops.threads import thread_assembly
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    k = F.col("doc_id") % 10
+    posts = d.select(
+        F.col("doc_id").alias("post_id"),
+        F.when(k == 0, F.lit(None).cast("long"))
+        .otherwise(
+            (F.col("doc_id") - k) + F.floor((k - 1) / 2).cast("long")
+        )
+        .alias("parent_id"),
+        ((F.col("doc_id") * 37) % 100).alias("tsk"),
+    )
+    return thread_assembly(
+        posts, id_col="post_id", parent_col="parent_id",
+        order_col="tsk", max_depth=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -3886,6 +4116,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sentences": q_split_sentences,
         "site_template": q_site_template,
         "dsir_select": q_dsir_select,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "merge_upsert": q_merge_upsert,
+        "zorder_layout": q_zorder_layout,
+        "heavy_hitters": q_heavy_hitters,
+        "embedding_quantize": q_embedding_quantize,
+        "hard_negatives": q_hard_negatives,
+        "hll_distinct": q_hll_distinct,
+        "thread_assembly": q_thread_assembly,
+        "bm25_search": q_bm25_search,
+        "hash_embed": q_hash_embed,
         "audio_dedup": q_audio_dedup,
         "bitext_margin": q_bitext_margin,
     }
@@ -5653,6 +5894,288 @@ def oracle_sql() -> dict[str, str]:
             "  FROM w) "
             "SELECT doc_id, n_feats, log_weight, priority FROM g "
             "ORDER BY priority DESC, doc_id LIMIT 200"
+        ),
+        "asof_join": (
+            # INDEPENDENT oracle: DuckDB's native ASOF LEFT JOIN
+            # implements the same at-or-before semantics our
+            # union+carry-forward window composes — two unrelated
+            # implementations must agree row-for-row
+            "WITH c AS (SELECT event_id, user_id, ts FROM events "
+            "  WHERE event_type = 'click'), "
+            "p AS (SELECT user_id, ts, MAX(value) AS purchase_value "
+            "  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) "
+            "SELECT c.event_id, c.user_id, "
+            "  p.purchase_value AS asof_purchase_value, "
+            "  epoch(p.ts) AS asof_ts_matched "
+            "FROM c ASOF LEFT JOIN p "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        "range_join": (
+            # INDEPENDENT oracle: the naive BETWEEN theta-join — the
+            # bin-grid equi-join rewrite must reproduce its exact pair
+            # set
+            "WITH iv AS (SELECT o_orderkey AS iv_id, "
+            "  o_totalprice AS lo, o_totalprice + 300.0 AS hi "
+            "  FROM orders WHERE o_orderkey % 25 = 0), "
+            "pt AS (SELECT l_orderkey, l_linenumber, "
+            "  l_extendedprice AS price FROM lineitem "
+            "  WHERE l_partkey % 10 = 0) "
+            "SELECT iv.iv_id, pt.l_orderkey, pt.l_linenumber, pt.price "
+            "FROM pt JOIN iv ON pt.price BETWEEN iv.lo AND iv.hi"
+        ),
+        "merge_upsert": (
+            # latest-wins precedence replay: version DESC, then
+            # updates-beat-base, then delete drops the key
+            "WITH b AS (SELECT doc_id, lang, source, n_chars, "
+            "  1 AS version, FALSE AS is_del, 0 AS src FROM documents), "
+            "u AS (SELECT doc_id, lang, 'recrawl' AS source, "
+            "  n_chars + 1000 AS n_chars, 2 AS version, "
+            "  doc_id % 21 = 0 AS is_del, 1 AS src FROM documents "
+            "  WHERE doc_id % 7 = 0), "
+            "a AS (SELECT * FROM b UNION ALL SELECT * FROM u), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "  ORDER BY version DESC, src DESC) AS rn FROM a) "
+            "SELECT doc_id, lang, source, n_chars, version "
+            "FROM r WHERE rn = 1 AND NOT is_del"
+        ),
+        "zorder_layout": (
+            # bit-for-bit replay of the Morton ladder: integer
+            # quantization to 16 bits (exact integer division — no
+            # float cell boundaries), the 4-step spread
+            # (8/4/2/1-shift, magic masks), interleave, file_id =
+            # z >> 26 (64 files over the 32-bit z space)
+            "WITH bd AS (SELECT MIN(l_partkey) AS xlo, "
+            "  MAX(l_partkey) AS xhi, MIN(l_suppkey) AS ylo, "
+            "  MAX(l_suppkey) AS yhi FROM lineitem), "
+            "q AS (SELECT l_partkey, l_suppkey, "
+            "  CASE WHEN bd.xhi - bd.xlo <= 0 THEN 0 ELSE "
+            "    ((l_partkey - bd.xlo) * 65535) // (bd.xhi - bd.xlo) "
+            "  END AS sx, "
+            "  CASE WHEN bd.yhi - bd.ylo <= 0 THEN 0 ELSE "
+            "    ((l_suppkey - bd.ylo) * 65535) // (bd.yhi - bd.ylo) "
+            "  END AS sy "
+            "  FROM lineitem CROSS JOIN bd), "
+            "s1 AS (SELECT * REPLACE (((sx | (sx << 8)) & 16711935) "
+            "  AS sx, ((sy | (sy << 8)) & 16711935) AS sy) FROM q), "
+            "s2 AS (SELECT * REPLACE (((sx | (sx << 4)) & 252645135) "
+            "  AS sx, ((sy | (sy << 4)) & 252645135) AS sy) FROM s1), "
+            "s3 AS (SELECT * REPLACE (((sx | (sx << 2)) & 858993459) "
+            "  AS sx, ((sy | (sy << 2)) & 858993459) AS sy) FROM s2), "
+            "s4 AS (SELECT * REPLACE (((sx | (sx << 1)) & 1431655765) "
+            "  AS sx, ((sy | (sy << 1)) & 1431655765) AS sy) FROM s3), "
+            "z AS (SELECT l_partkey, l_suppkey, "
+            "  (sx | (sy << 1)) AS zv FROM s4) "
+            "SELECT zv >> 26 AS file_id, COUNT(*) AS n_rows, "
+            "  MIN(l_partkey) AS min_l_partkey, "
+            "  MAX(l_partkey) AS max_l_partkey, "
+            "  MIN(l_suppkey) AS min_l_suppkey, "
+            "  MAX(l_suppkey) AS max_l_suppkey "
+            "FROM z GROUP BY 1"
+        ),
+        "heavy_hitters": (
+            # full count-min replay: shared tokenizer, 4 md5-seeded
+            # hash rows x 1024 buckets ('<seed>:<token>' — the
+            # engine-portable bucket), sketch = GROUP BY (row,
+            # bucket), estimate = min over rows; exact top-50
+            # candidates with total ties broken on token
+            "WITH toks AS (SELECT unnest(list_filter("
+            "  regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "  x -> x <> '')) AS token FROM documents), "
+            "rws AS (SELECT token, g.i AS r, "
+            "  CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || "
+            "    token), 1, 8)) AS BIGINT) % 1024 AS bucket "
+            "  FROM toks, UNNEST(range(0, 4)) AS g(i)), "
+            "sk AS (SELECT r, bucket, COUNT(*) AS cnt FROM rws "
+            "  GROUP BY 1, 2), "
+            "exact AS (SELECT token, COUNT(*) AS exact FROM toks "
+            "  GROUP BY 1 ORDER BY exact DESC, token ASC LIMIT 50), "
+            "cb AS (SELECT e.token, e.exact, g.i AS r, "
+            "  CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || "
+            "    e.token), 1, 8)) AS BIGINT) % 1024 AS bucket "
+            "  FROM exact e, UNNEST(range(0, 4)) AS g(i)) "
+            "SELECT cb.token, cb.exact, "
+            "  CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est "
+            "FROM cb LEFT JOIN sk ON sk.r = cb.r "
+            "  AND sk.bucket = cb.bucket "
+            "GROUP BY cb.token, cb.exact"
+        ),
+        "embedding_quantize": (
+            # full int8 codec replay: per-vector max-abs scale,
+            # round-half-up codes (floor(x+0.5) — portable, unlike
+            # bankers' rounding), saturation count, code checksum,
+            # reconstruction cosine (term order mirrors the Spark
+            # aggregate: v_i * (c_i * scale)) and MSE
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "  FROM embeddings), "
+            "s AS (SELECT vec_id, v, "
+            "  list_max(list_transform(v, x -> abs(x))) / 127.0 "
+            "  AS scale FROM v), "
+            "c AS (SELECT vec_id, v, scale, CASE WHEN scale > 0 THEN "
+            "  list_transform(v, x -> CAST(greatest(-127, least(127, "
+            "    floor(x / scale + 0.5))) AS BIGINT)) "
+            "  ELSE list_transform(v, x -> 0::BIGINT) END AS codes "
+            "  FROM s), "
+            "m AS (SELECT vec_id, scale, "
+            "  CAST(len(list_filter(codes, x -> abs(x) = 127)) "
+            "    AS INTEGER) AS n_sat, "
+            "  CAST(list_sum(codes) AS BIGINT) AS code_sum, "
+            "  list_sum(list_transform(list_zip(v, codes), "
+            "    p -> p[1] * (p[2] * scale))) AS vq, "
+            "  list_sum(list_transform(v, x -> x * x)) AS vv, "
+            "  list_sum(list_transform(codes, "
+            "    x -> (x * scale) * (x * scale))) AS rr, "
+            "  list_sum(list_transform(list_zip(v, codes), "
+            "    p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale))) "
+            "    AS ee, "
+            "  len(v) AS n FROM c) "
+            "SELECT vec_id, scale, n_sat, code_sum, "
+            "  CASE WHEN sqrt(vv) > 0 AND sqrt(rr) > 0 THEN "
+            "    vq / (sqrt(vv) * sqrt(rr)) END AS cos_recon, "
+            "  ee / n AS mse FROM m"
+        ),
+        "hard_negatives": (
+            # mining-rule replay: label-mismatch filter, cosine
+            # ceiling/floor band, per-query rank with deterministic
+            # (cosine DESC, neg_id ASC) ties, top-5
+            "WITH q AS (SELECT vec_id AS query_id, "
+            "  embedding::DOUBLE[] AS qv, label AS ql FROM embeddings "
+            "  WHERE vec_id % 25 = 0), "
+            "c AS (SELECT q.query_id, e.vec_id AS neg_id, "
+            "  list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) "
+            "    AS cosine "
+            "  FROM embeddings e CROSS JOIN q "
+            "  WHERE e.label <> q.ql AND e.vec_id <> q.query_id), "
+            "f AS (SELECT query_id, neg_id, cosine, "
+            "  ROW_NUMBER() OVER (PARTITION BY query_id "
+            "    ORDER BY cosine DESC, neg_id ASC) AS rank "
+            "  FROM c WHERE cosine <= 0.95 AND cosine >= 0.0) "
+            "SELECT query_id, neg_id, cosine, "
+            "  CAST(rank AS INTEGER) AS rank "
+            "FROM f WHERE rank <= 5"
+        ),
+        "hll_distinct": (
+            # full HLL replay: 32-bit md5 hash, top-8-bit register
+            # index, rho = 25 - bit_length of the low 24 bits (bin()
+            # strips leading zeros in both engines), max-rank
+            # registers, harmonic estimate with small-range
+            # correction; exact distinct alongside
+            "WITH toks AS (SELECT lang, unnest(list_filter("
+            "  regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "  x -> x <> '')) AS token FROM documents), "
+            "h AS (SELECT lang, "
+            "  CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS hv "
+            "  FROM toks), "
+            "r AS (SELECT lang, hv >> 24 AS idx, "
+            "  CASE WHEN (hv & 16777215) = 0 THEN 25 "
+            "  ELSE 25 - length(bin(hv & 16777215)) END AS rho FROM h), "
+            "sk AS (SELECT lang, idx, MAX(rho) AS rho FROM r "
+            "  GROUP BY 1, 2), "
+            "ag AS (SELECT lang, SUM(power(2.0, -rho)) AS s, "
+            "  COUNT(*) AS n FROM sk GROUP BY 1), "
+            "e AS (SELECT lang, "
+            "  (0.7213 / (1.0 + 1.079 / 256)) * 65536 / "
+            "    (s + (256 - n)) AS raw, 256 - n AS v FROM ag), "
+            "est AS (SELECT lang, CASE WHEN raw <= 640.0 AND v > 0 "
+            "  THEN 256.0 * ln(256.0 / v) ELSE raw END "
+            "  AS distinct_est FROM e), "
+            "ex AS (SELECT lang, COUNT(DISTINCT token) "
+            "  AS distinct_exact FROM toks GROUP BY 1) "
+            "SELECT est.lang, est.distinct_est, ex.distinct_exact "
+            "FROM est JOIN ex USING (lang)"
+        ),
+        "bm25_search": (
+            # full BM25 replay: postings, per-doc token length from
+            # the SAME list_filter (not the exploded stream — empty
+            # docs must count), Lucene idf, identical constant
+            # arithmetic (1.2 + 1.0, 1.0 - 0.75), top-20 with doc_id
+            # ties
+            "WITH t AS (SELECT doc_id, unnest(list_filter("
+            "  regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "  x -> x <> '')) AS token FROM documents), "
+            "post AS (SELECT token, doc_id, COUNT(*) AS tf FROM t "
+            "  GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, len(list_filter("
+            "  regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "  x -> x <> '')) AS dl FROM documents), "
+            "q AS (SELECT unnest(['hash', 'join', 'merge', 'scan']) "
+            "  AS token), "
+            "dfq AS (SELECT token, COUNT(*) AS df FROM post "
+            "  JOIN q USING (token) GROUP BY 1), "
+            "idf AS (SELECT token, ln(1.0 + "
+            "  ((SELECT COUNT(*) FROM documents) - df + 0.5) / "
+            "  (df + 0.5)) AS idf FROM dfq), "
+            "sc AS (SELECT post.doc_id, idf.idf * "
+            "  (post.tf * (1.2 + 1.0)) / (post.tf + 1.2 * "
+            "  ((1.0 - 0.75) + 0.75 * dl.dl / "
+            "    (SELECT AVG(dl) FROM dl))) AS s "
+            "  FROM post JOIN idf USING (token) "
+            "  JOIN dl USING (doc_id)) "
+            "SELECT doc_id, COUNT(*) AS n_hits, SUM(s) AS score "
+            "FROM sc GROUP BY 1 "
+            "ORDER BY score DESC, doc_id ASC LIMIT 20"
+        ),
+        "hash_embed": (
+            # feature-hashing replay: per-token (dimension, sign) from
+            # the two md5 buckets, signed sums (integer-valued — exact
+            # in doubles), dense 64-dim spine, ordered list, L2
+            # normalize
+            "WITH t AS (SELECT doc_id, unnest(list_filter("
+            "  regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "  x -> x <> '')) AS tok FROM documents), "
+            "p AS (SELECT doc_id, "
+            "  CAST(('0x' || substr(md5('he:' || tok), 1, 8)) "
+            "    AS BIGINT) % 64 AS j, "
+            "  CASE WHEN CAST(('0x' || substr(md5('hs:' || tok), 1, 8)) "
+            "    AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s "
+            "  FROM t), "
+            "g AS (SELECT doc_id, j, SUM(s) AS v FROM p GROUP BY 1, 2), "
+            "grid AS (SELECT d.doc_id, gg.i AS j FROM "
+            "  (SELECT DISTINCT doc_id FROM documents) d, "
+            "  UNNEST(range(0, 64)) AS gg(i)), "
+            "vv AS (SELECT grid.doc_id, grid.j, "
+            "  COALESCE(g.v, 0.0) AS v FROM grid LEFT JOIN g "
+            "  ON g.doc_id = grid.doc_id AND g.j = grid.j), "
+            "n AS (SELECT doc_id, sqrt(SUM(v * v)) AS norm FROM vv "
+            "  GROUP BY 1), "
+            "vecs AS (SELECT vv.doc_id, "
+            "  list(vv.v ORDER BY vv.j) AS raw, n.norm "
+            "  FROM vv JOIN n USING (doc_id) "
+            "  GROUP BY vv.doc_id, n.norm) "
+            "SELECT doc_id, CASE WHEN norm > 0 THEN "
+            "  list_transform(raw, x -> x / norm) ELSE raw END "
+            "  AS embedding, norm FROM vecs"
+        ),
+        "thread_assembly": (
+            # INDEPENDENT mechanism: recursive-CTE ancestor walk vs
+            # the operator's bounded iterative joins — identical
+            # (root, depth, DFS order) required. Fixed-width path
+            # segments make plain string order the DFS preorder.
+            "WITH RECURSIVE posts AS (SELECT doc_id AS post_id, "
+            "  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE "
+            "    (doc_id - doc_id % 10) + ((doc_id % 10) - 1) // 2 "
+            "  END AS parent_id, "
+            "  (doc_id * 37) % 100 AS tsk FROM documents), "
+            "seg AS (SELECT post_id, parent_id, "
+            "  lpad(CAST(tsk AS VARCHAR), 20, '0') || '-' || "
+            "  lpad(CAST(post_id AS VARCHAR), 10, '0') AS s FROM posts), "
+            "walk AS ("
+            "  SELECT post_id, parent_id AS par, "
+            "    CASE WHEN parent_id IS NULL THEN post_id END AS root, "
+            "    s AS path FROM seg "
+            "  UNION ALL "
+            "  SELECT w.post_id, p.parent_id AS par, "
+            "    CASE WHEN p.parent_id IS NULL THEN p.post_id END "
+            "      AS root, "
+            "    p.s || '/' || w.path AS path "
+            "  FROM walk w JOIN seg p ON w.par = p.post_id), "
+            "done AS (SELECT post_id, root, path FROM walk "
+            "  WHERE par IS NULL) "
+            "SELECT post_id, root AS root_id, "
+            "  CAST(length(path) - length(replace(path, '/', '')) "
+            "    AS INTEGER) AS depth, "
+            "  CAST(ROW_NUMBER() OVER (PARTITION BY root "
+            "    ORDER BY path) AS INTEGER) AS thread_order "
+            "FROM done"
         ),
         "audio_dedup": (
             # relational replay of the melody-group construction:

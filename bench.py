@@ -146,6 +146,17 @@ BENCH_QUERIES = [
     "dsir_select",
     "audio_dedup",
     "bitext_margin",
+    "asof_join",
+    "range_join",
+    "merge_upsert",
+    "zorder_layout",
+    "heavy_hitters",
+    "embedding_quantize",
+    "hard_negatives",
+    "hll_distinct",
+    "bm25_search",
+    "hash_embed",
+    "thread_assembly",
 ]
 
 

@@ -1,0 +1,119 @@
+"""Scalar int8 embedding quantization (storage-side compression).
+
+A 100 TB corpus with float32 embeddings carries 4 bytes/dim it mostly
+does not need: per-vector max-abs scalar quantization (the FAISS
+`SQ8`-family baseline, also what vector stores ship as "int8") stores
+1 byte/dim plus one float scale — a 4x footprint cut on the largest
+column in the lake — while keeping cosine fidelity ~0.999 for typical
+embedding distributions.
+
+    scale = max_i |v_i| / 127
+    q_i   = round_half_up(v_i / scale)   in [-127, 127]
+    v'_i  = q_i * scale
+
+Everything is per-row projection over array columns (transform /
+aggregate / zip_with higher-order functions) — zero shuffles, zero
+Python, whole-stage codegen — i.e. the cheapest possible pass over
+the biggest table you own. `quantize_report` emits the quality
+telemetry (reconstruction cosine, MSE, saturation count) you gate the
+rewrite on; `quantize_embeddings` emits the storable rows.
+
+Determinism: round-half-up is spelled floor(x + 0.5) explicitly so
+any SQL engine replays the integer codes bit-for-bit (bankers'
+rounding differs between engines; floor does not).
+
+Reference parity note: the reference (kylehughes/Fuzi) has no
+embedding surface — pipeline-brief scope (embedding-lake storage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec_col: str):
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _round_half_up(col):
+    return F.floor(col + F.lit(0.5)).cast("long")
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, scale:double, codes:array<int>) — the storable form.
+    All-zero vectors get scale 0 and all-zero codes (lossless)."""
+    v = _as_double(vec_col)
+    scale = (
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+        / F.lit(127.0)
+    ).alias("scale")
+    codes = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), _round_half_up(x / F.col("scale"))),
+            ).cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return (
+        df.select(F.col(id_col), F.col(vec_col), scale)
+        .withColumn("codes", codes)
+        .drop(vec_col)
+    )
+
+
+def quantize_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector quantization quality: (id, scale, n_sat, code_sum,
+    cos_recon, mse). `n_sat` counts codes at +/-127 (saturation),
+    `code_sum` is an integer checksum of the code array, `cos_recon`
+    the cosine between the original and the dequantized vector (NULL
+    for zero vectors), `mse` the mean squared reconstruction error.
+
+    Gate recipe: require min(cos_recon) above a floor (0.999 for
+    retrieval embeddings) before rewriting the lake to int8."""
+    q = quantize_embeddings(df, vec_col, id_col)
+    joined = df.select(F.col(id_col), _as_double(vec_col).alias("_v")).join(
+        q, id_col
+    )
+    recon = F.zip_with(
+        F.col("codes"), F.col("_v"), lambda c, _: c * F.col("scale")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_v"), recon, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    n2 = F.sqrt(
+        F.aggregate(recon, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    err2 = F.aggregate(
+        F.zip_with(F.col("_v"), recon, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return joined.select(
+        F.col(id_col),
+        "scale",
+        F.size(F.filter(F.col("codes"), lambda c: F.abs(c) == 127)).alias(
+            "n_sat"
+        ),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("code_sum"),
+        F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2)).alias("cos_recon"),
+        (err2 / F.size(F.col("_v"))).alias("mse"),
+    )

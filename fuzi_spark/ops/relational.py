@@ -1,0 +1,335 @@
+"""Time-series / layout relational operators Spark lacks as builtins:
+as-of join, range (interval) join, CDC merge-upsert, and Z-order
+layout planning.
+
+These are the table-maintenance operators a 100 TB training-data lake
+needs around the extraction engine: align crawl events with the most
+recent fetch metadata (as-of), attach points to intervals without a
+cartesian explosion (range join), fold a recrawl snapshot into the
+corpus with latest-wins semantics (merge-upsert), and cluster files so
+two-dimensional predicates prune (Z-order).
+
+Every operator is pure Catalyst — no Python UDFs — and each one's
+shuffle story is written next to it, because the shape IS the product:
+an as-of join that degenerates into a per-key cross join or a range
+join that falls back to broadcast-nested-loop would both melt at
+scale.
+
+Reference parity note: the reference (kylehughes/Fuzi,
+/root/reference/Sources) is a parse/query library with no relational
+surface (SURVEY.md §2.8) — these are pipeline-brief scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+
+def _ts_as_double(df: DataFrame, col: str):
+    """Epoch seconds (fractional micros kept) for timestamp columns,
+    plain double cast for numerics. TIMESTAMP_NTZ refuses a direct
+    double cast in Spark 4; routing it through TIMESTAMP interprets
+    the wall time in the session timezone — this engine pins UTC
+    everywhere (bench.py/job.py/tests), matching the oracle's
+    epoch()."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return F.col(col).cast("timestamp").cast("double")
+    return F.col(col).cast("double")
+
+
+# --------------------------------------------------------------- as-of join
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: list[str] | None = None,
+    tolerance: float | None = None,
+    direction: str = "backward",
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: for every left row, attach the payload of the
+    nearest right row with the same key at-or-before its timestamp
+    (`direction="backward"`, the market-data default) or at-or-after
+    (`"forward"`). Left rows with no admissible partner keep NULL
+    payloads (left-outer semantics).
+
+    Implementation is the UNION-MERGE shape, not a join: tag both
+    sides, union, and run ONE window per key ordered by timestamp in
+    which right-side payload values are carried across left rows with
+    `last(ignorenulls=True)`. At equal timestamps the right row sorts
+    first, so "at-or-before" is inclusive.
+
+    Scale shape: exactly one hash exchange on the key plus an
+    in-partition sort — the sort-merge-join cost envelope, with NO
+    per-key blowup: a key with a million left rows and a million right
+    rows costs O(n log n) in the sort, where a naive
+    `l.ts >= r.ts` theta-join costs O(n^2). This is the classic
+    carry-forward trick (the same shape Flink's event-time operators
+    and kdb's aj use); Spark has no asof primitive, so the engine
+    composes one from union + window.
+
+    `tolerance` (in the timestamp's native unit — seconds for
+    timestamps, plain difference for numerics) nulls out matches
+    further than the bound, preserving the row.
+
+    Right rows must be unique per (key, ts) — pre-aggregate otherwise
+    (ambiguous same-instant payloads have no deterministic winner).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    payload = list(payload or [c for c in right.columns
+                               if c not in (on, right_ts)])
+    lstruct = F.struct(*[F.col(c) for c in left.columns]).alias("_l")
+    l2 = left.select(
+        lstruct,
+        F.col(on).alias("_k"),
+        _ts_as_double(left, left_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(right.schema[p].dataType).alias(f"_p_{p}")
+            for p in payload
+        ],
+    )
+    r2 = right.select(
+        F.lit(None).cast(l2.schema["_l"].dataType).alias("_l"),
+        F.col(on).alias("_k"),
+        _ts_as_double(right, right_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(p).alias(f"_p_{p}") for p in payload],
+    )
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_side").desc()]
+    else:
+        order = [F.col("_t").desc(), F.col("_side").desc()]
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"_p_{p}", ignorenulls=True).over(w).alias(f"_c_{p}")
+        for p in payload
+    ]
+    match_t = F.last(
+        F.when(F.col("_side") == 1, F.col("_t")), ignorenulls=True
+    ).over(w).alias("_mt")
+    u = l2.unionByName(r2).select("_l", "_side", "_t", match_t, *carried)
+    out = u.filter(F.col("_side") == 0)
+    if tolerance is not None:
+        ok = F.abs(F.col("_t") - F.col("_mt")) <= F.lit(float(tolerance))
+    else:
+        ok = F.col("_mt").isNotNull()
+    cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    cols += [
+        F.when(ok, F.col(f"_c_{p}")).alias(f"{prefix}{p}") for p in payload
+    ]
+    cols.append(
+        F.when(ok, F.col("_mt")).alias(f"{prefix}{left_ts}_matched")
+    )
+    return out.select(*cols)
+
+
+# -------------------------------------------------------------- range join
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    max_bins_per_interval: int = 4096,
+) -> DataFrame:
+    """Interval-containment join: every (point, interval) pair with
+    lo <= point <= hi, WITHOUT the broadcast-nested-loop plan Spark
+    picks for a raw inequality join (O(points x intervals) compares —
+    a cartesian in disguise).
+
+    Binning strategy: quantize the axis into `bin_width` cells; a
+    point lands in exactly one cell, an interval explodes into the
+    cells it overlaps, and containment becomes an EQUI-join on the
+    cell id plus a residual filter. Each qualifying pair is produced
+    exactly once (the point's single cell), so no dedup pass.
+
+    Scale shape: one hash exchange each side on the cell id; the
+    interval fan-out is bounded by (hi-lo)/bin_width + 1, checked
+    up-front with a metadata-sized aggregate on the intervals side
+    (raises rather than silently planning a 10^6-way explode — pick
+    bin_width near the median interval length). Cell skew (many
+    intervals stacked on one hot cell) is ordinary join skew: AQE's
+    skew-join split applies, nothing bespoke.
+    """
+    wdt = float(bin_width)
+    if wdt <= 0:
+        raise ValueError("bin_width must be positive")
+    lo_bin = F.floor(F.col(lo_col) / wdt).cast("long")
+    hi_bin = F.floor(F.col(hi_col) / wdt).cast("long")
+    worst = intervals.agg(
+        F.max(hi_bin - lo_bin + 1).alias("m")
+    ).collect()[0]["m"]
+    if worst is not None and worst > max_bins_per_interval:
+        raise ValueError(
+            f"range_join fan-out {worst} bins exceeds cap "
+            f"{max_bins_per_interval}: raise bin_width (intervals are "
+            f"wider than the bin grid) or the cap"
+        )
+    iv = intervals.withColumn("_cell", F.explode(F.sequence(lo_bin, hi_bin)))
+    pt = points.withColumn(
+        "_cell", F.floor(F.col(point_col) / wdt).cast("long")
+    )
+    return (
+        pt.join(iv, "_cell")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("_cell")
+    )
+
+
+# ------------------------------------------------------------ merge-upsert
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    version_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """CDC latest-wins merge (the MERGE INTO kernel): fold an updates
+    snapshot into a base table — per key keep the row with the highest
+    `version_col` (updates beat base on version ties), and drop keys
+    whose winning update carries `delete_col = true`.
+
+    This is how a recrawl lands on the corpus: base = current docs,
+    updates = freshly extracted rows stamped with the crawl timestamp,
+    deletes = pages that now 404. On Iceberg in production the same
+    semantics is `MERGE INTO`; this operator IS that kernel expressed
+    as union + one window, for engines/sinks without a MERGE (plain
+    parquet dev surface), and it is what guarantees idempotent
+    re-application: re-merging the same updates batch is a no-op.
+
+    Scale shape: one hash exchange on the key, rank-1 filter pushed by
+    Catalyst into WindowGroupLimit (top-1 per key computed map-side
+    before the shuffle) — never a driver-side diff.
+    """
+    upd = updates
+    if delete_col is None:
+        delete_col = "_is_delete"
+        upd = upd.withColumn(delete_col, F.lit(False))
+    b2 = base.withColumn(delete_col, F.lit(False)).withColumn(
+        "_src", F.lit(0)
+    )
+    u2 = upd.withColumn("_src", F.lit(1))
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    return (
+        b2.unionByName(u2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (~F.col(delete_col)))
+        .drop("_rn", "_src", delete_col)
+    )
+
+
+# ------------------------------------------------------------ z-order layout
+
+_SPREAD_STEPS = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _spread_bits(col):
+    """Interleave-prep: spread a 16-bit int so its bits occupy the even
+    positions of a 32-bit word (classic Morton magic-number ladder).
+    Pure JVM bit arithmetic — stays inside whole-stage codegen."""
+    c = col.cast("long")
+    for shift, mask in _SPREAD_STEPS:
+        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
+    return c
+
+
+def zorder_value(x_col, y_col, x_min, x_max, y_min, y_max, bits: int = 16):
+    """Morton/Z-value of two numeric columns, each affinely quantized
+    to `bits` bits over [min, max]. Quantization is INTEGER arithmetic
+    — ((v - lo) * (2^bits - 1)) div (hi - lo) — so any engine replays
+    it bit-for-bit (no float rounding at cell boundaries). x occupies
+    the even bit positions, y the odd."""
+    if bits > 16:
+        raise ValueError("bits > 16 would overflow the 32-bit spread")
+    top = (1 << bits) - 1
+
+    def _q(c, lo, hi):
+        span = int(hi) - int(lo)
+        if span <= 0:
+            return F.lit(0).cast("long")
+        v = (c.cast("long") - F.lit(int(lo))) * F.lit(top)
+        # exact integer division portable across engines: subtract the
+        # remainder first so the double division is exact-integer-valued
+        # (a raw v/span floor can flip at cell boundaries by one ulp)
+        q = ((v - F.pmod(v, F.lit(span))) / F.lit(span)).cast("long")
+        return F.greatest(F.lit(0), F.least(F.lit(top), q))
+
+    zx = _spread_bits(_q(x_col, x_min, x_max))
+    zy = _spread_bits(_q(y_col, y_min, y_max))
+    return zx.bitwiseOR(F.shiftleft(zy, 1))
+
+
+def zorder_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_min: int,
+    x_max: int,
+    y_min: int,
+    y_max: int,
+    n_files: int = 64,
+    bits: int = 16,
+) -> DataFrame:
+    """Z-order layout plan: assign every row to one of `n_files`
+    target files by fixed-width ranges of its Morton value, and report
+    per-file (row count, min/max of BOTH dimensions). The min/max
+    pairs are exactly the column statistics parquet footers / Iceberg
+    manifests carry — so this table IS the data-skipping story: a
+    predicate box on (x, y) prunes every file whose ranges miss it,
+    and Z-clustering makes those ranges tight in BOTH dimensions
+    simultaneously (a plain sort tightens only its leading column).
+
+    Scale shape: the z-value is a codegen'd projection; the summary is
+    one map-side-combinable groupBy over n_files keys. The actual
+    rewrite is then `df.repartitionByRange/sortWithinPartitions(zval)`
+    + write — the plan table is the evidence the rewrite pays off.
+
+    File assignment uses fixed z-ranges (zval >> k), not quantiles: at
+    10^12 rows a global ntile would need a total sort; fixed ranges
+    need nothing, and uniform-ish quantization keeps them balanced
+    (the summary's row counts expose any imbalance).
+    """
+    n_files = int(n_files)
+    if n_files < 1 or (n_files & (n_files - 1)) != 0:
+        raise ValueError("n_files must be a power of two")
+    shift = 2 * bits - (n_files.bit_length() - 1)
+    z = zorder_value(
+        F.col(x_col), F.col(y_col), x_min, x_max, y_min, y_max, bits
+    )
+    return (
+        df.withColumn("_z", z)
+        .withColumn("file_id", F.shiftright(F.col("_z"), shift))
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(x_col).alias(f"min_{x_col}"),
+            F.max(x_col).alias(f"max_{x_col}"),
+            F.min(y_col).alias(f"min_{y_col}"),
+            F.max(y_col).alias(f"max_{y_col}"),
+        )
+    )

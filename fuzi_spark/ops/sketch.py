@@ -1,0 +1,227 @@
+"""Count-min sketch term-frequency estimation + heavy hitters.
+
+At 10^12 documents an exact global term-count table is itself a big-
+data object; the count-min sketch (Cormode & Muthukrishnan 2005) caps
+the frequency state at d x w counters REGARDLESS of corpus size, with
+the one-sided guarantee
+
+    exact <= estimate <= exact + eps * N        (w = ceil(e / eps),
+    with probability 1 - delta over the d rows,   d = ceil(ln 1/delta))
+
+Spark-first shape — the sketch is a DATAFRAME, not a driver object:
+- featurize: tokens (the shared tokenizer contract: lowercase, split
+  \\s+, drop empty — dsir.py / textstats.py / lm.py) x d hash rows,
+  each bucketed by the engine-portable md5 bucket over "seed:token".
+- build: ONE groupBy (row, bucket) count — map-side partial combine
+  reduces every task to <= d*w pairs before anything shuffles, and
+  merging sketches across corpora/batches is the same groupBy-sum
+  (the sketch is a monoid, which is the whole point).
+- estimate: broadcast-join the d*w sketch rows against candidates and
+  take min over the d rows per token.
+
+Candidates come from the usual two-pass heavy-hitter recipe: any
+candidate generator works (per-partition local top-k, a sample, a
+prior vocabulary); the sketch then scores them with bounded error.
+
+Determinism: no RNG anywhere — the d hash functions are md5 with
+fixed integer seeds, so a DuckDB twin replays the sketch bit-for-bit
+(the correctness gate checks the estimates hash-exact, and the pinned
+tests check the CMS overestimate bound).
+
+Reference parity note: the reference (kylehughes/Fuzi) has no
+frequency-sketch surface — pipeline-brief scope (corpus statistics at
+scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+def _bucket_of(col, seed: int, width: int):
+    """Engine-portable hash bucket: first 8 md5 hex chars of
+    '<seed>:<token>' as an integer, mod width — DuckDB computes the
+    identical value via ('0x' || substr(md5(s), 1, 8))::BIGINT % w."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(int(seed))), col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(int(width)),
+    )
+
+
+def token_stream(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(token) — one row per token OCCURRENCE (multiplicity kept)."""
+    return df.select(F.explode(_tokens(text_col)).alias("token"))
+
+
+def cms_build(
+    tokens: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    token_col: str = "token",
+) -> DataFrame:
+    """Build the sketch: (row:int, bucket:long, cnt:long), <= depth*width
+    rows. One explode (x depth) + one map-side-combinable groupBy."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _bucket_of(F.col(token_col), i, width).alias("bucket"),
+            )
+            for i in range(int(depth))
+        ]
+    )
+    return (
+        tokens.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    token_col: str = "token",
+) -> DataFrame:
+    """Estimate each candidate token's frequency: min over the d rows
+    of its bucket counters (an absent counter pair means count 0 —
+    kept as 0, not dropped, via the left join). Adds `est:long`.
+
+    The SKETCH side is broadcast (it is <= d*w rows by construction,
+    metadata-sized); candidates can be arbitrarily large."""
+    cand = candidates
+    for i in range(int(depth)):
+        b = sketch.filter(F.col("row") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("cnt").alias(f"_c{i}")
+        )
+        cand = cand.withColumn(
+            f"_b{i}", _bucket_of(F.col(token_col), i, width)
+        ).join(F.broadcast(b), f"_b{i}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"_c{i}"), F.lit(0)) for i in range(int(depth))]
+    )
+    drop = [f"_b{i}" for i in range(int(depth))] + [
+        f"_c{i}" for i in range(int(depth))
+    ]
+    return cand.withColumn("est", est.cast("long")).drop(*drop)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Two-pass heavy hitters: exact top-N tokens (deterministic
+    count-desc, token-asc order) scored by the count-min sketch —
+    (token, exact:long, est:long), est >= exact always.
+
+    The exact candidate pass here doubles as the ground truth the
+    pinned tests and the relational oracle check the CMS guarantee
+    against; at 10^12 rows you'd swap it for local-top-k candidates
+    and keep the sketch stages unchanged."""
+    toks = token_stream(df, text_col)
+    sketch = cms_build(toks, depth, width)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.col("exact").desc(), F.col("token").asc())
+        .limit(int(top_n))
+    )
+    return cms_estimate(sketch, exact, depth, width).select(
+        "token", "exact", "est"
+    )
+
+
+# ------------------------------------------------------------- HyperLogLog
+
+HLL_M = 256  # registers (b = 8 index bits); rel. error ~ 1.04/sqrt(m) = 6.5%
+
+
+def _h32(col):
+    """Engine-portable 32-bit hash: first 8 md5 hex chars as an int.
+    DuckDB twin: ('0x' || substr(md5(k), 1, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def hll_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007):
+    (group..., idx:int, rho:int) — max rank per register, <= m rows per
+    group REGARDLESS of cardinality. Like the CMS, the sketch is a
+    monoid: union corpora then groupBy-max re-merges registers, which
+    is what makes distinct-counting at 10^12 keys a metadata-sized
+    artifact (Spark's own approx_count_distinct is the same algorithm,
+    but its sketch is opaque/driver-side; this one is a DataFrame you
+    can store, merge incrementally per crawl batch, and replay in SQL).
+
+    Bit layout of the 32-bit md5-derived hash: top 8 bits = register
+    index, low 24 bits = the pattern whose leading-zero rank rho is
+    recorded (rho = 25 - bit_length(w), computed portably as the
+    length of the binary string — w = 0 maps to the max rank 25).
+    """
+    g = list(group_cols or [])
+    h = _h32(F.col(key_col))
+    idx = F.shiftright(h, 24).cast("int")
+    w = h.bitwiseAND(F.lit((1 << 24) - 1))
+    rho = F.when(w == 0, F.lit(25)).otherwise(
+        F.lit(25) - F.length(F.bin(w))
+    ).cast("int")
+    return (
+        df.select(*g, idx.alias("idx"), rho.alias("rho"))
+        .groupBy(*g, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cardinality estimate per group from a register table:
+    E = alpha_m * m^2 / (sum_observed 2^-rho + (m - n_observed)), with
+    the standard small-range correction E <= 2.5m -> m * ln(m / V)
+    where V = empty registers. The 2^-rho sum is EXACT in doubles
+    (dyadic terms, <= 33 significant bits), so the estimate is
+    bit-identical regardless of aggregation order — no float-sum
+    nondeterminism across partitions/engines."""
+    g = list(group_cols or [])
+    m = HLL_M
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.groupBy(*g).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        F.count("*").alias("_n"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("_z0"),
+    )
+    denom = F.col("_s") + (F.lit(m) - F.col("_n"))
+    raw = F.lit(alpha * m * m) / denom
+    # empty registers = never-observed + observed-with-rho-0 is wrong:
+    # rho >= 1 for any observed key (bit_length(w) <= 24), so V is just
+    # the never-observed count m - n
+    v = F.lit(m) - F.col("_n")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(*g, est.alias("distinct_est"))

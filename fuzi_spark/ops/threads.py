@@ -1,0 +1,155 @@
+"""Discussion-thread assembly: turn a flat (post, parent) table into
+rendered-order training conversations.
+
+Forum/mailing-list/comment data is a top-tier dialog training source,
+and it arrives as a flat edge list: (post_id, parent_id, ts). The
+trainer needs each post tagged with its thread root, its depth, and
+its DFS (rendered) position — parent before children, siblings in
+timestamp order — so threads can be linearized into conversation
+episodes.
+
+Distributed shape: ancestor-chain resolution by ITERATIVE JOIN — each
+round every unresolved post joins one hop up and prepends the
+parent's fixed-width sort segment to its path key. Rounds = tree
+depth, each one equi-join + localCheckpoint (the dedup_components
+plan-growth discipline, ops/dedup.py); the loop FAILS LOUDLY if
+max_depth rounds leave unresolved rows (cycle or deeper-than-declared
+data), never silently truncates.
+
+DFS order falls out of plain string ordering of the path keys because
+segments are FIXED WIDTH: a parent's key is a strict prefix of its
+descendants' keys (prefix sorts first → preorder), and two siblings
+differ inside one fixed-width segment, so every descendant of the
+earlier sibling sorts before the later sibling. No recursion, no
+driver-side tree walk — one window over (root, path) at the end.
+
+The correctness twin is a WITH RECURSIVE walk in the oracle — a
+genuinely different mechanism (recursive fixpoint vs bounded
+iterative join) that must produce the identical (root, depth, order)
+assignment.
+
+Reference parity note: the reference (kylehughes/Fuzi) has no graph
+surface — pipeline-brief scope (dialog corpus assembly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _segment(order_col, id_col):
+    """Fixed-width '/'-free sort segment: zero-padded order key then
+    zero-padded id (ties). 20+1+10 chars, digits only."""
+    return F.concat(
+        F.lpad(F.col(order_col).cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col(id_col).cast("string"), 10, "0"),
+    )
+
+
+def thread_assembly(
+    posts: DataFrame,
+    id_col: str = "post_id",
+    parent_col: str = "parent_id",
+    order_col: str = "ts",
+    max_depth: int = 32,
+) -> DataFrame:
+    """(id_col, root_id, depth, thread_order) for every post.
+
+    `order_col` must be a non-negative integer sort key (epoch micros,
+    sequence number); parents must exist for every non-null
+    parent_id. Raises RuntimeError if chains have not resolved after
+    `max_depth` rounds (cycles / bad data) — a silent partial answer
+    would scramble conversation order downstream."""
+    edges = posts.select(
+        F.col(id_col).alias("_pid"),
+        F.col(parent_col).alias("_par"),
+        _segment(order_col, id_col).alias("_seg"),
+    )
+    # state: per post, the next unresolved ancestor (_cur), the root
+    # once found, and the path accumulated so far (self + resolved
+    # ancestors' segments)
+    state = edges.select(
+        "_pid",
+        F.col("_par").alias("_cur"),
+        F.when(F.col("_par").isNull(), F.col("_pid")).alias("_root"),
+        F.col("_seg").alias("_path"),
+    ).localCheckpoint()
+    hop = edges.select(
+        F.col("_pid").alias("_hid"),
+        F.col("_par").alias("_hpar"),
+        F.col("_seg").alias("_hseg"),
+    )
+    for _ in range(int(max_depth)):
+        if state.filter(F.col("_root").isNull()).isEmpty():
+            break
+        unresolved = state.filter(F.col("_root").isNull())
+        resolved = state.filter(F.col("_root").isNotNull())
+        stepped = (
+            unresolved.join(hop, unresolved["_cur"] == hop["_hid"], "left")
+            .select(
+                "_pid",
+                F.col("_hpar").alias("_cur"),
+                F.when(F.col("_hpar").isNull(), F.col("_hid")).alias(
+                    "_root"
+                ),
+                F.concat(
+                    F.col("_hseg"), F.lit("/"), F.col("_path")
+                ).alias("_path"),
+            )
+        )
+        state = resolved.unionByName(stepped).localCheckpoint()
+    bad = state.filter(F.col("_root").isNull()).count()
+    if bad:
+        raise RuntimeError(
+            f"thread_assembly: {bad} posts unresolved after "
+            f"{max_depth} rounds — cycle or depth > max_depth"
+        )
+    w = Window.partitionBy("_root").orderBy(F.col("_path").asc())
+    depth = (
+        F.length("_path") - F.length(F.regexp_replace("_path", "/", ""))
+    ).cast("int")
+    return state.select(
+        F.col("_pid").alias(id_col),
+        F.col("_root").alias("root_id"),
+        depth.alias("depth"),
+        F.row_number().over(w).alias("thread_order"),
+    )
+
+
+def render_threads(
+    assembled: DataFrame,
+    posts: DataFrame,
+    id_col: str = "post_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(root_id, n_posts, dialog) — each thread linearized in rendered
+    order, depth shown as '>' quoting prefixes (the standard plain-
+    text forum rendering). One join + one groupBy(root)."""
+    joined = assembled.join(
+        posts.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    line = F.concat(
+        F.repeat(F.lit(">"), F.col("depth")),
+        F.when(F.col("depth") > 0, F.lit(" ")).otherwise(F.lit("")),
+        F.col(text_col),
+    )
+    return (
+        joined.groupBy("root_id")
+        .agg(
+            F.count("*").alias("n_posts"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("thread_order"), line.alias("l"))
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+            ).alias("dialog"),
+        )
+    )

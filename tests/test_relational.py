@@ -1,0 +1,503 @@
+"""Relational/layout operator tests: as-of join, range join,
+merge-upsert, Z-order layout, count-min sketch, int8 quantization,
+hard-negative mining.
+
+Each test pins exact expected rows from small constructed inputs —
+the semantics are relational, so the expectations are enumerable."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("fuzi-relational-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+class TestAsofJoin:
+    def _tables(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, 5.0), (2, 10, 20.0), (3, 10, 35.0), (4, 99, 7.0)],
+            "event_id long, user_id long, ts double",
+        )
+        right = spark.createDataFrame(
+            [(10, 5.0, 100.0), (10, 20.0, 200.0), (10, 30.0, 300.0)],
+            "user_id long, ts double, val double",
+        )
+        return left, right
+
+    def test_backward_at_or_before(self, spark):
+        from fuzi_spark.ops.relational import asof_join
+
+        left, right = self._tables(spark)
+        out = {
+            r.event_id: (r.asof_val, r.asof_ts_matched)
+            for r in asof_join(
+                left, right, on="user_id", payload=["val"]
+            ).collect()
+        }
+        assert out[1] == (100.0, 5.0)      # equal ts matches (inclusive)
+        assert out[2] == (200.0, 20.0)
+        assert out[3] == (300.0, 30.0)     # most recent, not first
+        assert out[4] == (None, None)      # key with no right rows
+
+    def test_no_earlier_row_is_null(self, spark):
+        from fuzi_spark.ops.relational import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, 1.0)], "event_id long, user_id long, ts double"
+        )
+        _, right = self._tables(spark)
+        row = asof_join(left, right, on="user_id", payload=["val"]).collect()[0]
+        assert row.asof_val is None and row.asof_ts_matched is None
+
+    def test_forward_direction(self, spark):
+        from fuzi_spark.ops.relational import asof_join
+
+        left, right = self._tables(spark)
+        out = {
+            r.event_id: r.asof_val
+            for r in asof_join(
+                left, right, on="user_id", payload=["val"],
+                direction="forward",
+            ).collect()
+        }
+        assert out[1] == 100.0             # at-or-after, inclusive
+        assert out[2] == 200.0
+        assert out[3] is None              # nothing after 35
+        assert out[4] is None
+
+    def test_tolerance_nulls_far_matches(self, spark):
+        from fuzi_spark.ops.relational import asof_join
+
+        left, right = self._tables(spark)
+        out = {
+            r.event_id: r.asof_val
+            for r in asof_join(
+                left, right, on="user_id", payload=["val"], tolerance=4.0
+            ).collect()
+        }
+        assert out[1] == 100.0             # distance 0
+        assert out[3] is None              # distance 5 > 4
+        # row is PRESERVED, payload nulled
+        assert set(out) == {1, 2, 3, 4}
+
+    def test_keys_do_not_leak(self, spark):
+        from fuzi_spark.ops.relational import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 77, 100.0)], "event_id long, user_id long, ts double"
+        )
+        _, right = self._tables(spark)   # all right rows are user 10
+        assert (
+            asof_join(left, right, on="user_id", payload=["val"])
+            .collect()[0].asof_val is None
+        )
+
+    def test_bad_direction_raises(self, spark):
+        from fuzi_spark.ops.relational import asof_join
+
+        left, right = self._tables(spark)
+        with pytest.raises(ValueError):
+            asof_join(left, right, on="user_id", direction="nearest")
+
+
+class TestRangeJoin:
+    def _tables(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 5.0), (2, 10.0), (3, 25.0), (4, 30.0), (5, 100.0)],
+            "pid long, x double",
+        )
+        ivs = spark.createDataFrame(
+            [(100, 5.0, 10.0), (200, 8.0, 26.0), (300, 90.0, 95.0)],
+            "iv_id long, lo double, hi double",
+        )
+        return pts, ivs
+
+    def test_pairs_match_bruteforce(self, spark):
+        from fuzi_spark.ops.relational import range_join
+
+        pts, ivs = self._tables(spark)
+        got = {
+            (r.pid, r.iv_id)
+            for r in range_join(pts, ivs, "x", "lo", "hi", 4.0).collect()
+        }
+        # brute force: 5 in [5,10] and NOT [8,26]; 10 in both; 25 in
+        # [8,26]; 30 nowhere; 100 nowhere
+        assert got == {(1, 100), (2, 100), (2, 200), (3, 200)}
+
+    def test_boundaries_inclusive_and_no_dups(self, spark):
+        from fuzi_spark.ops.relational import range_join
+
+        pts, ivs = self._tables(spark)
+        rows = range_join(pts, ivs, "x", "lo", "hi", 1.0).collect()
+        keys = [(r.pid, r.iv_id) for r in rows]
+        assert len(keys) == len(set(keys))     # wide interval, tiny bins
+        assert (1, 100) in keys and (2, 100) in keys  # x==lo and x==hi
+
+    def test_fanout_guard_raises(self, spark):
+        from fuzi_spark.ops.relational import range_join
+
+        pts, ivs = self._tables(spark)
+        with pytest.raises(ValueError, match="fan-out"):
+            range_join(
+                pts, ivs, "x", "lo", "hi", 0.001,
+                max_bins_per_interval=100,
+            )
+
+    def test_bad_width_raises(self, spark):
+        from fuzi_spark.ops.relational import range_join
+
+        pts, ivs = self._tables(spark)
+        with pytest.raises(ValueError):
+            range_join(pts, ivs, "x", "lo", "hi", 0.0)
+
+
+class TestMergeUpsert:
+    def _base(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1), (3, "c", 1)],
+            "k long, payload string, version long",
+        )
+
+    def test_latest_wins_delete_insert(self, spark):
+        from fuzi_spark.ops.relational import merge_upsert
+
+        base = self._base(spark)
+        upd = spark.createDataFrame(
+            [
+                (1, "a2", 2, False),   # update
+                (2, "gone", 2, True),  # delete
+                (9, "new", 2, False),  # insert
+            ],
+            "k long, payload string, version long, del boolean",
+        )
+        got = {
+            r.k: (r.payload, r.version)
+            for r in merge_upsert(base, upd, "k", "version", "del").collect()
+        }
+        assert got == {1: ("a2", 2), 3: ("c", 1), 9: ("new", 2)}
+
+    def test_version_tie_update_wins(self, spark):
+        from fuzi_spark.ops.relational import merge_upsert
+
+        base = self._base(spark)
+        upd = spark.createDataFrame(
+            [(1, "a-tie", 1, False)],
+            "k long, payload string, version long, del boolean",
+        )
+        got = {
+            r.k: r.payload
+            for r in merge_upsert(base, upd, "k", "version", "del").collect()
+        }
+        assert got[1] == "a-tie"
+
+    def test_stale_update_loses(self, spark):
+        from fuzi_spark.ops.relational import merge_upsert
+
+        base = spark.createDataFrame(
+            [(1, "fresh", 5)], "k long, payload string, version long"
+        )
+        upd = spark.createDataFrame(
+            [(1, "stale", 2, False)],
+            "k long, payload string, version long, del boolean",
+        )
+        got = merge_upsert(base, upd, "k", "version", "del").collect()
+        assert got[0].payload == "fresh" and got[0].version == 5
+
+    def test_idempotent_reapply(self, spark):
+        from fuzi_spark.ops.relational import merge_upsert
+
+        base = self._base(spark)
+        upd = spark.createDataFrame(
+            [(1, "a2", 2, False), (2, "x", 2, True)],
+            "k long, payload string, version long, del boolean",
+        )
+        once = merge_upsert(base, upd, "k", "version", "del")
+        twice = merge_upsert(once, upd, "k", "version", "del")
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, twice.collect())
+        )
+
+    def test_no_delete_col(self, spark):
+        from fuzi_spark.ops.relational import merge_upsert
+
+        base = self._base(spark)
+        upd = spark.createDataFrame(
+            [(3, "c9", 9)], "k long, payload string, version long"
+        )
+        got = {
+            r.k: r.payload
+            for r in merge_upsert(base, upd, "k", "version").collect()
+        }
+        assert got == {1: "a", 2: "b", 3: "c9"}
+
+
+def _morton_ref(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+class TestZorder:
+    def test_zvalue_matches_reference_morton(self, spark):
+        from fuzi_spark.ops.relational import zorder_value
+
+        # bounds 0..65535 make the quantization the identity map, so
+        # the column must equal the bit-twiddled reference exactly
+        pts = [(3, 1), (0, 0), (65535, 65535), (12345, 54321), (1, 0)]
+        df = spark.createDataFrame(pts, "x long, y long").withColumn(
+            "z", zorder_value(F.col("x"), F.col("y"), 0, 65535, 0, 65535)
+        )
+        for r in df.collect():
+            assert r.z == _morton_ref(r.x, r.y), (r.x, r.y)
+
+    def test_layout_partitions_all_rows(self, spark):
+        from fuzi_spark.ops.relational import zorder_layout
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        total = li.count()
+        summary = zorder_layout(
+            li, "l_partkey", "l_suppkey", 0, 199, 0, 9, n_files=16
+        ).collect()
+        assert sum(r.n_rows for r in summary) == total
+        assert all(0 <= r.file_id < 16 for r in summary)
+
+    def test_layout_tightens_both_dims(self, spark):
+        from fuzi_spark.ops.relational import zorder_layout
+
+        # uniform grid: with Z-clustering each file's bounding box
+        # must cover a small fraction of BOTH axes (a plain sort on x
+        # would leave y ranges full-width)
+        n = 64
+        grid = spark.createDataFrame(
+            [(i % n, i // n) for i in range(n * n)], "x long, y long"
+        )
+        summary = zorder_layout(
+            grid, "x", "y", 0, n - 1, 0, n - 1, n_files=16
+        ).collect()
+        avg_x = sum(r.max_x - r.min_x for r in summary) / len(summary)
+        avg_y = sum(r.max_y - r.min_y for r in summary) / len(summary)
+        assert avg_x <= (n - 1) / 2 and avg_y <= (n - 1) / 2
+
+    def test_non_power_of_two_raises(self, spark):
+        from fuzi_spark.ops.relational import zorder_layout
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        with pytest.raises(ValueError):
+            zorder_layout(li, "l_partkey", "l_suppkey", 0, 9, 0, 9,
+                          n_files=63)
+
+
+class TestCms:
+    def _tokens(self, spark, counts: dict):
+        rows = [(t,) for t, c in counts.items() for _ in range(c)]
+        return spark.createDataFrame(rows, "token string")
+
+    def test_estimate_never_underestimates(self, spark):
+        from fuzi_spark.ops.sketch import cms_build, cms_estimate
+
+        counts = {f"tok{i}": (i % 7) + 1 for i in range(200)}
+        toks = self._tokens(spark, counts)
+        sketch = cms_build(toks, depth=4, width=64)   # narrow → collisions
+        cand = spark.createDataFrame(
+            [(t,) for t in counts], "token string"
+        )
+        for r in cms_estimate(sketch, cand, depth=4, width=64).collect():
+            assert r.est >= counts[r.token], r.token
+
+    def test_wide_sketch_is_exact(self, spark):
+        from fuzi_spark.ops.sketch import cms_build, cms_estimate
+
+        counts = {"alpha": 5, "beta": 3, "gamma": 1}
+        toks = self._tokens(spark, counts)
+        sketch = cms_build(toks, depth=4, width=4096)
+        cand = spark.createDataFrame([(t,) for t in counts], "token string")
+        got = {
+            r.token: r.est
+            for r in cms_estimate(sketch, cand, depth=4, width=4096).collect()
+        }
+        assert got == counts    # 3 tokens in 4096 buckets: no collisions
+
+    def test_absent_token_estimates_near_zero(self, spark):
+        from fuzi_spark.ops.sketch import cms_build, cms_estimate
+
+        toks = self._tokens(spark, {"alpha": 5})
+        sketch = cms_build(toks, depth=4, width=4096)
+        cand = spark.createDataFrame([("zzz-never",)], "token string")
+        assert cms_estimate(sketch, cand, 4, 4096).collect()[0].est == 0
+
+    def test_sketch_is_a_monoid(self, spark):
+        from fuzi_spark.ops.sketch import cms_build
+
+        a = self._tokens(spark, {"x": 3, "y": 2})
+        b = self._tokens(spark, {"y": 4, "z": 1})
+        merged = (
+            cms_build(a, 2, 32).unionByName(cms_build(b, 2, 32))
+            .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+        )
+        whole = cms_build(a.unionByName(b), 2, 32)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_heavy_hitters_order_and_bound(self, spark):
+        from fuzi_spark.ops.sketch import heavy_hitters
+
+        docs = spark.createDataFrame(
+            [(1, "a a a b b c"), (2, "a b d"), (3, "A  a\tb")],
+            "doc_id long, text string",
+        )
+        rows = heavy_hitters(docs, top_n=3).collect()
+        got = {r.token: (r.exact, r.est) for r in rows}
+        assert got["a"][0] == 6 and got["b"][0] == 4   # lowercased, ws-split
+        assert all(est >= exact for exact, est in got.values())
+
+
+class TestQuantize:
+    def test_known_codes(self, spark):
+        from fuzi_spark.ops.quantize import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -0.5, 0.25])], "vec_id long, embedding array<double>"
+        )
+        r = quantize_embeddings(df).collect()[0]
+        assert abs(r.scale - 1.0 / 127.0) < 1e-12
+        # v/scale = [127, -63.5, 31.75] → round-half-up → [127, -63, 32]
+        assert list(r.codes) == [127, -63, 32]
+
+    def test_zero_vector_lossless(self, spark):
+        from fuzi_spark.ops.quantize import quantize_report
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        r = quantize_report(df).collect()[0]
+        assert r.scale == 0.0 and r.mse == 0.0 and r.cos_recon is None
+
+    def test_reconstruction_fidelity_on_testdata(self, spark):
+        from fuzi_spark.ops.quantize import quantize_report
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        rows = quantize_report(emb).collect()
+        assert len(rows) > 0
+        assert all(r.cos_recon > 0.995 for r in rows)
+        assert all(r.n_sat >= 1 for r in rows)  # max element saturates
+
+    def test_saturation_clamps_hostile_rounding(self, spark):
+        from fuzi_spark.ops.quantize import quantize_embeddings
+
+        # the max-abs element maps to exactly 127 (not 128) even
+        # though round-half-up of 127.0 could drift with float error
+        df = spark.createDataFrame(
+            [(1, [3.0, -3.0])], "vec_id long, embedding array<double>"
+        )
+        r = quantize_embeddings(df).collect()[0]
+        assert list(r.codes) == [127, -127]
+
+
+class TestHardNegatives:
+    def test_label_ceiling_floor_and_rank(self, spark):
+        from fuzi_spark.ops.negatives import hard_negatives
+
+        # query 0, label 0 at e1; candidates constructed by angle
+        corpus = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0], 0),       # the query itself
+                (1, [0.999, 0.04], 0),    # same label → excluded
+                (2, [0.99, 0.14], 1),     # cos ≈ .990 > .95 → ceiling
+                (3, [0.9, 0.43], 1),      # cos ≈ .902 → kept, rank 1
+                (4, [0.5, 0.866], 2),     # cos .5 → kept, rank 2
+                (5, [-0.2, 0.98], 1),     # cos < 0 → floor
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+        qs = corpus.filter(F.col("vec_id") == 0)
+        rows = hard_negatives(corpus, qs, k=5, ceiling=0.95).collect()
+        assert [(r.neg_id, r.rank) for r in rows] == [(3, 1), (4, 2)]
+
+    def test_k_truncates(self, spark):
+        from fuzi_spark.ops.negatives import hard_negatives
+
+        corpus = spark.createDataFrame(
+            [(i, [1.0, i * 0.01], 1 if i else 0) for i in range(10)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        qs = corpus.filter(F.col("vec_id") == 0)
+        assert hard_negatives(corpus, qs, k=3, ceiling=1.1).count() == 3
+
+
+class TestThreads:
+    def _posts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "post_id long, parent_id long, ts long"
+        )
+
+    def test_dfs_order_depth_and_roots(self, spark):
+        from fuzi_spark.ops.threads import thread_assembly
+
+        #   1 (root, ts 0)
+        #   ├── 2 (ts 5)
+        #   │   └── 4 (ts 1)
+        #   └── 3 (ts 2)      ← earlier ts: renders BEFORE 2's subtree
+        #   9 (root of its own thread)
+        posts = self._posts(
+            spark,
+            [(1, None, 0), (2, 1, 5), (3, 1, 2), (4, 2, 1), (9, None, 7)],
+        )
+        out = {r.post_id: r for r in thread_assembly(posts).collect()}
+        assert all(out[p].root_id == 1 for p in (1, 2, 3, 4))
+        assert out[9].root_id == 9 and out[9].depth == 0
+        assert [out[p].depth for p in (1, 2, 3, 4)] == [0, 1, 1, 2]
+        order = sorted((out[p].thread_order, p) for p in (1, 2, 3, 4))
+        assert [p for _, p in order] == [1, 3, 2, 4]  # preorder, ts siblings
+
+    def test_deep_chain_resolves(self, spark):
+        from fuzi_spark.ops.threads import thread_assembly
+
+        chain = [(0, None, 0)] + [(i, i - 1, i) for i in range(1, 12)]
+        out = {r.post_id: r for r in
+               thread_assembly(self._posts(spark, chain),
+                               max_depth=16).collect()}
+        assert out[11].depth == 11 and out[11].root_id == 0
+        assert out[11].thread_order == 12
+
+    def test_cycle_fails_loudly(self, spark):
+        from fuzi_spark.ops.threads import thread_assembly
+
+        cyc = self._posts(spark, [(1, 2, 0), (2, 1, 1)])
+        with pytest.raises(RuntimeError, match="unresolved"):
+            thread_assembly(cyc, max_depth=4)
+
+    def test_render_quoting(self, spark):
+        from fuzi_spark.ops.threads import render_threads, thread_assembly
+
+        posts = self._posts(
+            spark, [(1, None, 0), (2, 1, 1), (3, 2, 2)]
+        ).withColumn(
+            "text",
+            F.concat(F.lit("msg"), F.col("post_id").cast("string")),
+        )
+        asm = thread_assembly(posts)
+        row = render_threads(asm, posts).collect()[0]
+        assert row.n_posts == 3
+        assert row.dialog == "msg1\n> msg2\n>> msg3"
