@@ -81,10 +81,31 @@ def quantize_report(
     for zero vectors), `mse` the mean squared reconstruction error.
 
     Gate recipe: require min(cos_recon) above a floor (0.999 for
-    retrieval embeddings) before rewriting the lake to int8."""
-    q = quantize_embeddings(df, vec_col, id_col)
-    joined = df.select(F.col(id_col), _as_double(vec_col).alias("_v")).join(
-        q, id_col
+    retrieval embeddings) before rewriting the lake to int8.
+
+    Plan shape: everything is computed inline in ONE projection chain
+    over a single scan — no self-join back to the codes (an earlier
+    draft joined quantize_embeddings against the source and paid two
+    scans plus a broadcast join for what is per-row arithmetic)."""
+    v = _as_double(vec_col)
+    scale = (
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+        / F.lit(127.0)
+    )
+    joined = df.select(
+        F.col(id_col), v.alias("_v"), scale.alias("scale")
+    ).withColumn(
+        "codes",
+        F.when(
+            F.col("scale") > 0,
+            F.transform(
+                F.col("_v"),
+                lambda x: F.greatest(
+                    F.lit(-127),
+                    F.least(F.lit(127), _round_half_up(x / F.col("scale"))),
+                ).cast("int"),
+            ),
+        ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0))),
     )
     recon = F.zip_with(
         F.col("codes"), F.col("_v"), lambda c, _: c * F.col("scale")

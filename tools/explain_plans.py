@@ -445,6 +445,51 @@ CASES = [
      "Episode splitting. Wants: ZERO Python and ZERO exchanges — the "
      "greedy fold, the per-episode slices, and the render are staged "
      "Projects around one Generate (the episode explode)."),
+    ("dsir_select",
+     "DSIR data selection. Wants: bucket counts with partial_ agg before "
+     "their exchanges, the B-row ratio table BROADCAST into the scoring "
+     "join, ONE doc-keyed shuffle for the weight sum, TakeOrdered (not a "
+     "global sort) for the Gumbel top-k."),
+    ("asof_join",
+     "As-of join. Wants: ONE exchange keyed on user_id feeding a single "
+     "in-partition sort + Window (the union-merge shape) — no join "
+     "operator at all on the big side, no per-key blowup."),
+    ("range_join",
+     "Range join. Wants: SortMergeJoin/ShuffledHashJoin on the bin cell "
+     "(an EQUI-join) with the containment residual as a join condition — "
+     "never BroadcastNestedLoopJoin."),
+    ("merge_upsert",
+     "CDC merge. Wants: one union, one exchange on the key, rank-1 via "
+     "WindowGroupLimit (top-1 computed map-side before the shuffle)."),
+    ("zorder_layout",
+     "Z-order plan. Wants: the whole Morton ladder inside one codegen'd "
+     "Project over the scan, then one partial_-combined aggregate over "
+     "64 file ids — nothing else."),
+    ("heavy_hitters",
+     "Count-min heavy hitters. Wants: sketch build = explode + ONE "
+     "partial_-combined groupBy; estimates via BROADCAST joins of the "
+     "d*w sketch rows; candidate top-k via TakeOrdered."),
+    ("embedding_quantize",
+     "Int8 quantization telemetry. Wants: ZERO exchanges — every metric "
+     "is a per-row HOF projection in whole-stage codegen."),
+    ("hard_negatives",
+     "Hard-negative mining. Wants: the query side BROADCAST (corpus "
+     "never shuffled for the pairing), cosine in codegen, per-query "
+     "top-k as WindowGroupLimit."),
+    ("hll_distinct",
+     "HLL distinct. Wants: register build = ONE partial_-combined "
+     "groupBy (per-group <= 256 rows); estimate math in codegen."),
+    ("bm25_search",
+     "BM25. Wants: postings groupBy partial-combined; idf/query join "
+     "BROADCAST; scalar N/avgdl as 1-row cross joins riding the plan; "
+     "top-20 via TakeOrdered."),
+    ("hash_embed",
+     "Feature-hash embedding. Wants: ZERO exchanges, ZERO Python — two "
+     "md5 calls per token and the fold all in one codegen'd Project."),
+    ("thread_assembly",
+     "Thread assembly (one resolution round shown; the loop checkpoints "
+     "per round). Wants: per-round cost = one equi-join keyed on the "
+     "ancestor id; final DFS order = one window over (root, path)."),
 ]
 
 
