@@ -3995,6 +3995,64 @@ def q_thread_assembly(spark, sf_dir):
     )
 
 
+def q_loss_mask(spark, sf_dir):
+    """Loss-mask spans over the SAME episode construction as
+    interleave_episodes: the <image> sentinel ranges (start/end char
+    offsets in the rendered text), trainable char count, and the
+    sentinel-collision audit flag. The oracle enumerates every
+    episode class's mask offsets from the construction arithmetic
+    (A=10 chars, separators are double newlines, sentinel is 7
+    chars)."""
+    from fuzi_spark.ops.assemble import loss_mask_spans
+
+    eps = q_interleave_episodes(spark, sf_dir)
+    return loss_mask_spans(eps).select(
+        "doc_id", "episode_idx", "mask_starts", "mask_ends",
+        "n_trainable_chars", "mask_ok",
+    )
+
+
+def q_parse_jsonl(spark, sf_dir):
+    """JSONL source (ops/jsonsrc.py): lines constructed from the
+    documents table ('{"id":…,"lang":…,"n":…}'), with every 97th line
+    corrupted by a leading non-JSON token. from_json (JVM Jackson, no
+    Python, no inference scan) parses against an explicit schema;
+    malformed lines surface as parse_ok=false + preserved raw line,
+    never a task failure — the engine's standing recovering-parser
+    contract. Oracle replays the construction arithmetic."""
+    from fuzi_spark.ops.jsonsrc import parse_jsonl
+
+    line = F.concat(
+        F.when(F.col("doc_id") % 97 == 0, F.lit("oops")).otherwise(
+            F.lit("")
+        ),
+        F.lit('{"id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('", "n": '),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", line.alias("line"))
+    return parse_jsonl(d, "id BIGINT, lang STRING, n BIGINT")
+
+
+def q_rate_anomalies(spark, sf_dir):
+    """Trailing z-score rate anomalies (ops/anomaly.py) over hourly
+    per-event-type counts of the events table: one partial-combined
+    groupBy + one window pass (ROWS BETWEEN -6 AND -1), z scored only
+    with >= 3 history buckets and positive sigma. Oracle replays
+    bucket counts (time_bucket — hour-aligned like Spark's window),
+    the trailing frame, and the gating."""
+    from fuzi_spark.ops.anomaly import rate_anomalies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rate_anomalies(
+        ev, "ts", "event_type", "1 hour", trailing=6, threshold=2.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -4125,6 +4183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "hll_distinct": q_hll_distinct,
         "thread_assembly": q_thread_assembly,
+        "loss_mask": q_loss_mask,
+        "parse_jsonl": q_parse_jsonl,
+        "rate_anomalies": q_rate_anomalies,
         "bm25_search": q_bm25_search,
         "hash_embed": q_hash_embed,
         "audio_dedup": q_audio_dedup,
@@ -6176,6 +6237,71 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(ROW_NUMBER() OVER (PARTITION BY root "
             "    ORDER BY path) AS INTEGER) AS thread_order "
             "FROM done"
+        ),
+        "loss_mask": (
+            # class-arithmetic enumeration of the mask offsets in the
+            # interleave_episodes construction: ep0 = A nn <image> nn A
+            # (mask [12,19), trainable 24), ep1 = <image> nn A [nn A]
+            # (mask [0,7), trainable 12/24), ep2 = A (no mask)
+            "WITH d AS (SELECT doc_id, doc_id % 3 AS x FROM documents), "
+            "e0 AS (SELECT doc_id, 0 AS episode_idx, "
+            "  [CAST(12 AS BIGINT)] AS mask_starts, "
+            "  [CAST(19 AS BIGINT)] AS mask_ends, "
+            "  CAST(24 AS BIGINT) AS n_trainable_chars, "
+            "  TRUE AS mask_ok FROM d), "
+            "e1 AS (SELECT doc_id, 1 AS episode_idx, "
+            "  [CAST(0 AS BIGINT)] AS mask_starts, "
+            "  [CAST(7 AS BIGINT)] AS mask_ends, "
+            "  CAST(CASE WHEN x = 0 THEN 12 ELSE 24 END AS BIGINT) "
+            "    AS n_trainable_chars, TRUE AS mask_ok FROM d), "
+            "e2 AS (SELECT doc_id, 2 AS episode_idx, "
+            "  CAST([] AS BIGINT[]) AS mask_starts, "
+            "  CAST([] AS BIGINT[]) AS mask_ends, "
+            "  CAST(10 AS BIGINT) AS n_trainable_chars, "
+            "  TRUE AS mask_ok FROM d WHERE x = 2) "
+            "SELECT doc_id, CAST(episode_idx AS INTEGER) "
+            "  AS episode_idx, mask_starts, mask_ends, "
+            "  n_trainable_chars, mask_ok FROM ("
+            "  SELECT * FROM e0 UNION ALL SELECT * FROM e1 "
+            "  UNION ALL SELECT * FROM e2)"
+        ),
+        "parse_jsonl": (
+            # construction replay: every 97th line was corrupted with
+            # a leading non-JSON token, so its fields are NULL, its
+            # raw line preserved; all others parse to the source
+            # columns
+            "SELECT doc_id, "
+            "  doc_id % 97 <> 0 AS parse_ok, "
+            "  CASE WHEN doc_id % 97 = 0 THEN NULL ELSE doc_id END "
+            "    AS id, "
+            "  CASE WHEN doc_id % 97 = 0 THEN NULL ELSE lang END "
+            "    AS lang, "
+            "  CASE WHEN doc_id % 97 = 0 THEN NULL ELSE n_chars END "
+            "    AS n, "
+            "  CASE WHEN doc_id % 97 = 0 THEN "
+            "    'oops{\"id\": ' || CAST(doc_id AS VARCHAR) || "
+            "    ', \"lang\": \"' || lang || '\", \"n\": ' || "
+            "    CAST(n_chars AS VARCHAR) || '}' END AS raw "
+            "FROM documents"
+        ),
+        "rate_anomalies": (
+            # hourly bucket counts (time_bucket is hour-aligned, same
+            # grid as Spark's tumbling window), trailing 6-bucket
+            # frame, z gated on >=3 history buckets and sigma > 0
+            "WITH c AS (SELECT event_type, "
+            "  time_bucket(INTERVAL 1 HOUR, ts) AS win_start, "
+            "  COUNT(*) AS n FROM events GROUP BY 1, 2), "
+            "s AS (SELECT event_type, win_start, n, "
+            "  AVG(n) OVER w AS mu, STDDEV_SAMP(n) OVER w AS sigma, "
+            "  COUNT(n) OVER w AS hist FROM c WINDOW w AS ("
+            "  PARTITION BY event_type ORDER BY win_start "
+            "  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)), "
+            "z AS (SELECT event_type, win_start, n, mu, sigma, "
+            "  CASE WHEN hist >= 3 AND sigma IS NOT NULL "
+            "    AND sigma > 0 THEN (n - mu) / sigma END AS z "
+            "  FROM s) "
+            "SELECT event_type, win_start, n, mu, sigma, z, "
+            "  COALESCE(abs(z) >= 2.5, FALSE) AS is_anomaly FROM z"
         ),
         "audio_dedup": (
             # relational replay of the melody-group construction:

@@ -157,6 +157,9 @@ BENCH_QUERIES = [
     "bm25_search",
     "hash_embed",
     "thread_assembly",
+    "loss_mask",
+    "parse_jsonl",
+    "rate_anomalies",
 ]
 
 

@@ -304,3 +304,74 @@ def interleave_episodes(
         _n_media(ep).alias("n_media"),
         _n_text_chars(ep).alias("n_text_chars"),
     )
+
+
+def loss_mask_spans(
+    episodes: DataFrame,
+    text_col: str = "text",
+    refs_col: str = "media_refs",
+    image_token: str = "<image>",
+) -> DataFrame:
+    """Training loss-mask spans for rendered interleaved episodes: the
+    character ranges occupied by `image_token` sentinels must NOT
+    contribute to the LM loss (those positions are filled by vision
+    embeddings at train time, not predicted). Adds
+
+        mask_starts/mask_ends : array<long>   (parallel, half-open)
+        n_trainable_chars     : long          (text minus masked)
+        mask_ok               : boolean
+
+    `mask_ok` is the collision guard: the number of sentinel
+    occurrences found by scanning must equal size(media_refs) — if the
+    SOURCE text itself contained the sentinel literal, counts diverge
+    and the row is flagged rather than silently mis-masked (choose a
+    sentinel outside the corpus alphabet; the flag is the audit).
+
+    Pure Catalyst, zero shuffles: split on the sentinel, then ONE
+    sequential `aggregate` turns the head parts into cumulative start
+    offsets (the fold carries the running position), then projections
+    derive the ends/counts — one stage per derivation (the chained-HOF
+    expansion lesson: columns are evaluated once per row, inline
+    expression trees are not)."""
+    import re as _re
+
+    sentinel_len = len(image_token)
+    parts = F.split(F.col(text_col), _re.escape(image_token), -1)
+    heads = F.slice(parts, 1, F.size(parts) - 1)
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("run"),
+        F.array().cast("array<long>").alias("starts"),
+    )
+
+    def step(acc, p):
+        start = acc["run"] + F.length(p)
+        return F.struct(
+            (start + F.lit(sentinel_len)).alias("run"),
+            F.concat(acc["starts"], F.array(start)).alias("starts"),
+        )
+
+    out = episodes.withColumn(
+        "mask_starts", F.aggregate(heads, acc0, step)["starts"]
+    )
+    out = out.withColumn(
+        "mask_ends",
+        F.transform(
+            F.col("mask_starts"), lambda s: s + F.lit(sentinel_len)
+        ),
+    )
+    n_mask = F.size("mask_starts")
+    return (
+        out.withColumn(
+            "n_trainable_chars",
+            (
+                F.length(text_col)
+                - n_mask.cast("long") * F.lit(sentinel_len)
+            ).cast("long"),
+        )
+        .withColumn(
+            "mask_ok",
+            n_mask == F.size(F.coalesce(
+                F.col(refs_col), F.array().cast("array<string>")
+            )),
+        )
+    )

@@ -501,3 +501,128 @@ class TestThreads:
         row = render_threads(asm, posts).collect()[0]
         assert row.n_posts == 3
         assert row.dialog == "msg1\n> msg2\n>> msg3"
+
+
+class TestLossMask:
+    def _eps(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, episode_idx int, text string, "
+                  "media_refs array<string>"
+        )
+
+    def test_offsets_and_trainable(self, spark):
+        from fuzi_spark.ops.assemble import loss_mask_spans
+
+        eps = self._eps(
+            spark, [(1, 0, "aaa\n<image>\nbb<image>", ["m/1", "m/2"])]
+        )
+        r = loss_mask_spans(eps).collect()[0]
+        assert list(r.mask_starts) == [4, 14]
+        assert list(r.mask_ends) == [11, 21]
+        assert r.n_trainable_chars == len("aaa\n<image>\nbb<image>") - 14
+        assert r.mask_ok
+
+    def test_collision_flagged_not_silently_masked(self, spark):
+        from fuzi_spark.ops.assemble import loss_mask_spans
+
+        # source text contains the sentinel literal but NO media refs:
+        # counts diverge -> audit flag, never a silent wrong mask
+        eps = self._eps(spark, [(1, 0, "pre <image> post", [])])
+        r = loss_mask_spans(eps).collect()[0]
+        assert not r.mask_ok and len(r.mask_starts) == 1
+
+    def test_no_sentinel(self, spark):
+        from fuzi_spark.ops.assemble import loss_mask_spans
+
+        eps = self._eps(spark, [(1, 0, "plain text only", [])])
+        r = loss_mask_spans(eps).collect()[0]
+        assert list(r.mask_starts) == [] and r.mask_ok
+        assert r.n_trainable_chars == len("plain text only")
+
+
+class TestParseJsonl:
+    def _lines(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, line string")
+
+    def test_ok_corrupt_and_null(self, spark):
+        from fuzi_spark.ops.jsonsrc import parse_jsonl
+
+        df = self._lines(
+            spark,
+            [
+                (1, '{"id": 7, "lang": "en"}'),
+                (2, 'garbage{"id": 8}'),
+                (3, None),
+            ],
+        )
+        out = {r.k: r for r in
+               parse_jsonl(df, "id BIGINT, lang STRING").collect()}
+        assert out[1].parse_ok and out[1].id == 7 and out[1].lang == "en"
+        assert out[1].raw is None
+        assert out[2].parse_ok is False and out[2].id is None
+        assert out[2].raw == 'garbage{"id": 8}'
+        assert out[3].parse_ok is None
+
+    def test_partial_type_mismatch_is_corrupt(self, spark):
+        from fuzi_spark.ops.jsonsrc import parse_jsonl
+
+        # well-formed JSON, wrong type for id: PERMISSIVE would keep
+        # the parseable fields — the contract nulls ALL fields so a
+        # half-broken record can't masquerade as data
+        df = self._lines(spark, [(1, '{"id": "not-a-number", "lang": "fr"}')])
+        r = parse_jsonl(df, "id BIGINT, lang STRING").collect()[0]
+        assert r.parse_ok is False and r.id is None and r.lang is None
+        assert r.raw is not None
+
+    def test_reserved_field_raises(self, spark):
+        from fuzi_spark.ops.jsonsrc import parse_jsonl
+
+        df = self._lines(spark, [(1, "{}")])
+        with pytest.raises(ValueError):
+            parse_jsonl(df, "_corrupt STRING")
+
+
+class TestRateAnomalies:
+    def _events(self, spark, counts, typ="a"):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for h, n in enumerate(counts):
+            for j in range(n):
+                rows.append((typ, base + dt.timedelta(hours=h, seconds=j)))
+        return spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    def test_spike_flagged_after_history(self, spark):
+        from fuzi_spark.ops.anomaly import rate_anomalies
+
+        ev = self._events(spark, [10, 11, 10, 11, 50])
+        out = sorted(
+            rate_anomalies(ev, threshold=3.0).collect(),
+            key=lambda r: r.win_start,
+        )
+        assert [r.n for r in out] == [10, 11, 10, 11, 50]
+        assert out[-1].is_anomaly and out[-1].z > 3.0
+        assert not any(r.is_anomaly for r in out[:-1])
+
+    def test_cold_start_and_flat_history_unscored(self, spark):
+        from fuzi_spark.ops.anomaly import rate_anomalies
+
+        ev = self._events(spark, [10, 10, 10, 10, 99])
+        out = sorted(
+            rate_anomalies(ev).collect(), key=lambda r: r.win_start
+        )
+        # first buckets: < min_history trailing rows -> unscored
+        assert out[0].z is None and out[1].z is None
+        # flat history: sigma == 0 -> unscored, NOT an alert
+        assert out[-1].z is None and not out[-1].is_anomaly
+
+    def test_groups_isolated(self, spark):
+        from fuzi_spark.ops.anomaly import rate_anomalies
+
+        a = self._events(spark, [10, 11, 10, 11, 50], "a")
+        b = self._events(spark, [5, 6, 5, 6, 5], "b")
+        out = rate_anomalies(a.unionByName(b)).collect()
+        assert not any(
+            r.is_anomaly for r in out if r.event_type == "b"
+        )
