@@ -4053,6 +4053,46 @@ def q_rate_anomalies(spark, sf_dir):
     )
 
 
+def q_text_semantic_dedup(spark, sf_dir):
+    """Integration of the self-contained text→embedding→dedup bridge:
+    every document gets a twin (doc_id+100000) with its TOKEN ORDER
+    REVERSED — byte/shingle dedup cannot group these, but the
+    bag-of-words hashed embedding (ops/hashembed.py) is order-
+    invariant, so hash_embed → embedding_near_dups (multi-table LSH
+    self-join) must pair every doc with its twin. Output: per doc the
+    near-dup partner count. The oracle replays the invariant
+    relationally — groups are token MULTISET equality (sorted-token
+    md5) over originals ∪ twins."""
+    from fuzi_spark.ops.hashembed import hash_embed
+    from fuzi_spark.ops.similarity import embedding_near_dups
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    rev = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.reverse(toks), " ").alias("text"),
+    )
+    emb = hash_embed(d.unionByName(rev), dims=64).filter(
+        F.col("norm") > 0
+    )
+    pairs = embedding_near_dups(
+        emb.select("doc_id", "embedding"),
+        threshold=0.999999,
+        id_col="doc_id",
+    )
+    both = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    counts = both.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    return emb.select("doc_id").join(counts, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_partners"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -4186,6 +4226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loss_mask": q_loss_mask,
         "parse_jsonl": q_parse_jsonl,
         "rate_anomalies": q_rate_anomalies,
+        "text_semantic_dedup": q_text_semantic_dedup,
         "bm25_search": q_bm25_search,
         "hash_embed": q_hash_embed,
         "audio_dedup": q_audio_dedup,
@@ -6302,6 +6343,24 @@ def oracle_sql() -> dict[str, str]:
             "  FROM s) "
             "SELECT event_type, win_start, n, mu, sigma, z, "
             "  COALESCE(abs(z) >= 2.5, FALSE) AS is_anomaly FROM z"
+        ),
+        "text_semantic_dedup": (
+            # order-invariance invariant replayed relationally: a
+            # doc and its reversed-token twin share a token MULTISET
+            # (sorted-token md5 key), so each doc's partner count is
+            # its multiset group size - 1; byte dedup sees 1000
+            # distinct texts, the hashed embedding must see the groups
+            "WITH base AS (SELECT doc_id, list_filter("
+            "  regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "  x -> x <> '') AS toks FROM documents), "
+            "allr AS (SELECT doc_id, toks FROM base "
+            "  UNION ALL SELECT doc_id + 100000, toks FROM base), "
+            "key AS (SELECT doc_id, md5(array_to_string("
+            "  list_sort(toks), chr(31))) AS k FROM allr "
+            "  WHERE len(toks) > 0), "
+            "g AS (SELECT k, COUNT(*) AS n FROM key GROUP BY 1) "
+            "SELECT key.doc_id, CAST(g.n - 1 AS BIGINT) AS n_partners "
+            "FROM key JOIN g USING (k)"
         ),
         "audio_dedup": (
             # relational replay of the melody-group construction:

@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "loss_mask",
     "parse_jsonl",
     "rate_anomalies",
+    "text_semantic_dedup",
 ]
 
 

@@ -200,3 +200,30 @@ class TestHashEmbed:
         ).collect()
         ranked = [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)]
         assert ranked[0] == 2   # near-copy ranks first (self excluded)
+
+
+class TestTextSemanticDedup:
+    def test_reversed_token_twin_is_found(self, spark):
+        """The integration invariant behind the text_semantic_dedup
+        query: token-order permutation preserves the hashed embedding
+        exactly, so LSH near-dup pairing must group a doc with its
+        reversed twin even though the bytes differ."""
+        from fuzi_spark.ops.hashembed import hash_embed
+        from fuzi_spark.ops.similarity import embedding_near_dups
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "zeta epsilon delta gamma beta alpha"),   # reversed
+                (3, "totally different content entirely here"),
+            ],
+            "doc_id long, text string",
+        )
+        emb = hash_embed(docs, dims=64)
+        rows = {r.doc_id: list(r.embedding) for r in emb.collect()}
+        assert rows[1] == rows[2] and rows[1] != rows[3]
+        pairs = embedding_near_dups(
+            emb.select("doc_id", "embedding"),
+            threshold=0.999999, id_col="doc_id",
+        ).collect()
+        assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
