@@ -4093,6 +4093,58 @@ def q_text_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution (ops/web.py): a deterministic edge
+    set from doc ids — ids ≡ 0,1,2 (mod 10) redirect to the next id
+    (chains of length 3/2/1 ending at the decade's id+3), except ids
+    ≡ 50,51 (mod 100) which form a 2-cycle LOOP. Bounded iterative
+    joins must resolve every chain to its final url and flag the loop
+    rows ok=false with NULL final/hops. Oracle replays the chain
+    arithmetic."""
+    from fuzi_spark.ops.web import resolve_redirects
+
+    i = F.col("doc_id")
+    u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+    d = _docs(spark, sf_dir).select("doc_id")
+    normal = d.filter(
+        ((i % 10).isin(0, 1, 2)) & (~(i % 100).isin(50, 51))
+    ).select(u(i).alias("src"), u(i + 1).alias("dst"))
+    loop = d.filter((i % 100) == 50).select(
+        u(i).alias("src"), u(i + 1).alias("dst")
+    ).unionByName(
+        d.filter((i % 100) == 51).select(
+            u(i).alias("src"), u(i - 1).alias("dst")
+        )
+    )
+    return resolve_redirects(normal.unionByName(loop), max_hops=8)
+
+
+def q_fim_split(spark, sf_dir):
+    """Fill-in-the-middle training prep (ops/fim.py): rate-0.5
+    deterministic gate + md5-derived split points rewrite selected
+    documents to <PRE>prefix<SUF>suffix<MID>middle; everything else
+    passes through. Oracle replays the gate, both uniform draws, and
+    the three substrings byte-for-byte."""
+    from fuzi_spark.ops.fim import fim_split
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return fim_split(d, rate=0.5, min_chars=8).select(
+        "doc_id", "fim_applied", "fim_text"
+    )
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-language n_chars quantiles (ops/diagnostics.py
+    group_quantiles): lower-interpolation order statistics at
+    p50/p90/p99 — rank arithmetic only, so the oracle replay is
+    bit-exact (no midpoint float interpolation)."""
+    from fuzi_spark.ops.diagnostics import group_quantiles
+
+    return group_quantiles(
+        _docs(spark, sf_dir), "n_chars", ["lang"], (0.5, 0.9, 0.99)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -4227,6 +4279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_jsonl": q_parse_jsonl,
         "rate_anomalies": q_rate_anomalies,
         "text_semantic_dedup": q_text_semantic_dedup,
+        "resolve_redirects": q_resolve_redirects,
+        "fim_split": q_fim_split,
+        "length_quantiles": q_length_quantiles,
         "bm25_search": q_bm25_search,
         "hash_embed": q_hash_embed,
         "audio_dedup": q_audio_dedup,
@@ -6361,6 +6416,67 @@ def oracle_sql() -> dict[str, str]:
             "g AS (SELECT k, COUNT(*) AS n FROM key GROUP BY 1) "
             "SELECT key.doc_id, CAST(g.n - 1 AS BIGINT) AS n_partners "
             "FROM key JOIN g USING (k)"
+        ),
+        "resolve_redirects": (
+            # chain arithmetic: id%10 == k (k<3, not the loop ids)
+            # terminates at the decade's id+3 after 3-k hops; the
+            # 50/51 two-cycle yields ok=false, NULL final/hops
+            "WITH s AS (SELECT doc_id AS i FROM documents "
+            "  WHERE doc_id % 10 IN (0, 1, 2)) "
+            "SELECT 'u' || CAST(i AS VARCHAR) AS src, "
+            "  CASE WHEN i % 100 IN (50, 51) THEN NULL "
+            "    ELSE 'u' || CAST((i - i % 10) + 3 AS VARCHAR) END "
+            "    AS final_url, "
+            "  CASE WHEN i % 100 IN (50, 51) THEN NULL "
+            "    ELSE CAST(3 - i % 10 AS INTEGER) END AS n_hops, "
+            "  i % 100 NOT IN (50, 51) AS ok "
+            "FROM s"
+        ),
+        "fim_split": (
+            # full FIM replay: md5 gate, two md5-uniform split draws
+            # scaled over [0, len], lo/hi ordering, the three
+            # substrings and sentinels byte-for-byte
+            "WITH d AS (SELECT doc_id, text, length(text) AS n "
+            "  FROM documents), "
+            "u AS (SELECT doc_id, text, n, "
+            "  CAST(('0x' || substr(md5('fim-gate:' || "
+            "    CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+            "    / 4294967296.0 AS g, "
+            "  CAST(('0x' || substr(md5('fim-a:' || "
+            "    CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+            "    / 4294967296.0 AS ua, "
+            "  CAST(('0x' || substr(md5('fim-b:' || "
+            "    CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+            "    / 4294967296.0 AS ub FROM d), "
+            "s AS (SELECT doc_id, text, n, "
+            "  g < 0.5 AND n >= 8 AS ap, "
+            "  CAST(floor(ua * (n + 1)) AS INTEGER) AS p1, "
+            "  CAST(floor(ub * (n + 1)) AS INTEGER) AS p2 FROM u), "
+            "t AS (SELECT doc_id, text, n, ap, "
+            "  least(p1, p2) AS lo, greatest(p1, p2) AS hi FROM s) "
+            "SELECT doc_id, ap AS fim_applied, "
+            "  CASE WHEN ap THEN '<PRE>' || substring(text, 1, lo) || "
+            "    '<SUF>' || substring(text, hi + 1, n - hi) || "
+            "    '<MID>' || substring(text, lo + 1, hi - lo) "
+            "  ELSE text END AS fim_text "
+            "FROM t"
+        ),
+        "length_quantiles": (
+            # exact order statistics: value at 1-based rank
+            # floor(p*(n-1))+1 per language — rank arithmetic only
+            "WITH r AS (SELECT lang, n_chars, "
+            "  ROW_NUMBER() OVER (PARTITION BY lang "
+            "    ORDER BY n_chars) AS rn, "
+            "  COUNT(*) OVER (PARTITION BY lang) AS n "
+            "  FROM documents) "
+            "SELECT lang, MAX(n) AS n, "
+            "  MAX(CASE WHEN rn = floor(0.5 * (n - 1)) + 1 "
+            "    THEN n_chars END) AS q50, "
+            "  MAX(CASE WHEN rn = floor(0.9 * (n - 1)) + 1 "
+            "    THEN n_chars END) AS q90, "
+            "  MAX(CASE WHEN rn = floor(0.99 * (n - 1)) + 1 "
+            "    THEN n_chars END) AS q99 "
+            "FROM r GROUP BY lang"
         ),
         "audio_dedup": (
             # relational replay of the melody-group construction:

@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     "parse_jsonl",
     "rate_anomalies",
     "text_semantic_dedup",
+    "resolve_redirects",
+    "fim_split",
+    "length_quantiles",
 ]
 
 

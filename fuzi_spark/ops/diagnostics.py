@@ -94,3 +94,52 @@ def skew_report(
         "bucket", "n_rows", "n_keys", "max_key", "max_key_rows",
         "total_weight",
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ps: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-group quantiles of a numeric column — the corpus
+    profiling pass behind length cutoffs, context-window sizing, and
+    outlier trims. Quantile convention: lower interpolation, the value
+    at 1-based rank floor(p*(n-1)) + 1 — rank arithmetic only, so any
+    engine replays it bit-for-bit (midpoint-interpolating definitions
+    drag float division into the answer).
+
+    Output: (group..., n, q<p> per requested p — e.g. q50, q90, q99).
+
+    Shape: ONE window sort per group + one map-side-combinable
+    groupBy (conditional max at the target ranks). Exactness costs
+    the per-group sort: that is the honest price of exact order
+    statistics (percentile_approx trades it away with a sketch) —
+    use this for audits and bounded group counts; the groups
+    themselves parallelize freely."""
+    gs = [F.col(g) for g in group_cols]
+    # no tie-break needed: rank assignment among equal values is
+    # arbitrary, but the VALUE at any rank inside a tie run is the tie
+    # value itself — the output is deterministic even though row_number
+    # is not
+    w = Window.partitionBy(*gs).orderBy(F.col(value_col).asc())
+    ranked = (
+        df.select(*gs, F.col(value_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count("*").over(Window.partitionBy(*gs))
+        )
+    )
+    aggs = [F.max("_n").alias("n")]
+    for p in ps:
+        target = (
+            F.floor(F.lit(float(p)) * (F.col("_n") - 1).cast("double"))
+            + 1
+        )
+        label = f"q{int(round(p * 100))}"
+        aggs.append(
+            F.max(
+                F.when(F.col("_rn") == target, F.col(value_col))
+            ).alias(label)
+        )
+    return ranked.groupBy(*gs).agg(*aggs)

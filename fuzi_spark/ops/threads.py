@@ -82,6 +82,11 @@ def thread_assembly(
         F.col("_par").alias("_hpar"),
         F.col("_seg").alias("_hseg"),
     )
+    # bound per-round state width: the union would otherwise
+    # accumulate shuffle partitions every round (see
+    # web.resolve_redirects — measured thousands of tasks for
+    # hundreds of rows by the late rounds)
+    width = posts.sparkSession.sparkContext.defaultParallelism
     for _ in range(int(max_depth)):
         if state.filter(F.col("_root").isNull()).isEmpty():
             break
@@ -100,7 +105,9 @@ def thread_assembly(
                 ).alias("_path"),
             )
         )
-        state = resolved.unionByName(stepped).localCheckpoint()
+        state = (
+            resolved.unionByName(stepped).coalesce(width).localCheckpoint()
+        )
     bad = state.filter(F.col("_root").isNull()).count()
     if bad:
         raise RuntimeError(

@@ -626,3 +626,107 @@ class TestRateAnomalies:
         assert not any(
             r.is_anomaly for r in out if r.event_type == "b"
         )
+
+
+class TestRedirects:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    def test_chain_resolves_with_hops(self, spark):
+        from fuzi_spark.ops.web import resolve_redirects
+
+        out = {
+            r.src: (r.final_url, r.n_hops, r.ok)
+            for r in resolve_redirects(
+                self._edges(spark, [("a", "b"), ("b", "c")])
+            ).collect()
+        }
+        assert out["a"] == ("c", 2, True)
+        assert out["b"] == ("c", 1, True)
+
+    def test_loop_flagged_not_wrong(self, spark):
+        from fuzi_spark.ops.web import resolve_redirects
+
+        out = {
+            r.src: (r.final_url, r.n_hops, r.ok)
+            for r in resolve_redirects(
+                self._edges(spark, [("x", "y"), ("y", "x"), ("a", "t")]),
+                max_hops=4,
+            ).collect()
+        }
+        assert out["x"] == (None, None, False)
+        assert out["y"] == (None, None, False)
+        assert out["a"] == ("t", 1, True)
+
+    def test_self_loop(self, spark):
+        from fuzi_spark.ops.web import resolve_redirects
+
+        r = resolve_redirects(
+            self._edges(spark, [("z", "z")]), max_hops=3
+        ).collect()[0]
+        assert not r.ok and r.final_url is None
+
+
+class TestFim:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+
+    def test_psm_reassembles_source(self, spark):
+        from fuzi_spark.ops.fim import MID, PRE, SUF, fim_split
+
+        texts = [f"document number {i} with some body text" for i in range(40)]
+        rows = fim_split(self._docs(spark, texts), rate=1.0).collect()
+        assert all(r.fim_applied for r in rows)
+        for r in rows:
+            body = r.fim_text
+            assert body.startswith(PRE)
+            pre, rest = body[len(PRE):].split(SUF, 1)
+            suf, mid = rest.split(MID, 1)
+            assert pre + mid + suf == texts[r.doc_id]
+
+    def test_rate_zero_and_short_doc_pass_through(self, spark):
+        from fuzi_spark.ops.fim import fim_split
+
+        d = self._docs(spark, ["a long enough document here", "tiny"])
+        r0 = fim_split(d, rate=0.0).collect()
+        assert all(not r.fim_applied and r.fim_text == t
+                   for r, t in zip(sorted(r0, key=lambda r: r.doc_id),
+                                   ["a long enough document here", "tiny"]))
+        r1 = {r.doc_id: r for r in fim_split(d, rate=1.0).collect()}
+        assert r1[0].fim_applied and not r1[1].fim_applied
+        assert r1[1].fim_text == "tiny"
+
+    def test_deterministic(self, spark):
+        from fuzi_spark.ops.fim import fim_split
+
+        d = self._docs(spark, [f"text body {i} {'x' * (i % 7)}" for i in range(30)])
+        a = sorted(map(tuple, fim_split(d).collect()))
+        b = sorted(map(tuple, fim_split(d).collect()))
+        assert a == b
+
+
+class TestQuantiles:
+    def test_known_ranks(self, spark):
+        from fuzi_spark.ops.diagnostics import group_quantiles
+
+        df = spark.createDataFrame(
+            [("g", v) for v in range(1, 12)], "grp string, v long"
+        )
+        r = group_quantiles(df, "v", ["grp"], (0.5, 0.9, 0.99)).collect()[0]
+        # n=11: rank(0.5)=floor(5)+1=6 -> 6; rank(0.9)=floor(9)+1=10;
+        # rank(0.99)=floor(9.9)+1=10
+        assert (r.n, r.q50, r.q90, r.q99) == (11, 6, 10, 10)
+
+    def test_ties_and_groups(self, spark):
+        from fuzi_spark.ops.diagnostics import group_quantiles
+
+        df = spark.createDataFrame(
+            [("a", 7)] * 5 + [("b", v) for v in (1, 100)],
+            "grp string, v long",
+        )
+        out = {r.grp: r for r in
+               group_quantiles(df, "v", ["grp"], (0.5,)).collect()}
+        assert out["a"].q50 == 7
+        assert out["b"].q50 == 1   # n=2: rank floor(0.5)+1 = 1
