@@ -490,6 +490,27 @@ CASES = [
      "Thread assembly (one resolution round shown; the loop checkpoints "
      "per round). Wants: per-round cost = one equi-join keyed on the "
      "ancestor id; final DFS order = one window over (root, path)."),
+    ("loss_mask",
+     "Episode loss masking. Wants: ZERO exchanges beyond the episode "
+     "derivation — the sentinel-offset fold and the mask arrays are "
+     "staged codegen projections."),
+    ("parse_jsonl",
+     "JSONL source. Wants: from_json (JVM Jackson) inside one codegen'd "
+     "Project over the scan — no Python, no inference scan, no shuffle."),
+    ("rate_anomalies",
+     "Rate anomalies. Wants: ONE partial_-combined groupBy for the "
+     "bucket counts, then ONE window pass per group for the trailing "
+     "frame — no self-join."),
+    ("text_semantic_dedup",
+     "Text→embedding→dedup integration. Wants: the hashing fold in "
+     "codegen, the LSH self-join carrying only (id, table, bucket) "
+     "keys, vectors joined back once for the exact verify."),
+    ("fim_split",
+     "FIM prep. Wants: ZERO exchanges — gate, split draws, and the "
+     "PSM rewrite are one codegen'd Project."),
+    ("length_quantiles",
+     "Exact quantiles. Wants: one window sort per group + one "
+     "partial_-combined conditional-max aggregate; nothing else."),
 ]
 
 
