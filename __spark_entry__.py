@@ -3756,11 +3756,18 @@ def q_dsir_select(spark, sf_dir):
     distributions, totals, log-ratios, doc scores, Gumbel priorities,
     top-k — so the scoring math and the selection rule are both
     verified, not just row plumbing."""
-    from fuzi_spark.ops.dsir import dsir_log_ratios, dsir_sample, dsir_weights
+    from fuzi_spark.ops.dsir import (
+        dsir_log_ratios_flagged,
+        dsir_sample,
+        dsir_weights,
+    )
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    target = d.filter(F.col("doc_id") % 3 == 0)
-    ratios = dsir_log_ratios(d, target, n_buckets=10000, smoothing=1.0)
+    # target ⊆ raw → the flagged fast path: one featurize pass builds
+    # BOTH distributions (identical values to the two-DataFrame form)
+    ratios = dsir_log_ratios_flagged(
+        d, F.col("doc_id") % 3 == 0, n_buckets=10000, smoothing=1.0
+    )
     w = dsir_weights(d, ratios, n_buckets=10000)
     return dsir_sample(w, k=200)
 
@@ -4145,6 +4152,83 @@ def q_length_quantiles(spark, sf_dir):
     )
 
 
+def q_multimodal_dedup(spark, sf_dir):
+    """JOINT text+image dedup for interleaved documents — the scraped-
+    copy reality where one clone keeps the picture but rewrites the
+    text and another keeps the text but re-encodes the picture.
+    Construction: in every block of 4 ids, text pairs (4k,4k+1) and
+    (4k+2,4k+3) share exact text, image pairs (4k,4k+2) and (4k+1,4k+3)
+    share the SAME real PNG (pHashed through the real decode path;
+    formula pictures are pairwise-distinct — min hamming 14 across
+    1000 seeds, pinned). Neither modality alone groups the block; the
+    UNION of both edge sets under connected components must — every
+    doc lands in component canonical = 4k with group_size 4. Oracle:
+    the block arithmetic."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    from fuzi_spark.ops.dedup import dedup_components
+    from fuzi_spark.ops.multimodal import build_png
+    from fuzi_spark.ops.phash import phash_df
+
+    i = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("txt-"),
+            ((i - i % 4) + F.floor((i % 4) / 2).cast("long")).cast(
+                "string"
+            ),
+        ).alias("text"),
+        ((i - i % 4) + i % 2).alias("img_seed"),
+    )
+
+    @pandas_udf("binary")
+    def mk(seeds: pd.Series) -> pd.Series:
+        out = []
+        for s in seeds:
+            rng = np.random.RandomState(int(s))
+            base = rng.randint(0, 256, (8, 8))
+            img = np.kron(
+                base, np.ones((8, 8), dtype=np.int64)
+            ).astype(np.uint8)
+            out.append(build_png(64, 64, pixels=np.stack([img] * 3, axis=2)))
+        return pd.Series(out)
+
+    media = d.select(
+        F.concat(
+            F.lit("im/"), i.cast("string"), F.lit(".png")
+        ).alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        mk(F.col("img_seed")).alias("content"),
+    )
+    wt = Window.partitionBy(F.sha2(F.col("text"), 256))
+    text_edges = d.select(
+        F.min("doc_id").over(wt).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+    ).filter(F.col("id_a") != F.col("id_b"))
+    hashed = phash_df(media).select(
+        F.regexp_extract("media_ref", r"im/(\d+)\.png", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "phash",
+    )
+    wi = Window.partitionBy("phash")
+    img_edges = hashed.filter(F.col("phash").isNotNull()).select(
+        F.min("doc_id").over(wi).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+    ).filter(F.col("id_a") != F.col("id_b"))
+    comp = dedup_components(text_edges.unionByName(img_edges))
+    sizes = comp.groupBy("canonical_id").agg(
+        F.count("*").alias("group_size")
+    )
+    return comp.join(sizes, "canonical_id").select(
+        F.col("node_id").alias("doc_id"), "canonical_id", "group_size"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -4279,6 +4363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_jsonl": q_parse_jsonl,
         "rate_anomalies": q_rate_anomalies,
         "text_semantic_dedup": q_text_semantic_dedup,
+        "multimodal_dedup": q_multimodal_dedup,
         "resolve_redirects": q_resolve_redirects,
         "fim_split": q_fim_split,
         "length_quantiles": q_length_quantiles,
@@ -6416,6 +6501,13 @@ def oracle_sql() -> dict[str, str]:
             "g AS (SELECT k, COUNT(*) AS n FROM key GROUP BY 1) "
             "SELECT key.doc_id, CAST(g.n - 1 AS BIGINT) AS n_partners "
             "FROM key JOIN g USING (k)"
+        ),
+        "multimodal_dedup": (
+            # block arithmetic: text pairs (4k,4k+1)/(4k+2,4k+3) and
+            # image pairs (4k,4k+2)/(4k+1,4k+3) close into the 4-block
+            # component under the edge union — canonical 4k, size 4
+            "SELECT doc_id, doc_id - doc_id % 4 AS canonical_id, "
+            "CAST(4 AS BIGINT) AS group_size FROM documents"
         ),
         "resolve_redirects": (
             # chain arithmetic: id%10 == k (k<3, not the loop ids)

@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "resolve_redirects",
     "fim_split",
     "length_quantiles",
+    "multimodal_dedup",
 ]
 
 

@@ -157,6 +157,59 @@ def dsir_log_ratios(
     )
 
 
+def dsir_log_ratios_flagged(
+    raw: DataFrame,
+    target_flag,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """`dsir_log_ratios` fast path for the common case where the
+    target sample is a SUBSET of the raw pool, identified by a boolean
+    column expression `target_flag`: both bucket distributions come
+    out of ONE featurize pass (one explode + one groupBy with a
+    flag-conditional second count) instead of two full passes over
+    overlapping data — same values bit-for-bit (the counts are the
+    same counts), half the scan/hash work. Use the two-DataFrame form
+    when the target is a different corpus."""
+    s = float(smoothing)
+    b = int(n_buckets)
+    spark = raw.sparkSession
+    feats = _features(text_col)
+    fb = raw.select(
+        target_flag.alias("_tf"),
+        F.explode(
+            F.transform(feats, lambda f: _bucket_of(f, b))
+        ).alias("bucket"),
+    )
+    counts = fb.groupBy("bucket").agg(
+        F.count("*").alias("cq"),
+        F.sum(F.when(F.col("_tf"), 1).otherwise(0)).alias("cp"),
+    )
+    tot = counts.agg(
+        F.sum("cq").alias("tq"), F.sum("cp").alias("tp")
+    )
+    spine = spark.range(b).select(F.col("id").alias("bucket"))
+    return (
+        spine.join(counts, "bucket", "left")
+        .crossJoin(tot)
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(s))
+                    / (F.coalesce(F.col("tp"), F.lit(0)) + F.lit(s) * F.lit(b))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cq"), F.lit(0)) + F.lit(s))
+                    / (F.coalesce(F.col("tq"), F.lit(0)) + F.lit(s) * F.lit(b))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     ratios: DataFrame,

@@ -6267,6 +6267,23 @@ class TestDsir:
         top5 = {r.doc_id for r in dsir_sample(w, k=5).collect()}
         assert top5 <= set(pick1)
 
+    def test_flagged_fast_path_bit_identical(self, spark):
+        """dsir_log_ratios_flagged (one featurize pass, target ⊆ raw as
+        a boolean flag) must produce bit-identical log_ratio values to
+        the two-DataFrame form — the counts are the same counts."""
+        from fuzi_spark.ops.dsir import (
+            dsir_log_ratios, dsir_log_ratios_flagged,
+        )
+
+        docs = self._corpus(spark)
+        two = {r.bucket: r.log_ratio for r in dsir_log_ratios(
+            docs, docs.filter(F.col("doc_id") < 10), n_buckets=2048,
+        ).collect()}
+        one = {r.bucket: r.log_ratio for r in dsir_log_ratios_flagged(
+            docs, F.col("doc_id") < 10, n_buckets=2048,
+        ).collect()}
+        assert one == two
+
 
 class TestAudioFingerprint:
     """Spectral-landmark audio fingerprints (ops/audiofp.py): gain-

@@ -227,3 +227,54 @@ class TestTextSemanticDedup:
             threshold=0.999999, id_col="doc_id",
         ).collect()
         assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+class TestMultimodalDedup:
+    def test_union_of_modalities_closes_block(self, spark):
+        """The multimodal_dedup invariant at fixture scale: text pairs
+        (0,1)/(2,3) and image pairs (0,2)/(1,3) — neither modality
+        alone groups all four docs; their edge union must."""
+        from fuzi_spark.ops.dedup import dedup_components
+
+        text_edges = spark.createDataFrame(
+            [(0, 1), (2, 3)], "id_a long, id_b long"
+        )
+        img_edges = spark.createDataFrame(
+            [(0, 2), (1, 3)], "id_a long, id_b long"
+        )
+        comp = {r.node_id: r.canonical_id for r in dedup_components(
+            text_edges.unionByName(img_edges)
+        ).collect()}
+        assert comp == {0: 0, 1: 0, 2: 0, 3: 0}
+        # either modality alone must NOT close the block
+        partial = {r.node_id: r.canonical_id for r in dedup_components(
+            text_edges
+        ).collect()}
+        assert partial[1] == 0 and partial[3] == 2
+
+    def test_phash_groups_real_pngs_by_content(self, spark):
+        """The image side of multimodal_dedup uses the REAL decode
+        path: two ids built from the same seed must share a pHash,
+        different seeds must not."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        from fuzi_spark.ops.multimodal import build_png
+        from fuzi_spark.ops.phash import phash_df
+
+        def png(seed):
+            rng = np.random.RandomState(seed)
+            base = rng.randint(0, 256, (8, 8))
+            img = np.kron(base, np.ones((8, 8), dtype=np.int64)).astype(
+                np.uint8
+            )
+            return build_png(64, 64, pixels=np.stack([img] * 3, axis=2))
+
+        media = spark.createDataFrame(
+            [("a", "image", png(7)), ("b", "image", png(7)),
+             ("c", "image", png(8))],
+            "media_ref string, media_type string, content binary",
+        )
+        got = {r.media_ref: r.phash for r in phash_df(media).collect()}
+        assert got["a"] == got["b"] and got["a"] != got["c"]
