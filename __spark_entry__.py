@@ -4229,6 +4229,101 @@ def q_multimodal_dedup(spark, sf_dir):
     )
 
 
+def q_embedding_pca(spark, sf_dir):
+    """Distributed PCA (ops/decomp.py): one-pass Gram aggregation →
+    driver-side eigensolve → per-batch matmul projection. Planted
+    rank-2 construction: (a_i, b_i) from doc_id arithmetic (correlated
+    on purpose — b carries 0.5·a, so the eigenbasis is a genuine
+    rotation, not axes), embedded in 8-dim via two fixed orthonormal
+    directions. Because the directions are orthonormal, the 8-dim PCA
+    projections equal the 2×2 eigendecomposition of the (a,b)
+    covariance — which the DuckDB oracle computes in CLOSED FORM
+    (quadratic eigenvalues, (sab, l1−saa) eigenvector), so the
+    distributed Gram reduction, the eigensolve, AND the projection
+    matmul are all verified against independent math, not replayed
+    plumbing. Eigenvector sign is data-anchored on both sides: the
+    min-id row's projection is oriented non-negative."""
+    import math
+
+    from fuzi_spark.ops.decomp import pca_fit, pca_project
+
+    i = F.col("doc_id")
+    a = (i % 5 - F.lit(2)).cast("double")
+    b = (i % 3 - F.lit(1)).cast("double") + F.lit(0.5) * a
+    r1 = [1.0 / math.sqrt(8.0)] * 8
+    r2 = [((-1.0) ** j) / math.sqrt(8.0) for j in range(8)]
+    emb = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array(
+            *[a * F.lit(r1[j]) + b * F.lit(r2[j]) for j in range(8)]
+        ).alias("embedding"),
+    )
+    model = pca_fit(emb, vec_col="embedding", k=2, dim=8)
+    # orientation anchor: project ONLY the min-id row (metadata-sized
+    # TakeOrderedAndProject job — never a second UDF pass over the
+    # corpus) and fold the two signs in as literals
+    anchor = pca_project(
+        emb.orderBy("doc_id").limit(1), model, vec_col="embedding"
+    ).select("proj").first()["proj"]
+    s1 = 1.0 if anchor[0] >= 0 else -1.0
+    s2 = 1.0 if anchor[1] >= 0 else -1.0
+
+    def r4(c):
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+    v1, v2 = (float(v) for v in model.explained_variance)
+    return pca_project(emb, model, vec_col="embedding").select(
+        "doc_id",
+        r4(F.element_at("proj", 1) * F.lit(s1)).alias("p1"),
+        r4(F.element_at("proj", 2) * F.lit(s2)).alias("p2"),
+        r4(F.lit(v1)).alias("var1"),
+        r4(F.lit(v2)).alias("var2"),
+    )
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed k-means (ops/cluster.py): deterministic farthest-
+    first init on a bounded sample, Lloyd iterations where assignment
+    is one matmul per Arrow batch and the centroid update is a
+    map-side-combinable (cluster, coordinate) partial-sum shuffle.
+    Planted geometry: 4 clusters at 10·e_m (m = doc_id % 4) with an
+    integer within-cluster offset δ = (⌊doc_id/4⌋ % 5) on a shared
+    6th axis. Separation ≫ spread makes farthest-first provably pick
+    one seed per cluster and Lloyd converge exactly in two rounds —
+    so canonical labels, sizes, AND the euclidean distance to the
+    converged centroid (|δ − 2|, since each class's δ mean is exactly
+    2) are pure id arithmetic the oracle replays. All quantities are
+    small integers → exact in double → hash-exact, no rounding."""
+    from fuzi_spark.ops.cluster import (
+        kmeans_assign,
+        kmeans_canonical_clusters,
+        kmeans_fit,
+    )
+
+    i = F.col("doc_id")
+    delta = (((i - i % 4) / F.lit(4)).cast("long") % 5).cast("double")
+    emb = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array(
+            *[
+                F.when(i % 4 == j, F.lit(10.0)).otherwise(F.lit(0.0))
+                for j in range(4)
+            ],
+            F.lit(0.0),
+            delta,
+        ).alias("embedding"),
+    )
+    centroids = kmeans_fit(
+        emb, k=4, vec_col="embedding", id_col="doc_id", max_iter=10
+    )
+    assigned = kmeans_assign(
+        emb, centroids, vec_col="embedding", id_col="doc_id"
+    )
+    return kmeans_canonical_clusters(assigned, id_col="doc_id").select(
+        "doc_id", "cluster_id", "cluster_size", "dist"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -4364,6 +4459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_anomalies": q_rate_anomalies,
         "text_semantic_dedup": q_text_semantic_dedup,
         "multimodal_dedup": q_multimodal_dedup,
+        "embedding_pca": q_embedding_pca,
+        "kmeans_clusters": q_kmeans_clusters,
         "resolve_redirects": q_resolve_redirects,
         "fim_split": q_fim_split,
         "length_quantiles": q_length_quantiles,
@@ -6508,6 +6605,55 @@ def oracle_sql() -> dict[str, str]:
             # component under the edge union — canonical 4k, size 4
             "SELECT doc_id, doc_id - doc_id % 4 AS canonical_id, "
             "CAST(4 AS BIGINT) AS group_size FROM documents"
+        ),
+        "embedding_pca": (
+            # independent closed-form math, not a replay: the planted
+            # data is rank-2 in an orthonormal frame, so the 8-dim PCA
+            # equals the 2x2 eigendecomposition of the (a,b) covariance
+            # — quadratic-formula eigenvalues, (sab, l1-saa) eigen-
+            # vector, projections on centered coordinates, orientation
+            # anchored on the min-id row. floor(x+0.5) rounding matches
+            # the Spark side's arithmetic exactly.
+            "WITH base AS (SELECT doc_id, "
+            "  CAST(doc_id % 5 - 2 AS DOUBLE) AS a, "
+            "  CAST(doc_id % 3 - 1 AS DOUBLE) + 0.5 * CAST(doc_id % 5 - 2 AS DOUBLE) AS b "
+            "  FROM documents), "
+            "m AS (SELECT AVG(a) AS ma, AVG(b) AS mb FROM base), "
+            "c AS (SELECT doc_id, a - ma AS ac, b - mb AS bc FROM base, m), "
+            "s AS (SELECT AVG(ac*ac) AS saa, AVG(ac*bc) AS sab, "
+            "  AVG(bc*bc) AS sbb FROM c), "
+            "e AS (SELECT saa, sab, sbb, "
+            "  ((saa+sbb) + SQRT((saa-sbb)*(saa-sbb) + 4*sab*sab))/2 AS l1, "
+            "  ((saa+sbb) - SQRT((saa-sbb)*(saa-sbb) + 4*sab*sab))/2 AS l2 "
+            "  FROM s), "
+            "w AS (SELECT l1, l2, "
+            "  sab / SQRT(sab*sab + (l1-saa)*(l1-saa)) AS w1x, "
+            "  (l1-saa) / SQRT(sab*sab + (l1-saa)*(l1-saa)) AS w1y FROM e), "
+            "p AS (SELECT doc_id, ac*w1x + bc*w1y AS p1r, "
+            "  -ac*w1y + bc*w1x AS p2r, l1, l2 FROM c, w), "
+            "o AS (SELECT "
+            "  (SELECT CASE WHEN p1r >= 0 THEN 1.0 ELSE -1.0 END FROM p "
+            "   ORDER BY doc_id LIMIT 1) AS s1, "
+            "  (SELECT CASE WHEN p2r >= 0 THEN 1.0 ELSE -1.0 END FROM p "
+            "   ORDER BY doc_id LIMIT 1) AS s2) "
+            "SELECT doc_id, "
+            "  FLOOR(p1r*s1*10000.0 + 0.5)/10000.0 AS p1, "
+            "  FLOOR(p2r*s2*10000.0 + 0.5)/10000.0 AS p2, "
+            "  FLOOR(l1*10000.0 + 0.5)/10000.0 AS var1, "
+            "  FLOOR(l2*10000.0 + 0.5)/10000.0 AS var2 "
+            "FROM p, o"
+        ),
+        "kmeans_clusters": (
+            # exact-convergence arithmetic: cluster = doc_id % 4
+            # (canonical label = smallest member id = the residue,
+            # ids contiguous from 0), per-class delta mean is exactly
+            # 2 (class size divisible by 5), so dist = |delta - 2| —
+            # all small integers, exact in double, hash-exact
+            "SELECT doc_id, doc_id % 4 AS cluster_id, "
+            "CAST((SELECT COUNT(*) FROM documents)/4 AS BIGINT) "
+            "AS cluster_size, "
+            "CAST(ABS(CAST((doc_id - doc_id % 4)/4 AS BIGINT) % 5 - 2) "
+            "AS DOUBLE) AS dist FROM documents"
         ),
         "resolve_redirects": (
             # chain arithmetic: id%10 == k (k<3, not the loop ids)

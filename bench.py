@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "fim_split",
     "length_quantiles",
     "multimodal_dedup",
+    "embedding_pca",
+    "kmeans_clusters",
 ]
 
 

@@ -6437,3 +6437,138 @@ class TestMarginBitext:
                 margin_bitext(src, tgt, k=2, threshold=0.0).collect()}
         if (4, 5) in rows:
             assert rows[(4, 5)].margin < rows[(0, 1)].margin
+
+
+class TestPCA:
+    """ops/decomp.py: the distributed Gram reduction + driver eigensolve
+    must reproduce numpy PCA computed directly on the collected data —
+    an independent single-node reference, not a replay of the op."""
+
+    def _planted(self, spark, n=200, d=6):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        q, _ = np.linalg.qr(rng.randn(d, 2))
+        coords = np.stack(
+            [rng.randn(n) * 3.0, rng.randn(n) * 1.0], axis=1
+        )
+        X = coords @ q.T
+        rows = [(i, X[i].tolist()) for i in range(n)]
+        return (
+            spark.createDataFrame(
+                rows, "doc_id long, embedding array<double>"
+            ),
+            X,
+        )
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from fuzi_spark.ops.decomp import pca_fit, pca_project
+
+        df, X = self._planted(spark)
+        model = pca_fit(df, k=2, dim=X.shape[1])
+        # independent reference: numpy covariance eigendecomposition
+        Xc = X - X.mean(axis=0)
+        cov = (Xc.T @ Xc) / len(X)
+        vals, vecs = np.linalg.eigh(cov)
+        ref_vals = vals[::-1][:2]
+        assert np.allclose(model.explained_variance, ref_vals, atol=1e-9)
+        # components span the planted subspace: projecting reference
+        # eigenvectors onto the fitted ones recovers unit alignment
+        ref_vecs = vecs[:, ::-1][:, :2].T
+        align = np.abs(model.components @ ref_vecs.T)
+        assert np.allclose(np.diag(align), 1.0, atol=1e-9)
+        # projections match up to the (conventionalized) sign
+        got = {
+            r.doc_id: r.proj
+            for r in pca_project(df, model).select("doc_id", "proj").collect()
+        }
+        P_ref = Xc @ model.components.T
+        for i in range(len(X)):
+            assert np.allclose(got[i], P_ref[i], atol=1e-9)
+
+    def test_sign_convention_and_null_rows(self, spark):
+        import numpy as np
+
+        from fuzi_spark.ops.decomp import pca_fit
+
+        df, X = self._planted(spark)
+        with_null = df.unionByName(
+            df.sparkSession.createDataFrame(
+                [(9999, None)], "doc_id long, embedding array<double>"
+            )
+        )
+        model = pca_fit(with_null, k=2, dim=X.shape[1])
+        assert model.n_rows == len(X)  # NULL row contributed nothing
+        for comp in model.components:
+            j = int(np.argmax(np.abs(comp)))
+            assert comp[j] >= 0
+
+    def test_dim_guard(self, spark):
+        import pytest as _pytest
+
+        from fuzi_spark.ops.decomp import pca_fit
+
+        df, _ = self._planted(spark)
+        with _pytest.raises(ValueError, match="max_dim"):
+            pca_fit(df, k=2, dim=6, max_dim=4)
+
+
+class TestKmeans:
+    """ops/cluster.py: farthest-first init + Lloyd on planted separated
+    clusters must converge to the exact per-cluster means, and the
+    canonical relabeling must be content-derived."""
+
+    def _planted(self, spark, per=30):
+        rows = []
+        for m in range(3):
+            for j in range(per):
+                vec = [0.0, 0.0, 0.0]
+                vec[m] = 20.0
+                vec.append(float(j % 3))  # within-cluster spread
+                rows.append((m + 3 * j, vec))
+        return spark.createDataFrame(
+            rows, "doc_id long, embedding array<double>"
+        )
+
+    def test_converges_to_planted_clusters(self, spark):
+        from fuzi_spark.ops.cluster import (
+            kmeans_assign, kmeans_canonical_clusters, kmeans_fit,
+        )
+
+        df = self._planted(spark)
+        centroids = kmeans_fit(df, k=3, max_iter=10)
+        out = {
+            r.doc_id: r
+            for r in kmeans_canonical_clusters(
+                kmeans_assign(df, centroids)
+            ).collect()
+        }
+        # ids are m + 3j → cluster m's smallest member id is m
+        for r in out.values():
+            assert r.cluster_id == r.doc_id % 3
+            assert r.cluster_size == 30
+            # delta mean per cluster is exactly 1.0 (j%3 uniform over 30)
+            assert r.dist == abs(float((r.doc_id // 3) % 3) - 1.0)
+
+    def test_deterministic_across_refits(self, spark):
+        import numpy as np
+
+        from fuzi_spark.ops.cluster import kmeans_fit
+
+        df = self._planted(spark)
+        c1 = kmeans_fit(df, k=3, max_iter=10)
+        c2 = kmeans_fit(df, k=3, max_iter=10)
+        assert np.array_equal(c1, c2)
+
+    def test_k_guards(self, spark):
+        import pytest as _pytest
+
+        from fuzi_spark.ops.cluster import kmeans_fit
+
+        df = self._planted(spark, per=1)  # 3 rows
+        with _pytest.raises(ValueError, match="< k"):
+            kmeans_fit(df, k=5)
+        with _pytest.raises(ValueError, match="max_k"):
+            kmeans_fit(df, k=3, max_k=2)

@@ -511,6 +511,19 @@ CASES = [
     ("length_quantiles",
      "Exact quantiles. Wants: one window sort per group + one "
      "partial_-combined conditional-max aggregate; nothing else."),
+    ("multimodal_dedup",
+     "Joint text+image dedup. Wants: sha2 text edges in a window over "
+     "the digest key, pHash edges through ONE decode pass, and the "
+     "bounded component loop on the metadata-sized edge set only."),
+    ("embedding_pca",
+     "Distributed PCA. Wants: ONE corpus scan into per-batch partial "
+     "Grams, a kilobyte-sized posexplode shuffle, projection as one "
+     "ArrowEval matmul — the corpus itself never shuffles."),
+    ("kmeans_clusters",
+     "Distributed k-means. Wants: per-iteration assignment in one "
+     "ArrowEval matmul and a partial_-combined (cluster,pos) update "
+     "shuffle of k*d rows; final labeling one window on the cluster "
+     "key."),
 ]
 
 
