@@ -6572,3 +6572,56 @@ class TestKmeans:
             kmeans_fit(df, k=5)
         with _pytest.raises(ValueError, match="max_k"):
             kmeans_fit(df, k=3, max_k=2)
+
+
+class TestDecompPartitionInvariance:
+    """North-rule property for the fitted models: the sufficient
+    statistics (Gram partial sums, per-cluster coordinate sums) are
+    sums of exactly-representable doubles on the planted integer
+    constructions, so fits at DIFFERENT parallelism levels are
+    bit-identical — the same-job-two-cluster-sizes criterion at the
+    model level, not just throughput."""
+
+    def _planted(self, spark, parts):
+        rows = [
+            (i, [float((i % 5) - 2), float((i % 3) - 1),
+                 float((i % 7) - 3), 0.5 * float((i % 4) - 1)])
+            for i in range(240)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, embedding array<double>"
+        ).repartition(parts)
+
+    def test_pca_fit_bit_identical_across_partitioning(self, spark):
+        import numpy as np
+
+        from fuzi_spark.ops.decomp import pca_fit
+
+        m1 = pca_fit(self._planted(spark, 1), k=2, dim=4)
+        m32 = pca_fit(self._planted(spark, 32), k=2, dim=4)
+        assert np.array_equal(m1.components, m32.components)
+        assert np.array_equal(
+            m1.explained_variance, m32.explained_variance
+        )
+        assert np.array_equal(m1.mean, m32.mean)
+
+    def test_kmeans_fit_bit_identical_across_partitioning(self, spark):
+        import numpy as np
+
+        from fuzi_spark.ops.cluster import kmeans_fit
+
+        def planted(parts):
+            rows = []
+            for m in range(3):
+                for j in range(40):
+                    vec = [0.0] * 3
+                    vec[m] = 20.0
+                    vec.append(float(j % 5))
+                    rows.append((m + 3 * j, vec))
+            return spark.createDataFrame(
+                rows, "doc_id long, embedding array<double>"
+            ).repartition(parts)
+
+        c1 = kmeans_fit(planted(1), k=3, max_iter=10)
+        c32 = kmeans_fit(planted(32), k=3, max_iter=10)
+        assert np.array_equal(c1, c32)
