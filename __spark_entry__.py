@@ -4324,6 +4324,47 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered first-touch conversion funnel (ops/behavior.py) over
+    the events table: view -> click -> purchase with strict
+    ts-after-previous-stage semantics, computed in ONE exchange
+    (groupBy user, sort_array, a single F.aggregate walk) instead of
+    k per-step self-joins. Oracle replays the equivalent minimal
+    timestamp chain relationally: s1 = min view ts, s2 = min click
+    ts > s1, s3 = min purchase ts > s2 — greedy first-touch provably
+    equals the min-chain."""
+    from fuzi_spark.ops.behavior import funnel_stages
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_stages(ev, ("view", "click", "purchase"))
+
+
+def q_retention(spark, sf_dir):
+    """Weekly retention cohorts (ops/behavior.py): cohort = first-seen
+    day per user via a window MIN (one exchange, no firsts join),
+    week_offset = exact integer DIV of the day difference, cohort
+    size = the cohort's own offset-0 count (broadcast self-join of
+    the tiny report). retained_frac is one int/int IEEE division —
+    engine-exact."""
+    from fuzi_spark.ops.behavior import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev)
+
+
+def q_gap_fill(spark, sf_dir):
+    """Gap-filled daily per-type counts (ops/behavior.py): map-side-
+    combined (type, day) counts, then ONE single-row aggregate holds
+    bounds + type set + a count lookup map, and the dense grid is two
+    explodes + a map probe over that row — one events scan, zero
+    joins, nothing collected to the driver. Silent days materialize
+    as explicit zero rows (is_gap = true)."""
+    from fuzi_spark.ops.behavior import gap_fill_daily
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gap_fill_daily(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -4461,6 +4502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dedup": q_multimodal_dedup,
         "embedding_pca": q_embedding_pca,
         "kmeans_clusters": q_kmeans_clusters,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "gap_fill": q_gap_fill,
         "resolve_redirects": q_resolve_redirects,
         "fim_split": q_fim_split,
         "length_quantiles": q_length_quantiles,
@@ -6764,6 +6808,61 @@ def oracle_sql() -> dict[str, str]:
             "    ORDER BY margin DESC, sid ASC) AS rb FROM m) "
             "SELECT sid AS src_id, tid AS tgt_id, cosine, margin "
             "FROM bf WHERE rf = 1 AND rb = 1 AND margin >= 1.0"
+        ),
+        "funnel": (
+            # minimal timestamp chain = greedy first-touch walk:
+            # s1 = min view ts; s2 = min click ts STRICTLY after s1;
+            # s3 = min purchase ts strictly after s2
+            "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+            "  WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+            "  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1 "
+            "  WHERE e.event_type = 'click' GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+            "  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2 "
+            "  WHERE e.event_type = 'purchase' GROUP BY 1), "
+            "u AS (SELECT DISTINCT user_id FROM events) "
+            "SELECT u.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 "
+            "  WHEN t2 IS NOT NULL THEN 2 "
+            "  WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) "
+            "  AS n_stages, t1, t2, t3 "
+            "FROM u LEFT JOIN s1 USING (user_id) "
+            "LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+        ),
+        "retention": (
+            # cohort = first-seen DAY per user; week_offset = exact
+            # integer division (// — same as Spark's DIV) of the day
+            # difference; cohort_size = the cohort's offset-0 count
+            "WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) "
+            "  AS cohort_day FROM events GROUP BY 1), "
+            "cells AS (SELECT DISTINCT e.user_id, f.cohort_day, "
+            "  date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7 "
+            "  AS week_offset FROM events e JOIN f USING (user_id)), "
+            "r AS (SELECT cohort_day, week_offset, COUNT(*) AS n_users "
+            "  FROM cells GROUP BY 1, 2), "
+            "z AS (SELECT cohort_day, n_users AS cohort_size FROM r "
+            "  WHERE week_offset = 0) "
+            "SELECT r.cohort_day, r.week_offset, r.n_users, "
+            "  z.cohort_size, r.n_users / z.cohort_size "
+            "  AS retained_frac "
+            "FROM r JOIN z USING (cohort_day)"
+        ),
+        "gap_fill": (
+            # dense calendar from the global bounds; zero rows where
+            # the per-(type, day) groupBy was silent
+            "WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS d0, "
+            "  CAST(MAX(ts) AS DATE) AS d1 FROM events), "
+            "cal AS (SELECT CAST(unnest(generate_series(d0, d1, "
+            "  INTERVAL 1 DAY)) AS DATE) AS day FROM b), "
+            "t AS (SELECT DISTINCT event_type FROM events), "
+            "c AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+            "  COUNT(*) AS n FROM events GROUP BY 1, 2) "
+            "SELECT t.event_type, cal.day, "
+            "  COALESCE(c.n, 0) AS n_events, "
+            "  COALESCE(c.n, 0) = 0 AS is_gap "
+            "FROM cal CROSS JOIN t "
+            "LEFT JOIN c ON c.event_type = t.event_type "
+            "  AND c.day = cal.day"
         ),
     }
 

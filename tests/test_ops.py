@@ -6625,3 +6625,112 @@ class TestDecompPartitionInvariance:
         c1 = kmeans_fit(planted(1), k=3, max_iter=10)
         c32 = kmeans_fit(planted(32), k=3, max_iter=10)
         assert np.array_equal(c1, c32)
+
+
+class TestBehavior:
+    """ops/behavior.py: funnel, retention cohorts, gap-fill — planted
+    sparse fixtures that discriminate the semantics the dense oracle
+    corpus cannot (equal-ts strictness, partial funnels, real gaps)."""
+
+    def _ev(self, spark, rows):
+        from datetime import datetime
+
+        return spark.createDataFrame(
+            [
+                (i, datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), u, et)
+                for i, (ts, u, et) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+
+    def test_funnel_stage_discrimination(self, spark):
+        from fuzi_spark.ops.behavior import funnel_stages
+
+        rows = [
+            # user 1: full funnel, strictly ordered
+            ("2024-01-01 00:00:00", 1, "view"),
+            ("2024-01-02 00:00:00", 1, "click"),
+            ("2024-01-03 00:00:00", 1, "purchase"),
+            # user 2: click BEFORE any view -> stalls at stage 1
+            ("2024-01-01 00:00:00", 2, "click"),
+            ("2024-01-02 00:00:00", 2, "view"),
+            # user 3: click at the SAME ts as the view -> strict >
+            # means the click does not count
+            ("2024-01-01 00:00:00", 3, "view"),
+            ("2024-01-01 00:00:00", 3, "click"),
+            # user 4: no funnel events at all
+            ("2024-01-01 00:00:00", 4, "error"),
+        ]
+        got = {
+            r["user_id"]: r["n_stages"]
+            for r in funnel_stages(self._ev(spark, rows)).collect()
+        }
+        assert got == {1: 3, 2: 1, 3: 1, 4: 0}
+
+    def test_funnel_first_touch_is_min_chain(self, spark):
+        from fuzi_spark.ops.behavior import funnel_stages
+
+        # two qualifying clicks: the EARLIEST after the first view wins,
+        # and the later purchase only needs to follow that earliest one
+        rows = [
+            ("2024-01-05 00:00:00", 7, "view"),
+            ("2024-01-01 00:00:00", 7, "view"),   # first touch
+            ("2024-01-06 00:00:00", 7, "click"),
+            ("2024-01-02 00:00:00", 7, "click"),  # earliest after view
+            ("2024-01-03 00:00:00", 7, "purchase"),
+        ]
+        row = funnel_stages(self._ev(spark, rows)).collect()[0]
+        assert row["n_stages"] == 3
+        assert str(row["t1"]).startswith("2024-01-01")
+        assert str(row["t2"]).startswith("2024-01-02")
+        assert str(row["t3"]).startswith("2024-01-03")
+
+    def test_retention_cohorts_gap_week(self, spark):
+        from fuzi_spark.ops.behavior import retention_cohorts
+
+        # user 1 first seen day 1, active weeks 0 and 2 (skips week 1);
+        # user 2 same cohort, week 0 only; user 3 a later cohort
+        rows = [
+            ("2024-01-01 10:00:00", 1, "view"),
+            ("2024-01-15 10:00:00", 1, "view"),   # day 14 -> week 2
+            ("2024-01-01 11:00:00", 2, "view"),
+            ("2024-01-03 11:00:00", 2, "view"),   # day 2 -> still week 0
+            ("2024-01-05 09:00:00", 3, "view"),
+        ]
+        got = {
+            (str(r["cohort_day"]), r["week_offset"]): (
+                r["n_users"], r["cohort_size"]
+            )
+            for r in retention_cohorts(self._ev(spark, rows)).collect()
+        }
+        assert got == {
+            ("2024-01-01", 0): (2, 2),
+            ("2024-01-01", 2): (1, 2),
+            ("2024-01-05", 0): (1, 1),
+        }
+
+    def test_gap_fill_materializes_zero_rows(self, spark):
+        from fuzi_spark.ops.behavior import gap_fill_daily
+
+        # clicks on days 1 and 4 (days 2-3 are gaps); views on day 2
+        # only (days 1, 3, 4 are gaps): 2 types x 4 days = 8 rows
+        rows = [
+            ("2024-01-01 00:00:00", 1, "click"),
+            ("2024-01-04 00:00:00", 1, "click"),
+            ("2024-01-02 00:00:00", 2, "view"),
+        ]
+        out = gap_fill_daily(self._ev(spark, rows)).collect()
+        assert len(out) == 8
+        gaps = {
+            (r["event_type"], str(r["day"]))
+            for r in out
+            if r["is_gap"]
+        }
+        assert gaps == {
+            ("click", "2024-01-02"),
+            ("click", "2024-01-03"),
+            ("view", "2024-01-01"),
+            ("view", "2024-01-03"),
+            ("view", "2024-01-04"),
+        }
+        assert all(r["n_events"] == 0 for r in out if r["is_gap"])

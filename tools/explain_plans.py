@@ -524,6 +524,20 @@ CASES = [
      "ArrowEval matmul and a partial_-combined (cluster,pos) update "
      "shuffle of k*d rows; final labeling one window on the cluster "
      "key."),
+    ("funnel",
+     "Ordered funnel. Wants: ONE exchange (the groupBy-user "
+     "collect_list with partial_ objectHashAggregate); the k-step "
+     "walk is a single codegen'd aggregate over the sorted array — "
+     "no per-step self-joins, no window passes."),
+    ("retention",
+     "Retention cohorts. Wants: cohort day via window MIN over the "
+     "user partition (one exchange, no firsts join); cohort sizes "
+     "re-enter through a BroadcastHashJoin of the tiny report."),
+    ("gap_fill",
+     "Gap-filled daily counts. Wants: ONE events scan total — "
+     "partial_-combined counts, then a single-row aggregate holding "
+     "bounds + group set + count map, unpacked by two Generates and "
+     "a map probe. No joins, no repeated scans."),
 ]
 
 
