@@ -167,6 +167,9 @@ BENCH_QUERIES = [
     "multimodal_dedup",
     "embedding_pca",
     "kmeans_clusters",
+    "funnel",
+    "retention",
+    "gap_fill",
 ]
 
 
