@@ -4365,6 +4365,58 @@ def q_gap_fill(spark, sf_dir):
     return gap_fill_daily(ev)
 
 
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution (integration over ops/relational.py's
+    as-of join): every purchase picks up the user's most recent view
+    or click at-or-before it, nulled beyond a 1-day lookback via the
+    operator's tolerance contract — the union+carry-forward window
+    shape, ONE shuffle on user_id. Oracle: DuckDB's NATIVE ASOF LEFT
+    JOIN plus the same epoch-difference tolerance arithmetic — an
+    independent implementation of the semantics."""
+    from fuzi_spark.ops.relational import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("view", "click")
+    ).select("user_id", "ts", F.col("event_type").alias("touch"))
+    j = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["touch"],
+        tolerance=86400.0,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("asof_touch").alias("touch_type"),
+        (
+            F.col("ts").cast("timestamp").cast("double")
+            - F.col("asof_ts_matched")
+        ).alias("lag_s"),
+        F.col("asof_touch").isNotNull().alias("attributed"),
+    )
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocations (ops/colloc.py): unigram + adjacent-bigram
+    counts in ONE explode/groupBy pass (single corpus scan), reduced
+    frame scoped_persist()ed for its three consumers, lift computed
+    with an engine-identical IEEE op sequence and used as the ranking
+    key (ln() only in the VALUE — a libm ulp must never flip the
+    top-n boundary). Oracle replays the counting and the exact
+    arithmetic relationally. Composed pipelines wrap the call in
+    cache_scope() (ops/cache.py) to release the counts persist."""
+    from fuzi_spark.ops.colloc import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=5, top_n=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -4505,6 +4557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "gap_fill": q_gap_fill,
+        "attribution": q_attribution,
+        "collocations": q_collocations,
         "resolve_redirects": q_resolve_redirects,
         "fim_split": q_fim_split,
         "length_quantiles": q_length_quantiles,
@@ -6863,6 +6917,50 @@ def oracle_sql() -> dict[str, str]:
             "FROM cal CROSS JOIN t "
             "LEFT JOIN c ON c.event_type = t.event_type "
             "  AND c.day = cal.day"
+        ),
+        "attribution": (
+            # INDEPENDENT oracle: native ASOF LEFT JOIN + the same
+            # epoch-difference 1-day tolerance null-out
+            "WITH p AS (SELECT event_id, user_id, ts FROM events "
+            "  WHERE event_type = 'purchase'), "
+            "t AS (SELECT user_id, ts, event_type AS touch "
+            "  FROM events WHERE event_type IN ('view', 'click')), "
+            "j AS (SELECT p.event_id, p.user_id, t.touch, "
+            "  epoch(p.ts) - epoch(t.ts) AS lag FROM p "
+            "  ASOF LEFT JOIN t "
+            "  ON p.user_id = t.user_id AND p.ts >= t.ts) "
+            "SELECT event_id, user_id, "
+            "  CASE WHEN lag <= 86400.0 THEN touch END AS touch_type, "
+            "  CASE WHEN lag <= 86400.0 THEN lag END AS lag_s, "
+            "  COALESCE(lag <= 86400.0, FALSE) AS attributed "
+            "FROM j"
+        ),
+        "collocations": (
+            # same token convention, same counting, and the IDENTICAL
+            # IEEE op sequence for lift — the ranking key; ln only in
+            # the value column where rounded hashing absorbs ulp noise
+            "WITH base AS (SELECT list_filter("
+            "  regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "  x -> x <> '') AS toks FROM documents), "
+            "uc AS (SELECT unnest(toks) AS w FROM base), "
+            "u AS (SELECT w, COUNT(*) AS c FROM uc GROUP BY 1), "
+            "bz AS (SELECT unnest(list_zip(toks[1:len(toks)-1], "
+            "  toks[2:len(toks)])) AS z FROM base "
+            "  WHERE len(toks) >= 2), "
+            "b AS (SELECT z[1] AS w1, z[2] AS w2, COUNT(*) AS n "
+            "  FROM bz GROUP BY 1, 2), "
+            "tot AS (SELECT (SELECT SUM(c) FROM u) AS nt, "
+            "  (SELECT SUM(n) FROM b) AS nb) "
+            "SELECT b.w1, b.w2, b.n AS n_pair, u1.c AS c1, "
+            "  u2.c AS c2, "
+            "  ((b.n * 1.0) * tot.nt / u1.c) * (tot.nt / u2.c) "
+            "    / tot.nb AS lift, "
+            "  ln(((b.n * 1.0) * tot.nt / u1.c) * (tot.nt / u2.c) "
+            "    / tot.nb) AS pmi "
+            "FROM b, tot "
+            "JOIN u u1 ON b.w1 = u1.w JOIN u u2 ON b.w2 = u2.w "
+            "WHERE b.n >= 5 "
+            "ORDER BY lift DESC, b.w1, b.w2 LIMIT 100"
         ),
     }
 

@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "funnel",
     "retention",
     "gap_fill",
+    "attribution",
+    "collocations",
 ]
 
 

@@ -6734,3 +6734,78 @@ class TestBehavior:
             ("view", "2024-01-04"),
         }
         assert all(r["n_events"] == 0 for r in out if r["is_gap"])
+
+
+class TestCollocations:
+    """ops/colloc.py: PMI collocations — planted corpora where the
+    lift ranking, the min_count cut, and the counting conventions
+    (adjacent bigrams only, single-token docs contribute unigrams but
+    no bigrams) are each decidable by hand."""
+
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_bound_pair_outranks_common_pair(self, spark):
+        from fuzi_spark.ops.colloc import collocations
+
+        # "san francisco" appears 5x and NEVER apart; "the cat" appears
+        # 5x but both words are diluted by other contexts -> lower lift
+        texts = (
+            ["san francisco"] * 5
+            + ["the cat sat"] * 5
+            + ["the dog", "a cat", "the end", "one cat here"]
+        )
+        out = collocations(
+            self._docs(spark, texts), min_count=5, top_n=10
+        ).collect()
+        pairs = [(r.w1, r.w2) for r in out]
+        assert pairs[0] == ("san", "francisco")
+        assert ("the", "cat") in pairs
+        top = out[0]
+        # exact arithmetic: n_pair=5, c1=c2=5, N=total tokens, B=bigrams
+        n_tok = sum(len(t.split()) for t in texts)
+        n_big = sum(len(t.split()) - 1 for t in texts if len(t.split()) >= 2)
+        assert (top.n_pair, top.c1, top.c2) == (5, 5, 5)
+        expected = ((5 * 1.0) * n_tok / 5) * (n_tok / 5) / n_big
+        assert top.lift == expected
+
+    def test_min_count_cuts_before_ranking(self, spark):
+        from fuzi_spark.ops.colloc import collocations
+
+        # "rare pair" occurs twice with perfect binding -> cut at
+        # min_count=3 despite having the best lift in the corpus
+        texts = ["rare pair"] * 2 + ["common word"] * 4
+        pairs = {
+            (r.w1, r.w2)
+            for r in collocations(
+                self._docs(spark, texts), min_count=3, top_n=10
+            ).collect()
+        }
+        assert pairs == {("common", "word")}
+
+    def test_single_token_and_empty_docs(self, spark):
+        from fuzi_spark.ops.colloc import collocations
+
+        # single-token/empty/whitespace docs add unigram mass (or
+        # nothing) without producing bigrams or crashing slice()
+        texts = ["solo"] * 3 + ["", "   "] + ["a b"] * 5
+        out = collocations(
+            self._docs(spark, texts), min_count=1, top_n=10
+        ).collect()
+        assert [(r.w1, r.w2, r.n_pair) for r in out] == [("a", "b", 5)]
+        # unigram totals include the solo docs: N = 3 + 10 = 13
+        assert out[0].lift == ((5 * 1.0) * 13 / 5) * (13 / 5) / 5
+
+    def test_partition_invariance(self, spark):
+        from fuzi_spark.ops.colloc import collocations
+
+        texts = [f"alpha beta w{i % 7} gamma delta" for i in range(40)]
+        one = collocations(
+            self._docs(spark, texts).coalesce(1), min_count=2, top_n=20
+        ).collect()
+        many = collocations(
+            self._docs(spark, texts).repartition(13), min_count=2, top_n=20
+        ).collect()
+        assert [tuple(r) for r in one] == [tuple(r) for r in many]

@@ -538,6 +538,16 @@ CASES = [
      "partial_-combined counts, then a single-row aggregate holding "
      "bounds + group set + count map, unpacked by two Generates and "
      "a map probe. No joins, no repeated scans."),
+    ("attribution",
+     "Last-touch attribution via asof_join. Wants: ONE exchange on "
+     "user_id shared by the union + carry-forward window (no "
+     "range-join explosion); tolerance null-out is a codegen'd "
+     "projection after the window."),
+    ("collocations",
+     "PMI collocations. Wants: ONE corpus scan (unigram + bigram "
+     "entries in the same explode), InMemoryTableScan for the three "
+     "count consumers, BroadcastNestedLoopJoin only for the 1-row "
+     "totals, TakeOrdered for the top-n."),
 ]
 
 
