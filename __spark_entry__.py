@@ -4417,6 +4417,78 @@ def q_collocations(spark, sf_dir):
     return collocations(_docs(spark, sf_dir), min_count=5, top_n=100)
 
 
+_GAZETTEER = [
+    ("hash join", "op"),
+    ("merge scan", "op"),
+    ("sort table", "obj"),
+    ("spark", "sys"),
+    ("key agg row", "op3"),
+]
+
+
+def q_gazetteer_tag(spark, sf_dir):
+    """Gazetteer phrase tagging (ops/gazetteer.py): a 5-phrase
+    dictionary (lengths 1..3) matched against every document as a
+    relational join — candidate token windows for all phrase lengths
+    built in ONE tokenize pass and one explode, broadcast join on the
+    phrase string, map-side mention aggregation. No per-row automaton,
+    no Python matcher. Oracle replays the construction: same token
+    convention, same window slices, same join."""
+    from fuzi_spark.ops.gazetteer import gazetteer_tag
+
+    gz = spark.createDataFrame(_GAZETTEER, "phrase string, tag string")
+    return gazetteer_tag(_docs(spark, sf_dir), gz)
+
+
+def q_rrf_fuse(spark, sf_dir):
+    """Reciprocal-rank fusion (ops/fuse.py): two BM25 rankings for
+    query reformulations ('hash join merge scan' / 'window sort group
+    agg') fused by rrf = sum 1/(60+rank) — rank-only fusion, union +
+    ONE groupBy (not an n-way outer join), each term one IEEE integer
+    division so the ordering key is engine-stable. Oracle replays both
+    BM25 scorings (the bm25_search oracle construction twice), the
+    row_number ranking, and the identical fusion arithmetic."""
+    from fuzi_spark.ops.bm25 import bm25_search
+    from fuzi_spark.ops.fuse import rrf_fuse, to_ranking
+
+    d = _docs(spark, sf_dir)
+    ranks = [
+        to_ranking(bm25_search(d, q, top_n=50))
+        for q in ("hash join merge scan", "window sort group agg")
+    ]
+    return rrf_fuse(ranks, k=60, top_n=20)
+
+
+def q_source_drift(spark, sf_dir):
+    """Per-source distribution drift (ops/drift.py): unigram
+    Jensen-Shannon divergence of every source against the corpus —
+    ONE corpus scan, vocab-sized counts persist shared by the corpus
+    re-aggregation and the cell join, absent-cell q-mass folded in
+    algebraically (0.5*(1-qmass)*ln2) so the dense source x vocab
+    cross join never exists. Oracle: the identical formulation
+    relationally; jsd is a VALUE column (6-sig-digit rounding absorbs
+    float-sum grouping noise, the bm25/lm_perplexity contract) and
+    the ORDER key is the source string."""
+    from fuzi_spark.ops.drift import source_drift
+
+    return source_drift(_docs(spark, sf_dir))
+
+
+def q_balanced_shards(spark, sf_dir):
+    """Weight-balanced shard assignment (ops/packing.py
+    balanced_shards): docs in (n_chars desc, doc_id) order dealt
+    boustrophedon across 16 shards — the deterministic near-LPT
+    writer layout. The global rank comes from range-bucketed offsets
+    + per-bucket windows (percentile_approx cut points only shift
+    work between tasks, never the answer); the oracle is the
+    single-window ROW_NUMBER differential the bucketing must match
+    byte-for-byte, plus the same wave arithmetic."""
+    from fuzi_spark.ops.packing import balanced_shards
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return balanced_shards(d, n_shards=16, weight_col="n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -4559,6 +4631,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "attribution": q_attribution,
         "collocations": q_collocations,
+        "gazetteer_tag": q_gazetteer_tag,
+        "rrf_fuse": q_rrf_fuse,
+        "source_drift": q_source_drift,
+        "balanced_shards": q_balanced_shards,
         "resolve_redirects": q_resolve_redirects,
         "fim_split": q_fim_split,
         "length_quantiles": q_length_quantiles,
@@ -6961,6 +7037,107 @@ def oracle_sql() -> dict[str, str]:
             "JOIN u u1 ON b.w1 = u1.w JOIN u u2 ON b.w2 = u2.w "
             "WHERE b.n >= 5 "
             "ORDER BY lift DESC, b.w1, b.w2 LIMIT 100"
+        ),
+        "gazetteer_tag": (
+            # same token convention, same candidate windows (one per
+            # phrase length), same join — built relationally
+            "WITH g(phrase, tag) AS (VALUES "
+            + ", ".join(f"('{p}', '{t}')" for p, t in _GAZETTEER)
+            + "), "
+            "base AS (SELECT doc_id, list_filter("
+            "  regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "  x -> x <> '') AS toks FROM documents), "
+            "ls AS (SELECT DISTINCT len(regexp_split_to_array("
+            "  trim(lower(phrase)), '\\s+')) AS l FROM g), "
+            "cand0 AS (SELECT doc_id, toks, l, "
+            "  unnest(generate_series(1, len(toks)-l+1)) AS pos "
+            "  FROM base, ls), "
+            "cand AS (SELECT doc_id, pos, "
+            "  array_to_string(toks[pos:pos+l-1], ' ') AS cand "
+            "  FROM cand0) "
+            "SELECT doc_id, g.phrase, g.tag, "
+            "  COUNT(*) AS n_mentions, MIN(pos) AS first_pos "
+            "FROM cand JOIN g ON cand.cand = trim(lower(g.phrase)) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "rrf_fuse": (
+            # both BM25 scorings replayed (the bm25_search oracle
+            # construction, parameterized by query), ranked by
+            # ROW_NUMBER over (score DESC, doc_id) within each top-50,
+            # then the identical fusion arithmetic: 1.0/(60+rank)
+            "WITH t AS (SELECT doc_id, unnest(list_filter("
+            "  regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "  x -> x <> '')) AS token FROM documents), "
+            "post AS (SELECT token, doc_id, COUNT(*) AS tf FROM t "
+            "  GROUP BY 1, 2), "
+            "dl AS (SELECT doc_id, len(list_filter("
+            "  regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "  x -> x <> '')) AS dl FROM documents), "
+            + "".join(
+                f"q{i} AS (SELECT unnest({terms}) AS token), "
+                f"dfq{i} AS (SELECT token, COUNT(*) AS df FROM post "
+                f"  JOIN q{i} USING (token) GROUP BY 1), "
+                f"idf{i} AS (SELECT token, ln(1.0 + "
+                "  ((SELECT COUNT(*) FROM documents) - df + 0.5) / "
+                f"  (df + 0.5)) AS idf FROM dfq{i}), "
+                f"sc{i} AS (SELECT post.doc_id, idf{i}.idf * "
+                "  (post.tf * (1.2 + 1.0)) / (post.tf + 1.2 * "
+                "  ((1.0 - 0.75) + 0.75 * dl.dl / "
+                "    (SELECT AVG(dl) FROM dl))) AS s "
+                f"  FROM post JOIN idf{i} USING (token) "
+                "  JOIN dl USING (doc_id)), "
+                f"top{i} AS (SELECT doc_id, SUM(s) AS score FROM sc{i} "
+                "  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 50), "
+                f"r{i} AS (SELECT doc_id, ROW_NUMBER() OVER "
+                f"  (ORDER BY score DESC, doc_id) AS rank FROM top{i}), "
+                for i, terms in (
+                    (1, "['hash', 'join', 'merge', 'scan']"),
+                    (2, "['agg', 'group', 'sort', 'window']"),
+                )
+            )
+            + "u AS (SELECT doc_id, rank FROM r1 "
+            "  UNION ALL SELECT doc_id, rank FROM r2) "
+            "SELECT doc_id, SUM(1.0 / (60 + rank)) AS rrf_score, "
+            "  COUNT(*) AS n_lists, MIN(rank) AS best_rank "
+            "FROM u GROUP BY 1 "
+            "ORDER BY rrf_score DESC, doc_id LIMIT 20"
+        ),
+        "source_drift": (
+            # identical formulation: present-cell JSD terms + the
+            # algebraic absent-cell remainder 0.5*(1-qmass)*ln(2)
+            "WITH base AS (SELECT source AS src, list_filter("
+            "  regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "  x -> x <> '') AS toks FROM documents), "
+            "c AS (SELECT src, unnest(toks) AS tok FROM base), "
+            "counts AS (SELECT src, tok, COUNT(*) AS n FROM c "
+            "  GROUP BY 1, 2), "
+            "corpus AS (SELECT tok, SUM(n) AS cn FROM counts "
+            "  GROUP BY 1), "
+            "stv AS (SELECT src, SUM(n) AS st, COUNT(*) AS vocab "
+            "  FROM counts GROUP BY 1), "
+            "g AS (SELECT SUM(n) AS gt FROM counts), "
+            "cells AS (SELECT counts.src, stv.st, stv.vocab, "
+            "  counts.n / stv.st AS p, corpus.cn / g.gt AS q "
+            "  FROM counts JOIN corpus USING (tok) "
+            "  JOIN stv USING (src), g), "
+            "per AS (SELECT src, st, vocab, "
+            "  SUM(0.5 * (p * ln(2.0*p/(p+q)) + q * ln(2.0*q/(p+q)))) "
+            "    AS present, "
+            "  SUM(q) AS qmass FROM cells GROUP BY 1, 2, 3) "
+            "SELECT src AS source, st AS n_tokens, vocab, "
+            "  present + 0.5 * (1.0 - qmass) * ln(2.0) AS jsd "
+            "FROM per ORDER BY source"
+        ),
+        "balanced_shards": (
+            # the single-window ROW_NUMBER differential the bucketed
+            # rank must match byte-for-byte, plus the wave arithmetic
+            "WITH r AS (SELECT doc_id, n_chars, "
+            "  ROW_NUMBER() OVER (ORDER BY -n_chars, doc_id) - 1 "
+            "    AS pos FROM documents) "
+            "SELECT doc_id, n_chars, pos AS size_rank, "
+            "  CASE WHEN pos % 32 < 16 THEN pos % 32 "
+            "  ELSE 31 - (pos % 32) END AS shard "
+            "FROM r"
         ),
     }
 

@@ -172,6 +172,10 @@ BENCH_QUERIES = [
     "gap_fill",
     "attribution",
     "collocations",
+    "gazetteer_tag",
+    "rrf_fuse",
+    "source_drift",
+    "balanced_shards",
 ]
 
 

@@ -268,3 +268,76 @@ def epoch_order(
         .withColumn("epoch", F.lit(int(epoch)))
         .drop("_eh", "_eb", "_off")
     )
+
+
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Weight-balanced shard assignment: adds (size_rank:long,
+    shard:int) so the output files a writer produces from
+    `partitionBy(shard)` come out near-equal in total weight.
+
+    The rule is the deterministic longest-processing-time layout:
+    docs in (weight desc, id) order deal boustrophedon across the
+    shards — positions 0..n-1 go to shards 0..n-1, positions n..2n-1
+    come BACK n-1..0, and so on. The return pass cancels the forward
+    pass's bias (shard 0 got the heaviest doc, so it receives the
+    lightest of the next wave), giving the classic near-LPT balance
+    without any sequential bin state.
+
+    Scale shape: a global weight rank normally means a global sort;
+    like epoch_order, the single-task total-order window is replaced
+    by order-aligned buckets + broadcast offsets — but here the
+    buckets are VALUE RANGES of the sort key (epoch_order's
+    hash-prefix trick only works for uniform keys). Range boundaries
+    come from percentile_approx over the weights: the boundaries only
+    need to be order-ALIGNED cut points, not exact quantiles, because
+    ranks are offset[bucket] + rank-within-bucket regardless of where
+    the cuts land — approximation shifts work between tasks, never
+    the answer (pinned by a ROW_NUMBER differential). Equal weights
+    always land in the same bucket, so the (weight desc, id) tie
+    order stays total within one window partition.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    # ascending sort key: heaviest first, ties on id
+    key = -F.col(weight_col).cast("long")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(
+        set(
+            df.select(
+                F.percentile_approx(
+                    key, F.array(*[F.lit(f) for f in fracs]), 2500
+                ).alias("b")
+            ).first()["b"]
+            or []
+        )
+    )
+    # bucket = number of boundaries strictly below the key: equal keys
+    # share a bucket, bucket order == key order
+    b_arr = F.array(*[F.lit(int(b)) for b in bounds]) if bounds else F.array().cast("array<long>")
+    bucket = F.size(F.filter(b_arr, lambda x: x < key))
+    rows = df.withColumn("_sk", key).withColumn("_sb", bucket)
+    counts = rows.groupBy("_sb").count()
+    woff = Window.orderBy("_sb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "_sb", (F.sum("count").over(woff) - F.col("count")).alias("_off")
+    )
+    wrank = Window.partitionBy("_sb").orderBy("_sk", id_col)
+    pos = F.col("_off") + F.row_number().over(wrank) - 1
+    wave = pos % (2 * n_shards)
+    shard = F.when(wave < n_shards, wave).otherwise(
+        2 * n_shards - 1 - wave
+    )
+    return (
+        rows.join(F.broadcast(offsets), "_sb")
+        .withColumn("size_rank", pos.cast("long"))
+        .withColumn("shard", shard.cast("int"))
+        .drop("_sk", "_sb", "_off")
+    )

@@ -6809,3 +6809,203 @@ class TestCollocations:
             self._docs(spark, texts).repartition(13), min_count=2, top_n=20
         ).collect()
         assert [tuple(r) for r in one] == [tuple(r) for r in many]
+
+
+class TestGazetteer:
+    """ops/gazetteer.py: planted docs where window semantics (overlap,
+    repeats, token-exact matching, short docs) are decidable by hand."""
+
+    def _gz(self, spark, rows):
+        return spark.createDataFrame(rows, "phrase string, tag string")
+
+    def test_mentions_positions_and_overlap(self, spark):
+        from fuzi_spark.ops.gazetteer import gazetteer_tag
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a new york in New York city"),
+                (2, "newyork is not new york"),   # no cross-token match
+                (3, "york"),                       # shorter than phrase
+            ],
+            "doc_id long, text string",
+        )
+        gz = self._gz(
+            spark,
+            [("new york", "loc"), ("york city", "loc"), ("a", "det")],
+        )
+        got = {
+            (r.doc_id, r.phrase): (r.tag, r.n_mentions, r.first_pos)
+            for r in gazetteer_tag(docs, gz).collect()
+        }
+        assert got == {
+            (1, "new york"): ("loc", 2, 2),   # case-folded repeat
+            (1, "york city"): ("loc", 1, 6),  # overlaps "new york"
+            (1, "a"): ("det", 1, 1),
+            (2, "new york"): ("loc", 1, 4),
+        }
+
+    def test_length_guard_and_empty(self, spark):
+        import pytest
+
+        from fuzi_spark.ops.gazetteer import gazetteer_tag
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="max_phrase_len"):
+            gazetteer_tag(
+                docs, self._gz(spark, [("a b c", "t")]), max_phrase_len=2
+            )
+        with pytest.raises(ValueError, match="empty gazetteer"):
+            gazetteer_tag(docs, self._gz(spark, []).filter("1=0"))
+
+
+class TestRrfFuse:
+    """ops/fuse.py: hand-checkable fusion arithmetic and rank totality."""
+
+    def test_fusion_arithmetic(self, spark):
+        from fuzi_spark.ops.fuse import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+        )
+        r2 = spark.createDataFrame(
+            [(11, 1), (13, 2)], "doc_id long, rank int"
+        )
+        got = {
+            r.doc_id: (r.rrf_score, r.n_lists, r.best_rank)
+            for r in rrf_fuse([r1, r2], k=60).collect()
+        }
+        assert got == {
+            10: (1.0 / 61, 1, 1),
+            11: (1.0 / 62 + 1.0 / 61, 2, 1),
+            12: (1.0 / 63, 1, 3),
+            13: (1.0 / 62, 1, 2),
+        }
+        # doc in both lists outranks every single-list doc here
+        order = [
+            r.doc_id for r in rrf_fuse([r1, r2], k=60).collect()
+        ]
+        assert order[0] == 11
+
+    def test_to_ranking_total_order_under_ties(self, spark):
+        from fuzi_spark.ops.fuse import to_ranking
+
+        scored = spark.createDataFrame(
+            [(5, 1.0), (3, 1.0), (4, 2.0)], "doc_id long, score double"
+        )
+        got = {r.doc_id: r.rank for r in to_ranking(scored).collect()}
+        assert got == {4: 1, 3: 2, 5: 3}  # ties broken by id
+
+
+class TestSourceDrift:
+    """ops/drift.py: constructions where the JSD is known in closed
+    form — identical strata (0) and disjoint strata (computable)."""
+
+    def test_identical_strata_drift_zero(self, spark):
+        from fuzi_spark.ops.drift import source_drift
+
+        docs = spark.createDataFrame(
+            [(i, "alpha beta beta gamma", f"s{i % 2}") for i in range(8)],
+            "doc_id long, text string, source string",
+        )
+        for r in source_drift(docs).collect():
+            assert abs(r.jsd) < 1e-12
+            assert r.vocab == 3 and r.n_tokens == 16
+
+    def test_disjoint_strata_closed_form(self, spark):
+        import math
+
+        from fuzi_spark.ops.drift import source_drift
+
+        # source a: only "x" (8 tokens); source b: only "y" (8 tokens)
+        docs = spark.createDataFrame(
+            [(i, "x x", "a") for i in range(4)]
+            + [(10 + i, "y y", "b") for i in range(4)],
+            "doc_id long, text string, source string",
+        )
+        # p=1, q=0.5, m=0.75 on the own token; absent mass q=0.5
+        expect = (
+            0.5 * (math.log(2 / 1.5) + 0.5 * math.log(1 / 1.5))
+            + 0.5 * 0.5 * math.log(2.0)
+        )
+        for r in source_drift(docs).collect():
+            assert abs(r.jsd - expect) < 1e-12
+
+    def test_partition_invariance(self, spark):
+        from fuzi_spark.ops.drift import source_drift
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i % 5} w{i % 3} common", f"s{i % 4}") for i in range(60)],
+            "doc_id long, text string, source string",
+        )
+        one = source_drift(docs.coalesce(1)).collect()
+        many = source_drift(docs.repartition(13)).collect()
+        assert [(r.source, r.n_tokens, r.vocab) for r in one] == [
+            (r.source, r.n_tokens, r.vocab) for r in many
+        ]
+        for a, b in zip(one, many):
+            assert abs(a.jsd - b.jsd) < 1e-12
+
+
+class TestBalancedShards:
+    """ops/packing.py balanced_shards: the bucketed rank must equal
+    the single-window ROW_NUMBER; the wave layout must balance."""
+
+    def _docs(self, spark, weights):
+        return spark.createDataFrame(
+            [(i, w) for i, w in enumerate(weights)],
+            "doc_id long, n_chars long",
+        )
+
+    def test_matches_reference_ranks_and_waves(self, spark):
+        from fuzi_spark.ops.packing import balanced_shards
+
+        weights = [((i * 37) % 100) + 1 for i in range(50)]
+        got = {
+            r.doc_id: (r.size_rank, r.shard)
+            for r in balanced_shards(
+                self._docs(spark, weights), n_shards=4, n_buckets=8
+            ).collect()
+        }
+        order = sorted(range(50), key=lambda i: (-weights[i], i))
+        for pos, i in enumerate(order):
+            wave = pos % 8
+            shard = wave if wave < 4 else 7 - wave
+            assert got[i] == (pos, shard), (i, pos)
+
+    def test_balance_bound(self, spark):
+        from fuzi_spark.ops.packing import balanced_shards
+
+        weights = [((i * 53) % 997) + 1 for i in range(200)]
+        rows = balanced_shards(
+            self._docs(spark, weights), n_shards=8
+        ).collect()
+        totals = {}
+        for r in rows:
+            totals[r.shard] = totals.get(r.shard, 0) + r.n_chars
+        assert set(totals) == set(range(8))
+        # boustrophedon over desc weights: spread bounded by the
+        # heaviest single document
+        assert max(totals.values()) - min(totals.values()) <= max(weights)
+
+    def test_partition_and_bucket_invariance(self, spark):
+        from fuzi_spark.ops.packing import balanced_shards
+
+        d = self._docs(spark, [((i * 7) % 23) + 1 for i in range(40)])
+        base = {
+            r.doc_id: (r.size_rank, r.shard)
+            for r in balanced_shards(d.coalesce(1), 3, n_buckets=1).collect()
+        }
+        for nb, parts in ((4, 7), (16, 3)):
+            got = {
+                r.doc_id: (r.size_rank, r.shard)
+                for r in balanced_shards(
+                    d.repartition(parts), 3, n_buckets=nb
+                ).collect()
+            }
+            assert got == base
+
+    def test_single_shard(self, spark):
+        from fuzi_spark.ops.packing import balanced_shards
+
+        rows = balanced_shards(self._docs(spark, [5, 1, 3]), 1).collect()
+        assert {r.shard for r in rows} == {0}

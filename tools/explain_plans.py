@@ -548,6 +548,21 @@ CASES = [
      "entries in the same explode), InMemoryTableScan for the three "
      "count consumers, BroadcastNestedLoopJoin only for the 1-row "
      "totals, TakeOrdered for the top-n."),
+    ("gazetteer_tag",
+     "Dictionary tagging as a join. Wants: ONE tokenize projection "
+     "emitting candidate windows for ALL phrase lengths, one "
+     "Generate, a BroadcastHashJoin on the phrase string, map-side "
+     "partial mention aggregation. No Python matcher anywhere."),
+    ("source_drift",
+     "Distribution drift. Wants: ONE corpus scan into the (src,tok) "
+     "count shuffle; corpus totals re-aggregated from the persisted "
+     "counts (InMemoryTableScan), per-source/grand totals broadcast "
+     "back; no dense source x vocab cross join."),
+    ("balanced_shards",
+     "Weight-balanced sharding. Wants: range-bucketed offsets + "
+     "per-bucket windows instead of a single-task total-order sort — "
+     "Window partitionBy(_sb), broadcast offsets join, wave "
+     "arithmetic as a codegen projection."),
 ]
 
 
