@@ -618,10 +618,17 @@ def margin_bitext(
     strategy intersected both ways), with margin >= threshold. Ties
     break to the smaller partner id — fully deterministic.
 
-    Scale shape: this is the EXACT kernel — each direction is one
-    broadcast cross join + a per-id window top-k (TakeOrdered-style
-    heap under AQE), sized for a benchmark-scale language side (the
-    semantic_decontaminate broadcast contract). For two corpus-sized
+    Scale shape: this is the EXACT kernel — cosine is symmetric, so
+    the cross-cosine matrix is computed ONCE (one broadcast cross
+    join, the tgt side broadcast) and persisted, then windowed BOTH
+    ways: top-k per src id gives NN_k(x, tgt), top-k per tgt id gives
+    NN_k(y, src) — the first formulation ran the cross join twice
+    (once per direction) and paid the per-pair dot product twice.
+    Each top-k filter sits directly on its row_number so Spark's
+    WindowGroupLimit prunes to k rows per group before the exchange.
+    Sized for a benchmark-scale language side (the
+    semantic_decontaminate broadcast contract — the persisted pair
+    matrix is |src|·|tgt| rows of 24 bytes). For two corpus-sized
     sides, generate candidates with cosine_topk_lsh / cosine_topk_ivf
     first and feed ONLY the candidate pairs through the same margin
     formula — the scoring stages below consume (src, tgt, cosine)
@@ -631,12 +638,13 @@ def margin_bitext(
     embedding surface — pipeline-brief scope (cross-lingual curation;
     complements ops/web.py bitext_pairs' hreflang handshake with a
     content-similarity miner)."""
+    from .cache import scoped_persist
+
     kk = int(k)
-    fwd = _cross_cosines(src, tgt, id_col, vec_col).select(
-        F.col("_aid").alias("sid"), F.col("_bid").alias("tid"), "cosine"
-    )
-    bwd = _cross_cosines(tgt, src, id_col, vec_col).select(
-        F.col("_bid").alias("sid"), F.col("_aid").alias("tid"), "cosine"
+    pairs = scoped_persist(
+        _cross_cosines(src, tgt, id_col, vec_col).select(
+            F.col("_aid").alias("sid"), F.col("_bid").alias("tid"), "cosine"
+        )
     )
     wf = Window.partitionBy("sid").orderBy(
         F.col("cosine").desc(), F.col("tid").asc()
@@ -644,8 +652,8 @@ def margin_bitext(
     wb = Window.partitionBy("tid").orderBy(
         F.col("cosine").desc(), F.col("sid").asc()
     )
-    fr = fwd.withColumn("r", F.row_number().over(wf)).filter(F.col("r") <= kk)
-    br = bwd.withColumn("r", F.row_number().over(wb)).filter(F.col("r") <= kk)
+    fr = pairs.withColumn("r", F.row_number().over(wf)).filter(F.col("r") <= kk)
+    br = pairs.withColumn("r", F.row_number().over(wb)).filter(F.col("r") <= kk)
     ax = fr.groupBy("sid").agg(F.avg("cosine").alias("a_src"))
     ay = br.groupBy("tid").agg(F.avg("cosine").alias("a_tgt"))
     cand = (
