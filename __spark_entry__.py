@@ -1657,6 +1657,23 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_perplexity(d, uni, bi, alpha=0.1)
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing: the same add-0.1 bigram model
+    as lm_perplexity (trained on the even-doc_id half), then PER-LANG
+    exact tercile cutoffs (group_quantiles' rank arithmetic) and the
+    ties-down bucket assignment. The oracle replays the whole chain in
+    SQL — model counts, perplexity, per-lang value-at-rank cutoffs,
+    comparison bucketing — so the bucket boundaries themselves are
+    verified, not just the scores."""
+    from fuzi_spark.ops.lm import perplexity_buckets, train_bigram_lm
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    uni, bi = train_bigram_lm(d.filter(F.col("doc_id") % 2 == 0))
+    return perplexity_buckets(
+        d, uni, bi, n_buckets=3, group_cols=["lang"], alpha=0.1
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     """Overlapping 120-char windows (overlap 20) over every document —
     the chunking step before embedding/packing. Zero shuffles; the
@@ -4547,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_table": q_vocab_table,
         "repeated_passages": q_repeated_passages,
         "lm_perplexity": q_lm_perplexity,
+        "perplexity_buckets": q_perplexity_buckets,
         "chunk_documents": q_chunk_documents,
         "url_dedup": q_url_dedup,
         "encode_documents": q_encode_documents,
@@ -5270,6 +5288,55 @@ def oracle_sql() -> dict[str, str]:
             "  AS n_bigrams, a.avg_logprob, "
             "CASE WHEN a.n_bigrams > 0 THEN exp(-a.avg_logprob) END AS perplexity "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "perplexity_buckets": (
+            # identical model + perplexity chain as lm_perplexity, then
+            # per-lang tercile cutoffs via the SAME value-at-rank rule
+            # (floor(p*(n-1))+1 over perplexity asc) and ties-down
+            # comparison bucketing
+            "WITH t AS (SELECT doc_id, "
+            "  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "    x -> x <> '') AS toks FROM documents), "
+            "uni AS (SELECT u.tok AS token, COUNT(*) AS cu "
+            "  FROM (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 2 = 0) u "
+            "  GROUP BY 1), "
+            "v AS (SELECT COUNT(*) AS vs FROM uni), "
+            "bg AS (SELECT t.doc_id, t.toks[g.i] AS w1, t.toks[g.i + 1] AS w2 "
+            "  FROM t, UNNEST(range(1, len(t.toks))) AS g(i)), "
+            "bi AS (SELECT w1, w2, COUNT(*) AS cb FROM bg "
+            "  WHERE doc_id % 2 = 0 GROUP BY 1, 2), "
+            "scored AS (SELECT bg.doc_id, "
+            "  ln((COALESCE(bi.cb, 0) + 0.1) / (COALESCE(uni.cu, 0) + 0.1 * v.vs)) "
+            "    AS logp "
+            "  FROM bg LEFT JOIN bi USING (w1, w2) "
+            "  LEFT JOIN uni ON bg.w1 = uni.token CROSS JOIN v), "
+            "agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, "
+            "  AVG(logp) AS avg_logprob FROM scored GROUP BY 1), "
+            "ppl AS (SELECT d.doc_id, d.lang, "
+            "  CASE WHEN a.n_bigrams > 0 THEN exp(-a.avg_logprob) END "
+            "    AS perplexity "
+            "  FROM documents d LEFT JOIN agg a USING (doc_id)), "
+            "rk AS (SELECT lang, round(perplexity, 6) AS pplr, "
+            "  ROW_NUMBER() OVER (PARTITION BY lang "
+            "    ORDER BY round(perplexity, 6) ASC) AS rn, "
+            "  COUNT(*) OVER (PARTITION BY lang) AS n "
+            "  FROM ppl WHERE perplexity IS NOT NULL), "
+            "cut AS (SELECT lang, "
+            "  MAX(CASE WHEN rn = CAST(floor((1.0/3) * (n - 1)) AS BIGINT) + 1 "
+            "    THEN pplr END) AS q33, "
+            "  MAX(CASE WHEN rn = CAST(floor((2.0/3) * (n - 1)) AS BIGINT) + 1 "
+            "    THEN pplr END) AS q67 "
+            "  FROM rk GROUP BY 1), "
+            "b AS (SELECT p.doc_id, p.lang, p.perplexity, "
+            "  CASE WHEN p.perplexity IS NOT NULL AND c.q33 IS NOT NULL THEN "
+            "    (CASE WHEN round(p.perplexity, 6) > c.q33 THEN 1 ELSE 0 END) "
+            "    + (CASE WHEN round(p.perplexity, 6) > c.q67 THEN 1 ELSE 0 END) "
+            "  END AS bucket "
+            "  FROM ppl p LEFT JOIN cut c USING (lang)) "
+            "SELECT doc_id, lang, perplexity, CAST(bucket AS INTEGER) "
+            "  AS bucket, "
+            "CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle' "
+            "  WHEN 2 THEN 'tail' END AS bucket_label FROM b"
         ),
         "chunk_documents": (
             # same closed-form chunk count (integer ceil-div, floored at

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "vocab_table",
     "repeated_passages",
     "lm_perplexity",
+    "perplexity_buckets",
     "chunk_documents",
     "url_dedup",
     "encode_documents",

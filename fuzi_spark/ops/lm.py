@@ -195,3 +195,99 @@ def perplexity_filter(
             | (F.col("perplexity") <= F.lit(float(max_perplexity)))
         ).cast("int"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    n_buckets: int = 3,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """CCNet's corpus bucketing (Wenzek et al. 2020, arXiv:1911.00359):
+    score every document's perplexity under the reference LM, then
+    split the corpus into equal-count buckets at the perplexity
+    quantiles — head / middle / tail terciles in the paper, computed
+    PER LANGUAGE (pass group_cols=["lang"]); the head bucket is the
+    lowest-perplexity (most reference-like) slice.
+
+    Returns one row per input doc:
+    (id_col, group_cols..., perplexity, bucket:int, bucket_label) —
+    bucket 0 is the head; docs too short to score (perplexity NULL)
+    and docs in groups with no scorable member get bucket NULL (no
+    evidence either way — callers decide, as in perplexity_filter).
+    Cutoff convention: a doc lands in the lowest bucket whose cutoff
+    it does not exceed (ppl <= q_i ties DOWN), with cutoff values from
+    diagnostics.group_quantiles' exact rank arithmetic. Both ranking
+    and comparison run on perplexity ROUNDED to 6 decimals: perplexity
+    is an avg of logs whose float summation order is engine-specific,
+    so two docs with mathematically equal perplexity (duplicate texts
+    — common in the corpora this buckets) can swap rank order across
+    engines by one ulp and flip a boundary assignment; comparing at
+    fixed granularity makes the boundary itself replayable. The
+    emitted perplexity column stays unrounded.
+
+    Scale shape: scoring is lm_perplexity's (broadcast model joins,
+    one doc-keyed partial agg); the cutoff table is ONE exact
+    per-group quantile pass over doc-level (group, perplexity) rows —
+    the group sort is the honest price of exact order statistics
+    (swap in percentile_approx when an audit-grade boundary isn't
+    required); assignment joins the metadata-sized cutoff table back
+    broadcast and buckets with codegen'd comparisons. No corpus
+    shuffle beyond the scoring agg and the skinny quantile sort.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from .diagnostics import group_quantiles
+
+    gcols = list(group_cols or [])
+    scored = (
+        lm_perplexity(
+            df, unigrams, bigrams, text_col, id_col, alpha, vocab_size
+        )
+        .select(id_col, "perplexity")
+        .withColumn("_pplr", F.round(F.col("perplexity"), 6))
+    )
+    if gcols:
+        scored = scored.join(df.select(id_col, *gcols), id_col)
+    else:
+        scored = scored.withColumn("_g", F.lit(0))
+    gg = gcols or ["_g"]
+    ps = tuple(i / n_buckets for i in range(1, n_buckets))
+    labels = [f"q{int(round(p * 100))}" for p in ps]
+    cut = group_quantiles(
+        scored.filter(F.col("_pplr").isNotNull()),
+        "_pplr",
+        gg,
+        ps=ps,
+    )
+    assigned = scored.join(
+        F.broadcast(cut.select(*gg, *labels)), gg, "left"
+    )
+    b = F.lit(0)
+    for lab in labels:
+        b = b + F.when(F.col("_pplr") > F.col(lab), 1).otherwise(0)
+    bucket = F.when(
+        F.col("_pplr").isNotNull() & F.col(labels[0]).isNotNull(),
+        b,
+    ).cast("int")
+    if n_buckets == 3:
+        label = (
+            F.when(F.col("bucket") == 0, "head")
+            .when(F.col("bucket") == 1, "middle")
+            .when(F.col("bucket") == 2, "tail")
+        )
+    else:
+        label = F.when(
+            F.col("bucket").isNotNull(),
+            F.concat(F.lit("b"), F.col("bucket").cast("string")),
+        )
+    return (
+        assigned.withColumn("bucket", bucket)
+        .withColumn("bucket_label", label)
+        .select(id_col, *gcols, "perplexity", "bucket", "bucket_label")
+    )

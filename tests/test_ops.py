@@ -1696,6 +1696,135 @@ class TestBigramLM:
             lm_perplexity(empty, uni, bi)
 
 
+class TestPerplexityBuckets:
+    """ops/lm.py perplexity_buckets — CCNet head/middle/tail terciles."""
+
+    TRAIN = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "a cat and a dog sat"),
+    ]
+
+    def _model(self, spark):
+        from fuzi_spark.ops.lm import train_bigram_lm
+
+        return train_bigram_lm(
+            spark.createDataFrame(self.TRAIN, "doc_id long, text string")
+        )
+
+    def _mixed_corpus(self):
+        # 9 scorable docs spanning in-model → all-unseen fluency, plus
+        # one unscorable short doc
+        return [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the rug"),
+            (2, "a cat and a dog sat"),
+            (3, "the cat sat on the rug"),
+            (4, "a dog sat on the mat"),
+            (5, "cat sat dog sat cat"),
+            (6, "mat rug cat dog the"),
+            (7, "zebra quark flux bogon"),
+            (8, "qqq www eee rrr ttt"),
+            (9, "hi"),
+        ]
+
+    def test_terciles_are_equal_count_and_ordered(self, spark):
+        from fuzi_spark.ops.lm import perplexity_buckets
+
+        uni, bi = self._model(spark)
+        docs = spark.createDataFrame(
+            self._mixed_corpus(), "doc_id long, text string"
+        )
+        rows = perplexity_buckets(docs, uni, bi).collect()
+        assert len(rows) == 10
+        by_bucket = {}
+        for r in rows:
+            by_bucket.setdefault(r.bucket, []).append(r)
+        # 9 scorable docs → 3 per tercile; the short doc is NULL
+        assert sorted(len(v) for k, v in by_bucket.items() if k is not None) == [3, 3, 3]
+        assert len(by_bucket[None]) == 1 and by_bucket[None][0].doc_id == 9
+        assert by_bucket[None][0].perplexity is None
+        # head holds the LOWEST perplexities; buckets are ordered slices
+        assert max(r.perplexity for r in by_bucket[0]) <= min(
+            r.perplexity for r in by_bucket[1]
+        )
+        assert max(r.perplexity for r in by_bucket[1]) <= min(
+            r.perplexity for r in by_bucket[2]
+        )
+        labels = {r.bucket: r.bucket_label for r in rows if r.bucket is not None}
+        assert labels == {0: "head", 1: "middle", 2: "tail"}
+
+    def test_groups_bucket_independently(self, spark):
+        """Identical texts land in different buckets when their GROUPS
+        have different perplexity distributions — the CCNet per-language
+        contract."""
+        from fuzi_spark.ops.lm import perplexity_buckets
+
+        uni, bi = self._model(spark)
+        # group A: probe is the WORST of its group (all others in-model)
+        # group B: probe is the BEST of its group (all others unseen)
+        probe = "cat sat dog sat cat"
+        rows_a = [(i, "a", t) for i, (_, t) in enumerate(self.TRAIN)]
+        rows = rows_a + [
+            (10, "a", probe),
+            (11, "b", probe),
+            (12, "b", "zebra quark flux bogon"),
+            (13, "b", "qqq www eee rrr ttt"),
+            (14, "b", "xxx yyy zzz vvv www"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {
+            r.doc_id: r.bucket
+            for r in perplexity_buckets(
+                docs, uni, bi, group_cols=["lang"]
+            ).collect()
+        }
+        assert got[10] == 2  # tail of the fluent group
+        assert got[11] == 0  # head of the garbage group
+
+    def test_duplicate_texts_share_a_bucket(self, spark):
+        """Equal perplexity compares at fixed granularity → duplicates
+        tie DOWN together, never straddle a cutoff."""
+        from fuzi_spark.ops.lm import perplexity_buckets
+
+        uni, bi = self._model(spark)
+        dup = "the cat sat on the rug"
+        docs = spark.createDataFrame(
+            [(i, dup) for i in range(6)]
+            + [(6, "zebra quark flux"), (7, "qqq www eee"), (8, "xxx yyy zzz")],
+            "doc_id long, text string",
+        )
+        rows = perplexity_buckets(docs, uni, bi).collect()
+        dup_buckets = {r.bucket for r in rows if r.doc_id < 6}
+        assert dup_buckets == {0}
+
+    def test_unscorable_group_is_null(self, spark):
+        from fuzi_spark.ops.lm import perplexity_buckets
+
+        uni, bi = self._model(spark)
+        docs = spark.createDataFrame(
+            [(0, "a", "the cat sat on the mat"), (1, "b", "hi")],
+            "doc_id long, lang string, text string",
+        )
+        got = {
+            r.doc_id: (r.bucket, r.bucket_label)
+            for r in perplexity_buckets(
+                docs, uni, bi, group_cols=["lang"]
+            ).collect()
+        }
+        assert got[1] == (None, None)
+
+    def test_rejects_single_bucket(self, spark):
+        from fuzi_spark.ops.lm import perplexity_buckets
+
+        uni, bi = self._model(spark)
+        docs = spark.createDataFrame(
+            [(0, "the cat sat")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError):
+            perplexity_buckets(docs, uni, bi, n_buckets=1)
+
+
 class TestChunkDocuments:
     """ops/packing.py chunk_documents — overlapping char windows."""
 
