@@ -1674,6 +1674,70 @@ def q_perplexity_buckets(spark, sf_dir):
     )
 
 
+def q_detect_license(spark, sf_dir):
+    """License detection (The Stack gate) over constructed headers:
+    doc_id%10 plants one case per family — SPDX declarations (0),
+    SPDX-beats-phrase precedence (1: Apache SPDX above a GPL phrase),
+    a LINE-WRAPPED MIT notice (2: whitespace collapse required), the
+    Apache/BSD/GPLv3/GPLv2/LGPL/CC-BY phrases (3-8), and no license
+    (9). The oracle writes the EXPECTED (spdx_id, family, permissive)
+    straight from the construction formula — parser-independent (the
+    repeated_passages evidence style)."""
+    from fuzi_spark.ops.license import detect_license
+
+    i = F.col("doc_id") % 10
+    hdr = (
+        F.when(i == 0, "// SPDX-License-Identifier: MIT\n")
+        .when(
+            i == 1,
+            "# SPDX-License-Identifier: Apache-2.0\n# This program is "
+            "free software: you can redistribute it under the terms of "
+            "the GNU General Public License, either version 3.\n",
+        )
+        .when(
+            i == 2,
+            "/* Permission is hereby\n   granted, free of charge, to "
+            "any person obtaining a copy of this software */\n",
+        )
+        .when(
+            i == 3,
+            "Licensed under the Apache License, Version 2.0 (the "
+            '"License");\n',
+        )
+        .when(
+            i == 4,
+            "Redistribution and use in source and binary forms, with "
+            "or without modification, are permitted\n",
+        )
+        .when(
+            i == 5,
+            "under the terms of the GNU General Public License as "
+            "published by the Free Software Foundation, either "
+            "version 3 of the License\n",
+        )
+        .when(
+            i == 6,
+            "under the terms of the GNU General Public License as "
+            "published by the Free Software Foundation, either "
+            "version 2 of the License\n",
+        )
+        .when(
+            i == 7,
+            "under the terms of the GNU Lesser General Public License\n",
+        )
+        .when(
+            i == 8,
+            "This work is licensed under a Creative Commons "
+            "Attribution 4.0 International License\n",
+        )
+        .otherwise("")
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(hdr, F.col("text")).alias("text")
+    )
+    return detect_license(d)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Overlapping 120-char windows (overlap 20) over every document —
     the chunking step before embedding/packing. Zero shuffles; the
@@ -4565,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_passages": q_repeated_passages,
         "lm_perplexity": q_lm_perplexity,
         "perplexity_buckets": q_perplexity_buckets,
+        "detect_license": q_detect_license,
         "chunk_documents": q_chunk_documents,
         "url_dedup": q_url_dedup,
         "encode_documents": q_encode_documents,
@@ -5337,6 +5402,23 @@ def oracle_sql() -> dict[str, str]:
             "  AS bucket, "
             "CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle' "
             "  WHEN 2 THEN 'tail' END AS bucket_label FROM b"
+        ),
+        "detect_license": (
+            # expected detection written straight from the doc_id%10
+            # construction: SPDX ids for 0-1 (1 proves SPDX beats the
+            # planted GPL phrase), phrase families for 2-8, NULLs for 9
+            "WITH c AS (SELECT doc_id, doc_id % 10 AS m FROM documents) "
+            "SELECT doc_id, "
+            "CASE WHEN m = 0 THEN 'MIT' WHEN m = 1 THEN 'Apache-2.0' END "
+            "  AS spdx_id, "
+            "CASE WHEN m = 0 THEN 'MIT' WHEN m = 1 THEN 'Apache-2.0' "
+            "  WHEN m = 2 THEN 'MIT' WHEN m = 3 THEN 'Apache-2.0' "
+            "  WHEN m = 4 THEN 'BSD' WHEN m = 5 THEN 'GPL-3.0' "
+            "  WHEN m = 6 THEN 'GPL-2.0' WHEN m = 7 THEN 'LGPL' "
+            "  WHEN m = 8 THEN 'CC-BY' END AS license_family, "
+            "CAST(CASE WHEN m IN (0, 1, 2, 3, 4, 8) THEN 1 "
+            "  WHEN m IN (5, 6, 7) THEN 0 END AS INTEGER) AS permissive "
+            "FROM c"
         ),
         "chunk_documents": (
             # same closed-form chunk count (integer ceil-div, floored at

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "repeated_passages",
     "lm_perplexity",
     "perplexity_buckets",
+    "detect_license",
     "chunk_documents",
     "url_dedup",
     "encode_documents",

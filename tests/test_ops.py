@@ -1696,6 +1696,81 @@ class TestBigramLM:
             lm_perplexity(empty, uni, bi)
 
 
+class TestDetectLicense:
+    """ops/license.py detect_license — The Stack's inclusion gate."""
+
+    def _run(self, spark, rows, **kw):
+        from fuzi_spark.ops.license import detect_license
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.doc_id: (r.spdx_id, r.license_family, r.permissive)
+            for r in detect_license(df, **kw).collect()
+        }
+
+    def test_families_and_precedence(self, spark):
+        got = self._run(
+            spark,
+            [
+                (0, "// SPDX-License-Identifier: BSD-3-Clause\ncode"),
+                # SPDX beats a conflicting phrase
+                (1, "# SPDX-License-Identifier: MIT\nGNU General Public License version 3"),
+                # wrapped MIT notice needs whitespace collapse
+                (2, "Permission is hereby\n   granted, free of charge, to anyone"),
+                (3, "Licensed under the Apache License, Version 2.0 (the License)"),
+                (4, "Redistribution and use in source and binary forms, ok"),
+                (5, "GNU General Public License ... either version 3 of the License"),
+                (6, "GNU General Public License ... either version 2 of the License"),
+                # LGPL must not be swallowed by the GPL substring probe
+                (7, "GNU Lesser General Public License version 2.1"),
+                (8, "GNU Affero General Public License v3"),
+                (9, "licensed under a Creative Commons Attribution 4.0 License"),
+                (10, "free and unencumbered software released into the public domain"),
+                (11, "no license text here at all"),
+                # unversioned GPL mention
+                (12, "GNU General Public License applies"),
+            ],
+        )
+        assert got[0] == ("BSD-3-Clause", "BSD-3-Clause", None)
+        assert got[1] == ("MIT", "MIT", 1)
+        assert got[2] == (None, "MIT", 1)
+        assert got[3] == (None, "Apache-2.0", 1)
+        assert got[4] == (None, "BSD", 1)
+        assert got[5] == (None, "GPL-3.0", 0)
+        assert got[6] == (None, "GPL-2.0", 0)
+        assert got[7] == (None, "LGPL", 0)
+        assert got[8] == (None, "AGPL-3.0", 0)
+        assert got[9] == (None, "CC-BY", 1)
+        assert got[10] == (None, "Unlicense", 1)
+        assert got[11] == (None, None, None)
+        assert got[12] == (None, "GPL", 0)
+
+    def test_detection_is_header_bounded(self, spark):
+        """A license phrase past header_chars is NOT detected — the
+        probe cost must not grow with document length."""
+        pad = "x" * 120
+        got = self._run(
+            spark,
+            [(0, pad + " Permission is hereby granted, free of charge")],
+            header_chars=100,
+        )
+        assert got[0] == (None, None, None)
+
+    def test_single_projection_no_shuffle(self, spark):
+        from fuzi_spark.ops.license import detect_license
+
+        df = spark.createDataFrame(
+            [(0, "MIT-ish")], "doc_id long, text string"
+        )
+        plan = (
+            detect_license(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+
+
 class TestPerplexityBuckets:
     """ops/lm.py perplexity_buckets — CCNet head/middle/tail terciles."""
 
