@@ -563,6 +563,22 @@ CASES = [
      "per-bucket windows instead of a single-task total-order sort — "
      "Window partitionBy(_sb), broadcast offsets join, wave "
      "arithmetic as a codegen projection."),
+    ("bitext_margin",
+     "Margin-based bitext mining. Wants: ONE MapInPandas over the src "
+     "side (tgt rides the closure as a numpy matrix; per-batch matmul "
+     "emits only neighborhood rows, never the pair matrix), then "
+     "windows/joins over k-bounded candidate rows — no corpus-sized "
+     "shuffle, no per-pair HOF dot products."),
+    ("perplexity_buckets",
+     "CCNet corpus bucketing. Wants: lm_perplexity's broadcast-model "
+     "scoring shape, cutoffs from ONE skinny (group, ppl) window sort, "
+     "the cutoff table BROADCAST back — assignment is codegen'd "
+     "comparisons, never a corpus re-sort."),
+    ("detect_license",
+     "License gate. Wants: ZERO exchanges and ZERO Python — SPDX "
+     "extract + all family phrase probes fold into one whole-stage-"
+     "codegen'd Project on the scan, cost bounded by the header "
+     "window, not doc length."),
 ]
 
 
