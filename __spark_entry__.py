@@ -1674,6 +1674,33 @@ def q_perplexity_buckets(spark, sf_dir):
     )
 
 
+def q_preference_pairs(spark, sf_dir):
+    """DPO preference-pair mining over a constructed forum: docs group
+    into 100 threads of 5 (m=0 the root prompt, m=1..4 replies), with
+    reply COUNT varied per thread ((g%4)+1, so one-reply threads pin
+    the rejected=NULL SFT case) and score = doc_id%3 forcing heavy
+    vote TIES — the opposite-direction tie-breaks (chosen: smallest
+    id, rejected: largest) are what the oracle's twin window ranking
+    must reproduce exactly."""
+    from fuzi_spark.ops.threads import preference_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    g = F.floor(F.col("doc_id") / 5).cast("long")
+    m = F.col("doc_id") % 5
+    posts = (
+        d.filter((m == 0) | (m <= (g % 4) + 1))
+        .select(
+            F.col("doc_id").alias("post_id"),
+            F.when(m == 0, F.lit(None).cast("long"))
+            .otherwise(g * 5)
+            .alias("parent_id"),
+            (F.col("doc_id") % 3).alias("score"),
+            "text",
+        )
+    )
+    return preference_pairs(posts)
+
+
 def q_detect_license(spark, sf_dir):
     """License detection (The Stack gate) over constructed headers:
     doc_id%10 plants one case per family — SPDX declarations (0),
@@ -4630,6 +4657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "perplexity_buckets": q_perplexity_buckets,
         "detect_license": q_detect_license,
+        "preference_pairs": q_preference_pairs,
         "chunk_documents": q_chunk_documents,
         "url_dedup": q_url_dedup,
         "encode_documents": q_encode_documents,
@@ -5402,6 +5430,35 @@ def oracle_sql() -> dict[str, str]:
             "  AS bucket, "
             "CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle' "
             "  WHEN 2 THEN 'tail' END AS bucket_label FROM b"
+        ),
+        "preference_pairs": (
+            # twin election as window ranks: chosen = (score DESC, id
+            # ASC) rank 1, rejected = (score ASC, id DESC) rank 1, over
+            # the same doc_id%5 thread construction
+            "WITH p AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS m, "
+            "  text FROM documents "
+            "  WHERE doc_id % 5 = 0 OR doc_id % 5 <= (doc_id // 5) % 4 + 1), "
+            "r AS (SELECT g, doc_id AS id, doc_id % 3 AS s, text FROM p "
+            "  WHERE m <> 0), "
+            "rk AS (SELECT g, id, s, text, "
+            "  ROW_NUMBER() OVER (PARTITION BY g ORDER BY s DESC, id ASC) "
+            "    AS rc, "
+            "  ROW_NUMBER() OVER (PARTITION BY g ORDER BY s ASC, id DESC) "
+            "    AS rr, "
+            "  COUNT(*) OVER (PARTITION BY g) AS n FROM r), "
+            "ch AS (SELECT g, text AS chosen, s AS chosen_score, n "
+            "  FROM rk WHERE rc = 1), "
+            "rj AS (SELECT g, text AS rejected, s AS rejected_score "
+            "  FROM rk WHERE rr = 1), "
+            "roots AS (SELECT doc_id // 5 AS g, doc_id AS root_id, "
+            "  text AS question FROM p WHERE m = 0) "
+            "SELECT roots.root_id, roots.question, ch.chosen, "
+            "CASE WHEN ch.n >= 2 THEN rj.rejected END AS rejected, "
+            "CAST(ch.chosen_score AS BIGINT) AS chosen_score, "
+            "CASE WHEN ch.n >= 2 THEN CAST(rj.rejected_score AS BIGINT) END "
+            "  AS rejected_score, "
+            "CAST(ch.n AS BIGINT) AS n_replies "
+            "FROM roots JOIN ch USING (g) JOIN rj USING (g)"
         ),
         "detect_license": (
             # expected detection written straight from the doc_id%10

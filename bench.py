@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "hash_embed",
     "thread_assembly",
+    "preference_pairs",
     "loss_mask",
     "parse_jsonl",
     "rate_anomalies",

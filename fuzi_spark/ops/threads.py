@@ -160,3 +160,73 @@ def render_threads(
             ).alias("dialog"),
         )
     )
+
+
+def preference_pairs(
+    posts: DataFrame,
+    id_col: str = "post_id",
+    parent_col: str = "parent_id",
+    score_col: str = "score",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chosen/rejected preference-pair mining from scored replies — the
+    StackExchange-to-DPO recipe: each ROOT post is a prompt, its
+    highest-voted direct reply the chosen response, its lowest-voted
+    the rejected one. Community vote scores are the preference label;
+    pairs with fewer than two distinct replies emit rejected=NULL (a
+    prompt with one answer is SFT data, not preference data — callers
+    filter on n_replies >= 2 for the DPO set).
+
+    Election convention (deterministic, engine-replayable): chosen is
+    the max (score, then SMALLEST id on ties), rejected the min
+    (score, then LARGEST id on ties) — opposite tie directions so a
+    fully tied thread still yields a well-defined distinct pair.
+
+    Returns one row per root that has at least one reply:
+    (root_id, question, chosen, rejected, chosen_score:long,
+    rejected_score:long, n_replies:long).
+
+    Scale shape: replies join their root prompt with ONE equi-join
+    keyed on the parent id, and both elections are map-side-combinable
+    min/max STRUCT aggregates (score, ±id, text) in a single
+    groupBy(root) — no window sort, no per-root explode; 10^12 replies
+    reduce to partial extrema per task before the one root-keyed
+    exchange.
+
+    Reference parity note: the reference (kylehughes/Fuzi) has no
+    forum surface — pipeline-brief scope (preference-data assembly;
+    composes with thread_assembly for deeper-than-one-level credit).
+    """
+    roots = posts.filter(F.col(parent_col).isNull()).select(
+        F.col(id_col).alias("root_id"),
+        F.col(text_col).alias("question"),
+    )
+    replies = posts.filter(F.col(parent_col).isNotNull()).select(
+        F.col(parent_col).alias("root_id"),
+        F.col(score_col).cast("long").alias("_s"),
+        F.col(id_col).cast("long").alias("_i"),
+        F.col(text_col).alias("_t"),
+    )
+    elected = replies.groupBy("root_id").agg(
+        F.max(
+            F.struct(
+                F.col("_s"), (-F.col("_i")).alias("_ni"), F.col("_t"), F.col("_i")
+            )
+        ).alias("_c"),
+        F.min(
+            F.struct(
+                F.col("_s"), (-F.col("_i")).alias("_ni"), F.col("_t"), F.col("_i")
+            )
+        ).alias("_r"),
+        F.count(F.lit(1)).alias("n_replies"),
+    )
+    two = F.col("n_replies") >= 2
+    return roots.join(elected, "root_id").select(
+        "root_id",
+        "question",
+        F.col("_c._t").alias("chosen"),
+        F.when(two, F.col("_r._t")).alias("rejected"),
+        F.col("_c._s").alias("chosen_score"),
+        F.when(two, F.col("_r._s")).alias("rejected_score"),
+        "n_replies",
+    )

@@ -1696,6 +1696,65 @@ class TestBigramLM:
             lm_perplexity(empty, uni, bi)
 
 
+class TestPreferencePairs:
+    """ops/threads.py preference_pairs — DPO chosen/rejected mining."""
+
+    def _run(self, spark, rows):
+        from fuzi_spark.ops.threads import preference_pairs
+
+        df = spark.createDataFrame(
+            rows, "post_id long, parent_id long, score long, text string"
+        )
+        return {r.root_id: r for r in preference_pairs(df).collect()}
+
+    def test_elects_extremes_with_opposite_tiebreaks(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, None, 0, "q1"),
+                (2, 1, 5, "best"),
+                (3, 1, 5, "tied-later"),   # score tie: chosen = smaller id
+                (4, 1, -2, "worst"),
+                (5, 1, -2, "worst-later"),  # tie: rejected = larger id
+                (6, None, 0, "q2"),
+                (7, 6, 3, "only"),          # single reply → SFT row
+                (8, None, 0, "q3"),         # no replies → no row
+            ],
+        )
+        assert set(got) == {1, 6}
+        r1 = got[1]
+        assert (r1.question, r1.chosen, r1.rejected) == ("q1", "best", "worst-later")
+        assert (r1.chosen_score, r1.rejected_score, r1.n_replies) == (5, -2, 4)
+        r6 = got[6]
+        assert (r6.chosen, r6.rejected, r6.rejected_score) == ("only", None, None)
+        assert r6.n_replies == 1
+
+    def test_fully_tied_thread_yields_distinct_pair(self, spark):
+        got = self._run(
+            spark,
+            [(1, None, 0, "q"), (2, 1, 7, "a"), (3, 1, 7, "b"), (4, 1, 7, "c")],
+        )
+        r = got[1]
+        assert (r.chosen, r.rejected) == ("a", "c")
+
+    def test_elections_are_map_side_aggregates(self, spark):
+        from fuzi_spark.ops.threads import preference_pairs
+
+        df = spark.createDataFrame(
+            [(1, None, 0, "q"), (2, 1, 1, "a")],
+            "post_id long, parent_id long, score long, text string",
+        )
+        plan = (
+            preference_pairs(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # partial extrema before the exchange; no window sort anywhere
+        assert "partial_max" in plan and "partial_min" in plan, plan
+        assert "Window" not in plan, plan
+
+
 class TestDetectLicense:
     """ops/license.py detect_license — The Stack's inclusion gate."""
 
