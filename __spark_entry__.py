@@ -1674,6 +1674,22 @@ def q_perplexity_buckets(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-alpha multilingual rebalancing (the XLM-R/mT5
+    recipe, share ∝ mass^0.7) by n_chars over the 5-language corpus.
+    The oracle replays the IDENTICAL unnormalized IEEE sequence —
+    pow(t, 0.7), MIN(t/share), LEAST(1, tm*share/t), numeric md5
+    bucket < rate*2^32 — so stratum membership matches row-for-row
+    (pow is the only cross-engine float risk, 1 ulp, ~2^-32 flip
+    odds per doc against a random bucket)."""
+    from fuzi_spark.ops.sampling import temperature_mixture
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("w")
+    )
+    return temperature_mixture(d, stratum_col="lang", weight_col="w", alpha=0.7)
+
+
 def q_preference_pairs(spark, sf_dir):
     """DPO preference-pair mining over a constructed forum: docs group
     into 100 threads of 5 (m=0 the root prompt, m=1..4 replies), with
@@ -4658,6 +4674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "detect_license": q_detect_license,
         "preference_pairs": q_preference_pairs,
+        "temperature_mix": q_temperature_mix,
         "chunk_documents": q_chunk_documents,
         "url_dedup": q_url_dedup,
         "encode_documents": q_encode_documents,
@@ -5430,6 +5447,24 @@ def oracle_sql() -> dict[str, str]:
             "  AS bucket, "
             "CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle' "
             "  WHEN 2 THEN 'tail' END AS bucket_label FROM b"
+        ),
+        "temperature_mix": (
+            # the unnormalized temperature sequence, op-for-op:
+            # share = pow(t, 0.7), tm = MIN(t/share),
+            # r = LEAST(1, tm*share/t), keep iff md5 bucket < r*2^32
+            "WITH tot AS ("
+            "  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS t "
+            "  FROM documents GROUP BY lang HAVING SUM(n_chars) > 0), "
+            "sh AS (SELECT lang, t, pow(t, 0.7) AS share FROM tot), "
+            "tmax AS (SELECT MIN(t / share) AS tm FROM sh), "
+            "rates AS ("
+            "  SELECT lang, LEAST(1.0, tm * share / t) AS r "
+            "  FROM sh, tmax) "
+            "SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS w "
+            "FROM documents d JOIN rates USING (lang) "
+            "WHERE CAST(('0x' || substr(md5('fuzi-mix:' "
+            "  || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)::DOUBLE "
+            "  < r * 4294967296.0"
         ),
         "preference_pairs": (
             # twin election as window ranks: chosen = (score DESC, id

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "split_by_group",
     "epoch_order",
     "mixture_sample",
+    "temperature_mix",
     "normalize_text",
     "semantic_dedup",
     "semantic_decontaminate",

@@ -262,3 +262,66 @@ def mixture_by_tokens(
         ]
     )[F.col(stratum_col)]
     return df.filter(bucket_num < thr)
+
+
+def temperature_shares(totals: dict[str, float], alpha: float) -> dict[str, float]:
+    """Temperature-sampling target shares: share_s ∝ totals_s^alpha —
+    the multilingual mixing rule of mBERT/XLM-R/mT5 (alpha ∈ (0, 1]
+    flattens the natural distribution toward uniform; alpha=1 keeps
+    it). Returned UNNORMALIZED (keys in sorted order): the mixture
+    rate arithmetic is scale-invariant in the shares (the normalizer
+    cancels in t_max·share/t), and skipping it keeps every downstream
+    float op a single IEEE instruction an oracle can mirror verbatim."""
+    if not totals:
+        raise ValueError("temperature_shares: empty totals")
+    a = float(alpha)
+    if a <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    return {s: float(totals[s]) ** a for s in sorted(totals)}
+
+
+def temperature_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    alpha: float = 0.7,
+    key_col: str = "doc_id",
+    salt: str = "fuzi-mix",
+) -> DataFrame:
+    """Re-balance the corpus to the temperature-alpha mix: per-stratum
+    keep rates that move token mass toward share ∝ mass^alpha, keeping
+    the maximum feasible total (the binding stratum — the SMALLEST
+    after flattening — keeps rate 1.0; everything else downsamples;
+    nothing upsamples, matching the sampling-only reading of the
+    recipe).
+
+    Rate arithmetic mirrors mixture_rates WITHOUT the normalization
+    step (it cancels mathematically; see temperature_shares):
+    t_max = min_s(t_s / share_s), rate_s = min(1, t_max·share_s/t_s) —
+    each a single IEEE op so the SQL oracle replays the identical
+    sequence. Same scale shape as mixture_by_tokens: one map-side
+    combinable totals agg (strata are metadata-sized by contract),
+    then a pure scan predicate — no corpus shuffle."""
+    totals = {
+        r[0]: float(r[1])
+        for r in df.groupBy(stratum_col).agg(F.sum(weight_col)).collect()
+        if r[0] is not None and r[1] is not None and r[1] > 0
+    }
+    if not totals:
+        raise ValueError("temperature_mixture: no stratum has any mass")
+    shares = temperature_shares(totals, alpha)
+    t_max = min(totals[s] / sh for s, sh in shares.items())
+    rates = {
+        s: min(1.0, t_max * sh / totals[s]) for s, sh in shares.items()
+    }
+    bucket_num = F.conv(_bucket(key_col, salt), 16, 10).cast("bigint").cast(
+        "double"
+    )
+    thr = F.create_map(
+        *[
+            lit
+            for s, r in sorted(rates.items())
+            for lit in (F.lit(s), F.lit(r * float(_ONE)))
+        ]
+    )[F.col(stratum_col)]
+    return df.filter(bucket_num < thr)

@@ -2766,6 +2766,72 @@ class TestEpochOrder:
             epoch_order(d, epoch=0, n_buckets=0)
 
 
+class TestTemperatureMixture:
+    """ops/sampling.py temperature_mixture — share ∝ mass^alpha."""
+
+    def _corpus(self, spark):
+        rows = (
+            [(i, "en", 10) for i in range(3000)]
+            + [(10000 + i, "de", 10) for i in range(1000)]
+            + [(20000 + i, "fr", 10) for i in range(200)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, lang string, w long")
+
+    def test_alpha_one_is_identity(self, spark):
+        from fuzi_spark.ops.sampling import temperature_mixture
+
+        d = self._corpus(spark)
+        assert temperature_mixture(d, "lang", "w", alpha=1.0).count() == d.count()
+
+    def test_flattening_order_and_binding_stratum(self, spark):
+        from fuzi_spark.ops.sampling import temperature_mixture
+
+        out = (
+            temperature_mixture(self._corpus(spark), "lang", "w", alpha=0.5)
+            .groupBy("lang")
+            .agg(F.sum("w").alias("t"))
+            .collect()
+        )
+        mass = {r.lang: r.t for r in out}
+        # smallest stratum binds: fr keeps everything
+        assert mass["fr"] == 2000
+        # bigger strata downsample HARDER: realized mass ratios shrink
+        # from 15:5:1 toward sqrt ratios ~3.9:2.2:1 (expectation)
+        assert 2.5 < mass["en"] / mass["fr"] < 5.5
+        assert 1.4 < mass["de"] / mass["fr"] < 3.2
+        # still sampling-only: nothing upsampled
+        assert mass["en"] <= 30000 and mass["de"] <= 10000
+
+    def test_deterministic_membership(self, spark):
+        from fuzi_spark.ops.sampling import temperature_mixture
+
+        d = self._corpus(spark)
+        a = {r.doc_id for r in temperature_mixture(d, "lang", "w", alpha=0.5).collect()}
+        b = {r.doc_id for r in temperature_mixture(d, "lang", "w", alpha=0.5).collect()}
+        assert a == b
+
+    def test_shares_validation(self):
+        from fuzi_spark.ops.sampling import temperature_shares
+
+        with pytest.raises(ValueError):
+            temperature_shares({}, 0.7)
+        with pytest.raises(ValueError):
+            temperature_shares({"en": 10.0}, 0.0)
+        sh = temperature_shares({"b": 100.0, "a": 16.0}, 0.5)
+        assert list(sh) == ["a", "b"] and sh["a"] == 4.0 and sh["b"] == 10.0
+
+    def test_keep_decision_is_scan_predicate(self, spark):
+        from fuzi_spark.ops.sampling import temperature_mixture
+
+        plan = (
+            temperature_mixture(self._corpus(spark), "lang", "w", alpha=0.5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+
+
 class TestMixtureByTokens:
     def _corpus(self, spark):
         # en-heavy corpus: en 3000 docs x w=10, de 1000 x 10, fr 200 x 10
