@@ -1674,6 +1674,18 @@ def q_perplexity_buckets(spark, sf_dir):
     )
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5 denoising-objective prep over every document (window=20,
+    spans 1-3). The oracle replays the FULL construction in SQL —
+    identical tokenization, md5-derived span length/offset per
+    window, the three list slices, sentinel text, and the ordered
+    string_agg reassembly — so inputs/targets strings are bit-exact."""
+    from fuzi_spark.ops.fim import span_corruption
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return span_corruption(d, window=20, max_span=3)
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-alpha multilingual rebalancing (the XLM-R/mT5
     recipe, share ∝ mass^0.7) by n_chars over the 5-language corpus.
@@ -4675,6 +4687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_license": q_detect_license,
         "preference_pairs": q_preference_pairs,
         "temperature_mix": q_temperature_mix,
+        "span_corruption": q_span_corruption,
         "chunk_documents": q_chunk_documents,
         "url_dedup": q_url_dedup,
         "encode_documents": q_encode_documents,
@@ -5447,6 +5460,47 @@ def oracle_sql() -> dict[str, str]:
             "  AS bucket, "
             "CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle' "
             "  WHEN 2 THEN 'tail' END AS bucket_label FROM b"
+        ),
+        "span_corruption": (
+            # full construction replay: same tokenization, same md5
+            # draws (floor(u*3)+1 span, floor(u*(wl-L+1)) offset), the
+            # three 1-based-inclusive list slices, ordered reassembly
+            "WITH t AS (SELECT doc_id, "
+            "  list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "    x -> x <> '') AS toks FROM documents), "
+            "base AS (SELECT doc_id, toks, len(toks) AS n, "
+            "  CAST(floor((len(toks) + 19) / 20.0) AS BIGINT) AS nwin "
+            "  FROM t), "
+            "w AS (SELECT doc_id, toks, n, g.i AS i "
+            "  FROM base, UNNEST(range(0, nwin)) AS g(i)), "
+            "d AS (SELECT doc_id, toks, n, i, i * 20 AS ws, "
+            "  LEAST(20, n - i * 20) AS wl, "
+            "  CAST(('0x' || substr(md5('t5len:' || doc_id || ':' || i), "
+            "    1, 8)) AS UBIGINT)::DOUBLE / 4294967296.0 AS ul, "
+            "  CAST(('0x' || substr(md5('t5off:' || doc_id || ':' || i), "
+            "    1, 8)) AS UBIGINT)::DOUBLE / 4294967296.0 AS us "
+            "  FROM w), "
+            "e AS (SELECT *, "
+            "  LEAST(CAST(floor(ul * 3) AS BIGINT) + 1, wl) AS L FROM d), "
+            "f AS (SELECT *, CAST(floor(us * (wl - L + 1)) AS BIGINT) "
+            "  AS off FROM e), "
+            "g2 AS (SELECT doc_id, i, L, "
+            "  array_to_string(list_concat(list_concat("
+            "    toks[ws + 1 : ws + off], "
+            "    ['<extra_id_' || i || '>']), "
+            "    toks[ws + off + L + 1 : ws + wl]), ' ') AS inp, "
+            "  array_to_string(list_concat(['<extra_id_' || i || '>'], "
+            "    toks[ws + off + 1 : ws + off + L]), ' ') AS tgt "
+            "  FROM f), "
+            "agg AS (SELECT doc_id, "
+            "  string_agg(inp, ' ' ORDER BY i) AS inputs, "
+            "  string_agg(tgt, ' ' ORDER BY i) AS targets, "
+            "  SUM(L) AS n_corrupted FROM g2 GROUP BY 1) "
+            "SELECT b.doc_id, COALESCE(a.inputs, '') AS inputs, "
+            "COALESCE(a.targets, '') AS targets, "
+            "CAST(b.n AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(a.n_corrupted, 0) AS BIGINT) AS n_corrupted "
+            "FROM base b LEFT JOIN agg a USING (doc_id)"
         ),
         "temperature_mix": (
             # the unnormalized temperature sequence, op-for-op:

@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "text_semantic_dedup",
     "resolve_redirects",
     "fim_split",
+    "span_corruption",
     "length_quantiles",
     "multimodal_dedup",
     "embedding_pca",

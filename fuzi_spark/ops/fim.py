@@ -77,3 +77,98 @@ def fim_split(
     return df.withColumn("fim_applied", apply_).withColumn(
         "fim_text", F.when(apply_, psm).otherwise(F.col(text_col))
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    max_span: int = 3,
+) -> DataFrame:
+    """T5 span-corruption example prep (Raffel et al. 2020,
+    arXiv:1910.10683): rewrite each document into the
+    (inputs, targets) pair of the denoising objective — inputs is the
+    token sequence with corrupted spans replaced by <extra_id_i>
+    sentinels, targets the sentinel-prefixed corrupted spans in order.
+
+    Deterministic-by-construction variant (the fim_split contract: no
+    RNG, so re-runs/resumes/cluster-size changes are byte-identical):
+    the token sequence is cut into fixed `window`-token windows and
+    each window corrupts exactly ONE span — length 1..max_span and
+    in-window offset both md5-derived from (doc id, window index).
+    Corruption rate is mean_span/window (~10% at defaults, T5's 15%
+    at window=13), and sentinels number one per window, matching T5's
+    practice of bounding the sentinel vocabulary.
+
+    Returns (id_col, inputs:string, targets:string, n_tokens:long,
+    n_corrupted:long). Empty/blank docs emit empty strings and zero
+    counts — never dropped.
+
+    Scale shape: ONE codegen'd projection — tokenize, a transform over
+    the window-index sequence (two md5 draws + three slices per
+    window), flatten, concat_ws. No Python, no shuffle, no explode:
+    the windows never leave their row.
+    """
+    w = int(window)
+    if w < 2 or int(max_span) < 1 or int(max_span) >= w:
+        raise ValueError(
+            f"need window >= 2 and 0 < max_span < window, got "
+            f"window={window} max_span={max_span}"
+        )
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    nwin = F.floor((n + F.lit(w - 1)) / F.lit(w)).cast("int")
+    wins = F.when(nwin > 0, F.sequence(F.lit(0), nwin - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    key = F.col(id_col)
+
+    def draw(salt, i):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), key.cast("string"), i.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        return h / F.lit(4294967296.0)
+
+    def pieces(i, emit):
+        ws = i * w
+        wl = F.least(F.lit(w), n - ws)
+        span = F.least(
+            (F.floor(draw("t5len", i) * max_span) + 1).cast("int"), wl
+        )
+        off = F.floor(draw("t5off", i) * (wl - span + 1)).cast("int")
+        sent = F.concat(F.lit("<extra_id_"), i.cast("string"), F.lit(">"))
+        return emit(ws, wl, span, off, sent)
+
+    def inp(ws, wl, span, off, sent):
+        return F.concat(
+            F.slice(toks, ws + 1, off),
+            F.array(sent),
+            F.slice(toks, ws + off + span + 1, wl - off - span),
+        )
+
+    def tgt(ws, wl, span, off, sent):
+        return F.concat(F.array(sent), F.slice(toks, ws + off + 1, span))
+
+    inputs = F.flatten(F.transform(wins, lambda i: pieces(i, inp)))
+    targets = F.flatten(F.transform(wins, lambda i: pieces(i, tgt)))
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(" ", inputs).alias("inputs"),
+        F.concat_ws(" ", targets).alias("targets"),
+        n.cast("long").alias("n_tokens"),
+        # each target piece is one sentinel + its span
+        (F.size(targets) - nwin).cast("long").alias("n_corrupted"),
+    )

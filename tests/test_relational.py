@@ -707,6 +707,97 @@ class TestFim:
         assert a == b
 
 
+class TestSpanCorruption:
+    """ops/fim.py span_corruption — T5 denoising example prep."""
+
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+
+    def test_reconstruction_invariant(self, spark):
+        """Splicing each target span back over its sentinel in inputs
+        reproduces the source token sequence exactly — the transform
+        is lossless."""
+        import re
+
+        from fuzi_spark.ops.fim import span_corruption
+
+        texts = [
+            " ".join(f"w{i}x{j}" for j in range(i % 47)) for i in range(60)
+        ]
+        rows = span_corruption(self._docs(spark, texts)).collect()
+        for r in rows:
+            spans = {}
+            for m in re.finditer(
+                r"<extra_id_(\d+)>((?: (?!<extra_id_)\S+)*)", r.targets
+            ):
+                spans[m.group(1)] = m.group(2).split()
+            out = []
+            for tok in r.inputs.split():
+                m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+                out.extend(spans[m.group(1)] if m else [tok])
+            assert out == texts[r.doc_id].split(), r.doc_id
+
+    def test_every_window_corrupts_within_bounds(self, spark):
+        from fuzi_spark.ops.fim import span_corruption
+
+        texts = [" ".join(str(j) for j in range(100))]
+        r = span_corruption(self._docs(spark, texts), window=20, max_span=3).collect()[0]
+        assert r.n_tokens == 100
+        # 5 windows, each corrupting 1..3 tokens
+        assert r.targets.count("<extra_id_") == 5
+        assert 5 <= r.n_corrupted <= 15
+        assert len(r.inputs.split()) == 100 - r.n_corrupted + 5
+
+    def test_empty_and_short_docs(self, spark):
+        from fuzi_spark.ops.fim import span_corruption
+
+        rows = {
+            r.doc_id: r
+            for r in span_corruption(
+                self._docs(spark, ["", "   ", "solo"])
+            ).collect()
+        }
+        assert rows[0].inputs == "" and rows[0].targets == ""
+        assert rows[0].n_tokens == 0 and rows[0].n_corrupted == 0
+        assert rows[1].inputs == ""
+        # one-token doc: the whole doc is the span
+        assert rows[2].inputs == "<extra_id_0>"
+        assert rows[2].targets == "<extra_id_0> solo"
+        assert rows[2].n_corrupted == 1
+
+    def test_deterministic(self, spark):
+        from fuzi_spark.ops.fim import span_corruption
+
+        texts = [" ".join(f"t{j}" for j in range(35))]
+        d = self._docs(spark, texts)
+        a = span_corruption(d).collect()[0]
+        b = span_corruption(d).collect()[0]
+        assert (a.inputs, a.targets) == (b.inputs, b.targets)
+
+    def test_validation(self, spark):
+        from fuzi_spark.ops.fim import span_corruption
+
+        d = self._docs(spark, ["x"])
+        with pytest.raises(ValueError):
+            span_corruption(d, window=1)
+        with pytest.raises(ValueError):
+            span_corruption(d, window=5, max_span=5)
+
+    def test_zero_shuffle_projection(self, spark):
+        from fuzi_spark.ops.fim import span_corruption
+
+        d = self._docs(spark, ["a b c"])
+        plan = (
+            span_corruption(d)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+
+
 class TestQuantiles:
     def test_known_ranks(self, spark):
         from fuzi_spark.ops.diagnostics import group_quantiles
