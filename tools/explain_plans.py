@@ -579,6 +579,20 @@ CASES = [
      "extract + all family phrase probes fold into one whole-stage-"
      "codegen'd Project on the scan, cost bounded by the header "
      "window, not doc length."),
+    ("preference_pairs",
+     "DPO pair mining. Wants: chosen/rejected as partial_min/max "
+     "STRUCT aggregates BEFORE the root-keyed exchange (no Window "
+     "sort of 10^12 replies), then one equi-join back to the root "
+     "prompts."),
+    ("temperature_mix",
+     "Temperature-alpha rebalance. Wants: totals collected once "
+     "(metadata-sized strata), then the keep decision a pure "
+     "codegen'd md5-threshold scan predicate — no corpus shuffle."),
+    ("span_corruption",
+     "T5 denoising prep. Wants: ONE codegen'd projection — tokenize, "
+     "per-window md5 draws + slices inside a transform, flatten, "
+     "concat_ws; zero Python, zero exchanges, windows never leave "
+     "their row."),
 ]
 
 
