@@ -1,14 +1,17 @@
 """spark-submit entrypoint for the extraction job (north_rule: "ships as
 spark-submit --py-files to multi-executor clusters").
 
-Usage (cluster):
+Usage (cluster — via the repo-root submit_job.py shim, because
+spark-submit takes a script, not a module, and this file's relative
+imports need package context; the shim is the application file and the
+zip carries the package to driver + executors):
 
     zip -r fuzi_spark.zip fuzi_spark
     spark-submit --py-files fuzi_spark.zip \
         --conf spark.sql.adaptive.enabled=true \
         --conf spark.sql.adaptive.skewJoin.enabled=true \
         --conf spark.sql.execution.arrow.pyspark.enabled=true \
-        -m fuzi_spark.job  # or: path/to/fuzi_spark/job.py
+        submit_job.py \
         --input  s3://bucket/docs_parquet         # or --input-table ice.db.docs
         --output /warehouse/extracted             # or --output-table ice.db.spans
         --n-buckets 4096 --doc-type html
