@@ -14,20 +14,26 @@ order (ops/web.py, ops/textstats.py, ops/dedup.py) and emits one row
 per INPUT doc with a first-failure reason code — the quality_filter
 contract lifted to the whole pipeline.
 
-Execution shape (round-3 rework): each stage MATERIALIZES its reject
-set — (id, reason) rows, scoped_persist'd — and the next stage's input
-is one anti-join of the survivors against that cached id set. The
-first formulation chained lazy filters instead, which put every
-stage's computation into every downstream branch's lineage: with k
-stages the language-ID pandas UDF, the perplexity explode+model-join
-subplan, and the election shuffles each re-ran O(k) times across the
-reject branches and the final assembly (measured 5.6 s → the rework
-targets the constituent-sum). Now each stage's own work executes
-exactly once, the cached reject sets are metadata-width (id + short
-reason), and the anti-joins broadcast under AQE whenever the reject
-side is small — the common case. Elections (URL/exact dedup) use a
-window-min over the group key instead of groupBy+self-join: one
-exchange, no second derivation of the keyed projection.
+Execution shape (round-3, second rework): ONE pass. Every stage is a
+column expression over the same frame, and "sees only the survivors"
+is encoded with precedence masks instead of anti-joins: a stage's
+condition is AND-ed with "no earlier stage fired", and the two
+election stages (URL/exact dedup) elect with a CONDITIONAL window-min
+— `min(when(no_earlier_reject, id)) over (partition by key)` — which
+is exactly "min id among survivors of the prior gates" without ever
+materializing the survivor set. The first formulation chained lazy
+filters (every stage's UDFs re-ran O(k) times); the second
+materialized per-stage reject sets and anti-joined survivors forward,
+which ran each stage's work once but still re-scanned the corpus once
+per stage branch — k full input scans at 100 TB. This formulation
+reads the corpus ONCE; the only exchanges are the two election
+windows (hash by _canon, then by content digest) plus the id-keyed
+joins of the optional model-backed stages (LM perplexity, NB
+classifier, decontamination) whose scores are skinny per-doc frames.
+Row-local stages (wordlist, script-mix, language UDF, quality,
+compression) now score ALL docs rather than survivors — row-local
+scores are mask-invariant, so verdicts are identical, and a scan-wide
+vectorized pass beats per-stage rescans long before 100 TB.
 
 Stage order and reason codes:
 
@@ -61,10 +67,10 @@ Language runs BEFORE quality (the CCNet order): the quality rules are
 Latin-script heuristics (Java \\w is ASCII), so a Cyrillic/CJK doc must
 be routed by language, not mis-rejected as punctuation noise.
 
-Callers composing curate with other operators should wrap the action
-in ops.cache.cache_scope() so the per-stage reject caches release on
-exit; standalone use relies on session teardown, same contract as the
-other operators.
+The single-pass plan persists nothing — there are no per-stage caches
+to release, so curate composes into larger jobs with zero pinned
+storage (the cache-hygiene contract the other operators meet via
+ops.cache.cache_scope is met here by construction).
 """
 
 from __future__ import annotations
@@ -74,7 +80,6 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .cache import scoped_persist
 
 
 def curate(
@@ -115,96 +120,105 @@ def curate(
     from .textstats import lang_id, quality_filter
     from .web import canonicalize_url, host_of
 
-    rejects: list[DataFrame] = []
-    cur = docs
+    # (condition, reason) per stage, in precedence order. Conditions are
+    # plain column expressions over the single accumulated frame `d`;
+    # each election stage snapshots the OR of the earlier conditions as
+    # its eligibility mask (= "survived every prior gate").
+    stages: list[tuple] = []
 
-    def reject_stage(reject_rows: DataFrame, reason_col) -> DataFrame:
-        """Materialize one stage's reject set — (id, reason), cached —
-        append it to the union, and return the survivors: the stage
-        input anti-joined against the cached ids. The stage's own
-        computation lives only inside this materialization, so it
-        executes once, not once per downstream branch."""
-        r = scoped_persist(
-            reject_rows.select(
-                F.col(id_col), reason_col.alias("reject_reason")
-            )
-        )
-        rejects.append(r)
-        return cur.join(r.select(id_col), id_col, "left_anti")
+    def fired_so_far():
+        c = F.lit(False)
+        for cond, _ in stages:
+            c = c | cond
+        return c
+
+    d = docs
 
     if url_col is not None and blocked_domains is not None:
         bl = (
             blocked_domains.select(F.lower(F.col("domain")).alias("_host"))
             .distinct()
+            .withColumn("_bl_hit", F.lit(1))
         )
-        h = cur.withColumn("_host", host_of(url_col))
-        cur = reject_stage(
-            h.join(F.broadcast(bl), "_host"), F.lit("blocked_domain")
+        d = d.withColumn("_host", host_of(url_col)).join(
+            F.broadcast(bl), "_host", "left"
+        )
+        stages.append(
+            (F.col("_bl_hit").isNotNull(), F.lit("blocked_domain"))
         )
 
     if blocked_words is not None:
         from .textstats import content_filter
 
-        cf = content_filter(cur, blocked_words, text_col=text_col)
-        cur = reject_stage(
-            cf.filter(F.col("n_blocked") > 0), F.lit("blocked_word")
+        d = content_filter(d, blocked_words, text_col=text_col).drop(
+            "keep", "reject_reason"
         )
+        stages.append((F.col("n_blocked") > 0, F.lit("blocked_word")))
 
     if reject_script_spoof:
         from .textstats import script_mix
 
-        sm = script_mix(cur, text_col=text_col)
-        cur = reject_stage(
-            sm.filter(F.col("script_spoof") == 1), F.lit("script_spoof")
-        )
+        d = script_mix(d, text_col=text_col)
+        stages.append((F.col("script_spoof") == 1, F.lit("script_spoof")))
 
     if url_col is not None:
-        c = cur.withColumn("_canon", canonicalize_url(url_col))
-        win = F.min(id_col).over(Window.partitionBy("_canon"))
-        cur = reject_stage(
-            c.withColumn("_win", win).filter(F.col(id_col) != F.col("_win")),
-            F.lit("url_duplicate"),
+        # election among survivors of the prior gates: conditional
+        # window-min — null ids (masked rows) are ignored by min()
+        elig = ~fired_so_far()
+        d = d.withColumn("_canon", canonicalize_url(url_col))
+        m = F.min(F.when(elig, F.col(id_col))).over(
+            Window.partitionBy("_canon")
+        )
+        stages.append(
+            (elig & (F.col(id_col) != m), F.lit("url_duplicate"))
         )
 
     if lang_allow is not None:
-        lg = cur.withColumn("_lang", lang_id(F.col(text_col)))
-        cur = reject_stage(
-            lg.filter(~F.col("_lang").isin(*lang_allow)), F.lit("language")
+        d = d.withColumn("_lang", lang_id(F.col(text_col)))
+        stages.append(
+            (~F.col("_lang").isin(*lang_allow), F.lit("language"))
         )
 
-    q = quality_filter(
-        cur,
+    # quality is always on: row-local first-failure code
+    d = quality_filter(
+        d,
         text_col,
         min_tokens=min_tokens,
         max_mean_token_len=max_mean_token_len,
         max_punct_ratio=max_punct_ratio,
         min_distinct_ratio=min_distinct_ratio,
-    )
-    cur = reject_stage(
-        q.filter(F.col("keep") == 0),
-        F.concat(F.lit("quality:"), F.col("reject_reason")),
+    ).withColumnRenamed("reject_reason", "_q_reason").drop("keep")
+    stages.append(
+        (
+            F.col("_q_reason").isNotNull(),
+            F.concat(F.lit("quality:"), F.col("_q_reason")),
+        )
     )
 
     if zlib_bounds is not None:
         from .textstats import compression_signals
 
         lo, hi = zlib_bounds
-        cs = compression_signals(
-            cur, text_col=text_col, min_ratio=lo, max_ratio=hi
-        )
-        cur = reject_stage(
-            cs.filter(F.col("keep") == 0),
-            F.concat(F.lit("compression:"), F.col("reject_reason")),
+        d = compression_signals(
+            d, text_col=text_col, min_ratio=lo, max_ratio=hi
+        ).withColumnRenamed("reject_reason", "_z_reason").drop("keep")
+        stages.append(
+            (
+                F.col("_z_reason").isNotNull(),
+                F.concat(F.lit("compression:"), F.col("_z_reason")),
+            )
         )
 
     if lm_model is not None and max_perplexity is not None:
         from .lm import lm_perplexity
 
         uni, bi = lm_model
-        ppl = lm_perplexity(cur, uni, bi, text_col=text_col, id_col=id_col)
-        cur = reject_stage(
-            ppl.filter(F.col("perplexity") > float(max_perplexity)),
-            F.lit("perplexity"),
+        ppl = lm_perplexity(
+            docs, uni, bi, text_col=text_col, id_col=id_col
+        ).select(id_col, F.col("perplexity").alias("_ppl"))
+        d = d.join(ppl, id_col, "left")
+        stages.append(
+            (F.col("_ppl") > float(max_perplexity), F.lit("perplexity"))
         )
 
     if nb_model is not None:
@@ -212,43 +226,38 @@ def curate(
 
         classes, token_lik = nb_model
         pred = predict_nb(
-            cur, classes, token_lik, text_col=text_col, id_col=id_col
-        )
-        cur = reject_stage(
-            pred.filter(F.col("pred_label") != int(nb_keep_label)),
-            F.lit("classifier"),
+            docs, classes, token_lik, text_col=text_col, id_col=id_col
+        ).select(id_col, F.col("pred_label").alias("_nb_label"))
+        d = d.join(pred, id_col, "left")
+        stages.append(
+            (
+                F.col("_nb_label").isNotNull()
+                & (F.col("_nb_label") != int(nb_keep_label)),
+                F.lit("classifier"),
+            )
         )
 
-    d = cur.withColumn("_dg", F.sha2(F.col(text_col), 256))
-    win = F.min(id_col).over(Window.partitionBy("_dg"))
-    cur = reject_stage(
-        d.withColumn("_win", win).filter(F.col(id_col) != F.col("_win")),
-        F.lit("exact_duplicate"),
+    # exact content dedup: election among survivors of ALL prior gates
+    elig2 = ~fired_so_far()
+    d = d.withColumn("_dg", F.sha2(F.col(text_col), 256))
+    m2 = F.min(F.when(elig2, F.col(id_col))).over(Window.partitionBy("_dg"))
+    stages.append(
+        (elig2 & (F.col(id_col) != m2), F.lit("exact_duplicate"))
     )
 
     if eval_set is not None:
-        c = decontaminate(
-            cur, eval_set, text_col=text_col, id_col=id_col,
+        contam = decontaminate(
+            docs, eval_set, text_col=text_col, id_col=id_col,
             shingle_n=shingle_n,
-        )
-        reject_stage(
-            c.filter(F.col("contaminated") == 1), F.lit("contaminated")
-        )
+        ).select(id_col, F.col("contaminated").alias("_contam"))
+        d = d.join(contam, id_col, "left")
+        stages.append((F.col("_contam") == 1, F.lit("contaminated")))
 
-    ids = docs.select(F.col(id_col))
-    if not rejects:
-        return ids.select(
-            id_col,
-            F.lit(None).cast("string").alias("reject_reason"),
-            F.lit(1).alias("keep"),
-        )
-    all_rejects = rejects[0]
-    for r in rejects[1:]:
-        all_rejects = all_rejects.unionByName(r)
-    # stages run on survivors, so reject sets are disjoint by
-    # construction — the union has at most one row per doc
-    return (
-        ids.join(all_rejects, id_col, "left")
-        .withColumn("keep", F.col("reject_reason").isNull().cast("int"))
-        .select(id_col, "reject_reason", "keep")
+    reason = F.lit(None).cast("string")
+    for cond, rsn in reversed(stages):
+        reason = F.when(cond, rsn).otherwise(reason)
+    return d.select(
+        F.col(id_col),
+        reason.alias("reject_reason"),
+        reason.isNull().cast("int").alias("keep"),
     )

@@ -175,14 +175,14 @@ CASES = [
      "transform/filter/array_join projection over the spans array."),
     ("curate",
      "One-call hygiene DAG (blocklist → URL dedup → language → quality "
-     "→ exact dedup → decontamination; round-3 rework). Wants: each "
-     "stage's reject set materialized once (InMemoryTableScans where "
-     "branches reuse it), survivors chained by anti-joins against the "
-     "cached metadata-width id sets, elections as window-min (one "
-     "exchange each, no self-join) — the lang-ID UDF and the election "
-     "shuffles appear ONCE in the whole plan, not once per downstream "
-     "branch; blocklist/eval sides BROADCAST; final assembly one left "
-     "join onto the corpus ids."),
+     "→ exact dedup → decontamination; round-3 single-pass rework). "
+     "Wants: ONE scan of the corpus for the stage stack — every gate a "
+     "column expression, survivor semantics via precedence masks, the "
+     "two elections as CONDITIONAL window-mins (min(when(no-earlier-"
+     "reject, id)) over the key) so no survivor set is ever "
+     "materialized; the only extra scans are the decontamination "
+     "shingle branch (column-pruned to id+text); blocklist BROADCAST; "
+     "the lang-ID UDF appears ONCE; zero persisted intermediates."),
     ("materialize_packs",
      "Pack materialization. Wants: pack_sequences' single bucket-keyed "
      "window shuffle (now carrying text — the step where bytes must "
