@@ -26,14 +26,23 @@ filters (every stage's UDFs re-ran O(k) times); the second
 materialized per-stage reject sets and anti-joined survivors forward,
 which ran each stage's work once but still re-scanned the corpus once
 per stage branch — k full input scans at 100 TB. This formulation
-reads the corpus ONCE; the only exchanges are the two election
-windows (hash by _canon, then by content digest) plus the id-keyed
-joins of the optional model-backed stages (LM perplexity, NB
-classifier, decontamination) whose scores are skinny per-doc frames.
-Row-local stages (wordlist, script-mix, language UDF, quality,
-compression) now score ALL docs rather than survivors — row-local
-scores are mask-invariant, so verdicts are identical, and a scan-wide
-vectorized pass beats per-stage rescans long before 100 TB.
+reads the corpus once for the whole row-local gate stack; the only
+exchanges are the two election windows (hash by _canon, then by
+content digest). Each OPTIONAL model-backed stage (LM perplexity, NB
+classifier, decontamination) adds one more corpus scan of its own —
+a column-pruned (id, text) branch feeding a map-side explode, whose
+skinny per-doc score frame joins back by id. Those branches score ALL
+docs rather than prior-stage survivors — a deliberate trade: scores
+are row-local so verdicts are mask-invariant (precedence picks the
+first fired reason), and scoring the full input keeps the branch
+map-side, where scoping it to survivors would first materialize the
+survivor id set and shuffle the corpus through a semi-join. When a
+cheap-gate pass is expected to reject most of a corpus AND the model
+stages dominate cost, run curate twice: a first pass with only the
+cheap gates, write survivors, then a second pass with the model
+stages — the two-pass composition is exactly the staged semantics.
+Row-local stages likewise score all docs; a scan-wide vectorized
+pass beats per-stage rescans long before 100 TB.
 
 Stage order and reason codes:
 
@@ -127,9 +136,14 @@ def curate(
     stages: list[tuple] = []
 
     def fired_so_far():
+        # NULL conditions mean "did not fire" (the staged formulation's
+        # filter() semantics — a NULL predicate never rejects): coalesce
+        # each to FALSE, or one NULL-scored doc (NULL text, unscorable
+        # LM perplexity) would poison the whole OR to NULL and silently
+        # disqualify the doc from the dedup elections.
         c = F.lit(False)
         for cond, _ in stages:
-            c = c | cond
+            c = c | F.coalesce(cond, F.lit(False))
         return c
 
     d = docs
@@ -163,9 +177,14 @@ def curate(
 
     if url_col is not None:
         # election among survivors of the prior gates: conditional
-        # window-min — null ids (masked rows) are ignored by min()
-        elig = ~fired_so_far()
+        # window-min — null ids (masked rows) are ignored by min().
+        # NULL canonical URLs are NOT a duplicate group: partitionBy
+        # groups all NULL keys together, and without the isNotNull
+        # guard every distinct doc with a missing URL would lose the
+        # election to the min-id one (a defect the staged formulation
+        # shared; fixed here).
         d = d.withColumn("_canon", canonicalize_url(url_col))
+        elig = ~fired_so_far() & F.col("_canon").isNotNull()
         m = F.min(F.when(elig, F.col(id_col))).over(
             Window.partitionBy("_canon")
         )
@@ -237,9 +256,11 @@ def curate(
             )
         )
 
-    # exact content dedup: election among survivors of ALL prior gates
-    elig2 = ~fired_so_far()
+    # exact content dedup: election among survivors of ALL prior gates.
+    # NULL text digests (sha2(NULL)=NULL) are not "identical content" —
+    # same isNotNull guard rationale as the URL election above.
     d = d.withColumn("_dg", F.sha2(F.col(text_col), 256))
+    elig2 = ~fired_so_far() & F.col("_dg").isNotNull()
     m2 = F.min(F.when(elig2, F.col(id_col))).over(Window.partitionBy("_dg"))
     stages.append(
         (elig2 & (F.col(id_col) != m2), F.lit("exact_duplicate"))

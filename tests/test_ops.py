@@ -7338,3 +7338,74 @@ class TestBalancedShards:
 
         rows = balanced_shards(self._docs(spark, [5, 1, 3]), 1).collect()
         assert {r.shard for r in rows} == {0}
+
+
+class TestCurateNullEdges:
+    """Single-pass curate NULL semantics (the code-review repro class):
+    a NULL stage score means 'did not fire' — the staged formulation's
+    filter() contract — and must not poison the precedence mask; NULL
+    election keys (missing URL, NULL text digest) are never a duplicate
+    group."""
+
+    def test_null_lm_score_does_not_poison_elections(self, spark):
+        # 1-token docs are unscorable: lm_perplexity yields NULL, so the
+        # perplexity condition is NULL. Without coalescing to FALSE the
+        # OR-mask goes NULL, both copies drop out of the exact-dup
+        # election, and the duplicate leaks through with keep=1.
+        from fuzi_spark.ops.curate import curate
+        from fuzi_spark.ops.lm import train_bigram_lm
+
+        trusted = spark.createDataFrame(
+            [(0, "hello world hello world")], "doc_id long, text string"
+        )
+        uni, bi = train_bigram_lm(trusted)
+        docs = spark.createDataFrame(
+            [(1, "hello"), (2, "hello")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.reject_reason, r.keep)
+            for r in curate(
+                docs, min_tokens=1, lm_model=(uni, bi), max_perplexity=1e9
+            ).collect()
+        }
+        assert got[1] == (None, 1)
+        assert got[2] == ("exact_duplicate", 0)
+
+    def test_null_text_is_not_a_duplicate_group(self, spark):
+        # NULL text: every row-local gate scores NULL (never fires) and
+        # sha2(NULL) is NULL — two NULL-text docs are NOT copies of each
+        # other, so neither may lose the exact-dup election. The
+        # wordlist stage is on to cover the size(NULL)=NULL path too.
+        from fuzi_spark.ops.curate import curate
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, None),
+             (3, "a fine doc with plenty of distinct words in it here")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.reject_reason, r.keep)
+            for r in curate(docs, blocked_words=["badword"]).collect()
+        }
+        assert got[1] == (None, 1)
+        assert got[2] == (None, 1)
+        assert got[3] == (None, 1)
+
+    def test_null_url_is_not_a_duplicate_group(self, spark):
+        from fuzi_spark.ops.curate import curate
+
+        docs = spark.createDataFrame(
+            [(1, "first distinct document body with many words", None),
+             (2, "second distinct document body with other words", None),
+             (3, "third body over at a real url with words", "https://ok.example.com/a"),
+             (4, "fourth body same canonical url with words", "https://ok.example.com:443/a?utm_source=x")],
+            "doc_id long, text string, url string",
+        )
+        got = {
+            r.doc_id: (r.reject_reason, r.keep)
+            for r in curate(docs, url_col="url").collect()
+        }
+        assert got[1] == (None, 1)
+        assert got[2] == (None, 1)
+        assert got[3] == (None, 1)
+        assert got[4] == ("url_duplicate", 0)
