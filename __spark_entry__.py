@@ -2515,6 +2515,38 @@ def q_detect_code(spark, sf_dir):
     return detect_code(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_code_quality(spark, sf_dir):
+    """The Stack-style code-file quality gate with all five planted
+    rejection classes: doc_id%5 builds clean code (keep), a 1200-char
+    minified line (long_line), a digit-dominated data blob (data_file),
+    an auto-generated header (autogen), and symbol soup (low_alnum).
+    The oracle replays the identical construction AND the identical
+    closed-form metrics (array_max line length, newline-arithmetic avg,
+    regexp_replace-length fractions) in DuckDB."""
+    from fuzi_spark.ops.textstats import code_quality
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    base = F.concat(
+        F.lit("def f_"),
+        i.cast("string"),
+        F.lit("(x):\n    return x + "),
+        (i % 7).cast("string"),
+        F.lit("\n# comment\n"),
+    )
+    text = (
+        F.when(i % 5 == 1, F.concat(base, F.repeat(F.lit("a"), 1200)))
+        .when(i % 5 == 2, F.concat(base, F.repeat(F.lit("0123456789"), 30)))
+        .when(
+            i % 5 == 3,
+            F.concat(F.lit("# auto-generated; do not edit\n"), base),
+        )
+        .when(i % 5 == 4, F.concat(base, F.repeat(F.lit("!@#$%^&*() "), 20)))
+        .otherwise(base)
+    )
+    return code_quality(d.select("doc_id", text.alias("text")))
+
+
 def q_image_pixels(spark, sf_dir):
     """REAL pixel decode for ALL THREE stdlib codecs, oracle-checked
     end to end: per doc a solid-color image is ENCODED from formula
@@ -4713,6 +4745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_outline": q_doc_outline,
         "fix_mojibake": q_fix_mojibake,
         "detect_code": q_detect_code,
+        "code_quality": q_code_quality,
         "image_pixels": q_image_pixels,
         "span_language": q_span_language,
         "snapshot_delta": q_snapshot_delta,
@@ -5985,6 +6018,58 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN code_score >= 0.25 THEN 1 ELSE 0 END "
             "    AS INTEGER) AS is_code "
             "FROM sc"
+        ),
+        "code_quality": (
+            "WITH b AS (SELECT doc_id, "
+            "  'def f_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10) "
+            "  || '    return x + ' || CAST(doc_id % 7 AS VARCHAR) "
+            "  || chr(10) || '# comment' || chr(10) AS base "
+            "  FROM documents), "
+            "t AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 5 = 1 THEN base || repeat('a', 1200) "
+            "       WHEN doc_id % 5 = 2 "
+            "         THEN base || repeat('0123456789', 30) "
+            "       WHEN doc_id % 5 = 3 "
+            "         THEN '# auto-generated; do not edit' || chr(10) "
+            "           || base "
+            "       WHEN doc_id % 5 = 4 "
+            "         THEN base || repeat('!@#$%^&*() ', 20) "
+            "       ELSE base END AS text FROM b), "
+            "m AS (SELECT doc_id, "
+            "  CAST(length(text) AS DOUBLE) AS nc, "
+            "  CAST(length(text) - length(replace(text, chr(10), '')) "
+            "    + 1 AS DOUBLE) AS nl, "
+            "  CAST(list_max(list_transform(string_split(text, chr(10)), "
+            "    x -> length(x))) AS BIGINT) AS maxl, "
+            "  CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) "
+            "    AS DOUBLE) AS na, "
+            "  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) "
+            "    AS DOUBLE) AS nd, "
+            "  CAST(CASE WHEN len(regexp_extract_all("
+            "    lower(substr(text, 1, 300)), "
+            "    'auto-generated|autogenerated|do not edit|generated by'"
+            ")) > 0 THEN 1 ELSE 0 END AS INTEGER) AS autogen "
+            "  FROM t), "
+            "r AS (SELECT doc_id, nl, maxl, "
+            "  ROUND((nc - (nl - 1)) / nl, 4) AS avg_len, "
+            "  ROUND(na / nc, 4) AS alnum, ROUND(nd / nc, 4) AS digit, "
+            "  autogen, nc FROM m), "
+            "f AS (SELECT doc_id, nl, maxl, avg_len, alnum, digit, "
+            "  autogen, "
+            "  CASE WHEN nc = 0 THEN 'empty' "
+            "       WHEN maxl > 1000 THEN 'long_line' "
+            "       WHEN avg_len > 100.0 THEN 'avg_line' "
+            "       WHEN alnum < 0.25 THEN 'low_alnum' "
+            "       WHEN digit > 0.50 THEN 'data_file' "
+            "       WHEN autogen = 1 THEN 'autogen' "
+            "       ELSE NULL END AS reject_reason FROM r) "
+            "SELECT doc_id, CAST(nl AS BIGINT) AS n_lines, "
+            "  maxl AS max_line_len, avg_len AS avg_line_len, "
+            "  alnum AS alnum_frac, digit AS digit_frac, autogen, "
+            "  reject_reason, "
+            "  CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END "
+            "    AS INTEGER) AS keep "
+            "FROM f"
         ),
         "image_pixels": (
             "WITH s AS (SELECT doc_id, "

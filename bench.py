@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "doc_outline",
     "fix_mojibake",
     "detect_code",
+    "code_quality",
     "image_pixels",
     "image_exif",
     "span_language",

@@ -936,3 +936,76 @@ def compression_signals(
     return df.withColumn("_c", _udf(F.col(text_col))).select(
         "*", "_c.zlib_ratio", "_c.reject_reason", "_c.keep"
     ).drop("_c")
+
+
+def code_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    max_line: int = 1000,
+    max_avg_line: float = 100.0,
+    min_alnum_frac: float = 0.25,
+    max_digit_frac: float = 0.50,
+) -> DataFrame:
+    """Code-file quality gate — The Stack / StarCoder data-prep filters
+    for documents already routed as source code by `detect_code`:
+    oversized lines (minified/embedded blobs), high average line length
+    (single-line bundles), low alphanumeric fraction (binary-ish or
+    symbol soup), digit-dominated content (data files checked in as
+    code), and auto-generated headers ("do not edit" / "generated by"
+    in the first 300 chars — machine output that teaches a model
+    nothing new and floods near-dedup).
+
+    First-failure reason precedence (the repo's curation convention):
+    empty > long_line > avg_line > low_alnum > data_file > autogen.
+    avg_line_len is the closed form (len - (n_lines-1)) / n_lines —
+    total chars minus newlines over line count — identical in the SQL
+    oracle. NULL text → all-NULL metrics, reason 'empty', keep 0.
+
+    Scale shape: pure Catalyst — split/transform/array_max plus three
+    regexp_replace-length fractions in ONE codegen'd projection on the
+    scan; zero shuffles, zero Python. All regexes in the Java∩RE2
+    subset so DuckDB replays them verbatim."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    # NULL divisor on empty text (ANSI mode raises on 0/0); the 'empty'
+    # reason fires first so the NULL fractions never reach a verdict
+    nc_nz = F.when(n_chars > 0, n_chars)
+    n_lines = (
+        F.length(t) - F.length(F.regexp_replace(t, "\n", "")) + 1
+    ).cast("double")
+    max_len = F.array_max(
+        F.transform(F.split(t, "\n"), lambda x: F.length(x))
+    ).cast("long")
+    avg_len = F.round((n_chars - (n_lines - 1)) / n_lines, 4)
+    alnum = F.round(
+        F.length(F.regexp_replace(t, "[^A-Za-z0-9]", "")) / nc_nz, 4
+    )
+    digit = F.round(
+        F.length(F.regexp_replace(t, "[^0-9]", "")) / nc_nz, 4
+    )
+    autogen = (
+        F.regexp_count(
+            F.lower(F.substring(t, 1, 300)),
+            F.lit("auto-generated|autogenerated|do not edit|generated by"),
+        )
+        > 0
+    ).cast("int")
+    reason = (
+        F.when(t.isNull() | (F.length(t) == 0), F.lit("empty"))
+        .when(max_len > max_line, F.lit("long_line"))
+        .when(avg_len > max_avg_line, F.lit("avg_line"))
+        .when(alnum < min_alnum_frac, F.lit("low_alnum"))
+        .when(digit > max_digit_frac, F.lit("data_file"))
+        .when(autogen == 1, F.lit("autogen"))
+    )
+    return df.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        max_len.alias("max_line_len"),
+        avg_len.alias("avg_line_len"),
+        alnum.alias("alnum_frac"),
+        digit.alias("digit_frac"),
+        autogen.alias("autogen"),
+        reason.alias("reject_reason"),
+        reason.isNull().cast("int").alias("keep"),
+    )

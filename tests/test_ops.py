@@ -7409,3 +7409,60 @@ class TestCurateNullEdges:
         assert got[2] == (None, 1)
         assert got[3] == (None, 1)
         assert got[4] == ("url_duplicate", 0)
+
+
+class TestCodeQuality:
+    """code_quality: The Stack-style code-file filters (round 3)."""
+
+    def _run(self, spark, rows):
+        from fuzi_spark.ops.textstats import code_quality
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in code_quality(df).collect()}
+
+    def test_planted_rejection_classes(self, spark):
+        clean = "def f(x):\n    return x + 1\n# comment\n"
+        got = self._run(spark, [
+            (0, clean),
+            (1, clean + "a" * 1200),
+            (2, clean + "0123456789" * 30),
+            (3, "# auto-generated; do not edit\n" + clean),
+            (4, clean + "!@#$%^&*() " * 20),
+            (5, ""),
+            (6, None),
+        ])
+        assert got[0].reject_reason is None and got[0].keep == 1
+        assert got[1].reject_reason == "long_line"
+        assert got[2].reject_reason == "data_file"
+        assert got[3].reject_reason == "autogen" and got[3].autogen == 1
+        assert got[4].reject_reason == "low_alnum"
+        assert got[5].reject_reason == "empty" and got[5].keep == 0
+        assert got[6].reject_reason == "empty" and got[6].keep == 0
+
+    def test_hand_computed_metrics(self, spark):
+        text = "ab\ncdef\n"  # lines: 'ab', 'cdef', '' (trailing)
+        r = self._run(spark, [(1, text)])[1]
+        assert r.n_lines == 3
+        assert r.max_line_len == 4
+        # avg = (8 chars - 2 newlines) / 3 lines
+        assert r.avg_line_len == round(6 / 3, 4)
+        assert r.alnum_frac == round(6 / 8, 4)
+        assert r.digit_frac == 0.0
+        assert r.keep == 1
+
+    def test_avg_line_precedence_over_alnum(self, spark):
+        # one 150-char symbol line: avg_line fires before low_alnum
+        r = self._run(spark, [(1, "-" * 150)])[1]
+        assert r.reject_reason == "avg_line"
+
+    def test_generated_by_header_detected(self, spark):
+        r = self._run(
+            spark, [(1, "// Generated by protoc. DO NOT EDIT\nx\n")]
+        )[1]
+        assert r.autogen == 1 and r.reject_reason == "autogen"
+
+    def test_header_window_only(self, spark):
+        # the autogen probe reads the first 300 chars only
+        body = ("x = 1\n" * 60) + "# do not edit\n"
+        r = self._run(spark, [(1, body)])[1]
+        assert r.autogen == 0 and r.reject_reason is None
