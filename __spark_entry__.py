@@ -2770,6 +2770,68 @@ def q_image_exif(spark, sf_dir):
     )
 
 
+def q_exif_strip(spark, sf_dir):
+    """EXIF scrubbing (image PII) end to end: the SAME formula fixtures
+    as image_exif (APP1 TIFF IFD built per doc; every 7th doc has no
+    EXIF), stripped by the real segment walk. The oracle predicts the
+    audit columns from the construction arithmetic — orig_len = 41-byte
+    base + 97 (no GPS) or 115 (GPS IFD) APP1 bytes, new_len = the bare
+    base — and still_exif re-parses the SCRUBBED bytes in Spark (must
+    be 0 everywhere; a no-op scrubber fails on every i%7!=0 row)."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.multimodal import (
+        build_exif_jpeg,
+        build_jpeg,
+        exif_strip_df,
+        parse_exif,
+    )
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        base = build_jpeg(8, 8)
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 7 == 0:
+                out.append(base)
+                continue
+            out.append(
+                build_exif_jpeg(
+                    base,
+                    byte_order="II" if i % 2 == 0 else "MM",
+                    make=f"Cam{i % 5}",
+                    model=f"M-{i % 4}",
+                    orientation=1 + i % 8,
+                    datetime=f"2024:0{1 + i % 9}:01 00:00:00",
+                    gps=i % 3 == 0,
+                )
+            )
+        return pd.Series(out)
+
+    @pandas_udf("int")
+    def reparse(content: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(parse_exif(c) is not None) for c in content]
+        )
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("img/"), F.col("doc_id").cast("string"), F.lit(".jpg")
+        ).alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    return exif_strip_df(media).select(
+        F.regexp_extract("media_ref", r"img/(\d+)\.jpg", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "orig_len", "new_len", "had_exif", "strip_ok",
+        reparse(F.col("content")).alias("still_exif"),
+    )
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery from robots.txt: per doc a robots blob with
     doc_id % 3 Sitemap directives (mixed field-name casing by j % 2)
@@ -4772,6 +4834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_quality": q_media_quality,
         "interleave_episodes": q_interleave_episodes,
         "image_exif": q_image_exif,
+        "exif_strip": q_exif_strip,
         "video_frames": q_video_frames,
         "crawl_frontier": q_crawl_frontier,
         "media_context": q_media_context,
@@ -6189,6 +6252,18 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN d3 = 1 THEN 'P1 ' || v ELSE 'P0 ' || v END, "
             "  CAST(NULL AS VARCHAR) "
             "FROM s"
+        ),
+        "exif_strip": (
+            "SELECT doc_id, "
+            "  CAST(CASE WHEN doc_id % 7 = 0 THEN 41 "
+            "       WHEN doc_id % 3 = 0 THEN 41 + 115 "
+            "       ELSE 41 + 97 END AS INTEGER) AS orig_len, "
+            "  CAST(41 AS INTEGER) AS new_len, "
+            "  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END "
+            "    AS INTEGER) AS had_exif, "
+            "  CAST(1 AS INTEGER) AS strip_ok, "
+            "  CAST(0 AS INTEGER) AS still_exif "
+            "FROM documents"
         ),
         "image_exif": (
             "SELECT doc_id, "

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "code_quality",
     "image_pixels",
     "image_exif",
+    "exif_strip",
     "span_language",
     "snapshot_delta",
     "audio_features",

@@ -1079,6 +1079,92 @@ def exif_df(media: DataFrame) -> DataFrame:
     )
 
 
+EXIF_STRIP_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("content", BinaryType()),
+        StructField("orig_len", IntegerType()),
+        StructField("new_len", IntegerType()),
+        StructField("had_exif", IntegerType()),
+        StructField("strip_ok", IntegerType()),
+    ]
+)
+
+
+def strip_exif(content) -> tuple:
+    """Remove every EXIF APP1 segment from a JPEG byte stream — the
+    image-PII scrub (geotags, camera serials, timestamps) a training
+    corpus applies before media ever leaves the pipeline. Walks the
+    segment stream with the same recovering rules as parse_exif
+    (fill-byte padding, standalone markers, stop at SOS — EXIF is
+    header-side by spec); only APP1 segments whose payload starts
+    'Exif\\0\\0' are dropped, so XMP APP1 and JFIF APP0 survive.
+
+    Returns (bytes, had_exif:int, ok:int). Non-JPEG or truncated
+    streams come back byte-identical with ok=0 — a scrubber must
+    never corrupt what it cannot parse."""
+    b = bytes(content or b"")
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return b, 0, 0
+    keep = [b[:2]]
+    i = 2
+    had = 0
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            break
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            keep.append(b[i:i + 1])
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            keep.append(b[i:i + 2])
+            i += 2
+            continue
+        if marker == 0xDA:  # scan: EXIF cannot appear past this point
+            break
+        seglen = int.from_bytes(b[i + 2:i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > len(b):
+            break
+        if marker == 0xE1 and b[i + 4:i + 10] == b"Exif\x00\x00":
+            had = 1
+        else:
+            keep.append(b[i:i + 2 + seglen])
+        i += 2 + seglen
+    keep.append(b[i:])
+    return b"".join(keep), had, 1
+
+
+def exif_strip_df(media: DataFrame) -> DataFrame:
+    """media(MEDIA_SCHEMA image rows) → EXIF-scrubbed bytes + audit
+    columns, one narrow mapInPandas pass (segment-walk only — no pixel
+    decode). The audit pair (orig_len, new_len) makes the removal
+    relationally checkable: the delta IS the APP1 segment size."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in EXIF_STRIP_SCHEMA.fields}
+            for i in range(len(pdf)):
+                raw = pdf["content"].iloc[i]
+                out, had, ok = strip_exif(raw)
+                rows["media_ref"].append(pdf["media_ref"].iloc[i])
+                rows["content"].append(out)
+                rows["orig_len"].append(len(bytes(raw or b"")))
+                rows["new_len"].append(len(out))
+                rows["had_exif"].append(had)
+                rows["strip_ok"].append(ok)
+            yield pd.DataFrame(rows)
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .repartition(
+            media.sparkSession.sparkContext.defaultParallelism, "media_ref"
+        )
+        .select("media_ref", "content")
+        .mapInPandas(gen, schema=EXIF_STRIP_SCHEMA)
+    )
+
+
 # ------------------------------------------- real AVI container decode
 
 

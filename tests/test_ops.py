@@ -7466,3 +7466,78 @@ class TestCodeQuality:
         body = ("x = 1\n" * 60) + "# do not edit\n"
         r = self._run(spark, [(1, body)])[1]
         assert r.autogen == 0 and r.reject_reason is None
+
+
+class TestExifStrip:
+    """strip_exif: JPEG EXIF scrubbing (image PII, round 3)."""
+
+    def test_strip_restores_base_bytes(self):
+        from fuzi_spark.ops.multimodal import (
+            build_exif_jpeg, build_jpeg, parse_exif, strip_exif,
+        )
+
+        base = build_jpeg(8, 8)
+        j = build_exif_jpeg(base, make="Leica", orientation=6, gps=True)
+        assert parse_exif(j)["has_gps"] == 1
+        out, had, ok = strip_exif(j)
+        assert (had, ok) == (1, 1)
+        assert out == base  # byte-exact: only the APP1 went away
+        assert parse_exif(out) is None
+
+    def test_non_exif_app1_survives(self):
+        from fuzi_spark.ops.multimodal import strip_exif
+
+        xmp = b"http://ns.adobe.com/xap/1.0/\x00<x/>"
+        app1 = b"\xff\xe1" + (len(xmp) + 2).to_bytes(2, "big") + xmp
+        j = b"\xff\xd8" + app1 + b"\xff\xd9"
+        out, had, ok = strip_exif(j)
+        assert (had, ok) == (0, 1)
+        assert out == j
+
+    def test_non_jpeg_passthrough(self):
+        from fuzi_spark.ops.multimodal import strip_exif
+
+        for blob in (b"", b"GIF89a", b"\x89PNG\r\n", None):
+            out, had, ok = strip_exif(blob)
+            assert out == bytes(blob or b"") and (had, ok) == (0, 0)
+
+    def test_fill_bytes_and_rst_markers_kept(self):
+        from fuzi_spark.ops.multimodal import strip_exif
+
+        seg = b"\xff\xe0\x00\x04ab"  # APP0
+        j = b"\xff\xd8" + b"\xff" + seg + b"\xff\xd0" + b"\xff\xd9"
+        out, had, ok = strip_exif(j)
+        assert out == j and (had, ok) == (0, 1)
+
+    def test_truncated_segment_degrades_to_copy(self):
+        from fuzi_spark.ops.multimodal import strip_exif
+
+        # declared length runs past the buffer: stop, keep the tail
+        j = b"\xff\xd8\xff\xe1\xff\xff" + b"Exif\x00\x00" + b"x" * 3
+        out, had, ok = strip_exif(j)
+        assert out == j and had == 0 and ok == 1
+
+    def test_spark_surface(self, spark):
+        from fuzi_spark.ops.multimodal import (
+            build_exif_jpeg, build_jpeg, exif_strip_df, parse_exif,
+        )
+
+        base = build_jpeg(8, 8)
+        rows = [
+            ("a.jpg", "image", bytearray(
+                build_exif_jpeg(base, make="Cam", gps=True))),
+            ("b.jpg", "image", bytearray(base)),
+            ("c.mp3", "audio", bytearray(b"ID3")),
+        ]
+        media = spark.createDataFrame(
+            rows, "media_ref string, media_type string, content binary"
+        )
+        got = {r.media_ref: r for r in exif_strip_df(media).collect()}
+        assert set(got) == {"a.jpg", "b.jpg"}  # images only
+        a = got["a.jpg"]
+        assert a.had_exif == 1 and a.strip_ok == 1
+        assert bytes(a.content) == base
+        assert a.orig_len > a.new_len == len(base)
+        b = got["b.jpg"]
+        assert b.had_exif == 0 and bytes(b.content) == base
+        assert parse_exif(bytes(a.content)) is None
