@@ -4459,6 +4459,28 @@ def q_multimodal_dedup(spark, sf_dir):
     )
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Centroid-distance embedding outliers with planted spikes: two
+    formula dimensions (small exact integers/halves, so every partial
+    sum is exact in double regardless of reduction order) plus two
+    CONSTANT dimensions (must contribute zero distance), and every
+    97th doc shifted +50 in dim 0 — far past z=3 against the lattice
+    spread. The oracle replays mean, Euclidean distance, and the
+    stddev_samp z-score relationally on the same scalars."""
+    from fuzi_spark.ops.decomp import embedding_outliers
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    a = (i % 5 - 2).cast("double") + F.when(
+        i % 97 == 0, F.lit(50.0)
+    ).otherwise(F.lit(0.0))
+    b = ((i % 7).cast("double") - 3) / 2.0
+    vec = F.array(a, b, F.lit(0.5), F.lit(-1.0))
+    return embedding_outliers(
+        d.select("doc_id", vec.alias("embedding")), z_threshold=3.0
+    )
+
+
 def q_embedding_pca(spark, sf_dir):
     """Distributed PCA (ops/decomp.py): one-pass Gram aggregation →
     driver-side eigensolve → per-batch matmul projection. Planted
@@ -4862,6 +4884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_semantic_dedup": q_text_semantic_dedup,
         "multimodal_dedup": q_multimodal_dedup,
         "embedding_pca": q_embedding_pca,
+        "embedding_outliers": q_embedding_outliers,
         "kmeans_clusters": q_kmeans_clusters,
         "funnel": q_funnel,
         "retention": q_retention,
@@ -7234,6 +7257,24 @@ def oracle_sql() -> dict[str, str]:
             # component under the edge union — canonical 4k, size 4
             "SELECT doc_id, doc_id - doc_id % 4 AS canonical_id, "
             "CAST(4 AS BIGINT) AS group_size FROM documents"
+        ),
+        "embedding_outliers": (
+            "WITH s AS (SELECT doc_id, "
+            "  CAST(doc_id % 5 - 2 AS DOUBLE) "
+            "    + CASE WHEN doc_id % 97 = 0 THEN 50.0 ELSE 0.0 END AS a, "
+            "  (CAST(doc_id % 7 AS DOUBLE) - 3) / 2.0 AS b "
+            "  FROM documents), "
+            "m AS (SELECT avg(a) AS ma, avg(b) AS mb FROM s), "
+            "d AS (SELECT doc_id, "
+            "  sqrt((a - ma) * (a - ma) + (b - mb) * (b - mb)) AS dist "
+            "  FROM s, m), "
+            "st AS (SELECT avg(dist) AS dm, stddev_samp(dist) AS ds "
+            "  FROM d) "
+            "SELECT doc_id, ROUND(dist, 4) AS dist, "
+            "  ROUND((dist - dm) / ds, 4) AS z, "
+            "  CAST(CASE WHEN ROUND((dist - dm) / ds, 4) > 3.0 "
+            "    THEN 1 ELSE 0 END AS INTEGER) AS is_outlier "
+            "FROM d, st"
         ),
         "embedding_pca": (
             # independent closed-form math, not a replay: the planted

@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "length_quantiles",
     "multimodal_dedup",
     "embedding_pca",
+    "embedding_outliers",
     "kmeans_clusters",
     "funnel",
     "retention",

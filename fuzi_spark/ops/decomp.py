@@ -158,3 +158,77 @@ def pca_project(
         return pd.Series(out)
 
     return df.withColumn("proj", _proj(F.col(vec_col)))
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Centroid-distance outlier gate over an embedding column — the
+    embedding-space analogue of the scalar quality filters: rows whose
+    vectors sit far from the corpus centroid are mislabeled modalities,
+    encoder failures, or spam clusters, and embedding-curation recipes
+    drop or down-weight them before clustering / ANN indexing.
+
+    Two-level statistic: per-row Euclidean distance to the global mean
+    vector, then a z-score over the distance distribution; is_outlier
+    flags z > z_threshold. A degenerate corpus (zero distance spread)
+    has no scorable outliers — z NULL, flag 0 — and NULL vectors pass
+    through unscored.
+
+    Scale shape: the data never moves. Pass 1 computes the mean vector
+    by posexplode + per-dimension avg (map-side partial agg shrinks the
+    shuffle to d rows per task; d is model-sized by contract, enforced
+    like pca_fit's metadata-size guards). The mean and the distance
+    mean/stddev come back as DRIVER literals (d + 2 doubles — the same
+    guarded metadata-collect contract as similarity.ivf), so the
+    scoring pass is ONE codegen'd zip_with/aggregate projection per
+    row: no joins, no Python. The (id, dist) projection is
+    scoped_persist'd so the stats agg and the final select share one
+    computation — two corpus scans total (mean pass, distance pass)."""
+    v = F.col(vec_col)
+    mean_rows = (
+        df.select(F.posexplode(v).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    if not mean_rows:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, dist double, z double, is_outlier int"
+        )
+    mu = [r.m for r in sorted(mean_rows, key=lambda r: r.pos)]
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, mu_lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    from .cache import scoped_persist
+
+    scored = scoped_persist(df.select(F.col(id_col), dist.alias("dist")))
+    stats = scored.agg(
+        F.avg("dist").alias("m"), F.stddev_samp("dist").alias("s")
+    ).collect()[0]
+    d_mean = float(stats.m) if stats.m is not None else None
+    d_std = (
+        float(stats.s)
+        if stats.s is not None and stats.s > 0.0
+        else None
+    )
+    if d_mean is None or d_std is None:
+        z = F.lit(None).cast("double")
+    else:
+        z = F.round((F.col("dist") - F.lit(d_mean)) / F.lit(d_std), 4)
+    return scored.select(
+        id_col,
+        F.round("dist", 4).alias("dist"),
+        z.alias("z"),
+        F.coalesce(
+            (z > F.lit(float(z_threshold))).cast("int"), F.lit(0)
+        ).alias("is_outlier"),
+    )

@@ -7541,3 +7541,55 @@ class TestExifStrip:
         b = got["b.jpg"]
         assert b.had_exif == 0 and bytes(b.content) == base
         assert parse_exif(bytes(a.content)) is None
+
+
+class TestEmbeddingOutliers:
+    """embedding_outliers: centroid-distance z-score gate (round 3)."""
+
+    def _run(self, spark, rows, **kw):
+        from fuzi_spark.ops.decomp import embedding_outliers
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, embedding array<double>"
+        )
+        return {r.doc_id: r for r in embedding_outliers(df, **kw).collect()}
+
+    def test_planted_spike_flagged(self, spark):
+        import numpy as np
+
+        rows = [(i, [float(i % 3 - 1), float((i % 5 - 2) / 2.0)])
+                for i in range(60)]
+        rows.append((999, [80.0, 0.0]))
+        got = self._run(spark, rows)
+        assert got[999].is_outlier == 1
+        assert sum(r.is_outlier for r in got.values()) == 1
+        # hand-check the spike's distance against numpy
+        M = np.array([r[1] for r in rows])
+        mu = M.mean(axis=0)
+        want = float(np.sqrt(((np.array([80.0, 0.0]) - mu) ** 2).sum()))
+        assert got[999].dist == round(want, 4)
+
+    def test_constant_corpus_has_no_scorable_outliers(self, spark):
+        got = self._run(spark, [(i, [1.0, 2.0]) for i in range(10)])
+        assert all(r.z is None and r.is_outlier == 0 for r in got.values())
+        assert all(r.dist == 0.0 for r in got.values())
+
+    def test_threshold_respected(self, spark):
+        rows = [(i, [float(i % 3 - 1)]) for i in range(30)]
+        rows.append((99, [6.0]))
+        loose = self._run(spark, rows, z_threshold=100.0)
+        assert all(r.is_outlier == 0 for r in loose.values())
+
+    def test_no_pinned_cache_after_scope(self, spark):
+        from fuzi_spark.ops.cache import cache_scope
+        from fuzi_spark.ops.decomp import embedding_outliers
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(8)],
+            "doc_id long, embedding array<double>",
+        )
+        before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        with cache_scope():
+            embedding_outliers(df).collect()
+        after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        assert after <= before
