@@ -409,6 +409,42 @@ def q_verification_join(spark, sf_dir):
     )
 
 
+def q_code_dedup(spark, sf_dir):
+    """Formatting-invariant code dedup: per base group (doc_id % 199 —
+    coprime with the 5 variant classes, so every base group mixes
+    formatting variants)
+    five variants — canonical, block-comment + blank lines, tab indent
+    + trailing spaces, line comment, and a REAL extra statement. The
+    first four must collapse to one group and the fifth must not; the
+    oracle replays the identical normalization regex chain (Java∩RE2)
+    in DuckDB and groups by the normal form itself."""
+    from fuzi_spark.ops.dedup import code_dedup
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    g = (i % 199).cast("string")
+    base = F.concat(
+        F.lit("def g"), g, F.lit("(x):\n    return x * "), g, F.lit("\n")
+    )
+    text = (
+        F.when(
+            i % 5 == 1,
+            F.concat(F.lit("/* header\n comment */\n\n"), base, F.lit("\n\n")),
+        )
+        .when(
+            i % 5 == 2,
+            F.concat(
+                F.lit("def g"), g, F.lit("(x):\n\treturn x * "), g,
+                F.lit("  \n"),
+            ),
+        )
+        .when(i % 5 == 3, F.concat(base, F.lit("// note\n")))
+        .when(i % 5 == 4, F.concat(base, F.lit("print(x)\n")))
+        .otherwise(base)
+    )
+    return code_dedup(d.select("doc_id", text.alias("text")))
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: every doc duplicated once, collapse on content digest."""
     from fuzi_spark.ops.dedup import exact_dedup
@@ -4758,6 +4794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_anti_join": q_resume_anti_join,
         "verification_join": q_verification_join,
         "dedup_exact": q_dedup_exact,
+        "code_dedup": q_code_dedup,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
@@ -4971,6 +5008,38 @@ def oracle_sql() -> dict[str, str]:
             "2 * COUNT(*) AS total FROM documents "
             "UNION ALL SELECT 'paragraph', COUNT(*), COUNT(*) FROM documents "
             "UNION ALL SELECT 'media', COUNT(*), COUNT(*) FROM documents"
+        ),
+        "code_dedup": (
+            "WITH b AS (SELECT doc_id, "
+            "  'def g' || CAST(doc_id % 199 AS VARCHAR) || '(x):' "
+            "  || chr(10) || '    return x * ' "
+            "  || CAST(doc_id % 199 AS VARCHAR) || chr(10) AS base "
+            "  FROM documents), "
+            "t AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 5 = 1 THEN '/* header' || chr(10) "
+            "      || ' comment */' || chr(10) || chr(10) || base "
+            "      || chr(10) || chr(10) "
+            "    WHEN doc_id % 5 = 2 THEN 'def g' "
+            "      || CAST(doc_id % 199 AS VARCHAR) || '(x):' || chr(10) "
+            "      || chr(9) || 'return x * ' "
+            "      || CAST(doc_id % 199 AS VARCHAR) || '  ' || chr(10) "
+            "    WHEN doc_id % 5 = 3 THEN base || '// note' || chr(10) "
+            "    WHEN doc_id % 5 = 4 THEN base || 'print(x)' || chr(10) "
+            "    ELSE base END AS text FROM b), "
+            "n AS (SELECT doc_id, "
+            "  regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(text, "
+            "  '(?s)/\\*.*?\\*/', '', 'g'), "
+            "  '(?m)//[^\\n]*', '', 'g'), "
+            "  '(?m)#[^\\n]*', '', 'g'), "
+            "  '(?m)^[ \\t]+|[ \\t]+$', '', 'g'), "
+            "  '[ \\t]+', ' ', 'g'), "
+            "  '\\n{2,}', chr(10), 'g'), "
+            "  '^\\n+|\\n+$', '', 'g') AS norm FROM t) "
+            "SELECT MIN(doc_id) AS doc_id, "
+            "  COUNT(*) AS dup_count "
+            "FROM n GROUP BY norm"
         ),
         "dedup_exact": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count "
@@ -5283,7 +5352,7 @@ def oracle_sql() -> dict[str, str]:
             "  || CASE WHEN doc_id % 3 = 0 THEN ' mail u' "
             "     || CAST(doc_id AS VARCHAR) || '@ex.org' ELSE '' END "
             "  || CASE WHEN doc_id % 4 = 0 THEN ' ip 10.' "
-            "     || CAST(doc_id % 200 AS VARCHAR) || '.0.' "
+            "     || CAST(doc_id % 199 AS VARCHAR) || '.0.' "
             "     || CAST(doc_id % 250 AS VARCHAR) ELSE '' END "
             "  || CASE WHEN doc_id % 5 = 0 THEN ' call +41' "
             "     || CAST(7000000 + doc_id AS VARCHAR) ELSE '' END AS txt "

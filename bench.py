@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "lineage",
     "verification_join",
     "dedup_exact",
+    "code_dedup",
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_simhash",

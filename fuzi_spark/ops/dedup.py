@@ -1055,3 +1055,51 @@ def edit_similarity_pairs(
         sim.alias("edit_sim"),
         (sim >= F.lit(float(threshold))).cast("int").alias("keep"),
     )
+
+
+def normalize_code_col(text_col: str):
+    """Formatting-invariant normal form for source code — the surface
+    The Stack–style code dedup hashes instead of raw bytes, so files
+    differing only in comments, blank lines, indentation, or trailing
+    whitespace collapse to one group:
+
+    1. strip /* */ block comments ((?s) non-greedy), // and # line
+       comments (string-literal-aware stripping needs a tokenizer; the
+       heuristic over-strips a # inside a string — documented, and the
+       standard recipe accepts it);
+    2. trim per-line edges, drop blank lines, collapse inner runs of
+       whitespace to one space.
+
+    Alpha-renaming (identifier-invariant dedup) is deliberately out of
+    scope: it changes the semantics class from "same file reformatted"
+    to "same algorithm", which the near-dup operators (minhash over the
+    normal form) already cover. All patterns in the Java∩RE2 subset so
+    the SQL oracle replays them verbatim."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, r"(?s)/\*.*?\*/", "")
+    t = F.regexp_replace(t, r"(?m)//[^\n]*", "")
+    t = F.regexp_replace(t, r"(?m)#[^\n]*", "")
+    t = F.regexp_replace(t, r"(?m)^[ \t]+|[ \t]+$", "")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r"\n{2,}", "\n")
+    return F.regexp_replace(t, r"^\n+|\n+$", "")
+
+
+def code_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup over the code normal form: keep min id per distinct
+    NORMALIZED content. Same scale shape as exact_dedup — the shuffle
+    key is the 32-byte sha2 of the normal form, computed in the same
+    codegen'd projection as the normalization chain; map-side partial
+    agg collapses local duplicates before the exchange."""
+    return (
+        df.groupBy(
+            F.sha2(normalize_code_col(text_col), 256).alias("digest")
+        )
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .select(id_col, "dup_count")
+    )

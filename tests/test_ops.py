@@ -7593,3 +7593,46 @@ class TestEmbeddingOutliers:
             embedding_outliers(df).collect()
         after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
         assert after <= before
+
+
+class TestCodeDedup:
+    """code_dedup: formatting/comment-invariant exact dedup (round 3)."""
+
+    def _groups(self, spark, rows):
+        from fuzi_spark.ops.dedup import code_dedup
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r.dup_count for r in code_dedup(df).collect()}
+
+    def test_formatting_variants_collapse(self, spark):
+        base = "def f(x):\n    return x + 1\n"
+        rows = [
+            (1, base),
+            (2, "/* copyright\n header */\n\n" + base + "\n\n"),
+            (3, "def f(x):\n\treturn x + 1  \n"),
+            (4, base + "// trailing note\n"),
+            (5, base + "# pragma\n"),
+            (6, base + "print(x)\n"),  # real change: stays separate
+        ]
+        got = self._groups(spark, rows)
+        assert got == {1: 5, 6: 1}
+
+    def test_inner_whitespace_collapses_but_tokens_dont_merge(self, spark):
+        got = self._groups(spark, [
+            (1, "a  =  1\n"),
+            (2, "a = 1\n"),
+            (3, "a=1\n"),  # no space at all: different normal form
+        ])
+        assert got == {1: 2, 3: 1}
+
+    def test_normal_form_values(self, spark):
+        from fuzi_spark.ops.dedup import normalize_code_col
+
+        df = spark.createDataFrame(
+            [(1, "/*x*/\n\n  a b\t\n\n\n# c\nd  \n")],
+            "doc_id long, text string",
+        )
+        got = df.select(
+            normalize_code_col("text").alias("n")
+        ).collect()[0].n
+        assert got == "a b\nd"
