@@ -4777,6 +4777,115 @@ def q_balanced_shards(spark, sf_dir):
     return balanced_shards(d, n_shards=16, weight_col="n_chars")
 
 
+def q_pr_curve(spark, sf_dir):
+    """Classifier operating-point sweep (ops/classify.pr_curve): a
+    deterministic scored set built from doc_id — label = doc_id%3==0,
+    score = ((doc_id*37)%101)/100.0 (exact hundredths, so every
+    score-vs-threshold comparison is the same double decision in both
+    engines) — swept at five thresholds. The oracle recomputes the
+    full confusion matrix relationally (threshold unnest -> one hash
+    agg) and the precision/recall/f1 arithmetic in the identical
+    spelling, so the division/NULL contract is value-checked."""
+    from fuzi_spark.ops.classify import pr_curve
+
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+        (((F.col("doc_id") * 37) % 101).cast("double") / 100.0).alias(
+            "score"
+        ),
+    )
+    return pr_curve(d, [0.1, 0.3, 0.5, 0.7, 0.9])
+
+
+def q_near_decontaminate(spark, sf_dir):
+    """Fuzzy benchmark decontamination (ops/dedup.near_decontaminate)
+    over a zero-cross-overlap corpus (doc i's text is 25 unique tokens,
+    as in `decontaminate`): the 'benchmark' is every 10th doc
+    PARAPHRASED — its first 23 tokens kept, last 2 replaced — so exact
+    decontamination finds nothing new, but trigram Jaccard is exactly
+    21/25 = 0.84 (21 shared of 23+23-21 distinct shingles). Planted
+    invariant: contaminated iff doc_id%10==0 with max_jaccard 21/25,
+    else 0.0 (LSH recall at J=0.84 with 32x2 bands is 1-1e-17 per
+    pair; the verify stage is exact set arithmetic, so spurious bucket
+    collisions can never flag)."""
+    from fuzi_spark.ops.dedup import near_decontaminate
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    tok = lambda j: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.col("doc_id").cast("string"),
+        F.lit("_"),
+        j.cast("string"),
+    )
+    corpus = ids.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(1), F.lit(25)), tok)
+        ).alias("text"),
+    )
+    bench = ids.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.transform(F.sequence(F.lit(1), F.lit(23)), tok),
+                F.array(
+                    F.concat(
+                        F.lit("b"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("_1"),
+                    ),
+                    F.concat(
+                        F.lit("b"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("_2"),
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+    return near_decontaminate(corpus, bench, threshold=0.7)
+
+
+def q_pq_encode(spark, sf_dir):
+    """Product quantization of the embedding lake (ops/quantize.
+    pq_encode): 64-dim float vectors -> 8 subspace codes against the
+    deterministic demo codebook (exact binary-fraction centroids), via
+    the codegen'd expression path (m*k=32). The oracle replays every
+    squared distance, the first-min CASE tie-break, and the least()-sum
+    reconstruction error with the identical arithmetic spelling —
+    codes are exact-int checked, recon_err within 6-sig-fig rounding."""
+    from fuzi_spark.ops.quantize import pq_codebook, pq_encode
+
+    return pq_encode(
+        _embeddings(spark, sf_dir),
+        pq_codebook(8, 4, 8),
+        vec_col="embedding",
+        id_col="vec_id",
+    )
+
+
+def q_domain_weights(spark, sf_dir):
+    """DoReMi-style domain reweighting (ops/sampling.domain_weights):
+    per-source excess loss (proxy minus reference, clamped at 0) from
+    deterministic doc_id-derived loss columns, softmaxed at tau=0.5
+    into next-mix weights. ONE corpus scan with map-side partials into
+    20 rows; the normalizer is an unpartitioned window over that
+    metadata-sized table. Oracle replays the identical excess/softmax
+    arithmetic (avg grouping noise and libm exp ulps both land inside
+    the 6-sig-fig value rounding)."""
+    from fuzi_spark.ops.sampling import domain_weights
+
+    d = _docs(spark, sf_dir).select(
+        "source",
+        ((F.col("doc_id") * 7 % 40).cast("double") / 10.0).alias("loss"),
+        ((F.col("doc_id") * 11 % 30).cast("double") / 10.0).alias(
+            "ref_loss"
+        ),
+    )
+    return domain_weights(d, "source", "loss", "ref_loss", temperature=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -4939,7 +5048,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed": q_hash_embed,
         "audio_dedup": q_audio_dedup,
         "bitext_margin": q_bitext_margin,
+        "pr_curve": q_pr_curve,
+        "near_decontaminate": q_near_decontaminate,
+        "pq_encode": q_pq_encode,
+        "domain_weights": q_domain_weights,
     }
+
+
+def _pq_oracle_sql(m: int = 8, k: int = 4, sub: int = 8) -> str:
+    """Generated oracle for `pq_encode`: a CTE computing every
+    subspace-x-centroid squared distance ONCE (same arithmetic spelling
+    as the op's expression path — left-assoc term sums over
+    CAST(embedding[i] AS DOUBLE)), then the identical first-min CASE
+    chain per subspace and the least()-sum recon_err."""
+    from fuzi_spark.ops.quantize import pq_codebook
+
+    cb = pq_codebook(m, k, sub)
+    dists = []
+    for s in range(m):
+        for j in range(k):
+            terms = " + ".join(
+                f"(CAST(embedding[{s * sub + d + 1}] AS DOUBLE) - "
+                f"({cb[s][j][d]!r})) * "
+                f"(CAST(embedding[{s * sub + d + 1}] AS DOUBLE) - "
+                f"({cb[s][j][d]!r}))"
+                for d in range(sub)
+            )
+            dists.append(f"{terms} AS d{s}_{j}")
+    codes = []
+    for s in range(m):
+        whens = []
+        for j in range(k - 1):
+            cond = " AND ".join(
+                f"d{s}_{j} <= d{s}_{j2}" for j2 in range(j + 1, k)
+            )
+            whens.append(f"WHEN {cond} THEN {j}")
+        codes.append(
+            "CAST(CASE "
+            + " ".join(whens)
+            + f" ELSE {k - 1} END AS INTEGER) AS code_{s}"
+        )
+    err = " + ".join(
+        "least(" + ", ".join(f"d{s}_{j}" for j in range(k)) + ")"
+        for s in range(m)
+    )
+    return (
+        "WITH d AS (SELECT vec_id, "
+        + ", ".join(dists)
+        + " FROM embeddings) SELECT vec_id, "
+        + ", ".join(codes)
+        + f", {err} AS recon_err FROM d"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7703,6 +7862,63 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN pos % 32 < 16 THEN pos % 32 "
             "  ELSE 31 - (pos % 32) END AS shard "
             "FROM r"
+        ),
+        "pr_curve": (
+            # full confusion-matrix recompute per threshold, identical
+            # division spelling ("precision" quoted: DOUBLE PRECISION
+            # keyword); the 0/0 branches stay NULL in both engines
+            "WITH s AS (SELECT CAST(doc_id % 3 = 0 AS INT) AS y, "
+            "  CAST((doc_id*37) % 101 AS DOUBLE)/100.0 AS sc "
+            "  FROM documents), "
+            "t AS (SELECT unnest(CAST([0.1,0.3,0.5,0.7,0.9] "
+            "  AS DOUBLE[])) AS threshold), "
+            "a AS (SELECT threshold, "
+            "  CAST(SUM(CASE WHEN sc >= threshold AND y = 1 THEN 1 "
+            "    ELSE 0 END) AS BIGINT) AS tp, "
+            "  CAST(SUM(CASE WHEN sc >= threshold AND y = 0 THEN 1 "
+            "    ELSE 0 END) AS BIGINT) AS fp, "
+            "  CAST(SUM(CASE WHEN sc < threshold AND y = 1 THEN 1 "
+            "    ELSE 0 END) AS BIGINT) AS fn, "
+            "  CAST(SUM(CASE WHEN sc < threshold AND y = 0 THEN 1 "
+            "    ELSE 0 END) AS BIGINT) AS tn "
+            "  FROM s CROSS JOIN t GROUP BY threshold), "
+            "p AS (SELECT *, "
+            "  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)/(tp + fp) "
+            "    END AS prec, "
+            "  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)/(tp + fn) "
+            "    END AS rec FROM a) "
+            "SELECT threshold, tp, fp, fn, tn, "
+            '  prec AS "precision", rec AS recall, '
+            "  CASE WHEN prec IS NOT NULL AND rec IS NOT NULL "
+            "    AND prec + rec > 0 "
+            "    THEN 2 * prec * rec / (prec + rec) END AS f1 "
+            "FROM p"
+        ),
+        "near_decontaminate": (
+            # planted invariant: every 10th doc's benchmark paraphrase
+            # keeps 23 of 25 tokens, so trigram Jaccard is exactly
+            # 21 shared / (23+23-21) distinct = 21/25; everything else
+            # shares zero shingles by construction
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 10 = 0 THEN CAST(21 AS DOUBLE)/25 "
+            "  ELSE 0.0 END AS max_jaccard, "
+            "CAST(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS INT) "
+            "  AS contaminated "
+            "FROM documents"
+        ),
+        "pq_encode": _pq_oracle_sql(8, 4, 8),
+        "domain_weights": (
+            # identical excess/softmax arithmetic; AVG grouping noise
+            # and libm exp() ulps both land inside 6-sig-fig rounding
+            "WITH per AS (SELECT source, "
+            "  CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "  AVG(GREATEST(CAST(doc_id*7 % 40 AS DOUBLE)/10.0 "
+            "    - CAST(doc_id*11 % 30 AS DOUBLE)/10.0, 0.0)) AS excess "
+            "  FROM documents GROUP BY source) "
+            "SELECT source, n_docs, excess, "
+            "  exp(excess / 0.5) / SUM(exp(excess / 0.5)) OVER () "
+            "    AS weight "
+            "FROM per"
         ),
     }
 

@@ -185,6 +185,10 @@ BENCH_QUERIES = [
     "rrf_fuse",
     "source_drift",
     "balanced_shards",
+    "pr_curve",
+    "near_decontaminate",
+    "pq_encode",
+    "domain_weights",
 ]
 
 

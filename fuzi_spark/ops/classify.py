@@ -182,3 +182,61 @@ def nb_quality_filter(
         ),
         id_col,
     )
+
+
+def pr_curve(
+    scored: DataFrame,
+    thresholds: list,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Operating-point sweep for a binary quality/safety classifier:
+    confusion counts and precision/recall/F1 at each candidate
+    threshold — the evidence a gate's cutoff is chosen on (quality
+    filters are deployed at a THRESHOLD, and picking it from one
+    accuracy number instead of the curve is how corpora silently lose
+    recall).
+
+    `scored` carries a {0,1} label column (human ratings or a planted
+    eval set) and a real-valued score; a row is predicted positive iff
+    score >= threshold. Returns one row per threshold:
+    (threshold, tp, fp, fn, tn : long, precision, recall, f1 : double)
+    with precision NULL at thresholds nothing clears (0/0), and f1 NULL
+    whenever precision is.
+
+    Scale shape: ONE corpus scan exploded by the literal threshold list
+    (|T| small — rows scale by |T|, not data volume twice per point),
+    then a hash aggregate to |T| rows with map-side partials; every
+    predicate is codegen'd. No joins, no window, no driver collect."""
+    if not thresholds:
+        raise ValueError("thresholds must name at least one cut point")
+    t = F.explode(
+        F.array(*[F.lit(float(x)) for x in thresholds])
+    ).alias("threshold")
+    e = scored.select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.col(score_col).cast("double").alias("_s"),
+        t,
+    )
+    pos = F.col("_s") >= F.col("threshold")
+    y1 = F.col("_y") == 1
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = e.groupBy("threshold").agg(
+        cnt(pos & y1).alias("tp"),
+        cnt(pos & ~y1).alias("fp"),
+        cnt(~pos & y1).alias("fn"),
+        cnt(~pos & ~y1).alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    precision = F.when(tp + fp > 0, tp / (tp + fp))
+    recall = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(
+        precision.isNotNull() & recall.isNotNull() & (precision + recall > 0),
+        2 * precision * recall / (precision + recall),
+    )
+    return agg.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    ).orderBy("threshold")

@@ -138,3 +138,139 @@ def quantize_report(
         F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2)).alias("cos_recon"),
         (err2 / F.size(F.col("_v"))).alias("mse"),
     )
+
+
+def pq_codebook(m: int, k: int, sub_dim: int) -> list:
+    """The deterministic demo codebook used by the oracle-checked query:
+    centroid value c[s][j][d] = (-1.0, -0.25, 0.25, 1.0)[(s + 3*j + d) % 4]
+    — exact binary fractions (no decimal-literal drift between engines),
+    distinct centroids within every subspace (3*j walks all four phases).
+    Production callers fit real codebooks with ops/cluster.kmeans_fit per
+    subspace and pass them in; the encoding contract is identical."""
+    vals = (-1.0, -0.25, 0.25, 1.0)
+    return [
+        [[vals[(s + 3 * j + d) % 4] for d in range(sub_dim)] for j in range(k)]
+        for s in range(m)
+    ]
+
+
+def _pq_validate(codebooks: list) -> tuple:
+    m = len(codebooks)
+    if m == 0:
+        raise ValueError("codebooks must name at least one subspace")
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    for s, cb in enumerate(codebooks):
+        if len(cb) != k or any(len(c) != sub for c in cb):
+            raise ValueError(
+                f"ragged codebook: subspace {s} is {len(cb)}x"
+                f"{ {len(c) for c in cb} }, expected {k}x{sub}"
+            )
+    return m, k, sub
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "auto",
+) -> DataFrame:
+    """Product quantization (Jegou et al. 2011, the FAISS `PQ` family):
+    split the D-dim vector into m contiguous subspaces of D/m dims, code
+    each subvector as the index of its nearest codebook centroid
+    (squared L2), and store m small ints instead of D floats — at the
+    classic m=D/8, k=256 operating point that is D bytes -> m bytes, a
+    32x cut on the lake's largest column, and the representation IVF-PQ
+    search scans.
+
+    `codebooks` is [m][k][D/m] floats (see pq_codebook for the demo one;
+    fit real ones with per-subspace k-means over a bounded sample).
+    Returns (id, code_0..code_{m-1}:int, recon_err:double) where
+    recon_err is the total squared quantization error — the telemetry a
+    codebook refresh is gated on.
+
+    Two physical strategies, same values:
+    - method='expr' (default for m*k <= 512): every distance is an
+      inlined codegen'd arithmetic chain over element_at probes — zero
+      shuffle, zero Python, and exactly replayable by a SQL oracle.
+      Argmin ties break to the LOWEST centroid index via a first-min
+      CASE chain (spelled identically in the oracle), not float
+      equality tricks.
+    - method='arrow' (default above that): one numpy batched distance
+      matrix per Arrow batch — (rows, m, k) in one einsum-shaped
+      broadcast — because a k=256 expression tree (m*k=2048 distance
+      chains) is real Catalyst/codegen pressure. Same codes; recon_err
+      may differ in final ulps (summation order), which the 6-sig-fig
+      oracle rounding absorbs. tests pin expr==arrow code equality.
+    """
+    m, k, sub = _pq_validate(codebooks)
+    if method == "auto":
+        method = "expr" if m * k <= 512 else "arrow"
+    if method == "arrow":
+        return _pq_encode_arrow(df, codebooks, vec_col, id_col, m, k, sub)
+
+    v = F.col(vec_col)
+    out_cols = [F.col(id_col)]
+    err_total = None
+    for s in range(m):
+        dists = []
+        for j in range(k):
+            terms = None
+            for d in range(sub):
+                x = F.element_at(v, s * sub + d + 1).cast("double")
+                diff = x - F.lit(codebooks[s][j][d])
+                t = diff * diff
+                terms = t if terms is None else terms + t
+            dists.append(terms)
+        # first-min CASE chain: centroid j wins iff it beats every later
+        # one (<=) — deterministic, oracle-replayable tie-break
+        code = None
+        for j in range(k - 1, -1, -1):
+            if code is None:
+                code = F.lit(k - 1)
+                continue
+            cond = None
+            for j2 in range(j + 1, k):
+                c = dists[j] <= dists[j2]
+                cond = c if cond is None else cond & c
+            code = F.when(cond, F.lit(j)).otherwise(code)
+        out_cols.append(code.cast("int").alias(f"code_{s}"))
+        err_s = F.least(*dists)
+        err_total = err_s if err_total is None else err_total + err_s
+    out_cols.append(err_total.alias("recon_err"))
+    return df.select(*out_cols)
+
+
+def _pq_encode_arrow(
+    df: DataFrame, codebooks: list, vec_col: str, id_col: str,
+    m: int, k: int, sub: int,
+) -> DataFrame:
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    id_field = df.schema[id_col]
+    code_fields = ", ".join(f"code_{s} int" for s in range(m))
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        f"{code_fields}, recon_err double"
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            ).reshape(len(pdf), m, sub)
+            # (rows, m, k): ||x - c||^2 for every centroid of every subspace
+            d2 = ((X[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2)  # numpy argmin = first-min, same rule
+            err = d2.min(axis=2).sum(axis=1)
+            out = {id_col: pdf[id_col]}
+            for s in range(m):
+                out[f"code_{s}"] = codes[:, s].astype("int32")
+            out["recon_err"] = err
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(encode, out_schema)

@@ -325,3 +325,42 @@ def temperature_mixture(
         ]
     )[F.col(stratum_col)]
     return df.filter(bucket_num < thr)
+
+
+def domain_weights(
+    df: DataFrame,
+    domain_col: str,
+    loss_col: str,
+    ref_col: str,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """DoReMi-flavored domain reweighting (Xie et al. 2023's
+    excess-loss principle, one static step): a domain where the proxy
+    model's loss EXCEEDS the reference model's is under-learned, so the
+    next mix should upweight it; domains the proxy already matches
+    contribute no excess and fall back toward uniform.
+
+        excess_g = avg over g of max(0, loss - ref)
+        weight_g = exp(excess_g / tau) / sum_h exp(excess_h / tau)
+
+    Returns (domain_col, n_docs:long, excess:double, weight:double),
+    weights summing to 1. tau is the usual softmax temperature — small
+    tau concentrates the mix on the worst-learned domains, large tau
+    flattens toward uniform. (Full DoReMi iterates this against a
+    re-trained proxy; the per-step reweighting arithmetic is this.)
+
+    Scale shape: the corpus is touched ONCE with a map-side partial
+    aggregate into domain-cardinality rows; the softmax normalizer is
+    an unpartitioned window over that metadata-sized table (dozens to
+    thousands of domains — single-task by design, never the corpus).
+    """
+    per = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.avg(
+            F.greatest(F.col(loss_col) - F.col(ref_col), F.lit(0.0))
+        ).alias("excess"),
+    )
+    e = F.exp(F.col("excess") / F.lit(float(temperature)))
+    return per.withColumn(
+        "weight", e / F.sum(e).over(Window.partitionBy())
+    )

@@ -7636,3 +7636,224 @@ class TestCodeDedup:
             normalize_code_col("text").alias("n")
         ).collect()[0].n
         assert got == "a b\nd"
+
+
+class TestPrCurve:
+    """pr_curve: confusion counts + precision/recall/f1 per threshold
+    (round 3)."""
+
+    def _run(self, spark, rows, thresholds):
+        from fuzi_spark.ops.classify import pr_curve
+
+        df = spark.createDataFrame(rows, "label int, score double")
+        return {
+            r.threshold: r
+            for r in pr_curve(df, thresholds).collect()
+        }
+
+    def test_hand_computed_point(self, spark):
+        rows = [
+            (1, 0.9), (1, 0.6), (1, 0.2),   # positives
+            (0, 0.8), (0, 0.4), (0, 0.1),   # negatives
+        ]
+        got = self._run(spark, rows, [0.5])[0.5]
+        assert (got.tp, got.fp, got.fn, got.tn) == (2, 1, 1, 2)
+        assert got.precision == 2 / 3
+        assert got.recall == 2 / 3
+        assert abs(got.f1 - 2 / 3) < 1e-12
+
+    def test_counts_partition_corpus_at_every_threshold(self, spark):
+        rows = [(i % 2, (i % 10) / 10.0) for i in range(40)]
+        got = self._run(spark, rows, [0.0, 0.35, 0.7, 1.1])
+        for r in got.values():
+            assert r.tp + r.fp + r.fn + r.tn == 40
+
+    def test_null_contract_when_nothing_clears(self, spark):
+        # threshold above every score: tp+fp == 0 -> precision NULL,
+        # f1 NULL; recall is defined (0) because positives exist
+        got = self._run(spark, [(1, 0.3), (0, 0.2)], [0.9])[0.9]
+        assert got.precision is None and got.f1 is None
+        assert got.recall == 0.0
+
+    def test_empty_thresholds_raise(self, spark):
+        import pytest as _pytest
+
+        from fuzi_spark.ops.classify import pr_curve
+
+        df = spark.createDataFrame([(1, 0.5)], "label int, score double")
+        with _pytest.raises(ValueError):
+            pr_curve(df, [])
+
+
+class TestNearDecontaminate:
+    """near_decontaminate: MinHash-candidate + exact-Jaccard-verified
+    benchmark leakage gate (round 3)."""
+
+    def _run(self, spark, docs, bench, **kw):
+        from fuzi_spark.ops.dedup import near_decontaminate
+
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        b = spark.createDataFrame(bench, "bench_id long, text string")
+        return {
+            r.doc_id: r for r in near_decontaminate(d, b, **kw).collect()
+        }
+
+    @staticmethod
+    def _words(prefix, n):
+        return " ".join(f"{prefix}_{j}" for j in range(n))
+
+    def test_paraphrase_flagged_exact_jaccard(self, spark):
+        # doc 1's "benchmark paraphrase" keeps 23 of 25 tokens:
+        # trigram J = 21 / (23 + 23 - 21) = 0.84 exactly
+        doc1 = self._words("w1", 25)
+        para = " ".join(doc1.split()[:23] + ["x_1", "x_2"])
+        docs = [(1, doc1), (2, self._words("w2", 25))]
+        got = self._run(spark, docs, [(10, para)], threshold=0.7)
+        assert got[1].contaminated == 1
+        assert got[1].max_jaccard == 21 / 25
+        assert got[2].contaminated == 0 and got[2].max_jaccard == 0.0
+
+    def test_exact_copy_scores_one(self, spark):
+        t = self._words("w", 30)
+        got = self._run(spark, [(1, t)], [(10, t)])
+        assert got[1].max_jaccard == 1.0 and got[1].contaminated == 1
+
+    def test_threshold_respected(self, spark):
+        doc1 = self._words("w1", 25)
+        para = " ".join(doc1.split()[:23] + ["x_1", "x_2"])  # J = 0.84
+        got = self._run(spark, [(1, doc1)], [(10, para)], threshold=0.9)
+        assert got[1].contaminated == 0
+        assert got[1].max_jaccard == 21 / 25  # score still reported
+
+    def test_max_over_multiple_benchmarks(self, spark):
+        t = self._words("w", 25)
+        near = " ".join(t.split()[:23] + ["x_1", "x_2"])
+        got = self._run(spark, [(1, t)], [(10, near), (11, t)])
+        assert got[1].max_jaccard == 1.0
+
+    def test_no_pinned_cache_after_scope(self, spark):
+        from fuzi_spark.ops.cache import cache_scope
+        from fuzi_spark.ops.dedup import near_decontaminate
+
+        d = spark.createDataFrame(
+            [(i, self._words(f"w{i}", 25)) for i in range(6)],
+            "doc_id long, text string",
+        )
+        b = d.limit(1).selectExpr("doc_id AS bench_id", "text")
+        before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        with cache_scope():
+            near_decontaminate(d, b).collect()
+        after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        assert after <= before
+
+
+class TestPqEncode:
+    """pq_encode: product quantization, expr and arrow paths (round 3)."""
+
+    def _df(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_centroid_vectors_code_exactly(self, spark):
+        from fuzi_spark.ops.quantize import pq_codebook, pq_encode
+
+        cb = pq_codebook(2, 4, 3)  # 6-dim vectors, 2 subspaces
+        # vector equal to centroid 2 of subspace 0 and centroid 1 of 1
+        v = cb[0][2] + cb[1][1]
+        row = pq_encode(self._df(spark, [v]), cb, method="expr").collect()[0]
+        assert (row.code_0, row.code_1) == (2, 1)
+        assert row.recon_err == 0.0
+
+    def test_expr_and_arrow_agree(self, spark):
+        from fuzi_spark.ops.quantize import pq_codebook, pq_encode
+
+        cb = pq_codebook(4, 4, 4)  # 16-dim
+        vecs = [
+            [((i * 7 + d * 3) % 11 - 5) / 4.0 for d in range(16)]
+            for i in range(40)
+        ]
+        df = self._df(spark, vecs)
+        ex = {r.vec_id: r for r in pq_encode(df, cb, method="expr").collect()}
+        ar = {r.vec_id: r for r in pq_encode(df, cb, method="arrow").collect()}
+        for i in ex:
+            assert tuple(ex[i][f"code_{s}"] for s in range(4)) == tuple(
+                ar[i][f"code_{s}"] for s in range(4)
+            )
+            assert abs(ex[i].recon_err - ar[i].recon_err) < 1e-9
+
+    def test_tie_breaks_to_lowest_index_both_paths(self, spark):
+        from fuzi_spark.ops.quantize import pq_encode
+
+        # two identical centroids: argmin must pick index 0 in both
+        cb = [[[1.0, 1.0], [1.0, 1.0], [5.0, 5.0]]]
+        df = self._df(spark, [[1.0, 1.0]])
+        for method in ("expr", "arrow"):
+            row = pq_encode(df, cb, method=method).collect()[0]
+            assert row.code_0 == 0, method
+
+    def test_ragged_codebook_raises(self, spark):
+        import pytest as _pytest
+
+        from fuzi_spark.ops.quantize import pq_encode
+
+        with _pytest.raises(ValueError):
+            pq_encode(
+                self._df(spark, [[0.0, 0.0]]),
+                [[[0.0, 0.0], [1.0]]],
+            )
+
+    def test_auto_dispatch(self, spark):
+        from fuzi_spark.ops.quantize import pq_codebook, pq_encode
+
+        cb = pq_codebook(2, 4, 2)  # m*k = 8 <= 512 -> expr
+        plan = pq_encode(self._df(spark, [[0.0] * 4]), cb)._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+        big = [[[float((j + d) % 5) for d in range(2)] for j in range(300)]
+               for _ in range(2)]  # m*k = 600 -> arrow
+        plan2 = pq_encode(self._df(spark, [[0.0] * 4]), big)._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan2
+
+
+class TestDomainWeights:
+    """domain_weights: DoReMi-style excess-loss softmax (round 3)."""
+
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(
+            rows, "domain string, loss double, ref double"
+        )
+        from fuzi_spark.ops.sampling import domain_weights
+
+        return {
+            r.domain: r
+            for r in domain_weights(df, "domain", "loss", "ref", **kw).collect()
+        }
+
+    def test_weights_sum_to_one(self, spark):
+        rows = [(f"d{i % 4}", float(i % 7), float(i % 3)) for i in range(40)]
+        got = self._run(spark, rows)
+        assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-12
+
+    def test_matched_losses_give_uniform_mix(self, spark):
+        rows = [(f"d{i % 5}", 2.0, 3.0) for i in range(25)]
+        got = self._run(spark, rows)
+        for r in got.values():
+            assert r.excess == 0.0 and abs(r.weight - 0.2) < 1e-12
+
+    def test_hand_computed_two_domains(self, spark):
+        import math
+
+        rows = [("a", 2.0, 1.0), ("a", 3.0, 1.0), ("b", 1.0, 1.0)]
+        got = self._run(spark, rows, temperature=1.0)
+        # excess(a) = avg(1, 2) = 1.5; excess(b) = 0
+        assert got["a"].excess == 1.5 and got["b"].excess == 0.0
+        za, zb = math.exp(1.5), math.exp(0.0)
+        assert abs(got["a"].weight - za / (za + zb)) < 1e-12
+        assert got["a"].n_docs == 2 and got["b"].n_docs == 1
+
+    def test_temperature_flattens(self, spark):
+        rows = [("a", 3.0, 1.0), ("b", 1.0, 1.0)]
+        sharp = self._run(spark, rows, temperature=0.25)
+        flat = self._run(spark, rows, temperature=10.0)
+        assert sharp["a"].weight > flat["a"].weight > 0.5

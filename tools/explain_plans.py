@@ -593,6 +593,28 @@ CASES = [
      "per-window md5 draws + slices inside a transform, flatten, "
      "concat_ws; zero Python, zero exchanges, windows never leave "
      "their row."),
+    ("pr_curve",
+     "Classifier threshold sweep. Wants: ONE corpus scan exploded by "
+     "the literal threshold array (rows x |T|, never two scans per "
+     "point), partial_ hash aggregate BEFORE the exchange so 10^12 "
+     "rows reduce to |T| per task; all predicates codegen'd."),
+    ("near_decontaminate",
+     "Fuzzy benchmark leakage gate. Wants: band keys codegen'd with "
+     "zero exchanges before the candidate join, the BENCHMARK side "
+     "broadcast everywhere (eval suites are metadata-sized), corpus "
+     "shingle sets materialized only for broadcast-semi-joined "
+     "suspects, and the final hit table broadcast back onto doc ids."),
+    ("pq_encode",
+     "Product quantization. Wants: ZERO exchanges, ZERO Python at the "
+     "demo operating point — every subspace distance + first-min CASE "
+     "chain inside one whole-stage-codegen'd Project on the scan "
+     "(k=256 production codebooks flip to the one-matmul-per-Arrow-"
+     "batch MapInPandas path by the same m*k dispatch)."),
+    ("domain_weights",
+     "DoReMi mix reweighting. Wants: partial_ avg/count BEFORE the "
+     "domain exchange (corpus reduces map-side to |domains| rows), "
+     "then the softmax window over a metadata-sized single partition "
+     "— the corpus is touched exactly once."),
 ]
 
 
