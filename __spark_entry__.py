@@ -1765,6 +1765,41 @@ def q_preference_pairs(spark, sf_dir):
     return preference_pairs(posts)
 
 
+def q_chat_validate(spark, sf_dir):
+    """SFT chat-structure gate over constructed conversations: doc_id%7
+    plants one case per failure class — valid (0), empty thread (1),
+    unknown role WITH an empty content also planted (2: pins the fixed
+    first-failure precedence), assistant-first (3), repeated role (4),
+    empty content (5), no assistant turn (6). The oracle writes the
+    EXPECTED (n_turns, n_assistant, valid, reason) straight from the
+    construction formula — parser-independent."""
+    from fuzi_spark.ops.threads import chat_validate
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    m = F.col("doc_id") % 7
+    body = F.concat(
+        F.lit("u:"), F.coalesce(F.substring("text", 1, 40), F.lit(""))
+    )
+
+    def turn(role, content):
+        return F.struct(F.lit(role).alias("role"), content.alias("content"))
+
+    sys_t = turn("system", F.lit("be helpful"))
+    usr = turn("user", body)
+    asst = turn("assistant", body)
+    turns = (
+        F.when(m == 0, F.array(sys_t, usr, asst))
+        .when(m == 1, F.array().cast("array<struct<role:string,content:string>>"))
+        .when(m == 2, F.array(usr, turn("moderator", body),
+                              turn("assistant", F.lit(""))))
+        .when(m == 3, F.array(asst, usr, asst))
+        .when(m == 4, F.array(usr, turn("user", body), asst))
+        .when(m == 5, F.array(turn("user", F.lit("")), asst))
+        .otherwise(F.array(sys_t, usr))
+    )
+    return chat_validate(d.select("doc_id", turns.alias("turns")))
+
+
 def q_detect_license(spark, sf_dir):
     """License detection (The Stack gate) over constructed headers:
     doc_id%10 plants one case per family — SPDX declarations (0),
@@ -4948,6 +4983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "detect_license": q_detect_license,
         "preference_pairs": q_preference_pairs,
+        "chat_validate": q_chat_validate,
         "temperature_mix": q_temperature_mix,
         "span_corruption": q_span_corruption,
         "chunk_documents": q_chunk_documents,
@@ -5866,6 +5902,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(('0x' || substr(md5('fuzi-mix:' "
             "  || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)::DOUBLE "
             "  < r * 4294967296.0"
+        ),
+        "chat_validate": (
+            # expected verdicts written straight from the doc_id%7
+            # construction: slot 2 plants BOTH an unknown role and an
+            # empty content, so the row only matches if unknown_role
+            # wins the precedence race
+            "WITH c AS (SELECT doc_id, doc_id % 7 AS m FROM documents) "
+            "SELECT doc_id, "
+            "CAST(CASE WHEN m IN (0, 2, 3, 4) THEN 3 WHEN m = 1 THEN 0 "
+            "  ELSE 2 END AS INTEGER) AS n_turns, "
+            "CAST(CASE WHEN m = 3 THEN 2 WHEN m IN (0, 2, 4, 5) THEN 1 "
+            "  ELSE 0 END AS INTEGER) AS n_assistant, "
+            "CAST(CASE WHEN m = 0 THEN 1 ELSE 0 END AS INTEGER) AS valid, "
+            "CASE m WHEN 1 THEN 'no_turns' WHEN 2 THEN 'unknown_role' "
+            "  WHEN 3 THEN 'bad_start' WHEN 4 THEN 'role_repeat' "
+            "  WHEN 5 THEN 'empty_content' WHEN 6 THEN 'no_assistant' END "
+            "  AS reason "
+            "FROM c"
         ),
         "preference_pairs": (
             # twin election as window ranks: chosen = (score DESC, id

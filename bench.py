@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "hash_embed",
     "thread_assembly",
     "preference_pairs",
+    "chat_validate",
     "loss_mask",
     "parse_jsonl",
     "rate_anomalies",

@@ -230,3 +230,71 @@ def preference_pairs(
         F.when(two, F.col("_r._s")).alias("rejected_score"),
         "n_replies",
     )
+
+
+def chat_validate(
+    df: DataFrame,
+    turns_col: str = "turns",
+    id_col: str = "doc_id",
+    roles: tuple = ("system", "user", "assistant"),
+) -> DataFrame:
+    """Structural validation of SFT/chat training records — the schema
+    gate every instruction-tuning pipeline runs before the tokenizer
+    ever sees a conversation (a single assistant-first or role-repeated
+    record silently corrupts the chat template for the whole batch it
+    lands in).
+
+    `turns_col` is array<struct<role:string, content:string>>. Checks,
+    in FIXED first-failure precedence (deterministic, the reported
+    reason is the first one that trips):
+
+      1. no_turns        empty/NULL conversation
+      2. unknown_role    any role outside `roles`
+      3. bad_start       first turn is 'assistant' (system/user may
+                         open; the model must never speak first)
+      4. role_repeat     adjacent turns with the same role
+      5. empty_content   any NULL or '' content
+      6. no_assistant    nothing for the loss mask to train on
+
+    Returns (id_col, n_turns:int, n_assistant:int, valid:int,
+    reason:string NULL-when-valid).
+
+    Scale shape: ONE codegen'd projection over the conversations scan —
+    every check is exists/filter/zip_with over the in-row array, zero
+    shuffles, zero Python; at 10^12 records this runs at scan speed."""
+    t = F.col(turns_col)
+    sz = F.coalesce(F.size(t), F.lit(0))  # NULL conversation == empty
+    role_of = lambda x: x["role"]  # noqa: E731
+    allowed = F.array(*[F.lit(r) for r in roles])
+    unknown = F.exists(t, lambda x: ~F.array_contains(allowed, role_of(x)))
+    bad_start = role_of(F.element_at(t, 1)) == "assistant"
+    pair_len = F.greatest(sz - 1, F.lit(0))
+    repeat = F.exists(
+        F.zip_with(
+            F.slice(t, 1, pair_len),
+            F.slice(t, 2, pair_len),
+            lambda a, b: role_of(a) == role_of(b),
+        ),
+        lambda x: x,
+    )
+    empty = F.exists(
+        t, lambda x: x["content"].isNull() | (x["content"] == "")
+    )
+    n_assist = F.coalesce(
+        F.size(F.filter(t, lambda x: role_of(x) == "assistant")), F.lit(0)
+    )
+    reason = (
+        F.when(sz <= 0, F.lit("no_turns"))
+        .when(unknown, F.lit("unknown_role"))
+        .when(bad_start, F.lit("bad_start"))
+        .when(repeat, F.lit("role_repeat"))
+        .when(empty, F.lit("empty_content"))
+        .when(n_assist == 0, F.lit("no_assistant"))
+    )
+    return df.select(
+        F.col(id_col),
+        sz.alias("n_turns"),
+        n_assist.alias("n_assistant"),
+        reason.isNull().cast("int").alias("valid"),
+        reason.alias("reason"),
+    )

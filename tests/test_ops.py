@@ -1755,6 +1755,62 @@ class TestPreferencePairs:
         assert "Window" not in plan, plan
 
 
+class TestChatValidate:
+    """ops/threads.py chat_validate — SFT conversation-structure gate."""
+
+    def _run(self, spark, rows):
+        from fuzi_spark.ops.threads import chat_validate
+
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, turns array<struct<role:string,content:string>>",
+        )
+        return {r.doc_id: r for r in chat_validate(df).collect()}
+
+    def test_reason_classes_and_precedence(self, spark):
+        got = self._run(
+            spark,
+            [
+                (0, [("system", "s"), ("user", "q"), ("assistant", "a")]),
+                (1, []),
+                (2, None),
+                # unknown role AND empty content planted: precedence
+                # says unknown_role wins
+                (3, [("user", "q"), ("moderator", "m"), ("assistant", "")]),
+                (4, [("assistant", "a"), ("user", "q")]),
+                (5, [("user", "q"), ("user", "q2"), ("assistant", "a")]),
+                (6, [("user", ""), ("assistant", "a")]),
+                (7, [("user", "q"), ("assistant", None)]),  # NULL content
+                (8, [("system", "s"), ("user", "q")]),
+            ],
+        )
+        ok = got[0]
+        assert (ok.valid, ok.reason, ok.n_turns, ok.n_assistant) == (
+            1, None, 3, 1,
+        )
+        assert got[1].reason == "no_turns" and got[1].n_turns == 0
+        assert got[2].reason == "no_turns"  # NULL array == empty
+        assert got[3].reason == "unknown_role"
+        assert got[4].reason == "bad_start" and got[4].n_assistant == 1
+        assert got[5].reason == "role_repeat"
+        assert got[6].reason == "empty_content"
+        assert got[7].reason == "empty_content"
+        assert got[8].reason == "no_assistant" and got[8].n_assistant == 0
+        assert all(r.valid == 0 for k, r in got.items() if k != 0)
+
+    def test_shuffle_free_plan(self, spark):
+        from fuzi_spark.ops.threads import chat_validate
+
+        df = spark.createDataFrame(
+            [(1, [("user", "q"), ("assistant", "a")])],
+            "doc_id long, turns array<struct<role:string,content:string>>",
+        )
+        plan = (
+            chat_validate(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+
+
 class TestDetectLicense:
     """ops/license.py detect_license — The Stack's inclusion gate."""
 
