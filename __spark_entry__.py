@@ -4740,6 +4740,19 @@ def q_collocations(spark, sf_dir):
     return collocations(_docs(spark, sf_dir), min_count=5, top_n=100)
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty (ops/novelty.py): fraction of each
+    document's DISTINCT trigrams seen in no other document, plus its
+    max corpus document-frequency — the boilerplate-saturation /
+    memorization-risk signal. One map-side array_distinct shrink, one
+    df groupBy (count(*) IS df since each doc ships each gram once),
+    one co-partitioned join back, one doc_id fold. Oracle replays the
+    identical token + gram convention relationally."""
+    from fuzi_spark.ops.novelty import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
 _GAZETTEER = [
     ("hash join", "op"),
     ("merge scan", "op"),
@@ -5073,6 +5086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "attribution": q_attribution,
         "collocations": q_collocations,
+        "ngram_novelty": q_ngram_novelty,
         "gazetteer_tag": q_gazetteer_tag,
         "rrf_fuse": q_rrf_fuse,
         "source_drift": q_source_drift,
@@ -7788,6 +7802,29 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN lag <= 86400.0 THEN lag END AS lag_s, "
             "  COALESCE(lag <= 86400.0, FALSE) AS attributed "
             "FROM j"
+        ),
+        "ngram_novelty": (
+            # same token + trigram convention, per-doc DISTINCT grams,
+            # df = count over the distinct pairs, novelty left NULL for
+            # sub-3-token docs (the LEFT JOIN keeps the rows)
+            "WITH base AS (SELECT doc_id, list_filter("
+            "  regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "  x -> x <> '') AS toks FROM documents), "
+            "g0 AS (SELECT doc_id, toks, "
+            "  unnest(generate_series(1, len(toks) - 2)) AS i "
+            "  FROM base WHERE len(toks) >= 3), "
+            "g AS (SELECT DISTINCT doc_id, "
+            "  array_to_string(toks[i:i+2], ' ') AS ng FROM g0), "
+            "dfv AS (SELECT ng, COUNT(*) AS df FROM g GROUP BY 1), "
+            "sc AS (SELECT doc_id, COUNT(*) AS n_ngrams, "
+            "  SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel, "
+            "  MAX(df) AS max_df FROM g JOIN dfv USING (ng) GROUP BY 1) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams, "
+            "CAST(COALESCE(sc.n_novel, 0) AS BIGINT) AS n_novel, "
+            "sc.n_novel * 1.0 / sc.n_ngrams AS novelty, "
+            "CAST(sc.max_df AS BIGINT) AS max_df "
+            "FROM documents d LEFT JOIN sc USING (doc_id)"
         ),
         "collocations": (
             # same token convention, same counting, and the IDENTICAL

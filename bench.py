@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "gap_fill",
     "attribution",
     "collocations",
+    "ngram_novelty",
     "gazetteer_tag",
     "rrf_fuse",
     "source_drift",

@@ -7913,3 +7913,60 @@ class TestDomainWeights:
         sharp = self._run(spark, rows, temperature=0.25)
         flat = self._run(spark, rows, temperature=10.0)
         assert sharp["a"].weight > flat["a"].weight > 0.5
+
+
+class TestNgramNovelty:
+    """ops/novelty.py: per-doc n-gram novelty — planted corpora where
+    every df, the novelty fraction, and the short-doc NULL contract
+    are decidable by hand."""
+
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def _run(self, spark, texts, **kw):
+        from fuzi_spark.ops.novelty import ngram_novelty
+
+        rows = ngram_novelty(self._docs(spark, texts), **kw).collect()
+        return {r.doc_id: r for r in rows}
+
+    def test_hand_computed_dfs(self, spark):
+        # n=2 bigrams: doc0 {"a b","b c"}, doc1 {"a b","b d"}, doc2
+        # {"x y"}. df: "a b"=2, "b c"=1, "b d"=1, "x y"=1.
+        got = self._run(
+            spark, ["a b c", "a b d", "x y"], n=2
+        )
+        assert (got[0].n_ngrams, got[0].n_novel, got[0].max_df) == (2, 1, 2)
+        assert got[0].novelty == 0.5
+        assert (got[1].n_ngrams, got[1].n_novel, got[1].max_df) == (2, 1, 2)
+        assert (got[2].n_ngrams, got[2].n_novel, got[2].max_df) == (1, 1, 1)
+        assert got[2].novelty == 1.0
+
+    def test_within_doc_repeat_counts_once(self, spark):
+        # "a b" occurs twice INSIDE doc0 but doc0 is one document ->
+        # df("a b") stays 1 and the bigram is still novel
+        got = self._run(spark, ["a b a b", "c d"], n=2)
+        # doc0 distinct bigrams: "a b", "b a" -> both df=1
+        assert (got[0].n_ngrams, got[0].n_novel) == (2, 2)
+        assert got[0].novelty == 1.0 and got[0].max_df == 1
+
+    def test_short_docs_keep_null_contract(self, spark):
+        got = self._run(spark, ["a b c d", "tiny", "", "   "], n=3)
+        assert (got[0].n_ngrams, got[0].n_novel) == (2, 2)
+        for i in (1, 2, 3):
+            assert (got[i].n_ngrams, got[i].n_novel) == (0, 0)
+            assert got[i].novelty is None and got[i].max_df is None
+
+    def test_hashed_matches_unhashed(self, spark):
+        texts = [f"w{i % 5} common phrase here w{i % 3} tail" for i in range(30)]
+        plain = self._run(spark, texts, n=3, hash_keys=False)
+        hashed = self._run(spark, texts, n=3, hash_keys=True)
+        assert set(plain) == set(hashed)
+        for k in plain:
+            assert tuple(plain[k]) == tuple(hashed[k])
+
+    def test_all_template_corpus_has_zero_novelty(self, spark):
+        got = self._run(spark, ["the same boilerplate line"] * 4, n=3)
+        for r in got.values():
+            assert r.novelty == 0.0 and r.max_df == 4
