@@ -4753,6 +4753,37 @@ def q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(_docs(spark, sf_dir), n=3)
 
 
+def q_extract_citations(spark, sf_dir):
+    """Citation-id extraction (ops/citations.py) over constructed
+    text: doc_id%6 plants one case per class — a formula-derived DOI
+    (0), a duplicate DOI plus one embedding the word 'arXiv' with no
+    colon (1: dedup + no cross-match), mixed-case arXiv ids with
+    trailing punctuation (2), RFC space/hyphen/too-short forms (3),
+    near-miss decoys that must all be rejected (4: 3-digit DOI
+    registrant, 3-digit arXiv year, 2-digit RFC), nothing (5). The
+    oracle runs the IDENTICAL patterns in DuckDB over the identical
+    construction — the portability proof for the Java∩RE2 subset."""
+    from fuzi_spark.ops.citations import extract_citations
+
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 6
+    planted = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(" see doi:10.1234/x."), F.col("doc_id").cast("string")
+            ),
+        )
+        .when(m == 1, F.lit(" 10.5555/a1 10.5555/a1 (10.48550/arXiv.2107.06499)"))
+        .when(m == 2, F.lit(" ArXiv:2302.03169v2 plus arxiv:2107.06499."))
+        .when(m == 3, F.lit(" RFC 9309, rfc-793 and RFC 12"))
+        .when(m == 4, F.lit(" 10.123/tooshort arXiv:123.4567 rfc 12"))
+        .otherwise(F.lit(""))
+    )
+    t = F.concat(F.substring("text", 1, 40), planted)
+    return extract_citations(d.select("doc_id", t.alias("text")))
+
+
 _GAZETTEER = [
     ("hash join", "op"),
     ("merge scan", "op"),
@@ -5087,6 +5118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "collocations": q_collocations,
         "ngram_novelty": q_ngram_novelty,
+        "extract_citations": q_extract_citations,
         "gazetteer_tag": q_gazetteer_tag,
         "rrf_fuse": q_rrf_fuse,
         "source_drift": q_source_drift,
@@ -7802,6 +7834,34 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN lag <= 86400.0 THEN lag END AS lag_s, "
             "  COALESCE(lag <= 86400.0, FALSE) AS attributed "
             "FROM j"
+        ),
+        "extract_citations": (
+            # identical construction, IDENTICAL regex patterns run by
+            # DuckDB's RE2 — hash equality proves the Java∩RE2 subset
+            "WITH c AS (SELECT doc_id, substr(text, 1, 40) || "
+            "CASE CAST(doc_id % 6 AS INTEGER) "
+            "WHEN 0 THEN ' see doi:10.1234/x.' || CAST(doc_id AS VARCHAR) "
+            "WHEN 1 THEN "
+            "  ' 10.5555/a1 10.5555/a1 (10.48550/arXiv.2107.06499)' "
+            "WHEN 2 THEN ' ArXiv:2302.03169v2 plus arxiv:2107.06499.' "
+            "WHEN 3 THEN ' RFC 9309, rfc-793 and RFC 12' "
+            "WHEN 4 THEN ' 10.123/tooshort arXiv:123.4567 rfc 12' "
+            "ELSE '' END AS t FROM documents), "
+            "e AS (SELECT doc_id, "
+            "list_sort(list_distinct(regexp_extract_all(t, "
+            "  '10\\.[0-9]{4,9}/[-._;()/:A-Za-z0-9]*[A-Za-z0-9]'))) "
+            "  AS dois, "
+            "list_sort(list_distinct(list_transform(regexp_extract_all(t, "
+            "  '(?i)arxiv:[0-9]{4}\\.[0-9]{4,5}(?:v[0-9]+)?'), "
+            "  x -> lower(x)))) AS arxiv_ids, "
+            "list_sort(list_distinct(list_transform(regexp_extract_all(t, "
+            "  '(?i)rfc[ -]?[0-9]{3,5}'), "
+            "  x -> 'rfc' || regexp_replace(x, '[^0-9]', '', 'g')))) "
+            "  AS rfcs "
+            "FROM c) "
+            "SELECT doc_id, dois, arxiv_ids, rfcs, "
+            "CAST(len(dois) + len(arxiv_ids) + len(rfcs) AS INTEGER) "
+            "  AS n_refs FROM e"
         ),
         "ngram_novelty": (
             # same token + trigram convention, per-doc DISTINCT grams,

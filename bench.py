@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "attribution",
     "collocations",
     "ngram_novelty",
+    "extract_citations",
     "gazetteer_tag",
     "rrf_fuse",
     "source_drift",

@@ -7970,3 +7970,56 @@ class TestNgramNovelty:
         got = self._run(spark, ["the same boilerplate line"] * 4, n=3)
         for r in got.values():
             assert r.novelty == 0.0 and r.max_df == 4
+
+
+class TestExtractCitations:
+    """ops/citations.py: DOI/arXiv/RFC extraction — planted ids,
+    near-miss decoys, and the normalization contract."""
+
+    def _run(self, spark, texts):
+        from fuzi_spark.ops.citations import extract_citations
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {r.doc_id: r for r in extract_citations(df).collect()}
+
+    def test_doi_boundaries_and_dedup(self, spark):
+        got = self._run(
+            spark,
+            [
+                "see doi:10.1145/3297280.3297641. and (10.1145/3297280.3297641)",
+                "registrant too short 10.123/abc but 10.48550/arXiv.2107.06499 ok",
+            ],
+        )
+        # trailing '.'/')' never ride along; duplicate collapses
+        assert got[0].dois == ["10.1145/3297280.3297641"]
+        assert got[1].dois == ["10.48550/arXiv.2107.06499"]
+
+    def test_arxiv_case_and_version(self, spark):
+        got = self._run(
+            spark,
+            [
+                "ArXiv:2302.03169v2 and arXiv:2107.06499",
+                "old-style arXiv:hep-th/9901001 must NOT match, nor arXiv:123.4567",
+            ],
+        )
+        assert got[0].arxiv_ids == ["arxiv:2107.06499", "arxiv:2302.03169v2"]
+        assert got[1].arxiv_ids == []
+
+    def test_rfc_normalization(self, spark):
+        got = self._run(
+            spark, ["per RFC 9309 and rfc-793; RFC 12 is too short"]
+        )
+        assert got[0].rfcs == ["rfc793", "rfc9309"]
+        assert got[0].n_refs == 2
+
+    def test_empty_and_null_text(self, spark):
+        from fuzi_spark.ops.citations import extract_citations
+
+        df = spark.createDataFrame(
+            [(0, None), (1, "")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in extract_citations(df).collect()}
+        for r in rows.values():
+            assert (r.dois, r.arxiv_ids, r.rfcs, r.n_refs) == ([], [], [], 0)
