@@ -4753,6 +4753,50 @@ def q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(_docs(spark, sf_dir), n=3)
 
 
+def q_section_chunks(spark, sf_dir):
+    """Heading-delimited section chunking (ops/sections.py) over a
+    constructed interleaved span table (the input_hint shape):
+    doc_id%5==0 plants a preamble span (section 0 with NULL heading),
+    doc_id%3==0 plants a media span inside section 1, every doc gets
+    two headings, a possibly-empty mid text and a formula tail. The
+    oracle replays the slot construction as UNION ALL rows and the
+    running-heading-count window + ordered re-join relationally."""
+    from fuzi_spark.ops.sections import section_chunks
+
+    d = _docs(spark, sf_dir)
+    ns = F.lit(None).cast("string")
+
+    def slot(pos, kind, text, media=None, cond=None):
+        k = F.lit(kind) if cond is None else F.when(cond, F.lit(kind))
+        return F.struct(
+            k.alias("kind"),
+            (ns if text is None else text).alias("text"),
+            (ns if media is None else media).alias("media_ref"),
+            F.lit(pos).alias("offset"),
+        )
+
+    sid = F.col("doc_id").cast("string")
+    spans = F.filter(
+        F.array(
+            slot(0, "text", F.lit("lead para"), cond=F.col("doc_id") % 5 == 0),
+            slot(1, "heading", F.concat(F.lit("Intro "), F.col("source"))),
+            slot(2, "text", F.substring("text", 1, 60)),
+            slot(
+                3,
+                "media",
+                None,
+                media=F.concat(F.lit("img://"), sid),
+                cond=F.col("doc_id") % 3 == 0,
+            ),
+            slot(4, "heading", F.lit("Details")),
+            slot(5, "text", F.substring("text", 61, 80)),
+            slot(6, "text", F.concat(F.lit("tail "), sid)),
+        ),
+        lambda s: s["kind"].isNotNull(),
+    )
+    return section_chunks(d.select("doc_id", spans.alias("spans")))
+
+
 def q_extract_citations(spark, sf_dir):
     """Citation-id extraction (ops/citations.py) over constructed
     text: doc_id%6 plants one case per class — a formula-derived DOI
@@ -5119,6 +5163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "ngram_novelty": q_ngram_novelty,
         "extract_citations": q_extract_citations,
+        "section_chunks": q_section_chunks,
         "gazetteer_tag": q_gazetteer_tag,
         "rrf_fuse": q_rrf_fuse,
         "source_drift": q_source_drift,
@@ -7834,6 +7879,40 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN lag <= 86400.0 THEN lag END AS lag_s, "
             "  COALESCE(lag <= 86400.0, FALSE) AS attributed "
             "FROM j"
+        ),
+        "section_chunks": (
+            # slot construction as UNION ALL rows, section id as the
+            # running heading count, ordered re-join via STRING_AGG
+            # ... ORDER BY pos, '' (not NULL) for text-less sections
+            "WITH s AS ("
+            "SELECT doc_id, 0 AS pos, 'text' AS kind, "
+            "  'lead para' AS text, CAST(NULL AS VARCHAR) AS media_ref, "
+            "  0 AS off FROM documents WHERE doc_id % 5 = 0 "
+            "UNION ALL SELECT doc_id, 1, 'heading', 'Intro ' || source, "
+            "  NULL, 1 FROM documents "
+            "UNION ALL SELECT doc_id, 2, 'text', substr(text, 1, 60), "
+            "  NULL, 2 FROM documents "
+            "UNION ALL SELECT doc_id, 3, 'media', NULL, "
+            "  'img://' || CAST(doc_id AS VARCHAR), 3 FROM documents "
+            "  WHERE doc_id % 3 = 0 "
+            "UNION ALL SELECT doc_id, 4, 'heading', 'Details', NULL, 4 "
+            "  FROM documents "
+            "UNION ALL SELECT doc_id, 5, 'text', substr(text, 61, 80), "
+            "  NULL, 5 FROM documents "
+            "UNION ALL SELECT doc_id, 6, 'text', "
+            "  'tail ' || CAST(doc_id AS VARCHAR), NULL, 6 "
+            "  FROM documents), "
+            "w AS (SELECT *, SUM(CASE WHEN kind = 'heading' THEN 1 "
+            "  ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) "
+            "  AS section_id FROM s) "
+            "SELECT doc_id, CAST(section_id AS BIGINT) AS section_id, "
+            "MAX(CASE WHEN kind = 'heading' THEN text END) AS heading, "
+            "COALESCE(STRING_AGG(CASE WHEN kind = 'text' THEN text END, "
+            "  chr(10) ORDER BY pos), '') AS text, "
+            "CAST(SUM(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) "
+            "  AS BIGINT) AS n_media, "
+            "CAST(MIN(off) AS INTEGER) AS first_offset "
+            "FROM w GROUP BY doc_id, section_id"
         ),
         "extract_citations": (
             # identical construction, IDENTICAL regex patterns run by

@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "collocations",
     "ngram_novelty",
     "extract_citations",
+    "section_chunks",
     "gazetteer_tag",
     "rrf_fuse",
     "source_drift",

@@ -8023,3 +8023,83 @@ class TestExtractCitations:
         rows = {r.doc_id: r for r in extract_citations(df).collect()}
         for r in rows.values():
             assert (r.dois, r.arxiv_ids, r.rfcs, r.n_refs) == ([], [], [], 0)
+
+
+class TestSectionChunks:
+    """ops/sections.py: heading-delimited section chunking over
+    interleaved span sequences — hand-decidable corpora plus the
+    one-exchange plan pin."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+
+    def _run(self, spark, rows, **kw):
+        from fuzi_spark.ops.sections import section_chunks
+
+        out = section_chunks(self._df(spark, rows), **kw).collect()
+        return {(r.doc_id, r.section_id): r for r in out}
+
+    def test_preamble_sections_and_media(self, spark):
+        rows = [
+            (
+                "a",
+                [
+                    ("text", "lead", None, 0),
+                    ("heading", "Intro", None, 1),
+                    ("text", "p1", None, 2),
+                    ("media", None, "img://1", 3),
+                    ("text", "p2", None, 4),
+                    ("heading", "End", None, 5),
+                    ("text", "p3", None, 6),
+                ],
+            )
+        ]
+        got = self._run(spark, rows)
+        assert set(got) == {("a", 0), ("a", 1), ("a", 2)}
+        pre = got[("a", 0)]
+        assert pre.heading is None and pre.text == "lead"
+        assert (pre.n_media, pre.first_offset) == (0, 0)
+        s1 = got[("a", 1)]
+        assert s1.heading == "Intro" and s1.text == "p1\np2"
+        assert (s1.n_media, s1.first_offset) == (1, 1)
+        s2 = got[("a", 2)]
+        assert s2.heading == "End" and s2.text == "p3" and s2.n_media == 0
+
+    def test_heading_only_section_keeps_empty_text(self, spark):
+        rows = [("b", [("heading", "H", None, 0)])]
+        got = self._run(spark, rows)
+        r = got[("b", 1)]
+        assert r.heading == "H" and r.text == "" and r.n_media == 0
+
+    def test_no_heading_doc_is_one_preamble(self, spark):
+        rows = [("c", [("text", "x", None, 0), ("text", "y", None, 1)])]
+        got = self._run(spark, rows)
+        assert set(got) == {("c", 0)}
+        assert got[("c", 0)].text == "x\ny"
+
+    def test_order_restored_not_collect_list_luck(self, spark):
+        # 40 text spans; join must come out in span order under any
+        # partitioning
+        spans = [("heading", "H", None, 0)] + [
+            ("text", f"t{i:02d}", None, i + 1) for i in range(40)
+        ]
+        rows = [("d", spans)]
+        got = self._run(spark, rows)
+        expect = "\n".join(f"t{i:02d}" for i in range(40))
+        assert got[("d", 1)].text == expect
+
+    def test_single_exchange_plan(self, spark):
+        from fuzi_spark.ops.sections import section_chunks
+
+        rows = [("a", [("heading", "H", None, 0), ("text", "x", None, 1)])]
+        plan = (
+            section_chunks(self._df(spark, rows))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan
