@@ -4753,6 +4753,36 @@ def q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(_docs(spark, sf_dir), n=3)
 
 
+def q_pseudonymize(spark, sf_dir):
+    """Consistent email pseudonymization (ops/redact.py
+    pseudonymize_emails) over constructed text: doc_id%4 plants the
+    same formula address twice (0), a substring-nested pair xb@c.com /
+    b@c.com whose replacement order is the correctness edge (1), a
+    mixed-case duplicate that must merge to ONE identity and ONE
+    pseudonym (2), nothing (3). The oracle replays the identical
+    lpad-key ordering and literal-replace fold in DuckDB — hash
+    equality proves both the md5 formula and the fold order."""
+    from fuzi_spark.ops.redact import pseudonymize_emails
+
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 4
+    sid = F.col("doc_id").cast("string")
+    planted = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(" write u"), sid, F.lit("@a.com or u"), sid,
+                F.lit("@a.com"),
+            ),
+        )
+        .when(m == 1, F.lit(" pair xb@c.com b@c.com"))
+        .when(m == 2, F.lit(" shared@x.org and Shared@X.org"))
+        .otherwise(F.lit(""))
+    )
+    t = F.concat(F.substring("text", 1, 40), planted)
+    return pseudonymize_emails(d.select("doc_id", t.alias("text")))
+
+
 def q_section_chunks(spark, sf_dir):
     """Heading-delimited section chunking (ops/sections.py) over a
     constructed interleaved span table (the input_hint shape):
@@ -5164,6 +5194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "extract_citations": q_extract_citations,
         "section_chunks": q_section_chunks,
+        "pseudonymize": q_pseudonymize,
         "gazetteer_tag": q_gazetteer_tag,
         "rrf_fuse": q_rrf_fuse,
         "source_drift": q_source_drift,
@@ -7879,6 +7910,32 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN lag <= 86400.0 THEN lag END AS lag_s, "
             "  COALESCE(lag <= 86400.0, FALSE) AS attributed "
             "FROM j"
+        ),
+        "pseudonymize": (
+            # identical construction, pattern, ordering key, md5
+            # formula, and literal-replace fold — run by DuckDB
+            "WITH c AS (SELECT doc_id, substr(text, 1, 40) || "
+            "CASE CAST(doc_id % 4 AS INTEGER) "
+            "WHEN 0 THEN ' write u' || CAST(doc_id AS VARCHAR) "
+            "  || '@a.com or u' || CAST(doc_id AS VARCHAR) || '@a.com' "
+            "WHEN 1 THEN ' pair xb@c.com b@c.com' "
+            "WHEN 2 THEN ' shared@x.org and Shared@X.org' "
+            "ELSE '' END AS t FROM documents), "
+            "m AS (SELECT doc_id, t, regexp_extract_all(t, "
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') "
+            "  AS ms FROM c), "
+            "o AS (SELECT doc_id, t, ms, "
+            "  list_transform(list_sort(list_transform(list_distinct(ms), "
+            "    e -> lpad(CAST(100000 - length(e) AS VARCHAR), 6, '0') "
+            "    || e)), k -> substr(k, 7)) AS ordered FROM m) "
+            "SELECT doc_id, "
+            "list_reduce(list_prepend(t, ordered), (acc, e) -> "
+            "  replace(acc, e, 'user-' || substr(md5(lower(e)), 1, 10) "
+            "  || '@example.invalid')) AS clean_text, "
+            "CAST(len(ms) AS BIGINT) AS n_emails, "
+            "CAST(len(list_distinct(list_transform(ms, x -> lower(x)))) "
+            "  AS BIGINT) AS n_identities "
+            "FROM o"
         ),
         "section_chunks": (
             # slot construction as UNION ALL rows, section id as the

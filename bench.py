@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "extract_citations",
     "section_chunks",
+    "pseudonymize",
     "gazetteer_tag",
     "rrf_fuse",
     "source_drift",

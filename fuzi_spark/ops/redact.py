@@ -136,3 +136,83 @@ def redact_credit_cards(
         F.size(cands).cast("long").alias("n_cc_candidates"),
         F.size(valid).cast("long").alias("n_cc_valid"),
     )
+
+
+def pseudonymize_emails(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Consistent pseudonymization: rewrite every email to a STABLE
+    pseudonym — same identity, same replacement, across the whole
+    corpus — instead of a flat <EMAIL> mask.
+
+    Masking (redact_pii) destroys conversational structure: "alice@x
+    replied to bob@y" becomes "<EMAIL> replied to <EMAIL>" and thread
+    reconstruction, quote attribution, and speaker-consistency signals
+    die with it. Pseudonymization keeps the structure while removing
+    the identity: pseudonym(e) = 'user-' + md5(lower(e))[:10] +
+    '@example.invalid' — deterministic (a corpus re-run or a second
+    corpus maps the same address identically, so joins still line up),
+    non-reversible short of brute force, and routed to the reserved
+    .invalid TLD so scrubbed text can never generate real mail.
+    lower() canonicalizes first: mail domains are case-insensitive and
+    mixed-case duplicates of one address must not fork identities.
+
+    Replacement is a fold of literal replace() over the doc's DISTINCT
+    matches ordered by (length DESC, value ASC): a match that is a
+    substring of a longer match (b@c.com inside ab@c.com) must be
+    replaced AFTER the longer one or it corrupts it mid-string. The
+    ordering key is the engine-portable string lpad(100000-len) ||
+    value — ascending string sort in any engine, no struct-comparator
+    semantics to align. (A pseudonym containing a later match is
+    impossible short of the original text embedding a 'user-<10 hex>
+    @example.invalid' address whose hex equals another match's md5 —
+    and even then the oracle folds identically.)
+
+    Returns (id, clean_text, n_emails:long total occurrences,
+    n_identities:long distinct addresses). The email->pseudonym
+    mapping is deliberately NOT emitted: the output is the scrubbed
+    surface; re-linkage stays possible via the deterministic formula
+    for holders of the original data, without this table re-leaking
+    the addresses. Zero shuffles, zero Python — one codegen'd Project.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    matches = F.regexp_extract_all(txt, F.lit(PII_PATTERNS[0][1]), 0)
+    idents = F.array_distinct(matches)
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                idents,
+                lambda e: F.concat(
+                    F.lpad(
+                        (F.lit(100000) - F.length(e)).cast("string"),
+                        6,
+                        "0",
+                    ),
+                    e,
+                ),
+            )
+        ),
+        lambda k: F.substring(k, 7, 1000000),
+    )
+
+    def pseudo(e):
+        return F.concat(
+            F.lit("user-"),
+            F.substring(F.md5(F.lower(e).cast("binary")), 1, 10),
+            F.lit("@example.invalid"),
+        )
+
+    clean = F.aggregate(
+        ordered, txt, lambda acc, e: F.replace(acc, e, pseudo(e))
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(matches).cast("long").alias("n_emails"),
+        # identities are counted CANONICAL (lowered) — A@B.com and
+        # a@b.com are one identity (they already share a pseudonym);
+        # `idents` stays raw because replace() is literal
+        F.size(F.array_distinct(F.transform(matches, F.lower)))
+        .cast("long")
+        .alias("n_identities"),
+    )

@@ -8103,3 +8103,41 @@ class TestSectionChunks:
             .toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+class TestPseudonymizeEmails:
+    """ops/redact.py pseudonymize_emails: stable identity-preserving
+    rewrite — consistency, canonicalization, nesting order."""
+
+    def _run(self, spark, texts):
+        from fuzi_spark.ops.redact import pseudonymize_emails
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {r.doc_id: r for r in pseudonymize_emails(df).collect()}
+
+    def test_same_identity_same_pseudonym_across_docs(self, spark):
+        got = self._run(spark, ["ping a@b.com", "from a@b.com again"])
+        p0 = got[0].clean_text.split()[1]
+        assert p0.startswith("user-") and p0.endswith("@example.invalid")
+        assert p0 in got[1].clean_text
+
+    def test_case_canonicalization_merges_identities(self, spark):
+        got = self._run(spark, ["A@B.com vs a@b.com"])
+        a, _, b = got[0].clean_text.split()
+        assert a == b and got[0].n_identities == 1 and got[0].n_emails == 2
+
+    def test_substring_nesting_replaced_longest_first(self, spark):
+        got = self._run(spark, ["ab@c.com then b@c.com"])
+        out = got[0].clean_text
+        # neither replacement corrupted the other: exactly two intact
+        # pseudonyms, no residual '@c.com', no doubled 'user-'
+        assert out.count("@example.invalid") == 2
+        assert "@c.com" not in out and "user-user" not in out
+        assert got[0].n_identities == 2
+
+    def test_no_email_and_null_text(self, spark):
+        got = self._run(spark, ["plain text", None])
+        assert got[0].clean_text == "plain text" and got[0].n_emails == 0
+        assert got[1].clean_text == "" and got[1].n_identities == 0
