@@ -4753,6 +4753,78 @@ def q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(_docs(spark, sf_dir), n=3)
 
 
+def q_strip_running_lines(spark, sf_dir):
+    """Running header/footer flagging (ops/pagelayout.py) over a
+    constructed page-line table: each doc gets doc_id%3+2 pages of 4
+    lines; even docs carry a constant header (running), odd docs a
+    per-page letter header (kept), every doc a 'Page N' footer whose
+    digit normalization must unify it (running); interior lines repeat
+    but can never be flagged. Oracle replays zones, normalization,
+    distinct-page thresholds, and the flag join relationally."""
+    from fuzi_spark.ops.pagelayout import strip_running_lines
+
+    d = _docs(spark, sf_dir)
+    letters = F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d"))
+
+    def mk(p):
+        page = p.cast("int")
+        header = F.when(
+            F.col("doc_id") % 2 == 0, F.lit("ACME Corp")
+        ).otherwise(
+            F.concat(F.lit("intro "), F.element_at(letters, page + 1))
+        )
+        return F.array(
+            F.struct(
+                page.alias("page"),
+                F.lit(0).alias("line_no"),
+                F.lit(4).alias("n_lines"),
+                header.alias("text"),
+            ),
+            F.struct(
+                page.alias("page"),
+                F.lit(1).alias("line_no"),
+                F.lit(4).alias("n_lines"),
+                F.substring(
+                    "text", page * 10 + 1, F.lit(30)
+                ).alias("text"),
+            ),
+            F.struct(
+                page.alias("page"),
+                F.lit(2).alias("line_no"),
+                F.lit(4).alias("n_lines"),
+                F.concat(
+                    F.lit("mid "), F.element_at(letters, page + 1)
+                ).alias("text"),
+            ),
+            F.struct(
+                page.alias("page"),
+                F.lit(3).alias("line_no"),
+                F.lit(4).alias("n_lines"),
+                F.concat(
+                    F.lit("Page "), (page + 1).cast("string")
+                ).alias("text"),
+            ),
+        )
+
+    rows = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0).cast("long"), F.col("doc_id") % 3 + 1
+                        ),
+                        mk,
+                    )
+                )
+            ).alias("_l"),
+        )
+        .select("doc_id", "_l.page", "_l.line_no", "_l.n_lines", "_l.text")
+    )
+    return strip_running_lines(rows, band=1, min_pages=2, min_frac=0.6)
+
+
 def q_pseudonymize(spark, sf_dir):
     """Consistent email pseudonymization (ops/redact.py
     pseudonymize_emails) over constructed text: doc_id%4 plants the
@@ -5195,6 +5267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_citations": q_extract_citations,
         "section_chunks": q_section_chunks,
         "pseudonymize": q_pseudonymize,
+        "strip_running_lines": q_strip_running_lines,
         "gazetteer_tag": q_gazetteer_tag,
         "rrf_fuse": q_rrf_fuse,
         "source_drift": q_source_drift,
@@ -7910,6 +7983,41 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN lag <= 86400.0 THEN lag END AS lag_s, "
             "  COALESCE(lag <= 86400.0, FALSE) AS attributed "
             "FROM j"
+        ),
+        "strip_running_lines": (
+            # identical construction (pages x 4 line templates), zone
+            # CASE, '#'-digit + ws normalization, distinct-page
+            # thresholds, and the flag LEFT JOIN
+            "WITH pg AS (SELECT doc_id, text, "
+            "  unnest(generate_series(0, CAST(doc_id % 3 + 1 AS INTEGER))) "
+            "  AS p FROM documents), "
+            "l AS ("
+            "SELECT doc_id, p AS page, 0 AS line_no, 4 AS n_lines, "
+            "  CASE WHEN doc_id % 2 = 0 THEN 'ACME Corp' "
+            "  ELSE 'intro ' || ['a','b','c','d'][CAST(p + 1 AS INTEGER)] "
+            "  END AS text FROM pg "
+            "UNION ALL SELECT doc_id, p, 1, 4, "
+            "  substr(text, CAST(p * 10 + 1 AS INTEGER), 30) FROM pg "
+            "UNION ALL SELECT doc_id, p, 2, 4, "
+            "  'mid ' || ['a','b','c','d'][CAST(p + 1 AS INTEGER)] FROM pg "
+            "UNION ALL SELECT doc_id, p, 3, 4, "
+            "  'Page ' || CAST(p + 1 AS VARCHAR) FROM pg), "
+            "t AS (SELECT *, CASE WHEN line_no < 1 THEN 'h' "
+            "  WHEN line_no >= n_lines - 1 THEN 'f' END AS zone, "
+            "  trim(regexp_replace(regexp_replace(lower(text), "
+            "  '[0-9]+', '#', 'g'), '\\s+', ' ', 'g')) AS norm FROM l), "
+            "rec AS (SELECT doc_id, zone, norm, "
+            "  COUNT(DISTINCT page) AS seen FROM t "
+            "  WHERE zone IS NOT NULL GROUP BY 1, 2, 3), "
+            "np AS (SELECT doc_id, COUNT(DISTINCT page) AS n_pages "
+            "  FROM l GROUP BY 1), "
+            "run AS (SELECT rec.doc_id, zone, norm FROM rec "
+            "  JOIN np USING (doc_id) "
+            "  WHERE seen >= 2 AND seen >= CEIL(n_pages * 0.6)) "
+            "SELECT t.doc_id, t.page, t.line_no, t.n_lines, t.text, "
+            "  (run.norm IS NOT NULL) AS is_running "
+            "FROM t LEFT JOIN run ON t.doc_id = run.doc_id "
+            "  AND t.zone = run.zone AND t.norm = run.norm"
         ),
         "pseudonymize": (
             # identical construction, pattern, ordering key, md5

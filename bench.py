@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "extract_citations",
     "section_chunks",
     "pseudonymize",
+    "strip_running_lines",
     "gazetteer_tag",
     "rrf_fuse",
     "source_drift",

@@ -8141,3 +8141,82 @@ class TestPseudonymizeEmails:
         got = self._run(spark, ["plain text", None])
         assert got[0].clean_text == "plain text" and got[0].n_emails == 0
         assert got[1].clean_text == "" and got[1].n_identities == 0
+
+
+class TestStripRunningLines:
+    """ops/pagelayout.py strip_running_lines: page-chrome detection —
+    hand-decidable page/line corpora."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, page int, line_no int, n_lines int, text string"
+        )
+
+    def _run(self, spark, rows, **kw):
+        from fuzi_spark.ops.pagelayout import strip_running_lines
+
+        out = strip_running_lines(self._df(spark, rows), **kw).collect()
+        return {(r.doc_id, r.page, r.line_no): r.is_running for r in out}
+
+    def _doc(self, doc, n_pages, header, body, footer):
+        rows = []
+        for p in range(n_pages):
+            rows += [
+                (doc, p, 0, 3, header(p)),
+                (doc, p, 1, 3, body(p)),
+                (doc, p, 2, 3, footer(p)),
+            ]
+        return rows
+
+    def test_digit_normalized_footer_is_running(self, spark):
+        rows = self._doc(
+            "a", 4,
+            lambda p: "ACME Quarterly",
+            lambda p: f"unique body {p} text",
+            lambda p: f"Page {p + 1}",
+        )
+        got = self._run(spark, rows, band=1, min_pages=3, min_frac=0.6)
+        for p in range(4):
+            assert got[("a", p, 0)] is True      # constant header
+            assert got[("a", p, 1)] is False     # interior line: never
+            assert got[("a", p, 2)] is True      # Page N unifies via '#'
+
+    def test_below_threshold_header_kept(self, spark):
+        # header recurs on 2 of 5 pages -> below both gates
+        rows = self._doc(
+            "b", 5,
+            # non-digit variation: digit-bearing variants would UNIFY
+            # under the '#' normalization and become running themselves
+            lambda p: "Chapter One" if p < 2 else f"sect {'abcde'[p]} intro",
+            lambda p: f"body {'abcde'[p]}",
+            lambda p: f"note {'abcde'[p]} unique",
+        )
+        got = self._run(spark, rows, band=1, min_pages=3, min_frac=0.6)
+        assert not any(got[("b", p, 0)] for p in range(5))
+
+    def test_zone_separation(self, spark):
+        # the same normalized line at header zone on some pages and
+        # footer zone on others must be counted PER ZONE
+        rows = []
+        for p in range(4):
+            ln = "running title"
+            rows += [
+                ("c", p, 0, 3, ln if p < 2 else f"h{p}"),
+                ("c", p, 1, 3, f"body {p}"),
+                ("c", p, 2, 3, ln if p >= 2 else f"f{p}"),
+            ]
+        got = self._run(spark, rows, band=1, min_pages=3, min_frac=0.6)
+        # 2 header-zone pages + 2 footer-zone pages: neither zone
+        # reaches 3 -> nothing running
+        assert not any(got.values())
+
+    def test_min_frac_gate(self, spark):
+        # 10 pages, header on 5: passes min_pages=3 but 5 < ceil(6.0)
+        rows = []
+        for p in range(10):
+            rows += [
+                ("d", p, 0, 2, "Running Head" if p < 5 else f"h{p}"),
+                ("d", p, 1, 2, f"body {p}"),
+            ]
+        got = self._run(spark, rows, band=1, min_pages=3, min_frac=0.6)
+        assert not any(got[("d", p, 0)] for p in range(5))
