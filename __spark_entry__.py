@@ -4753,6 +4753,54 @@ def q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(_docs(spark, sf_dir), n=3)
 
 
+def q_span_validate(spark, sf_dir):
+    """Span-table structural gate (ops/assemble.py span_validate)
+    over constructed spans: doc_id%6 plants one case per reason class
+    — valid (0), empty array (1), unknown kind WITH a NULL text also
+    planted (2: pins precedence), media missing its ref (3), non-media
+    NULL text (4), offset tie/inversion (5). Oracle writes the
+    EXPECTED verdicts straight from the construction formula."""
+    from fuzi_spark.ops.assemble import span_validate
+
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 6
+    ns = F.lit(None).cast("string")
+
+    def sp(kind, text, ref, off):
+        return F.struct(
+            (F.lit(kind) if kind else ns).alias("kind"),
+            (F.lit(text) if text is not None else ns).alias("text"),
+            (F.lit(ref) if ref else ns).alias("media_ref"),
+            F.lit(off).alias("offset"),
+        )
+
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    spans = (
+        F.when(
+            m == 0,
+            F.array(
+                sp("text", "a", None, 0),
+                sp("media", None, "img://x", 1),
+                sp("heading", "h", None, 2),
+            ),
+        )
+        .when(m == 1, empty)
+        .when(m == 2, F.array(sp("banner", None, None, 0), sp("text", "b", None, 1)))
+        .when(m == 3, F.array(sp("media", None, None, 0), sp("text", "x", None, 1)))
+        .when(m == 4, F.array(sp("text", None, None, 0), sp("caption", "c", None, 1)))
+        .otherwise(
+            F.array(
+                sp("text", "a", None, 0),
+                sp("text", "b", None, 5),
+                sp("text", "c", None, 3),
+            )
+        )
+    )
+    return span_validate(d.select("doc_id", spans.alias("spans")))
+
+
 def q_strip_running_lines(spark, sf_dir):
     """Running header/footer flagging (ops/pagelayout.py) over a
     constructed page-line table: each doc gets doc_id%3+2 pages of 4
@@ -5268,6 +5316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_chunks": q_section_chunks,
         "pseudonymize": q_pseudonymize,
         "strip_running_lines": q_strip_running_lines,
+        "span_validate": q_span_validate,
         "gazetteer_tag": q_gazetteer_tag,
         "rrf_fuse": q_rrf_fuse,
         "source_drift": q_source_drift,
@@ -7983,6 +8032,22 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN lag <= 86400.0 THEN lag END AS lag_s, "
             "  COALESCE(lag <= 86400.0, FALSE) AS attributed "
             "FROM j"
+        ),
+        "span_validate": (
+            # expected verdicts written straight from the doc_id%6
+            # construction: slot 2 plants bad_kind + missing_text so
+            # the row only matches if bad_kind wins the precedence
+            "WITH c AS (SELECT doc_id, doc_id % 6 AS m FROM documents) "
+            "SELECT doc_id, "
+            "CAST(CASE WHEN m = 0 THEN 3 WHEN m = 1 THEN 0 "
+            "  WHEN m = 5 THEN 3 ELSE 2 END AS INTEGER) AS n_spans, "
+            "CAST(CASE WHEN m IN (0, 3) THEN 1 ELSE 0 END AS INTEGER) "
+            "  AS n_media, "
+            "CAST(CASE WHEN m = 0 THEN 1 ELSE 0 END AS INTEGER) AS valid, "
+            "CASE m WHEN 1 THEN 'no_spans' WHEN 2 THEN 'bad_kind' "
+            "  WHEN 3 THEN 'missing_media_ref' WHEN 4 THEN 'missing_text' "
+            "  WHEN 5 THEN 'offset_disorder' END AS reason "
+            "FROM c"
         ),
         "strip_running_lines": (
             # identical construction (pages x 4 line templates), zone

@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "section_chunks",
     "pseudonymize",
     "strip_running_lines",
+    "span_validate",
     "gazetteer_tag",
     "rrf_fuse",
     "source_drift",

@@ -8220,3 +8220,66 @@ class TestStripRunningLines:
             ]
         got = self._run(spark, rows, band=1, min_pages=3, min_frac=0.6)
         assert not any(got[("d", p, 0)] for p in range(5))
+
+
+class TestSpanValidate:
+    """ops/assemble.py span_validate: span-table structural gate —
+    every reason class plus precedence and NULL handling."""
+
+    SCHEMA = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+
+    def _run(self, spark, rows):
+        from fuzi_spark.ops.assemble import span_validate
+
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        return {r.doc_id: r for r in span_validate(df).collect()}
+
+    def test_all_reason_classes(self, spark):
+        rows = [
+            ("ok", [("text", "a", None, 0), ("media", None, "m://1", 1)]),
+            ("empty", []),
+            ("null_arr", None),
+            ("badkind", [("banner", "x", None, 0)]),
+            ("nullkind", [(None, "x", None, 0)]),
+            ("noref", [("media", None, None, 0)]),
+            ("emptyref", [("media", None, "", 0)]),
+            ("nulltext", [("caption", None, None, 0)]),
+            ("tie", [("text", "a", None, 0), ("text", "b", None, 0)]),
+            ("inv", [("text", "a", None, 5), ("text", "b", None, 3)]),
+        ]
+        got = self._run(spark, rows)
+        assert got["ok"].valid == 1 and got["ok"].reason is None
+        assert (got["ok"].n_spans, got["ok"].n_media) == (2, 1)
+        for k in ("empty", "null_arr"):
+            assert got[k].reason == "no_spans" and got[k].n_spans == 0
+        for k in ("badkind", "nullkind"):
+            assert got[k].reason == "bad_kind"
+        for k in ("noref", "emptyref"):
+            assert got[k].reason == "missing_media_ref"
+        assert got["nulltext"].reason == "missing_text"
+        for k in ("tie", "inv"):
+            assert got[k].reason == "offset_disorder"
+        assert all(got[k].valid == 0 for k in got if k != "ok")
+
+    def test_precedence_bad_kind_beats_later_checks(self, spark):
+        # one doc violating bad_kind AND missing_text AND disorder:
+        # bad_kind must win
+        rows = [
+            (
+                "multi",
+                [
+                    ("banner", None, None, 5),
+                    ("text", None, None, 3),
+                ],
+            )
+        ]
+        got = self._run(spark, rows)
+        assert got["multi"].reason == "bad_kind"
+
+    def test_empty_text_is_legal(self, spark):
+        rows = [("e", [("text", "", None, 0)])]
+        got = self._run(spark, rows)
+        assert got["e"].valid == 1
