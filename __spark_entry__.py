@@ -4753,6 +4753,52 @@ def q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(_docs(spark, sf_dir), n=3)
 
 
+def q_media_integrity(spark, sf_dir):
+    """Span->asset referential integrity (ops/media.py
+    media_ref_integrity): the media table holds m://k for even k;
+    doc_id%4 plants a resolved+orphan pair with a duplicate ref (0),
+    one resolved ref (1), one orphan (2), no media spans (3). Oracle
+    writes the EXPECTED verdicts straight from the parity formula."""
+    from fuzi_spark.ops.media import media_ref_integrity
+
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    ref_self = F.concat(F.lit("m://"), sid)
+    ref_next = F.concat(F.lit("m://"), (F.col("doc_id") + 1).cast("string"))
+    ref_prev = F.concat(F.lit("m://"), (F.col("doc_id") - 1).cast("string"))
+    ns = F.lit(None).cast("string")
+
+    def med(ref, off):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            ns.alias("text"),
+            ref.alias("media_ref"),
+            F.lit(off).alias("offset"),
+        )
+
+    txt = F.struct(
+        F.lit("text").alias("kind"),
+        F.lit("t").alias("text"),
+        ns.alias("media_ref"),
+        F.lit(9).alias("offset"),
+    )
+    m = F.col("doc_id") % 4
+    spans = (
+        F.when(m == 0, F.array(med(ref_self, 0), med(ref_self, 1),
+                               med(ref_next, 2), txt))
+        .when(m == 1, F.array(med(ref_prev, 0), txt))
+        .when(m == 2, F.array(med(ref_next, 0)))
+        .otherwise(F.array(txt))
+    )
+    media = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .select(ref_self.alias("media_id"))
+    )
+    return media_ref_integrity(
+        d.select("doc_id", spans.alias("spans")), media
+    )
+
+
 def q_span_validate(spark, sf_dir):
     """Span-table structural gate (ops/assemble.py span_validate)
     over constructed spans: doc_id%6 plants one case per reason class
@@ -5317,6 +5363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize": q_pseudonymize,
         "strip_running_lines": q_strip_running_lines,
         "span_validate": q_span_validate,
+        "media_integrity": q_media_integrity,
         "gazetteer_tag": q_gazetteer_tag,
         "rrf_fuse": q_rrf_fuse,
         "source_drift": q_source_drift,
@@ -8047,6 +8094,27 @@ def oracle_sql() -> dict[str, str]:
             "CASE m WHEN 1 THEN 'no_spans' WHEN 2 THEN 'bad_kind' "
             "  WHEN 3 THEN 'missing_media_ref' WHEN 4 THEN 'missing_text' "
             "  WHEN 5 THEN 'offset_disorder' END AS reason "
+            "FROM c"
+        ),
+        "media_integrity": (
+            # expected verdicts straight from the doc_id%4 parity
+            # construction: media table = m://k for even k (doc_ids are
+            # contiguous from 0, so d-1 for d%4==1 always exists);
+            # m=0 plants dup ref_self (resolved, counted once) + odd
+            # ref_next orphan; m=1 one resolved ref_prev; m=2 one
+            # orphan ref_next; m=3 no media spans
+            "WITH c AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS m "
+            "  FROM documents) "
+            "SELECT doc_id, "
+            "CAST(CASE WHEN m = 0 THEN 2 WHEN m = 3 THEN 0 ELSE 1 END "
+            "  AS INTEGER) AS n_media_refs, "
+            "CAST(CASE WHEN m IN (0, 1) THEN 1 ELSE 0 END AS INTEGER) "
+            "  AS n_resolved, "
+            "CAST(CASE WHEN m IN (0, 2) THEN 1 ELSE 0 END AS INTEGER) "
+            "  AS n_orphans, "
+            "CASE WHEN m IN (0, 2) "
+            "  THEN ['m://' || CAST(doc_id + 1 AS VARCHAR)] "
+            "  ELSE CAST([] AS VARCHAR[]) END AS orphan_refs "
             "FROM c"
         ),
         "strip_running_lines": (

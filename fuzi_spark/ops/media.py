@@ -153,3 +153,75 @@ def strip_boilerplate_media(
     return out.withColumn("n_media_stripped", n_stripped).withColumn(
         spans_col, kept
     ).drop("_bad_refs")
+
+
+def media_ref_integrity(
+    docs: DataFrame,
+    media: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    media_id_col: str = "media_id",
+) -> DataFrame:
+    """Referential-integrity check between the span table and the
+    media asset table: every media span's media_ref must resolve to a
+    row in `media`, or the <image> slot the trainer reserves for it
+    dereferences to nothing at batch-assembly time — a crash at best,
+    a silently black image at worst. Run after every ingest/compact
+    cycle (asset stores and span tables are written by different jobs;
+    drift between them is an operational fact, not a hypothetical).
+
+    Returns one row per doc: (doc_id, n_media_refs:int distinct refs,
+    n_resolved:int, n_orphans:int, orphan_refs sorted array — the
+    actionable re-fetch list). Docs without media spans report zeros.
+
+    Scale shape: refs explode as STRINGS after a map-side
+    kind='media' filter and per-doc array_distinct (span text never
+    leaves its row); resolution is a LEFT join on the ref against the
+    media table's key projection — ref-hash co-partitioned sort-merge,
+    NO broadcast (the asset table at 10^12 docs is itself huge);
+    the per-doc fold and the final left join are doc_id-keyed."""
+    refs = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_media_refs(F.col(spans_col))).alias("_ref"),
+        )
+    )
+    keys = media.select(
+        F.col(media_id_col).alias("_ref"), F.lit(True).alias("_hit")
+    ).distinct()
+    per_doc = (
+        refs.join(keys, "_ref", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_media_refs"),
+            F.sum(F.col("_hit").isNotNull().cast("int")).alias(
+                "n_resolved"
+            ),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_hit").isNull(), F.col("_ref"))
+                )
+            ).alias("orphan_refs"),
+        )
+    )
+    zero = F.lit(0)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_media_refs", zero).cast("int").alias(
+                "n_media_refs"
+            ),
+            F.coalesce("n_resolved", zero).cast("int").alias(
+                "n_resolved"
+            ),
+            (
+                F.coalesce("n_media_refs", zero)
+                - F.coalesce("n_resolved", zero)
+            ).cast("int").alias("n_orphans"),
+            F.coalesce(
+                "orphan_refs", F.array().cast("array<string>")
+            ).alias("orphan_refs"),
+        )
+    )

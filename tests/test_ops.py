@@ -8283,3 +8283,53 @@ class TestSpanValidate:
         rows = [("e", [("text", "", None, 0)])]
         got = self._run(spark, rows)
         assert got["e"].valid == 1
+
+
+class TestMediaRefIntegrity:
+    """ops/media.py media_ref_integrity: span->asset referential
+    check — orphans, dedup, no-media docs."""
+
+    SCHEMA = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+
+    def _run(self, spark, doc_rows, media_ids):
+        from fuzi_spark.ops.media import media_ref_integrity
+
+        docs = spark.createDataFrame(doc_rows, self.SCHEMA)
+        media = spark.createDataFrame(
+            [(m,) for m in media_ids], "media_id string"
+        )
+        return {
+            r.doc_id: r for r in media_ref_integrity(docs, media).collect()
+        }
+
+    def test_orphans_resolved_and_dedup(self, spark):
+        rows = [
+            (
+                "a",
+                [
+                    ("media", None, "m1", 0),
+                    ("media", None, "m1", 1),   # duplicate ref: once
+                    ("media", None, "mX", 2),   # orphan
+                    ("text", "t", None, 3),
+                ],
+            ),
+            ("b", [("text", "t", None, 0)]),     # no media at all
+            ("c", [("media", None, "mY", 0), ("media", None, "mZ", 1)]),
+        ]
+        got = self._run(spark, rows, ["m1", "m2"])
+        a = got["a"]
+        assert (a.n_media_refs, a.n_resolved, a.n_orphans) == (2, 1, 1)
+        assert a.orphan_refs == ["mX"]
+        b = got["b"]
+        assert (b.n_media_refs, b.n_resolved, b.n_orphans) == (0, 0, 0)
+        assert b.orphan_refs == []
+        c = got["c"]
+        assert (c.n_orphans, c.orphan_refs) == (2, ["mY", "mZ"])
+
+    def test_duplicate_media_table_rows_dont_double_count(self, spark):
+        rows = [("a", [("media", None, "m1", 0)])]
+        got = self._run(spark, rows, ["m1", "m1"])
+        assert (got["a"].n_media_refs, got["a"].n_resolved) == (1, 1)
