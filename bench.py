@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "pseudonymize",
     "strip_running_lines",
     "span_validate",
+    "media_integrity",
     "gazetteer_tag",
     "rrf_fuse",
     "source_drift",
