@@ -5205,6 +5205,27 @@ def q_domain_weights(spark, sf_dir):
     return domain_weights(d, "source", "loss", "ref_loss", temperature=0.5)
 
 
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry preference-rating fit (ops/btrank.bradley_terry).
+    Comparisons are a planted BT tournament over 12 items: a=d%12,
+    b=(5d+1)%12 (never equal: 4d+1 is odd mod 4), winner a iff
+    d % (a+b+2) <= a — i.e. P(a wins) tracks (a+1)/(a+b+2), exactly a
+    BT model with strength i+1, so the fit must recover the index
+    order. Oracle unrolls the identical MM recurrence 8 rounds in SQL
+    (float grouping-order ulps land inside 6-sig-fig rounding)."""
+    from fuzi_spark.ops.btrank import bradley_terry
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("d"))
+    a = F.col("d") % 12
+    b = (F.col("d") * 5 + 1) % 12
+    a_wins = (F.col("d") % (a + b + 2)) <= a
+    comp = d.select(
+        F.when(a_wins, a).otherwise(b).alias("winner"),
+        F.when(a_wins, b).otherwise(a).alias("loser"),
+    )
+    return bradley_terry(comp, n_iter=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5379,6 +5400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_decontaminate": q_near_decontaminate,
         "pq_encode": q_pq_encode,
         "domain_weights": q_domain_weights,
+        "bradley_terry": q_bradley_terry,
     }
 
 
@@ -8447,6 +8469,40 @@ def oracle_sql() -> dict[str, str]:
             "  exp(excess / 0.5) / SUM(exp(excess / 0.5)) OVER () "
             "    AS weight "
             "FROM per"
+        ),
+        "bradley_terry": (
+            # identical tournament construction + Hunter MM recurrence
+            # unrolled 8 rounds (generated CTE chain, same precedent as
+            # pq_encode's generated oracle); mean-1 normalization at
+            # the end only — the update is 1-homogeneous so this
+            # matches the Spark op's end-normalization exactly
+            "WITH src AS (SELECT doc_id AS d, doc_id % 12 AS a, "
+            "  (doc_id*5 + 1) % 12 AS b FROM documents), "
+            "comp AS (SELECT "
+            "  CASE WHEN d % (a+b+2) <= a THEN a ELSE b END AS w, "
+            "  CASE WHEN d % (a+b+2) <= a THEN b ELSE a END AS l "
+            "  FROM src), "
+            "e AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS n FROM ("
+            "  SELECT w AS a, l AS b FROM comp "
+            "  UNION ALL SELECT l AS a, w AS b FROM comp) GROUP BY a, b), "
+            "wins AS (SELECT w AS a, CAST(COUNT(*) AS DOUBLE) AS wn "
+            "  FROM comp GROUP BY w), "
+            "stats AS (SELECT e.a, COALESCE(MAX(wins.wn), 0.0) AS wn, "
+            "  SUM(e.n) AS n_games FROM e "
+            "  LEFT JOIN wins ON e.a = wins.a GROUP BY e.a), "
+            "p0 AS (SELECT a, 1.0 AS p FROM stats), "
+            + ", ".join(
+                f"p{k} AS (SELECT s.a, s.wn / SUM(e.n / (x.p + y.p)) AS p "
+                f"FROM e JOIN p{k-1} x ON e.a = x.a "
+                f"JOIN p{k-1} y ON e.b = y.a "
+                f"JOIN stats s ON s.a = e.a GROUP BY s.a, s.wn)"
+                for k in range(1, 9)
+            )
+            + " SELECT s.a AS item, "
+            "p8.p / (SELECT AVG(p) FROM p8) AS score, "
+            "CAST(s.wn AS BIGINT) AS n_wins, "
+            "CAST(s.n_games AS BIGINT) AS n_games "
+            "FROM p8 JOIN stats s ON p8.a = s.a"
         ),
     }
 

@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "near_decontaminate",
     "pq_encode",
     "domain_weights",
+    "bradley_terry",
 ]
 
 

@@ -8333,3 +8333,103 @@ class TestMediaRefIntegrity:
         rows = [("a", [("media", None, "m1", 0)])]
         got = self._run(spark, rows, ["m1", "m1"])
         assert (got["a"].n_media_refs, got["a"].n_resolved) == (1, 1)
+
+
+class TestBradleyTerry:
+    """ops/btrank.py bradley_terry: Hunter-MM fit over (winner, loser)
+    rows, verified against a plain-Python reference of the identical
+    recurrence plus closed-form two-item cases."""
+
+    @staticmethod
+    def _reference(comps, n_iter=8):
+        from collections import defaultdict
+
+        n = defaultdict(float)
+        wins = defaultdict(float)
+        items = set()
+        for w, l, c in comps:
+            n[(w, l)] += c
+            n[(l, w)] += c
+            wins[w] += c
+            items |= {w, l}
+        p = {i: 1.0 for i in items}
+        for _ in range(n_iter):
+            nxt = {}
+            for i in items:
+                denom = sum(
+                    cnt / (p[i] + p[j])
+                    for (a, j), cnt in n.items()
+                    if a == i
+                )
+                nxt[i] = wins[i] / denom
+            p = nxt
+        mean = sum(p.values()) / len(p)
+        return {i: v / mean for i, v in p.items()}
+
+    def _fit(self, spark, rows, **kw):
+        from fuzi_spark.ops.btrank import bradley_terry
+
+        df = spark.createDataFrame(rows, "winner string, loser string")
+        return {r.item: r for r in bradley_terry(df, **kw).collect()}
+
+    def test_two_item_closed_form(self, spark):
+        # A beats B 3x, B beats A 1x: the MM fixed point has ratio
+        # p_A/p_B = 3 (reached in ONE step for two items), so the
+        # mean-1 normalized scores are exactly 1.5 / 0.5
+        rows = [("A", "B")] * 3 + [("B", "A")]
+        got = self._fit(spark, rows)
+        assert abs(got["A"].score - 1.5) < 1e-12
+        assert abs(got["B"].score - 0.5) < 1e-12
+        assert (got["A"].n_wins, got["A"].n_games) == (3, 4)
+        assert (got["B"].n_wins, got["B"].n_games) == (1, 4)
+
+    def test_matches_python_reference(self, spark):
+        # 4-item tournament with asymmetric pairings: the MM recurrence
+        # must agree with the plain-Python replay to float precision
+        rows = (
+            [("A", "B")] * 5 + [("B", "A")] * 2
+            + [("B", "C")] * 3 + [("C", "B")] * 3
+            + [("C", "D")] * 4 + [("D", "C")] * 1
+            + [("A", "D")] * 2 + [("D", "A")] * 1
+        )
+        got = self._fit(spark, rows)
+        want = self._reference([(w, l, 1.0) for w, l in rows])
+        assert set(got) == set(want)
+        for i, v in want.items():
+            assert abs(got[i].score - v) < 1e-9, (i, got[i].score, v)
+
+    def test_zero_win_item_scores_zero(self, spark):
+        rows = [("A", "B"), ("C", "B"), ("A", "C")]
+        got = self._fit(spark, rows)
+        assert got["B"].score == 0.0
+        assert got["B"].n_wins == 0 and got["B"].n_games == 2
+
+    def test_weight_col_equals_repeated_rows(self, spark):
+        from fuzi_spark.ops.btrank import bradley_terry
+
+        flat = [("A", "B")] * 3 + [("B", "A")] * 2 + [("A", "C")] * 4
+        weighted = [("A", "B", 3.0), ("B", "A", 2.0), ("A", "C", 4.0)]
+        got_flat = self._fit(spark, flat)
+        wdf = spark.createDataFrame(
+            weighted, "winner string, loser string, w double"
+        )
+        got_w = {
+            r.item: r
+            for r in bradley_terry(wdf, weight_col="w").collect()
+        }
+        for i in got_flat:
+            assert abs(got_flat[i].score - got_w[i].score) < 1e-12
+            assert got_flat[i].n_games == got_w[i].n_games
+
+    def test_opponent_strength_beats_raw_winrate(self, spark):
+        # C only ever beats the strong item A; D only ever beats the
+        # weak item B — same raw win rate (1 win, 1 loss each), but BT
+        # must rank C above D because C's win was against a stronger
+        # opponent and C's loss was to a stronger opponent
+        rows = (
+            [("A", "B")] * 8 + [("B", "A")] * 1
+            + [("C", "A"), ("A", "C")]
+            + [("D", "B"), ("B", "D")]
+        )
+        got = self._fit(spark, rows)
+        assert got["C"].score > got["D"].score
