@@ -5226,6 +5226,40 @@ def q_bradley_terry(spark, sf_dir):
     return bradley_terry(comp, n_iter=8)
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Content-addressed shard manifest + run-over-run diff
+    (ops/manifest.py): old = documents as-is; new = same corpus with
+    doc_id%7==3 texts edited and doc_id%11==5 docs dropped. The diff
+    must localize drift to exactly the shards holding touched docs;
+    the old manifest's content_hash/n_chars ride along so the oracle
+    pins the 60-bit xor fingerprints bit-exact, not just statuses."""
+    from fuzi_spark.ops.manifest import manifest_diff, shard_manifest
+
+    d = _docs(spark, sf_dir)
+    old = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    new = (
+        d.where(F.col("doc_id") % 11 != 5)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 7 == 3,
+                F.concat(F.coalesce("text", F.lit("")), F.lit(" v2")),
+            )
+            .otherwise(F.coalesce("text", F.lit("")))
+            .alias("text"),
+        )
+    )
+    m_old = shard_manifest(old, n_shards=32)
+    return manifest_diff(m_old, shard_manifest(new, n_shards=32)).join(
+        m_old.select("shard_id", "content_hash", "n_chars"),
+        "shard_id",
+        "left",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5401,6 +5435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "domain_weights": q_domain_weights,
         "bradley_terry": q_bradley_terry,
+        "shard_manifest": q_shard_manifest,
     }
 
 
@@ -8503,6 +8538,41 @@ def oracle_sql() -> dict[str, str]:
             "CAST(s.wn AS BIGINT) AS n_wins, "
             "CAST(s.n_games AS BIGINT) AS n_games "
             "FROM p8 JOIN stats s ON p8.a = s.a"
+        ),
+        "shard_manifest": (
+            # identical md5 routing/digest device (sampling.py/sketch.py
+            # precedent): shard = first-8-hex bucket % 32, row digest =
+            # first-15-hex of md5(id || US || text), content hash =
+            # bit_xor of digests; statuses from the full outer join
+            "WITH oldd AS (SELECT CAST(doc_id AS VARCHAR) AS id, "
+            "  COALESCE(text, '') AS t FROM documents), "
+            "newd AS (SELECT CAST(doc_id AS VARCHAR) AS id, "
+            "  CASE WHEN doc_id % 7 = 3 THEN COALESCE(text, '') || ' v2' "
+            "  ELSE COALESCE(text, '') END AS t FROM documents "
+            "  WHERE doc_id % 11 <> 5), "
+            "mo AS (SELECT CAST(CAST(('0x' || substr(md5(id), 1, 8)) "
+            "    AS BIGINT) % 32 AS INTEGER) AS shard_id, "
+            "  CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "  CAST(SUM(length(t)) AS BIGINT) AS n_chars, "
+            "  bit_xor(CAST(('0x' || substr(md5(id || chr(31) || t), "
+            "    1, 15)) AS BIGINT)) AS content_hash "
+            "  FROM oldd GROUP BY 1), "
+            "mn AS (SELECT CAST(CAST(('0x' || substr(md5(id), 1, 8)) "
+            "    AS BIGINT) % 32 AS INTEGER) AS shard_id, "
+            "  CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "  CAST(SUM(length(t)) AS BIGINT) AS n_chars, "
+            "  bit_xor(CAST(('0x' || substr(md5(id || chr(31) || t), "
+            "    1, 15)) AS BIGINT)) AS content_hash "
+            "  FROM newd GROUP BY 1) "
+            "SELECT COALESCE(mo.shard_id, mn.shard_id) AS shard_id, "
+            "CASE WHEN mo.shard_id IS NULL THEN 'added' "
+            "  WHEN mn.shard_id IS NULL THEN 'removed' "
+            "  WHEN mo.n_docs = mn.n_docs AND mo.n_chars = mn.n_chars "
+            "    AND mo.content_hash = mn.content_hash THEN 'same' "
+            "  ELSE 'changed' END AS status, "
+            "mo.n_docs AS old_docs, mn.n_docs AS new_docs, "
+            "mo.content_hash AS content_hash, mo.n_chars AS n_chars "
+            "FROM mo FULL OUTER JOIN mn ON mo.shard_id = mn.shard_id"
         ),
     }
 

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "pq_encode",
     "domain_weights",
     "bradley_terry",
+    "shard_manifest",
 ]
 
 

@@ -8433,3 +8433,90 @@ class TestBradleyTerry:
         )
         got = self._fit(spark, rows)
         assert got["C"].score > got["D"].score
+
+
+class TestShardManifest:
+    """ops/manifest.py: content-addressed shard fingerprints and the
+    run-over-run diff — localization, order invariance, xor caveat."""
+
+    def _m(self, spark, rows, n_shards=4):
+        from fuzi_spark.ops.manifest import shard_manifest
+
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        return shard_manifest(df, n_shards=n_shards)
+
+    def _diff(self, old, new):
+        from fuzi_spark.ops.manifest import manifest_diff
+
+        return {r.shard_id: r for r in manifest_diff(old, new).collect()}
+
+    def test_identical_corpus_all_same(self, spark):
+        rows = [(str(i), f"t{i}") for i in range(40)]
+        d = self._diff(self._m(spark, rows), self._m(spark, rows))
+        assert d and all(r.status == "same" for r in d.values())
+
+    def test_single_edit_localizes_to_one_shard(self, spark):
+        rows = [(str(i), f"t{i}") for i in range(40)]
+        edited = [(i_, t if i_ != "7" else "EDITED") for i_, t in rows]
+        d = self._diff(self._m(spark, rows), self._m(spark, edited))
+        changed = [s for s, r in d.items() if r.status == "changed"]
+        assert len(changed) == 1
+        same = [s for s, r in d.items() if r.status == "same"]
+        assert len(same) == len(d) - 1
+
+    def test_added_and_removed_shards(self, spark):
+        from fuzi_spark.ops.manifest import shard_manifest
+
+        rows = [(str(i), f"t{i}") for i in range(40)]
+        full = self._m(spark, rows, n_shards=4)
+        # keep only shard 0's docs on one side: other shards 'removed'
+        # one way, 'added' the other
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        only0 = shard_manifest(df, n_shards=4).where("shard_id = 0")
+        d = self._diff(full, only0)
+        assert d[0].status == "same"
+        assert all(r.status == "removed" for s, r in d.items() if s != 0)
+        d2 = self._diff(only0, full)
+        assert all(r.status == "added" for s, r in d2.items() if s != 0)
+        assert d2[0].old_docs == d2[0].new_docs
+
+    def test_duplicate_cancellation_caught_by_count(self, spark):
+        # xor of two equal digests is 0, but n_docs differs: the pair
+        # (dup removed) must still read 'changed'
+        rows = [("9", "dup"), ("9", "dup"), ("2", "x")]
+        d = self._diff(
+            self._m(spark, rows, n_shards=1),
+            self._m(spark, [("9", "dup"), ("2", "x")], n_shards=1),
+        )
+        assert d[0].status == "changed"
+
+    def test_order_and_partitioning_invariance(self, spark):
+        from fuzi_spark.ops.manifest import shard_manifest
+
+        rows = [(str(i), f"text {i}") for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        a = {
+            r.shard_id: r for r in shard_manifest(df, n_shards=8).collect()
+        }
+        shuffled = spark.createDataFrame(
+            list(reversed(rows)), "doc_id string, text string"
+        ).repartition(7)
+        b = {
+            r.shard_id: r
+            for r in shard_manifest(shuffled, n_shards=8).collect()
+        }
+        assert set(a) == set(b)
+        for s in a:
+            assert (
+                a[s].content_hash,
+                a[s].n_docs,
+                a[s].n_chars,
+                a[s].min_id,
+                a[s].max_id,
+            ) == (
+                b[s].content_hash,
+                b[s].n_docs,
+                b[s].n_chars,
+                b[s].min_id,
+                b[s].max_id,
+            )
