@@ -5260,6 +5260,18 @@ def q_shard_manifest(spark, sf_dir):
     )
 
 
+def q_corpus_rollup(spark, sf_dir):
+    """Hierarchical dataset-card report (ops/diagnostics.rollup_report):
+    docs/chars/avg by (source, lang) + source subtotals + grand total
+    in ONE scan — Expand replicates rows per grouping set map-side and
+    partial aggregation collapses them before the single exchange.
+    level = grouping_id (1 = lang rolled up, 3 = grand total); DuckDB's
+    GROUPING(source, lang) uses the same bit order (verified)."""
+    from fuzi_spark.ops.diagnostics import rollup_report
+
+    return rollup_report(_docs(spark, sf_dir), dims=("source", "lang"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5436,6 +5448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_weights": q_domain_weights,
         "bradley_terry": q_bradley_terry,
         "shard_manifest": q_shard_manifest,
+        "corpus_rollup": q_corpus_rollup,
     }
 
 
@@ -8573,6 +8586,19 @@ def oracle_sql() -> dict[str, str]:
             "mo.n_docs AS old_docs, mn.n_docs AS new_docs, "
             "mo.content_hash AS content_hash, mo.n_chars AS n_chars "
             "FROM mo FULL OUTER JOIN mn ON mo.shard_id = mn.shard_id"
+        ),
+        "corpus_rollup": (
+            # same ROLLUP grouping sets; GROUPING(source, lang) bit
+            # order verified identical to Spark's grouping_id; exact-int
+            # sums divide identically in double
+            "SELECT COALESCE(source, '(total)') AS source, "
+            "COALESCE(lang, '(total)') AS lang, "
+            "CAST(GROUPING(source, lang) AS INTEGER) AS level, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS n_chars, "
+            "CAST(SUM(length(COALESCE(text, ''))) AS DOUBLE) / COUNT(*) "
+            "  AS avg_chars "
+            "FROM documents GROUP BY ROLLUP(source, lang)"
         ),
     }
 

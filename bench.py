@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "domain_weights",
     "bradley_terry",
     "shard_manifest",
+    "corpus_rollup",
 ]
 
 

@@ -143,3 +143,47 @@ def group_quantiles(
             ).alias(label)
         )
     return ranked.groupBy(*gs).agg(*aggs)
+
+
+def rollup_report(
+    df: DataFrame,
+    dims: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+    use_cube: bool = False,
+) -> DataFrame:
+    """Hierarchical corpus report in ONE pass: per-(dims...) cells plus
+    every rollup subtotal and the grand total — the dataset-card table
+    (docs/chars by source, by source+language, overall) that would
+    otherwise take len(dims)+1 separate scans of a 10^12-row corpus.
+
+    ROLLUP (default) emits prefix subtotals — (a,b), (a), () — the
+    hierarchy reading; `use_cube` emits every dim subset for the
+    cross-tab reading. Either way Catalyst plans ONE scan: an Expand
+    node replicates each row once per grouping set map-side, partial
+    hash aggregation collapses the replicas BEFORE the single exchange,
+    so the shuffle carries |cells| partial rows, not |corpus| * levels.
+
+    `level` is grouping_id (bit i set = dims[i] rolled up) — the
+    unambiguous subtotal marker; dims are also coalesced to the
+    '(total)' sentinel so subtotal rows read naturally AND real NULL
+    dim values can't collide with rolled-up NULLs.
+    """
+    gcols = [F.coalesce(F.col(d).cast("string"), F.lit("(null)")).alias(d)
+             for d in dims]
+    base = df.select(
+        *gcols, F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_len")
+    )
+    grouped = base.cube(*dims) if use_cube else base.rollup(*dims)
+    agg = grouped.agg(
+        F.grouping_id().cast("int").alias("level"),
+        F.count("*").alias("n_docs"),
+        F.sum("_len").alias("n_chars"),
+        (F.sum("_len") / F.count("*")).alias("avg_chars"),
+    )
+    return agg.select(
+        *[F.coalesce(F.col(d), F.lit("(total)")).alias(d) for d in dims],
+        "level",
+        "n_docs",
+        "n_chars",
+        "avg_chars",
+    )

@@ -8520,3 +8520,57 @@ class TestShardManifest:
                 b[s].min_id,
                 b[s].max_id,
             )
+
+
+class TestRollupReport:
+    """ops/diagnostics.py rollup_report: grouping-set totals, level
+    semantics, NULL-dim sentinel, cube variant."""
+
+    ROWS = [
+        ("a", "en", "xxxx"),
+        ("a", "en", "yy"),
+        ("a", "de", "zzz"),
+        ("b", "en", "w"),
+        ("b", None, "vv"),
+    ]
+
+    def _run(self, spark, **kw):
+        from fuzi_spark.ops.diagnostics import rollup_report
+
+        df = spark.createDataFrame(
+            self.ROWS, "source string, lang string, text string"
+        )
+        return {
+            (r.source, r.lang, r.level): r
+            for r in rollup_report(df, **kw).collect()
+        }
+
+    def test_levels_and_totals(self, spark):
+        got = self._run(spark)
+        # leaf cells
+        assert got[("a", "en", 0)].n_docs == 2
+        assert got[("a", "en", 0)].n_chars == 6
+        assert got[("a", "en", 0)].avg_chars == 3.0
+        # source subtotal (lang rolled up -> bit 1 of grouping_id)
+        assert got[("a", "(total)", 1)].n_docs == 3
+        assert got[("b", "(total)", 1)].n_docs == 2
+        # grand total
+        assert got[("(total)", "(total)", 3)].n_docs == 5
+        assert got[("(total)", "(total)", 3)].n_chars == 12
+        # rollup (not cube): no lang-only subtotals
+        assert not any(
+            s == "(total)" and l != "(total)" for s, l, _ in got
+        )
+
+    def test_null_dim_value_does_not_collide_with_subtotal(self, spark):
+        got = self._run(spark)
+        # the real NULL lang groups under the '(null)' sentinel at
+        # level 0 — distinct from the level-1 rolled-up subtotal
+        assert got[("b", "(null)", 0)].n_docs == 1
+        assert got[("b", "(total)", 1)].n_docs == 2
+
+    def test_cube_adds_lang_marginals(self, spark):
+        got = self._run(spark, use_cube=True)
+        # cube: lang marginal with source rolled up (bit 0 -> level 2)
+        assert got[("(total)", "en", 2)].n_docs == 3
+        assert got[("(total)", "de", 2)].n_docs == 1
