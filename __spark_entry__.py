@@ -5272,6 +5272,32 @@ def q_corpus_rollup(spark, sf_dir):
     return rollup_report(_docs(spark, sf_dir), dims=("source", "lang"))
 
 
+def q_corpus_overlap(spark, sf_dir):
+    """Bottom-k token-set overlap between two corpora
+    (ops/sketch.corpus_overlap): A = documents as-is; B keeps even
+    docs' text and replaces odd docs' with unique junk tokens, so the
+    true overlap is mid-range. The bottom-k estimator is deterministic
+    given the md5 hash, so the oracle replays sketches, union bottom-k,
+    and all three estimates bit-exactly."""
+    from fuzi_spark.ops.sketch import corpus_overlap
+
+    d = _docs(spark, sf_dir)
+    a = d.select("text")
+    b = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.lit("u"),
+                F.col("doc_id").cast("string"),
+                F.lit(" v"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("text")
+    )
+    return corpus_overlap(a, b, k=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5449,6 +5475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bradley_terry": q_bradley_terry,
         "shard_manifest": q_shard_manifest,
         "corpus_rollup": q_corpus_rollup,
+        "corpus_overlap": q_corpus_overlap,
     }
 
 
@@ -8599,6 +8626,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(length(COALESCE(text, ''))) AS DOUBLE) / COUNT(*) "
             "  AS avg_chars "
             "FROM documents GROUP BY ROLLUP(source, lang)"
+        ),
+        "corpus_overlap": (
+            # identical tokenization (trim+lower+\s+ split, drop
+            # empties), identical 60-bit md5 hash, per-corpus bottom-k,
+            # union bottom-k, and the three membership estimates
+            "WITH ta AS (SELECT DISTINCT CAST(('0x' || "
+            "    substr(md5(t), 1, 15)) AS BIGINT) AS h FROM ("
+            "  SELECT unnest(string_split_regex(trim(lower(text)), "
+            "    '\\s+')) AS t FROM documents) WHERE t <> ''), "
+            "sa AS (SELECT h FROM ta ORDER BY h LIMIT 256), "
+            "tb AS (SELECT DISTINCT CAST(('0x' || "
+            "    substr(md5(t), 1, 15)) AS BIGINT) AS h FROM ("
+            "  SELECT unnest(string_split_regex(trim(lower("
+            "    CASE WHEN doc_id % 2 = 0 THEN text "
+            "    ELSE 'u' || CAST(doc_id AS VARCHAR) || ' v' || "
+            "      CAST(doc_id AS VARCHAR) END)), '\\s+')) AS t "
+            "  FROM documents) WHERE t <> ''), "
+            "sb AS (SELECT h FROM tb ORDER BY h LIMIT 256), "
+            "u AS (SELECT h, MAX(ia) AS _a, MAX(ib) AS _b FROM ("
+            "  SELECT h, 1 AS ia, 0 AS ib FROM sa "
+            "  UNION ALL SELECT h, 0, 1 FROM sb) GROUP BY h "
+            "  ORDER BY h LIMIT 256) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS k_eff, "
+            "CAST(SUM(_a * _b) AS DOUBLE) / COUNT(*) AS est_jaccard, "
+            "CASE WHEN SUM(_a) > 0 THEN "
+            "  CAST(SUM(_a * _b) AS DOUBLE) / SUM(_a) END "
+            "  AS est_contain_a, "
+            "CASE WHEN SUM(_b) > 0 THEN "
+            "  CAST(SUM(_a * _b) AS DOUBLE) / SUM(_b) END "
+            "  AS est_contain_b "
+            "FROM u"
         ),
     }
 

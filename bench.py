@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "bradley_terry",
     "shard_manifest",
     "corpus_rollup",
+    "corpus_overlap",
 ]
 
 

@@ -225,3 +225,93 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v),
     ).otherwise(raw)
     return agg.select(*g, est.alias("distinct_est"))
+
+
+# ------------------------------------------------------- bottom-k overlap
+
+def _h60(col):
+    """Engine-portable 60-bit hash: first 15 md5 hex chars as an int64.
+    DuckDB twin: ('0x' || substr(md5(k), 1, 15))::BIGINT. 60 bits keep
+    collision probability negligible at sketch sizes (k^2/2^61)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def bottomk_sketch(
+    df: DataFrame, k: int = 256, text_col: str = "text"
+) -> DataFrame:
+    """The k smallest 60-bit hashes of the corpus's DISTINCT tokens —
+    a bottom-k MinHash sketch (Cohen & Kaplan 2007 summary form) of
+    the token set, k rows regardless of corpus size.
+
+    Scale shape: tokens dedup corpus-wide first (8-byte hash keys,
+    map-side partial dedup before the one exchange), then a global
+    TakeOrdered(k) — per-partition top-k heaps merged on the driver,
+    never a full sort. The sketch is a monoid: union two sketches and
+    re-take the k smallest to sketch the corpus union, which is what
+    corpus_overlap exploits."""
+    return (
+        df.select(F.explode(_tokens(text_col)).alias("token"))
+        .select(_h60(F.col("token")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Estimate token-set overlap between two corpora from bottom-k
+    sketches — the contamination / source-overlap screen you can
+    afford to run between EVERY corpus pair (cost: two scans + a
+    2k-row merge; an exact distinct-intersection is a fat shuffle of
+    every token in both corpora).
+
+    Returns ONE row:
+      k_eff         rows of the union sketch actually used (= k unless
+                    the union has fewer distinct tokens — then every
+                    estimate below is exact)
+      est_jaccard   |bottom_k(A∪B) ∩ A-sketch ∩ B-sketch| / k_eff
+      est_contain_a |bottom_k(A∪B) ∩ both| / |bottom_k(A∪B) ∩ A-sketch|
+                    (≈ |A∩B|/|A|), NULL when the A term is 0
+      est_contain_b symmetric
+    The union's bottom-k is a uniform sample of A∪B's distinct tokens,
+    and membership in each side's sketch decides membership in that
+    side — the standard bottom-k estimator, deterministic given the
+    hash, so the DuckDB oracle replays it bit-exactly."""
+    sa = bottomk_sketch(a, k, text_col).select(
+        "h", F.lit(1).alias("_a")
+    )
+    sb = bottomk_sketch(b, k, text_col).select(
+        "h", F.lit(1).alias("_b")
+    )
+    u = (
+        sa.join(sb, "h", "full_outer")
+        .orderBy("h")
+        .limit(k)
+        .select(
+            "h",
+            F.coalesce("_a", F.lit(0)).alias("_a"),
+            F.coalesce("_b", F.lit(0)).alias("_b"),
+        )
+    )
+    agg = u.agg(
+        F.count("*").alias("k_eff"),
+        F.sum((F.col("_a") * F.col("_b"))).alias("_both"),
+        F.sum("_a").alias("_na"),
+        F.sum("_b").alias("_nb"),
+    )
+    both = F.col("_both").cast("double")
+    return agg.select(
+        F.col("k_eff").cast("bigint").alias("k_eff"),
+        (both / F.col("k_eff")).alias("est_jaccard"),
+        F.when(F.col("_na") > 0, both / F.col("_na")).alias(
+            "est_contain_a"
+        ),
+        F.when(F.col("_nb") > 0, both / F.col("_nb")).alias(
+            "est_contain_b"
+        ),
+    )

@@ -8574,3 +8574,62 @@ class TestRollupReport:
         # cube: lang marginal with source rolled up (bit 0 -> level 2)
         assert got[("(total)", "en", 2)].n_docs == 3
         assert got[("(total)", "de", 2)].n_docs == 1
+
+
+class TestCorpusOverlap:
+    """ops/sketch.py bottomk_sketch/corpus_overlap: estimator
+    correctness on planted overlaps + accuracy vs exact Jaccard."""
+
+    def _df(self, spark, texts):
+        return spark.createDataFrame([(t,) for t in texts], "text string")
+
+    def _overlap(self, spark, a, b, k=256):
+        from fuzi_spark.ops.sketch import corpus_overlap
+
+        return corpus_overlap(
+            self._df(spark, a), self._df(spark, b), k=k
+        ).collect()[0]
+
+    def test_identical_corpora(self, spark):
+        texts = [f"tok{i} tok{i+1} common" for i in range(30)]
+        r = self._overlap(spark, texts, texts)
+        assert r.est_jaccard == 1.0
+        assert r.est_contain_a == 1.0 and r.est_contain_b == 1.0
+
+    def test_disjoint_corpora(self, spark):
+        a = [f"aa{i} ab{i}" for i in range(30)]
+        b = [f"ba{i} bb{i}" for i in range(30)]
+        r = self._overlap(spark, a, b)
+        assert r.est_jaccard == 0.0
+        assert r.est_contain_a == 0.0 and r.est_contain_b == 0.0
+
+    def test_subset_containment(self, spark):
+        # A's tokens are a strict subset of B's: contain_a must be
+        # exactly 1 (every sampled A-token is in B)
+        a = [f"w{i}" for i in range(40)]
+        b = [f"w{i} x{i}" for i in range(40)]
+        r = self._overlap(spark, a, b)
+        assert r.est_contain_a == 1.0
+        assert 0.0 < r.est_jaccard < 1.0
+
+    def test_small_union_is_exact(self, spark):
+        # union below k: k_eff = |union| and the estimate is EXACT
+        a = ["p q r s"]
+        b = ["r s t"]
+        r = self._overlap(spark, a, b, k=256)
+        assert r.k_eff == 5
+        assert abs(r.est_jaccard - 2.0 / 5.0) < 1e-12
+        assert abs(r.est_contain_a - 2.0 / 4.0) < 1e-12
+        assert abs(r.est_contain_b - 2.0 / 3.0) < 1e-12
+
+    def test_estimator_tracks_exact_jaccard(self, spark):
+        # 600 distinct tokens per side, 300 shared: exact J = 1/3;
+        # k=256 sample err ~ sqrt(J(1-J)/k) ~ 0.03 -> assert 4 sigma
+        a = [" ".join(f"s{i}" for i in range(300))] + [
+            " ".join(f"a{i}" for i in range(300))
+        ]
+        b = [" ".join(f"s{i}" for i in range(300))] + [
+            " ".join(f"b{i}" for i in range(300))
+        ]
+        r = self._overlap(spark, a, b, k=256)
+        assert abs(r.est_jaccard - 1.0 / 3.0) < 0.12
