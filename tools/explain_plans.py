@@ -615,6 +615,28 @@ CASES = [
      "domain exchange (corpus reduces map-side to |domains| rows), "
      "then the softmax window over a metadata-sized single partition "
      "— the corpus is touched exactly once."),
+    ("bradley_terry",
+     "Preference-rating MM fit. Wants: the comparison table reduced "
+     "ONCE (partial_ sums before the pair/win exchanges); every "
+     "per-round join over item-cardinality tables only; rounds "
+     "truncated by localCheckpoint so the 8-round loop cannot grow "
+     "the plan."),
+    ("shard_manifest",
+     "Reproducibility manifests. Wants: ONE scan per corpus version, "
+     "digest + routing computed in the codegen'd projection, partial_ "
+     "count/sum/xor BEFORE the shard exchange (corpus reduces "
+     "map-side to n_shards rows), diff joins over n_shards-row "
+     "tables."),
+    ("corpus_rollup",
+     "Grouping-sets dataset card. Wants: ONE scan, Expand replicating "
+     "rows per grouping set map-side, partial_ hash agg collapsing "
+     "replicas BEFORE the single exchange — shuffle carries cells, "
+     "never corpus x levels."),
+    ("corpus_overlap",
+     "Bottom-k overlap sketch. Wants: distinct token hashes with "
+     "partial_ dedup before each corpus's exchange, TakeOrdered(k) "
+     "per sketch (never a full sort), and every post-sketch join/agg "
+     "over <= 2k-row inputs."),
 ]
 
 
