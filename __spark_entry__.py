@@ -5298,6 +5298,89 @@ def q_corpus_overlap(spark, sf_dir):
     return corpus_overlap(a, b, k=256)
 
 
+def q_microdata(spark, sf_dir):
+    """Schema.org microdata explode (ops/microdata.py) over
+    formula-built markup: every doc carries an Article scope (headline,
+    a NESTED Person author — emitted as a value-NULL prop plus its own
+    scope —, meta wordCount, a-href url), d%5==0 adds a time prop,
+    d%3==0 appends a typeless scope with a two-token itemprop pinning
+    token splitting and the NULL item_type branch. Oracle writes the
+    expected (scope_idx, prop, value, prop_idx) rows directly."""
+    from fuzi_spark.ops.microdata import extract_microdata_df
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    markup = F.concat(
+        F.lit('<html><body><div itemscope '
+              'itemtype="https://schema.org/Article">'
+              '<h1 itemprop="headline">T'), s,
+        F.lit('</h1><span itemprop="author" itemscope '
+              'itemtype="https://schema.org/Person">'
+              '<b itemprop="name">A'), s,
+        F.lit('</b></span><meta itemprop="wordCount" content="'),
+        (i % 100).cast("string"),
+        F.lit('"><a itemprop="url" href="/p/'), s, F.lit('">x</a>'),
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit('<time itemprop="datePublished" '
+                      'datetime="2024-01-0'),
+                (i % 9 + 1).cast("string"),
+                F.lit('">J</time>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</div>"),
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit('<div itemscope><span itemprop="name alternateName">W'),
+                s,
+                F.lit("</span></div>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", markup.alias("markup"))
+    return extract_microdata_df(d)
+
+
+def q_code_blocks(spark, sf_dir):
+    """HTML code-block harvest (ops/microdata.py extract_code_blocks):
+    block 0 is a two-line pre>code with a language-* class cycling by
+    d%4; d%4==0 adds a pre with lang-js on the PRE (fallback path);
+    d%6==0 adds a class-less pre>code (NULL language). Oracle writes
+    the expected blocks, line counts, and lengths directly."""
+    from fuzi_spark.ops.microdata import extract_code_blocks_df
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    lang = F.element_at(
+        F.array(F.lit("python"), F.lit("rust"), F.lit("go"), F.lit("sql")),
+        (i % 4 + 1).cast("int"),
+    )
+    markup = F.concat(
+        F.lit('<html><body><pre><code class="language-'), lang,
+        F.lit('">line one '), s, F.lit("\nreturn "),
+        (i % 7).cast("string"),
+        F.lit("</code></pre>"),
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit('<pre class="lang-js">console.log('), s,
+                F.lit(")</pre>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 6 == 0,
+            F.concat(F.lit("<pre><code>plain "), s,
+                     F.lit("</code></pre>")),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", markup.alias("markup"))
+    return extract_code_blocks_df(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5476,6 +5559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "corpus_rollup": q_corpus_rollup,
         "corpus_overlap": q_corpus_overlap,
+        "microdata": q_microdata,
+        "code_blocks": q_code_blocks,
     }
 
 
@@ -8657,6 +8742,55 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(SUM(_a * _b) AS DOUBLE) / SUM(_b) END "
             "  AS est_contain_b "
             "FROM u"
+        ),
+        "microdata": (
+            # expected property rows written straight from the planted
+            # construction: scope 0 Article (nested author prop emits
+            # value NULL), scope 1 Person, scope 2 typeless two-token
+            # itemprop when i%3=0
+            "WITH d AS (SELECT doc_id AS i FROM documents) "
+            "SELECT i AS doc_id, CAST(0 AS INTEGER) AS scope_idx, "
+            "  'https://schema.org/Article' AS item_type, "
+            "  'headline' AS prop, 'T' || i AS value, "
+            "  CAST(0 AS INTEGER) AS prop_idx FROM d "
+            "UNION ALL SELECT i, 0, 'https://schema.org/Article', "
+            "  'author', NULL, 1 FROM d "
+            "UNION ALL SELECT i, 0, 'https://schema.org/Article', "
+            "  'wordCount', CAST(i % 100 AS VARCHAR), 2 FROM d "
+            "UNION ALL SELECT i, 0, 'https://schema.org/Article', "
+            "  'url', '/p/' || i, 3 FROM d "
+            "UNION ALL SELECT i, 0, 'https://schema.org/Article', "
+            "  'datePublished', '2024-01-0' || CAST(i % 9 + 1 AS VARCHAR), "
+            "  4 FROM d WHERE i % 5 = 0 "
+            "UNION ALL SELECT i, 1, 'https://schema.org/Person', "
+            "  'name', 'A' || i, 0 FROM d "
+            "UNION ALL SELECT i, 2, NULL, 'name', 'W' || i, 0 FROM d "
+            "  WHERE i % 3 = 0 "
+            "UNION ALL SELECT i, 2, NULL, 'alternateName', 'W' || i, 1 "
+            "  FROM d WHERE i % 3 = 0"
+        ),
+        "code_blocks": (
+            # expected blocks from the construction: two-line language-*
+            # block, lang-js-on-pre fallback at i%4=0, class-less NULL
+            # language at i%6=0 (its index shifts when the js block is
+            # also present)
+            "WITH d AS (SELECT doc_id AS i, "
+            "  ['python','rust','go','sql'][CAST(i % 4 + 1 AS INTEGER)] "
+            "    AS lang, "
+            "  'line one ' || i || chr(10) || 'return ' || "
+            "    CAST(i % 7 AS VARCHAR) AS c0 FROM documents) "
+            "SELECT i AS doc_id, CAST(0 AS INTEGER) AS block_idx, "
+            "  lang AS language, c0 AS code, "
+            "  CAST(2 AS INTEGER) AS n_lines, "
+            "  CAST(length(c0) AS INTEGER) AS n_chars FROM d "
+            "UNION ALL SELECT i, 1, 'js', 'console.log(' || i || ')', "
+            "  1, CAST(length('console.log(' || i || ')') AS INTEGER) "
+            "  FROM d WHERE i % 4 = 0 "
+            "UNION ALL SELECT i, "
+            "  CASE WHEN i % 4 = 0 THEN 2 ELSE 1 END, NULL, "
+            "  'plain ' || i, 1, "
+            "  CAST(length('plain ' || i) AS INTEGER) "
+            "  FROM d WHERE i % 6 = 0"
         ),
     }
 

@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "shard_manifest",
     "corpus_rollup",
     "corpus_overlap",
+    "microdata",
+    "code_blocks",
 ]
 
 

@@ -8633,3 +8633,145 @@ class TestCorpusOverlap:
         ]
         r = self._overlap(spark, a, b, k=256)
         assert abs(r.est_jaccard - 1.0 / 3.0) < 0.12
+
+
+class TestMicrodata:
+    """ops/microdata.py extract_microdata: WHATWG value rules, nested
+    scope boundaries, multi-token props, recovery."""
+
+    def _run(self, markup):
+        from fuzi_spark.ops.microdata import extract_microdata
+
+        return extract_microdata(markup)
+
+    def test_value_rules_per_tag(self):
+        rows = self._run(
+            '<div itemscope>'
+            '<meta itemprop="m" content="MC">'
+            '<img itemprop="i" src="/img.png">'
+            '<a itemprop="a" href="/x">text</a>'
+            '<time itemprop="t" datetime="2020-01-01">Jan</time>'
+            '<time itemprop="t2">Feb 2</time>'
+            '<data itemprop="d" value="42">forty-two</data>'
+            '<span itemprop="s"> padded </span>'
+            "</div>"
+        )
+        vals = {r["prop"]: r["value"] for r in rows}
+        assert vals == {
+            "m": "MC", "i": "/img.png", "a": "/x",
+            "t": "2020-01-01", "t2": "Feb 2", "d": "42", "s": "padded",
+        }
+
+    def test_nested_scope_props_do_not_leak(self):
+        rows = self._run(
+            '<div itemscope itemtype="A">'
+            '<span itemprop="author" itemscope itemtype="B">'
+            '<b itemprop="name">N</b></span>'
+            '<i itemprop="top">V</i></div>'
+        )
+        s0 = [r for r in rows if r["scope_idx"] == 0]
+        assert [(r["prop"], r["value"]) for r in s0] == [
+            ("author", None), ("top", "V"),
+        ]
+        s1 = [r for r in rows if r["scope_idx"] == 1]
+        assert [(r["prop"], r["value"], r["item_type"]) for r in s1] == [
+            ("name", "N", "B"),
+        ]
+
+    def test_descends_through_non_prop_wrappers(self):
+        rows = self._run(
+            '<div itemscope><section><p><em itemprop="x">deep</em>'
+            "</p></section></div>"
+        )
+        assert [(r["prop"], r["value"]) for r in rows] == [("x", "deep")]
+
+    def test_multi_token_prop_and_order(self):
+        rows = self._run(
+            '<div itemscope><span itemprop="a b">v</span>'
+            '<i itemprop="c">w</i></div>'
+        )
+        assert [(r["prop"], r["prop_idx"]) for r in rows] == [
+            ("a", 0), ("b", 1), ("c", 2),
+        ]
+
+    def test_malformed_markup_never_raises(self):
+        assert self._run("<div itemscope><<<%%") == [] or True
+        assert self._run("") == []
+        assert isinstance(self._run("<p>no microdata</p>"), list)
+
+    def test_distributed_matches_local(self, spark):
+        from fuzi_spark.ops.microdata import (
+            extract_microdata,
+            extract_microdata_df,
+        )
+
+        m = (
+            '<div itemscope itemtype="T"><b itemprop="n">x</b>'
+            '<span itemprop="s" itemscope><i itemprop="q">y</i></span>'
+            "</div>"
+        )
+        df = spark.createDataFrame(
+            [(1, m), (2, None)], "doc_id long, markup string"
+        )
+        got = sorted(
+            (
+                (r.doc_id, r.scope_idx, r.prop, r.value, r.prop_idx)
+                for r in extract_microdata_df(df).collect()
+            )
+        )
+        want = sorted(
+            (1, r["scope_idx"], r["prop"], r["value"], r["prop_idx"])
+            for r in extract_microdata(m)
+        )
+        assert got == want
+
+
+class TestCodeBlocks:
+    """ops/microdata.py extract_code_blocks: language resolution,
+    newline trim, counts, recovery."""
+
+    def _run(self, markup):
+        from fuzi_spark.ops.microdata import extract_code_blocks
+
+        return extract_code_blocks(markup)
+
+    def test_language_on_code_beats_pre(self):
+        rows = self._run(
+            '<pre class="lang-js"><code class="language-python">x=1'
+            "</code></pre>"
+        )
+        assert rows[0]["language"] == "python"
+
+    def test_pre_class_fallback_and_highlight_prefix(self):
+        rows = self._run(
+            '<pre class="highlight-ruby"><code>puts 1</code></pre>'
+            '<pre class="lang-go">fmt.Println(1)</pre>'
+        )
+        assert [r["language"] for r in rows] == ["ruby", "go"]
+
+    def test_no_language_is_null(self):
+        rows = self._run("<pre><code>plain</code></pre>")
+        assert rows[0]["language"] is None
+        assert rows[0]["code"] == "plain"
+
+    def test_newline_trim_and_counts(self):
+        rows = self._run("<pre><code>\na\nb\n</code></pre>")
+        assert rows[0]["code"] == "a\nb"
+        assert rows[0]["n_lines"] == 2
+        assert rows[0]["n_chars"] == 3
+
+    def test_empty_block(self):
+        rows = self._run("<pre></pre>")
+        assert rows[0]["n_lines"] == 0 and rows[0]["n_chars"] == 0
+
+    def test_document_order_indexing(self):
+        rows = self._run(
+            "<pre><code>one</code></pre><p>t</p><pre>two</pre>"
+        )
+        assert [(r["block_idx"], r["code"]) for r in rows] == [
+            (0, "one"), (1, "two"),
+        ]
+
+    def test_malformed_never_raises(self):
+        assert isinstance(self._run("<pre><<<"), list)
+        assert self._run("") == []
