@@ -5381,6 +5381,96 @@ def q_code_blocks(spark, sf_dir):
     return extract_code_blocks_df(d)
 
 
+def q_token_budget(spark, sf_dir):
+    """Data-constrained mix planning (ops/sampling.token_budget_plan):
+    per-source tokens = sum(n_chars), weights = source index + 1
+    (skewed so high-weight sources cap and re-spread their excess —
+    a multi-round cascade), budget = 1.5x corpus tokens, cap 2.0
+    epochs. Every quantity is integer-valued in double, so the whole
+    water-filling recurrence is bit-exact across engines — the oracle
+    unrolls the identical rounds with window sums."""
+    from fuzi_spark.ops.sampling import token_budget_plan
+
+    d = _docs(spark, sf_dir)
+    total = d.agg(F.sum("n_chars")).first()[0]
+    per = d.groupBy("source").agg(
+        F.sum("n_chars").alias("n_tokens")
+    ).select(
+        "source",
+        "n_tokens",
+        (
+            F.regexp_extract("source", r"(\d+)", 1).cast("double") + 1.0
+        ).alias("weight"),
+    )
+    return token_budget_plan(
+        per, budget=1.5 * float(total), max_epochs=2.0, n_rounds=6
+    )
+
+
+def q_triangle_count(spark, sf_dir):
+    """Distributed triangle counting (ops/graph.triangle_count) over a
+    20-host graph derived from doc ids: edges (d%20, (3d+1)%20) and
+    (d%20, (7d+2)%20), deduped/symmetrized inside the op. The oracle
+    replays the whole Schank-Wagner dataflow (degrees, orientation,
+    rank-ordered wedges, closing-edge join) relationally."""
+    from fuzi_spark.ops.graph import triangle_count
+
+    d = _docs(spark, sf_dir)
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"))  # noqa: E731
+    i = F.col("doc_id")
+    e = d.select(
+        h(i % 20).alias("src"), h((i * 3 + 1) % 20).alias("dst")
+    ).unionByName(
+        d.select(h(i % 20).alias("src"), h((i * 7 + 2) % 20).alias("dst"))
+    )
+    return triangle_count(e)
+
+
+def q_label_agreement(spark, sf_dir):
+    """Fleiss' kappa label QA (ops/classify.fleiss_kappa): a 3-rater
+    panel labels every doc A/B/C from d%3; raters 1 and 2 flip to the
+    next label on decorrelated d%5 strata (partial agreement, so kappa
+    is strictly between 0 and 1); d%17==0 items get a 4th rating and
+    must be EXCLUDED and counted, not mixed in. Oracle replays the
+    construction and the kappa arithmetic relationally."""
+    from fuzi_spark.ops.classify import fleiss_kappa
+
+    d = F.col("d")
+    b = F.col("b")
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("d"), (F.col("doc_id") % 3).alias("b")
+    )
+
+    def rate(rater, lab):
+        return base.select(
+            d.alias("item"), F.lit(rater).alias("rater"), lab.alias("_l")
+        )
+
+    ratings = (
+        rate(0, b)
+        .unionByName(
+            rate(1, F.when(d % 5 == 0, (b + 1) % 3).otherwise(b))
+        )
+        .unionByName(
+            rate(2, F.when((d * 2 + 1) % 5 == 0, (b + 1) % 3).otherwise(b))
+        )
+        .unionByName(
+            base.where(d % 17 == 0).select(
+                d.alias("item"), F.lit(3).alias("rater"), b.alias("_l")
+            )
+        )
+        .select(
+            "item",
+            "rater",
+            F.element_at(
+                F.array(F.lit("A"), F.lit("B"), F.lit("C")),
+                (F.col("_l") + 1).cast("int"),
+            ).alias("label"),
+        )
+    )
+    return fleiss_kappa(ratings, n_raters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5561,6 +5651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": q_corpus_overlap,
         "microdata": q_microdata,
         "code_blocks": q_code_blocks,
+        "token_budget": q_token_budget,
+        "triangle_count": q_triangle_count,
+        "label_agreement": q_label_agreement,
     }
 
 
@@ -8791,6 +8884,125 @@ def oracle_sql() -> dict[str, str]:
             "  'plain ' || i, 1, "
             "  CAST(length('plain ' || i) AS INTEGER) "
             "  FROM d WHERE i % 6 = 0"
+        ),
+        "token_budget": (
+            # identical water-filling recurrence unrolled 6 rounds with
+            # window sums; every quantity is integer-valued in double,
+            # so caps/provisions compare bit-exactly across engines
+            "WITH per AS (SELECT source, "
+            "  CAST(SUM(n_chars) AS DOUBLE) AS n_tokens, "
+            "  CAST(regexp_extract(source, '(\\d+)', 1) AS DOUBLE) + 1.0 "
+            "    AS weight, "
+            "  CAST(SUM(n_chars) AS DOUBLE) * 2.0 AS cap "
+            "  FROM documents GROUP BY source), "
+            "r0 AS (SELECT per.*, FALSE AS capped, "
+            "  (SELECT CAST(SUM(n_chars) AS DOUBLE) * 1.5 FROM documents) "
+            "    AS b FROM per), "
+            + " ".join(
+                f"r{k} AS (SELECT source, n_tokens, weight, cap, b, "
+                "capped OR ("
+                "SUM(CASE WHEN NOT capped THEN weight ELSE 0 END) "
+                "  OVER () > 0 "
+                "AND weight / SUM(CASE WHEN NOT capped THEN weight "
+                "  ELSE 0 END) OVER () "
+                "* (b - SUM(CASE WHEN capped THEN cap ELSE 0 END) "
+                "  OVER ()) > cap) AS capped "
+                f"FROM r{k-1}),"
+                for k in range(1, 7)
+            )
+            + " f AS (SELECT *, "
+            "SUM(CASE WHEN NOT capped THEN weight ELSE 0 END) OVER () "
+            "  AS wa, "
+            "b - SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS rr "
+            "FROM r6) "
+            "SELECT source, n_tokens, weight, cap AS cap_tokens, "
+            "CASE WHEN capped THEN cap "
+            "  ELSE GREATEST(weight / wa * rr, 0.0) END AS alloc_tokens, "
+            "CASE WHEN capped THEN cap "
+            "  ELSE GREATEST(weight / wa * rr, 0.0) END / n_tokens "
+            "  AS epochs, "
+            "CAST(capped AS INTEGER) AS capped, "
+            "CAST(SUM(CASE WHEN NOT capped AND weight / wa * rr > cap "
+            "  THEN 1 ELSE 0 END) OVER () = 0 AS INTEGER) AS converged "
+            "FROM f"
+        ),
+        "triangle_count": (
+            # identical Schank-Wagner dataflow: symmetrize+dedup,
+            # degrees, lower-(deg,id)->higher orientation, rank-ordered
+            # wedge join, closing-edge join, 3-way vertex attribution
+            "WITH raw AS ("
+            "  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS a, "
+            "    'h' || CAST((doc_id*3+1) % 20 AS VARCHAR) AS b "
+            "  FROM documents "
+            "  UNION ALL SELECT 'h' || CAST(doc_id % 20 AS VARCHAR), "
+            "    'h' || CAST((doc_id*7+2) % 20 AS VARCHAR) "
+            "  FROM documents), "
+            "e AS (SELECT a, b FROM raw WHERE a <> b), "
+            "und AS (SELECT DISTINCT a, b FROM ("
+            "  SELECT a, b FROM e UNION ALL SELECT b, a FROM e)), "
+            "deg AS (SELECT a AS node, COUNT(*) AS deg FROM und "
+            "  GROUP BY a), "
+            "canon AS (SELECT a, b FROM und WHERE a < b), "
+            "rk AS (SELECT c.a, c.b, x.deg AS da, y.deg AS db "
+            "  FROM canon c JOIN deg x ON c.a = x.node "
+            "  JOIN deg y ON c.b = y.node), "
+            "ori AS (SELECT "
+            "  CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b "
+            "    END AS u, "
+            "  CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a "
+            "    END AS v, "
+            "  CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da "
+            "    END AS rv FROM rk), "
+            "w AS (SELECT o1.u, o1.v AS x, o2.v AS y "
+            "  FROM ori o1 JOIN ori o2 ON o1.u = o2.u "
+            "  WHERE o1.rv < o2.rv OR (o1.rv = o2.rv AND o1.v < o2.v)), "
+            "tri AS (SELECT w.u, w.x, w.y FROM w "
+            "  JOIN ori t ON w.x = t.u AND w.y = t.v), "
+            "pn AS (SELECT node, COUNT(*) AS n FROM ("
+            "  SELECT u AS node FROM tri "
+            "  UNION ALL SELECT x FROM tri "
+            "  UNION ALL SELECT y FROM tri) GROUP BY node) "
+            "SELECT deg.node, CAST(deg.deg AS BIGINT) AS degree, "
+            "CAST(COALESCE(pn.n, 0) AS BIGINT) AS n_triangles "
+            "FROM deg LEFT JOIN pn ON deg.node = pn.node"
+        ),
+        "label_agreement": (
+            # identical panel construction + Fleiss arithmetic; AVG
+            # grouping-order ulps land inside 6-sig-fig rounding
+            "WITH base AS (SELECT doc_id AS d, doc_id % 3 AS b "
+            "  FROM documents), "
+            "r AS (SELECT d AS item, b AS l FROM base "
+            "  UNION ALL SELECT d, CASE WHEN d % 5 = 0 THEN (b+1) % 3 "
+            "    ELSE b END FROM base "
+            "  UNION ALL SELECT d, CASE WHEN (d*2+1) % 5 = 0 "
+            "    THEN (b+1) % 3 ELSE b END FROM base "
+            "  UNION ALL SELECT d, b FROM base WHERE d % 17 = 0), "
+            "lab AS (SELECT item, ['A','B','C'][CAST(l + 1 AS INTEGER)] "
+            "  AS label FROM r), "
+            "cell AS (SELECT item, label, COUNT(*) AS nij FROM lab "
+            "  GROUP BY item, label), "
+            "pi AS (SELECT item, SUM(nij) AS n, "
+            "  SUM(nij * (nij - 1)) AS agree FROM cell GROUP BY item), "
+            "keep AS (SELECT * FROM pi WHERE n = 3), "
+            "exc AS (SELECT COUNT(*) AS ne FROM pi WHERE n <> 3), "
+            "marg AS (SELECT label, SUM(nij) AS cnt FROM cell "
+            "  JOIN keep ON cell.item = keep.item GROUP BY label), "
+            "m AS (SELECT COUNT(*) AS n_categories, "
+            "  SUM(cnt * cnt) AS sq, SUM(cnt) AS tot FROM marg), "
+            "k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "  AVG(CAST(agree AS DOUBLE) / 6.0) AS p_bar FROM keep) "
+            "SELECT k.n_items, CAST(exc.ne AS BIGINT) AS n_excluded, "
+            "CAST(m.n_categories AS BIGINT) AS n_categories, "
+            "k.p_bar, "
+            "CAST(m.sq AS DOUBLE) / (CAST(m.tot AS DOUBLE) * "
+            "  CAST(m.tot AS DOUBLE)) AS p_e, "
+            "CASE WHEN CAST(m.sq AS DOUBLE) / (CAST(m.tot AS DOUBLE) * "
+            "  CAST(m.tot AS DOUBLE)) < 1.0 THEN "
+            "  (k.p_bar - CAST(m.sq AS DOUBLE) / (CAST(m.tot AS DOUBLE) "
+            "    * CAST(m.tot AS DOUBLE))) / (1.0 - CAST(m.sq AS DOUBLE) "
+            "    / (CAST(m.tot AS DOUBLE) * CAST(m.tot AS DOUBLE))) "
+            "  END AS kappa "
+            "FROM k, exc, m"
         ),
     }
 

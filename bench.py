@@ -203,6 +203,9 @@ BENCH_QUERIES = [
     "corpus_overlap",
     "microdata",
     "code_blocks",
+    "token_budget",
+    "triangle_count",
+    "label_agreement",
 ]
 
 

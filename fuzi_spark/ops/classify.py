@@ -240,3 +240,89 @@ def pr_curve(
         recall.alias("recall"),
         f1.alias("f1"),
     ).orderBy("threshold")
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    n_raters: int,
+    item_col: str = "item",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fleiss' kappa over (item, rater, label) rows — the label-quality
+    gate for human/model-annotated training data: raw percent
+    agreement flatters any skewed label set (two raters stamping 95%
+    'ok' agree 90.5% by luck alone); kappa subtracts exactly that
+    chance floor. Run it per annotation batch before trusting labels
+    enough to train or filter on them.
+
+    Classic Fleiss (1971) requires a constant panel size: items with a
+    rating count != n_raters (partial batches, double-submits) are
+    EXCLUDED and reported, never silently mixed in — a kappa over
+    ragged panels answers a different question.
+
+        P_i  = sum_j n_ij (n_ij - 1) / (n (n - 1))   per-item agreement
+        Pbar = mean_i P_i;  p_j = marginal share of label j
+        Pe   = sum_j p_j^2;  kappa = (Pbar - Pe) / (1 - Pe)
+
+    Returns ONE row: (n_items, n_excluded, n_categories, p_bar, p_e,
+    kappa — NULL when Pe = 1, i.e. every rating is one label and
+    chance explains everything). Dataflow: one groupBy(item, label)
+    count (map-side partials over the rating stream), a per-item fold,
+    and two metadata-sized reductions; label marginals shuffle
+    |labels| rows. Deterministic up to float addition order."""
+    n = int(n_raters)
+    if n < 2:
+        raise ValueError("fleiss_kappa needs n_raters >= 2")
+    cell = (
+        ratings.select(
+            F.col(item_col).alias("item"), F.col(label_col).alias("label")
+        )
+        .groupBy("item", "label")
+        .agg(F.count("*").alias("nij"))
+    )
+    per_item = cell.groupBy("item").agg(
+        F.sum("nij").alias("_n"),
+        F.sum(F.col("nij") * (F.col("nij") - 1)).alias("_agree"),
+    )
+    keep = per_item.where(F.col("_n") == n)
+    excluded = per_item.where(F.col("_n") != n)
+    kept_cells = cell.join(keep.select("item"), "item", "left_semi")
+    marg = kept_cells.groupBy("label").agg(F.sum("nij").alias("_cnt"))
+    stats = (
+        keep.agg(
+            F.count("*").alias("n_items"),
+            F.avg(
+                F.col("_agree").cast("double") / F.lit(float(n * (n - 1)))
+            ).alias("p_bar"),
+        )
+        .crossJoin(
+            F.broadcast(
+                excluded.agg(F.count("*").alias("n_excluded"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                marg.agg(
+                    F.count("*").alias("n_categories"),
+                    F.sum(F.col("_cnt") * F.col("_cnt")).alias("_sq"),
+                    F.sum("_cnt").alias("_tot"),
+                )
+            )
+        )
+    )
+    pe = F.col("_sq").cast("double") / (
+        F.col("_tot").cast("double") * F.col("_tot").cast("double")
+    )
+    return stats.select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.col("n_excluded").cast("bigint").alias("n_excluded"),
+        F.coalesce(F.col("n_categories"), F.lit(0))
+        .cast("bigint")
+        .alias("n_categories"),
+        F.col("p_bar").alias("p_bar"),
+        pe.alias("p_e"),
+        F.when(pe < 1.0, (F.col("p_bar") - pe) / (F.lit(1.0) - pe)).alias(
+            "kappa"
+        ),
+    )

@@ -364,3 +364,102 @@ def domain_weights(
     return per.withColumn(
         "weight", e / F.sum(e).over(Window.partitionBy())
     )
+
+
+def token_budget_plan(
+    per_source: DataFrame,
+    budget: float,
+    max_epochs: float = 4.0,
+    n_rounds: int = 6,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Water-filling allocation of a token budget across sources under
+    per-source repeat caps — the mix-planning step between "we want
+    these mixture weights" (domain_weights) and "materialize the
+    epochs" (epoch_order/mixture_sample). Drawing budget*w_s tokens
+    from source s is only possible while s has data: past max_epochs
+    passes, repetition stops paying (data-constrained scaling), so a
+    capped source freezes at cap = max_epochs * n_tokens and its
+    unused share re-spreads over the UNCAPPED sources in proportion
+    to their weights — which can cap further sources, hence rounds.
+
+    Fixed n_rounds unroll of a pure column recurrence (two
+    unpartitioned-window sums per round over the |sources|-row table —
+    metadata-sized at any corpus scale, the domain_weights precedent):
+
+        W_k = sum of w over uncapped,  R_k = budget - sum of caps
+        prov_s = w_s / W_k * R_k
+        capped_{k+1} = capped_k OR prov_s > cap_s
+
+    Returns (source, n_tokens, weight, cap_tokens, alloc_tokens,
+    epochs, capped int, converged int): alloc = cap for capped
+    sources, final-round prov otherwise; converged=0 on any row means
+    n_rounds was too small (one more source would cap) — the caller
+    raises rounds rather than trusting the plan. If EVERY source caps,
+    sum(alloc) < budget states the corpus simply cannot fill the
+    budget under the cap. Comparisons against caps have macroscopic
+    margins for real token counts; exact prov==cap ties are
+    measure-zero and would only flip a source between two valid plans.
+    """
+    w_all = Window.partitionBy()
+    df = per_source.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("double").alias("n_tokens"),
+        F.col(weight_col).cast("double").alias("weight"),
+        (F.col(tokens_col).cast("double") * F.lit(float(max_epochs))).alias(
+            "cap_tokens"
+        ),
+        F.lit(False).alias("_capped"),
+    )
+    B = F.lit(float(budget))
+    prov = None
+    for _ in range(n_rounds):
+        w_active = F.sum(
+            F.when(~F.col("_capped"), F.col("weight")).otherwise(F.lit(0.0))
+        ).over(w_all)
+        r = B - F.sum(
+            F.when(F.col("_capped"), F.col("cap_tokens")).otherwise(
+                F.lit(0.0)
+            )
+        ).over(w_all)
+        # explicit zero guard: with every source capped w_active = 0,
+        # and ANSI mode makes x/0 a task failure, not an IEEE inf
+        prov = F.when(
+            w_active > 0, F.col("weight") / w_active * r
+        ).otherwise(F.lit(0.0))
+        df = df.withColumn(
+            "_prov", prov
+        ).withColumn(
+            "_capped",
+            F.col("_capped")
+            | ((F.col("_prov") > F.col("cap_tokens")) & (w_active > 0)),
+        )
+    # converged iff a further round would cap nothing new
+    w_active = F.sum(
+        F.when(~F.col("_capped"), F.col("weight")).otherwise(F.lit(0.0))
+    ).over(w_all)
+    r = B - F.sum(
+        F.when(F.col("_capped"), F.col("cap_tokens")).otherwise(F.lit(0.0))
+    ).over(w_all)
+    final_prov = F.when(
+        w_active > 0, F.col("weight") / w_active * r
+    ).otherwise(F.lit(0.0))
+    alloc = F.when(F.col("_capped"), F.col("cap_tokens")).otherwise(
+        F.greatest(final_prov, F.lit(0.0))
+    )
+    newly = (~F.col("_capped")) & (final_prov > F.col("cap_tokens"))
+    converged = (
+        F.sum(newly.cast("int")).over(w_all) == 0
+    ).cast("int")
+    return df.select(
+        "source",
+        "n_tokens",
+        "weight",
+        "cap_tokens",
+        alloc.alias("alloc_tokens"),
+        (alloc / F.col("n_tokens")).alias("epochs"),
+        F.col("_capped").cast("int").alias("capped"),
+        converged.alias("converged"),
+    )

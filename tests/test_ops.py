@@ -8775,3 +8775,217 @@ class TestCodeBlocks:
     def test_malformed_never_raises(self):
         assert isinstance(self._run("<pre><<<"), list)
         assert self._run("") == []
+
+
+class TestTokenBudgetPlan:
+    """ops/sampling.py token_budget_plan: water-filling under epoch
+    caps — hand-computed cascades, shortfall, convergence flag."""
+
+    def _plan(self, spark, rows, budget, max_epochs, n_rounds=6):
+        from fuzi_spark.ops.sampling import token_budget_plan
+
+        per = spark.createDataFrame(
+            rows, "source string, n_tokens double, weight double"
+        )
+        return {
+            r.source: r
+            for r in token_budget_plan(
+                per, budget, max_epochs, n_rounds
+            ).collect()
+        }
+
+    def test_uncapped_is_proportional(self, spark):
+        got = self._plan(
+            spark,
+            [("a", 100.0, 1.0), ("b", 100.0, 3.0)],
+            budget=200.0,
+            max_epochs=100.0,
+        )
+        assert got["a"].alloc_tokens == 50.0
+        assert got["b"].alloc_tokens == 150.0
+        assert got["a"].capped == 0 and got["b"].capped == 0
+        assert got["a"].converged == 1
+
+    def test_single_cap_redistributes(self, spark):
+        # B wants 27 but caps at 20; the excess flows to A
+        got = self._plan(
+            spark,
+            [("a", 10.0, 1.0), ("b", 10.0, 9.0)],
+            budget=30.0,
+            max_epochs=2.0,
+        )
+        assert got["b"].capped == 1 and got["b"].alloc_tokens == 20.0
+        assert got["b"].epochs == 2.0
+        assert got["a"].capped == 0 and got["a"].alloc_tokens == 10.0
+        assert got["a"].converged == 1
+
+    def test_cascade_two_rounds(self, spark):
+        # C caps first; its excess then caps B; A absorbs the rest
+        got = self._plan(
+            spark,
+            [("a", 10.0, 1.0), ("b", 10.0, 4.0), ("c", 10.0, 5.0)],
+            budget=30.0,
+            max_epochs=1.2,
+        )
+        assert got["c"].capped == 1 and got["c"].alloc_tokens == 12.0
+        assert got["b"].capped == 1 and got["b"].alloc_tokens == 12.0
+        assert got["a"].capped == 0
+        assert abs(got["a"].alloc_tokens - 6.0) < 1e-9
+        assert sum(r.alloc_tokens for r in got.values()) == 30.0
+        assert got["a"].converged == 1
+
+    def test_all_capped_shortfall(self, spark):
+        got = self._plan(
+            spark,
+            [("a", 10.0, 1.0), ("b", 10.0, 1.0)],
+            budget=100.0,
+            max_epochs=2.0,
+        )
+        assert all(r.capped == 1 for r in got.values())
+        assert sum(r.alloc_tokens for r in got.values()) == 40.0
+        assert all(r.converged == 1 for r in got.values())
+
+    def test_insufficient_rounds_flags_nonconvergence(self, spark):
+        got = self._plan(
+            spark,
+            [("a", 10.0, 1.0), ("b", 10.0, 4.0), ("c", 10.0, 5.0)],
+            budget=30.0,
+            max_epochs=1.2,
+            n_rounds=1,
+        )
+        assert any(r.converged == 0 for r in got.values())
+
+
+class TestTriangleCount:
+    """ops/graph.py triangle_count: hand graphs + brute-force
+    differential on a deterministic pseudo-random graph."""
+
+    def _run(self, spark, edges):
+        from fuzi_spark.ops.graph import triangle_count
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {r.node: r for r in triangle_count(df).collect()}
+
+    def test_single_triangle(self, spark):
+        got = self._run(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        assert all(r.n_triangles == 1 for r in got.values())
+        assert all(r.degree == 2 for r in got.values())
+
+    def test_k4_every_node_in_three(self, spark):
+        nodes = ["a", "b", "c", "d"]
+        edges = [
+            (x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]
+        ]
+        got = self._run(spark, edges)
+        assert all(r.n_triangles == 3 for r in got.values())
+        assert sum(r.n_triangles for r in got.values()) // 3 == 4
+
+    def test_square_and_star_have_none(self, spark):
+        got = self._run(
+            spark,
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]  # C4
+            + [("h", "x"), ("h", "y"), ("h", "z")],           # star
+        )
+        assert all(r.n_triangles == 0 for r in got.values())
+
+    def test_duplicates_loops_direction_ignored(self, spark):
+        got = self._run(
+            spark,
+            [
+                ("a", "b"), ("b", "a"), ("a", "b"),  # dup + reversed
+                ("b", "c"), ("c", "a"),
+                ("a", "a"),                            # self-loop
+            ],
+        )
+        assert all(r.n_triangles == 1 for r in got.values())
+        assert len(got) == 3
+
+    def test_matches_bruteforce(self, spark):
+        import itertools
+
+        # deterministic pseudo-random graph on 12 nodes
+        edges = []
+        for d in range(80):
+            u, v = d % 12, (d * d * 5 + 3) % 12
+            if u != v:
+                edges.append((f"n{u}", f"n{v}"))
+        und = {frozenset(e) for e in edges}
+        adj = {}
+        for e in und:
+            x, y = tuple(e)
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        want = {n: 0 for n in adj}
+        n_tri = 0
+        for x, y, z in itertools.combinations(sorted(adj), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                n_tri += 1
+                want[x] += 1
+                want[y] += 1
+                want[z] += 1
+        got = self._run(spark, edges)
+        assert {n: r.n_triangles for n, r in got.items()} == want
+        assert {n: r.degree for n, r in got.items()} == {
+            n: len(adj[n]) for n in adj
+        }
+        assert sum(r.n_triangles for r in got.values()) == 3 * n_tri
+
+
+class TestFleissKappa:
+    """ops/classify.py fleiss_kappa: hand-computed values, chance
+    floor, panel-size exclusion."""
+
+    def _run(self, spark, rows, n=2):
+        from fuzi_spark.ops.classify import fleiss_kappa
+
+        df = spark.createDataFrame(
+            rows, "item string, rater int, label string"
+        )
+        return fleiss_kappa(df, n_raters=n).collect()[0]
+
+    def test_perfect_agreement(self, spark):
+        rows = [
+            (i, r, lab)
+            for i, lab in [("1", "A"), ("2", "B"), ("3", "A")]
+            for r in (0, 1)
+        ]
+        got = self._run(spark, rows)
+        assert got.kappa == 1.0 and got.p_bar == 1.0
+        assert got.n_items == 3 and got.n_categories == 2
+
+    def test_single_label_everywhere_is_null(self, spark):
+        rows = [(i, r, "ok") for i in ("1", "2") for r in (0, 1)]
+        got = self._run(spark, rows)
+        assert got.p_e == 1.0 and got.kappa is None
+
+    def test_hand_computed_two_items(self, spark):
+        # item1: A,A (P=1); item2: A,B (P=0) -> Pbar=.5
+        # marginals A=3/4 B=1/4 -> Pe=.625 -> kappa=-1/3
+        rows = [("1", 0, "A"), ("1", 1, "A"), ("2", 0, "A"), ("2", 1, "B")]
+        got = self._run(spark, rows)
+        assert abs(got.p_bar - 0.5) < 1e-12
+        assert abs(got.p_e - 0.625) < 1e-12
+        assert abs(got.kappa - (-1.0 / 3.0)) < 1e-12
+
+    def test_ragged_panels_excluded_and_counted(self, spark):
+        rows = [
+            ("1", 0, "A"), ("1", 1, "A"),
+            ("4", 0, "B"), ("4", 1, "B"),
+            ("2", 0, "A"), ("2", 1, "A"), ("2", 2, "A"),  # 3 ratings
+            ("3", 0, "B"),                                  # 1 rating
+        ]
+        got = self._run(spark, rows)
+        assert got.n_items == 2 and got.n_excluded == 2
+        # kept items agree perfectly over balanced marginals
+        assert abs(got.p_e - 0.5) < 1e-12
+        assert got.kappa == 1.0
+
+    def test_n_raters_validation(self, spark):
+        from fuzi_spark.ops.classify import fleiss_kappa
+        import pytest as _pt
+
+        df = spark.createDataFrame(
+            [("1", 0, "A")], "item string, rater int, label string"
+        )
+        with _pt.raises(ValueError):
+            fleiss_kappa(df, n_raters=1)

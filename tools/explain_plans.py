@@ -637,6 +637,26 @@ CASES = [
      "partial_ dedup before each corpus's exchange, TakeOrdered(k) "
      "per sketch (never a full sort), and every post-sketch join/agg "
      "over <= 2k-row inputs."),
+    ("microdata",
+     "Microdata explode. Wants: ONE scan, markup built in a codegen'd "
+     "Project, ONE MapInPandas (parse+walk per Arrow batch), no "
+     "shuffle at all — extraction is embarrassingly parallel."),
+    ("token_budget",
+     "Water-filling mix plan. Wants: per-source agg with map-side "
+     "partials (the only corpus-width work), then the 6-round "
+     "recurrence as window sums over the |sources|-row table — "
+     "metadata-sized single-partition windows, domain_weights "
+     "precedent."),
+    ("triangle_count",
+     "Edge-orientation triangles. Wants: edge dedup + node-keyed "
+     "degree partials, the wedge self-join keyed on the apex with "
+     "O(sqrt(m)) fan-out by construction, closing-edge join on the "
+     "(x,y) pair — no broadcast assumptions, no hub explosion."),
+    ("label_agreement",
+     "Fleiss kappa. Wants: groupBy(item,label) with partial_ counts "
+     "over the rating stream, per-item fold, then only "
+     "metadata-sized reductions and broadcast crossJoins of 1-row "
+     "aggregates."),
 ]
 
 
