@@ -5471,6 +5471,22 @@ def q_label_agreement(spark, sf_dir):
     return fleiss_kappa(ratings, n_raters=3)
 
 
+def q_pareto_select(spark, sf_dir):
+    """2D skyline over planted metrics (ops/pareto.pareto_frontier):
+    quality = 7d mod 50 (maximize), cost = 13d mod 40 (minimize) —
+    dense ties in both axes exercise the duplicate-stays rule. The
+    oracle is an INDEPENDENT NOT EXISTS dominance scan, so the
+    window algebra is checked against the skyline definition."""
+    from fuzi_spark.ops.pareto import pareto_frontier
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") * 7 % 50).alias("quality"),
+        (F.col("doc_id") * 13 % 40).alias("cost"),
+    )
+    return pareto_frontier(d, max_col="quality", min_col="cost")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5654,6 +5670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "triangle_count": q_triangle_count,
         "label_agreement": q_label_agreement,
+        "pareto_select": q_pareto_select,
     }
 
 
@@ -9003,6 +9020,20 @@ def oracle_sql() -> dict[str, str]:
             "    / (CAST(m.tot AS DOUBLE) * CAST(m.tot AS DOUBLE))) "
             "  END AS kappa "
             "FROM k, exc, m"
+        ),
+        "pareto_select": (
+            # independent formulation: the skyline DEFINITION as a
+            # correlated NOT EXISTS dominance scan (the Spark op uses
+            # two-level grouping + a strictly-before window)
+            "WITH m AS (SELECT doc_id, "
+            "  doc_id * 7 % 50 AS quality, "
+            "  doc_id * 13 % 40 AS cost FROM documents) "
+            "SELECT m.doc_id, m.quality, m.cost, "
+            "CAST(NOT EXISTS (SELECT 1 FROM m s "
+            "  WHERE s.cost <= m.cost AND s.quality >= m.quality "
+            "  AND (s.cost < m.cost OR s.quality > m.quality)) "
+            "  AS INTEGER) AS on_frontier "
+            "FROM m"
         ),
     }
 

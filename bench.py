@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "token_budget",
     "triangle_count",
     "label_agreement",
+    "pareto_select",
 ]
 
 

@@ -8989,3 +8989,53 @@ class TestFleissKappa:
         )
         with _pt.raises(ValueError):
             fleiss_kappa(df, n_raters=1)
+
+
+class TestParetoFrontier:
+    """ops/pareto.py pareto_frontier: strict-dominance skyline,
+    duplicate handling, brute-force differential."""
+
+    def _run(self, spark, rows):
+        from fuzi_spark.ops.pareto import pareto_frontier
+
+        df = spark.createDataFrame(
+            rows, "doc_id string, quality long, cost long"
+        )
+        got = pareto_frontier(df, "quality", "cost").collect()
+        return {r.doc_id: r.on_frontier for r in got}
+
+    def test_basic_frontier(self, spark):
+        rows = [
+            ("a", 10, 1),   # frontier
+            ("b", 20, 5),   # frontier
+            ("c", 15, 5),   # dominated by b (same cost, less quality)
+            ("d", 10, 3),   # dominated by a (same quality, pricier)
+            ("e", 5, 0),    # frontier (cheapest)
+            ("f", 25, 9),   # frontier (best quality)
+        ]
+        got = self._run(spark, rows)
+        assert got == {"a": 1, "b": 1, "c": 0, "d": 0, "e": 1, "f": 1}
+
+    def test_exact_duplicates_all_stay(self, spark):
+        rows = [("a", 10, 2), ("b", 10, 2), ("c", 9, 2)]
+        got = self._run(spark, rows)
+        assert got == {"a": 1, "b": 1, "c": 0}
+
+    def test_equal_max_strictly_cheaper_dominates(self, spark):
+        rows = [("a", 10, 1), ("b", 10, 2)]
+        got = self._run(spark, rows)
+        assert got == {"a": 1, "b": 0}
+
+    def test_matches_bruteforce(self, spark):
+        pts = [
+            (f"p{i}", (i * 17) % 23, (i * 11) % 19) for i in range(120)
+        ]
+        want = {}
+        for pid, q, c in pts:
+            dominated = any(
+                (sc <= c and sq >= q and (sc < c or sq > q))
+                for _, sq, sc in pts
+            )
+            want[pid] = 0 if dominated else 1
+        got = self._run(spark, pts)
+        assert got == want
