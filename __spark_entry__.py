@@ -5487,6 +5487,27 @@ def q_pareto_select(spark, sf_dir):
     return pareto_frontier(d, max_col="quality", min_col="cost")
 
 
+def q_edit_join(spark, sf_dir):
+    """SymSpell edit-distance self-join (ops/editjoin.edit_join) over
+    planted typo families: docs in triples share base 'item<d/3>',
+    with m=1 an insertion ('x' suffix) and m=2 a first-char
+    substitution — plus whatever cross-family near-collisions the
+    numerals create ('item16' vs 'item17'), which the brute-force
+    oracle catches identically. k=1."""
+    from fuzi_spark.ops.editjoin import edit_join
+
+    i = F.col("doc_id")
+    b = F.concat(F.lit("item"), F.floor(i / 3).cast("long").cast("string"))
+    m = i % 3
+    text = (
+        F.when(m == 0, b)
+        .when(m == 1, F.concat(b, F.lit("x")))
+        .otherwise(F.concat(F.lit("j"), F.substring(b, 2, 100)))
+    )
+    d = _docs(spark, sf_dir).select("doc_id", text.alias("name"))
+    return edit_join(d, k=1, id_col="doc_id", text_col="name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5671,6 +5692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "label_agreement": q_label_agreement,
         "pareto_select": q_pareto_select,
+        "edit_join": q_edit_join,
     }
 
 
@@ -9034,6 +9056,21 @@ def oracle_sql() -> dict[str, str]:
             "  AND (s.cost < m.cost OR s.quality > m.quality)) "
             "  AS INTEGER) AS on_frontier "
             "FROM m"
+        ),
+        "edit_join": (
+            # independent formulation: brute-force levenshtein over all
+            # ordered pairs (the Spark op blocks via symmetric-deletion
+            # neighborhoods and verifies candidates only)
+            "WITH t AS (SELECT doc_id, "
+            "  CASE CAST(doc_id % 3 AS INTEGER) "
+            "  WHEN 0 THEN 'item' || CAST(doc_id // 3 AS VARCHAR) "
+            "  WHEN 1 THEN 'item' || CAST(doc_id // 3 AS VARCHAR) || 'x' "
+            "  ELSE 'j' || substr('item' || CAST(doc_id // 3 AS VARCHAR), 2) "
+            "  END AS s FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist "
+            "FROM t a JOIN t b ON a.doc_id < b.doc_id "
+            "WHERE levenshtein(a.s, b.s) <= 1"
         ),
     }
 

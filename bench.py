@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "triangle_count",
     "label_agreement",
     "pareto_select",
+    "edit_join",
 ]
 
 

@@ -9039,3 +9039,79 @@ class TestParetoFrontier:
             want[pid] = 0 if dominated else 1
         got = self._run(spark, pts)
         assert got == want
+
+
+class TestEditJoin:
+    """ops/editjoin.py edit_join: SymSpell blocking completeness vs
+    brute force, k=1/k=2 semantics, degenerate strings."""
+
+    def _run(self, spark, rows, k=1):
+        from fuzi_spark.ops.editjoin import edit_join
+
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        return {
+            (r.id_a, r.id_b): r.dist
+            for r in edit_join(df, k=k, id_col="doc_id").collect()
+        }
+
+    def test_substitution_insertion_deletion(self, spark):
+        rows = [
+            ("1", "hello"), ("2", "hxllo"),   # substitution
+            ("3", "helo"),                      # deletion
+            ("4", "helloo"),                    # insertion
+            ("5", "world"),                     # far away
+        ]
+        got = self._run(spark, rows)
+        assert got[("1", "2")] == 1
+        assert got[("1", "3")] == 1
+        assert got[("1", "4")] == 1
+        assert not any("5" in p for p in got)
+
+    def test_exact_duplicates_distance_zero(self, spark):
+        got = self._run(spark, [("1", "same"), ("2", "same")])
+        assert got == {("1", "2"): 0}
+
+    def test_empty_and_single_char(self, spark):
+        got = self._run(spark, [("1", ""), ("2", "a"), ("3", "ab")])
+        assert got[("1", "2")] == 1
+        assert got[("2", "3")] == 1
+        assert ("1", "3") not in got
+
+    def test_null_text_ignored(self, spark):
+        got = self._run(spark, [("1", "x"), ("2", None), ("3", "y")])
+        assert got == {("1", "3"): 1}
+
+    def test_k2_matches_bruteforce(self, spark):
+        # deterministic word soup; verify BOTH k settings against an
+        # exhaustive python levenshtein
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[len(b)]
+
+        words = []
+        for i in range(40):
+            base = f"w{(i * 7) % 13}tok{i % 5}"
+            if i % 4 == 1:
+                base = base[1:]
+            if i % 4 == 2:
+                base = base + "z"
+            if i % 4 == 3:
+                base = "q" + base[1:]
+            words.append((f"i{i:02d}", base))
+        for k in (1, 2):
+            want = {
+                (a, b): lev(sa, sb)
+                for ai, (a, sa) in enumerate(words)
+                for b, sb in words[ai + 1:]
+                if lev(sa, sb) <= k
+            }
+            # ids are strings: op orders by string compare, i{:02d} is
+            # lexicographic == numeric here
+            got = self._run(spark, words, k=k)
+            assert got == want, k
