@@ -5508,6 +5508,21 @@ def q_edit_join(spark, sf_dir):
     return edit_join(d, k=1, id_col="doc_id", text_col="name")
 
 
+def q_kcore(spark, sf_dir):
+    """k-core peeling (ops/graph.kcore) on a sparse 25-node graph
+    (docs < 60, edges (d%25, (3d+7)%25), avg degree ~4) at k=4 —
+    sparse enough that peeling removes nodes and cascades. Oracle
+    unrolls the identical peel rounds as HAVING-filtered semi-joins
+    and recomputes the convergence check."""
+    from fuzi_spark.ops.graph import kcore
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 60)
+    h = lambda c: F.concat(F.lit("g"), c.cast("string"))  # noqa: E731
+    i = F.col("doc_id")
+    e = d.select(h(i % 25).alias("src"), h((i * 3 + 7) % 25).alias("dst"))
+    return kcore(e, k=4, n_rounds=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5693,6 +5708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_agreement": q_label_agreement,
         "pareto_select": q_pareto_select,
         "edit_join": q_edit_join,
+        "kcore": q_kcore,
     }
 
 
@@ -9071,6 +9087,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist "
             "FROM t a JOIN t b ON a.doc_id < b.doc_id "
             "WHERE levenshtein(a.s, b.s) <= 1"
+        ),
+        "kcore": (
+            # identical peel recurrence unrolled 8 rounds + the same
+            # one-more-round convergence check
+            "WITH raw AS (SELECT 'g' || CAST(doc_id % 25 AS VARCHAR) "
+            "    AS a, 'g' || CAST((doc_id*3+7) % 25 AS VARCHAR) AS b "
+            "  FROM documents WHERE doc_id < 60), "
+            "e AS (SELECT a, b FROM raw WHERE a <> b), "
+            "und AS (SELECT DISTINCT a, b FROM ("
+            "  SELECT a, b FROM e UNION ALL SELECT b, a FROM e)), "
+            "deg AS (SELECT a AS node, COUNT(*) AS deg FROM und "
+            "  GROUP BY a), "
+            "a0 AS (SELECT node FROM deg WHERE deg >= 4), "
+            + " ".join(
+                f"a{r} AS (SELECT u.a AS node FROM und u "
+                f"JOIN a{r-1} x ON u.a = x.node "
+                f"JOIN a{r-1} y ON u.b = y.node "
+                "GROUP BY u.a HAVING COUNT(*) >= 4),"
+                for r in range(1, 9)
+            )
+            + " nxt AS (SELECT u.a AS node FROM und u "
+            "  JOIN a8 x ON u.a = x.node JOIN a8 y ON u.b = y.node "
+            "  GROUP BY u.a HAVING COUNT(*) >= 4) "
+            "SELECT deg.node, CAST(deg.deg AS BIGINT) AS degree, "
+            "CAST(CASE WHEN m.node IS NOT NULL THEN 1 ELSE 0 END "
+            "  AS INTEGER) AS in_core, "
+            "CAST((SELECT COUNT(*) FROM nxt) = "
+            "  (SELECT COUNT(*) FROM a8) AS INTEGER) AS converged "
+            "FROM deg LEFT JOIN a8 m ON deg.node = m.node"
         ),
     }
 

@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "label_agreement",
     "pareto_select",
     "edit_join",
+    "kcore",
 ]
 
 

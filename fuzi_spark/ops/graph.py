@@ -88,3 +88,100 @@ def triangle_count(
             ),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    n_rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core membership over the undirected simple graph: the maximal
+    subgraph where every node keeps degree >= k — the standard "dense
+    nucleus" detector (link farms and scraper rings live in high
+    cores; genuine long-tail sites are low-core), complementing
+    triangle_count's local signal with a global one.
+
+    Fixed n_rounds unroll of the peeling recurrence: each round
+    recomputes degrees WITHIN the surviving subgraph and drops nodes
+    below k; converged=1 iff one more round would drop nobody (the
+    token_budget_plan contract — an under-provisioned unroll is
+    reported, never silently wrong; peeling cascades need one round
+    per layer, so n_rounds bounds the cascade depth, not the k).
+
+    Scale shape: each round is one semi-join of the edge table against
+    surviving nodes (both endpoints) + a node-keyed degree count with
+    map-side partials; rounds localCheckpoint with superseded-table
+    release (domain_rank discipline) so the loop cannot grow the plan.
+
+    Returns (node string, degree bigint — original degree, in_core
+    int, converged int)."""
+    e = edges.select(
+        F.col(src_col).cast("string").alias("a"),
+        F.col(dst_col).cast("string").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    from .cache import scoped_persist
+
+    und = scoped_persist(
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+    )
+    deg0 = scoped_persist(
+        und.groupBy(F.col("a").alias("node")).agg(
+            F.count("*").alias("degree")
+        )
+    )
+
+    sc = edges.sparkSession.sparkContext
+
+    def _ids():
+        return {int(x) for x in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids):
+        m = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            h = m.get(i)
+            if h is not None:
+                h.unpersist(False)
+
+    before = _ids()
+    alive = deg0.where(F.col("degree") >= k).select("node").localCheckpoint()
+    alive_ids = _ids() - before
+    for _ in range(n_rounds):
+        sub = und.join(
+            alive.select(F.col("node").alias("a")), "a", "left_semi"
+        ).join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+        deg = sub.groupBy(F.col("a").alias("node")).agg(
+            F.count("*").alias("_d")
+        )
+        before = _ids()
+        alive = (
+            deg.where(F.col("_d") >= k).select("node").localCheckpoint()
+        )
+        new_ids = _ids() - before
+        _release(alive_ids)
+        alive_ids = new_ids
+    # converged iff one more peel drops nobody
+    sub = und.join(
+        alive.select(F.col("node").alias("a")), "a", "left_semi"
+    ).join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+    survivors = (
+        sub.groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").alias("_d"))
+        .where(F.col("_d") >= k)
+        .count()
+    )
+    converged = 1 if survivors == alive.count() else 0
+    return (
+        deg0.join(
+            alive.select("node", F.lit(1).alias("in_core")), "node", "left"
+        )
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce("in_core", F.lit(0)).cast("int").alias("in_core"),
+            F.lit(converged).cast("int").alias("converged"),
+        )
+    )

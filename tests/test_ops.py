@@ -9115,3 +9115,73 @@ class TestEditJoin:
             # lexicographic == numeric here
             got = self._run(spark, words, k=k)
             assert got == want, k
+
+
+class TestKCore:
+    """ops/graph.py kcore: peel cascades, convergence flag, python
+    reference differential."""
+
+    def _run(self, spark, edges, k, n_rounds=8):
+        from fuzi_spark.ops.graph import kcore
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {
+            r.node: r for r in kcore(df, k=k, n_rounds=n_rounds).collect()
+        }
+
+    @staticmethod
+    def _reference(edges, k):
+        adj = {}
+        for u, v in edges:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        alive = set(adj)
+        while True:
+            drop = {n for n in alive if len(adj[n] & alive) < k}
+            if not drop:
+                return alive
+            alive -= drop
+
+    def test_triangle_chain_cascade(self, spark):
+        # path a-b-c-d: 2-core peels endpoints, then EVERYTHING
+        # (cascade: after a,d go, b and c drop to degree 1)
+        edges = [("a", "b"), ("b", "c"), ("c", "d")]
+        got = self._run(spark, edges, k=2)
+        assert all(r.in_core == 0 for r in got.values())
+        assert all(r.converged == 1 for r in got.values())
+
+    def test_cycle_is_its_own_2core(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "t")]
+        got = self._run(spark, edges, k=2)
+        assert {n for n, r in got.items() if r.in_core} == {"a", "b", "c"}
+        assert got["t"].in_core == 0 and got["t"].degree == 1
+
+    def test_k4_clique_with_tail(self, spark):
+        nodes = ["a", "b", "c", "d"]
+        clique = [
+            (x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]
+        ]
+        edges = clique + [("d", "e"), ("e", "f")]
+        got = self._run(spark, edges, k=3)
+        assert {n for n, r in got.items() if r.in_core} == set(nodes)
+
+    def test_insufficient_rounds_flags(self, spark):
+        # a long path needs one round per layer: 1 round on a 6-path
+        # at k=2 cannot finish peeling
+        edges = [(str(i), str(i + 1)) for i in range(6)]
+        got = self._run(spark, edges, k=2, n_rounds=1)
+        assert any(r.converged == 0 for r in got.values())
+
+    def test_matches_reference(self, spark):
+        edges = []
+        for d in range(70):
+            u, v = d % 15, (d * 4 + 3) % 15
+            if u != v:
+                edges.append((f"n{u}", f"n{v}"))
+        for k in (2, 3, 4):
+            want = self._reference(edges, k)
+            got = self._run(spark, edges, k=k, n_rounds=10)
+            assert all(r.converged == 1 for r in got.values()), k
+            assert {n for n, r in got.items() if r.in_core} == want, k
