@@ -5523,6 +5523,31 @@ def q_kcore(spark, sf_dir):
     return kcore(e, k=4, n_rounds=8)
 
 
+def q_retrieval_eval(spark, sf_dir):
+    """IR metrics (ops/ir.retrieval_eval) over a constructed run:
+    d -> query q(d%10) at rank d//10+1 (bijective: 10 queries x ranks
+    1..50), gold = d%3==0 (~17/query, some beyond the k=10 cut, so
+    recall < 1 and MRR sees ranks > k). n_gold >= 10 for every query
+    by construction, so ideal DCG is the constant 10-term sum on both
+    sides. Oracle replays joins + metric arithmetic (log2 ulps inside
+    6-sig-fig rounding)."""
+    from fuzi_spark.ops.ir import retrieval_eval
+
+    i = F.col("doc_id")
+    q = F.concat(F.lit("q"), (i % 10).cast("string"))
+    doc = F.concat(F.lit("d"), i.cast("string"))
+    d = _docs(spark, sf_dir)
+    results = d.select(
+        q.alias("query_id"),
+        doc.alias("doc_id"),
+        (F.floor(i / 10) + 1).cast("int").alias("rank"),
+    )
+    gold = d.where(i % 3 == 0).select(
+        q.alias("query_id"), doc.alias("doc_id")
+    )
+    return retrieval_eval(results, gold, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5709,6 +5734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_select": q_pareto_select,
         "edit_join": q_edit_join,
         "kcore": q_kcore,
+        "retrieval_eval": q_retrieval_eval,
     }
 
 
@@ -9116,6 +9142,41 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT COUNT(*) FROM nxt) = "
             "  (SELECT COUNT(*) FROM a8) AS INTEGER) AS converged "
             "FROM deg LEFT JOIN a8 m ON deg.node = m.node"
+        ),
+        "retrieval_eval": (
+            # identical run construction + metric arithmetic; ideal DCG
+            # is the constant 10-term sum (n_gold >= 10 by construction
+            # on both sides)
+            "WITH res AS (SELECT 'q' || CAST(doc_id % 10 AS VARCHAR) "
+            "    AS query_id, 'd' || CAST(doc_id AS VARCHAR) AS doc, "
+            "  CAST(doc_id // 10 + 1 AS INTEGER) AS rank "
+            "  FROM documents), "
+            "g AS (SELECT DISTINCT 'q' || CAST(doc_id % 10 AS VARCHAR) "
+            "    AS query_id, 'd' || CAST(doc_id AS VARCHAR) AS doc "
+            "  FROM documents WHERE doc_id % 3 = 0), "
+            "ng AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_gold "
+            "  FROM g GROUP BY query_id), "
+            "h AS (SELECT res.query_id, rank FROM res "
+            "  JOIN g ON res.query_id = g.query_id AND res.doc = g.doc), "
+            "pq AS (SELECT query_id, "
+            "  CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) "
+            "    AS BIGINT) AS nh, "
+            "  MIN(rank) AS fr, "
+            "  SUM(CASE WHEN rank <= 10 THEN 1.0 / log2(rank + 1.0) "
+            "    ELSE 0 END) AS dcg FROM h GROUP BY query_id), "
+            "ideal AS (SELECT SUM(1.0 / log2(i + 1.0)) AS idcg "
+            "  FROM generate_series(1, 10) t(i)) "
+            "SELECT ng.query_id, ng.n_gold, "
+            "COALESCE(pq.nh, 0) AS n_hits_at_k, "
+            "CAST(COALESCE(pq.nh, 0) AS DOUBLE) / ng.n_gold "
+            "  AS recall_at_k, "
+            "CAST(COALESCE(pq.nh, 0) AS DOUBLE) / 10.0 "
+            "  AS precision_at_k, "
+            "CASE WHEN pq.fr IS NOT NULL THEN 1.0 / pq.fr ELSE 0.0 END "
+            "  AS mrr, "
+            "COALESCE(pq.dcg, 0.0) / (SELECT idcg FROM ideal) "
+            "  AS ndcg_at_k "
+            "FROM ng LEFT JOIN pq ON ng.query_id = pq.query_id"
         ),
     }
 

@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "pareto_select",
     "edit_join",
     "kcore",
+    "retrieval_eval",
 ]
 
 

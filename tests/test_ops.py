@@ -9185,3 +9185,69 @@ class TestKCore:
             got = self._run(spark, edges, k=k, n_rounds=10)
             assert all(r.converged == 1 for r in got.values()), k
             assert {n for n, r in got.items() if r.in_core} == want, k
+
+
+class TestRetrievalEval:
+    """ops/ir.py retrieval_eval: hand-computed metrics, MRR beyond
+    the cut, no-hit and no-gold queries."""
+
+    def _run(self, spark, results, gold, k=3):
+        from fuzi_spark.ops.ir import retrieval_eval
+
+        r = spark.createDataFrame(
+            results, "query_id string, doc_id string, rank int"
+        )
+        g = spark.createDataFrame(gold, "query_id string, doc_id string")
+        return {
+            row.query_id: row
+            for row in retrieval_eval(r, g, k=k).collect()
+        }
+
+    def test_hand_computed(self, spark):
+        import math
+
+        results = [
+            ("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3), ("q1", "d", 4)
+        ]
+        gold = [("q1", "a"), ("q1", "c"), ("q1", "z")]
+        got = self._run(spark, results, gold, k=3)["q1"]
+        assert got.n_gold == 3 and got.n_hits_at_k == 2
+        assert abs(got.recall_at_k - 2 / 3) < 1e-12
+        assert abs(got.precision_at_k - 2 / 3) < 1e-12
+        assert got.mrr == 1.0
+        dcg = 1 / math.log2(2) + 1 / math.log2(4)
+        idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+        assert abs(got.ndcg_at_k - dcg / idcg) < 1e-12
+
+    def test_first_hit_beyond_cut_counts_for_mrr_only(self, spark):
+        results = [("q1", "a", 1), ("q1", "b", 2), ("q1", "g", 5)]
+        gold = [("q1", "g")]
+        got = self._run(spark, results, gold, k=3)["q1"]
+        assert got.n_hits_at_k == 0 and got.recall_at_k == 0.0
+        assert abs(got.mrr - 0.2) < 1e-12
+        assert got.ndcg_at_k == 0.0
+
+    def test_no_hits_at_all(self, spark):
+        got = self._run(
+            spark, [("q1", "a", 1)], [("q1", "x")], k=3
+        )["q1"]
+        assert got.mrr == 0.0 and got.ndcg_at_k == 0.0
+
+    def test_goldless_query_excluded(self, spark):
+        got = self._run(
+            spark,
+            [("q1", "a", 1), ("q2", "b", 1)],
+            [("q1", "a")],
+            k=3,
+        )
+        assert set(got) == {"q1"}
+        assert got["q1"].recall_at_k == 1.0
+
+    def test_duplicate_gold_rows_counted_once(self, spark):
+        got = self._run(
+            spark,
+            [("q1", "a", 1)],
+            [("q1", "a"), ("q1", "a")],
+            k=3,
+        )["q1"]
+        assert got.n_gold == 1 and got.recall_at_k == 1.0
