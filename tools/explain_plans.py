@@ -657,6 +657,26 @@ CASES = [
      "over the rating stream, per-item fold, then only "
      "metadata-sized reductions and broadcast crossJoins of 1-row "
      "aggregates."),
+    ("pareto_select",
+     "2D skyline. Wants: per-min-value partial_ max before the value "
+     "exchange; the single-partition cumulative window runs over the "
+     "DISTINCT-value table only (discretized-metric contract); one "
+     "value-keyed join back."),
+    ("edit_join",
+     "SymSpell edit join. Wants: deletion variants generated inside "
+     "whole-stage codegen (no Python), ONE exchange keyed on the "
+     "variant string for the candidate equi-join, levenshtein verify "
+     "in the join projection."),
+    ("kcore",
+     "k-core peel. Wants: per-round two-sided left_semi joins against "
+     "the checkpointed survivor table + node-keyed partial_ counts; "
+     "plan truncated per round (localCheckpoint) so 8 rounds cannot "
+     "nest 8 plans."),
+    ("retrieval_eval",
+     "IR metrics. Wants: gold dedup + hit join keyed on query_id "
+     "(co-partitioned), ONE query-keyed agg with map-side partials, "
+     "ideal-DCG as a codegen'd sequence aggregate — no windows, no "
+     "Python."),
 ]
 
 
