@@ -5548,6 +5548,39 @@ def q_retrieval_eval(spark, sf_dir):
     return retrieval_eval(results, gold, k=10)
 
 
+def q_hll_rollup(spark, sf_dir):
+    """HLL monoid merge (ops/sketch.hll_merge_rollup): per-language
+    register tables merged into a '(total)' sketch by groupBy(idx)
+    max-rank — the union-of-sets merge — with per-group AND overall
+    estimates from the same register algebra, joined to exact distinct
+    counts so the estimate error is visible. Oracle replays the merge
+    and the harmonic estimate (dyadic 2^-rho sums — order-exact)."""
+    from fuzi_spark.ops.sketch import hll_merge_rollup, hll_sketch
+
+    toks = _docs(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    est = hll_merge_rollup(
+        hll_sketch(toks, "token", ["lang"]), "lang"
+    )
+    exact = (
+        toks.groupBy("lang")
+        .agg(F.countDistinct("token").alias("distinct_exact"))
+        .unionByName(
+            toks.agg(
+                F.countDistinct("token").alias("distinct_exact")
+            ).select(F.lit("(total)").alias("lang"), "distinct_exact")
+        )
+    )
+    return est.join(exact, "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5735,6 +5768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_join": q_edit_join,
         "kcore": q_kcore,
         "retrieval_eval": q_retrieval_eval,
+        "hll_rollup": q_hll_rollup,
     }
 
 
@@ -9177,6 +9211,38 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(pq.dcg, 0.0) / (SELECT idcg FROM ideal) "
             "  AS ndcg_at_k "
             "FROM ng LEFT JOIN pq ON ng.query_id = pq.query_id"
+        ),
+        "hll_rollup": (
+            # hll_distinct's replay + the monoid merge: '(total)'
+            # registers are groupBy(idx) max over the per-lang sketch
+            "WITH toks AS (SELECT lang, unnest(list_filter("
+            "  regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "  x -> x <> '')) AS token FROM documents), "
+            "h AS (SELECT lang, "
+            "  CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS hv "
+            "  FROM toks), "
+            "r AS (SELECT lang, hv >> 24 AS idx, "
+            "  CASE WHEN (hv & 16777215) = 0 THEN 25 "
+            "  ELSE 25 - length(bin(hv & 16777215)) END AS rho FROM h), "
+            "sk AS (SELECT lang, idx, MAX(rho) AS rho FROM r "
+            "  GROUP BY 1, 2), "
+            "skall AS (SELECT lang, idx, rho FROM sk "
+            "  UNION ALL SELECT '(total)', idx, MAX(rho) FROM sk "
+            "  GROUP BY idx), "
+            "ag AS (SELECT lang, SUM(power(2.0, -rho)) AS s, "
+            "  COUNT(*) AS n FROM skall GROUP BY 1), "
+            "e AS (SELECT lang, "
+            "  (0.7213 / (1.0 + 1.079 / 256)) * 65536 / "
+            "    (s + (256 - n)) AS raw, 256 - n AS v FROM ag), "
+            "est AS (SELECT lang, CASE WHEN raw <= 640.0 AND v > 0 "
+            "  THEN 256.0 * ln(256.0 / v) ELSE raw END "
+            "  AS distinct_est FROM e), "
+            "ex AS (SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) "
+            "  AS distinct_exact FROM toks GROUP BY 1 "
+            "  UNION ALL SELECT '(total)', "
+            "  CAST(COUNT(DISTINCT token) AS BIGINT) FROM toks) "
+            "SELECT est.lang, est.distinct_est, ex.distinct_exact "
+            "FROM est JOIN ex ON est.lang = ex.lang"
         ),
     }
 

@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "edit_join",
     "kcore",
     "retrieval_eval",
+    "hll_rollup",
 ]
 
 

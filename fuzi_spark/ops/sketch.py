@@ -315,3 +315,25 @@ def corpus_overlap(
             "est_contain_b"
         ),
     )
+
+
+def hll_merge_rollup(
+    sketch: DataFrame, group_col: str, total_label: str = "(total)"
+) -> DataFrame:
+    """Exercise the HLL monoid: merge per-group register tables into a
+    '(total)' sketch (groupBy(idx) max-rank — the union-of-sets merge)
+    and estimate per group AND overall from the SAME register algebra.
+    This is the operation that makes stored sketches pay off: a year
+    of per-batch register tables collapses to one corpus-wide distinct
+    estimate without re-touching a single document. Input is
+    hll_sketch(...) output with one grouping column; all work is over
+    (groups x 256)-row tables."""
+    per = sketch.select(F.col(group_col).alias("_g"), "idx", "rho")
+    merged = (
+        per.groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit(total_label).alias("_g"), "idx", "rho")
+    )
+    return hll_estimate(
+        per.unionByName(merged), group_cols=["_g"]
+    ).withColumnRenamed("_g", group_col)

@@ -9251,3 +9251,52 @@ class TestRetrievalEval:
             k=3,
         )["q1"]
         assert got.n_gold == 1 and got.recall_at_k == 1.0
+
+
+class TestHllMergeRollup:
+    """ops/sketch.py hll_merge_rollup: monoid law (merged registers ==
+    sketch of the union), rollup shape."""
+
+    def _sketch(self, spark, rows):
+        from fuzi_spark.ops.sketch import hll_sketch
+
+        df = spark.createDataFrame(rows, "g string, k string")
+        return hll_sketch(df, "k", ["g"])
+
+    def test_merge_equals_direct_union_sketch(self, spark):
+        from fuzi_spark.ops.sketch import (
+            hll_estimate,
+            hll_merge_rollup,
+            hll_sketch,
+        )
+
+        rows = [("a", f"x{i % 90}") for i in range(300)] + [
+            ("b", f"y{i % 70}") for i in range(200)
+        ]
+        roll = {
+            r.g: r.distinct_est
+            for r in hll_merge_rollup(self._sketch(spark, rows), "g")
+            .collect()
+        }
+        # register algebra identity: max-merge of per-group sketches
+        # IS the sketch of the union -> estimates must be EQUAL
+        union_df = spark.createDataFrame(
+            [(k,) for _, k in rows], "k string"
+        )
+        direct = hll_estimate(hll_sketch(union_df, "k")).collect()[0][
+            "distinct_est"
+        ]
+        assert roll["(total)"] == direct
+        assert set(roll) == {"a", "b", "(total)"}
+
+    def test_identical_groups_total_equals_each(self, spark):
+        from fuzi_spark.ops.sketch import hll_merge_rollup
+
+        keys = [f"t{i}" for i in range(120)]
+        rows = [("a", k) for k in keys] + [("b", k) for k in keys]
+        roll = {
+            r.g: r.distinct_est
+            for r in hll_merge_rollup(self._sketch(spark, rows), "g")
+            .collect()
+        }
+        assert roll["(total)"] == roll["a"] == roll["b"]
