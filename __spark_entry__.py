@@ -5581,6 +5581,61 @@ def q_hll_rollup(spark, sf_dir):
     return est.join(exact, "lang")
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking invariants (ops/cdc.cdc_chunks_df):
+    every doc's 1024-byte blob is built from 64 md5-derived 16-byte
+    segments keyed by g = doc_id%40, so each group's ~12 docs carry
+    IDENTICAL bytes. The planted invariants the oracle writes
+    directly: one distinct chunk sequence per group, chunk lengths
+    partition the 1024-byte blob exactly, and every chunk respects
+    max_size (min_size does not bind the tail chunk; boundaries
+    themselves are content-derived — pinned by TestCdcChunks incl.
+    the insertion-resync property)."""
+    from fuzi_spark.ops.cdc import cdc_chunks_df
+
+    g = (F.col("doc_id") % 40).cast("string")
+    seg_hexes = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.md5(
+            F.concat(F.lit("seg:"), g, F.lit(":"), i.cast("string"))
+        ),
+    )
+    payload = F.unhex(F.array_join(seg_hexes, ""))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", payload.alias("payload")
+    )
+    chunks = cdc_chunks_df(docs, avg_size=128, min_size=32, max_size=512)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("chunk_idx", "chunk_hash")
+                        )
+                    ),
+                    lambda s: s["chunk_hash"],
+                ),
+                ",",
+            )
+        ).alias("_seq"),
+        F.sum("length").alias("_blob_bytes"),
+        F.max("length").alias("_max_chunk"),
+    )
+    return (
+        per_doc.groupBy((F.col("doc_id") % 40).alias("grp"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("_seq").alias("n_seqs"),
+            F.min("_blob_bytes").cast("bigint").alias("blob_bytes_min"),
+            F.max("_blob_bytes").cast("bigint").alias("blob_bytes_max"),
+            # max_size holds for EVERY chunk; min_size legitimately
+            # does not bind the tail chunk (pinned in TestCdcChunks)
+            (F.max("_max_chunk") <= 512).cast("int").alias("max_size_ok"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5769,6 +5824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "retrieval_eval": q_retrieval_eval,
         "hll_rollup": q_hll_rollup,
+        "cdc_dedup": q_cdc_dedup,
     }
 
 
@@ -9243,6 +9299,20 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(COUNT(DISTINCT token) AS BIGINT) FROM toks) "
             "SELECT est.lang, est.distinct_est, ex.distinct_exact "
             "FROM est JOIN ex ON est.lang = ex.lang"
+        ),
+        "cdc_dedup": (
+            # the planted invariants written directly: per doc_id%40
+            # group — identical bytes — exactly ONE distinct chunk
+            # sequence, lengths partition the 1024-byte blob, max_size
+            # respected on every chunk (boundary positions themselves
+            # are pinned by the pytest resync suite, not SQL)
+            "SELECT CAST(doc_id % 40 AS BIGINT) AS grp, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(1 AS BIGINT) AS n_seqs, "
+            "CAST(1024 AS BIGINT) AS blob_bytes_min, "
+            "CAST(1024 AS BIGINT) AS blob_bytes_max, "
+            "CAST(1 AS INTEGER) AS max_size_ok "
+            "FROM documents GROUP BY doc_id % 40"
         ),
     }
 

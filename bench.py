@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "kcore",
     "retrieval_eval",
     "hll_rollup",
+    "cdc_dedup",
 ]
 
 

@@ -307,7 +307,11 @@ def corpus_overlap(
     both = F.col("_both").cast("double")
     return agg.select(
         F.col("k_eff").cast("bigint").alias("k_eff"),
-        (both / F.col("k_eff")).alias("est_jaccard"),
+        # k_eff = 0 (both corpora empty) must yield NULL, not an ANSI
+        # divide-by-zero task failure
+        F.when(F.col("k_eff") > 0, both / F.col("k_eff")).alias(
+            "est_jaccard"
+        ),
         F.when(F.col("_na") > 0, both / F.col("_na")).alias(
             "est_contain_a"
         ),

@@ -9300,3 +9300,101 @@ class TestHllMergeRollup:
             .collect()
         }
         assert roll["(total)"] == roll["a"] == roll["b"]
+
+
+class TestCdcChunks:
+    """ops/cdc.py: content-defined chunking — determinism, insertion
+    resync (the property fixed-size chunking lacks), size bounds."""
+
+    @staticmethod
+    def _blob(seed, n=2048):
+        import hashlib
+
+        out = b""
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{i}".encode()).digest()
+            i += 1
+        return out[:n]
+
+    def test_deterministic_and_partitioning(self):
+        from fuzi_spark.ops.cdc import cdc_chunk_blob
+
+        a = self._blob("s1")
+        c1 = cdc_chunk_blob(a)
+        c2 = cdc_chunk_blob(a)
+        assert c1 == c2 and len(c1) > 1
+        assert sum(ln for _, _, ln, _ in c1) == len(a)
+        offs = [o for _, o, _, _ in c1]
+        assert offs == sorted(offs) and offs[0] == 0
+
+    def test_size_bounds(self):
+        from fuzi_spark.ops.cdc import cdc_chunk_blob
+
+        chunks = cdc_chunk_blob(
+            self._blob("s2", 8192), avg_size=256, min_size=64,
+            max_size=1024,
+        )
+        lens = [ln for _, _, ln, _ in chunks]
+        assert all(ln <= 1024 for ln in lens)
+        assert all(ln >= 64 for ln in lens[:-1])  # tail may be short
+
+    def test_insertion_resync(self):
+        from fuzi_spark.ops.cdc import cdc_chunk_blob
+
+        a = self._blob("s3", 4096)
+        b = b"INSERTED-BYTES!" + a
+        ha = [h for _, _, _, h in cdc_chunk_blob(a)]
+        hb = [h for _, _, _, h in cdc_chunk_blob(b)]
+        # the boundaries are content-defined: after the first cut past
+        # the edit, chunking realigns and the SUFFIX chunks agree
+        common = 0
+        while (
+            common < min(len(ha), len(hb))
+            and ha[-1 - common] == hb[-1 - common]
+        ):
+            common += 1
+        assert common >= 1
+        # realigned suffix covers most of the blob
+        covered = sum(
+            ln for _, _, ln, _ in cdc_chunk_blob(a)[-common:]
+        )
+        assert covered > len(a) // 2
+
+    def test_empty_and_tiny(self):
+        from fuzi_spark.ops.cdc import cdc_chunk_blob
+
+        assert cdc_chunk_blob(b"") == []
+        tiny = cdc_chunk_blob(b"abc")
+        assert len(tiny) == 1 and tiny[0][2] == 3
+
+    def test_distributed_matches_local(self, spark):
+        from fuzi_spark.ops.cdc import cdc_chunk_blob, cdc_chunks_df
+
+        blobs = [(i, self._blob(f"d{i % 3}", 1024)) for i in range(6)]
+        df = spark.createDataFrame(
+            blobs, "doc_id long, payload binary"
+        )
+        got = {}
+        for r in cdc_chunks_df(df).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.offset, r.length, r.chunk_hash)
+            )
+        for did, blob in blobs:
+            assert sorted(got[did]) == cdc_chunk_blob(blob), did
+        # identical payloads -> identical chunk rows
+        assert [c[3] for c in got[0]] == [c[3] for c in got[3]]
+
+
+class TestCorpusOverlapEmpty:
+    """corpus_overlap on empty corpora: NULL estimates, not an ANSI
+    divide-by-zero task failure."""
+
+    def test_both_empty(self, spark):
+        from fuzi_spark.ops.sketch import corpus_overlap
+
+        e = spark.createDataFrame([], "text string")
+        r = corpus_overlap(e, e, k=16).collect()[0]
+        assert r.k_eff == 0
+        assert r.est_jaccard is None
+        assert r.est_contain_a is None and r.est_contain_b is None
