@@ -5636,6 +5636,75 @@ def q_cdc_dedup(spark, sf_dir):
     )
 
 
+def q_span_diff(spark, sf_dir):
+    """Span-level extraction diff (ops/assemble.span_diff): old run =
+    3 spans/doc (two text + one NULL-text media span — exercising the
+    NULL-safe field compare); new run mutates by d%5: identical /
+    text-changed / span-removed / span-added / kind-changed+added.
+    Oracle writes the expected per-doc verdicts from the construction."""
+    from fuzi_spark.ops.assemble import span_diff
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    s = i.cast("string")
+    ns = F.lit(None).cast("string")
+
+    def spans(df, rows):
+        parts = [
+            df.select(
+                "doc_id",
+                F.lit(seq).alias("seq"),
+                kind.alias("kind"),
+                text.alias("text"),
+                ref.alias("media_ref"),
+            )
+            for seq, kind, text, ref in rows
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    old = spans(
+        d,
+        [
+            (0, F.lit("text"), F.concat(F.lit("a"), s), ns),
+            (1, F.lit("text"), F.concat(F.lit("b"), s), ns),
+            (2, F.lit("media"), ns, F.concat(F.lit("m://"), s)),
+        ],
+    )
+    m = i % 5
+    new = spans(
+        d,
+        [
+            (
+                0,
+                F.when(m == 4, F.lit("heading")).otherwise(F.lit("text")),
+                F.concat(F.lit("a"), s),
+                ns,
+            ),
+            (
+                1,
+                F.lit("text"),
+                F.when(m == 1, F.concat(F.lit("B"), s)).otherwise(
+                    F.concat(F.lit("b"), s)
+                ),
+                ns,
+            ),
+            (2, F.lit("media"), ns, F.concat(F.lit("m://"), s)),
+        ],
+    )
+    new = new.where(~((F.col("seq") == 2) & (m == 2)))
+    extra = d.where((m == 3) | (m == 4)).select(
+        "doc_id",
+        F.lit(3).alias("seq"),
+        F.lit("text").alias("kind"),
+        F.concat(F.lit("c"), s).alias("text"),
+        ns.alias("media_ref"),
+    )
+    return span_diff(old, new.unionByName(extra))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5825,6 +5894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "hll_rollup": q_hll_rollup,
         "cdc_dedup": q_cdc_dedup,
+        "span_diff": q_span_diff,
     }
 
 
@@ -9313,6 +9383,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1024 AS BIGINT) AS blob_bytes_max, "
             "CAST(1 AS INTEGER) AS max_size_ok "
             "FROM documents GROUP BY doc_id % 40"
+        ),
+        "span_diff": (
+            # expected verdicts straight from the d%5 mutation plan:
+            # 0 identical; 1 text change at seq1; 2 seq2 removed;
+            # 3 seq3 added; 4 kind change at seq0 + seq3 added
+            "WITH c AS (SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS m "
+            "  FROM documents) "
+            "SELECT doc_id, "
+            "CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 2 "
+            "  WHEN 3 THEN 3 ELSE 2 END AS BIGINT) AS n_same, "
+            "CAST(CASE WHEN m IN (1, 4) THEN 1 ELSE 0 END AS BIGINT) "
+            "  AS n_changed, "
+            "CAST(CASE WHEN m IN (3, 4) THEN 1 ELSE 0 END AS BIGINT) "
+            "  AS n_added, "
+            "CAST(CASE WHEN m = 2 THEN 1 ELSE 0 END AS BIGINT) "
+            "  AS n_removed, "
+            "CAST(CASE WHEN m = 0 THEN 1 ELSE 0 END AS INTEGER) "
+            "  AS identical, "
+            "CAST(CASE m WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 3 "
+            "  WHEN 4 THEN 0 END AS INTEGER) AS first_div_seq "
+            "FROM c"
         ),
     }
 

@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "retrieval_eval",
     "hll_rollup",
     "cdc_dedup",
+    "span_diff",
 ]
 
 

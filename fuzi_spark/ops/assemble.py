@@ -450,3 +450,76 @@ def span_validate(
         reason.isNull().cast("int").alias("valid"),
         reason.alias("reason"),
     )
+
+
+def span_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    seq_col: str = "seq",
+    kind_col: str = "kind",
+    text_col: str = "text",
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """Per-document diff of two span-table extraction runs — the
+    north-rule invariant (span-sequence equality on (kind, text,
+    media_ref, order)) turned into an OPERATOR, for the question every
+    extractor refactor raises: which documents changed, how much, and
+    where does the divergence start. shard_manifest answers it
+    per-shard at metadata cost; this answers it per-document at span
+    granularity, on exactly the shards the manifest flagged.
+
+    One full-outer join on (doc_id, seq) — co-partitioned sort-merge
+    on the same key both span tables are already written with — then
+    a doc-keyed fold with map-side partials. NULL-safe field compare
+    (media spans carry NULL text, text spans NULL media_ref).
+
+    Returns one row per doc appearing in either run: (doc_id, n_same,
+    n_changed — both runs have the seq but any of kind/text/media_ref
+    differ, n_added — seq only in new, n_removed — seq only in old,
+    identical int, first_div_seq — smallest diverging seq, NULL when
+    identical)."""
+    def side(df, tag):
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(seq_col).alias("seq"),
+            F.struct(
+                F.col(kind_col).alias("kind"),
+                F.col(text_col).alias("text"),
+                F.col(ref_col).alias("media_ref"),
+            ).alias(tag),
+        )
+
+    j = side(old, "_o").join(side(new, "_n"), ["doc_id", "seq"], "full_outer")
+    # struct equality in Spark is NULL-safe per field via eqNullSafe
+    same = F.col("_o").eqNullSafe(F.col("_n"))
+    status = (
+        F.when(F.col("_o").isNull(), F.lit("added"))
+        .when(F.col("_n").isNull(), F.lit("removed"))
+        .when(same, F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    per = j.select("doc_id", "seq", status.alias("_st"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum((F.col("_st") == "same").cast("int")).alias("n_same"),
+        F.sum((F.col("_st") == "changed").cast("int")).alias("n_changed"),
+        F.sum((F.col("_st") == "added").cast("int")).alias("n_added"),
+        F.sum((F.col("_st") == "removed").cast("int")).alias("n_removed"),
+        F.min(
+            F.when(F.col("_st") != "same", F.col("seq"))
+        ).alias("first_div_seq"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_same").cast("bigint").alias("n_same"),
+        F.col("n_changed").cast("bigint").alias("n_changed"),
+        F.col("n_added").cast("bigint").alias("n_added"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        (
+            (F.col("n_changed") + F.col("n_added") + F.col("n_removed"))
+            == 0
+        )
+        .cast("int")
+        .alias("identical"),
+        F.col("first_div_seq").cast("int").alias("first_div_seq"),
+    )

@@ -9398,3 +9398,58 @@ class TestCorpusOverlapEmpty:
         assert r.k_eff == 0
         assert r.est_jaccard is None
         assert r.est_contain_a is None and r.est_contain_b is None
+
+
+class TestSpanDiff:
+    """ops/assemble.py span_diff: per-doc extraction-run diff — status
+    classes, NULL-safe compare, first divergence."""
+
+    SCHEMA = (
+        "doc_id string, seq int, kind string, text string, "
+        "media_ref string"
+    )
+
+    def _run(self, spark, old_rows, new_rows):
+        from fuzi_spark.ops.assemble import span_diff
+
+        o = spark.createDataFrame(old_rows, self.SCHEMA)
+        n = spark.createDataFrame(new_rows, self.SCHEMA)
+        return {r.doc_id: r for r in span_diff(o, n).collect()}
+
+    def test_identical_including_null_fields(self, spark):
+        rows = [
+            ("a", 0, "text", "x", None),
+            ("a", 1, "media", None, "m://1"),
+        ]
+        got = self._run(spark, rows, rows)["a"]
+        assert (got.n_same, got.identical, got.first_div_seq) == (2, 1, None)
+
+    def test_change_add_remove_and_first_div(self, spark):
+        old = [
+            ("a", 0, "text", "x", None),
+            ("a", 1, "text", "y", None),
+            ("a", 2, "text", "z", None),
+        ]
+        new = [
+            ("a", 0, "text", "x", None),
+            ("a", 1, "text", "Y", None),   # changed
+            ("a", 3, "text", "w", None),   # added; seq 2 removed
+        ]
+        got = self._run(spark, old, new)["a"]
+        assert (got.n_same, got.n_changed, got.n_added, got.n_removed) == (
+            1, 1, 1, 1,
+        )
+        assert got.identical == 0 and got.first_div_seq == 1
+
+    def test_null_to_value_is_a_change(self, spark):
+        old = [("a", 0, "media", None, "m://1")]
+        new = [("a", 0, "media", "caption", "m://1")]
+        got = self._run(spark, old, new)["a"]
+        assert got.n_changed == 1 and got.first_div_seq == 0
+
+    def test_doc_only_in_one_run(self, spark):
+        old = [("a", 0, "text", "x", None)]
+        new = [("b", 0, "text", "x", None)]
+        got = self._run(spark, old, new)
+        assert got["a"].n_removed == 1 and got["a"].identical == 0
+        assert got["b"].n_added == 1 and got["b"].identical == 0
