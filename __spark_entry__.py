@@ -5705,6 +5705,17 @@ def q_span_diff(spark, sf_dir):
     return span_diff(old, new.unionByName(extra))
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (ops/textstats.
+    tokenizer_fertility) over the real documents corpus: chars/bytes
+    per BPE-ish token and tokens per doc — the multilingual
+    budget-planning table. Oracle replicates regexp token counts,
+    char lengths, and strlen byte lengths per language."""
+    from fuzi_spark.ops.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(spark, sf_dir), "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5895,6 +5906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup": q_hll_rollup,
         "cdc_dedup": q_cdc_dedup,
         "span_diff": q_span_diff,
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
 
 
@@ -9404,6 +9416,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE m WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 3 "
             "  WHEN 4 THEN 0 END AS INTEGER) AS first_div_seq "
             "FROM c"
+        ),
+        "tokenizer_fertility": (
+            # identical token regex (text_quality precedent), char
+            # length, and strlen byte length; exact-int sums divide
+            # identically in double
+            "WITH t AS (SELECT lang, COALESCE(text, '') AS tx "
+            "  FROM documents), "
+            "per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "  CAST(SUM(len(regexp_extract_all(tx, "
+            "    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT) "
+            "    AS n_tokens, "
+            "  CAST(SUM(length(tx)) AS BIGINT) AS n_chars, "
+            "  CAST(SUM(strlen(tx)) AS BIGINT) AS n_bytes "
+            "  FROM t GROUP BY lang) "
+            "SELECT lang, n_docs, n_tokens, n_chars, n_bytes, "
+            "CASE WHEN n_tokens > 0 THEN "
+            "  CAST(n_chars AS DOUBLE) / n_tokens END AS chars_per_token, "
+            "CASE WHEN n_tokens > 0 THEN "
+            "  CAST(n_bytes AS DOUBLE) / n_tokens END AS bytes_per_token, "
+            "CAST(n_tokens AS DOUBLE) / n_docs AS tokens_per_doc "
+            "FROM per"
         ),
     }
 

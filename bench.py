@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "hll_rollup",
     "cdc_dedup",
     "span_diff",
+    "tokenizer_fertility",
 ]
 
 

@@ -1009,3 +1009,40 @@ def code_quality(
         reason.alias("reject_reason"),
         reason.isNull().cast("int").alias("keep"),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer fertility: how many characters and UTF-8
+    bytes one token buys, by language/source — the diagnostic that
+    decides multilingual token budgets (a fertility-2x language burns
+    its budget twice as fast for the same text mass; temperature
+    rebalancing and token_budget_plan both consume exactly this
+    table). Token convention = the repo's BPE-ish regex (token_count),
+    so numbers are comparable with text_quality/repetition.
+
+    One scan, one groupBy with map-side partials; |groups| rows out.
+    Returns (group, n_docs, n_tokens, n_chars, n_bytes,
+    chars_per_token, bytes_per_token, tokens_per_doc) — ratios NULL
+    for a group with zero tokens rather than an ANSI zero-division."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    per = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.regexp_count(t, F.lit(_BPE_SPLIT_JAVA))).alias("n_tokens"),
+        F.sum(F.length(t)).alias("n_chars"),
+        F.sum(F.octet_length(t)).alias("n_bytes"),
+    )
+    tok = F.col("n_tokens").cast("double")
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.when(tok > 0, F.col("n_chars") / tok).alias("chars_per_token"),
+        F.when(tok > 0, F.col("n_bytes") / tok).alias("bytes_per_token"),
+        (tok / F.col("n_docs")).alias("tokens_per_doc"),
+    )

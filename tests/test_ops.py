@@ -9453,3 +9453,36 @@ class TestSpanDiff:
         got = self._run(spark, old, new)
         assert got["a"].n_removed == 1 and got["a"].identical == 0
         assert got["b"].n_added == 1 and got["b"].identical == 0
+
+
+class TestTokenizerFertility:
+    """ops/textstats.py tokenizer_fertility: hand-counted ratios,
+    multibyte chars, zero-token guard."""
+
+    def _run(self, spark, rows):
+        from fuzi_spark.ops.textstats import tokenizer_fertility
+
+        df = spark.createDataFrame(rows, "lang string, text string")
+        return {
+            r.lang: r for r in tokenizer_fertility(df, "lang").collect()
+        }
+
+    def test_hand_counted(self, spark):
+        # "ab cd" -> 2 tokens, 5 chars, 5 bytes; "x1" -> 2 tokens
+        got = self._run(spark, [("en", "ab cd"), ("en", "x1")])
+        r = got["en"]
+        assert (r.n_docs, r.n_tokens, r.n_chars, r.n_bytes) == (2, 4, 7, 7)
+        assert abs(r.chars_per_token - 7 / 4) < 1e-12
+        assert r.tokens_per_doc == 2.0
+
+    def test_multibyte_inflates_bytes_not_chars(self, spark):
+        got = self._run(spark, [("de", "héllo")])
+        r = got["de"]
+        assert r.n_chars == 5 and r.n_bytes == 6
+
+    def test_zero_tokens_null_ratios(self, spark):
+        got = self._run(spark, [("zz", "   "), ("zz", None)])
+        r = got["zz"]
+        assert r.n_tokens == 0
+        assert r.chars_per_token is None and r.bytes_per_token is None
+        assert r.tokens_per_doc == 0.0
