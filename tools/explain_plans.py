@@ -677,6 +677,24 @@ CASES = [
      "(co-partitioned), ONE query-keyed agg with map-side partials, "
      "ideal-DCG as a codegen'd sequence aggregate — no windows, no "
      "Python."),
+    ("hll_rollup",
+     "HLL monoid merge. Wants: every post-sketch stage over "
+     "(groups x 256)-row register tables; the '(total)' merge is one "
+     "idx-keyed max agg; the corpus is touched only by the token "
+     "explode feeding the sketch."),
+    ("cdc_dedup",
+     "Content-defined chunking. Wants: blob construction in a "
+     "codegen'd Project, ONE MapInPandas for the gear-hash walk "
+     "(numpy, no per-byte Python), then doc/group-keyed aggs with "
+     "map-side partials."),
+    ("span_diff",
+     "Extraction-run diff. Wants: ONE full-outer sort-merge join on "
+     "(doc_id, seq) — the key the span tables are written with — "
+     "then a doc-keyed partial_ fold; NULL-safe struct compare "
+     "codegen'd."),
+    ("tokenizer_fertility",
+     "Fertility table. Wants: ONE scan, regexp/length/octet_length "
+     "in the codegen'd partial_ agg before the |langs|-row exchange."),
 ]
 
 
