@@ -5716,6 +5716,17 @@ def q_tokenizer_fertility(spark, sf_dir):
     return tokenizer_fertility(_docs(spark, sf_dir), "lang")
 
 
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (ops/behavior.
+    markov_transitions) over the real events table: per-user streams
+    ordered by (ts, event_id), last event transitions to '(end)'.
+    Oracle replays the lead window and the per-row normalizer."""
+    from fuzi_spark.ops.behavior import markov_transitions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return markov_transitions(events)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5907,6 +5918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "span_diff": q_span_diff,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "markov_transitions": q_markov_transitions,
     }
 
 
@@ -9437,6 +9449,21 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(n_bytes AS DOUBLE) / n_tokens END AS bytes_per_token, "
             "CAST(n_tokens AS DOUBLE) / n_docs AS tokens_per_doc "
             "FROM per"
+        ),
+        "markov_transitions": (
+            # identical lead window (ts, event_id ordering) + '(end)'
+            # absorbing state + per-cur_type normalizer
+            "WITH p AS (SELECT event_type AS cur_type, "
+            "  COALESCE(LEAD(event_type) OVER ("
+            "    PARTITION BY user_id ORDER BY ts ASC, event_id ASC), "
+            "    '(end)') AS next_type FROM events), "
+            "c AS (SELECT cur_type, next_type, "
+            "  CAST(COUNT(*) AS BIGINT) AS n FROM p "
+            "  GROUP BY cur_type, next_type) "
+            "SELECT cur_type, next_type, n, "
+            "CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur_type) "
+            "  AS p "
+            "FROM c"
         ),
     }
 

@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "cdc_dedup",
     "span_diff",
     "tokenizer_fertility",
+    "markov_transitions",
 ]
 
 

@@ -221,3 +221,47 @@ def gap_fill_daily(
             (n == 0).alias("is_gap"),
         )
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    end_state: str = "(end)",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current) — the behavior model behind
+    "what do users do after X" questions and the generator for
+    synthetic session traffic. Every user's LAST event transitions to
+    the absorbing `end_state`, so each row's outgoing probabilities
+    sum to exactly 1 and session-ending behavior is first-class
+    (dropping the tail silently biases P toward mid-session loops).
+
+    Ordering is (ts, event_id) within user — the id tie-break makes
+    the chain deterministic under same-timestamp bursts.
+
+    Shape: one user-keyed window (lead) over the event stream, then a
+    (cur, next)-keyed count with map-side partials; the probability
+    normalizer is a window over the |types|^2-row count table.
+    Returns (cur_type, next_type, n bigint, p double)."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = events.select(
+        F.col(type_col).alias("cur_type"),
+        F.coalesce(
+            F.lead(type_col).over(w), F.lit(end_state)
+        ).alias("next_type"),
+    )
+    counts = pairs.groupBy("cur_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("cur_type"))
+    return counts.select(
+        "cur_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / total).alias("p"),
+    )

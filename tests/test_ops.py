@@ -9486,3 +9486,66 @@ class TestTokenizerFertility:
         assert r.n_tokens == 0
         assert r.chars_per_token is None and r.bytes_per_token is None
         assert r.tokens_per_doc == 0.0
+
+
+class TestMarkovTransitions:
+    """ops/behavior.py markov_transitions: chain construction,
+    absorbing end state, tie-break determinism, row-stochastic."""
+
+    def _run(self, spark, rows):
+        from fuzi_spark.ops.behavior import markov_transitions
+
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+        return {
+            (r.cur_type, r.next_type): (r.n, r.p)
+            for r in markov_transitions(df).collect()
+        }
+
+    @staticmethod
+    def _ts(s):
+        import datetime
+
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    def test_chain_and_end_state(self, spark):
+        rows = [
+            (1, self._ts(1), 7, "view"),
+            (2, self._ts(2), 7, "click"),
+            (3, self._ts(3), 7, "view"),
+            (4, self._ts(1), 8, "view"),
+            (5, self._ts(2), 8, "click"),
+        ]
+        got = self._run(spark, rows)
+        assert got[("view", "click")] == (2, 2 / 3)
+        assert got[("view", "(end)")][0] == 1
+        assert got[("click", "view")][0] == 1
+        assert got[("click", "(end)")][0] == 1
+
+    def test_rows_sum_to_one(self, spark):
+        rows = [
+            (i, self._ts(i % 50), i % 5, ["a", "b", "c"][i % 3])
+            for i in range(60)
+        ]
+        got = self._run(spark, rows)
+        from collections import defaultdict
+
+        sums = defaultdict(float)
+        for (cur, _), (_, p) in got.items():
+            sums[cur] += p
+        for cur, s in sums.items():
+            assert abs(s - 1.0) < 1e-9, cur
+
+    def test_same_timestamp_tiebreak_by_event_id(self, spark):
+        t = self._ts(5)
+        rows = [
+            (10, t, 1, "first"),
+            (11, t, 1, "second"),
+            (12, t, 1, "third"),
+        ]
+        got = self._run(spark, rows)
+        assert got[("first", "second")][0] == 1
+        assert got[("second", "third")][0] == 1
+        assert got[("third", "(end)")][0] == 1
