@@ -286,20 +286,21 @@ def fleiss_kappa(
         F.sum(F.col("nij") * (F.col("nij") - 1)).alias("_agree"),
     )
     keep = per_item.where(F.col("_n") == n)
-    excluded = per_item.where(F.col("_n") != n)
     kept_cells = cell.join(keep.select("item"), "item", "left_semi")
     marg = kept_cells.groupBy("label").agg(F.sum("nij").alias("_cnt"))
+    # one conditional-aggregation pass over per_item covers kept AND
+    # excluded counts (avg ignores the NULLs the when() leaves)
     stats = (
-        keep.agg(
-            F.count("*").alias("n_items"),
+        per_item.agg(
+            F.count(F.when(F.col("_n") == n, 1)).alias("n_items"),
+            F.count(F.when(F.col("_n") != n, 1)).alias("n_excluded"),
             F.avg(
-                F.col("_agree").cast("double") / F.lit(float(n * (n - 1)))
+                F.when(
+                    F.col("_n") == n,
+                    F.col("_agree").cast("double")
+                    / F.lit(float(n * (n - 1))),
+                )
             ).alias("p_bar"),
-        )
-        .crossJoin(
-            F.broadcast(
-                excluded.agg(F.count("*").alias("n_excluded"))
-            )
         )
         .crossJoin(
             F.broadcast(
