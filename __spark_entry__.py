@@ -5727,6 +5727,22 @@ def q_markov_transitions(spark, sf_dir):
     return markov_transitions(events)
 
 
+def q_reliability_bins(spark, sf_dir):
+    """Calibration reliability table (ops/classify.reliability_bins):
+    score = (13d mod 100)/100, label = 1 iff (7d mod 100) < 13d mod
+    100 — positive rate grows with score, so bins show a calibrated-ish
+    but imperfect diagram. Oracle replays the bucket floor (identical
+    IEEE double math) and the per-bin averages."""
+    from fuzi_spark.ops.classify import reliability_bins
+
+    i = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        ((i * 13 % 100).cast("double") / 100.0).alias("score"),
+        ((i * 7 % 100) < (i * 13 % 100)).cast("int").alias("label"),
+    )
+    return reliability_bins(d, n_bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5919,6 +5935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_diff": q_span_diff,
         "tokenizer_fertility": q_tokenizer_fertility,
         "markov_transitions": q_markov_transitions,
+        "reliability_bins": q_reliability_bins,
     }
 
 
@@ -9464,6 +9481,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur_type) "
             "  AS p "
             "FROM c"
+        ),
+        "reliability_bins": (
+            # identical score/label construction, bucket floor (same
+            # IEEE double multiply), and per-bin averages
+            "WITH s AS (SELECT "
+            "  CAST(doc_id * 13 % 100 AS DOUBLE) / 100.0 AS score, "
+            "  CAST(doc_id * 7 % 100 < doc_id * 13 % 100 AS INTEGER) "
+            "    AS label FROM documents), "
+            "b AS (SELECT LEAST(GREATEST(CAST(FLOOR(score * 10) "
+            "    AS INTEGER), 0), 9) AS bin, score, label FROM s) "
+            "SELECT bin, CAST(bin AS DOUBLE) / 10 AS bin_lo, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "AVG(score) AS mean_score, "
+            "AVG(CAST(label AS DOUBLE)) AS frac_positive, "
+            "AVG(score) - AVG(CAST(label AS DOUBLE)) AS gap "
+            "FROM b GROUP BY bin"
         ),
     }
 

@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "span_diff",
     "tokenizer_fertility",
     "markov_transitions",
+    "reliability_bins",
 ]
 
 

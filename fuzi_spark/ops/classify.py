@@ -327,3 +327,47 @@ def fleiss_kappa(
             "kappa"
         ),
     )
+
+
+def reliability_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability-diagram table for classifier calibration: bucket
+    predictions by score and compare each bucket's mean score against
+    its observed positive rate. pr_curve answers "can the score RANK"
+    (discrimination); this answers "does 0.9 MEAN 90%" (calibration) —
+    the property a gate threshold silently assumes when it is chosen
+    as a probability rather than tuned on the curve. Expected
+    calibration error = sum(n/total * |gap|) over the returned rows.
+
+    One scan, one n_bins-row groupBy with map-side partials. Scores
+    outside [0, 1) clamp into the edge bins (score 1.0 lands in the
+    top bin, not a phantom n_bins-th bin). Returns (bin int,
+    bin_lo double, n bigint, mean_score double, frac_positive double,
+    gap double = mean_score - frac_positive)."""
+    b = F.floor(F.col(score_col) * n_bins).cast("int")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    per = (
+        scored.select(
+            b.alias("bin"),
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("_s").alias("mean_score"),
+            F.avg("_y").alias("frac_positive"),
+        )
+    )
+    return per.select(
+        "bin",
+        (F.col("bin").cast("double") / n_bins).alias("bin_lo"),
+        F.col("n").cast("bigint").alias("n"),
+        "mean_score",
+        "frac_positive",
+        (F.col("mean_score") - F.col("frac_positive")).alias("gap"),
+    )

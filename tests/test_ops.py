@@ -9549,3 +9549,45 @@ class TestMarkovTransitions:
         assert got[("first", "second")][0] == 1
         assert got[("second", "third")][0] == 1
         assert got[("third", "(end)")][0] == 1
+
+
+class TestReliabilityBins:
+    """ops/classify.py reliability_bins: bucketing, clamping,
+    hand-computed gaps."""
+
+    def _run(self, spark, rows, n_bins=10):
+        from fuzi_spark.ops.classify import reliability_bins
+
+        df = spark.createDataFrame(rows, "score double, label int")
+        return {
+            r.bin: r
+            for r in reliability_bins(df, n_bins=n_bins).collect()
+        }
+
+    def test_hand_computed(self, spark):
+        rows = [(0.05, 0), (0.08, 0), (0.95, 1), (0.92, 0)]
+        got = self._run(spark, rows)
+        b0 = got[0]
+        assert b0.n == 2 and b0.frac_positive == 0.0
+        assert abs(b0.mean_score - 0.065) < 1e-12
+        b9 = got[9]
+        assert b9.n == 2 and b9.frac_positive == 0.5
+        assert abs(b9.gap - (0.935 - 0.5)) < 1e-12
+
+    def test_out_of_range_clamps(self, spark):
+        rows = [(-0.3, 0), (1.0, 1), (1.7, 1)]
+        got = self._run(spark, rows)
+        assert set(got) == {0, 9}
+        assert got[0].n == 1 and got[9].n == 2
+
+    def test_perfectly_calibrated_zero_gap(self, spark):
+        # every bin's rows score exactly b/10 with b of 10 positive:
+        # mean score == positive rate bin by bin -> gap 0 everywhere
+        rows = []
+        for b in range(10):
+            s = b / 10
+            rows += [(s, 1)] * b + [(s, 0)] * (10 - b)
+        got = self._run(spark, rows)
+        assert len(got) == 10
+        for b, r in got.items():
+            assert abs(r.gap) < 1e-12, (b, r.gap)
