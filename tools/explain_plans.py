@@ -695,6 +695,14 @@ CASES = [
     ("tokenizer_fertility",
      "Fertility table. Wants: ONE scan, regexp/length/octet_length "
      "in the codegen'd partial_ agg before the |langs|-row exchange."),
+    ("markov_transitions",
+     "Markov matrix. Wants: one user-keyed window (lead) over the "
+     "event stream, pair-keyed partial_ counts, normalizer window "
+     "over the |types|^2-row table only."),
+    ("reliability_bins",
+     "Calibration bins. Wants: ONE scan with the bucket floor in the "
+     "codegen'd projection, partial_ avg/count before the n_bins-row "
+     "exchange."),
 ]
 
 
