@@ -5743,6 +5743,49 @@ def q_reliability_bins(spark, sf_dir):
     return reliability_bins(d, n_bins=10)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (ops/
+    sampling.weighted_sample): Efraimidis–Spirakis top-k with a
+    content-stable md5 uniform, weight = (n_chars % 101) - 3 so some
+    rows carry non-positive weight and exercise the exclusion filter.
+    Oracle replays the exact u arithmetic ((hex13 + 0.5) / 2^52) and
+    the pow-keyed ORDER BY ... LIMIT selection."""
+    from fuzi_spark.ops.sampling import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir),
+        k=200,
+        weight_col=(F.col("n_chars") % 101 - 3),
+        key_col="doc_id",
+        salt="aes",
+    )
+
+
+def q_skew_join(spark, sf_dir):
+    """Salted skew-replicated join (ops/skewjoin.salted_join): events
+    (hot event_type keys) against a per-type dim, salted 8 ways, then
+    an integer-only rollup. The oracle runs the PLAIN unsalted join —
+    asserting the salt+replicate plan is row-identical to it."""
+    from fuzi_spark.ops.skewjoin import salted_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("type_len", F.length("event_type").cast("int"))
+    )
+    j = salted_join(
+        events.select("event_id", "user_id", "event_type"),
+        dim,
+        "event_type",
+        n_salts=8,
+    )
+    return j.groupBy("event_type", "type_len").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("user_id") % 7).alias("sum_uid_mod7"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5936,6 +5979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "markov_transitions": q_markov_transitions,
         "reliability_bins": q_reliability_bins,
+        "weighted_sample": q_weighted_sample,
+        "skew_join": q_skew_join,
     }
 
 
@@ -9497,6 +9542,35 @@ def oracle_sql() -> dict[str, str]:
             "AVG(CAST(label AS DOUBLE)) AS frac_positive, "
             "AVG(score) - AVG(CAST(label AS DOUBLE)) AS gap "
             "FROM b GROUP BY bin"
+        ),
+        "weighted_sample": (
+            # identical md5 uniform ((hex13-as-int + 0.5) / 2^52 —
+            # both steps exact in binary64), identical weight
+            # expression and exclusion, identical A-ES pow ordering;
+            # pow's last ulp is not emitted, only the selected set
+            "WITH w AS (SELECT doc_id, text, lang, source, n_chars, "
+            "  (CAST(CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('aes:', "
+            "    CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT) "
+            "    AS DOUBLE) + 0.5) / 4503599627370496.0 AS u "
+            "  FROM documents "
+            "  WHERE n_chars IS NOT NULL AND n_chars % 101 - 3 > 0) "
+            "SELECT doc_id, text, lang, source, n_chars, u FROM w "
+            "ORDER BY POW(u, 1.0 / CAST(n_chars % 101 - 3 AS DOUBLE)) "
+            "  DESC, doc_id ASC LIMIT 200"
+        ),
+        "skew_join": (
+            # the PLAIN unsalted join: salted_join must be
+            # row-identical to it (salt spreads reducers, never rows)
+            "WITH dim AS (SELECT event_type, "
+            "  CAST(LENGTH(event_type) AS INTEGER) AS type_len "
+            "  FROM (SELECT DISTINCT event_type FROM events)), "
+            "j AS (SELECT e.event_id, e.user_id, e.event_type, "
+            "  d.type_len FROM events e "
+            "  JOIN dim d USING (event_type)) "
+            "SELECT event_type, type_len, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(user_id % 7) AS BIGINT) AS sum_uid_mod7 "
+            "FROM j GROUP BY event_type, type_len"
         ),
     }
 

@@ -463,3 +463,60 @@ def token_budget_plan(
         F.col("_capped").cast("int").alias("capped"),
         converged.alias("converged"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col,
+    key_col: str = "doc_id",
+    salt: str = "aes",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the top-k
+    rows by the Efraimidis–Spirakis key u^(1/w) (u a content-stable
+    uniform, w the row's weight). Inclusion probability is proportional
+    to weight in the without-replacement sense — the importance-sampled
+    corpus subset (quality-weighted, recency-weighted) that re-runs
+    bit-identically on any cluster layout, unlike rand()-keyed reservoirs.
+
+    u comes from the first 13 hex chars of md5(salt ':' key):
+    q ∈ [0, 2^52), u = (q + 0.5) / 2^52 — strictly inside (0,1), and the
+    +0.5 and the divide are EXACT in binary64 (2^52 is a power of two),
+    so every engine computes the identical u (the DuckDB oracle casts
+    '0x'||hex to BIGINT and replays the same arithmetic). pow(u, 1/w)
+    itself is only ~1-ulp portable across libms, so the pow value is
+    used for SELECTION but never emitted: adjacent order statistics of
+    n uniform keys are ~1/n apart, 12 orders of magnitude above any
+    ulp divergence, so the selected SET is stable even where the last
+    bit of pow is not.
+
+    Scale shape: per-row hash + pow inside the scan, then a global
+    top-k — Spark executes orderBy().limit(k) as TakeOrderedAndProject
+    (per-partition bounded heaps, driver merges k·n_partitions rows);
+    no full sort, no shuffle of the data. Rows with weight <= 0 or NULL
+    are excluded (pow(u, 1/w) with w<=0 would invert the ordering).
+    """
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    q = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(salt), F.col(key_col).cast("string")
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (q.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    es_key = F.pow(u, F.lit(1.0) / w.cast("double"))
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("u", u)
+        .withColumn("_es", es_key)
+        .orderBy(F.col("_es").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("_es")
+    )

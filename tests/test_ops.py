@@ -9591,3 +9591,137 @@ class TestReliabilityBins:
         assert len(got) == 10
         for b, r in got.items():
             assert abs(r.gap) < 1e-12, (b, r.gap)
+
+
+class TestWeightedSample:
+    """ops/sampling.py weighted_sample: A-ES selection equals the
+    brute-force Python replay, excludes non-positive weights, and is
+    layout-invariant (repartition changes nothing)."""
+
+    ROWS = [(i, float((i * 37) % 11 - 2)) for i in range(1, 61)]
+
+    def _df(self, spark, n_parts=None):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, w double")
+        return df.repartition(n_parts) if n_parts else df
+
+    @staticmethod
+    def _expected(rows, k, salt="aes"):
+        import hashlib
+
+        keyed = []
+        for i, w in rows:
+            if w is None or w <= 0:
+                continue
+            h = hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:13]
+            u = (int(h, 16) + 0.5) / float(1 << 52)
+            keyed.append((u ** (1.0 / w), -i, i, u))
+        keyed.sort(reverse=True)
+        return {(i, u) for _, _, i, u in keyed[:k]}
+
+    def _run(self, spark, k, n_parts=None):
+        from fuzi_spark.ops.sampling import weighted_sample
+
+        got = weighted_sample(
+            self._df(spark, n_parts), k=k, weight_col="w"
+        ).collect()
+        return {(r.doc_id, r.u) for r in got}
+
+    def test_matches_python_replay(self, spark):
+        assert self._run(spark, 10) == self._expected(self.ROWS, 10)
+
+    def test_layout_invariant(self, spark):
+        assert self._run(spark, 15, n_parts=7) == self._expected(
+            self.ROWS, 15
+        )
+
+    def test_nonpositive_and_null_excluded(self, spark):
+        from fuzi_spark.ops.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 2.0), (2, 0.0), (3, -5.0), (4, None)],
+            "doc_id long, w double",
+        )
+        got = weighted_sample(df, k=10, weight_col="w").collect()
+        assert [r.doc_id for r in got] == [1]
+
+    def test_heavy_weight_dominates(self, spark):
+        # one row with overwhelming weight: key u^(1/w) -> ~1, so it
+        # must appear in any top-1 draw regardless of the others' u
+        from fuzi_spark.ops.sampling import weighted_sample
+
+        rows = [(i, 1.0) for i in range(1, 50)] + [(99, 1e9)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = weighted_sample(df, k=1, weight_col="w").collect()
+        assert got[0].doc_id == 99
+
+
+class TestSaltedJoin:
+    """ops/skewjoin.py salted_join: row-identical to the plain join
+    across multiplicities, inner and left, any n_salts."""
+
+    def _tables(self, spark):
+        big = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(
+                ["a"] * 40 + ["b"] * 5 + ["c"] * 3 + ["orphan"] * 2
+            )],
+            "k string, payload long",
+        )
+        small = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 10), ("d", 99)],
+            "k string, dim long",
+        )
+        return big, small
+
+    @staticmethod
+    def _rows(df):
+        from collections import Counter
+
+        return Counter(tuple(r) for r in df.collect())
+
+    def test_inner_equals_plain(self, spark):
+        from fuzi_spark.ops.skewjoin import salted_join
+
+        big, small = self._tables(spark)
+        for n in (1, 3, 16):
+            got = salted_join(big, small, "k", n_salts=n)
+            want = big.join(small, "k", "inner")
+            assert self._rows(got.select("k", "payload", "dim")) == \
+                self._rows(want.select("k", "payload", "dim")), n
+
+    def test_left_equals_plain(self, spark):
+        from fuzi_spark.ops.skewjoin import salted_join
+
+        big, small = self._tables(spark)
+        got = salted_join(big, small, "k", n_salts=4, how="left")
+        want = big.join(small, "k", "left")
+        assert self._rows(got.select("k", "payload", "dim")) == \
+            self._rows(want.select("k", "payload", "dim"))
+
+    def test_salt_actually_spreads(self, spark):
+        # the hot key's 40 rows must land on >1 distinct salt value
+        from pyspark.sql import functions as F
+        from fuzi_spark.ops.skewjoin import salted_join as _  # noqa
+
+        big, _small = self._tables(spark)
+        n_salts = 8
+        salts = (
+            big.filter(F.col("k") == "a")
+            .select(
+                F.pmod(F.xxhash64("payload"), F.lit(n_salts)).alias("s")
+            )
+            .distinct()
+            .count()
+        )
+        assert salts > 1
+
+    def test_rejects_bad_args(self, spark):
+        import pytest as _pytest
+        from fuzi_spark.ops.skewjoin import salted_join
+
+        big, small = self._tables(spark)
+        with _pytest.raises(ValueError):
+            salted_join(big, small, "k", how="full")
+        with _pytest.raises(ValueError):
+            salted_join(big.select("k"), small, "k")
+        with _pytest.raises(ValueError):
+            salted_join(big, small, "k", n_salts=0)

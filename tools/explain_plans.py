@@ -703,6 +703,15 @@ CASES = [
      "Calibration bins. Wants: ONE scan with the bucket floor in the "
      "codegen'd projection, partial_ avg/count before the n_bins-row "
      "exchange."),
+    ("weighted_sample",
+     "A-ES weighted sample. Wants: md5/conv/pow all inside the "
+     "codegen'd scan projection, then TakeOrderedAndProject (bounded "
+     "per-partition heaps) — NO global Sort exchange for a top-k."),
+    ("skew_join",
+     "Salted skew join. Wants: the big side's exchange keyed on "
+     "(key, salt) — or a broadcast of the exploded dim, which spreads "
+     "the hot key across SCAN partitions with zero exchanges — never "
+     "a single hot reducer on the raw key."),
 ]
 
 
