@@ -5786,6 +5786,55 @@ def q_skew_join(spark, sf_dir):
     )
 
 
+def q_quantile_rollup(spark, sf_dir):
+    """Mergeable histogram quantile sketch (ops/sketch.quantile_rollup):
+    per-lang n_chars histograms (width-8 bins over [0,1024)) merged to
+    corpus p50/p90/p99. Oracle replays the integer binning, cumulative
+    window, and ceil(q*total) selection — all integer/IEEE-exact."""
+    from fuzi_spark.ops.sketch import quantile_rollup
+
+    return quantile_rollup(
+        _docs(spark, sf_dir),
+        "n_chars",
+        "lang",
+        qs=(0.5, 0.9, 0.99),
+        n_bins=128,
+        lo=0,
+        width=8,
+    )
+
+
+def q_frequent_pairs(spark, sf_dir):
+    """A-priori pruned document co-occurrence mining (ops/cooccur.
+    frequent_pairs) over the real documents corpus: df band [2, 95% of
+    docs] (the synthetic corpus has a ~30-token vocabulary at ~78% df,
+    so a stopword-tight band would empty it), pairs in >= 50 docs.
+    Oracle replays the identical tokenize/band/self-join/count
+    dataflow."""
+    from fuzi_spark.ops.cooccur import frequent_pairs
+
+    return frequent_pairs(
+        _docs(spark, sf_dir),
+        min_df=2,
+        max_df_frac=0.95,
+        min_pair_df=50,
+    )
+
+
+def q_assign_ids(spark, sf_dir):
+    """Contiguous global id assignment (ops/relational.
+    assign_contiguous_ids): two-pass range-bucketed rank over a
+    scrambled unique key (n_chars*2^20 + doc_id) — output invariant to
+    the bucket split points. Oracle: ROW_NUMBER() OVER (ORDER BY key)."""
+    from fuzi_spark.ops.relational import assign_contiguous_ids
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_chars") * 1048576 + F.col("doc_id")).alias("sortkey"),
+    )
+    return assign_contiguous_ids(d, "sortkey", n_buckets=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -5981,6 +6030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reliability_bins": q_reliability_bins,
         "weighted_sample": q_weighted_sample,
         "skew_join": q_skew_join,
+        "quantile_rollup": q_quantile_rollup,
+        "frequent_pairs": q_frequent_pairs,
+        "assign_ids": q_assign_ids,
     }
 
 
@@ -9571,6 +9623,61 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n, "
             "CAST(SUM(user_id % 7) AS BIGINT) AS sum_uid_mod7 "
             "FROM j GROUP BY event_type, type_len"
+        ),
+        "quantile_rollup": (
+            # identical integer binning (trunc div — values
+            # non-negative so trunc == floor), cumulative window,
+            # and ceil(q*total) bin selection
+            "WITH h AS (SELECT LEAST(GREATEST("
+            "    CAST(n_chars AS BIGINT) // 8, 0), 127) AS bin, "
+            "  CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+            "  WHERE n_chars IS NOT NULL GROUP BY 1), "
+            "c AS (SELECT bin, n, "
+            "  CAST(SUM(n) OVER (ORDER BY bin "
+            "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, "
+            "  CAST(SUM(n) OVER () AS BIGINT) AS total FROM h), "
+            "q AS (SELECT CAST(UNNEST([0.5, 0.9, 0.99]) AS DOUBLE) "
+            "  AS q), "
+            "sel AS (SELECT q.q AS q, MIN(c.bin) AS bin, "
+            "  MAX(c.total) AS total FROM q, c "
+            "  WHERE c.cum >= CAST(CEIL(q.q * c.total) AS BIGINT) "
+            "  GROUP BY q.q) "
+            "SELECT q, CAST(bin AS INTEGER) AS bin, "
+            "CAST(bin AS BIGINT) * 8 AS value_lo, "
+            "CAST(bin + 1 AS BIGINT) * 8 AS value_hi, total FROM sel"
+        ),
+        "frequent_pairs": (
+            # identical tokenize / df band / canonical-order self-join
+            # / pair count; dice spelled with the same cast order
+            "WITH toks AS (SELECT doc_id, "
+            "  UNNEST(list_distinct(regexp_extract_all("
+            "    lower(COALESCE(text, '')), '[a-z]{3,}'))) AS token "
+            "  FROM documents), "
+            "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n "
+            "  FROM documents WHERE text IS NOT NULL), "
+            "items AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df "
+            "  FROM toks GROUP BY token "
+            "  HAVING COUNT(*) >= 2 AND COUNT(*) <= "
+            "    (SELECT CAST(FLOOR(0.95 * n) AS BIGINT) FROM tot)), "
+            "kept AS (SELECT t.doc_id, t.token, i.df FROM toks t "
+            "  JOIN items i USING (token)), "
+            "p AS (SELECT a.token AS t1, b.token AS t2, a.df AS df1, "
+            "  b.df AS df2, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "  FROM kept a JOIN kept b ON a.doc_id = b.doc_id "
+            "    AND a.token < b.token "
+            "  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 50) "
+            "SELECT t1, t2, n_docs, df1, df2, "
+            "(CAST(2.0 AS DOUBLE) * CAST(n_docs AS DOUBLE)) "
+            "  / CAST(df1 + df2 AS DOUBLE) AS dice FROM p"
+        ),
+        "assign_ids": (
+            # the DEFINITION the two-pass bucketed assignment must
+            # equal: global rank in key order, split-point invariant
+            "SELECT doc_id, "
+            "n_chars * 1048576 + doc_id AS sortkey, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY "
+            "  n_chars * 1048576 + doc_id) - 1 AS BIGINT) AS new_id "
+            "FROM documents"
         ),
     }
 

@@ -333,3 +333,87 @@ def zorder_layout(
             F.max(y_col).alias(f"max_{y_col}"),
         )
     )
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 64,
+    start: int = 0,
+    id_name: str = "new_id",
+) -> DataFrame:
+    """Contiguous global ids 0..n-1 (plus `start`) in `key_col` order —
+    the shard/sample-index assignment step (training-example ids,
+    epoch-order materialization) where monotonically_increasing_id()
+    is USELESS (non-contiguous, layout-dependent) and a global
+    row_number() window is a single-reducer sort of the whole corpus.
+
+    Scale shape — the classic two-pass range-id assignment:
+    1. ONE driver approxQuantile on the key → n_buckets-1 split points
+       (equal-DEPTH ranges, so a skewed key can't overload a bucket),
+       plus one bucket-keyed count agg (map-side partials,
+       n_buckets rows out) → cumulative offsets, driver-side.
+    2. groupBy(bucket).applyInPandas: each bucket sorts its own slice
+       and writes offset + local rank. Work per task is
+       O((n/n_buckets) log(n/n_buckets)); NOTHING is globally sorted.
+
+    The OUTPUT is invariant to the split points (they only balance
+    load): id == rank of key in the whole table, which is what the
+    oracle's ROW_NUMBER() OVER (ORDER BY key) asserts. Contract: keys
+    numeric, non-NULL, and UNIQUE — duplicate keys make "the" rank
+    ambiguous, so the per-bucket worker raises on them (fail loud,
+    never emit layout-dependent ids).
+    """
+    from functools import reduce
+
+    import pandas as pd
+
+    splits = (
+        df.approxQuantile(
+            key_col,
+            [i / n_buckets for i in range(1, n_buckets)],
+            0.001,
+        )
+        if n_buckets > 1
+        else []
+    )
+    key = F.col(key_col)
+    bucket = reduce(
+        lambda acc, ib: F.when(key <= F.lit(ib[1]), F.lit(ib[0])).otherwise(
+            acc
+        ),
+        reversed(list(enumerate(splits))),
+        F.lit(len(splits)),
+    )
+    withb = df.withColumn("_bucket", bucket.cast("int"))
+    counts = {
+        r._bucket: r.n
+        for r in withb.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, start
+    for b in range(len(splits) + 1):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{id_name} long"]
+    )
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["_bucket"].iloc[0])
+        pdf = pdf.sort_values(key_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        if pdf[key_col].duplicated().any():
+            dup = pdf[key_col][pdf[key_col].duplicated()].iloc[0]
+            raise ValueError(
+                f"assign_contiguous_ids: duplicate key {dup!r} in "
+                f"{key_col} — ranks would be layout-dependent"
+            )
+        pdf[id_name] = offsets[b] + pdf.index
+        return pdf.drop(columns=["_bucket"])
+
+    return withb.groupBy("_bucket").applyInPandas(assign, out_schema)

@@ -341,3 +341,118 @@ def hll_merge_rollup(
     return hll_estimate(
         per.unionByName(merged), group_cols=["_g"]
     ).withColumnRenamed("_g", group_col)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+#
+# The distributed-quantile primitive for BOUNDED-DOMAIN values (doc
+# lengths, token counts, scores scaled to ints): per-group fixed-bin
+# histograms are a MONOID (bins sum), so a year of stored per-batch /
+# per-shard sketches rolls up to corpus-wide quantiles without
+# re-touching documents — same storage story as hll_merge_rollup, but
+# for the length/size distributions a dataset card reports. Exactness
+# contract: the estimate is the true quantile rounded UP to its bin's
+# upper edge (error <= bin width, chosen by the caller); every step is
+# integer arithmetic, so any engine replays it bit-for-bit — unlike
+# GK/KLL sketches whose merge is order-sensitive.
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int,
+    lo: int,
+    width: int,
+) -> DataFrame:
+    """(group, bin, n) histogram rows over [lo, lo + n_bins*width);
+    values outside clamp into the edge bins (the sketch never drops a
+    row — a clamped outlier still counts toward every quantile).
+    ONE groupBy with map-side partials: each task emits <= n_bins rows
+    per group before the shuffle, whatever the corpus size."""
+    v = F.col(value_col).cast("long")
+    bin_ = F.least(
+        F.greatest(
+            F.expr(f"(CAST({value_col} AS BIGINT) - {lo}) div {width}"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(n_bins - 1).cast("long"),
+    ).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: tuple[float, ...],
+    lo: int,
+    width: int,
+) -> DataFrame:
+    """Quantiles from a (merged) (bin, n) histogram: for each q the
+    smallest bin whose cumulative count reaches ceil(q * total); the
+    estimate is that bin's [value_lo, value_hi) edge pair. All math on
+    the <= n_bins-row table — the single-partition window is metadata
+    -sized by construction (hll_rollup / pr_curve precedent)."""
+    from pyspark.sql import Window
+
+    merged = hist.groupBy("bin").agg(F.sum("n").alias("n"))
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = merged.select(
+        "bin",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    qdf = c.limit(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    target = F.ceil(F.col("q") * F.col("total")).cast("long")
+    sel = (
+        qdf.crossJoin(c)
+        .filter(F.col("cum") >= target)
+        .groupBy("q")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.max("total").alias("total"),
+        )
+    )
+    return sel.select(
+        "q",
+        "bin",
+        (F.lit(lo) + F.col("bin").cast("long") * width).alias("value_lo"),
+        (F.lit(lo) + (F.col("bin") + 1).cast("long") * width).alias(
+            "value_hi"
+        ),
+        "total",
+    )
+
+
+def quantile_rollup(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_bins: int = 128,
+    lo: int = 0,
+    width: int = 8,
+) -> DataFrame:
+    """Per-group sketches → monoid merge → corpus quantiles, in one
+    call: the shape a scheduled pipeline uses (store histogram_sketch
+    rows per batch; roll up with histogram_quantiles whenever asked)."""
+    return histogram_quantiles(
+        histogram_sketch(df, value_col, group_col, n_bins, lo, width),
+        qs,
+        lo,
+        width,
+    )

@@ -9725,3 +9725,179 @@ class TestSaltedJoin:
             salted_join(big.select("k"), small, "k")
         with _pytest.raises(ValueError):
             salted_join(big, small, "k", n_salts=0)
+
+
+class TestQuantileRollup:
+    """ops/sketch.py histogram_sketch/quantiles: monoid merge law,
+    bin-upper-edge estimates, clamping, integer exactness."""
+
+    def _sketch(self, spark, rows, **kw):
+        from fuzi_spark.ops.sketch import histogram_sketch
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        return histogram_sketch(df, "v", "g", **kw)
+
+    def test_hand_computed_quantiles(self, spark):
+        from fuzi_spark.ops.sketch import quantile_rollup
+
+        # 100 values 0..99, width-10 bins: p50 -> value 49 in bin 4,
+        # p90 -> 89 in bin 8, p99 -> 98 in bin 9
+        rows = [("a" if i % 2 else "b", i) for i in range(100)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {
+            r.q: (r.bin, r.value_lo, r.value_hi, r.total)
+            for r in quantile_rollup(
+                df, "v", "g", qs=(0.5, 0.9, 0.99), n_bins=10, lo=0,
+                width=10
+            ).collect()
+        }
+        assert got[0.5] == (4, 40, 50, 100)
+        assert got[0.9] == (8, 80, 90, 100)
+        assert got[0.99] == (9, 90, 100, 100)
+
+    def test_merge_is_monoid(self, spark):
+        # sketch(A) ++ sketch(B) merged == sketch(A ∪ B) quantiles
+        from fuzi_spark.ops.sketch import (
+            histogram_quantiles,
+            histogram_sketch,
+        )
+
+        a = [("x", i * 3 % 50) for i in range(40)]
+        b = [("y", i * 7 % 80) for i in range(60)]
+        df_a = spark.createDataFrame(a, "g string, v long")
+        df_b = spark.createDataFrame(b, "g string, v long")
+        df_all = spark.createDataFrame(a + b, "g string, v long")
+        kw = dict(n_bins=16, lo=0, width=8)
+        merged = histogram_sketch(df_a, "v", "g", **kw).unionByName(
+            histogram_sketch(df_b, "v", "g", **kw)
+        )
+        direct = histogram_sketch(df_all, "v", "g", **kw)
+        qa = {
+            r.q: (r.bin, r.total)
+            for r in histogram_quantiles(
+                merged, (0.5, 0.9), 0, 8
+            ).collect()
+        }
+        qb = {
+            r.q: (r.bin, r.total)
+            for r in histogram_quantiles(
+                direct, (0.5, 0.9), 0, 8
+            ).collect()
+        }
+        assert qa == qb and qa[0.5][1] == 100
+
+    def test_outliers_clamp_not_drop(self, spark):
+        from fuzi_spark.ops.sketch import quantile_rollup
+
+        rows = [("g", -5), ("g", 3), ("g", 999)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {
+            r.q: (r.bin, r.total)
+            for r in quantile_rollup(
+                df, "v", "g", qs=(0.5, 1.0), n_bins=4, lo=0, width=10
+            ).collect()
+        }
+        # -5 clamps to bin 0, 999 clamps to bin 3; all 3 counted
+        assert got[0.5] == (0, 3)
+        assert got[1.0] == (3, 3)
+
+
+class TestFrequentPairs:
+    """ops/cooccur.py frequent_pairs: a-priori band, canonical order,
+    presence (not frequency) semantics, dice arithmetic."""
+
+    DOCS = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta"),
+        (3, "alpha beta delta"),
+        (4, "gamma delta"),
+        (5, "alpha alpha alpha beta"),  # repeats count once
+        (6, "the the the"),  # below min length after band
+    ]
+
+    def _run(self, spark, **kw):
+        from fuzi_spark.ops.cooccur import frequent_pairs
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        return {
+            (r.t1, r.t2): (r.n_docs, r.df1, r.df2, r.dice)
+            for r in frequent_pairs(df, **kw).collect()
+        }
+
+    def test_counts_and_canonical_order(self, spark):
+        got = self._run(
+            spark, min_df=2, max_df_frac=1.0, min_pair_df=2
+        )
+        # alpha(df 4) & beta(df 4) co-occur in docs 1,2,3,5
+        assert got[("alpha", "beta")] == (4, 4, 4, 2.0 * 4 / 8)
+        assert ("beta", "alpha") not in got
+        # gamma & delta co-occur only in doc 4 -> below min_pair_df
+        assert ("delta", "gamma") not in got
+
+    def test_upper_band_drops_stopword(self, spark):
+        # alpha appears in 4/6 docs = 0.66; band at 0.5 excludes it
+        got = self._run(
+            spark, min_df=2, max_df_frac=0.5, min_pair_df=1
+        )
+        assert all("alpha" not in pair for pair in got)
+
+    def test_min_df_prunes_rare(self, spark):
+        got = self._run(
+            spark, min_df=3, max_df_frac=1.0, min_pair_df=1
+        )
+        assert all(
+            t in ("alpha", "beta") for pair in got for t in pair
+        )
+
+
+class TestAssignContiguousIds:
+    """ops/relational.py assign_contiguous_ids: global rank semantics,
+    split-point invariance, duplicate-key fail-loud."""
+
+    def _run(self, spark, keys, n_buckets=4):
+        from fuzi_spark.ops.relational import assign_contiguous_ids
+
+        df = spark.createDataFrame(
+            [(k,) for k in keys], "k long"
+        ).repartition(5)
+        got = assign_contiguous_ids(df, "k", n_buckets=n_buckets)
+        return {r.k: r.new_id for r in got.collect()}
+
+    def test_rank_order(self, spark):
+        keys = [50, 3, 17, 99, 1, 42]
+        got = self._run(spark, keys)
+        want = {k: i for i, k in enumerate(sorted(keys))}
+        assert got == want
+
+    def test_bucket_count_invariance(self, spark):
+        import random
+
+        rng = random.Random(7)
+        keys = rng.sample(range(100000), 300)
+        want = {k: i for i, k in enumerate(sorted(keys))}
+        for nb in (1, 3, 16):
+            assert self._run(spark, keys, n_buckets=nb) == want, nb
+
+    def test_start_offset_and_skew(self, spark):
+        from fuzi_spark.ops.relational import assign_contiguous_ids
+
+        # heavily skewed keys: equal-depth splits still correct
+        keys = [0] * 0 + list(range(10)) + [1000000 + i for i in range(5)]
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {
+            r.k: r.new_id
+            for r in assign_contiguous_ids(
+                df, "k", n_buckets=8, start=100
+            ).collect()
+        }
+        assert got[0] == 100 and got[1000004] == 114
+
+    def test_duplicate_keys_raise(self, spark):
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+        from fuzi_spark.ops.relational import assign_contiguous_ids
+
+        df = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+        with _pytest.raises(Exception) as ei:
+            assign_contiguous_ids(df, "k", n_buckets=2).collect()
+        assert "duplicate key" in str(ei.value)

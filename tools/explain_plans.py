@@ -712,6 +712,18 @@ CASES = [
      "(key, salt) — or a broadcast of the exploded dim, which spreads "
      "the hot key across SCAN partitions with zero exchanges — never "
      "a single hot reducer on the raw key."),
+    ("quantile_rollup",
+     "Histogram quantile sketch. Wants: integer binning in the "
+     "codegen'd scan projection, partial_count before the (group,bin) "
+     "exchange, then windows/joins over <= n_bins-row tables only."),
+    ("frequent_pairs",
+     "A-priori pair mining. Wants: ONE doc_id-keyed shuffle for the "
+     "pair self-join, the df-band item table BROADCAST back onto the "
+     "exploded tokens, partial_count before the pair exchange."),
+    ("assign_ids",
+     "Contiguous id assignment. Wants: NO global sort — one bucket-"
+     "keyed count agg, then one bucket-keyed FlatMapGroupsInPandas; "
+     "driver traffic = n_buckets rows + split points."),
 ]
 
 
