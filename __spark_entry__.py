@@ -5835,6 +5835,67 @@ def q_assign_ids(spark, sf_dir):
     return assign_contiguous_ids(d, "sortkey", n_buckets=16)
 
 
+def q_containment_join(spark, sf_dir):
+    """Exact shingle containment (ops/dedup.ngram_containment) on
+    planted EXCERPT pairs: doc B = first half of doc A's words, so
+    shingles(B) ⊂ shingles(A) ⇒ containment_b ≡ 1.0 while
+    containment_a ≈ 0.5 and Jaccard would miss the duplication —
+    Broder's containment-vs-resemblance case. String-shingle path,
+    bit-exact vs the SQL oracle (the production path is hashed)."""
+    from fuzi_spark.ops.dedup import ngram_containment
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d2 = d.withColumn("_w", F.split("text", " ")).withColumn(
+        "_n2", F.greatest(F.expr("size(_w) div 2"), F.lit(3))
+    )
+    excerpt = d2.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice("_w", F.lit(1), F.col("_n2")), " ").alias(
+            "text"
+        ),
+    )
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1000000).alias("id_b"),
+    )
+    got = ngram_containment(
+        pairs, d.unionByName(excerpt), hashed=False, broadcast_pairs=True
+    )
+    return got.select(
+        "id_a",
+        "id_b",
+        F.round("containment_a", 9).alias("containment_a"),
+        F.round("containment_b", 9).alias("containment_b"),
+        F.round("containment", 9).alias("containment"),
+    )
+
+
+def q_score_percentiles(spark, sf_dir):
+    """Sort-free per-group quantile normalization (ops/sketch.
+    score_percentiles): every document's n_chars percentile band
+    within its language via the histogram-sketch CDF + a broadcast
+    (group, bin) join — no per-group corpus sort. Oracle replays the
+    binning, the windowed CDF, and both IEEE divisions."""
+    from fuzi_spark.ops.sketch import score_percentiles
+
+    got = score_percentiles(
+        _docs(spark, sf_dir), "n_chars", "lang", n_bins=128, lo=0, width=8
+    )
+    return got.select(
+        "doc_id", "lang", "n_chars", "bin", "pct_lo", "pct_hi"
+    )
+
+
+def q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram training-pair extraction (ops/cooccur.skipgram_pairs)
+    over the real corpus: ordered pairs at distance 1..2, counted,
+    long tail pruned at n >= 5. Oracle replays the positional
+    tokenization and the banded self-join."""
+    from fuzi_spark.ops.cooccur import skipgram_pairs
+
+    return skipgram_pairs(_docs(spark, sf_dir), window=2, min_count=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -6033,6 +6094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_rollup": q_quantile_rollup,
         "frequent_pairs": q_frequent_pairs,
         "assign_ids": q_assign_ids,
+        "containment_join": q_containment_join,
+        "score_percentiles": q_score_percentiles,
+        "skipgram_pairs": q_skipgram_pairs,
     }
 
 
@@ -9678,6 +9742,68 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROW_NUMBER() OVER (ORDER BY "
             "  n_chars * 1048576 + doc_id) - 1 AS BIGINT) AS new_id "
             "FROM documents"
+        ),
+        "containment_join": (
+            # planted excerpt (first half of words, min 3) — identical
+            # slice semantics ([1:k] == Spark slice(w,1,k)), identical
+            # shingle spelling as dedup_ngram_jaccard's oracle
+            "WITH base AS (SELECT doc_id, text FROM documents), "
+            "exc AS (SELECT doc_id + 1000000 AS doc_id, "
+            "  array_to_string(w[1:greatest(len(w) // 2, 3)], ' ') "
+            "  AS text FROM (SELECT doc_id, string_split(text, ' ') "
+            "  AS w FROM base)), "
+            "uni AS (SELECT * FROM base UNION ALL SELECT * FROM exc), "
+            "sh AS (SELECT doc_id, list_distinct("
+            "  [array_to_string(w[i:i+2], ' ') "
+            "   FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) "
+            "  AS s FROM (SELECT doc_id, string_split(text, ' ') AS w "
+            "  FROM uni)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "  / len(a.s), 9) AS containment_a, "
+            "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "  / len(b.s), 9) AS containment_b, "
+            "round(greatest("
+            "  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), "
+            "  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)"
+            "), 9) AS containment "
+            "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000"
+        ),
+        "score_percentiles": (
+            # identical binning, windowed CDF over the (lang, bin)
+            # histogram, and per-row band divisions
+            "WITH b AS (SELECT doc_id, lang, n_chars, "
+            "  LEAST(GREATEST(CAST(n_chars AS BIGINT) // 8, 0), 127) "
+            "  AS bin FROM documents WHERE n_chars IS NOT NULL), "
+            "h AS (SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n "
+            "  FROM b GROUP BY 1, 2), "
+            "c AS (SELECT lang, bin, n, "
+            "  CAST(SUM(n) OVER (PARTITION BY lang ORDER BY bin "
+            "    ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS below, "
+            "  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) "
+            "    AS total FROM h) "
+            "SELECT b.doc_id, b.lang, b.n_chars, "
+            "CAST(b.bin AS INTEGER) AS bin, "
+            "CAST(below AS DOUBLE) / total AS pct_lo, "
+            "CAST(below + n AS DOUBLE) / total AS pct_hi "
+            "FROM b JOIN c ON b.lang = c.lang AND b.bin = c.bin"
+        ),
+        "skipgram_pairs": (
+            # identical positional tokenization (1-based here, 0-based
+            # in Spark — only distances matter) and distance band
+            "WITH w AS (SELECT doc_id, regexp_extract_all("
+            "  lower(COALESCE(text, '')), '[a-z]{3,}') AS ws "
+            "  FROM documents), "
+            "tok AS (SELECT doc_id, UNNEST([{'t': ws[i], 'p': i} "
+            "  FOR i IN generate_series(1, len(ws))]) AS s FROM w), "
+            "t AS (SELECT doc_id, s.t AS token, s.p AS pos FROM tok), "
+            "p AS (SELECT a.token AS t1, b.token AS t2, "
+            "  CAST(b.pos - a.pos AS INTEGER) AS dist, "
+            "  CAST(COUNT(*) AS BIGINT) AS n "
+            "  FROM t a JOIN t b ON a.doc_id = b.doc_id "
+            "    AND b.pos > a.pos AND b.pos - a.pos <= 2 "
+            "  GROUP BY 1, 2, 3) "
+            "SELECT t1, t2, dist, n FROM p WHERE n >= 5"
         ),
     }
 

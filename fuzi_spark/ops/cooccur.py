@@ -113,3 +113,59 @@ def frequent_pairs(
             / (F.col("df1") + F.col("df2")).cast("double")
         ).alias("dice"),
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    window: int = 2,
+    min_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Skip-gram (center, context) pair counts — the training-pair
+    extraction for word2vec/fastText-style embedding pretraining
+    (Mikolov et al. 2013): every ordered token pair at distance
+    1..window within a document, counted over the corpus.
+
+    Output: (t1, t2, dist, n) with t1 the earlier token; symmetric
+    window consumers read each row as both (t1 ctx-> t2) and
+    (t2 ctx-> t1) — storing one direction halves the table.
+
+    Spark shape: one posexplode (corpus token count × 1 rows), ONE
+    self-equi-join keyed on doc_id with the distance band as a join
+    residual, pair-keyed count with map-side partials. Fan-out is
+    exactly `window` rows per token — linear in corpus size, bounded
+    by construction (never quadratic: the band predicate rides the
+    sort-merge join's doc_id key). min_count prunes the long tail
+    AFTER the partial agg, where it is a filter on the counted table.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(TOKEN_RE),
+                F.lit(0),
+            )
+        ).alias("pos", "token"),
+    )
+    a = toks.select(
+        "doc_id", F.col("token").alias("t1"), F.col("pos").alias("p1")
+    )
+    b = toks.select(
+        "doc_id", F.col("token").alias("t2"), F.col("pos").alias("p2")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("p2") > F.col("p1"))
+            & (F.col("p2") - F.col("p1") <= window)
+        )
+        .groupBy(
+            "t1",
+            "t2",
+            (F.col("p2") - F.col("p1")).cast("int").alias("dist"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

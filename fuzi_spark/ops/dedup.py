@@ -428,6 +428,58 @@ def ngram_jaccard(
     )
 
 
+def ngram_containment(
+    pairs: DataFrame, docs: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", shingle_n: int = 3, hashed: bool = True,
+    broadcast_pairs: bool = True, shingles_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact shingle CONTAINMENT of candidate pairs — the asymmetric
+    companion to ngram_jaccard for SUBSET duplication: a quote page, an
+    excerpt, an aggregator wrapping a full article. Jaccard punishes
+    size mismatch (a full containment at 10× length ratio scores J ≈
+    0.1 and sails past any dedup threshold); containment_a =
+    |A∩B| / |A| is 1.0 whenever A's content is inside B regardless of
+    B's size — Broder's (1997) resemblance-vs-containment distinction.
+
+    Returns (id_a, id_b, containment_a, containment_b, containment =
+    max of the two). Candidates come from the same LSH front end
+    (minhash_lsh_candidates — banding fires on shared shingles, so
+    high-containment smaller sides collide at good rates even when
+    Jaccard is low). Join shapes identical to ngram_jaccard: hashed
+    long shingles on the scale path, broadcast-pairs semi-joins so the
+    shingle arrays never shuffle."""
+    shingles = (
+        F.col(shingles_col)
+        if shingles_col
+        else (
+            shingle_hashes(text_col, shingle_n)
+            if hashed
+            else F.array_distinct(word_shingles(text_col, shingle_n))
+        )
+    )
+    sh = scoped_persist(docs.select(F.col(id_col), shingles.alias("sh")))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    c_a = (inter / F.size("sh_a")).alias("containment_a")
+    c_b = (inter / F.size("sh_b")).alias("containment_b")
+    cmax = F.greatest(
+        inter / F.size("sh_a"), inter / F.size("sh_b")
+    ).alias("containment")
+    if broadcast_pairs:
+        bp = F.broadcast(pairs.select("id_a", "id_b"))
+        half_a = a.join(bp, "id_a")
+        half_b = b.join(bp, "id_b").select("id_a", "id_b", "sh_b")
+        return half_a.join(half_b, ["id_a", "id_b"]).select(
+            "id_a", "id_b", c_a, c_b, cmax
+        )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", c_a, c_b, cmax)
+    )
+
+
 def dedup_components(
     pairs: DataFrame,
     id_a: str = "id_a",

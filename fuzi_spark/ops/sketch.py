@@ -373,18 +373,24 @@ def histogram_sketch(
     ONE groupBy with map-side partials: each task emits <= n_bins rows
     per group before the shuffle, whatever the corpus size."""
     v = F.col(value_col).cast("long")
-    bin_ = F.least(
+    bin_ = _hist_bin(value_col, n_bins, lo, width)
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _hist_bin(value_col: str, n_bins: int, lo: int, width: int):
+    """Clamped integer bin index (trunc div — identical to floor for
+    the non-negative offsets the clamp admits; engine-portable)."""
+    return F.least(
         F.greatest(
             F.expr(f"(CAST({value_col} AS BIGINT) - {lo}) div {width}"),
             F.lit(0).cast("long"),
         ),
         F.lit(n_bins - 1).cast("long"),
     ).cast("int")
-    return (
-        df.filter(v.isNotNull())
-        .groupBy(F.col(group_col).alias("grp"), bin_.alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
 
 
 def histogram_quantiles(
@@ -455,4 +461,67 @@ def quantile_rollup(
         qs,
         lo,
         width,
+    )
+
+
+def score_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 128,
+    lo: int = 0,
+    width: int = 8,
+) -> DataFrame:
+    """Sort-free per-group quantile normalization: each row gets its
+    percentile band [pct_lo, pct_hi) within its group — pct_lo = the
+    fraction of the group strictly below the row's bin, pct_hi = that
+    fraction through the row's bin. The true percentile provably lies
+    in the band; band width = the row's bin mass / group size.
+
+    WHY this shape: corpora with incomparable score scales (one
+    quality model per language/source) mix correctly on RANKS, not raw
+    scores — but per-group rank is a per-group SORT of the corpus
+    (percent_rank() over a billion-row partition = single-reducer
+    death). Here the group CDF comes from the histogram sketch
+    (groups × n_bins rows, map-side partials), and rows get their band
+    via a BROADCAST join on (group, bin): one scan, one metadata
+    broadcast, zero corpus sorts — same trick the sketch quantiles
+    use, applied row-wise.
+
+    Integer counts + one IEEE division per bound: engine-exact."""
+    from pyspark.sql import Window
+
+    hist = histogram_sketch(df, value_col, group_col, n_bins, lo, width)
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = hist.select(
+        "grp",
+        "bin",
+        (F.sum("n").over(w_cum) - F.col("n")).alias("below"),
+        F.col("n").alias("bin_n"),
+        F.sum("n").over(w_all).alias("grp_total"),
+    )
+    binned = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "bin", _hist_bin(value_col, n_bins, lo, width)
+    )
+    joined = binned.join(
+        F.broadcast(cdf),
+        (F.col(group_col) == F.col("grp")) & (binned["bin"] == cdf["bin"]),
+    ).drop(cdf["bin"]).drop("grp")
+    return joined.select(
+        *df.columns,
+        "bin",
+        (
+            F.col("below").cast("double") / F.col("grp_total")
+        ).alias("pct_lo"),
+        (
+            (F.col("below") + F.col("bin_n")).cast("double")
+            / F.col("grp_total")
+        ).alias("pct_hi"),
     )

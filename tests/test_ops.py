@@ -9901,3 +9901,144 @@ class TestAssignContiguousIds:
         with _pytest.raises(Exception) as ei:
             assign_contiguous_ids(df, "k", n_buckets=2).collect()
         assert "duplicate key" in str(ei.value)
+
+
+class TestNgramContainment:
+    """ops/dedup.py ngram_containment: Broder containment semantics —
+    excerpt scores 1.0 on its side while Jaccard stays low."""
+
+    def _run(self, spark, docs, pairs, **kw):
+        from fuzi_spark.ops.dedup import ngram_containment
+
+        ddf = spark.createDataFrame(docs, "doc_id long, text string")
+        pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+        return {
+            (r.id_a, r.id_b): (
+                r.containment_a,
+                r.containment_b,
+                r.containment,
+            )
+            for r in ngram_containment(pdf, ddf, **kw).collect()
+        }
+
+    FULL = "a b c d e f g h i j"
+    HALF = "a b c d e"
+
+    def test_excerpt_full_containment(self, spark):
+        got = self._run(
+            spark,
+            [(1, self.FULL), (2, self.HALF)],
+            [(1, 2)],
+            hashed=False,
+        )
+        c_a, c_b, c = got[(1, 2)]
+        # shingles(HALF) = 3 of FULL's 8 -> c_a = 3/8, c_b = 1.0
+        assert c_b == 1.0 and c == 1.0
+        assert abs(c_a - 3 / 8) < 1e-12
+
+    def test_disjoint_zero(self, spark):
+        got = self._run(
+            spark,
+            [(1, "x y z w"), (2, "p q r s")],
+            [(1, 2)],
+            hashed=False,
+        )
+        assert got[(1, 2)] == (0.0, 0.0, 0.0)
+
+    def test_hashed_matches_string_path(self, spark):
+        docs = [(1, self.FULL), (2, self.HALF), (3, "a b c x y z")]
+        pairs = [(1, 2), (1, 3)]
+        a = self._run(spark, docs, pairs, hashed=False)
+        b = self._run(spark, docs, pairs, hashed=True)
+        for k in a:
+            assert all(
+                abs(x - y) < 1e-12 for x, y in zip(a[k], b[k])
+            ), k
+
+    def test_nonbroadcast_path_identical(self, spark):
+        docs = [(1, self.FULL), (2, self.HALF)]
+        pairs = [(1, 2)]
+        a = self._run(spark, docs, pairs, hashed=False,
+                      broadcast_pairs=True)
+        b = self._run(spark, docs, pairs, hashed=False,
+                      broadcast_pairs=False)
+        assert a == b
+
+
+class TestScorePercentiles:
+    """ops/sketch.py score_percentiles: band brackets the true
+    percentile, group isolation, NULL exclusion."""
+
+    def _run(self, spark, rows, **kw):
+        from fuzi_spark.ops.sketch import score_percentiles
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        return score_percentiles(df, "v", "g", **kw).collect()
+
+    def test_band_brackets_true_percentile(self, spark):
+        rows = [("a", i) for i in range(100)]
+        got = self._run(spark, rows, n_bins=10, lo=0, width=10)
+        assert len(got) == 100
+        for r in got:
+            true_pct = r.v / 100  # fraction strictly below value v
+            assert r.pct_lo <= true_pct < r.pct_hi, r
+            assert abs(r.pct_hi - r.pct_lo - 0.1) < 1e-12  # bin mass
+
+    def test_groups_isolated(self, spark):
+        # same value, different groups -> percentile from OWN group
+        rows = [("lo", v) for v in (0, 1, 2, 3)] + [
+            ("hi", v) for v in (3, 50, 60, 70)
+        ]
+        got = {
+            (r.g, r.v): (r.pct_lo, r.pct_hi)
+            for r in self._run(spark, rows, n_bins=16, lo=0, width=8)
+        }
+        # v=3 is in the top bin-mass of "lo" (bin 0 holds all 4 rows)
+        # but the bottom of "hi"
+        assert got[("hi", 3)][0] == 0.0 and got[("hi", 3)][1] == 0.25
+        assert got[("lo", 3)] == (0.0, 1.0)  # one bin holds all of lo
+
+    def test_null_scores_excluded(self, spark):
+        rows = [("g", 5), ("g", None), ("g", 15)]
+        got = self._run(spark, rows, n_bins=4, lo=0, width=10)
+        assert len(got) == 2
+        assert {r.pct_lo for r in got} == {0.0, 0.5}
+
+
+class TestSkipgramPairs:
+    """ops/cooccur.py skipgram_pairs: window band, distance values,
+    ordered-pair semantics, min_count prune."""
+
+    def _run(self, spark, docs, **kw):
+        from fuzi_spark.ops.cooccur import skipgram_pairs
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {
+            (r.t1, r.t2, r.dist): r.n
+            for r in skipgram_pairs(df, **kw).collect()
+        }
+
+    def test_window_and_distances(self, spark):
+        got = self._run(spark, [(1, "foo bar baz qux")], window=2)
+        assert got == {
+            ("foo", "bar", 1): 1,
+            ("bar", "baz", 1): 1,
+            ("baz", "qux", 1): 1,
+            ("foo", "baz", 2): 1,
+            ("bar", "qux", 2): 1,
+        }
+
+    def test_counts_accumulate_across_docs(self, spark):
+        docs = [(i, "alpha beta") for i in range(4)]
+        got = self._run(spark, docs, window=1)
+        assert got == {("alpha", "beta", 1): 4}
+
+    def test_min_count_prunes(self, spark):
+        docs = [(1, "one two"), (2, "one two"), (3, "three four")]
+        got = self._run(spark, docs, window=1, min_count=2)
+        assert got == {("one", "two", 1): 2}
+
+    def test_order_matters(self, spark):
+        # "bar foo" produces (bar, foo), never (foo, bar)
+        got = self._run(spark, [(1, "bar foo")], window=1)
+        assert got == {("bar", "foo", 1): 1}

@@ -724,6 +724,18 @@ CASES = [
      "Contiguous id assignment. Wants: NO global sort — one bucket-"
      "keyed count agg, then one bucket-keyed FlatMapGroupsInPandas; "
      "driver traffic = n_buckets rows + split points."),
+    ("containment_join",
+     "Containment verify. Wants: the ngram_jaccard broadcast-pairs "
+     "shape — shingle arrays built once per side, candidate pairs "
+     "broadcast, arrays never shuffle."),
+    ("score_percentiles",
+     "Quantile normalization. Wants: histogram CDF windows over the "
+     "(group, bin) metadata table only, then ONE BroadcastHashJoin "
+     "back onto the scan — zero corpus sorts, zero corpus windows."),
+    ("skipgram_pairs",
+     "Skip-gram pairs. Wants: one posexplode, ONE doc_id-keyed "
+     "self-join with the distance band as a residual, partial_count "
+     "before the pair exchange."),
 ]
 
 
