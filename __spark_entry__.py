@@ -5896,6 +5896,58 @@ def q_skipgram_pairs(spark, sf_dir):
     return skipgram_pairs(_docs(spark, sf_dir), window=2, min_count=5)
 
 
+def q_similarity_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (ops/similarity.cosine_topk_ivfpq) on the planted
+    probes: rerank=200 covers every probed-cell candidate (500 vecs /
+    16 cells × 4 probes ≈ 125), so the exact re-rank provably returns
+    the original as rank-1 — the same IVF invariant, now through the
+    code→ADC→shortlist→exact funnel. A genuinely PRUNING rerank is
+    pinned in TestIvfPq on constructed clusters."""
+    from fuzi_spark.ops.similarity import cosine_topk_ivfpq
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    out = cosine_topk_ivfpq(
+        vecs,
+        _planted_probes(vecs),
+        k=5,
+        n_cells=16,
+        n_probe=4,
+        rerank=200,
+    )
+    return out.filter(F.col("rank") == 1).select("query_id", "neighbor_id")
+
+
+def q_robust_outliers(spark, sf_dir):
+    """Median/MAD outlier gate at sketch precision (ops/sketch.
+    robust_outliers) on per-lang n_chars: no sorts, two scan passes,
+    integer med2/mad2/dev2. Oracle replays both histogram medians and
+    the k·MAD comparison."""
+    from fuzi_spark.ops.sketch import robust_outliers
+
+    got = robust_outliers(
+        _docs(spark, sf_dir), "n_chars", "lang", k=3.0, n_bins=128,
+        lo=0, width=8,
+    )
+    return got.select(
+        "doc_id", "lang", "n_chars", "med2", "mad2", "dev2", "is_outlier"
+    )
+
+
+def q_group_sample(spark, sf_dir):
+    """Deterministic per-group k-sample (ops/sampling.group_sample):
+    first 20 docs per language by the content-stable md5 order.
+    Oracle replays the identical ROW_NUMBER window."""
+    from fuzi_spark.ops.sampling import group_sample
+
+    got = group_sample(_docs(spark, sf_dir), k=20, group_col="lang")
+    return got.select("doc_id", "lang", "sample_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -6097,6 +6149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_join": q_containment_join,
         "score_percentiles": q_score_percentiles,
         "skipgram_pairs": q_skipgram_pairs,
+        "similarity_ivfpq": q_similarity_ivfpq,
+        "robust_outliers": q_robust_outliers,
+        "group_sample": q_group_sample,
     }
 
 
@@ -9804,6 +9859,60 @@ def oracle_sql() -> dict[str, str]:
             "    AND b.pos > a.pos AND b.pos - a.pos <= 2 "
             "  GROUP BY 1, 2, 3) "
             "SELECT t1, t2, dist, n FROM p WHERE n >= 5"
+        ),
+        "similarity_ivfpq": (
+            # planted invariant: rerank covers the probed cells, exact
+            # re-rank returns the original as rank-1 (similarity_ivf
+            # precedent)
+            "SELECT vec_id + 10000000 AS query_id, vec_id AS neighbor_id "
+            "FROM embeddings WHERE vec_id < 10"
+        ),
+        "robust_outliers": (
+            # identical histogram medians ((total+1) div 2 target),
+            # doubled-unit integer med2/dev2/mad2, and the k*MAD gate
+            "WITH b AS (SELECT doc_id, lang, n_chars, LEAST(GREATEST("
+            "  CAST(n_chars AS BIGINT) // 8, 0), 127) AS bin "
+            "  FROM documents WHERE n_chars IS NOT NULL), "
+            "h AS (SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n "
+            "  FROM b GROUP BY 1, 2), "
+            "c AS (SELECT lang, bin, CAST(SUM(n) OVER (PARTITION BY "
+            "  lang ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "  AS cum, CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) "
+            "  AS total FROM h), "
+            "medb AS (SELECT lang, MIN(bin) AS med_bin FROM c "
+            "  WHERE cum >= (total + 1) // 2 GROUP BY lang), "
+            "med AS (SELECT lang, CAST((2 * med_bin + 1) * 8 AS BIGINT) "
+            "  AS med2 FROM medb), "
+            "r AS (SELECT d.doc_id, d.lang, d.n_chars, m.med2, "
+            "  ABS(2 * CAST(d.n_chars AS BIGINT) - m.med2) AS dev2 "
+            "  FROM documents d JOIN med m ON d.lang = m.lang "
+            "  WHERE d.n_chars IS NOT NULL), "
+            "h2 AS (SELECT lang, LEAST(GREATEST(dev2 // 16, 0), 127) "
+            "  AS bin, CAST(COUNT(*) AS BIGINT) AS n FROM r "
+            "  GROUP BY 1, 2), "
+            "c2 AS (SELECT lang, bin, CAST(SUM(n) OVER (PARTITION BY "
+            "  lang ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "  AS cum, CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) "
+            "  AS total FROM h2), "
+            "madb AS (SELECT lang, MIN(bin) AS mad_bin FROM c2 "
+            "  WHERE cum >= (total + 1) // 2 GROUP BY lang), "
+            "mad AS (SELECT lang, CAST((mad_bin + 1) * 16 AS BIGINT) "
+            "  AS mad2 FROM madb) "
+            "SELECT r.doc_id, r.lang, r.n_chars, r.med2, mad.mad2, "
+            "r.dev2, CAST(CAST(r.dev2 AS DOUBLE) > CAST(3.0 AS DOUBLE) "
+            "  * CAST(GREATEST(mad.mad2, 16) AS DOUBLE) AS INTEGER) "
+            "  AS is_outlier "
+            "FROM r JOIN mad ON r.lang = mad.lang"
+        ),
+        "group_sample": (
+            # identical md5-ordered window rank, doc_id tie-break
+            "WITH r AS (SELECT doc_id, lang, "
+            "  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY "
+            "    SUBSTRING(md5(CONCAT('gsample:', "
+            "    CAST(doc_id AS VARCHAR))), 1, 8) ASC, doc_id ASC) "
+            "  AS INTEGER) AS sample_rank FROM documents) "
+            "SELECT doc_id, lang, sample_rank FROM r "
+            "WHERE sample_rank <= 20"
         ),
     }
 

@@ -520,3 +520,30 @@ def weighted_sample(
         .limit(k)
         .drop("_es")
     )
+
+
+def group_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    key_col: str = "doc_id",
+    salt: str = "gsample",
+) -> DataFrame:
+    """Deterministic uniform k-sample PER GROUP (per-language eval
+    sets, per-source audit slices): rank rows inside each group by the
+    content-stable md5 bucket (same uniformity device as hash_sample)
+    and keep the first k. Same key + salt → the same sample on any
+    cluster layout; different salts → independent per-group samples.
+
+    Scale shape: one window rank per group — Spark's WindowGroupLimit
+    pushes the `rank <= k` filter into per-partition bounded top-k
+    heaps BEFORE the group exchange, so the shuffle carries at most
+    k·n_partitions rows per group, never the group. Adds
+    `sample_rank` (1-based within group)."""
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

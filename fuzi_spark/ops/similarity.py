@@ -745,3 +745,130 @@ def margin_bitext(
         "cosine",
         "margin",
     )
+
+
+def cosine_topk_ivfpq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    rerank: int = 64,
+    codebooks: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 10_000,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS `IVFx,PQy` shape): IVF cells prune WHICH
+    vectors are scored, PQ codes prune WHAT is read to score them —
+    the candidate pass never touches the float vectors at all.
+
+    Funnel per query:
+      1. probe the n_probe nearest cells (same driver-side probe
+         contract as cosine_topk_ivf — metadata-sized query sets);
+      2. ADC candidate scoring: approx dot(q, v) = Σ_s LUT[s][code_s],
+         where LUT[s][j] = dot(q_sub_s, codebook[s][j]) is computed
+         once per query on the driver (m·k doubles) and shipped with
+         the probe row. The scored columns are the m small int codes —
+         at the classic m=D/8 byte-code point this scans 1/32 of the
+         bytes a flat re-rank would;
+      3. top-`rerank` candidates by ADC (per-query window limit), THEN
+         the exact cosine re-rank over the float vectors of those
+         `rerank` rows only — approximation decides the shortlist,
+         exact arithmetic decides the answer (the same LSH-then-exact
+         discipline the dedup stack uses).
+
+    This variant codes RAW vectors (IVFPQ-flat); classic FAISS codes
+    cell residuals for tighter LUTs — same dataflow, finer codebooks.
+    recall@k depends on (rerank, codebook quality): with rerank >= the
+    probed-cell population the result is EXACTLY cosine_topk_ivf's
+    (the oracle pins that); the pinned tests exercise a genuinely
+    pruning rerank on constructed clusters."""
+    from .quantize import pq_codebook, pq_encode
+
+    n_q = queries.limit(max_query_rows + 1).count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_ivfpq builds probe lists + ADC LUTs on the "
+            f"driver; query set exceeds max_query_rows={max_query_rows}."
+        )
+    dim = len(vectors.select(vec_col).first()[0])
+    if codebooks is None:
+        m = 8 if dim % 8 == 0 else 4
+        codebooks = pq_codebook(m, 4, dim // m)
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    if m * sub != dim:
+        raise ValueError(
+            f"codebooks cover {m}x{sub} dims but vectors have {dim}"
+        )
+    cents = ivf_centroids(vectors, n_cells, id_col, vec_col)
+    assign = ivf_assign_udf(cents)
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cb = np.array(codebooks, dtype=np.float64)  # (m, k, sub)
+
+    coded = pq_encode(vectors, codebooks, vec_col, id_col)
+    v = scoped_persist(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("v_vec"),
+            assign(F.col(vec_col)).alias("cell"),
+        ).join(
+            coded.select(
+                F.col(id_col).alias("neighbor_id"),
+                *[f"code_{s}" for s in range(m)],
+            ),
+            "neighbor_id",
+        )
+    )
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r[1], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        cells = np.argsort(-(Cn @ qn))[:n_probe]
+        # LUT[s][j] = dot(q_sub_s, codebook[s][j])
+        lut = [
+            [float(qv[s * sub:(s + 1) * sub] @ cb[s, j]) for j in range(kk)]
+            for s in range(m)
+        ]
+        for c in cells:
+            probe_rows.append((r[0], list(r[1]), lut, int(c)))
+    spark = vectors.sparkSession
+    q = spark.createDataFrame(
+        probe_rows,
+        schema=(
+            "query_id long, q_vec array<double>, "
+            "lut array<array<double>>, cell int"
+        ),
+    )
+    adc = sum(
+        F.element_at(
+            F.element_at("lut", s + 1), F.col(f"code_{s}") + 1
+        )
+        for s in range(m)
+    )
+    cand = (
+        v.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", adc)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = cand.withColumn(
+        "adc_rank", F.row_number().over(w_adc)
+    ).filter(F.col("adc_rank") <= rerank)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.withColumn(
+            "cosine", cosine_col(F.col("q_vec"), F.col("v_vec"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -525,3 +525,97 @@ def score_percentiles(
             / F.col("grp_total")
         ).alias("pct_hi"),
     )
+
+
+def _group_median_bin(hist: DataFrame) -> DataFrame:
+    """Per-group median bin from a (grp, bin, n) histogram: smallest
+    bin whose cumulative count reaches ceil(total/2). Window algebra
+    over the metadata-sized histogram only."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = hist.select(
+        "grp",
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    half = F.expr("(total + 1) div 2")  # == ceil(total/2), integer
+    return (
+        c.filter(F.col("cum") >= half)
+        .groupBy("grp")
+        .agg(F.min("bin").alias("med_bin"))
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+    n_bins: int = 128,
+    lo: int = 0,
+    width: int = 8,
+) -> DataFrame:
+    """Median/MAD outlier gate at histogram-sketch precision — the
+    ROBUST companion to mean/σ z-scores (one 10^9-char pathological
+    doc drags a mean and explodes a σ; the median and the median
+    absolute deviation shrug). No sorts anywhere: both location
+    estimates come from histogram sketches.
+
+    Two passes over the rows (both scan-shaped, metadata shuffles):
+      1. per-group value histogram → median bin; med = the bin's
+         MIDPOINT, carried ×2 (med2 = 2·lo + (2·bin+1)·width) so it
+         stays an INTEGER for any width;
+      2. rows join their group's med2 (broadcast), dev2 = |2·v − med2|
+         (integer, in doubled units), dev2 histogram → MAD bin; mad2 =
+         that bin's UPPER edge (conservative: never flags on an
+         underestimated MAD).
+    Row flag: dev2 > k · max(mad2, 2·width) — the max() floors a
+    degenerate zero-MAD group (over half the mass in one bin) at one
+    bin width, turning "everything beyond the modal bin is an outlier"
+    into "beyond k bins", which is the intended gate semantics.
+
+    Estimates are bin-granular (error ≤ width in value units) —
+    exactly the precision a corpus quality gate needs, and every
+    quantity is integer or one IEEE multiply, so any engine replays
+    the flags bit-for-bit."""
+    vh = histogram_sketch(df, value_col, group_col, n_bins, lo, width)
+    med = _group_median_bin(vh).select(
+        "grp",
+        (F.lit(2 * lo) + (2 * F.col("med_bin") + 1) * width)
+        .cast("long")
+        .alias("med2"),
+    )
+    rows = df.filter(F.col(value_col).isNotNull()).join(
+        F.broadcast(med), F.col(group_col) == F.col("grp")
+    ).drop("grp")
+    dev2 = F.abs(
+        2 * F.col(value_col).cast("long") - F.col("med2")
+    )
+    devd = rows.withColumn("dev2", dev2)
+    dh = histogram_sketch(devd, "dev2", group_col, n_bins, 0, 2 * width)
+    mad = _group_median_bin(dh).select(
+        "grp",
+        ((F.col("med_bin") + 1) * (2 * width)).cast("long").alias("mad2"),
+    )
+    out = devd.join(
+        F.broadcast(mad), F.col(group_col) == F.col("grp")
+    ).drop("grp")
+    floor2 = F.greatest(F.col("mad2"), F.lit(2 * width)).cast("double")
+    return out.select(
+        *df.columns,
+        "med2",
+        "mad2",
+        "dev2",
+        (F.col("dev2").cast("double") > F.lit(float(k)) * floor2)
+        .cast("int")
+        .alias("is_outlier"),
+    )

@@ -10042,3 +10042,151 @@ class TestSkipgramPairs:
         # "bar foo" produces (bar, foo), never (foo, bar)
         got = self._run(spark, [(1, "bar foo")], window=1)
         assert got == {("bar", "foo", 1): 1}
+
+
+class TestIvfPq:
+    """ops/similarity.py cosine_topk_ivfpq: ADC shortlist prunes,
+    exact re-rank decides, codebook validation."""
+
+    def _vectors(self, spark):
+        # cluster A ~ +1^8 (ids 0-4), cluster B ~ -1^8 (ids 10-14);
+        # id 0 is EXACTLY the probe direction
+        rows = []
+        for i in range(5):
+            rows.append((i, [1.0] * 8 if i == 0 else
+                         [1.0 if d != i % 8 else 0.75 for d in range(8)]))
+        for i in range(10, 15):
+            rows.append((i, [-1.0 if d != i % 8 else -0.75
+                             for d in range(8)]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def _probe(self, spark):
+        return spark.createDataFrame(
+            [(100, [1.0] * 8)], "vec_id long, embedding array<double>"
+        )
+
+    def test_pruning_rerank_still_exact_top1(self, spark):
+        from fuzi_spark.ops.similarity import cosine_topk_ivfpq
+
+        got = cosine_topk_ivfpq(
+            self._vectors(spark), self._probe(spark),
+            k=2, n_cells=2, n_probe=1, rerank=2,
+        ).collect()
+        by_rank = {r.rank: r for r in got}
+        assert by_rank[1].neighbor_id == 0
+        assert abs(by_rank[1].cosine - 1.0) < 1e-12
+        # rerank=2 pruned: only 2 rows can come back even with k=2
+        assert len(got) == 2
+        # every shortlist survivor is from cluster A (ADC did its job)
+        assert all(r.neighbor_id < 10 for r in got)
+
+    def test_full_rerank_matches_ivf(self, spark):
+        from fuzi_spark.ops.similarity import (
+            cosine_topk_ivf,
+            cosine_topk_ivfpq,
+        )
+
+        vecs, probe = self._vectors(spark), self._probe(spark)
+        a = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in cosine_topk_ivfpq(
+                vecs, probe, k=3, n_cells=2, n_probe=2, rerank=1000
+            ).collect()
+        }
+        b = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in cosine_topk_ivf(
+                vecs, probe, k=3, n_cells=2, n_probe=2
+            ).collect()
+        }
+        assert a == b
+
+    def test_ragged_codebook_rejected(self, spark):
+        import pytest as _pytest
+        from fuzi_spark.ops.similarity import cosine_topk_ivfpq
+
+        with _pytest.raises(ValueError, match="cover"):
+            cosine_topk_ivfpq(
+                self._vectors(spark), self._probe(spark),
+                codebooks=[[[0.0] * 3] * 4] * 2,  # 2x3 != 8 dims
+            )
+
+
+class TestRobustOutliers:
+    """ops/sketch.py robust_outliers: hand-computed med2/mad2, the
+    zero-MAD floor, NULL exclusion."""
+
+    def _run(self, spark, rows, **kw):
+        from fuzi_spark.ops.sketch import robust_outliers
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        return robust_outliers(df, "v", "g", **kw).collect()
+
+    def test_hand_computed_gate(self, spark):
+        rows = [("g", 48)] * 5 + [("g", 56)] * 5 + [("g", 500)]
+        got = self._run(spark, rows, k=3.0, n_bins=128, lo=0, width=8)
+        assert len(got) == 11
+        r0 = got[0]
+        assert r0.med2 == 120 and r0.mad2 == 32  # med 60, MAD est 16
+        flagged = {r.v for r in got if r.is_outlier}
+        assert flagged == {500}
+
+    def test_zero_mad_floor(self, spark):
+        # all-identical group: MAD bin 0 -> floored at one bin width,
+        # so a nearby value is NOT flagged but a far one is
+        rows = [("g", 50)] * 10 + [("g", 58), ("g", 500)]
+        got = {r.v: r.is_outlier for r in self._run(
+            spark, rows, k=3.0, n_bins=128, lo=0, width=8
+        )}
+        assert got[58] == 0 and got[50] == 0 and got[500] == 1
+
+    def test_null_values_excluded(self, spark):
+        rows = [("g", 50), ("g", None), ("g", 52)]
+        got = self._run(spark, rows, width=8)
+        assert len(got) == 2
+
+
+class TestGroupSample:
+    """ops/sampling.py group_sample: exact k per group, determinism
+    across layouts, salt independence."""
+
+    def _df(self, spark, n_parts=None):
+        rows = [(i, "g%d" % (i % 3)) for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id long, g string")
+        return df.repartition(n_parts) if n_parts else df
+
+    def test_exactly_k_per_group(self, spark):
+        from collections import Counter
+        from fuzi_spark.ops.sampling import group_sample
+
+        got = group_sample(self._df(spark), 7, "g").collect()
+        c = Counter(r.g for r in got)
+        assert c == {"g0": 7, "g1": 7, "g2": 7}
+        assert all(1 <= r.sample_rank <= 7 for r in got)
+
+    def test_layout_invariant(self, spark):
+        from fuzi_spark.ops.sampling import group_sample
+
+        a = {(r.doc_id, r.sample_rank) for r in group_sample(
+            self._df(spark), 5, "g").collect()}
+        b = {(r.doc_id, r.sample_rank) for r in group_sample(
+            self._df(spark, 11), 5, "g").collect()}
+        assert a == b and len(a) == 15
+
+    def test_salts_give_different_samples(self, spark):
+        from fuzi_spark.ops.sampling import group_sample
+
+        a = {r.doc_id for r in group_sample(
+            self._df(spark), 5, "g", salt="s1").collect()}
+        b = {r.doc_id for r in group_sample(
+            self._df(spark), 5, "g", salt="s2").collect()}
+        assert a != b
+
+    def test_small_group_returned_whole(self, spark):
+        from fuzi_spark.ops.sampling import group_sample
+
+        df = self._df(spark)
+        got = group_sample(df, 1000, "g").collect()
+        assert len(got) == 90

@@ -736,6 +736,19 @@ CASES = [
      "Skip-gram pairs. Wants: one posexplode, ONE doc_id-keyed "
      "self-join with the distance band as a residual, partial_count "
      "before the pair exchange."),
+    ("similarity_ivfpq",
+     "IVF-PQ funnel. Wants: probe rows + LUTs BROADCAST onto the "
+     "cell-keyed table, ADC as a codegen'd element_at sum over the "
+     "int codes, per-query WindowGroupLimit shortlist, exact cosine "
+     "only on the rerank rows."),
+    ("robust_outliers",
+     "Median/MAD gate. Wants: two scan passes, both histogram aggs "
+     "with map-side partials, med/MAD windows over metadata tables, "
+     "rows joined to their group stats by BROADCAST."),
+    ("group_sample",
+     "Per-group k-sample. Wants: WindowGroupLimit (rank filter "
+     "pushed into per-partition bounded heaps) before the group "
+     "exchange — the shuffle carries k·partitions rows, not groups."),
 ]
 
 
