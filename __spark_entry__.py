@@ -5948,6 +5948,31 @@ def q_group_sample(spark, sf_dir):
     return got.select("doc_id", "lang", "sample_rank")
 
 
+def q_join_size(spark, sf_dir):
+    """CMS inner-product join-size estimate (ops/sketch.
+    join_size_estimate): events ⋈ its own 10% subsample on event_type
+    — the pre-join planning probe. Few distinct keys at width 1024 ⇒
+    collision-free ⇒ the estimate is EXACTLY the join size; the
+    oracle replays the full sketch arithmetic either way."""
+    from fuzi_spark.ops.sketch import join_size_estimate
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    right = events.filter(F.col("event_id") % 10 == 0)
+    return join_size_estimate(events, right, "event_type")
+
+
+def q_length_buckets(spark, sf_dir):
+    """Bucketed-batching padding plan (ops/packing.length_buckets)
+    over documents n_chars: equal-depth quantile caps, per-bucket
+    batch sizes and padding vs flat-max padding — all integer.
+    Oracle replays the quantile caps and every sum."""
+    from fuzi_spark.ops.packing import length_buckets
+
+    return length_buckets(
+        _docs(spark, sf_dir), "n_chars", n_buckets=4, token_budget=4096
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -6152,6 +6177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivfpq": q_similarity_ivfpq,
         "robust_outliers": q_robust_outliers,
         "group_sample": q_group_sample,
+        "join_size": q_join_size,
+        "length_buckets": q_length_buckets,
     }
 
 
@@ -9913,6 +9940,67 @@ def oracle_sql() -> dict[str, str]:
             "  AS INTEGER) AS sample_rank FROM documents) "
             "SELECT doc_id, lang, sample_rank FROM r "
             "WHERE sample_rank <= 20"
+        ),
+        "join_size": (
+            # full CMS inner-product replay: both sketches with the
+            # heavy_hitters bucket spelling, per-row inner products
+            # over the d-row universe (absent row -> 0), min
+            "WITH lk AS (SELECT CAST(event_type AS VARCHAR) AS token "
+            "  FROM events), "
+            "rk AS (SELECT CAST(event_type AS VARCHAR) AS token "
+            "  FROM events WHERE event_id % 10 = 0), "
+            "lb AS (SELECT g.i AS r, CAST(('0x' || substr(md5("
+            "  CAST(g.i AS VARCHAR) || ':' || token), 1, 8)) AS BIGINT)"
+            "  % 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "  FROM lk, UNNEST(range(0, 4)) AS g(i) GROUP BY 1, 2), "
+            "rb AS (SELECT g.i AS r, CAST(('0x' || substr(md5("
+            "  CAST(g.i AS VARCHAR) || ':' || token), 1, 8)) AS BIGINT)"
+            "  % 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "  FROM rk, UNNEST(range(0, 4)) AS g(i) GROUP BY 1, 2), "
+            "ip AS (SELECT l.r, SUM(l.cnt * r.cnt) AS ip FROM lb l "
+            "  JOIN rb r ON l.r = r.r AND l.bucket = r.bucket "
+            "  GROUP BY 1), "
+            "uni AS (SELECT g.i AS r FROM UNNEST(range(0, 4)) AS g(i)), "
+            "e AS (SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) "
+            "  AS est FROM uni LEFT JOIN ip ON ip.r = uni.r) "
+            "SELECT e.est, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM lk) AS rows_left, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM rk) AS rows_right "
+            "FROM e"
+        ),
+        "length_buckets": (
+            # identical quantile caps (value_hi - 1 at i/4), clamp,
+            # smallest-cap assignment, and integer padding sums
+            "WITH h AS (SELECT LEAST(GREATEST("
+            "  CAST(n_chars AS BIGINT) // 8, 0), 127) AS bin, "
+            "  CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+            "  WHERE n_chars IS NOT NULL GROUP BY 1), "
+            "c AS (SELECT bin, n, CAST(SUM(n) OVER (ORDER BY bin "
+            "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, "
+            "  CAST(SUM(n) OVER () AS BIGINT) AS total FROM h), "
+            "q AS (SELECT CAST(UNNEST([0.25, 0.5, 0.75, 1.0]) "
+            "  AS DOUBLE) AS q), "
+            "sel AS (SELECT q.q, MIN(c.bin) AS bin FROM q, c "
+            "  WHERE c.cum >= CAST(CEIL(q.q * c.total) AS BIGINT) "
+            "  GROUP BY 1), "
+            "caps AS (SELECT DISTINCT CAST((bin + 1) * 8 - 1 "
+            "  AS BIGINT) AS cap FROM sel), "
+            "g AS (SELECT MAX(cap) AS gcap FROM caps), "
+            "r AS (SELECT LEAST(CAST(n_chars AS BIGINT), 1023) AS len "
+            "  FROM documents WHERE n_chars IS NOT NULL), "
+            "asg AS (SELECT len, (SELECT MIN(cap) FROM caps "
+            "  WHERE cap >= r.len) AS cap FROM r), "
+            "st AS (SELECT cap, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "  CAST(SUM(cap - len) AS BIGINT) AS pad_tokens, "
+            "  CAST(SUM((SELECT gcap FROM g) - len) AS BIGINT) "
+            "  AS flat_pad_tokens FROM asg GROUP BY 1) "
+            "SELECT cap, n_rows, "
+            "CAST(GREATEST(4096 // cap, 1) AS BIGINT) AS batch_size, "
+            "CAST((n_rows + GREATEST(4096 // cap, 1) - 1) "
+            "  // GREATEST(4096 // cap, 1) AS BIGINT) AS n_batches, "
+            "pad_tokens, flat_pad_tokens, "
+            "CAST(flat_pad_tokens - pad_tokens AS BIGINT) "
+            "  AS saved_tokens FROM st"
         ),
     }
 

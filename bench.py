@@ -216,6 +216,19 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "markov_transitions",
     "reliability_bins",
+    "weighted_sample",
+    "skew_join",
+    "quantile_rollup",
+    "frequent_pairs",
+    "assign_ids",
+    "containment_join",
+    "score_percentiles",
+    "skipgram_pairs",
+    "similarity_ivfpq",
+    "robust_outliers",
+    "group_sample",
+    "join_size",
+    "length_buckets",
 ]
 
 

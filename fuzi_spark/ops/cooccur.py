@@ -31,6 +31,12 @@ Determinism: tokenization is a regex, df thresholds are integers,
 dice = 2n/(df1+df2) is a single IEEE division — the DuckDB oracle
 replays the identical dataflow hash-exact.
 
+Driver traffic: ONE scalar count() of non-null-text docs resolves the
+fractional upper band to an absolute df — a column-pruned scan, the
+same metadata-query class as the IVF probe contract. Callers that
+already know the corpus size can avoid it by passing max_df_frac
+against a pre-computed total (wire a literal instead).
+
 Reference parity note: no counterpart in the reference (Fuzi is a
 parse/query library) — pipeline-brief scope (corpus statistics),
 same bucket as ops/colloc.py (adjacent-bigram PMI; this module mines

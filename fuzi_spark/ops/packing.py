@@ -341,3 +341,91 @@ def balanced_shards(
         .withColumn("shard", shard.cast("int"))
         .drop("_sk", "_sb", "_off")
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    len_col: str,
+    n_buckets: int = 4,
+    token_budget: int = 8192,
+    n_bins: int = 128,
+    lo: int = 0,
+    width: int = 8,
+) -> DataFrame:
+    """Bucketed-batching plan + padding accounting — the "how much
+    does length-bucketing save us" table a training-prep pipeline
+    reports before materializing batches. Sequences batched at a
+    single global max length pad every short row to the longest
+    (the classic padding-waste problem); equal-DEPTH length buckets
+    (boundaries = histogram-sketch quantiles at i/n_buckets) pad each
+    row only to its bucket cap.
+
+    Per bucket: (cap, n_rows, batch_size, n_batches, pad_tokens,
+    flat_pad_tokens, saved_tokens) where batch_size =
+    max(token_budget div cap, 1), n_batches = ceil-div, pad_tokens =
+    Σ(cap − len), flat_* the same against the global cap. Integer
+    arithmetic end to end — the oracle replays it bit-for-bit.
+
+    Scale shape: one histogram pass (map-side partials), quantile
+    algebra on the ≤ n_bins-row table, caps shipped as ONE broadcast
+    single-row array, bucket assignment a codegen'd array_min(filter)
+    probe, final stats one |buckets|-row groupBy. Zero sorts, zero
+    driver round-trips. Caps are bin-granular (the sketch contract);
+    tight distributions may dedupe adjacent quantile caps, collapsing
+    buckets — reported as-is rather than fabricating empty ones."""
+    from .sketch import histogram_quantiles, histogram_sketch
+
+    rows = df.filter(F.col(len_col).isNotNull()).withColumn(
+        "_g", F.lit("all")
+    )
+    hist = histogram_sketch(rows, len_col, "_g", n_bins, lo, width)
+    qs = tuple(i / n_buckets for i in range(1, n_buckets + 1))
+    quant = histogram_quantiles(hist, qs, lo, width)
+    caps = quant.agg(
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.col("value_hi") - 1))
+        ).alias("caps")
+    )
+    withcaps = rows.crossJoin(F.broadcast(caps))
+    # clamp into the histogram domain (outliers pad as domain-cap
+    # rows — the same edge-bin clamp the sketch applied to them)
+    v = F.least(
+        F.col(len_col).cast("long"),
+        F.lit(lo + n_bins * width - 1).cast("long"),
+    )
+    cap = F.array_min(F.filter("caps", lambda c: c >= v))
+    assigned = withcaps.select(
+        v.alias("_len"),
+        cap.alias("cap"),
+        F.array_max("caps").alias("_gcap"),
+    )
+    bs = F.greatest(
+        F.expr(f"CAST({token_budget} AS BIGINT) div cap"), F.lit(1)
+    )
+    return (
+        assigned.groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("cap") - F.col("_len")).alias("pad_tokens"),
+            F.sum(F.col("_gcap") - F.col("_len")).alias(
+                "flat_pad_tokens"
+            ),
+        )
+        .select(
+            "cap",
+            "n_rows",
+            bs.alias("batch_size"),
+            F.expr(
+                "CAST((n_rows + "
+                f"greatest(CAST({token_budget} AS BIGINT) div cap, 1)"
+                " - 1) div "
+                f"greatest(CAST({token_budget} AS BIGINT) div cap, 1)"
+                " AS BIGINT)"
+            ).alias("n_batches"),
+            "pad_tokens",
+            "flat_pad_tokens",
+            (F.col("flat_pad_tokens") - F.col("pad_tokens")).alias(
+                "saved_tokens"
+            ),
+        )
+    )

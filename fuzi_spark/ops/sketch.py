@@ -619,3 +619,62 @@ def robust_outliers(
         .cast("int")
         .alias("is_outlier"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Equi-join OUTPUT cardinality estimate from count-min sketches —
+    the planning probe you run BEFORE a 10^12 × 10^12 join to decide
+    strategy (broadcast? salt? pre-aggregate?): |A ⋈ B| on key k is
+    the inner product Σ_k a_k·b_k, and the CMS inner-product estimator
+    (Cormode & Muthukrishnan 2005, §4.3) bounds it from above:
+
+        exact <= est = min_row Σ_bucket cntA[row,b]·cntB[row,b]
+        est <= exact + eps·|A|·|B|   w.p. 1-delta
+
+    Both sides reduce to d×w counter tables (map-side partials, the
+    cms_build shape) — the estimate costs two scans + a metadata join,
+    never the join itself. Collision-free keys give the EXACT size
+    (pinned in tests); the one-sided overestimate means the planner
+    errs toward caution (never under-provisions a salt factor).
+
+    Returns one row: (est:long, rows_left:long, rows_right:long)."""
+    a = cms_build(
+        left.select(F.col(key_col).cast("string").alias("token")),
+        depth,
+        width,
+    )
+    b = cms_build(
+        right.select(F.col(key_col).cast("string").alias("token")),
+        depth,
+        width,
+    )
+    per_row = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.row") == F.col("b.row"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.row").alias("row"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    # a hash row with NO colliding buckets has inner product 0 — it
+    # must participate in the min (disjoint key sets estimate 0, not
+    # NULL), so reindex over the full d-row universe before the min
+    rows_univ = left.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("row")
+    )
+    est = (
+        rows_univ.join(per_row, "row", "left")
+        .select(F.coalesce("ip", F.lit(0)).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("est"))
+    )
+    nl = left.select(F.count(F.lit(1)).alias("rows_left"))
+    nr = right.select(F.count(F.lit(1)).alias("rows_right"))
+    return est.crossJoin(nl).crossJoin(nr)

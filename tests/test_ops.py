@@ -10190,3 +10190,86 @@ class TestGroupSample:
         df = self._df(spark)
         got = group_sample(df, 1000, "g").collect()
         assert len(got) == 90
+
+
+class TestJoinSizeEstimate:
+    """ops/sketch.py join_size_estimate: collision-free exactness,
+    one-sided overestimate, disjoint-keys zero."""
+
+    def _run(self, spark, lk, rk, **kw):
+        from fuzi_spark.ops.sketch import join_size_estimate
+
+        left = spark.createDataFrame([(k,) for k in lk], "k string")
+        right = spark.createDataFrame([(k,) for k in rk], "k string")
+        return join_size_estimate(left, right, "k", **kw).collect()[0]
+
+    @staticmethod
+    def _exact(lk, rk):
+        from collections import Counter
+
+        a, b = Counter(lk), Counter(rk)
+        return sum(a[k] * b[k] for k in a)
+
+    def test_collision_free_is_exact(self, spark):
+        lk = ["a"] * 3 + ["b"] * 2 + ["x"]
+        rk = ["a"] * 2 + ["c"]
+        r = self._run(spark, lk, rk)
+        assert r.est == self._exact(lk, rk) == 6
+        assert r.rows_left == 6 and r.rows_right == 3
+
+    def test_always_overestimates(self, spark):
+        # width 8 forces collisions; CMS must never under-estimate
+        lk = [f"k{i}" for i in range(40)] * 2
+        rk = [f"k{i}" for i in range(0, 40, 3)] * 3
+        r = self._run(spark, lk, rk, width=8)
+        assert r.est >= self._exact(lk, rk)
+
+    def test_disjoint_keys(self, spark):
+        r = self._run(spark, ["a", "b"], ["c", "d"], width=1024)
+        assert r.est == 0
+
+
+class TestLengthBuckets:
+    """ops/packing.py length_buckets: hand-computed caps, batch
+    arithmetic, padding sums, outlier clamp."""
+
+    def _run(self, spark, lens, **kw):
+        from fuzi_spark.ops.packing import length_buckets
+
+        df = spark.createDataFrame([(v,) for v in lens], "L long")
+        return {
+            r.cap: r
+            for r in length_buckets(df, "L", **kw).collect()
+        }
+
+    def test_hand_computed_plan(self, spark):
+        got = self._run(
+            spark, list(range(100)), n_buckets=4, token_budget=100,
+            n_bins=16, lo=0, width=10,
+        )
+        assert set(got) == {29, 49, 79, 99}
+        b = got[29]
+        assert (b.n_rows, b.batch_size, b.n_batches) == (30, 3, 10)
+        assert b.pad_tokens == 435 and b.flat_pad_tokens == 2535
+        assert b.saved_tokens == 2100
+        assert got[79].n_rows == 30 and got[79].batch_size == 1
+        assert got[99].pad_tokens == got[99].flat_pad_tokens == 190
+
+    def test_single_bucket_zero_savings(self, spark):
+        got = self._run(
+            spark, [5] * 10, n_buckets=3, token_budget=64,
+            n_bins=8, lo=0, width=8,
+        )
+        # all quantile caps collapse to one bucket
+        assert len(got) == 1
+        (b,) = got.values()
+        assert b.saved_tokens == 0 and b.n_rows == 10
+
+    def test_outlier_clamps_into_domain(self, spark):
+        got = self._run(
+            spark, [5, 6, 7, 1_000_000], n_buckets=2,
+            token_budget=64, n_bins=8, lo=0, width=8,
+        )
+        # the outlier pads as a domain-cap (63) row, not 10^6
+        assert max(got) == 63
+        assert got[63].pad_tokens >= 0

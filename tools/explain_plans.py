@@ -749,6 +749,15 @@ CASES = [
      "Per-group k-sample. Wants: WindowGroupLimit (rank filter "
      "pushed into per-partition bounded heaps) before the group "
      "exchange — the shuffle carries k·partitions rows, not groups."),
+    ("join_size",
+     "CMS join-size probe. Wants: both sketch aggs with partial_ "
+     "combine (d·w rows out per side), the inner product + min over "
+     "metadata tables — the 10^12-row join itself never runs."),
+    ("length_buckets",
+     "Bucketed-batching plan. Wants: one histogram agg with "
+     "partial_count, quantile algebra on the n_bins table, caps as "
+     "ONE broadcast array row, assignment a codegen'd array probe, "
+     "|buckets|-row final agg. Zero sorts."),
 ]
 
 
