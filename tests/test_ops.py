@@ -496,6 +496,49 @@ class TestCacheHygiene:
         assert not spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
         spark.catalog.clearCache()
 
+    def test_session14_ops_release_persists(self, spark, docs):
+        # the session-14 persisting ops (ngram_containment's shingle
+        # table, cosine_topk_ivfpq's coded vector table) follow the
+        # same cache_scope discipline
+        from fuzi_spark.ops.cache import cache_scope
+        from fuzi_spark.ops.dedup import ngram_containment
+        from fuzi_spark.ops.similarity import cosine_topk_ivfpq
+
+        spark.catalog.clearCache()
+        sample = docs.filter(F.col("doc_id") < 30).select("doc_id", "text")
+        pairs = sample.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1000).alias("id_b"),
+        )
+        both = sample.unionByName(
+            sample.select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "text"
+            )
+        )
+        vecs = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: x.cast("double")
+            ).alias("embedding"),
+        )
+        probe = vecs.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+
+        def persisted_ids():
+            m = spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(k) for k in m.keySet().toArray()}
+
+        before = persisted_ids()
+        with cache_scope() as handles:
+            ngram_containment(pairs, both).count()
+            cosine_topk_ivfpq(
+                vecs, probe, k=3, n_cells=4, n_probe=2, rerank=50
+            ).count()
+            assert len(handles) >= 2
+        leaked = persisted_ids() - before
+        assert not leaked, f"leaked persisted RDD ids: {leaked}"
+
 
 class TestIvfKmeans:
     def test_cell_balance(self, spark):
@@ -10273,3 +10316,42 @@ class TestLengthBuckets:
         # the outlier pads as a domain-cap (63) row, not 10^6
         assert max(got) == 63
         assert got[63].pad_tokens >= 0
+
+
+class TestIvfPqRecallContract:
+    """The exactness ladder RECALL_ivfpq_r3.json leans on: all cells
+    probed + rerank >= population ⇒ IVF-PQ IS brute force."""
+
+    def test_all_cells_full_rerank_equals_brute(self, spark):
+        import math
+        import random
+
+        from fuzi_spark.ops.similarity import (
+            cosine_topk_bruteforce,
+            cosine_topk_ivfpq,
+        )
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+        ]
+        vecs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        probes = spark.createDataFrame(
+            [(1000 + i, rows[i][1]) for i in range(5)],
+            "vec_id long, embedding array<double>",
+        )
+        a = {
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in cosine_topk_ivfpq(
+                vecs, probes, k=5, n_cells=4, n_probe=4, rerank=1000
+            ).collect()
+        }
+        b = {
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in cosine_topk_bruteforce(
+                vecs, probes, k=5
+            ).collect()
+        }
+        assert a == b
