@@ -5973,6 +5973,69 @@ def q_length_buckets(spark, sf_dir):
     )
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 validity windows (ops/relational.scd2_history) over
+    the real event stream: per-user event_type version history with
+    unchanged-state collapse, (ts, event_id) tie-break. Oracle replays
+    the lag change detection and both windows."""
+    from fuzi_spark.ops.relational import scd2_history
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return scd2_history(
+        events, "user_id", "ts", ["event_type"], tiebreak_col="event_id"
+    )
+
+
+def q_quantile_map(spark, sf_dir):
+    """Cross-corpus quantile transform (ops/sketch.quantile_map):
+    English doc lengths mapped onto the French length distribution via
+    histogram inverse-CDF — the score-calibration step, sort-free.
+    Oracle replays both CDFs and the rank lookup."""
+    from fuzi_spark.ops.sketch import quantile_map
+
+    d = _docs(spark, sf_dir)
+    got = quantile_map(
+        d.filter(F.col("lang") == "en"),
+        "n_chars",
+        d.filter(F.col("lang") == "fr"),
+        "n_chars",
+    )
+    return got.select(
+        "doc_id", "n_chars", "bin", "pct_lo", "mapped_bin", "mapped_value"
+    )
+
+
+def q_containment_pipeline(spark, sf_dir):
+    """The full containment funnel (minhash LSH candidates → exact
+    hashed-shingle containment): corpus = docs ∪ 90%-prefix excerpts
+    (J ≈ 0.9 ⇒ banded collision probability 1−3e-8 per pair, the
+    repo's planted-recovery convention), verified containment_b ≡ 1.0
+    because prefix shingles are a subset. Filtered to the planted
+    pairs — organic cross-doc collisions are the operator's job but
+    not SQL-predictable."""
+    from fuzi_spark.ops.dedup import minhash_lsh_candidates, ngram_containment
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d2 = d.withColumn("_w", F.split("text", " ")).withColumn(
+        "_n2",
+        F.greatest(F.expr("(size(_w) * 9) div 10"), F.lit(3)),
+    )
+    excerpt = d2.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice("_w", F.lit(1), F.col("_n2")), " ").alias(
+            "text"
+        ),
+    )
+    both = d.unionByName(excerpt)
+    cands = minhash_lsh_candidates(both, n_hashes=64, bands=16)
+    planted = cands.filter(F.col("id_b") - F.col("id_a") == 1000000)
+    return ngram_containment(planted, both).select(
+        "id_a",
+        "id_b",
+        F.round("containment_b", 9).alias("containment_b"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -6179,6 +6242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": q_group_sample,
         "join_size": q_join_size,
         "length_buckets": q_length_buckets,
+        "scd2_history": q_scd2_history,
+        "quantile_map": q_quantile_map,
+        "containment_pipeline": q_containment_pipeline,
     }
 
 
@@ -10001,6 +10067,67 @@ def oracle_sql() -> dict[str, str]:
             "pad_tokens, flat_pad_tokens, "
             "CAST(flat_pad_tokens - pad_tokens AS BIGINT) "
             "  AS saved_tokens FROM st"
+        ),
+        "scd2_history": (
+            # identical lag change detection ((ts, event_id) order,
+            # first row always a change), version numbering, lead
+            # validity windows
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "  LAG(event_type) OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id) AS prev, "
+            "  ROW_NUMBER() OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id) AS rn FROM events), "
+            "chg AS (SELECT user_id, ts, event_id, event_type FROM o "
+            "  WHERE rn = 1 OR event_type IS DISTINCT FROM prev), "
+            "v AS (SELECT user_id, event_type, "
+            "  CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id) AS INTEGER) AS version_n, "
+            "  ts AS valid_from, "
+            "  LEAD(ts) OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id) AS valid_to FROM chg) "
+            "SELECT user_id, event_type, version_n, valid_from, "
+            "valid_to, CAST(valid_to IS NULL AS INTEGER) AS is_current "
+            "FROM v"
+        ),
+        "quantile_map": (
+            # both histogram CDFs + the floor(pct*ref_total)+1 rank
+            # lookup, replayed with the established binning spelling
+            "WITH s AS (SELECT doc_id, n_chars, LEAST(GREATEST("
+            "  CAST(n_chars AS BIGINT) // 8, 0), 127) AS bin "
+            "  FROM documents WHERE lang = 'en' "
+            "  AND n_chars IS NOT NULL), "
+            "sh AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM s "
+            "  GROUP BY 1), "
+            "sc AS (SELECT bin, CAST(SUM(n) OVER (ORDER BY bin ROWS "
+            "  UNBOUNDED PRECEDING) - n AS BIGINT) AS below, "
+            "  CAST(SUM(n) OVER () AS BIGINT) AS total FROM sh), "
+            "r AS (SELECT LEAST(GREATEST(CAST(n_chars AS BIGINT) // 8, "
+            "  0), 127) AS bin FROM documents WHERE lang = 'fr' "
+            "  AND n_chars IS NOT NULL), "
+            "rh AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM r "
+            "  GROUP BY 1), "
+            "rc AS (SELECT bin, CAST(SUM(n) OVER (ORDER BY bin ROWS "
+            "  UNBOUNDED PRECEDING) AS BIGINT) AS cum, "
+            "  CAST(SUM(n) OVER () AS BIGINT) AS rtotal FROM rh), "
+            "j AS (SELECT s.doc_id, s.n_chars, s.bin, "
+            "  CAST(sc.below AS DOUBLE) / sc.total AS pct_lo, "
+            "  CAST(FLOOR(CAST(sc.below AS DOUBLE) / sc.total * "
+            "    (SELECT MAX(rtotal) FROM rc)) AS BIGINT) + 1 "
+            "    AS target FROM s JOIN sc ON s.bin = sc.bin) "
+            "SELECT j.doc_id, j.n_chars, j.bin, j.pct_lo, "
+            "(SELECT MIN(rc.bin) FROM rc WHERE rc.cum >= j.target) "
+            "  AS mapped_bin, "
+            "CAST(((SELECT MIN(rc.bin) FROM rc WHERE rc.cum >= "
+            "  j.target) + 1) * 8 - 1 AS BIGINT) AS mapped_value "
+            "FROM j"
+        ),
+        "containment_pipeline": (
+            # planted invariant: every doc's 90%-word-prefix excerpt
+            # is banding-recovered (J >= ~0.875 -> per-pair miss
+            # <= 7.5e-7) and its prefix shingles are a SUBSET, so
+            # containment_b is identically 1.0
+            "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, "
+            "CAST(1.0 AS DOUBLE) AS containment_b FROM documents"
         ),
     }
 

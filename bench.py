@@ -229,6 +229,9 @@ BENCH_QUERIES = [
     "group_sample",
     "join_size",
     "length_buckets",
+    "scd2_history",
+    "quantile_map",
+    "containment_pipeline",
 ]
 
 

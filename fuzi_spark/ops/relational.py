@@ -417,3 +417,61 @@ def assign_contiguous_ids(
         return pdf.drop(columns=["_bucket"])
 
     return withb.groupBy("_bucket").applyInPandas(assign, out_schema)
+
+
+def scd2_history(
+    updates: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an update stream —
+    the recrawl bookkeeping table: each (key, attribute-state) version
+    gets [valid_from, valid_to) with valid_to NULL on the current row.
+    Consecutive updates with UNCHANGED attributes collapse into one
+    version (a recrawl that found the same page extends the validity,
+    it does not open a new version).
+
+    Spark shape: everything is key-partitioned windows ordered by
+    (ts, tiebreak) — change detection via lag over NULL-safe struct
+    equality (<=> — a NULL attribute is a real state, not a wildcard),
+    version numbering a running sum of change flags, valid_to the lead
+    of the surviving rows. No joins, no global sorts; per-key work is
+    bounded by per-key update counts, the bound every SCD build
+    carries.
+
+    Output: key, attrs..., version_n (1-based), valid_from, valid_to
+    (NULL = current), is_current.
+    """
+    tb = [F.col(tiebreak_col)] if tiebreak_col else []
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), *[c.asc() for c in tb]
+    )
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    # first row per key: lag is NULL, and eqNullSafe against the NULL
+    # struct would wrongly report "unchanged" for an all-NULL state —
+    # the explicit row_number()==1 term pins row 1 as a change
+    first = F.row_number().over(w) == 1
+    marked = updates.withColumn(
+        "_chg", (first | ~state.eqNullSafe(F.lag(state).over(w))).cast("int")
+    )
+    versions = marked.filter(F.col("_chg") == 1).withColumn(
+        "version_n",
+        F.sum("_chg").over(
+            Window.partitionBy(key_col).orderBy(
+                F.col(ts_col).asc(), *[c.asc() for c in tb]
+            )
+        ).cast("int"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.col("version_n").asc())
+    return versions.select(
+        F.col(key_col),
+        *[F.col(c) for c in attr_cols],
+        "version_n",
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+        F.lead(F.col(ts_col)).over(w2).isNull().cast("int").alias(
+            "is_current"
+        ),
+    )

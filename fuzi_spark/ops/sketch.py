@@ -678,3 +678,94 @@ def join_size_estimate(
     nl = left.select(F.count(F.lit(1)).alias("rows_left"))
     nr = right.select(F.count(F.lit(1)).alias("rows_right"))
     return est.crossJoin(nl).crossJoin(nr)
+
+
+def quantile_map(
+    df: DataFrame,
+    value_col: str,
+    ref: DataFrame,
+    ref_value_col: str,
+    n_bins: int = 128,
+    lo: int = 0,
+    width: int = 8,
+) -> DataFrame:
+    """Quantile-transform `df`'s values onto the REFERENCE corpus's
+    distribution (histogram inverse-CDF) — the cross-corpus score
+    calibration step: a quality score from model A and one from model
+    B only mix after both are mapped onto a common distribution, and
+    at 10^12 rows the mapping must come from sketches, not sorts.
+
+    Per row: pct = fraction of `df` strictly below the row's bin
+    (its own histogram CDF), target rank = floor(pct · ref_total) + 1,
+    mapped value = upper edge − 1 of the smallest reference bin whose
+    cumulative count reaches the target — i.e. the reference value at
+    the same percentile, at bin precision.
+
+    Scale shape: two histogram passes (map-side partials); the source
+    CDF joins rows by BROADCAST on bin; the reference inverse-CDF
+    ships as ONE broadcast row holding the (bin, cum) array, probed
+    with a codegen'd array_min(filter) — zero sorts, zero row-side
+    shuffles beyond the scan."""
+    src = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "_g", F.lit("s")
+    )
+    sh = histogram_sketch(src, value_col, "_g", n_bins, lo, width)
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scdf = sh.select(
+        "bin",
+        (F.sum("n").over(w_cum) - F.col("n")).alias("below"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    rh = histogram_sketch(
+        ref.filter(F.col(ref_value_col).isNotNull()).withColumn(
+            "_g", F.lit("r")
+        ),
+        ref_value_col,
+        "_g",
+        n_bins,
+        lo,
+        width,
+    )
+    rcdf = rh.select(
+        "bin", F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("rtotal"),
+    )
+    rrow = rcdf.agg(
+        F.array_sort(
+            F.collect_list(F.struct("bin", "cum"))
+        ).alias("rcdf"),
+        F.max("rtotal").alias("ref_total"),
+    )
+    binned = src.withColumn(
+        "bin", _hist_bin(value_col, n_bins, lo, width)
+    ).drop("_g")
+    joined = (
+        binned.join(F.broadcast(scdf), "bin")
+        .crossJoin(F.broadcast(rrow))
+    )
+    pct = F.col("below").cast("double") / F.col("total")
+    target = (
+        F.floor(pct * F.col("ref_total").cast("double")).cast("long")
+        + 1
+    )
+    mapped_bin = F.array_min(
+        F.filter("rcdf", lambda s: s["cum"] >= target)
+    )["bin"]
+    return joined.select(
+        *df.columns,
+        "bin",
+        pct.alias("pct_lo"),
+        mapped_bin.alias("mapped_bin"),
+        (F.lit(lo) + (mapped_bin + 1).cast("long") * width - 1).alias(
+            "mapped_value"
+        ),
+    )

@@ -10355,3 +10355,98 @@ class TestIvfPqRecallContract:
             ).collect()
         }
         assert a == b
+
+
+class TestScd2History:
+    """ops/relational.py scd2_history: unchanged-state collapse,
+    version numbering, validity chain, NULL-state semantics."""
+
+    def _run(self, spark, rows):
+        from fuzi_spark.ops.relational import scd2_history
+
+        df = spark.createDataFrame(
+            rows, "k long, ts long, eid long, attr string"
+        )
+        out = scd2_history(df, "k", "ts", ["attr"], tiebreak_col="eid")
+        return sorted(
+            [
+                (r.k, r.attr, r.version_n, r.valid_from, r.valid_to,
+                 r.is_current)
+                for r in out.collect()
+            ],
+            key=lambda t: (t[0], t[2]),  # (key, version) — attr may be None
+        )
+
+    def test_collapse_and_versions(self, spark):
+        rows = [
+            (1, 1, 1, "A"),
+            (1, 2, 2, "A"),  # unchanged: collapses into v1
+            (1, 3, 3, "B"),
+            (1, 4, 4, "A"),  # A returns: NEW version, not v1 extended
+        ]
+        got = self._run(spark, rows)
+        assert got == [
+            (1, "A", 1, 1, 3, 0),
+            (1, "B", 2, 3, 4, 0),
+            (1, "A", 3, 4, None, 1),
+        ]
+
+    def test_null_state_is_real(self, spark):
+        rows = [(2, 1, 1, None), (2, 2, 2, None), (2, 3, 3, "X")]
+        got = self._run(spark, rows)
+        assert got == [
+            (2, None, 1, 1, 3, 0),
+            (2, "X", 2, 3, None, 1),
+        ]
+
+    def test_same_ts_tiebreak(self, spark):
+        rows = [(3, 1, 2, "B"), (3, 1, 1, "A")]
+        got = self._run(spark, rows)
+        # eid orders within the tie: A then B
+        assert got == [
+            (3, "A", 1, 1, 1, 0),
+            (3, "B", 2, 1, None, 1),
+        ]
+
+    def test_keys_independent(self, spark):
+        rows = [(1, 1, 1, "A"), (2, 1, 2, "A")]
+        got = self._run(spark, rows)
+        assert all(r[5] == 1 for r in got) and len(got) == 2
+
+
+class TestQuantileMap:
+    """ops/sketch.py quantile_map: hand-computed rank lookup,
+    identity mapping, NULL exclusion."""
+
+    def _run(self, spark, src, ref, **kw):
+        from fuzi_spark.ops.sketch import quantile_map
+
+        s = spark.createDataFrame([(v,) for v in src], "v long")
+        r = spark.createDataFrame([(v,) for v in ref], "w long")
+        return {
+            row.v: (row.bin, row.pct_lo, row.mapped_bin, row.mapped_value)
+            for row in quantile_map(s, "v", r, "w", **kw).collect()
+        }
+
+    def test_hand_computed_mapping(self, spark):
+        got = self._run(
+            spark, [10, 20, 30], [55, 65, 75],
+            n_bins=16, lo=0, width=10,
+        )
+        assert got[10] == (1, 0.0, 5, 59)
+        assert got[20] == (2, 1 / 3, 6, 69)
+        assert got[30] == (3, 2 / 3, 7, 79)
+
+    def test_identity_on_same_distribution(self, spark):
+        vals = [5, 15, 25, 35]
+        got = self._run(spark, vals, vals, n_bins=8, lo=0, width=10)
+        for v in vals:
+            assert got[v][2] == got[v][0], v  # mapped_bin == own bin
+
+    def test_null_values_excluded(self, spark):
+        from fuzi_spark.ops.sketch import quantile_map
+
+        s = spark.createDataFrame([(5,), (None,)], "v long")
+        r = spark.createDataFrame([(7,)], "w long")
+        got = quantile_map(s, "v", r, "w", n_bins=4, lo=0, width=10)
+        assert got.count() == 1

@@ -758,6 +758,20 @@ CASES = [
      "partial_count, quantile algebra on the n_bins table, caps as "
      "ONE broadcast array row, assignment a codegen'd array probe, "
      "|buckets|-row final agg. Zero sorts."),
+    ("scd2_history",
+     "SCD2 validity windows. Wants: key-partitioned windows only "
+     "(lag change flag, running version sum, lead valid_to) — one "
+     "key exchange, no joins, no global sorts."),
+    ("quantile_map",
+     "Cross-corpus quantile transform. Wants: two histogram aggs, "
+     "CDF windows over n_bins tables, the source CDF broadcast on "
+     "bin, the reference inverse-CDF ONE broadcast array row probed "
+     "by a codegen'd array_min(filter)."),
+    ("containment_pipeline",
+     "LSH→containment funnel. Wants: the dedup_minhash front end "
+     "(shuffle-free signatures, banded bucket self-join) feeding the "
+     "broadcast-pairs containment verify — shingle arrays never "
+     "shuffle."),
 ]
 
 
