@@ -6036,6 +6036,20 @@ def q_containment_pipeline(spark, sf_dir):
     )
 
 
+def q_set_similarity(spark, sf_dir):
+    """Exact prefix-filtered set-similarity self-join (ops/setjoin.
+    set_similarity_join) at Jaccard >= 0.9 over the REAL corpus — the
+    oracle is an INDEPENDENT brute-force all-pairs Jaccard in DuckDB
+    (5,352 organic pairs at sf0.01), so the prefix-filter pruning's
+    zero-false-negative guarantee is differentially tested, not
+    planted."""
+    from fuzi_spark.ops.setjoin import set_similarity_join
+
+    return set_similarity_join(
+        _docs(spark, sf_dir), threshold=0.9
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -6245,6 +6259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "quantile_map": q_quantile_map,
         "containment_pipeline": q_containment_pipeline,
+        "set_similarity": q_set_similarity,
     }
 
 
@@ -10128,6 +10143,21 @@ def oracle_sql() -> dict[str, str]:
             # containment_b is identically 1.0
             "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, "
             "CAST(1.0 AS DOUBLE) AS containment_b FROM documents"
+        ),
+        "set_similarity": (
+            # INDEPENDENT brute-force all-pairs Jaccard — tests the
+            # prefix filter's zero-false-negative guarantee
+            # differentially; same integer set sizes -> identical
+            # IEEE division
+            "WITH s AS (SELECT doc_id, list_distinct("
+            "  regexp_extract_all(lower(COALESCE(text, '')), "
+            "  '[a-z0-9]{2,}')) AS toks FROM documents), "
+            "f AS (SELECT doc_id, toks FROM s WHERE len(toks) > 0), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
+            "  / len(list_distinct(a.toks || b.toks)) AS jaccard "
+            "  FROM f a JOIN f b ON a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.9"
         ),
     }
 

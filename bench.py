@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "scd2_history",
     "quantile_map",
     "containment_pipeline",
+    "set_similarity",
 ]
 
 

@@ -10450,3 +10450,87 @@ class TestQuantileMap:
         r = spark.createDataFrame([(7,)], "w long")
         got = quantile_map(s, "v", r, "w", n_bins=4, lo=0, width=10)
         assert got.count() == 1
+
+
+class TestSetSimilarityJoin:
+    """ops/setjoin.py set_similarity_join: brute-force differential
+    (the zero-false-negative guarantee), path equivalence, guards."""
+
+    @staticmethod
+    def _brute(docs, t):
+        import re
+
+        sets_ = {
+            i: frozenset(re.findall(r"[a-z0-9]{2,}", (s or "").lower()))
+            for i, s in docs
+        }
+        sets_ = {i: v for i, v in sets_.items() if v}
+        out = {}
+        ids = sorted(sets_)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = sets_[ids[x]], sets_[ids[y]]
+                j = len(a & b) / len(a | b)
+                if j >= t:
+                    out[(ids[x], ids[y])] = j
+        return out
+
+    def _docs(self, seed, n=80):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"tok{i}" for i in range(40)]
+        docs = []
+        for i in range(n):
+            base = rng.sample(vocab, rng.randint(5, 15))
+            docs.append((i, " ".join(base)))
+            if rng.random() < 0.5:
+                # a high-overlap partner: drop/add one token
+                mut = list(base)
+                if rng.random() < 0.5 and len(mut) > 3:
+                    mut.pop(rng.randrange(len(mut)))
+                else:
+                    mut.append(rng.choice(vocab))
+                docs.append((1000 + i, " ".join(mut)))
+        return docs
+
+    def _run(self, spark, docs, t, **kw):
+        from fuzi_spark.ops.setjoin import set_similarity_join
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {
+            (r.id_a, r.id_b): r.jaccard
+            for r in set_similarity_join(
+                df, threshold=t, **kw
+            ).collect()
+        }
+
+    def test_brute_force_differential(self, spark):
+        for seed, t in [(3, 0.5), (4, 0.8), (5, 0.9)]:
+            docs = self._docs(seed)
+            got = self._run(spark, docs, t)
+            want = self._brute(docs, t)
+            assert set(got) == set(want), (seed, t)
+            for k in want:
+                assert abs(got[k] - want[k]) < 1e-12, k
+
+    def test_vocab_join_path_identical(self, spark):
+        docs = self._docs(7, n=40)
+        a = self._run(spark, docs, 0.8, broadcast_vocab=True)
+        b = self._run(spark, docs, 0.8, broadcast_vocab=False)
+        assert a == b
+
+    def test_exact_duplicates_score_one(self, spark):
+        docs = [(1, "aa bb cc"), (2, "cc bb aa"), (3, "xx yy")]
+        got = self._run(spark, docs, 1.0)
+        assert got == {(1, 2): 1.0}
+
+    def test_threshold_validated(self, spark):
+        import pytest as _pytest
+        from fuzi_spark.ops.setjoin import set_similarity_join
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            set_similarity_join(df, threshold=0.0)
+        with _pytest.raises(ValueError):
+            set_similarity_join(df, threshold=1.5)

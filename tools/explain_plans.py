@@ -772,6 +772,11 @@ CASES = [
      "(shuffle-free signatures, banded bucket self-join) feeding the "
      "broadcast-pairs containment verify — shingle arrays never "
      "shuffle."),
+    ("set_similarity",
+     "Exact prefix-filtered similarity join. Wants: one df agg, the "
+     "rank vocab BROADCAST onto exploded tokens, prefix explode of "
+     "the RAREST ~10-20%, token-keyed candidate equi-join + length "
+     "filter before the array verify — never an all-pairs join."),
 ]
 
 
