@@ -6038,15 +6038,17 @@ def q_containment_pipeline(spark, sf_dir):
 
 def q_set_similarity(spark, sf_dir):
     """Exact prefix-filtered set-similarity self-join (ops/setjoin.
-    set_similarity_join) at Jaccard >= 0.9 over the REAL corpus — the
-    oracle is an INDEPENDENT brute-force all-pairs Jaccard in DuckDB
-    (5,352 organic pairs at sf0.01), so the prefix-filter pruning's
-    zero-false-negative guarantee is differentially tested, not
-    planted."""
+    set_similarity_join) over 3-word-SHINGLE sets at Jaccard >= 0.8 —
+    the oracle is an INDEPENDENT brute-force all-pairs Jaccard in
+    DuckDB (25 organic near-dup pairs at sf0.01), so the prefix
+    filter's zero-false-negative guarantee is differentially tested,
+    not planted. Shingle sets (not token sets) keep the metric
+    order-sensitive and the prefixes selective on this shared-
+    vocabulary corpus."""
     from fuzi_spark.ops.setjoin import set_similarity_join
 
     return set_similarity_join(
-        _docs(spark, sf_dir), threshold=0.9
+        _docs(spark, sf_dir), threshold=0.8, shingle_n=3
     )
 
 
@@ -10145,19 +10147,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1.0 AS DOUBLE) AS containment_b FROM documents"
         ),
         "set_similarity": (
-            # INDEPENDENT brute-force all-pairs Jaccard — tests the
-            # prefix filter's zero-false-negative guarantee
+            # INDEPENDENT brute-force all-pairs shingle-set Jaccard —
+            # tests the prefix filter's zero-false-negative guarantee
             # differentially; same integer set sizes -> identical
-            # IEEE division
-            "WITH s AS (SELECT doc_id, list_distinct("
-            "  regexp_extract_all(lower(COALESCE(text, '')), "
-            "  '[a-z0-9]{2,}')) AS toks FROM documents), "
-            "f AS (SELECT doc_id, toks FROM s WHERE len(toks) > 0), "
+            # IEEE division; shingle spelling = dedup_ngram_jaccard
+            "WITH sh AS (SELECT doc_id, list_distinct("
+            "  [array_to_string(w[i:i+2], ' ') "
+            "   FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) "
+            "  AS s FROM (SELECT doc_id, string_split(text, ' ') AS w "
+            "  FROM documents)), "
+            "f AS (SELECT doc_id, s FROM sh WHERE len(s) > 0), "
             "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-            "  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
-            "  / len(list_distinct(a.toks || b.toks)) AS jaccard "
+            "  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "  / len(list_distinct(a.s || b.s)) AS jaccard "
             "  FROM f a JOIN f b ON a.doc_id < b.doc_id) "
-            "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.9"
+            "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8"
         ),
     }
 

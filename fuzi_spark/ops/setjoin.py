@@ -40,24 +40,34 @@ member of the dedup family (ops/dedup.py module note).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[a-z0-9]{2,}"
 
 
-def _token_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("sid"),
-        F.array_distinct(
+def _token_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    if shingle_n > 1:
+        # word-shingle sets (dedup.word_shingles — identical slice
+        # semantics to the dedup family's oracles): order-sensitive,
+        # so boilerplate-heavy corpora with shared vocabulary don't
+        # degenerate into everything-similar — and the much larger
+        # shingle universe keeps the rarest-first prefixes SELECTIVE
+        from .dedup import word_shingles
+
+        items = F.array_distinct(word_shingles(text_col, shingle_n))
+    else:
+        items = F.array_distinct(
             F.regexp_extract_all(
                 F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                 F.lit(TOKEN_RE),
                 F.lit(0),
             )
-        ).alias("toks"),
+        )
+    return df.select(
+        F.col(id_col).alias("sid"), items.alias("toks")
     ).filter(F.size("toks") > 0)
 
 
@@ -67,14 +77,19 @@ def set_similarity_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_vocab: bool = True,
+    shingle_n: int = 1,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with token-set Jaccard >= threshold —
+    """All pairs (id_a < id_b) with set Jaccard >= threshold —
     EXACTLY (no false negatives, verified no false positives).
-    Returns (id_a, id_b, jaccard)."""
+    Returns (id_a, id_b, jaccard). shingle_n=1 compares TOKEN sets
+    (entity/title resolution); shingle_n>=2 compares word-SHINGLE
+    sets (near-dup documents — order-sensitive, and the larger
+    item universe keeps prefixes selective on small-vocabulary
+    corpora, where token sets degenerate into everything-similar)."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
     t = float(threshold)
-    sets_ = _token_sets(df, text_col, id_col)
+    sets_ = _token_sets(df, text_col, id_col, shingle_n)
     # global canonical order: ascending df, ties on token — computed
     # once; a (vocab-sized) rank table
     vocab = (

@@ -10534,3 +10534,36 @@ class TestSetSimilarityJoin:
             set_similarity_join(df, threshold=0.0)
         with _pytest.raises(ValueError):
             set_similarity_join(df, threshold=1.5)
+
+    def test_shingle_mode_brute_differential(self, spark):
+        # shingle sets: order-sensitive — reversed word order shares
+        # vocabulary but few shingles
+        docs = [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),        # identical -> J=1
+            (3, "a b c d e x"),        # one-word change
+            (4, "f e d c b a"),        # same tokens, reversed
+        ]
+
+        def shingles(s):
+            w = s.split(" ")
+            if len(w) < 3:
+                return frozenset([" ".join(w)])
+            return frozenset(
+                " ".join(w[i:i + 3]) for i in range(len(w) - 2)
+            )
+
+        want = {}
+        for x in range(1, 5):
+            for y in range(x + 1, 5):
+                a = shingles(dict(docs)[x])
+                b = shingles(dict(docs)[y])
+                j = len(a & b) / len(a | b)
+                if j >= 0.4:
+                    want[(x, y)] = j
+        got = self._run(spark, docs, 0.4, shingle_n=3)
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12, k
+        assert got[(1, 2)] == 1.0
+        assert (1, 4) not in got  # reversed order: no shared shingles
