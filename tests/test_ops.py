@@ -10567,3 +10567,58 @@ class TestSetSimilarityJoin:
             assert abs(got[k] - want[k]) < 1e-12, k
         assert got[(1, 2)] == 1.0
         assert (1, 4) not in got  # reversed order: no shared shingles
+
+def test_scd2_random_stream_python_replay(spark):
+    """Seeded random update streams vs a pure-python SCD2 replay."""
+    import random
+
+    from fuzi_spark.ops.relational import scd2_history
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "k long, ts long, eid long, attr string"
+        )
+        out = scd2_history(df, "k", "ts", ["attr"], tiebreak_col="eid")
+        return sorted(
+            [
+                (r.k, r.attr, r.version_n, r.valid_from, r.valid_to,
+                 r.is_current)
+                for r in out.collect()
+            ],
+            key=lambda t: (t[0], t[2]),
+        )
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for k in range(1, 6):
+            for _ in range(rng.randint(1, 12)):
+                eid += 1
+                rows.append(
+                    (k, rng.randint(1, 8), eid,
+                     rng.choice(["A", "B", "C", None]))
+                )
+        got = run(rows)
+
+        # python replay
+        want = []
+        by_key = {}
+        for k, ts, e, a in rows:
+            by_key.setdefault(k, []).append((ts, e, a))
+        for k, evs in by_key.items():
+            evs.sort(key=lambda t: (t[0], t[1]))
+            vers = []
+            prev = object()
+            for ts, e, a in evs:
+                if a != prev:
+                    vers.append([a, ts])
+                    prev = a
+            for i, v in enumerate(vers):
+                nxt = vers[i + 1][1] if i + 1 < len(vers) else None
+                want.append(
+                    (k, v[0], i + 1, v[1], nxt,
+                     1 if nxt is None else 0)
+                )
+        want.sort(key=lambda t: (t[0], t[2]))
+        assert got == want, seed
