@@ -6052,6 +6052,32 @@ def q_set_similarity(spark, sf_dir):
     )
 
 
+def q_weighted_draws(spark, sf_dir):
+    """With-replacement weighted sampling (ops/sampling.
+    weighted_draws): 1000 epoch draws over per-language doc counts —
+    integer target ranks, so no boundary ulp can flip a draw. Oracle
+    replays the cumulative table and every draw's rank lookup."""
+    from fuzi_spark.ops.sampling import weighted_draws
+
+    wts = (
+        _docs(spark, sf_dir)
+        .groupBy(F.col("lang").alias("key"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return weighted_draws(wts, n_draws=1000)
+
+
+def q_poisson_bootstrap(spark, sf_dir):
+    """Poisson-bootstrap error bars (ops/diagnostics.
+    poisson_bootstrap) on the corpus n_chars sum: 16 content-stable
+    Poisson(1) re-weighted replicate sums in ONE scan. Replicate sums
+    are exact longs; the oracle replays the inverse-CDF CASE chains
+    and the left-assoc mean/std arithmetic."""
+    from fuzi_spark.ops.diagnostics import poisson_bootstrap
+
+    return poisson_bootstrap(_docs(spark, sf_dir), "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -6262,7 +6288,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_map": q_quantile_map,
         "containment_pipeline": q_containment_pipeline,
         "set_similarity": q_set_similarity,
+        "weighted_draws": q_weighted_draws,
+        "poisson_bootstrap": q_poisson_bootstrap,
     }
+
+
+def _bootstrap_oracle_sql(n_replicates: int = 16, salt: str = "boot") -> str:
+    """Generated oracle for `poisson_bootstrap`: 16 replicate sums via
+    the identical inverse-CDF CASE chain (literal double thresholds),
+    then the identical left-assoc mean/variance spelling."""
+    cum = (
+        0.36787944117144233,
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238462,
+        0.9963401531726563,
+        0.9994058151824183,
+        0.9999167588507119,
+    )
+    def u_expr(r: int) -> str:
+        return (
+            "((CAST(CAST(CONCAT('0x', SUBSTRING(md5(CONCAT("
+            f"'{salt}:', '{r}', ':', CAST(doc_id AS VARCHAR))), 1, 13))"
+            " AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)"
+        )
+
+    def w_expr(r: int) -> str:
+        whens = " ".join(
+            f"WHEN {u_expr(r)} < {c!r} THEN {k}"
+            for k, c in enumerate(cum)
+        )
+        return f"(CASE {whens} ELSE {len(cum)} END)"
+
+    s_cols = ", ".join(
+        f"CAST(SUM({w_expr(r)} * CAST(n_chars AS BIGINT)) AS BIGINT) "
+        f"AS s_{r}"
+        for r in range(n_replicates)
+    )
+    mean = " + ".join(
+        f"CAST(s_{r} AS DOUBLE)" for r in range(n_replicates)
+    )
+    var = " + ".join(
+        f"(CAST(s_{r} AS DOUBLE) - boot_mean) * "
+        f"(CAST(s_{r} AS DOUBLE) - boot_mean)"
+        for r in range(n_replicates)
+    )
+    reps = ", ".join(f"s_{r}" for r in range(n_replicates))
+    return (
+        "WITH a AS (SELECT CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT)"
+        f" AS exact_sum, {s_cols} FROM documents "
+        "WHERE n_chars IS NOT NULL), "
+        f"m AS (SELECT *, ({mean}) / {float(n_replicates)!r} AS boot_mean"
+        " FROM a) "
+        f"SELECT exact_sum, {reps}, boot_mean, "
+        f"SQRT(({var}) / {float(n_replicates)!r}) AS boot_std, "
+        f"SQRT(({var}) / {float(n_replicates)!r}) "
+        "/ CAST(exact_sum AS DOUBLE) AS rel_err FROM m"
+    )
 
 
 def _pq_oracle_sql(m: int = 8, k: int = 4, sub: int = 8) -> str:
@@ -10163,6 +10245,25 @@ def oracle_sql() -> dict[str, str]:
             "  FROM f a JOIN f b ON a.doc_id < b.doc_id) "
             "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8"
         ),
+        "weighted_draws": (
+            # identical cumulative table (key-asc order), md5 uniform,
+            # integer target rank, arg_min rank lookup per draw
+            "WITH wts AS (SELECT lang AS key, CAST(COUNT(*) AS BIGINT)"
+            "  AS w FROM documents GROUP BY 1), "
+            "c AS (SELECT key, w, CAST(SUM(w) OVER (ORDER BY key "
+            "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw FROM wts), "
+            "tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM wts), "
+            "d AS (SELECT CAST(UNNEST(range(0, 1000)) AS BIGINT) "
+            "  AS draw_id), "
+            "t AS (SELECT draw_id, CAST(FLOOR(((CAST(CAST(CONCAT('0x',"
+            "  SUBSTRING(md5(CONCAT('draws:', CAST(draw_id AS VARCHAR)"
+            "  )), 1, 13)) AS BIGINT) AS DOUBLE) + 0.5) "
+            "  / 4503599627370496.0) * (SELECT CAST(total AS DOUBLE) "
+            "  FROM tot)) AS BIGINT) + 1 AS target FROM d) "
+            "SELECT t.draw_id, (SELECT arg_min(c.key, c.cumw) FROM c "
+            "  WHERE c.cumw >= t.target) AS key FROM t"
+        ),
+        "poisson_bootstrap": _bootstrap_oracle_sql(),
     }
 
 

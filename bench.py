@@ -233,6 +233,8 @@ BENCH_QUERIES = [
     "quantile_map",
     "containment_pipeline",
     "set_similarity",
+    "weighted_draws",
+    "poisson_bootstrap",
 ]
 
 

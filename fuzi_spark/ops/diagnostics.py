@@ -187,3 +187,101 @@ def rollup_report(
         "n_chars",
         "avg_chars",
     )
+
+
+_POISSON1_CUM = (
+    0.36787944117144233,  # P(X=0), e^-1
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def _poisson1_weight(u):
+    """Poisson(1) draw from a uniform via the inverse CDF — literal
+    double thresholds (identical constants in any engine), capped at
+    7 (P ≈ 8e-5 beyond; the tail's effect on a bootstrap is nil)."""
+    from pyspark.sql import functions as F
+
+    expr = F.lit(len(_POISSON1_CUM))
+    for k in range(len(_POISSON1_CUM) - 1, -1, -1):
+        expr = F.when(u < F.lit(_POISSON1_CUM[k]), F.lit(k)).otherwise(
+            expr
+        )
+    return expr.cast("int")
+
+
+def poisson_bootstrap(
+    df,
+    value_col: str,
+    key_col: str = "doc_id",
+    n_replicates: int = 16,
+    salt: str = "boot",
+):
+    """Error bars for a corpus SUM without resampling the corpus —
+    the Poisson bootstrap (Chamandy et al., Google 2012): replicate r
+    re-weights every row by an independent Poisson(1) count, and the
+    spread of the replicate sums estimates the metric's sampling
+    variability. The classic multinomial bootstrap needs the total
+    count up front and a shared draw — impossible streaming/sharded;
+    Poisson(1) weights are per-row-independent, so the whole thing is
+    ONE scan with R extra sum aggregates (map-side partials, zero
+    extra shuffles), and replicate weights are content-stable
+    (md5(salt:r:key)) so the bars reproduce bit-identically.
+
+    INTEGER values contract: replicate sums stay exact longs; only
+    the final mean/std are doubles (spelled left-assoc, replayed
+    identically by the oracle). Returns ONE row: exact_sum,
+    s_0..s_{R-1}, boot_mean, boot_std (population, over replicates),
+    rel_err = boot_std / exact_sum."""
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("long")
+    sums = [F.sum(v).alias("exact_sum")]
+    for r in range(n_replicates):
+        q = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.lit(str(r)),
+                        F.col(key_col).cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (q.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+        sums.append(
+            F.sum(_poisson1_weight(u).cast("long") * v).alias(f"s_{r}")
+        )
+    one = df.filter(v.isNotNull()).agg(*sums)
+    # mean/std over the R replicate columns, left-assoc spelling
+    mean = F.col("s_0").cast("double")
+    for r in range(1, n_replicates):
+        mean = mean + F.col(f"s_{r}").cast("double")
+    mean = mean / F.lit(float(n_replicates))
+    out = one.withColumn("boot_mean", mean)
+    var = (
+        F.col("s_0").cast("double") - F.col("boot_mean")
+    ) * (F.col("s_0").cast("double") - F.col("boot_mean"))
+    for r in range(1, n_replicates):
+        d = F.col(f"s_{r}").cast("double") - F.col("boot_mean")
+        var = var + d * d
+    var = var / F.lit(float(n_replicates))
+    return out.select(
+        "exact_sum",
+        *[f"s_{r}" for r in range(n_replicates)],
+        "boot_mean",
+        F.sqrt(var).alias("boot_std"),
+        (F.sqrt(var) / F.col("exact_sum").cast("double")).alias(
+            "rel_err"
+        ),
+    )

@@ -547,3 +547,78 @@ def group_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def weighted_draws(
+    weights: DataFrame,
+    n_draws: int,
+    key_col: str = "key",
+    weight_col: str = "w",
+    salt: str = "draws",
+) -> DataFrame:
+    """Deterministic sampling WITH replacement, proportional to
+    integer weights — the epoch-construction primitive ("draw 1M
+    documents per mixture epoch, source s with probability w_s/W")
+    that reproduces bit-identically on any layout, unlike rand()
+    draws.
+
+    Contract: `weights` is a DIMENSION-sized table (sources,
+    languages, shards — not the corpus) with POSITIVE INTEGER
+    weights; it ships as ONE broadcast row holding the cumulative
+    array. Each draw i gets the content-stable uniform
+    u_i = md5('<salt>:<i>') (the weighted_sample device), an integer
+    target rank t_i = floor(u_i · W) + 1 ∈ [1, W], and selects the
+    first key whose cumulative weight reaches t_i — selection is
+    INTEGER compare, so no boundary ulp can flip a draw.
+
+    Scale shape: spark.range(n_draws) is the only big side (narrow,
+    no input scan), the cumulative array a broadcast single row, the
+    probe a codegen'd array_min(filter) — zero shuffles. Returns
+    (draw_id, key)."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("long")
+    cum = weights.select(
+        F.col(key_col).alias("key"),
+        w.alias("w"),
+        F.sum(w)
+        .over(
+            Window.orderBy(F.col(key_col).asc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cumw"),
+    )
+    row = cum.agg(
+        F.array_sort(F.collect_list(F.struct("cumw", "key"))).alias(
+            "cdf"
+        ),
+        F.sum("w").alias("total"),
+    )
+    draws = weights.sparkSession.range(n_draws).select(
+        F.col("id").alias("draw_id")
+    )
+    q = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(salt), F.col("draw_id").cast("string")
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (q.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    target = (
+        F.floor(u * F.col("total").cast("double")).cast("long") + 1
+    )
+    pick = F.array_min(
+        F.filter("cdf", lambda s: s["cumw"] >= target)
+    )["key"]
+    return (
+        draws.crossJoin(F.broadcast(row))
+        .select("draw_id", pick.alias("key"))
+    )

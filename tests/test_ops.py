@@ -10622,3 +10622,114 @@ def test_scd2_random_stream_python_replay(spark):
                 )
         want.sort(key=lambda t: (t[0], t[2]))
         assert got == want, seed
+
+
+class TestWeightedDraws:
+    """ops/sampling.py weighted_draws: python-replay exactness,
+    proportionality, layout invariance."""
+
+    @staticmethod
+    def _replay(weights, n_draws, salt="draws"):
+        import hashlib
+
+        keys = sorted(weights)
+        cum, acc = [], 0
+        for k in keys:
+            acc += weights[k]
+            cum.append((acc, k))
+        total = acc
+        out = {}
+        for i in range(n_draws):
+            h = hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:13]
+            u = (int(h, 16) + 0.5) / float(1 << 52)
+            t = int(u * total) + 1
+            out[i] = next(k for c, k in cum if c >= t)
+        return out
+
+    def _run(self, spark, weights, n_draws, n_parts=None):
+        from fuzi_spark.ops.sampling import weighted_draws
+
+        df = spark.createDataFrame(
+            list(weights.items()), "key string, w long"
+        )
+        if n_parts:
+            df = df.repartition(n_parts)
+        return {
+            r.draw_id: r.key
+            for r in weighted_draws(df, n_draws).collect()
+        }
+
+    def test_python_replay_exact(self, spark):
+        w = {"a": 7, "b": 2, "c": 1}
+        assert self._run(spark, w, 200) == self._replay(w, 200)
+
+    def test_proportionality(self, spark):
+        from collections import Counter
+
+        got = Counter(self._run(spark, {"x": 9000, "y": 1000}, 500).values())
+        assert got["x"] > 5 * got["y"] and got["y"] > 0
+
+    def test_layout_invariant(self, spark):
+        w = {"a": 3, "b": 5, "c": 2, "d": 10}
+        assert self._run(spark, w, 100) == self._run(
+            spark, w, 100, n_parts=4
+        )
+
+
+class TestPoissonBootstrap:
+    """ops/diagnostics.py poisson_bootstrap: python-replay exact
+    replicate sums, sane error bars, layout invariance."""
+
+    CUM = (
+        0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+        0.9999167588507119,
+    )
+
+    def _replay_sums(self, rows, n_reps=16, salt="boot"):
+        import hashlib
+
+        sums = [0] * n_reps
+        for key, v in rows:
+            for r in range(n_reps):
+                h = hashlib.md5(
+                    f"{salt}:{r}:{key}".encode()
+                ).hexdigest()[:13]
+                u = (int(h, 16) + 0.5) / float(1 << 52)
+                w = next(
+                    (k for k, c in enumerate(self.CUM) if u < c),
+                    len(self.CUM),
+                )
+                sums[r] += w * v
+        return sums
+
+    def _run(self, spark, rows, n_parts=None):
+        from fuzi_spark.ops.diagnostics import poisson_bootstrap
+
+        df = spark.createDataFrame(rows, "doc_id long, v long")
+        if n_parts:
+            df = df.repartition(n_parts)
+        return poisson_bootstrap(df, "v").collect()[0]
+
+    def test_replicate_sums_python_exact(self, spark):
+        rows = [(i, (i * 13) % 50 + 1) for i in range(1, 120)]
+        got = self._run(spark, rows)
+        want = self._replay_sums(rows)
+        for r in range(16):
+            assert got[f"s_{r}"] == want[r], r
+        assert got.exact_sum == sum(v for _, v in rows)
+
+    def test_bars_bracket_the_sum(self, spark):
+        rows = [(i, 10) for i in range(1, 400)]
+        got = self._run(spark, rows)
+        # Poisson(1) mean-1 reweighting: boot_mean within ~3 sigma
+        assert abs(got.boot_mean - got.exact_sum) <= 4 * got.boot_std
+        assert got.boot_std > 0
+        # relative error for a 399-row uniform sum ~ 1/sqrt(399) ≈ 5%
+        assert 0.01 < got.rel_err < 0.15
+
+    def test_layout_invariant(self, spark):
+        rows = [(i, i % 7 + 1) for i in range(1, 60)]
+        a = self._run(spark, rows)
+        b = self._run(spark, rows, n_parts=5)
+        assert a.asDict() == b.asDict()

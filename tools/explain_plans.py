@@ -777,6 +777,14 @@ CASES = [
      "rank vocab BROADCAST onto exploded tokens, prefix explode of "
      "the RAREST ~10-20%, token-keyed candidate equi-join + length "
      "filter before the array verify — never an all-pairs join."),
+    ("weighted_draws",
+     "With-replacement epoch draws. Wants: spark.range as the only "
+     "big side (no input scan), the cumulative table ONE broadcast "
+     "row, integer-rank array probe in codegen — zero shuffles."),
+    ("poisson_bootstrap",
+     "Bootstrap error bars. Wants: ONE scan with R extra partial_ "
+     "sum aggregates (md5 + CASE chains all codegen'd in the scan "
+     "projection), a single 1-row agg — no resampling pass."),
 ]
 
 
