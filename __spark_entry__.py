@@ -6078,6 +6078,45 @@ def q_poisson_bootstrap(spark, sf_dir):
     return poisson_bootstrap(_docs(spark, sf_dir), "n_chars")
 
 
+def q_bloom_join(spark, sf_dir):
+    """Bloom-prefiltered join (ops/bloom.bloom_join): events against
+    a sparse user dim (user_id % 97 == 0), prefiltered map-side by
+    the dim's bitmap. Oracle = the PLAIN join — Bloom's
+    no-false-negative guarantee as row identity."""
+    from fuzi_spark.ops.bloom import bloom_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = (
+        events.filter(F.col("user_id") % 97 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    j = bloom_join(
+        events.select("event_id", "user_id", "event_type"), dim, "user_id"
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_ev").alias("sum_dim_nev"),
+    )
+
+
+def q_stream_histogram(spark, sf_dir):
+    """Incremental sketch maintenance, streamed shape (stream_dedup
+    harness precedent): documents routed to 3 batches by doc_id % 3,
+    per-batch histogram sketches ACCUMULATED as the monoid, corpus
+    p50/p90/p99 from the union — must equal the one-shot rollup, so
+    the oracle is quantile_rollup's full-corpus SQL verbatim."""
+    from fuzi_spark.ops.sketch import histogram_quantiles, histogram_sketch
+
+    d = _docs(spark, sf_dir)
+    acc = None
+    for b in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == b)
+        sk = histogram_sketch(batch, "n_chars", "lang", 128, 0, 8)
+        acc = sk if acc is None else acc.unionByName(sk)
+    return histogram_quantiles(acc, (0.5, 0.9, 0.99), 0, 8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_roundtrip": q_parse_roundtrip,
@@ -6290,6 +6329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_similarity": q_set_similarity,
         "weighted_draws": q_weighted_draws,
         "poisson_bootstrap": q_poisson_bootstrap,
+        "bloom_join": q_bloom_join,
+        "stream_histogram": q_stream_histogram,
     }
 
 
@@ -10264,6 +10305,38 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE c.cumw >= t.target) AS key FROM t"
         ),
         "poisson_bootstrap": _bootstrap_oracle_sql(),
+        "bloom_join": (
+            # the PLAIN join — bloom_join must be row-identical to it
+            # (no false negatives; false positives die in the join)
+            "WITH dim AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) "
+            "  AS n_ev FROM events WHERE user_id % 97 = 0 "
+            "  GROUP BY 1) "
+            "SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(d.n_ev) AS BIGINT) AS sum_dim_nev "
+            "FROM events e JOIN dim d ON e.user_id = d.user_id "
+            "GROUP BY 1"
+        ),
+        "stream_histogram": (
+            # the one-shot full-corpus rollup — the streamed monoid
+            # accumulation must land on the identical quantile table
+            "WITH h AS (SELECT LEAST(GREATEST("
+            "    CAST(n_chars AS BIGINT) // 8, 0), 127) AS bin, "
+            "  CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+            "  WHERE n_chars IS NOT NULL GROUP BY 1), "
+            "c AS (SELECT bin, n, "
+            "  CAST(SUM(n) OVER (ORDER BY bin "
+            "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, "
+            "  CAST(SUM(n) OVER () AS BIGINT) AS total FROM h), "
+            "q AS (SELECT CAST(UNNEST([0.5, 0.9, 0.99]) AS DOUBLE) "
+            "  AS q), "
+            "sel AS (SELECT q.q AS q, MIN(c.bin) AS bin, "
+            "  MAX(c.total) AS total FROM q, c "
+            "  WHERE c.cum >= CAST(CEIL(q.q * c.total) AS BIGINT) "
+            "  GROUP BY q.q) "
+            "SELECT q, CAST(bin AS INTEGER) AS bin, "
+            "CAST(bin AS BIGINT) * 8 AS value_lo, "
+            "CAST(bin + 1 AS BIGINT) * 8 AS value_hi, total FROM sel"
+        ),
     }
 
 

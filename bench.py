@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "set_similarity",
     "weighted_draws",
     "poisson_bootstrap",
+    "bloom_join",
+    "stream_histogram",
 ]
 
 

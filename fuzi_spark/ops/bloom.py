@@ -161,3 +161,36 @@ def bloom_seen_filter(
     artifact instead of a corpus-sized anti-join side."""
     bitmap = bloom_build(seen_keys, seen_key_col, m_bits, k, salt)
     return bloom_probe_df(docs, bitmap, key_col, k, salt)
+
+
+def bloom_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+    salt: str = "bloomjoin",
+) -> DataFrame:
+    """Bloom-prefiltered inner equi-join — the side-filter pattern for
+    the mid-size dimension that is too large to BROADCAST-join but
+    whose BITMAP is a few hundred KB: non-matching big-side rows are
+    dropped map-side BEFORE the join shuffle, so the exchange carries
+    ~|matches| + fp_rate·|big| rows instead of |big|. (Spark's own
+    runtime row-level filters do this for some plans; this operator
+    makes the decision explicit, deterministic, and available to any
+    join the optimizer won't cover.)
+
+    Result is row-identical to big.join(small, on, 'inner'): Bloom
+    has NO false negatives (a matching row always passes), and false
+    positives are eliminated by the real join that follows — the
+    bitmap only decides how much useless data moves. The `bloom_join`
+    oracle asserts exactly that equality.
+
+    INNER-only by design: a left join must keep non-matching rows, so
+    there is nothing for the prefilter to drop. The probe is the
+    bloom_seen mapInPandas kernel (bitmap ships once per executor)."""
+    keys = small.select(F.col(on).cast("string").alias("key")).distinct()
+    bitmap = bloom_build(keys, "key", m_bits, k, salt)
+    probed = bloom_probe_df(big, bitmap, key_col=on, k=k, salt=salt)
+    pref = probed.filter(F.col("seen") == 1).drop("n_set", "seen")
+    return pref.join(small, on, "inner")

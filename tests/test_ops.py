@@ -10733,3 +10733,80 @@ class TestPoissonBootstrap:
         a = self._run(spark, rows)
         b = self._run(spark, rows, n_parts=5)
         assert a.asDict() == b.asDict()
+
+
+class TestBloomJoin:
+    """ops/bloom.py bloom_join: row-identity with the plain join,
+    the prefilter actually drops rows, inner-only contract."""
+
+    def _tables(self, spark):
+        big = spark.createDataFrame(
+            [(i, f"u{i % 20}") for i in range(200)],
+            "event_id long, k string",
+        )
+        small = spark.createDataFrame(
+            [("u3", 30), ("u7", 70), ("zz", 99)], "k string, dim long"
+        )
+        return big, small
+
+    def test_identical_to_plain_join(self, spark):
+        from collections import Counter
+
+        from fuzi_spark.ops.bloom import bloom_join
+
+        big, small = self._tables(spark)
+        got = Counter(
+            tuple(r) for r in bloom_join(big, small, "k").collect()
+        )
+        want = Counter(
+            tuple(r) for r in big.join(small, "k", "inner").collect()
+        )
+        assert got == want and sum(want.values()) == 20
+
+    def test_prefilter_drops_nonmatching(self, spark):
+        from pyspark.sql import functions as F
+
+        from fuzi_spark.ops.bloom import (
+            bloom_build,
+            bloom_probe_df,
+        )
+
+        big, small = self._tables(spark)
+        keys = small.select(F.col("k").cast("string").alias("key")).distinct()
+        bm = bloom_build(keys, "key", 1 << 17, 4, "bloomjoin")
+        probed = bloom_probe_df(big, bm, key_col="k", salt="bloomjoin")
+        kept = probed.filter(F.col("seen") == 1).count()
+        # 20 true matches; fp rate at 3 keys in 2^17 bits is ~0
+        assert kept < big.count() and kept >= 20
+
+
+def test_stream_histogram_monoid_accumulation(spark):
+    """Batched sketch accumulation lands on the one-shot quantiles —
+    the incremental-maintenance law, pinned at test scale."""
+    from fuzi_spark.ops.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+        quantile_rollup,
+    )
+
+    rows = [("g%d" % (i % 4), (i * 17) % 300) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    acc = None
+    for b in range(4):
+        from pyspark.sql import functions as F
+
+        sk = histogram_sketch(
+            df.filter(F.col("v") % 4 == b), "v", "g", 64, 0, 8
+        )
+        acc = sk if acc is None else acc.unionByName(sk)
+    streamed = {
+        (r.q, r.bin, r.total)
+        for r in histogram_quantiles(acc, (0.5, 0.9), 0, 8).collect()
+    }
+    oneshot = {
+        (r.q, r.bin, r.total)
+        for r in quantile_rollup(
+            df, "v", "g", qs=(0.5, 0.9), n_bins=64, lo=0, width=8
+        ).collect()
+    }
+    assert streamed == oneshot

@@ -785,6 +785,15 @@ CASES = [
      "Bootstrap error bars. Wants: ONE scan with R extra partial_ "
      "sum aggregates (md5 + CASE chains all codegen'd in the scan "
      "projection), a single 1-row agg — no resampling pass."),
+    ("bloom_join",
+     "Bloom-prefiltered join. Wants: the probe (MapInPandas, bitmap "
+     "in closure) + seen filter BEFORE the join exchange — the "
+     "shuffle carries matches + fp residue, never the whole big "
+     "side."),
+    ("stream_histogram",
+     "Incremental sketch rollup. Wants: per-batch histogram aggs "
+     "with partial_count, the union a metadata-table concat, "
+     "quantile windows over n_bins rows only."),
 ]
 
 
