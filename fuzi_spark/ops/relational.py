@@ -407,6 +407,11 @@ def assign_contiguous_ids(
         pdf = pdf.sort_values(key_col, kind="mergesort").reset_index(
             drop=True
         )
+        if pdf[key_col].isna().any():
+            raise ValueError(
+                f"assign_contiguous_ids: NULL key in {key_col} — a "
+                f"NULL has no rank; filter or impute first"
+            )
         if pdf[key_col].duplicated().any():
             dup = pdf[key_col][pdf[key_col].duplicated()].iloc[0]
             raise ValueError(

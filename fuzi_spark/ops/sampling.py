@@ -594,6 +594,7 @@ def weighted_draws(
             "cdf"
         ),
         F.sum("w").alias("total"),
+        F.min("w").alias("_minw"),
     )
     draws = weights.sparkSession.range(n_draws).select(
         F.col("id").alias("draw_id")
@@ -618,7 +619,16 @@ def weighted_draws(
     pick = F.array_min(
         F.filter("cdf", lambda s: s["cumw"] >= target)
     )["key"]
+    # fail loud on a violated weight contract: a zero/negative weight
+    # silently corrupts the cumulative table (draws land on the wrong
+    # key), so the probe raises instead of mis-sampling
+    guarded = F.when(
+        F.col("_minw") <= 0,
+        F.raise_error(
+            F.lit("weighted_draws: weights must be positive integers")
+        ),
+    ).otherwise(pick)
     return (
         draws.crossJoin(F.broadcast(row))
-        .select("draw_id", pick.alias("key"))
+        .select("draw_id", guarded.alias("key"))
     )

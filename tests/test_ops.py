@@ -10810,3 +10810,27 @@ def test_stream_histogram_monoid_accumulation(spark):
         ).collect()
     }
     assert streamed == oneshot
+
+
+def test_weighted_draws_nonpositive_weight_fails_loud(spark):
+    import pytest as _pytest
+
+    from fuzi_spark.ops.sampling import weighted_draws
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 0)], "key string, w long"
+    )
+    with _pytest.raises(Exception) as ei:
+        weighted_draws(df, 10).collect()
+    assert "positive" in str(ei.value)
+
+
+def test_assign_ids_null_key_fails_loud(spark):
+    import pytest as _pytest
+
+    from fuzi_spark.ops.relational import assign_contiguous_ids
+
+    df = spark.createDataFrame([(1,), (None,), (3,)], "k long")
+    with _pytest.raises(Exception) as ei:
+        assign_contiguous_ids(df, "k", n_buckets=2).collect()
+    assert "NULL key" in str(ei.value)
