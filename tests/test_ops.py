@@ -10834,3 +10834,70 @@ def test_assign_ids_null_key_fails_loud(spark):
     with _pytest.raises(Exception) as ei:
         assign_contiguous_ids(df, "k", n_buckets=2).collect()
     assert "NULL key" in str(ei.value)
+
+
+class TestPlanShapePins:
+    """Physical-plan regression pins for the scale-critical session-14
+    shapes (PLANS.md documents them; these asserts ENFORCE them — a
+    future edit that silently turns a bounded top-k into a global sort
+    or a broadcast into a corpus shuffle fails here, not at 100 TB)."""
+
+    @staticmethod
+    def _plan(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_weighted_sample_is_bounded_topk(self, spark):
+        from fuzi_spark.ops.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, float(i % 7 + 1)) for i in range(100)],
+            "doc_id long, w double",
+        )
+        plan = self._plan(weighted_sample(df, 10, "w"))
+        assert "TakeOrderedAndProject" in plan
+        # no full exchange-then-sort for a top-k
+        assert "rangepartitioning" not in plan.lower()
+
+    def test_group_sample_uses_window_group_limit(self, spark):
+        from fuzi_spark.ops.sampling import group_sample
+
+        df = spark.createDataFrame(
+            [(i, "g%d" % (i % 3)) for i in range(90)],
+            "doc_id long, g string",
+        )
+        plan = self._plan(group_sample(df, 5, "g"))
+        assert "WindowGroupLimit" in plan
+
+    def test_salted_join_broadcasts_replicated_dim(self, spark):
+        from fuzi_spark.ops.skewjoin import salted_join
+
+        big = spark.createDataFrame(
+            [(f"k{i % 3}", i) for i in range(100)], "k string, v long"
+        )
+        small = spark.createDataFrame(
+            [("k0", 1), ("k1", 2)], "k string, d long"
+        )
+        plan = self._plan(salted_join(big, small, "k", n_salts=4))
+        # the essential property: BOTH join sides are keyed on
+        # (key, salt) — the hot key spreads across n_salts reducers.
+        # (On parquet-backed tables AQE further converts the small
+        # side to a broadcast — PLANS.md §skew_join; on stat-less
+        # local frames the initial sort-merge shape is what's pinned.)
+        import re
+
+        assert re.search(r"Join.*_fz_salt", plan)
+        assert "CartesianProduct" not in plan
+
+    def test_score_percentiles_windows_stay_on_metadata(self, spark):
+        # the row side must get its band via broadcast join — the only
+        # Window operators sit on the (group, bin) histogram side
+        from fuzi_spark.ops.sketch import score_percentiles
+
+        df = spark.createDataFrame(
+            [("g%d" % (i % 2), i % 50) for i in range(200)],
+            "g string, v long",
+        )
+        plan = self._plan(
+            score_percentiles(df, "v", "g", n_bins=16, lo=0, width=4)
+        )
+        assert "BroadcastHashJoin" in plan
