@@ -121,22 +121,40 @@ def bloom_probe_df(
     the configured rate). Zero shuffles; the bitmap ships once per
     executor in the UDF closure."""
     m_bits = int(bitmap.shape[0]) * 8
-    cols = [f.name for f in docs.schema.fields]
+    for reserved in ("n_set", "seen"):
+        if reserved in docs.columns:
+            raise ValueError(
+                f"bloom_probe_df: input already has a {reserved!r} "
+                f"column — the probe emits it; rename the input column"
+            )
+    # The build hashes the JVM cast('string') rendering of the key
+    # (bloom_build / _position_cols). Probing the Python str() of the
+    # Arrow-delivered value silently diverges for non-string keys: a
+    # nullable int64 batch arrives as float64 ('5.0' vs '5'), booleans
+    # as 'True' vs 'true', floats/timestamps format differently — and
+    # mismatched renderings DROP matching rows. So the probe string is
+    # ALSO produced JVM-side: cast('string') in a temp column, read
+    # verbatim in the UDF, dropped on emit — build and probe hash
+    # byte-identical strings for every key type by construction.
+    skey = "_fz_bloom_key"
+    while skey in docs.columns:
+        skey += "_"
+    cast_docs = docs.withColumn(skey, F.col(key_col).cast("string"))
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
             n_set = np.zeros(n, dtype=np.int32)
             for row in range(n):
-                key = pdf[key_col].iloc[row]
+                key = pdf[skey].iloc[row]
                 if key is None:
                     continue
                 n_set[row] = sum(
                     1
-                    for p in _positions_py(str(key), salt, k, m_bits)
+                    for p in _positions_py(key, salt, k, m_bits)
                     if bitmap[p // 8] & (1 << (p % 8))
                 )
-            out = pdf.copy()
+            out = pdf.drop(columns=[skey])
             out["n_set"] = n_set
             out["seen"] = (n_set == k).astype(np.int32)
             yield out
@@ -144,7 +162,9 @@ def bloom_probe_df(
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
     )
-    return docs.mapInPandas(probe, schema=f"{schema}, n_set int, seen int")
+    return cast_docs.mapInPandas(
+        probe, schema=f"{schema}, n_set int, seen int"
+    )
 
 
 def bloom_seen_filter(

@@ -461,10 +461,21 @@ def ngram_containment(
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    c_a = (inter / F.size("sh_a")).alias("containment_a")
-    c_b = (inter / F.size("sh_b")).alias("containment_b")
+
+    # an EMPTY shingle set (possible via a caller-supplied
+    # shingles_col; the built-in shinglers emit >= 1 by construction)
+    # scores an explicit 0.0 on its side — the bare division would
+    # yield NULL, and NULL containment silently vanishes from every
+    # threshold filter instead of ranking the pair lowest
+    def _contain(inter_, size_col):
+        return F.when(
+            F.size(size_col) > 0, inter_ / F.size(size_col)
+        ).otherwise(F.lit(0.0))
+
+    c_a = _contain(inter, "sh_a").alias("containment_a")
+    c_b = _contain(inter, "sh_b").alias("containment_b")
     cmax = F.greatest(
-        inter / F.size("sh_a"), inter / F.size("sh_b")
+        _contain(inter, "sh_a"), _contain(inter, "sh_b")
     ).alias("containment")
     if broadcast_pairs:
         bp = F.broadcast(pairs.select("id_a", "id_b"))

@@ -490,12 +490,26 @@ def weighted_sample(
     ulp divergence, so the selected SET is stable even where the last
     bit of pow is not.
 
+    The EXACT uniform `u` IS emitted, deliberately, as an audit
+    column: it is binary64-exact on every engine (unlike the pow key),
+    so downstream replays — and the driver's DuckDB oracle — can
+    verify each selected row's draw without recomputing md5. Inputs
+    that already carry a `u` (or the internal `_es`) column are
+    rejected rather than silently overwritten.
+
     Scale shape: per-row hash + pow inside the scan, then a global
     top-k — Spark executes orderBy().limit(k) as TakeOrderedAndProject
     (per-partition bounded heaps, driver merges k·n_partitions rows);
     no full sort, no shuffle of the data. Rows with weight <= 0 or NULL
     are excluded (pow(u, 1/w) with w<=0 would invert the ordering).
     """
+    for reserved in ("u", "_es"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"weighted_sample: input already has a {reserved!r} "
+                f"column — it would collide with the emitted audit "
+                f"uniform / internal selection key; rename it first"
+            )
     w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
     q = F.conv(
         F.substring(

@@ -74,6 +74,12 @@ def salted_join(
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     keys = [on] if isinstance(on, str) else list(on)
+    if _SALT in big.columns or _SALT in small.columns:
+        raise ValueError(
+            f"salted_join: input already has a {_SALT!r} column — the "
+            f"salt would silently collide with it; rename the input "
+            f"column"
+        )
     if spread_cols is None:
         spread_cols = [c for c in big.columns if c not in keys]
     if not spread_cols:

@@ -10779,6 +10779,119 @@ class TestBloomJoin:
         # 20 true matches; fp rate at 3 keys in 2^17 bits is ~0
         assert kept < big.count() and kept >= 20
 
+    def test_nullable_integer_key_row_identity(self, spark):
+        # the r3 ADVICE bug: a nullable int64 key batch arrives in
+        # pandas as float64, so a Python-str probe hashes '5.0' where
+        # the build hashed '5' and every match is silently dropped;
+        # the probe string now comes from the same JVM cast('string')
+        # as the build
+        from collections import Counter
+
+        from fuzi_spark.ops.bloom import bloom_join
+
+        big = spark.createDataFrame(
+            [(i, i % 20 if i % 7 else None) for i in range(200)],
+            "event_id long, k long",
+        )
+        small = spark.createDataFrame(
+            [(3, 30), (7, 70), (99, 990)], "k long, dim long"
+        )
+        got = Counter(tuple(r) for r in bloom_join(big, small, "k").collect())
+        want = Counter(
+            tuple(r) for r in big.join(small, "k", "inner").collect()
+        )
+        assert got == want and sum(want.values()) > 0
+
+    def test_boolean_and_float_keys_row_identity(self, spark):
+        from collections import Counter
+
+        from fuzi_spark.ops.bloom import bloom_join
+
+        big = spark.createDataFrame(
+            [(i, bool(i % 2), float(i % 5) / 2.0) for i in range(40)],
+            "event_id long, b boolean, f double",
+        )
+        for key in ("b", "f"):
+            small = big.select(key).distinct().limit(2)
+            got = Counter(
+                tuple(r) for r in bloom_join(big, small, key).collect()
+            )
+            want = Counter(
+                tuple(r) for r in big.join(small, key, "inner").collect()
+            )
+            assert got == want and sum(want.values()) > 0, key
+
+    def test_reserved_probe_columns_fail_loud(self, spark):
+        import pytest as _pytest
+
+        from fuzi_spark.ops.bloom import bloom_probe_df
+
+        import numpy as np
+
+        bm = np.zeros(16, dtype=np.uint8)
+        for col in ("seen", "n_set"):
+            df = spark.createDataFrame(
+                [("a", 1)], f"k string, {col} long"
+            )
+            with _pytest.raises(ValueError, match=col):
+                bloom_probe_df(df, bm, key_col="k")
+
+
+def test_salted_join_reserved_salt_column_fails_loud(spark):
+    import pytest as _pytest
+
+    from fuzi_spark.ops.skewjoin import salted_join
+
+    big = spark.createDataFrame(
+        [("a", 1, 0)], "k string, payload long, _fz_salt int"
+    )
+    small = spark.createDataFrame([("a", 9)], "k string, dim long")
+    with _pytest.raises(ValueError, match="_fz_salt"):
+        salted_join(big, small, "k")
+    with _pytest.raises(ValueError, match="_fz_salt"):
+        salted_join(small, big, "k")
+
+
+def test_weighted_sample_reserved_columns_fail_loud(spark):
+    import pytest as _pytest
+
+    from fuzi_spark.ops.sampling import weighted_sample
+
+    for col in ("u", "_es"):
+        df = spark.createDataFrame(
+            [(1, 2.0, 3)], f"doc_id long, w double, `{col}` long"
+        )
+        with _pytest.raises(ValueError, match="collide"):
+            weighted_sample(df, 1, "w")
+
+
+def test_ngram_containment_empty_shingle_set_scores_zero(spark):
+    # empty sets (possible via a caller-supplied shingles_col) must
+    # score an explicit 0.0, not a NULL that vanishes from filters
+    from pyspark.sql import functions as F
+
+    from fuzi_spark.ops.dedup import ngram_containment
+
+    docs = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, [])],
+        "doc_id long, sh array<string>",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    rows = ngram_containment(
+        pairs, docs, shingles_col="sh"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.containment_a == 0.0
+    assert r.containment_b == 0.0
+    assert r.containment == 0.0
+    kept = (
+        ngram_containment(pairs, docs, shingles_col="sh")
+        .filter(F.col("containment") >= 0.0)
+        .count()
+    )
+    assert kept == 1
+
 
 def test_stream_histogram_monoid_accumulation(spark):
     """Batched sketch accumulation lands on the one-shot quantiles —
