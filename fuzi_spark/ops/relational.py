@@ -424,6 +424,154 @@ def assign_contiguous_ids(
     return withb.groupBy("_bucket").applyInPandas(assign, out_schema)
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int = 64,
+    rank_name: str = "rank",
+    start: int = 1,
+    sample_cap: int = 65536,
+    seed: int = 48619,
+) -> DataFrame:
+    """Distributed global row_number() over a COMPOSITE key — the
+    window-free total rank for tables where
+    `row_number().over(Window.orderBy(...))` would funnel everything
+    through one reducer (the classic single-reducer window, the exact
+    shape WindowExec warns about). assign_contiguous_ids (above)
+    covers the single-NUMERIC-key case via approxQuantile; this is the
+    composite/lexicographic generalization — e.g. a token vocabulary
+    ranked by (document_frequency, token), where bucketing on the
+    numeric column alone collapses (Zipf: most tokens have df == 1,
+    so every equal-depth df split lands the bulk of the vocabulary in
+    one bucket) and only the full (df, token) range can split ties.
+
+    Two-pass range-rank, pure Catalyst:
+    1. ONE bounded deterministic sample of the key (<= ~sample_cap
+       rows to the driver) -> n_buckets-1 boundary LITERALS, evenly
+       spaced in the sorted sample (equal-depth). The bucket id is a
+       codegen'd when-chain of struct comparisons — range semantics,
+       so bucket order IS key order and offsets compose.
+    2. ONE bucket-count agg (map-side partials, n_buckets metadata
+       rows to the driver) -> cumulative offsets; then PARTITIONED
+       per-bucket row_number windows. The largest task sorts the
+       largest bucket — ~n/n_buckets by construction, never n.
+
+    The OUTPUT is invariant to the sampled boundaries (they only
+    balance load): rank == `start` + global row_number over
+    (order_cols) - 1, exactly. Contract: order_cols non-NULL and
+    jointly UNIQUE — with duplicates the ranks are still a valid
+    total numbering but the tie order is unspecified (same caveat as
+    any row_number over a non-unique key).
+
+    Eager like assign_contiguous_ids: the count/sample/count-agg jobs
+    run at call time — persist `df` first (scoped_persist) when its
+    lineage is expensive, or the passes recompute it. When the table
+    fits under sample_cap the "sample" is the whole key set and the
+    bucket counts come from it driver-side — two jobs total, no
+    count-agg pass (the dev-scale common case); the three-pass shape
+    is reserved for tables that actually need sampling.
+    """
+    from functools import reduce
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    for c in order_cols:
+        if c not in df.columns:
+            raise ValueError(f"global_rank: no column {c!r} in input")
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    key = F.struct(*[F.col(c) for c in order_cols])
+
+    def _lit_key(vals):
+        return F.struct(
+            *[
+                F.lit(v).cast(dtypes[c]).alias(c)
+                for c, v in zip(order_cols, vals)
+            ]
+        )
+
+    boundaries: list[tuple] = []
+    exact_counts: list[int] | None = None
+    if n_buckets > 1:
+        n = df.count()
+        if n > 0:
+            fraction = min(1.0, sample_cap / float(n))
+            sample = sorted(
+                tuple(r)
+                for r in (
+                    df.select(*order_cols)
+                    if fraction >= 1.0
+                    else df.select(*order_cols).sample(
+                        False, fraction, seed
+                    )
+                ).collect()
+            )
+            step = max(1, len(sample) // n_buckets)
+            raw = [
+                sample[min(i * step, len(sample) - 1)]
+                for i in range(1, n_buckets)
+            ]
+            for b in raw:  # dedupe — equal boundaries = empty buckets
+                if not boundaries or b != boundaries[-1]:
+                    boundaries.append(b)
+            if fraction >= 1.0:
+                # the sample IS the table: bucket counts are exact
+                # driver-side — skip the count-agg job entirely
+                import bisect
+
+                edges = [
+                    bisect.bisect_right(sample, b) for b in boundaries
+                ]
+                exact_counts = [
+                    hi - lo
+                    for lo, hi in zip([0] + edges, edges + [len(sample)])
+                ]
+
+    bname = "_fz_gr_bucket"
+    while bname in df.columns:
+        bname += "_"
+    bucket = reduce(
+        lambda acc, ib: F.when(
+            key <= _lit_key(ib[1]), F.lit(ib[0])
+        ).otherwise(acc),
+        reversed(list(enumerate(boundaries))),
+        F.lit(len(boundaries)),
+    ).cast("int")
+
+    withb = df.withColumn(bname, bucket)
+    if not boundaries:
+        counts = {}  # single bucket: offset is `start`, no count job
+    elif exact_counts is not None:
+        counts = dict(enumerate(exact_counts))
+    else:
+        counts = {
+            r[bname]: r.n
+            for r in withb.groupBy(bname)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    offsets, acc = {}, int(start)
+    for b in range(len(boundaries) + 1):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    omap = F.create_map(
+        *[
+            x
+            for b, o in offsets.items()
+            for x in (F.lit(b), F.lit(o).cast("long"))
+        ]
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(bname).orderBy(
+            *[F.col(c).asc() for c in order_cols]
+        )
+    )
+    return withb.withColumn(
+        rank_name,
+        (F.element_at(omap, F.col(bname)) + rn.cast("long") - F.lit(1)),
+    ).drop(bname)
+
+
 def scd2_history(
     updates: DataFrame,
     key_col: str,

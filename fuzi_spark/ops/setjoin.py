@@ -22,8 +22,11 @@ array_intersect over the full sorted token arrays) decides.
 
 Spark shape:
 - ONE token-df aggregation (map-side partials) → the global order is
-  a (token, rank) table, broadcast if vocabulary-sized, sort-merge
-  joined otherwise (`broadcast_vocab`);
+  a (token, rank) table ranked by `global_rank` (ops/relational) —
+  sample-bounded range buckets + partitioned per-bucket windows, so
+  the shingle universe never meets an unpartitioned row_number;
+  broadcast if vocabulary-sized, sort-merge joined otherwise
+  (`broadcast_vocab`);
 - per-doc sorted token-rank arrays built with array_sort (ranks are
   ints — the sort is codegen'd, no Python);
 - prefix explode emits L(x) rows per doc — for t=0.8 that is ~20% of
@@ -40,8 +43,11 @@ member of the dedup family (ops/dedup.py module note).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .cache import scoped_persist
+from .relational import global_rank
 
 TOKEN_RE = "[a-z0-9]{2,}"
 
@@ -91,25 +97,26 @@ def set_similarity_join(
     t = float(threshold)
     sets_ = _token_sets(df, text_col, id_col, shingle_n)
     # global canonical order: ascending df, ties on token — computed
-    # once; a (vocab-sized) rank table
-    vocab = (
+    # once; a (vocab-sized) rank table. Ranked by global_rank
+    # (ops/relational): sample-bounded range buckets + PARTITIONED
+    # per-bucket windows — no unpartitioned row_number, so the
+    # vocabulary (the shingle universe in shingle mode — far larger
+    # than any token vocabulary at corpus scale) never funnels
+    # through one reducer. The rank table is persisted because
+    # global_rank's count/sample passes would otherwise recompute the
+    # tokenize + df-agg lineage three times.
+    vocab = scoped_persist(
         sets_.select("sid", F.explode("toks").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn(
-            "rank",
-            F.row_number()
-            .over(Window.orderBy(F.col("df").asc(), F.col("token").asc()))
-            .cast("long"),
-        )
-        .select("token", "rank")
     )
-    # NOTE on the vocab window: row_number over an unpartitioned window
-    # is single-reducer over the VOCABULARY (not the corpus) — fine to
-    # ~10^8 tokens; for larger vocabularies swap in
-    # assign_contiguous_ids (ops/relational) keyed on (df, token).
+    vocab = global_rank(
+        vocab, ["df", "token"], n_buckets=64, rank_name="rank"
+    ).select("token", "rank")
     v = F.broadcast(vocab) if broadcast_vocab else vocab
-    ranked = (
+    # persisted: read three times below (prefix explode + the two
+    # rank-array join-backs)
+    ranked = scoped_persist(
         sets_.select("sid", F.explode("toks").alias("token"))
         .join(v, "token")
         .groupBy("sid")
@@ -119,23 +126,21 @@ def set_similarity_join(
     prefix_len = (
         F.col("n") - F.ceil(F.lit(t) * F.col("n").cast("double")) + 1
     ).cast("int")
+    # keys-first candidate generation: the prefix equi-join carries
+    # ONLY (id, n, p) — the full rank arrays stay out of the candidate
+    # shuffle and join back exactly once per side after the pair-level
+    # dropDuplicates (the shuffle-payload discipline
+    # embedding_near_dups documents, ops/similarity.py)
     pref = ranked.select(
         "sid",
-        "ranks",
         "n",
         F.explode(F.slice("ranks", F.lit(1), prefix_len)).alias("p"),
     )
     a = pref.select(
-        F.col("sid").alias("id_a"),
-        F.col("ranks").alias("ra"),
-        F.col("n").alias("na"),
-        "p",
+        F.col("sid").alias("id_a"), F.col("n").alias("na"), "p"
     )
     b = pref.select(
-        F.col("sid").alias("id_b"),
-        F.col("ranks").alias("rb"),
-        F.col("n").alias("nb"),
-        "p",
+        F.col("sid").alias("id_b"), F.col("n").alias("nb"), "p"
     )
     # length filter: J >= t forces t*|A| <= |B| <= |A|/t
     cands = (
@@ -145,13 +150,21 @@ def set_similarity_join(
             (F.col("nb").cast("double") >= F.lit(t) * F.col("na"))
             & (F.col("na").cast("double") >= F.lit(t) * F.col("nb"))
         )
-        .select("id_a", "id_b", "ra", "rb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    ra = ranked.select(
+        F.col("sid").alias("id_a"), F.col("ranks").alias("ra")
+    )
+    rb = ranked.select(
+        F.col("sid").alias("id_b"), F.col("ranks").alias("rb")
     )
     inter = F.size(F.array_intersect("ra", "rb")).cast("double")
     union = F.size(F.array_union("ra", "rb")).cast("double")
     return (
-        cands.withColumn("jaccard", inter / union)
+        cands.join(ra, "id_a")
+        .join(rb, "id_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= t)
         .select("id_a", "id_b", "jaccard")
     )

@@ -9946,6 +9946,103 @@ class TestAssignContiguousIds:
         assert "duplicate key" in str(ei.value)
 
 
+class TestGlobalRank:
+    """ops/relational.py global_rank: composite-key global row_number
+    semantics, bucket-count invariance, Zipf-tie splitting, and the
+    no-unpartitioned-window plan contract."""
+
+    def _run(self, spark, rows, n_buckets=8, **kw):
+        from fuzi_spark.ops.relational import global_rank
+
+        df = spark.createDataFrame(
+            rows, "df long, token string"
+        ).repartition(5)
+        got = global_rank(
+            df, ["df", "token"], n_buckets=n_buckets, **kw
+        )
+        return {(r.df, r.token): r.rank for r in got.collect()}
+
+    @staticmethod
+    def _want(rows, start=1):
+        return {
+            k: i + start for i, k in enumerate(sorted(rows))
+        }
+
+    def _zipf_rows(self, n=400):
+        # Zipf-shaped: most keys share df == 1 — the case where
+        # bucketing on the numeric column alone collapses into one
+        # bucket and only the (df, token) tie-break spreads load
+        rows = []
+        for i in range(n):
+            d = 1 if i % 10 else (i % 97) + 2
+            rows.append((d, f"tok{i:05d}"))
+        return rows
+
+    def test_rank_equals_global_row_number(self, spark):
+        rows = self._zipf_rows()
+        assert self._run(spark, rows) == self._want(rows)
+
+    def test_bucket_count_invariance(self, spark):
+        rows = self._zipf_rows(150)
+        want = self._want(rows)
+        for nb in (1, 2, 7, 64):
+            assert self._run(spark, rows, n_buckets=nb) == want, nb
+
+    def test_start_offset(self, spark):
+        rows = [(3, "c"), (1, "b"), (1, "a")]
+        got = self._run(spark, rows, n_buckets=2, start=100)
+        assert got == {(1, "a"): 100, (1, "b"): 101, (3, "c"): 102}
+
+    def test_ranks_contiguous_and_unique(self, spark):
+        rows = self._zipf_rows(300)
+        got = self._run(spark, rows, n_buckets=16)
+        ranks = sorted(got.values())
+        assert ranks == list(range(1, len(rows) + 1))
+
+    def test_no_unpartitioned_window_in_plan(self, spark):
+        from fuzi_spark.ops.relational import global_rank
+
+        df = spark.createDataFrame(
+            self._zipf_rows(100), "df long, token string"
+        )
+        plan = (
+            global_rank(df, ["df", "token"], n_buckets=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # every window node must carry the bucket partition spec
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "_fz_gr_bucket" in line, line
+
+    def test_unknown_column_raises(self, spark):
+        import pytest as _pytest
+        from fuzi_spark.ops.relational import global_rank
+
+        df = spark.createDataFrame([(1, "a")], "df long, token string")
+        with _pytest.raises(ValueError, match="no column"):
+            global_rank(df, ["nope"])
+
+
+def test_set_similarity_plan_has_no_unpartitioned_window(spark):
+    """The r3 verdict's one scale-killer: the vocab rank must never
+    be a single-reducer window — pin the executed plan."""
+    from fuzi_spark.ops.setjoin import set_similarity_join
+
+    docs = [(i, f"w{i % 7} w{(i * 3) % 11} w{(i * 5) % 13}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    plan = (
+        set_similarity_join(df, threshold=0.8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_fz_gr_bucket" in line, line
+
+
 class TestNgramContainment:
     """ops/dedup.py ngram_containment: Broder containment semantics —
     excerpt scores 1.0 on its side while Jaccard stays low."""
