@@ -145,13 +145,105 @@ def pq_codebook(m: int, k: int, sub_dim: int) -> list:
     centroid value c[s][j][d] = (-1.0, -0.25, 0.25, 1.0)[(s + 3*j + d) % 4]
     — exact binary fractions (no decimal-literal drift between engines),
     distinct centroids within every subspace (3*j walks all four phases).
-    Production callers fit real codebooks with ops/cluster.kmeans_fit per
-    subspace and pass them in; the encoding contract is identical."""
+    Production callers fit real codebooks with pq_train (below) and
+    pass them in; the encoding contract is identical."""
     vals = (-1.0, -0.25, 0.25, 1.0)
     return [
         [[vals[(s + 3 * j + d) % 4] for d in range(sub_dim)] for j in range(k)]
         for s in range(m)
     ]
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int,
+    k: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 100_000,
+    n_iter: int = 12,
+    seed: int = 42,
+    normalize: bool = False,
+) -> list:
+    """Fit REAL per-subspace PQ codebooks (k-means, squared L2) —
+    the trainer `pq_encode`/`cosine_topk_ivfpq` consume. Returns
+    [m][k][D/m] plain floats.
+
+    Training is DRIVER-SIDE numpy over a bounded deterministic sample,
+    on purpose: FAISS trains PQ on a sample too (codebooks are
+    metadata, m·k·D/m floats — a k=256, D=64 book is 16 KB), and a
+    distributed Lloyd (ops/cluster.kmeans_fit) would pay full-corpus
+    scans per iteration to fit what a 100k-row sample already
+    determines. The sample is the sample_rows smallest xxhash64(id,
+    seed) rows — the same distributed TakeOrderedAndProject device as
+    ivf_centroids (ops/similarity), bounded collect regardless of
+    table size, deterministic across layouts.
+
+    Per subspace: seeded random init from distinct sample rows, Lloyd
+    with vectorized distance matrices, empty cells reseeded from the
+    point farthest from its centroid (same convention as
+    ivf_centroids). k is capped at the sample size. normalize=True
+    L2-normalizes sample vectors BEFORE slicing into subspaces — the
+    codebook for cosine search over normalized codes (FAISS cosine
+    practice; see cosine_topk_ivfpq)."""
+    import numpy as np
+
+    if m < 1 or k < 1:
+        raise ValueError(f"pq_train: m={m}, k={k} must be positive")
+    rows = (
+        vectors.select(
+            F.col(vec_col),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_r"),
+        )
+        .orderBy(F.col("_r").asc())
+        .limit(sample_rows)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    if X.ndim != 2 or len(X) == 0:
+        raise ValueError("pq_train: no vectors to train on")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    if normalize:
+        X = X / np.maximum(
+            np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+        )
+    sub = dim // m
+    k_eff = min(k, len(X))
+    books = []
+    for s in range(m):
+        Xs = np.ascontiguousarray(X[:, s * sub:(s + 1) * sub])
+        rng = np.random.RandomState(seed + 1000 * s)
+        cents = Xs[rng.choice(len(Xs), size=k_eff, replace=False)]
+        for _ in range(n_iter):
+            d2 = (
+                (Xs * Xs).sum(axis=1)[:, None]
+                - 2.0 * (Xs @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            best = d2[np.arange(len(Xs)), a]
+            far_order = np.argsort(-best)  # worst-fit points first
+            far_i = 0
+            new = np.zeros_like(cents)
+            for c in range(k_eff):
+                members = Xs[a == c]
+                if len(members):
+                    new[c] = members.mean(axis=0)
+                else:
+                    # reseed each empty cell from a DISTINCT worst-fit
+                    # point (same convention as ivf_centroids, made
+                    # collision-free for multiple empties)
+                    new[c] = Xs[int(far_order[far_i % len(far_order)])]
+                    far_i += 1
+            if np.allclose(new, cents):
+                cents = new
+                break
+            cents = new
+        books.append([[float(x) for x in c] for c in cents])
+    return books
 
 
 def _pq_validate(codebooks: list) -> tuple:
@@ -206,7 +298,14 @@ def pq_encode(
     """
     m, k, sub = _pq_validate(codebooks)
     if method == "auto":
-        method = "expr" if m * k <= 512 else "arrow"
+        # the expr path's first-min CASE chain is O(k^2) comparisons
+        # per subspace with the dist subtrees duplicated into each —
+        # tree size ~ m * k^2 * sub nodes. Gate on that product, not
+        # m*k: a trained k=256 book through 'expr' is a
+        # Catalyst-analysis OOM, not a slow plan.
+        method = (
+            "expr" if (k <= 16 and m * k * k * sub <= 4096) else "arrow"
+        )
     if method == "arrow":
         return _pq_encode_arrow(df, codebooks, vec_col, id_col, m, k, sub)
 

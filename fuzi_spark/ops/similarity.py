@@ -778,13 +778,27 @@ def cosine_topk_ivfpq(
          exact arithmetic decides the answer (the same LSH-then-exact
          discipline the dedup stack uses).
 
-    This variant codes RAW vectors (IVFPQ-flat); classic FAISS codes
-    cell residuals for tighter LUTs — same dataflow, finer codebooks.
-    recall@k depends on (rerank, codebook quality): with rerank >= the
-    probed-cell population the result is EXACTLY cosine_topk_ivf's
-    (the oracle pins that); the pinned tests exercise a genuinely
-    pruning rerank on constructed clusters."""
-    from .quantize import pq_codebook, pq_encode
+    Cosine-consistent coding (r3 ADVICE fix): vectors are
+    L2-NORMALIZED before both PQ encoding and codebook training
+    (FAISS cosine practice — IP search over normalized vectors), so
+    ADC approximates dot(q_hat, v_hat) = cosine directly. Coding RAW
+    vectors would rank the shortlist by unnormalized dot(q, v), and
+    when corpus norms vary, high-norm vectors crowd the shortlist and
+    the true cosine top-k gets pruned regardless of codebook quality.
+    The exact re-rank uses the raw vectors (cosine is scale-invariant).
+
+    This variant codes normalized-full vectors (IVFPQ-flat); classic
+    FAISS codes cell residuals for tighter LUTs — same dataflow,
+    finer codebooks. recall@k depends on (rerank, codebook quality):
+    with rerank >= the probed-cell population the result is EXACTLY
+    cosine_topk_ivf's (the oracle pins that); the pinned tests
+    exercise a genuinely pruning rerank on constructed clusters.
+    codebooks=None trains REAL per-subspace k-means books
+    (ops/quantize.pq_train, k=256 capped at the sample, normalized) —
+    the measured-recall operating point in RECALL_ivfpq_r4.json;
+    pass pq_codebook(...) explicitly for the oracle-replayable demo
+    book."""
+    from .quantize import pq_encode, pq_train
 
     n_q = queries.limit(max_query_rows + 1).count()
     if n_q > max_query_rows:
@@ -795,7 +809,10 @@ def cosine_topk_ivfpq(
     dim = len(vectors.select(vec_col).first()[0])
     if codebooks is None:
         m = 8 if dim % 8 == 0 else 4
-        codebooks = pq_codebook(m, 4, dim // m)
+        codebooks = pq_train(
+            vectors, m, k=256, vec_col=vec_col, id_col=id_col,
+            normalize=True,
+        )
     m = len(codebooks)
     kk = len(codebooks[0])
     sub = len(codebooks[0][0])
@@ -808,7 +825,24 @@ def cosine_topk_ivfpq(
     Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     cb = np.array(codebooks, dtype=np.float64)  # (m, k, sub)
 
-    coded = pq_encode(vectors, codebooks, vec_col, id_col)
+    # L2-normalize BEFORE encoding (pure Catalyst: one aggregate for
+    # the norm, one transform for the divide) — ADC then approximates
+    # cosine itself, not the norm-biased raw dot product
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    normed = vectors.select(
+        F.col(id_col), F.col(vec_col), nrm.alias("_nrm")
+    ).select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double")
+            / F.greatest(F.col("_nrm"), F.lit(1e-12)),
+        ).alias("_vn"),
+    )
+    coded = pq_encode(normed, codebooks, "_vn", id_col)
     v = scoped_persist(
         vectors.select(
             F.col(id_col).alias("neighbor_id"),
@@ -829,9 +863,10 @@ def cosine_topk_ivfpq(
         qv = np.array(r[1], dtype=np.float64)
         qn = qv / max(np.linalg.norm(qv), 1e-12)
         cells = np.argsort(-(Cn @ qn))[:n_probe]
-        # LUT[s][j] = dot(q_sub_s, codebook[s][j])
+        # LUT[s][j] = dot(qhat_sub_s, codebook[s][j]) — the NORMALIZED
+        # query, so ADC over normalized codes is approximate cosine
         lut = [
-            [float(qv[s * sub:(s + 1) * sub] @ cb[s, j]) for j in range(kk)]
+            [float(qn[s * sub:(s + 1) * sub] @ cb[s, j]) for j in range(kk)]
             for s in range(m)
         ]
         for c in cells:

@@ -10253,6 +10253,118 @@ class TestIvfPq:
                 codebooks=[[[0.0] * 3] * 4] * 2,  # 2x3 != 8 dims
             )
 
+    def test_high_norm_vectors_cannot_crowd_the_shortlist(self, spark):
+        # the r3 ADVICE scenario: ADC over RAW vectors ranks by
+        # unnormalized dot, so norm-100 off-direction vectors crowd
+        # out the norm-0.1 true cosine match at any codebook quality.
+        # With normalize-before-encode the aligned vector must survive
+        # a genuinely pruning rerank.
+        from fuzi_spark.ops.similarity import cosine_topk_ivfpq
+
+        rows = [(0, [0.1] + [0.0] * 7)]  # cosine 1.0, tiny norm
+        for i in range(1, 21):
+            # norm ~100, positive raw dot (30) but cosine ~0.29
+            v = [30.0 if d == 0 else 0.0 for d in range(8)]
+            v[1 + (i % 7)] = 100.0
+            rows.append((i, v))
+        vecs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        probe = spark.createDataFrame(
+            [(900, [1.0] + [0.0] * 7)],
+            "vec_id long, embedding array<double>",
+        )
+        got = cosine_topk_ivfpq(
+            vecs, probe, k=1, n_cells=1, n_probe=1, rerank=3
+        ).collect()
+        assert got[0].neighbor_id == 0, got
+
+
+class TestPqTrain:
+    """ops/quantize.py pq_train: trained books beat the demo book on
+    reconstruction, determinism, contracts."""
+
+    def _vecs(self, spark, n=120, dim=16, seed=5):
+        import random
+
+        rng = random.Random(seed)
+        centers = [
+            [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(4)
+        ]
+        rows = [
+            (
+                i,
+                [
+                    c + rng.gauss(0, 0.05)
+                    for c in centers[i % 4]
+                ],
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_trained_beats_demo_on_recon_err(self, spark):
+        from pyspark.sql import functions as F
+
+        from fuzi_spark.ops.quantize import (
+            pq_codebook,
+            pq_encode,
+            pq_train,
+        )
+
+        vecs = self._vecs(spark)
+        demo = pq_codebook(4, 4, 4)
+        trained = pq_train(vecs, m=4, k=16, n_iter=8)
+        err_demo = (
+            pq_encode(vecs, demo)
+            .agg(F.sum("recon_err"))
+            .first()[0]
+        )
+        err_trained = (
+            pq_encode(vecs, trained)
+            .agg(F.sum("recon_err"))
+            .first()[0]
+        )
+        assert err_trained < err_demo * 0.5, (err_trained, err_demo)
+
+    def test_deterministic(self, spark):
+        from fuzi_spark.ops.quantize import pq_train
+
+        vecs = self._vecs(spark)
+        a = pq_train(vecs, m=4, k=8)
+        b = pq_train(vecs, m=4, k=8)
+        assert a == b
+
+    def test_k_capped_at_sample(self, spark):
+        from fuzi_spark.ops.quantize import pq_train
+
+        vecs = self._vecs(spark, n=10)
+        books = pq_train(vecs, m=4, k=256)
+        assert len(books) == 4 and len(books[0]) == 10
+
+    def test_dim_not_divisible_raises(self, spark):
+        import pytest as _pytest
+
+        from fuzi_spark.ops.quantize import pq_train
+
+        with _pytest.raises(ValueError, match="divisible"):
+            pq_train(self._vecs(spark, dim=10), m=4)
+
+    def test_normalized_books_live_on_the_sphere(self, spark):
+        import numpy as np
+
+        from fuzi_spark.ops.quantize import pq_train
+
+        vecs = self._vecs(spark)
+        books = pq_train(vecs, m=1, k=8, normalize=True, n_iter=8)
+        # m=1: each centroid approximates full normalized vectors —
+        # mean of unit vectors has norm <= 1, and for tight clusters
+        # it stays near 1
+        norms = [np.linalg.norm(c) for c in books[0]]
+        assert all(0.5 < n <= 1.0 + 1e-9 for n in norms), norms
+
 
 class TestRobustOutliers:
     """ops/sketch.py robust_outliers: hand-computed med2/mad2, the

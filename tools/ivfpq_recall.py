@@ -44,7 +44,7 @@ from fuzi_spark.ops.similarity import (  # noqa: E402
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 K = 10
 N_QUERIES = 50
-GRID = [(2, 16), (2, 64), (4, 16), (4, 64), (4, 200), (8, 64)]
+GRID = [(2, 16), (2, 64), (4, 16), (4, 64), (4, 200), (8, 64), (12, 64), (16, 64)]
 
 
 def main() -> None:
@@ -78,7 +78,7 @@ def main() -> None:
     result = {
         "protocol": (
             f"recall@{K} vs brute force, {N_QUERIES} perturbed queries, "
-            f"n_cells={n_cells}, demo PQ codebook m=8 k=4 (coarse floor)"
+            f"n_cells={n_cells}, TRAINED pq_train codebooks m=8 k=256 (capped at sample), normalized ADC"
         ),
         "sf": SF,
         "grid": [],
