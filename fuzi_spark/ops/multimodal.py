@@ -12,14 +12,17 @@ clear/KwKwK, interlace, local/global palettes) — so PNG/GIF features and
 thumbnails are computed from actual pixels. JPEG PIXELS are REAL as
 well: ops/jpeg.py is a from-scratch baseline-JPEG (T.81 sequential DCT)
 decoder — huffman entropy decode, dequant, exact float IDCT, 4:2:0/4:2:2
-chroma upsample, restart markers — so JPEG images AND MJPEG video frames
-(via parse_avi's real frame byte ranges) feed real pixels to features,
-thumbnails, and frame sampling. PIL, when present, still takes over via
-_have_pil (faster C path, plus formats we don't decode). The remaining
-DETERMINISTIC digest-seeded FAKES — progressive JPEG, non-MJPEG video
-codecs, non-WAV audio (no libav in this container) — keep the same
-schema so every downstream operator stays exercisable. Unparseable
-image bytes are a decode failure (decode_ok=0), never a fake success.
+chroma upsample, restart markers — AND a progressive (SOF2) decoder
+(spectral selection + successive approximation per T.81 Annex G, the
+form most real web JPEGs ship in), so JPEG images and MJPEG video
+frames (via parse_avi's real frame byte ranges) feed real pixels to
+features, thumbnails, and frame sampling. PIL, when present, still
+takes over via _have_pil (faster C path, plus formats we don't
+decode). The remaining DETERMINISTIC digest-seeded FAKES — arithmetic/
+12-bit JPEG, non-MJPEG video codecs, non-WAV audio (no libav in this
+container) — keep the same schema so every downstream operator stays
+exercisable. Unparseable image bytes are a decode failure
+(decode_ok=0), never a fake success.
 """
 
 from __future__ import annotations
@@ -1494,9 +1497,9 @@ def decode_image_pixels(content, fmt: Optional[str] = None):
     if fmt == "gif":
         return decode_gif_pixels(content)
     if fmt == "jpeg":
-        from fuzi_spark.ops.jpeg import decode_baseline
+        from fuzi_spark.ops.jpeg import decode_jpeg
 
-        return decode_baseline(content)
+        return decode_jpeg(content)
     return None
 
 
@@ -1536,10 +1539,11 @@ def decode_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
     Images: format/width/height/channels come from the REAL container
     header parse; the feature vector is the 8×8 block-mean luma of the
-    REAL decoded pixels (stdlib PNG/GIF/baseline-JPEG decoders; PIL
-    takes over when present), falling back to the deterministic
-    content-digest fake only for out-of-envelope streams (progressive
-    JPEG, 16-bit PNG). Bytes that parse as no known image format are
+    REAL decoded pixels (stdlib PNG/GIF/JPEG decoders — baseline AND
+    progressive; PIL takes over when present), falling back to the
+    deterministic content-digest fake only for out-of-envelope streams
+    (arithmetic/12-bit JPEG, 16-bit PNG). Bytes that parse as no known
+    image format are
     decode_ok=0 — never a fake success. Non-image media keeps the
     digest-seeded fake except WAV audio (real PCM decode)."""
     use_pil = _have_pil()

@@ -5708,6 +5708,115 @@ class TestJpegCodec:
             mut[j] ^= 1 << rnd.randrange(8)
             decode_baseline(bytes(mut))  # must not raise
 
+    def test_progressive_decodes_bit_identical_to_baseline(self):
+        """The Annex-G invariant: a fully-transmitted progressive
+        stream carries exactly the baseline encode's quantized
+        coefficients, so the decodes must be BIT-identical — across
+        subsampling, band splits, successive-approximation depth, and
+        restart markers."""
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import (
+            decode_baseline,
+            decode_jpeg,
+            encode_baseline,
+            encode_progressive,
+        )
+
+        rng = np.random.RandomState(7)
+        yy, xx = np.mgrid[0:33, 0:41]
+        cases = [
+            (rng.randint(0, 256, (16, 16), np.uint8),
+             dict(quality=90)),
+            (rng.randint(0, 256, (24, 17, 3), np.uint8),
+             dict(quality=75, subsampling="4:2:0", band_splits=(5, 20))),
+            (((yy * 3 + xx * 2) % 256).astype(np.uint8),
+             dict(quality=35, al=2, band_splits=(1, 5, 20))),
+            (np.full((19, 23), 128, np.uint8),
+             dict(quality=95, al=0)),
+            (rng.randint(0, 256, (40, 40, 3), np.uint8),
+             dict(quality=85, al=2, restart_interval=3)),
+        ]
+        for img, kw in cases:
+            sub = kw.get("subsampling", "4:4:4")
+            base = decode_baseline(
+                encode_baseline(img, kw["quality"], subsampling=sub)
+            )
+            prog = decode_jpeg(encode_progressive(img, **kw))
+            assert prog is not None, kw
+            assert np.array_equal(base, prog), kw
+
+    def test_progressive_phash_equals_baseline_phash(self):
+        """The dedup-surface consequence: pHash of a progressive
+        re-encode equals pHash of the baseline encode (identical
+        pixels in, identical 64-bit hash out)."""
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import (
+            encode_baseline,
+            encode_progressive,
+        )
+        from fuzi_spark.ops.phash import phash_bytes
+
+        rng = np.random.RandomState(13)
+        yy, xx = np.mgrid[0:48, 0:64]
+        img = (
+            (yy * 2 + xx) % 256
+        ).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+        img[10:30, 20:40] = rng.randint(0, 256, (20, 20, 3), np.uint8)
+        hb = phash_bytes(encode_baseline(img, quality=85))
+        hp = phash_bytes(encode_progressive(img, quality=85))
+        assert hb is not None and hb == hp
+
+    def test_progressive_partial_stream_renders(self):
+        """Truncating AFTER the DC scan still decodes (the partial-
+        render contract browsers honor): non-None, right shape, and
+        the DC approximation is within quantization distance of the
+        full image's block means."""
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import decode_jpeg, encode_progressive
+
+        img = np.full((16, 16), 99, dtype=np.uint8)
+        enc = encode_progressive(img, quality=90, al=0)
+        # find the second SOS; truncate just before it, append EOI
+        first = enc.find(b"\xff\xda")
+        second = enc.find(b"\xff\xda", first + 2)
+        assert second > 0
+        partial = enc[:second] + b"\xff\xd9"
+        out = decode_jpeg(partial)
+        assert out is not None and out.shape == (16, 16, 1)
+        # constant image: DC-only already reconstructs it (AC all 0)
+        assert int(np.abs(out.astype(int) - 99).max()) <= 1
+
+    def test_progressive_totality(self):
+        """Truncation at every boundary and random corruption never
+        raise; decode_baseline still refuses SOF2."""
+        import random
+
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import (
+            decode_baseline,
+            decode_jpeg,
+            encode_progressive,
+        )
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (24, 24, 3), np.uint8)
+        enc = encode_progressive(
+            img, quality=80, al=1, restart_interval=2
+        )
+        assert decode_baseline(enc) is None  # historical contract
+        rnd = random.Random(5)
+        for cut in range(0, len(enc), max(1, len(enc) // 53)):
+            decode_jpeg(enc[:cut])  # must not raise
+        for _ in range(80):
+            j = rnd.randrange(len(enc))
+            mut = bytearray(enc)
+            mut[j] ^= 1 << rnd.randrange(8)
+            decode_jpeg(bytes(mut))  # must not raise
+
     def test_features_and_thumbnail_are_real_for_jpeg(self, spark):
         """decode_features_df and resize_images_df must compute JPEG
         features from REAL pixels now: a solid-gray baseline JPEG at
