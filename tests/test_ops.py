@@ -11211,6 +11211,50 @@ def test_ngram_containment_empty_shingle_set_scores_zero(spark):
     assert kept == 1
 
 
+def test_phash_recall_floor(spark):
+    """Pinned floor for the RECALL_phash_r4.json protocol (smaller
+    sample): at max_hamming=6 the pigeonhole join must recover every
+    recompression (baseline + progressive), brightness, noise and
+    gamma variant, at zero cross-base false positives. Crop is the
+    known-hard case — recorded in the artifact, not floored here."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from phash_recall import base_image, variants
+
+    from fuzi_spark.ops.cache import cache_scope
+    from fuzi_spark.ops.phash import phash_bytes, phash_near_dups
+
+    n = 16
+    rows = []
+    for i in range(n):
+        ship, var = variants(base_image(i))
+        rows.append((f"base/{i}", phash_bytes(ship)))
+        for kind, enc in var.items():
+            if kind != "crop_2px":
+                rows.append((f"{kind}/{i}", phash_bytes(enc)))
+    assert all(h is not None for _, h in rows)
+    df = spark.createDataFrame(rows, "media_ref string, phash long")
+    with cache_scope():
+        pairs = {
+            (r.ref_a, r.ref_b)
+            for r in phash_near_dups(df, max_hamming=6).collect()
+        }
+    kinds = sorted({r[0].split("/")[0] for r in rows if "base" not in r[0]})
+    got = {k: 0 for k in kinds}
+    fp = 0
+    for a, b in pairs:
+        ka, ia = a.split("/")
+        kb, ib = b.split("/")
+        if ia != ib:
+            fp += 1
+        elif "base" in (ka, kb):
+            got[ka if kb == "base" else kb] += 1
+    assert fp == 0, (fp, pairs)
+    for k in kinds:
+        assert got[k] == n, (k, got)
+
+
 def test_stream_histogram_monoid_accumulation(spark):
     """Batched sketch accumulation lands on the one-shot quantiles —
     the incremental-maintenance law, pinned at test scale."""

@@ -717,8 +717,69 @@ class TestStreamingNearDedup:
         q2.awaitTermination(60)
         assert read_near_novel_docs(spark, out).count() == 4
 
+    def test_many_batches_table_backed_history_constant_plan(
+        self, spark, tmp_path
+    ):
+        """The band-history scale contract, exercised: 12 batches with
+        a TABLE-BACKED (parquet) history — the shape the streaming
+        wrapper runs — must (a) keep the per-batch near_novel plan at
+        CONSTANT node count (a unionByName-accumulated history would
+        grow the plan every batch and eventually stack-overflow the
+        analyzer), and (b) produce exactly the batch-replay novel set."""
+        from pyspark.sql import functions as F
 
-class TestSkewSalting:
+        from fuzi_spark.ops.cache import cache_scope
+        from fuzi_spark.streaming import near_novel
+
+        bands_path = str(tmp_path / "bands")
+        plan_nodes = []
+        kept = []
+        for b in range(12):
+            rows = [
+                # one doc near-duplicating batch 0's base text
+                (b * 10, self._text(b % 16)),
+                # one genuinely novel doc per batch
+                (b * 10 + 1,
+                 f"novel payload {b} " * 3
+                 + " ".join(f"tok{b}_{j}" for j in range(8))),
+            ]
+            batch = spark.createDataFrame(
+                rows, "doc_id long, text string"
+            )
+            try:
+                seen = spark.read.parquet(bands_path)
+            except Exception:
+                seen = None
+            with cache_scope():
+                novel, novel_bands = near_novel(batch, seen)
+                plan = (
+                    novel._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+                # node count, not char count: file listings in scan
+                # nodes may print differently as files accumulate
+                plan_nodes.append(
+                    sum(
+                        1
+                        for line in plan.splitlines()
+                        if line.strip().startswith(("+-", ":-", "*("))
+                        or line.startswith("*(")
+                    )
+                )
+                kept.extend(r.doc_id for r in novel.collect())
+                novel_bands.select("band", "bucket").write.mode(
+                    "append"
+                ).parquet(bands_path)
+        # batch 0 keeps both docs; every later batch keeps only its
+        # novel doc (the near-dup collides with committed history)
+        assert sorted(kept) == [0, 1] + [
+            b * 10 + 1 for b in range(1, 12)
+        ], sorted(kept)
+        # batches 1.. all run the with-history plan: identical shape
+        assert len(set(plan_nodes[1:])) == 1, plan_nodes
+        # history growth must not have grown the plan vs batch 1
+        assert plan_nodes[-1] == plan_nodes[1], plan_nodes
     def test_salting_spreads_colliding_giants(self, spark):
         """Find doc_ids whose plain hash(doc_id) keys collide into ONE
         partition, mark them giant, and assert salt_partition routes them
