@@ -5835,6 +5835,31 @@ def q_assign_ids(spark, sf_dir):
     return assign_contiguous_ids(d, "sortkey", n_buckets=16)
 
 
+def q_vocab_rank(spark, sf_dir):
+    """Composite-key distributed global rank (ops/relational.
+    global_rank): token vocabulary of the documents table ranked by
+    (document_frequency ASC, token ASC) — the window-free total order
+    set_similarity's prefix filter consumes. Zipf ties (most tokens
+    have df == 1) force the composite range split; output invariant
+    to the sampled bucket boundaries. Oracle: ROW_NUMBER() OVER
+    (ORDER BY df, token)."""
+    from fuzi_spark.ops.relational import global_rank
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    F.lit("[a-z0-9]{2,}"),
+                    F.lit(0),
+                )
+            )
+        ).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return global_rank(vocab, ["df", "token"], n_buckets=16)
+
+
 def q_containment_join(spark, sf_dir):
     """Exact shingle containment (ops/dedup.ngram_containment) on
     planted EXCERPT pairs: doc B = first half of doc A's words, so
@@ -6315,6 +6340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_rollup": q_quantile_rollup,
         "frequent_pairs": q_frequent_pairs,
         "assign_ids": q_assign_ids,
+        "vocab_rank": q_vocab_rank,
         "containment_join": q_containment_join,
         "score_percentiles": q_score_percentiles,
         "skipgram_pairs": q_skipgram_pairs,
@@ -10030,6 +10056,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROW_NUMBER() OVER (ORDER BY "
             "  n_chars * 1048576 + doc_id) - 1 AS BIGINT) AS new_id "
             "FROM documents"
+        ),
+        "vocab_rank": (
+            # the DEFINITION the sample-bucketed composite rank must
+            # equal: global row_number over (df, token), boundary
+            # invariant; identical token spelling to the Spark side
+            "WITH toks AS (SELECT DISTINCT doc_id, t.token FROM ("
+            "  SELECT doc_id, unnest(regexp_extract_all(lower("
+            "    COALESCE(text, '')), '[a-z0-9]{2,}')) AS token "
+            "  FROM documents) t), "
+            "v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df "
+            "  FROM toks GROUP BY token) "
+            "SELECT token, df, CAST(ROW_NUMBER() OVER ("
+            "  ORDER BY df, token) AS BIGINT) AS rank FROM v"
         ),
         "containment_join": (
             # planted excerpt (first half of words, min 3) — identical

@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "quantile_rollup",
     "frequent_pairs",
     "assign_ids",
+    "vocab_rank",
     "containment_join",
     "score_percentiles",
     "skipgram_pairs",

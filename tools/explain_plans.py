@@ -773,10 +773,13 @@ CASES = [
      "broadcast-pairs containment verify — shingle arrays never "
      "shuffle."),
     ("set_similarity",
-     "Exact prefix-filtered similarity join. Wants: one df agg, the "
-     "rank vocab BROADCAST onto exploded tokens, prefix explode of "
-     "the RAREST ~10-20%, token-keyed candidate equi-join + length "
-     "filter before the array verify — never an all-pairs join."),
+     "Exact prefix-filtered similarity join. Wants: one df agg; the "
+     "vocab rank via global_rank (range buckets + PARTITIONED "
+     "windows — no unpartitioned row_number anywhere in the plan); "
+     "the rank vocab BROADCAST onto exploded tokens; prefix explode "
+     "of the RAREST ~10-20%; keys-first candidate equi-join (only "
+     "(id, n, p) in the shuffle) + length filter; rank arrays join "
+     "back once per side for the verify — never an all-pairs join."),
     ("weighted_draws",
      "With-replacement epoch draws. Wants: spark.range as the only "
      "big side (no input scan), the cumulative table ONE broadcast "
