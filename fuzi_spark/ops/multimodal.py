@@ -8,8 +8,10 @@ channels) is REAL — a pure-stdlib PNG/GIF/JPEG header parse
 REAL too: decode_png_pixels inflates and unfilters baseline PNGs with
 stdlib zlib + numpy (all five filters, color types 0/2/3/4/6), and
 decode_gif_pixels implements the GIF LZW variant (variable code width,
-clear/KwKwK, interlace, local/global palettes) — so PNG/GIF features and
-thumbnails are computed from actual pixels. JPEG PIXELS are REAL as
+clear/KwKwK, interlace, local/global palettes); decode_png_pixels
+covers the full spec-legal static PNG grid (depths 1/2/4/8/16, Adam7
+interlace) — so PNG/GIF features and thumbnails are computed from
+actual pixels. JPEG PIXELS are REAL as
 well: ops/jpeg.py is a from-scratch baseline-JPEG (T.81 sequential DCT)
 decoder — huffman entropy decode, dequant, exact float IDCT, 4:2:0/4:2:2
 chroma upsample, restart markers — AND a progressive (SOF2) decoder
@@ -288,20 +290,92 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png_pixels(content) -> Optional[np.ndarray]:
-    """REAL pixel decode for baseline PNG — pure stdlib (zlib) + numpy,
-    no image library. Returns an (h, w, channels) uint8 array, palette
-    images expanded to RGB; None for anything outside the supported
-    envelope (bit depth 8, color types 0/2/3/4/6, non-interlaced) or
-    for corrupt streams — callers treat None as pixels-unavailable and
-    keep the header-only path.
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    All five scanline filters (None/Sub/Up/Average/Paeth) implemented
-    per the PNG spec's recurrences; Up is vectorized, the left-dependent
-    filters walk the scanline (sequential data dependence). Scale note:
-    the per-byte Python walk is O(w·h) per image — fine for the web's
-    thumbnail-to-photo range inside an Arrow batch; a cluster image that
-    ships PIL/libvips takes over via the existing _have_pil gate."""
+
+def _png_unfilter(raw, offset, h, stride, bpp):
+    """Unfilter h scanlines of stride bytes starting at raw[offset]
+    (each prefixed by its filter byte). Returns ((h, stride) uint8,
+    next offset) or None on a bad filter type / short data. All five
+    filters per the spec recurrences; Up vectorized, the
+    left-dependent filters walk the scanline (sequential data
+    dependence). Filtering is BYTE-wise with pixel offset bpp —
+    exactly why sub-8-bit and 16-bit depths reuse this unchanged."""
+    need = h * (stride + 1)
+    if offset + need > len(raw):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        o = offset + y * (stride + 1)
+        f = raw[o]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=o + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                if f == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (line[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+                else:
+                    c0 = int(prev[x - bpp]) if x >= bpp else 0
+                    cur[x] = (
+                        line[x] + _paeth(a, int(prev[x]), c0)
+                    ) & 0xFF
+        else:
+            return None
+        prev = cur
+        out[y] = cur.astype(np.uint8)
+    return out, offset + need
+
+
+def _png_samples(rows, h, w, nch, depth):
+    """(h, stride) unfiltered bytes → (h, w, nch) uint8 samples.
+    depth 16 keeps the high byte (the standard 16→8 reduction — the
+    spec's 8→16 expansion is v*257, so high-byte recovery is exact);
+    depths 1/2/4 bit-unpack MSB-first per the spec."""
+    if depth == 8:
+        return rows[:, : w * nch].reshape(h, w, nch)
+    if depth == 16:
+        r = rows[:, : w * nch * 2].reshape(h, w, nch, 2)
+        return np.ascontiguousarray(r[..., 0])
+    bits = np.unpackbits(rows, axis=1)
+    per = bits.shape[1] // depth
+    grouped = bits[:, : per * depth].reshape(h, per, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = (grouped * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, : w * nch].reshape(h, w, nch)
+
+
+def decode_png_pixels(content) -> Optional[np.ndarray]:
+    """REAL pixel decode for PNG — pure stdlib (zlib) + numpy, no
+    image library. Returns an (h, w, channels) uint8 array, palette
+    images expanded to RGB; None for corrupt streams — callers treat
+    None as pixels-unavailable and keep the header-only path.
+
+    Envelope (r4: the full spec-legal static grid): color types
+    0/2/3/4/6 at every legal bit depth — 1/2/4/8/16 grayscale
+    (sub-8 scaled to full range), 1/2/4/8 palette, 8/16 for the
+    multi-channel types (16-bit reduced by high byte, exact against
+    the spec's v*257 expansion) — both sequential and Adam7
+    INTERLACED layouts (seven sub-images, each unfiltered with its
+    own byte geometry, scattered into the output grid).
+
+    Scale note: the per-byte Python unfilter walk is O(w·h) per image
+    — fine for the web's thumbnail-to-photo range inside an Arrow
+    batch; a cluster image that ships PIL/libvips takes over via the
+    existing _have_pil gate."""
     if not content:
         return None
     b = bytes(content)
@@ -329,48 +403,46 @@ def decode_png_pixels(content) -> Optional[np.ndarray]:
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ctype = ihdr[8], ihdr[9]
     comp, filt, interlace = ihdr[10], ihdr[11], ihdr[12]
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
         return None
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
     nch = _PNG_CTYPE_CH.get(ctype)
-    if nch is None or w <= 0 or h <= 0 or w * h > 64_000_000:
+    if nch is None or depth not in legal[ctype]:
+        return None
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
-        return None
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        o = y * (stride + 1)
-        f = raw[o]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=o + 1
-        ).astype(np.int32)
-        if f == 0:
-            cur = line
-        elif f == 2:
-            cur = (line + prev) & 0xFF
-        elif f in (1, 3, 4):
-            cur = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = int(cur[x - nch]) if x >= nch else 0
-                if f == 1:
-                    cur[x] = (line[x] + a) & 0xFF
-                elif f == 3:
-                    cur[x] = (line[x] + ((a + int(prev[x])) >> 1)) & 0xFF
-                else:
-                    c0 = int(prev[x - nch]) if x >= nch else 0
-                    cur[x] = (
-                        line[x] + _paeth(a, int(prev[x]), c0)
-                    ) & 0xFF
-        else:
+    bpp = max(1, nch * depth // 8)
+
+    def stride_of(width):
+        return (width * nch * depth + 7) // 8
+
+    if interlace == 0:
+        got = _png_unfilter(raw, 0, h, stride_of(w), bpp)
+        if got is None or got[1] != len(raw):
             return None
-        prev = cur
-        out[y] = cur.astype(np.uint8)
-    arr = out.reshape(h, w, nch)
+        arr = _png_samples(got[0], h, w, nch, depth)
+    else:
+        arr = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for (x0, y0, xs, ys) in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            got = _png_unfilter(raw, off, ph, stride_of(pw), bpp)
+            if got is None:
+                return None
+            rows, off = got
+            arr[y0::ys, x0::xs] = _png_samples(
+                rows, ph, pw, nch, depth
+            )
+        if off != len(raw):
+            return None
     if ctype == 3:
         if plte is None or len(plte) < 3:
             return None
@@ -380,6 +452,10 @@ def decode_png_pixels(content) -> Optional[np.ndarray]:
         if int(idx.max()) >= len(pal):
             return None
         arr = pal[idx]
+    elif ctype == 0 and depth < 8:
+        arr = (
+            arr.astype(np.uint16) * (255 // ((1 << depth) - 1))
+        ).astype(np.uint8)
     return arr
 
 
@@ -1542,7 +1618,7 @@ def decode_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     REAL decoded pixels (stdlib PNG/GIF/JPEG decoders — baseline AND
     progressive; PIL takes over when present), falling back to the
     deterministic content-digest fake only for out-of-envelope streams
-    (arithmetic/12-bit JPEG, 16-bit PNG). Bytes that parse as no known
+    (arithmetic/12-bit JPEG). Bytes that parse as no known
     image format are
     decode_ok=0 — never a fake success. Non-image media keeps the
     digest-seeded fake except WAV audio (real PCM decode)."""

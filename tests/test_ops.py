@@ -4528,6 +4528,189 @@ class TestPngPixelDecode:
             decode_png_pixels(build_png(11, 9, b"x", pixels=px)), px
         )
 
+    # ---- r4 envelope: every legal static depth + Adam7 interlace
+
+    @staticmethod
+    def _encode_depth(arr, depth, ctype, interlace=0, palette=None,
+                      sub_filter=False):
+        """Independent encoder for arbitrary depth / interlace:
+        samples packed MSB-first (sub-8), big-endian (16); filter 0
+        rows, or filter 1 (Sub) when sub_filter to exercise the
+        byte-wise bpp recurrence at non-8 depths."""
+        import struct
+        import zlib
+
+        from fuzi_spark.ops.multimodal import _ADAM7
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(
+                    ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+                )
+            )
+
+        h, w, nch = arr.shape
+        bpp = max(1, nch * depth // 8)
+
+        def pack_row(vals):
+            if depth == 8:
+                return bytes(int(v) for v in vals)
+            if depth == 16:
+                out = bytearray()
+                for v in vals:
+                    out += struct.pack(">H", int(v))
+                return bytes(out)
+            out = bytearray()
+            acc = nb = 0
+            for v in vals:
+                acc = (acc << depth) | int(v)
+                nb += depth
+                if nb == 8:
+                    out.append(acc)
+                    acc = nb = 0
+            if nb:
+                out.append(acc << (8 - nb))
+            return bytes(out)
+
+        def rows_bytes(sub):
+            out = bytearray()
+            prev = None
+            for y in range(sub.shape[0]):
+                row = pack_row(sub[y].reshape(-1))
+                if sub_filter:
+                    out.append(1)  # Sub
+                    enc = bytearray()
+                    for x, b_ in enumerate(row):
+                        a = row[x - bpp] if x >= bpp else 0
+                        enc.append((b_ - a) & 0xFF)
+                    out += enc
+                else:
+                    out.append(0)
+                    out += row
+                prev = row
+            return bytes(out)
+
+        if interlace == 0:
+            raw = rows_bytes(arr)
+        else:
+            raw = bytearray()
+            for (x0, y0, xs, ys) in _ADAM7:
+                sub = arr[y0::ys, x0::xs]
+                if sub.shape[0] and sub.shape[1]:
+                    raw += rows_bytes(sub)
+            raw = bytes(raw)
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, depth, ctype, 0, 0, interlace
+        )
+        png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if palette is not None:
+            png += chunk(b"PLTE", bytes(palette))
+        return png + chunk(b"IDAT", zlib.compress(raw)) + chunk(
+            b"IEND", b""
+        )
+
+    def test_16bit_high_byte_exact(self):
+        """The spec's 8→16 expansion is v*257 — decoding the high
+        byte recovers v exactly, for gray, RGB and RGBA."""
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import decode_png_pixels
+
+        rng = np.random.RandomState(5)
+        for ctype, nch in ((0, 1), (2, 3), (6, 4)):
+            v8 = rng.randint(0, 256, (9, 7, nch))
+            got = decode_png_pixels(
+                self._encode_depth(v8 * 257, 16, ctype)
+            )
+            assert got is not None and np.array_equal(got, v8), ctype
+
+    def test_16bit_sub_filter(self):
+        """Filter recurrences are byte-wise with pixel offset bpp —
+        a Sub-filtered 16-bit RGB image must still decode exactly."""
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import decode_png_pixels
+
+        rng = np.random.RandomState(6)
+        v8 = rng.randint(0, 256, (8, 10, 3))
+        got = decode_png_pixels(
+            self._encode_depth(v8 * 257, 16, 2, sub_filter=True)
+        )
+        assert got is not None and np.array_equal(got, v8)
+
+    def test_sub8_gray_scales_to_full_range(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import decode_png_pixels
+
+        rng = np.random.RandomState(7)
+        for depth in (1, 2, 4):
+            maxv = (1 << depth) - 1
+            v = rng.randint(0, maxv + 1, (10, 13, 1))
+            got = decode_png_pixels(self._encode_depth(v, depth, 0))
+            exp = (v * (255 // maxv)).astype(np.uint8)
+            assert got is not None and np.array_equal(got, exp), depth
+
+    def test_sub8_palette(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import decode_png_pixels
+
+        rng = np.random.RandomState(8)
+        pal = bytes(rng.randint(0, 256, 48).tolist())
+        idx = rng.randint(0, 16, (7, 9, 1))
+        got = decode_png_pixels(
+            self._encode_depth(idx, 4, 3, palette=pal)
+        )
+        exp = np.frombuffer(pal, np.uint8).reshape(16, 3)[idx[:, :, 0]]
+        assert got is not None and np.array_equal(got, exp)
+
+    def test_adam7_interlace(self):
+        """Seven-pass interlace reassembles exactly, across depths
+        and odd dimensions (empty passes included)."""
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import decode_png_pixels
+
+        rng = np.random.RandomState(9)
+        cases = [
+            (rng.randint(0, 256, (13, 17, 3)), 8, 2, None),
+            (rng.randint(0, 256, (21, 5, 1)) * 257, 16, 0, None),
+            (rng.randint(0, 4, (9, 3, 1)), 2, 0, None),
+            (rng.randint(0, 256, (1, 1, 3)), 8, 2, None),
+            (rng.randint(0, 256, (4, 4, 3)), 8, 2, None),
+        ]
+        for arr, depth, ctype, pal in cases:
+            got = decode_png_pixels(
+                self._encode_depth(arr, depth, ctype, interlace=1)
+            )
+            if depth == 16:
+                exp = (arr // 257).astype(np.uint8)
+            elif depth < 8 and ctype == 0:
+                exp = (arr * (255 // ((1 << depth) - 1))).astype(
+                    np.uint8
+                )
+            else:
+                exp = arr.astype(np.uint8)
+            assert got is not None and np.array_equal(got, exp), (
+                arr.shape, depth, ctype,
+            )
+
+    def test_illegal_depth_combos_refused(self):
+        import numpy as np
+
+        from fuzi_spark.ops.multimodal import decode_png_pixels
+
+        rng = np.random.RandomState(10)
+        # RGB at depth 4 and palette at depth 16 are spec-illegal
+        v = rng.randint(0, 16, (4, 4, 3))
+        assert decode_png_pixels(self._encode_depth(v, 4, 2)) is None
+        idx = rng.randint(0, 4, (4, 4, 1))
+        assert decode_png_pixels(
+            self._encode_depth(idx * 257, 16, 3, palette=bytes(12))
+        ) is None
+
     def test_rejects_never_raise(self):
         import struct
         import zlib
