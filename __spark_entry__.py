@@ -2689,6 +2689,105 @@ def q_image_pixels(spark, sf_dir):
     )
 
 
+def q_image_pixels_deep(spark, sf_dir):
+    """The round-4 codec envelope, oracle-checked end to end: per doc
+    a solid-color image exercising the DEEP format paths — ids ≡0
+    (mod 3) as Adam7-INTERLACED 16-bit grayscale PNG (samples v*257;
+    high-byte reduction must recover v exactly), ≡1 as
+    Adam7-interlaced 4-bit PALETTE PNG (index 0 → formula RGB), ≡2 as
+    PROGRESSIVE (SOF2) grayscale JPEG at quality 100 (all-ones quant
+    + full successive-approximation transmission ⇒ bit-exact DC-only
+    reconstruction). Decoded back through the production feature path
+    (decode_features_df), so features must equal the formula luma —
+    a baseline-only JPEG decoder, an 8-bit-only or
+    sequential-only PNG decoder, or any digest fake cannot pass."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.jpeg import encode_progressive
+    from fuzi_spark.ops.multimodal import _ADAM7, decode_features_df
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def png_deep(w, h, depth, ctype, sample, palette=None):
+        """Adam7-interlaced solid-valued PNG, filter-0 rows."""
+        nch = 1
+        def pack_row(pw):
+            if depth == 16:
+                return b"\x00" + struct.pack(">H", sample) * pw
+            per = 8 // depth
+            nb = (pw + per - 1) // per
+            acc = 0
+            for _ in range(per):
+                acc = (acc << depth) | sample
+            return b"\x00" + bytes([acc]) * nb
+        raw = bytearray()
+        for (x0, y0, xs, ys) in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw > 0 and ph > 0:
+                raw += pack_row(pw) * ph
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)
+        png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if palette is not None:
+            png += chunk(b"PLTE", palette)
+        return png + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(
+            b"IEND", b""
+        )
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 8 + i % 9, 8 + i % 5
+            v = i % 256
+            if i % 3 == 0:
+                out.append(png_deep(w, h, 16, 0, v * 257))
+            elif i % 3 == 1:
+                pal = bytes([v, (2 * i) % 256, (3 * i) % 256]) + b"\x00" * 45
+                out.append(png_deep(w, h, 4, 3, 0, palette=pal))
+            else:
+                px = np.full((h, w), v, dtype=np.uint8)
+                out.append(
+                    encode_progressive(
+                        px, quality=100, al=1, band_splits=(5,)
+                    )
+                )
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("deep/"), F.col("doc_id").cast("string"), F.lit(".png")
+        ).alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    dec = decode_features_df(media)
+    feats = F.col("features")
+    mean_f = F.aggregate(
+        feats, F.lit(0.0), lambda a, x: a + x.cast("double")
+    ) / F.size(feats)
+    return dec.select(
+        F.regexp_extract("media_ref", r"deep/(\d+)\.png", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "format",
+        "width", "height", "channels", "decode_ok",
+        F.round(F.element_at(feats, 1).cast("double"), 4).alias("f_first"),
+        F.round(F.element_at(feats, 64).cast("double"), 4).alias("f_last"),
+        F.round(mean_f, 4).alias("mean_f"),
+    )
+
+
 def q_audio_features(spark, sf_dir):
     """REAL WAV PCM decode, oracle-checked end to end: per doc a
     constant-amplitude PCM WAV is built from formula parameters
@@ -6234,6 +6333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_code": q_detect_code,
         "code_quality": q_code_quality,
         "image_pixels": q_image_pixels,
+        "image_pixels_deep": q_image_pixels_deep,
         "span_language": q_span_language,
         "snapshot_delta": q_snapshot_delta,
         "audio_features": q_audio_features,
@@ -7761,6 +7861,31 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END "
             "    AS INTEGER) AS keep "
             "FROM f"
+        ),
+        "image_pixels_deep": (
+            # the deep-envelope formula: gray16/progressive rows carry
+            # the exact gray value; the palette row the REAL-cast luma
+            "WITH s AS (SELECT doc_id, "
+            "  CAST(doc_id % 256 AS DOUBLE) AS r, "
+            "  CAST((2 * doc_id) % 256 AS DOUBLE) AS g, "
+            "  CAST((3 * doc_id) % 256 AS DOUBLE) AS b "
+            "  FROM documents), "
+            "l AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 3 = 1 "
+            "    THEN ROUND(CAST(CAST(CAST(0.299 AS DOUBLE) * r "
+            "      + CAST(0.587 AS DOUBLE) * g "
+            "      + CAST(0.114 AS DOUBLE) * b AS REAL) AS DOUBLE), 4) "
+            "    ELSE CAST(doc_id % 256 AS DOUBLE) "
+            "  END AS v FROM s) "
+            "SELECT doc_id, "
+            "  CASE WHEN doc_id % 3 = 2 THEN 'jpeg' ELSE 'png' END "
+            "    AS format, "
+            "  CAST(8 + doc_id % 9 AS INTEGER) AS width, "
+            "  CAST(8 + doc_id % 5 AS INTEGER) AS height, "
+            "  CAST(1 AS INTEGER) AS channels, "
+            "  CAST(1 AS INTEGER) AS decode_ok, "
+            "  v AS f_first, v AS f_last, v AS mean_f "
+            "FROM l"
         ),
         "image_pixels": (
             "WITH s AS (SELECT doc_id, "

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "remove_passages",
     "interleaved_text",
     "media_balance",
+    "image_pixels_deep",
     "curate",
     "materialize_packs",
     "group_quota",
