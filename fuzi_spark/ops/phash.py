@@ -34,13 +34,14 @@ Spark shapes:
 Determinism / operating point: the hash is bit-reproducible for a
 given pixel array within one BLAS environment; across environments the
 float DCT can flip bits whose coefficients sit within rounding jitter
-of the median (measured: 0 for natural-spectrum images, up to ~8 for
-pathological blocky synthetics recompressed at q85 — see
-TestPhash.test_dedup_groups_and_near_dups). Exact-equality dedup
-(phash_dedup_groups) therefore targets byte-identical or losslessly
-re-encoded copies computed within one job — the planted-oracle design;
-hamming thresholds for near-dups are operating points to be tuned per
-corpus, like the text simhash threshold.
+of the median (measured: 0 on every corpus in this repo — the up-to-8-
+bit drift an earlier round attributed to BLAS jitter was actually the
+float64 hash-transport bug fixed in r4, see _int64_frame). Exact-
+equality dedup (phash_dedup_groups) targets byte-identical or
+losslessly re-encoded copies computed within one job — the
+planted-oracle design; hamming thresholds for near-dups are operating
+points to be tuned per corpus (RECALL_phash_r4.json), like the text
+simhash threshold.
 
 Reference parity note: the reference (kylehughes/Fuzi) has no media
 surface — this is pipeline-brief scope (multimodal training-data
@@ -119,6 +120,21 @@ PHASH_SCHEMA = StructType(
 )
 
 
+
+def _int64_frame(rows: dict, int64_cols) -> pd.DataFrame:
+    """dict-of-lists → DataFrame with the named columns as pandas
+    NULLABLE Int64. A plain list with a None coerces to float64, and
+    float64 silently ROUNDS int64 values above 2^53 — for a 64-bit
+    perceptual hash that corrupts the low ~11 bits of every hash that
+    shares a batch with one undecodable row (found round 4: a single
+    junk image made co-batched near-dup pairs vanish). The nullable
+    dtype keeps exact int64 through the Arrow boundary."""
+    pdf = pd.DataFrame({k: v for k, v in rows.items() if k not in int64_cols})
+    for c in int64_cols:
+        pdf[c] = pd.array(rows[c], dtype="Int64")
+    return pdf[list(rows)]
+
+
 def _phash_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # content-addressed memo, bounded per task (same rationale as the
     # video frame memo below): byte-identical images are EXACTLY the
@@ -170,7 +186,7 @@ def _phash_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows["height"].append(got[1])
                 rows["phash"].append(got[2])
                 rows["decode_ok"].append(1)
-        yield pd.DataFrame(rows)
+        yield _int64_frame(rows, ("phash",))
 
 
 def phash_df(media: DataFrame) -> DataFrame:
@@ -184,6 +200,115 @@ def phash_df(media: DataFrame) -> DataFrame:
             "media_ref",
         )
         .mapInPandas(_phash_fn, schema=PHASH_SCHEMA)
+    )
+
+
+MULTI_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("trim", IntegerType()),
+        StructField("phash", LongType()),
+        StructField("decode_ok", IntegerType()),
+    ]
+)
+
+
+def _multi_phash_fn(trims):
+    tt = tuple(int(t) for t in trims)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        MEMO_CAP = 4096
+
+        def hashes_memo(content):
+            key = bytes(content)
+            if key in memo:
+                return memo[key]
+            arr = decode_image_pixels(key)
+            if arr is None:
+                got = None
+            else:
+                got = []
+                h, w = arr.shape[:2]
+                for t in tt:
+                    if h - 2 * t < 1 or w - 2 * t < 1:
+                        continue
+                    sub = arr[t:h - t, t:w - t] if t else arr
+                    got.append(
+                        (
+                            t,
+                            int(
+                                np.int64(
+                                    np.uint64(phash_from_pixels(sub))
+                                )
+                            ),
+                        )
+                    )
+            if len(memo) >= MEMO_CAP:
+                memo.clear()
+            memo[key] = got
+            return got
+
+        for pdf in batches:
+            rows = {
+                "media_ref": [],
+                "trim": [],
+                "phash": [],
+                "decode_ok": [],
+            }
+            for i in range(len(pdf)):
+                ref = pdf["media_ref"].iloc[i]
+                got = hashes_memo(pdf["content"].iloc[i])
+                if not got:
+                    rows["media_ref"].append(ref)
+                    rows["trim"].append(None)
+                    rows["phash"].append(None)
+                    rows["decode_ok"].append(0)
+                else:
+                    for t, hsh in got:
+                        rows["media_ref"].append(ref)
+                        rows["trim"].append(t)
+                        rows["phash"].append(hsh)
+                        rows["decode_ok"].append(1)
+            yield _int64_frame(rows, ("trim", "phash"))
+
+    return fn
+
+
+def phash_multi_df(media: DataFrame, trims=(0, 2, 4)) -> DataFrame:
+    """Multi-anchor pHash rows: one hash per symmetric border trim in
+    `trims` (pixels removed from EVERY side), per image — the
+    crop-robust indexing for phash_near_dups_trimmed. The measured
+    gap this closes: RECALL_phash_r4 shows plain pHash recalls a
+    2-px symmetric crop at only 0.45 @ hamming<=6 (global-DCT phase
+    shifts under cropping); a crop variant's FULL frame aligns
+    EXACTLY with the original's same-trim center, so indexing t-px
+    trims recovers symmetric crops up to max(trims) px at the
+    near-exact distance. K hashes per image → K× index rows, same
+    pigeonhole join; arbitrary ASYMMETRIC crops stay out of scope
+    (documented — that needs keypoint signals, not block DCTs)."""
+    return (
+        media.filter(F.col("media_type") == "image")
+        .repartition(
+            media.sparkSession.sparkContext.defaultParallelism,
+            "media_ref",
+        )
+        .mapInPandas(_multi_phash_fn(trims), schema=MULTI_PHASH_SCHEMA)
+    )
+
+
+def phash_near_dups_trimmed(
+    hashed_multi: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate pairs over multi-trim hash rows: the pigeonhole
+    join runs over ALL (ref, trim) hash rows (a pair is a candidate
+    iff ANY of its trim-hash combinations collides), then the pair
+    collapses to its MINIMUM hamming across combinations. Same
+    zero-false-negative-at-max_hamming guarantee as phash_near_dups,
+    now over the min-distance across anchors."""
+    pairs = phash_near_dups(hashed_multi, max_hamming=max_hamming)
+    return pairs.groupBy("ref_a", "ref_b").agg(
+        F.min("hamming").alias("hamming")
     )
 
 
@@ -360,7 +485,7 @@ def _video_phash_fn(n_frames: int):
                 rows["n_sampled"].append(len(hashes))
                 rows["phash"].append(video_phash_from_frame_hashes(hashes))
                 rows["decode_ok"].append(1)
-            yield pd.DataFrame(rows)
+            yield _int64_frame(rows, ("phash",))
 
     return fn
 

@@ -6177,9 +6177,14 @@ class TestPhash:
         groups = {
             r.media_ref: r for r in phash_dedup_groups(hashed).collect()
         }
-        assert groups["img/a.png"].group_size == 2
+        # r4: with the Int64-exact hash transport (junk.png in the
+        # same Arrow batch used to float64-round the neighbours'
+        # hashes), the q85 recompression hashes IDENTICALLY to its
+        # source — all three copies collapse into one group
+        assert groups["img/a.png"].group_size == 3
         assert groups["img/a.png"].keep == 1
         assert groups["img/b.png"].keep == 0
+        assert groups["img/c.jpg"].keep == 0
         assert groups["img/d.png"].group_size == 1
         # undecodable bytes are kept, never merged
         assert groups["img/junk.png"].phash is None
@@ -6190,15 +6195,13 @@ class TestPhash:
                 for r in phash_near_dups(hashed, max_hamming=10).collect()
             }
         # exact pair + the recompressed copy pairs; the unrelated
-        # picture pairs with nothing. Threshold 10, not the natural-
-        # image operating point 6: the blocky synthetic's spectrum
-        # clusters coefficients near the median, so q85 recompression
-        # plus cross-process BLAS rounding jitter can cost up to ~8
-        # bits — while distinct pictures stay ≥ 20 apart (pinned in
-        # test_formula_pictures_all_distinct), leaving a clean margin.
+        # picture pairs with nothing. (The pre-r4 version of this
+        # test tolerated <= 10 bits on the a-c pair and blamed BLAS
+        # jitter; the drift was actually the float64 hash-transport
+        # bug this test's junk.png row triggers — exact transport
+        # makes the recompression collision exact.)
         assert pairs[("img/a.png", "img/b.png")] == 0
-        assert ("img/a.png", "img/c.jpg") in pairs
-        assert pairs[("img/a.png", "img/c.jpg")] <= 10
+        assert pairs[("img/a.png", "img/c.jpg")] == 0
         assert not any("img/d.png" in k for k in pairs)
 
 
@@ -11436,6 +11439,92 @@ def test_phash_recall_floor(spark):
     assert fp == 0, (fp, pairs)
     for k in kinds:
         assert got[k] == n, (k, got)
+
+
+def test_phash_trimmed_index_recovers_symmetric_crop(spark):
+    """The crop fix, pinned end-to-end through the Spark operator:
+    a 2-px symmetric crop that PLAIN pHash misses at hamming<=6 must
+    be recovered by the multi-trim index (the variant's full frame
+    aligns exactly with the base's trim-2 anchor), at zero cross-base
+    false positives."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/tools")
+    from phash_recall import base_image
+
+    from fuzi_spark.ops.cache import cache_scope
+    from fuzi_spark.ops.jpeg import decode_baseline, encode_baseline
+    from fuzi_spark.ops.multimodal import MEDIA_SCHEMA
+    from fuzi_spark.ops.phash import (
+        phash_df,
+        phash_multi_df,
+        phash_near_dups,
+        phash_near_dups_trimmed,
+    )
+
+    rows = []
+    for i in range(12):
+        ship = encode_baseline(base_image(i), quality=95)
+        dec = decode_baseline(ship)
+        crop = encode_baseline(dec[2:-2, 2:-2], quality=92)
+        rows.append(
+            (f"base/{i}", "image", bytearray(ship), None, None, None,
+             None)
+        )
+        rows.append(
+            (f"crop/{i}", "image", bytearray(crop), None, None, None,
+             None)
+        )
+    rows.append(
+        ("junk/0", "image", bytearray(b"not an image"), None, None,
+         None, None)
+    )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def planted(pairs):
+        got, fp = set(), 0
+        for a, b in pairs:
+            ka, ia = a.split("/")
+            kb, ib = b.split("/")
+            if ia == ib and {ka, kb} == {"base", "crop"}:
+                got.add(ia)
+            else:
+                fp += 1
+        return got, fp
+
+    with cache_scope():
+        plain_pairs = {
+            (r.ref_a, r.ref_b)
+            for r in phash_near_dups(
+                phash_df(media), max_hamming=6
+            ).collect()
+        }
+        multi = phash_multi_df(media, trims=(0, 2, 4))
+        rows_m = multi.collect()
+        trimmed_pairs = {
+            (r.ref_a, r.ref_b)
+            for r in phash_near_dups_trimmed(
+                multi, max_hamming=6
+            ).collect()
+        }
+    got_plain, fp_plain = planted(plain_pairs)
+    got_trim, fp_trim = planted(trimmed_pairs)
+    assert fp_plain == 0 and fp_trim == 0
+    assert len(got_trim) == 12, sorted(got_trim)  # every crop found
+    assert len(got_trim) > len(got_plain)  # strictly closes the gap
+    # schema/honesty: 3 hash rows per decodable image, decode_ok=0
+    # single row for junk
+    per_ref = {}
+    for r in rows_m:
+        per_ref.setdefault(r.media_ref, []).append(r)
+    assert all(
+        len(v) == 3 for k, v in per_ref.items() if "junk" not in k
+    )
+    junk = per_ref["junk/0"]
+    assert len(junk) == 1 and junk[0].decode_ok == 0
+    assert junk[0].phash is None
 
 
 def test_stream_histogram_monoid_accumulation(spark):

@@ -170,6 +170,67 @@ def main() -> None:
             f"max_hamming={max_h} recall={overall} per_kind={recall} "
             f"fp={fp}"
         )
+    # ---- multi-trim index (phash_near_dups_trimmed): the crop fix.
+    # Index every image under symmetric border trims (0, 2, 4 px);
+    # a symmetric crop variant aligns exactly with the original's
+    # same-trim anchor, so the pair lands at near-exact distance.
+    from fuzi_spark.ops.phash import (
+        phash_from_pixels,
+        phash_near_dups_trimmed,
+    )
+    from fuzi_spark.ops.multimodal import decode_image_pixels
+
+    def trim_hashes(enc, trims=(0, 2, 4)):
+        arr = decode_image_pixels(enc)
+        out = []
+        h, w = arr.shape[:2]
+        for t in trims:
+            if h - 2 * t < 1 or w - 2 * t < 1:
+                continue
+            sub = arr[t:h - t, t:w - t] if t else arr
+            out.append(int(np.int64(np.uint64(phash_from_pixels(sub)))))
+        return out
+
+    mrows = []
+    for i in range(N_BASES):
+        ship, var = variants(base_image(i))
+        for hsh in trim_hashes(ship):
+            mrows.append((f"base/{i}", hsh))
+        for kind, enc in var.items():
+            for hsh in trim_hashes(enc):
+                mrows.append((f"{kind}/{i}", hsh))
+    mdf = spark.createDataFrame(mrows, "media_ref string, phash long")
+    result["trimmed_grid"] = []
+    for max_h in (4, 6, 8, 10):
+        with cache_scope():
+            pairs = {
+                (r.ref_a, r.ref_b)
+                for r in phash_near_dups_trimmed(
+                    mdf, max_hamming=max_h
+                ).collect()
+            }
+        per_kind = {}
+        fp = 0
+        for a, b in pairs:
+            ka, ia = a.split("/")
+            kb, ib = b.split("/")
+            if ia == ib:
+                if "base" in (ka, kb):
+                    kind = ka if kb == "base" else kb
+                    per_kind[kind] = per_kind.get(kind, 0) + 1
+            else:
+                fp += 1
+        recall = {
+            k: round(per_kind.get(k, 0) / N_BASES, 4) for k in kinds
+        }
+        entry = {
+            "max_hamming": max_h,
+            "recall_per_kind": recall,
+            "false_positive_pairs": fp,
+        }
+        result["trimmed_grid"].append(entry)
+        print(f"trimmed max_hamming={max_h} per_kind={recall} fp={fp}")
+
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(f"wrote {out_path}")
