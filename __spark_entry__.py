@@ -2689,6 +2689,64 @@ def q_image_pixels(spark, sf_dir):
     )
 
 
+def q_audio_flac(spark, sf_dir):
+    """REAL FLAC decode (ops/flac.py, r4), oracle-checked end to end
+    through the SAME production path as audio_features: per doc a
+    constant-amplitude PCM signal is FLAC-encoded from formula
+    parameters (constant subframes for even ids; fixed-predictor
+    rice-coded subframes for odd ids — two decoder paths under the
+    oracle) and decoded back — every window-RMS feature must equal
+    float32(amplitude/32768), which the SQL oracle computes
+    independently. A WAV-only or digest-fake audio path cannot
+    produce format='flac' rows with these values."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.flac import encode_flac
+    from fuzi_spark.ops.multimodal import decode_features_df
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            amp = 100 + (i * 37) % 30000
+            n = 640 + i % 97
+            ch = 1 + i % 2
+            pcm = np.full((n, ch), amp, dtype=np.int64)
+            out.append(
+                encode_flac(
+                    pcm,
+                    rate=8000 * (1 + i % 3),
+                    mode="constant" if i % 2 == 0 else "fixed",
+                )
+            )
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("au/"), F.col("doc_id").cast("string"), F.lit(".flac")
+        ).alias("media_ref"),
+        F.lit("audio").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    dec = decode_features_df(media)
+    feats = F.col("features")
+    mean_f = F.aggregate(
+        feats, F.lit(0.0), lambda a, x: a + x.cast("double")
+    ) / F.size(feats)
+    return dec.select(
+        F.regexp_extract("media_ref", r"au/(\d+)\.flac", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "format", "channels", "decode_ok",
+        F.round(F.element_at(feats, 1).cast("double"), 4).alias("f_first"),
+        F.round(F.element_at(feats, 64).cast("double"), 4).alias("f_last"),
+        F.round(mean_f, 4).alias("mean_f"),
+    )
+
+
 def q_image_pixels_deep(spark, sf_dir):
     """The round-4 codec envelope, oracle-checked end to end: per doc
     a solid-color image exercising the DEEP format paths — ids ≡0
@@ -6334,6 +6392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality": q_code_quality,
         "image_pixels": q_image_pixels,
         "image_pixels_deep": q_image_pixels_deep,
+        "audio_flac": q_audio_flac,
         "span_language": q_span_language,
         "snapshot_delta": q_snapshot_delta,
         "audio_features": q_audio_features,
@@ -7861,6 +7920,20 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END "
             "    AS INTEGER) AS keep "
             "FROM f"
+        ),
+        "audio_flac": (
+            # identical RMS formula to audio_features; format 'flac'
+            "WITH s AS (SELECT doc_id, "
+            "  CAST(100 + (doc_id * 37) % 30000 AS DOUBLE) AS a "
+            "  FROM documents), "
+            "l AS (SELECT doc_id, "
+            "  ROUND(CAST(CAST(a / 32768.0 AS REAL) AS DOUBLE), 4) "
+            "    AS v FROM s) "
+            "SELECT doc_id, 'flac' AS format, "
+            "  CAST(1 + doc_id % 2 AS INTEGER) AS channels, "
+            "  CAST(1 AS INTEGER) AS decode_ok, "
+            "  v AS f_first, v AS f_last, v AS mean_f "
+            "FROM l"
         ),
         "image_pixels_deep": (
             # the deep-envelope formula: gray16/progressive rows carry

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "interleaved_text",
     "media_balance",
     "image_pixels_deep",
+    "audio_flac",
     "curate",
     "materialize_packs",
     "group_quota",

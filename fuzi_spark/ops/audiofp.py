@@ -64,7 +64,7 @@ from pyspark.sql.types import (
 )
 
 from .cache import scoped_persist
-from .multimodal import parse_wav
+from .multimodal import parse_audio
 
 FINGERPRINT_SCHEMA = StructType(
     [
@@ -84,7 +84,7 @@ def audio_landmarks(
     """(sample_rate, n_windows, sorted_distinct_hashes) or None for
     non-PCM-WAV bytes. One vectorized rfft over all windows; the
     landmark pairing is a numpy broadcast, never a per-sample loop."""
-    hdr = parse_wav(content)
+    hdr = parse_audio(content)
     if hdr is None:
         return None
     rate, ch, bits, n_frames, data = hdr
@@ -123,7 +123,7 @@ def audio_fingerprint_df(
     media: DataFrame, n_fft: int = 256, fanout: int = 3
 ) -> DataFrame:
     """media(media_ref, content) → FINGERPRINT_SCHEMA, partition-
-    parallel; non-WAV bytes yield decode_ok=0 with NULL analysis
+    parallel; non-WAV/FLAC bytes yield decode_ok=0 with NULL analysis
     columns — never a fake fingerprint."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -21,9 +21,10 @@ frames (via parse_avi's real frame byte ranges) feed real pixels to
 features, thumbnails, and frame sampling. PIL, when present, still
 takes over via _have_pil (faster C path, plus formats we don't
 decode). The remaining DETERMINISTIC digest-seeded FAKES — arithmetic/
-12-bit JPEG, non-MJPEG video codecs, non-WAV audio (no libav in this
-container) — keep the same schema so every downstream operator stays
-exercisable. Unparseable image bytes are a decode failure
+12-bit JPEG, non-MJPEG video codecs, compressed audio other than
+FLAC (ops/flac.py is a real lossless decode as of r4; MP3/AAC would
+need libav, not in this container) — keep the same schema so every
+downstream operator stays exercisable. Unparseable image bytes are a decode failure
 (decode_ok=0), never a fake success.
 """
 
@@ -496,14 +497,41 @@ def parse_wav(content):
     return rate, ch, bits, n_frames, data[: n_frames * frame]
 
 
+def audio_format(content) -> Optional[str]:
+    """'wav' / 'flac' from the container magic, else None."""
+    b = bytes(content or b"")
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if b[:4] == b"fLaC":
+        return "flac"
+    return None
+
+
+def parse_audio(content) -> Optional[tuple]:
+    """Container dispatch for the audio surface: integer-PCM WAV via
+    parse_wav, FLAC via ops/flac.decode_flac (real lossless decode —
+    r4; emits 16-bit PCM in the same tuple shape). Every downstream
+    audio operator (RMS features, spectrograms, landmark
+    fingerprints) consumes this one contract:
+    (rate, channels, bits, n_frames, pcm_bytes), or None."""
+    fmt = audio_format(content)
+    if fmt == "wav":
+        return parse_wav(content)
+    if fmt == "flac":
+        from .flac import decode_flac
+
+        return decode_flac(content)
+    return None
+
+
 def decode_wav_features(content) -> Optional[tuple]:
-    """REAL audio decode for integer-PCM WAV: (rate, channels, bits,
-    n_frames, duration_ms, features) where features = 64 window-RMS
-    values (float32) over the mono mix, samples normalized to [-1, 1]
-    (16-bit signed / 32768, 8-bit unsigned centered / 128). Window
-    boundaries use the same floor contract as _block_pool. None for
-    non-WAV / non-PCM bytes."""
-    hdr = parse_wav(content)
+    """REAL audio decode for integer-PCM WAV and FLAC: (rate,
+    channels, bits, n_frames, duration_ms, features) where features =
+    64 window-RMS values (float32) over the mono mix, samples
+    normalized to [-1, 1] (16-bit signed / 32768, 8-bit unsigned
+    centered / 128). Window boundaries use the same floor contract as
+    _block_pool. None for non-audio / non-PCM bytes."""
+    hdr = parse_audio(content)
     if hdr is None:
         return None
     rate, ch, bits, n_frames, data = hdr
@@ -652,8 +680,8 @@ def decode_wav_spectrogram(content, n_fft: int = 256) -> Optional[tuple]:
       mean-bands with the same floor-boundary contract as _block_pool.
 
     Returns (rate, n_windows, dominant_bin, dominant_hz, peak_mag,
-    spectrum_float32) or None for non-PCM-WAV bytes."""
-    hdr = parse_wav(content)
+    spectrum_float32) or None for non-PCM-WAV/FLAC bytes."""
+    hdr = parse_audio(content)
     if hdr is None:
         return None
     rate, ch, bits, n_frames, data = hdr
@@ -697,7 +725,7 @@ def audio_spectrogram_df(media: DataFrame, n_fft: int = 256) -> DataFrame:
     """media(MEDIA_SCHEMA) → SPECTROGRAM_SCHEMA, partition-parallel.
 
     One mapInPandas pass (same giant-binary spreading as
-    decode_features_df); non-WAV bytes yield decode_ok=0 with NULL
+    decode_features_df); non-WAV/FLAC bytes yield decode_ok=0 with NULL
     analysis columns — never a fake spectrum. The rfft batches all of a
     clip's windows in one vectorized call, so per-row Python work is a
     header parse plus numpy kernels."""
@@ -1685,7 +1713,7 @@ def decode_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                     # REAL PCM decode: window-RMS features; channels
                     # carries the audio channel count, width/height NULL
                     rate, ch, bits, n_frames, dur, feats = wav
-                    rows["format"].append("wav")
+                    rows["format"].append(audio_format(content))
                     rows["width"].append(None)
                     rows["height"].append(None)
                     rows["channels"].append(ch)

@@ -11441,6 +11441,142 @@ def test_phash_recall_floor(spark):
         assert got[k] == n, (k, got)
 
 
+class TestFlac:
+    """ops/flac.py: lossless round-trips across every subframe type /
+    stereo decorrelation / residual coding, the WAV-equality invariant
+    through the production audio operators, totality."""
+
+    @staticmethod
+    def _smooth(n=5000):
+        import numpy as np
+
+        t = np.arange(n)
+        return (
+            3000 * np.sin(t / 20.0) + 500 * np.sin(t / 7.0)
+        ).astype(np.int64)
+
+    def test_round_trip_matrix(self):
+        import numpy as np
+
+        from fuzi_spark.ops.flac import decode_flac, encode_flac
+
+        rng = np.random.RandomState(3)
+        smooth = self._smooth()
+        noise = rng.randint(-30000, 30000, 5000)
+        stereo = np.stack(
+            [smooth, (smooth * 0.7).astype(np.int64)], axis=1
+        )
+        cases = []
+        for mode in ("verbatim", "fixed", "lpc", "constant"):
+            cases.append((smooth, dict(mode=mode)))
+            cases.append((noise, dict(mode=mode)))
+            cases.append((np.full(777, -123, np.int64), dict(mode=mode)))
+        for st in ("independent", "mid_side", "left_side"):
+            for mode in ("fixed", "lpc"):
+                cases.append((stereo, dict(mode=mode, stereo=st)))
+        cases.append((noise, dict(mode="fixed", force_escape=True)))
+        cases.append((smooth, dict(mode="fixed", block_size=256)))
+        cases.append(
+            (np.array([32767, -32768] * 99, np.int64),
+             dict(mode="fixed"))
+        )
+        cases.append(
+            (np.stack([noise, smooth, noise[::-1]], axis=1),
+             dict(mode="fixed"))
+        )
+        for pcm, kw in cases:
+            enc = encode_flac(pcm, rate=16000, **kw)
+            got = decode_flac(enc)
+            assert got is not None, kw
+            rate, ch, bits, n, data = got
+            p = np.asarray(pcm)
+            if p.ndim == 1:
+                p = p[:, None]
+            arr = np.frombuffer(data, "<i2").reshape(n, ch)
+            assert rate == 16000 and bits == 16, kw
+            assert np.array_equal(arr, p), (kw, p.shape)
+
+    def test_flac_equals_wav_through_audio_operators(self):
+        """The dispatch invariant: the SAME PCM shipped as WAV and as
+        FLAC must produce bit-identical RMS features, spectrograms and
+        landmark fingerprints — the whole audio surface works on FLAC
+        for real, not via a parallel code path."""
+        import struct
+
+        import numpy as np
+
+        from fuzi_spark.ops.audiofp import audio_landmarks
+        from fuzi_spark.ops.flac import encode_flac
+        from fuzi_spark.ops.multimodal import (
+            decode_wav_features,
+            decode_wav_spectrogram,
+        )
+
+        pcm = self._smooth(4096)
+        rate = 16000
+        data = pcm.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        wav = b"RIFF" + struct.pack("<I", len(body)) + body
+        flac = encode_flac(pcm, rate=rate, mode="fixed")
+
+        fw = decode_wav_features(wav)
+        ff = decode_wav_features(flac)
+        assert fw is not None and ff is not None
+        assert fw[:5] == ff[:5]
+        assert np.array_equal(fw[5], ff[5])
+
+        sw = decode_wav_spectrogram(wav)
+        sf = decode_wav_spectrogram(flac)
+        assert sw[:5] == sf[:5]
+        assert np.array_equal(sw[5], sf[5])
+
+        lw = audio_landmarks(wav)
+        lf = audio_landmarks(flac)
+        assert lw == lf and lw is not None
+
+    def test_audio_format_detection(self):
+        import numpy as np
+
+        from fuzi_spark.ops.flac import encode_flac
+        from fuzi_spark.ops.multimodal import audio_format, build_wav
+
+        assert audio_format(build_wav()) == "wav"
+        assert audio_format(
+            encode_flac(np.zeros(10, np.int64))
+        ) == "flac"
+        assert audio_format(b"junk") is None
+        assert audio_format(None) is None
+
+    def test_totality(self):
+        import random
+
+        import numpy as np
+
+        from fuzi_spark.ops.flac import decode_flac, encode_flac
+
+        enc = encode_flac(
+            np.stack([self._smooth(2000)] * 2, axis=1),
+            rate=22050, mode="fixed", stereo="mid_side",
+        )
+        rnd = random.Random(5)
+        for cut in range(0, len(enc), max(1, len(enc) // 37)):
+            decode_flac(enc[:cut])  # must not raise
+        for _ in range(150):
+            mut = bytearray(enc)
+            j = rnd.randrange(len(mut))
+            mut[j] ^= 1 << rnd.randrange(8)
+            decode_flac(bytes(mut))  # must not raise
+        assert decode_flac(b"") is None
+        assert decode_flac(b"fLaC") is None
+        # trailing junk after good frames: decode what arrived
+        got = decode_flac(enc + b"\x00garbage")
+        assert got is not None and got[3] == 2000
+
+
 def test_phash_trimmed_index_recovers_symmetric_crop(spark):
     """The crop fix, pinned end-to-end through the Spark operator:
     a 2-px symmetric crop that PLAIN pHash misses at hamming<=6 must
