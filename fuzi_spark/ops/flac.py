@@ -471,22 +471,46 @@ def _write_residuals(w: _BitW, res: list, force_escape: bool) -> None:
 
 
 def _write_subframe(
-    w: _BitW, samples, bps: int, mode: str, force_escape: bool
+    w: _BitW, samples, bps: int, mode: str, force_escape: bool,
+    wasted: int = 0,
 ) -> None:
     s = [int(x) for x in samples]
+    if wasted:
+        if mode not in ("constant", "verbatim"):
+            raise ValueError(
+                "encoder emits wasted bits for constant/verbatim only"
+            )
+        if any(v & ((1 << wasted) - 1) for v in s):
+            raise ValueError(
+                "wasted_bits requires samples divisible by 2^k"
+            )
+        s = [v >> wasted for v in s]
+        bps_eff = bps - wasted
+    else:
+        bps_eff = bps
+
+    def flags():
+        # wasted-bits flag + unary count (k-1 zeros then a 1)
+        if wasted:
+            w.write(1, 1)
+            w.write(1, wasted)
+        else:
+            w.write(0, 1)
+
     if mode == "constant" and len(set(s)) == 1:
         w.write(0, 1)
         w.write(0, 6)
-        w.write(0, 1)
-        w.write(s[0] & ((1 << bps) - 1), bps)
+        flags()
+        w.write(s[0] & ((1 << bps_eff) - 1), bps_eff)
         return
     if mode == "verbatim" or len(s) <= 2:
         w.write(0, 1)
         w.write(1, 6)
-        w.write(0, 1)
+        flags()
         for v in s:
-            w.write(v & ((1 << bps) - 1), bps)
+            w.write(v & ((1 << bps_eff) - 1), bps_eff)
         return
+    bps = bps_eff
     if mode == "lpc":
         order, prec, shift = 2, 12, 9
         coef = [3 << (shift - 1), -(1 << (shift - 1))]  # 1.5, -0.5
@@ -525,12 +549,15 @@ def encode_flac(
     stereo: str = "independent",
     block_size: int = 4096,
     force_escape: bool = False,
+    wasted_bits: int = 0,
 ) -> bytes:
     """Encode (n, ch) int16 samples as a spec-legal FLAC stream (real
     CRC-8/CRC-16, real STREAMINFO MD5). mode ∈ {verbatim, constant,
     fixed, lpc}; stereo ∈ {independent, mid_side, left_side} (2-ch
-    only); force_escape rice-escapes every residual partition — each
-    knob exists to pin one decoder path."""
+    only); force_escape rice-escapes every residual partition;
+    wasted_bits k emits the wasted-bits unary prefix (constant/
+    verbatim modes, samples must be divisible by 2^k) — each knob
+    exists to pin one decoder path."""
     pcm = np.asarray(pcm, dtype=np.int64)
     if pcm.ndim == 1:
         pcm = pcm[:, None]
@@ -598,7 +625,10 @@ def encode_flac(
             _write_subframe(w, side, bps + 1, mode, force_escape)
         else:
             for c in range(ch):
-                _write_subframe(w, blk[:, c], bps, mode, force_escape)
+                _write_subframe(
+                    w, blk[:, c], bps, mode, force_escape,
+                    wasted=wasted_bits,
+                )
         w.align()
         body = bytes(w.out)
         w.write(_crc16(body), 16)

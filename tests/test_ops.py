@@ -11538,6 +11538,31 @@ class TestFlac:
         lf = audio_landmarks(flac)
         assert lw == lf and lw is not None
 
+    def test_wasted_bits_round_trip(self):
+        import numpy as np
+
+        from fuzi_spark.ops.flac import decode_flac, encode_flac
+
+        pcm = (np.arange(-500, 500) * 8).astype(np.int64)
+        for k in (1, 3):
+            for mode, p in (
+                ("verbatim", pcm),
+                ("constant", np.full(300, 1024, np.int64)),
+            ):
+                enc = encode_flac(p, rate=16000, mode=mode, wasted_bits=k)
+                got = decode_flac(enc)
+                assert got is not None, (mode, k)
+                arr = np.frombuffer(got[4], "<i2")
+                assert np.array_equal(arr, p), (mode, k)
+        # indivisible samples refuse loudly
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="divisible"):
+            encode_flac(
+                np.array([3, 5, 7], np.int64), mode="verbatim",
+                wasted_bits=2,
+            )
+
     def test_audio_format_detection(self):
         import numpy as np
 
