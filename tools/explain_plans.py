@@ -797,6 +797,20 @@ CASES = [
      "Incremental sketch rollup. Wants: per-batch histogram aggs "
      "with partial_count, the union a metadata-table concat, "
      "quantile windows over n_bins rows only."),
+    ("vocab_rank",
+     "Distributed composite-key global rank. Wants: every Window "
+     "node partitioned on the range bucket (never an unpartitioned "
+     "row_number), the bucket a codegen'd struct-comparison chain, "
+     "one map-side-combinable df agg feeding it."),
+    ("image_pixels_deep",
+     "Deep-codec image funnel. Wants: ONE MapInPandas decode stage "
+     "after the media_ref-hash spread repartition — progressive "
+     "JPEG / interlaced deep-PNG decode costs live inside the Arrow "
+     "batch, no extra exchanges."),
+    ("audio_flac",
+     "FLAC audio funnel. Wants: the same ONE-MapInPandas shape as "
+     "the WAV path — container dispatch happens per batch row, no "
+     "format-specific plan forks."),
 ]
 
 
