@@ -908,6 +908,7 @@ def encode_progressive(
     al: int = 1,
     band_splits: tuple = (5,),
     restart_interval: int = 0,
+    scan_order: str = "comp",
 ) -> bytes:
     """Encode an (h, w[, 1|3]) uint8 array as a PROGRESSIVE (SOF2)
     huffman JPEG — spectral selection (DC scan, then AC bands split at
@@ -917,7 +918,10 @@ def encode_progressive(
     quantized grids, so decode_jpeg(progressive) must equal
     decode_baseline(baseline) bit-for-bit at the same quality — the
     differential the tests pin. restart_interval (in MCUs/blocks)
-    exercises the per-segment EOB-run and predictor resets."""
+    exercises the per-segment EOB-run and predictor resets;
+    scan_order='band' emits the mozjpeg-style band-major interleave
+    (all components' first passes per band, then refinement sweeps) —
+    same coefficients, different scan script."""
     if al < 0 or al > 10:
         raise ValueError("al must be in 0..10")
     h, w, gray, sub, grids, qy, qc = _to_coef_grids(
@@ -1048,139 +1052,167 @@ def encode_progressive(
         lo = split + 1
         if lo > 63:
             break
-    for ci in range(ncomp):
+    # scan ordering: 'comp' groups a component's first pass with its
+    # refinements; 'band' is the mozjpeg-style interleave real web
+    # encoders emit — ALL first passes band-major across components,
+    # then refinement sweeps per approximation level. Scans are
+    # independent coefficient updates, so both orders must decode
+    # identically (pinned in tests).
+    def ac_first(ci, ss, se):
+        nonlocal out
         bh_c, bw_c = bdims[ci]
         g = grids[ci]
         ta = 0 if gray else min(ci, 1)
-        for (ss, se) in bands:
-            # first pass at Al=al
-            out += sos_header([(ci + 1, ta)], ss, se, 0, al)
-            wr = _BitWriter()
-            eob = _EobState(wr, ac_codes)
-            for m in range(bh_c * bw_c):
-                if restart_interval and m and m % restart_interval == 0:
-                    eob.flush()
-                    emit_restart(wr, m, out)
-                    wr = _BitWriter()
-                    eob = _EobState(wr, ac_codes)
-                by, bx = divmod(m, bw_c)
-                zz = g[by, bx]
-                t = [
-                    (1 if zz[k] > 0 else -1) * (abs(int(zz[k])) >> al)
-                    for k in range(ss, se + 1)
-                ]
-                last = len(t) - 1
-                while last >= 0 and t[last] == 0:
-                    last -= 1
-                if last < 0:
-                    eob.count += 1
-                    continue
+        # first pass at Al=al
+        out += sos_header([(ci + 1, ta)], ss, se, 0, al)
+        wr = _BitWriter()
+        eob = _EobState(wr, ac_codes)
+        for m in range(bh_c * bw_c):
+            if restart_interval and m and m % restart_interval == 0:
                 eob.flush()
-                run = 0
-                for v in t[: last + 1]:
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]
-                        wr.write(code, ln)
-                        run -= 16
-                    s = _csize(v)
-                    code, ln = ac_codes[(run << 4) | s]
-                    wr.write(code, ln)
-                    wr.write(v if v > 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if last < len(t) - 1:
-                    eob.count += 1
-            eob.flush()
-            wr.flush()
-            out += wr.out
-            # refinement passes Ah=a, Al=a-1
-            for a in range(al, 0, -1):
-                out += sos_header([(ci + 1, ta)], ss, se, a, a - 1)
+                emit_restart(wr, m, out)
                 wr = _BitWriter()
                 eob = _EobState(wr, ac_codes)
-                for m in range(bh_c * bw_c):
-                    if restart_interval and m and \
-                            m % restart_interval == 0:
-                        eob.flush()
-                        emit_restart(wr, m, out)
-                        wr = _BitWriter()
-                        eob = _EobState(wr, ac_codes)
-                    by, bx = divmod(m, bw_c)
-                    zz = g[by, bx]
-                    # events in position order, decoder-walk order
-                    events = []  # ('c', bit) | ('z',) | ('n', signbit)
-                    for k in range(ss, se + 1):
-                        v = int(zz[k])
-                        mag = abs(v)
-                        if mag >> a:  # nonzero history
-                            events.append(("c", (mag >> (a - 1)) & 1))
-                        elif (mag >> (a - 1)) & 1:  # newly nonzero
-                            events.append(("n", 1 if v > 0 else 0))
-                        else:
-                            events.append(("z",))
-                    if not any(e[0] == "n" for e in events):
+            by, bx = divmod(m, bw_c)
+            zz = g[by, bx]
+            t = [
+                (1 if zz[k] > 0 else -1) * (abs(int(zz[k])) >> al)
+                for k in range(ss, se + 1)
+            ]
+            last = len(t) - 1
+            while last >= 0 and t[last] == 0:
+                last -= 1
+            if last < 0:
+                eob.count += 1
+                continue
+            eob.flush()
+            run = 0
+            for v in t[: last + 1]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    wr.write(code, ln)
+                    run -= 16
+                s = _csize(v)
+                code, ln = ac_codes[(run << 4) | s]
+                wr.write(code, ln)
+                wr.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < len(t) - 1:
+                eob.count += 1
+        eob.flush()
+        wr.flush()
+        out += wr.out
+
+    def ac_refine(ci, ss, se, a):
+        nonlocal out
+        bh_c, bw_c = bdims[ci]
+        g = grids[ci]
+        ta = 0 if gray else min(ci, 1)
+        # refinement pass Ah=a, Al=a-1
+        out += sos_header([(ci + 1, ta)], ss, se, a, a - 1)
+        wr = _BitWriter()
+        eob = _EobState(wr, ac_codes)
+        for m in range(bh_c * bw_c):
+            if restart_interval and m and \
+                    m % restart_interval == 0:
+                eob.flush()
+                emit_restart(wr, m, out)
+                wr = _BitWriter()
+                eob = _EobState(wr, ac_codes)
+            by, bx = divmod(m, bw_c)
+            zz = g[by, bx]
+            # events in position order, decoder-walk order
+            events = []  # ('c', bit) | ('z',) | ('n', signbit)
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                mag = abs(v)
+                if mag >> a:  # nonzero history
+                    events.append(("c", (mag >> (a - 1)) & 1))
+                elif (mag >> (a - 1)) & 1:  # newly nonzero
+                    events.append(("n", 1 if v > 0 else 0))
+                else:
+                    events.append(("z",))
+            if not any(e[0] == "n" for e in events):
+                eob.count += 1
+                eob.bits.extend(
+                    e[1] for e in events if e[0] == "c"
+                )
+                continue
+            eob.flush()
+            qi = 0
+            run = sum(
+                1 for e in events if e[0] == "z"
+            )  # recomputed per symbol below
+            i2 = 0
+            n_ev = len(events)
+            while i2 < n_ev:
+                # find next 'n'; count zeros before it
+                j = i2
+                zrun = 0
+                found = -1
+                while j < n_ev:
+                    if events[j][0] == "n":
+                        found = j
+                        break
+                    if events[j][0] == "z":
+                        zrun += 1
+                    j += 1
+                if found < 0:
+                    # tail: EOB carries remaining corrections
+                    if i2 < n_ev:
                         eob.count += 1
                         eob.bits.extend(
-                            e[1] for e in events if e[0] == "c"
+                            e[1]
+                            for e in events[i2:]
+                            if e[0] == "c"
                         )
-                        continue
-                    eob.flush()
-                    qi = 0
-                    run = sum(
-                        1 for e in events if e[0] == "z"
-                    )  # recomputed per symbol below
-                    i2 = 0
-                    n_ev = len(events)
-                    while i2 < n_ev:
-                        # find next 'n'; count zeros before it
-                        j = i2
-                        zrun = 0
-                        found = -1
-                        while j < n_ev:
-                            if events[j][0] == "n":
-                                found = j
-                                break
-                            if events[j][0] == "z":
-                                zrun += 1
-                            j += 1
-                        if found < 0:
-                            # tail: EOB carries remaining corrections
-                            if i2 < n_ev:
-                                eob.count += 1
-                                eob.bits.extend(
-                                    e[1]
-                                    for e in events[i2:]
-                                    if e[0] == "c"
-                                )
-                            break
-                        # emit ZRLs while the zero run exceeds 15,
-                        # walking events exactly as the decoder does
-                        while zrun > 15:
-                            code, ln = ac_codes[0xF0]
-                            wr.write(code, ln)
-                            consumed = 0
-                            while consumed < 16:
-                                e = events[i2]
-                                i2 += 1
-                                if e[0] == "z":
-                                    consumed += 1
-                                else:  # 'c'
-                                    wr.write(e[1], 1)
-                            zrun -= 16
-                        code, ln = ac_codes[(zrun << 4) | 1]
-                        wr.write(code, ln)
-                        wr.write(events[found][1], 1)  # sign bit
-                        # corrections crossed up to the placement slot
-                        for e in events[i2:found]:
-                            if e[0] == "c":
-                                wr.write(e[1], 1)
-                        i2 = found + 1
-                    del qi, run
-                eob.flush()
-                wr.flush()
-                out += wr.out
+                    break
+                # emit ZRLs while the zero run exceeds 15,
+                # walking events exactly as the decoder does
+                while zrun > 15:
+                    code, ln = ac_codes[0xF0]
+                    wr.write(code, ln)
+                    consumed = 0
+                    while consumed < 16:
+                        e = events[i2]
+                        i2 += 1
+                        if e[0] == "z":
+                            consumed += 1
+                        else:  # 'c'
+                            wr.write(e[1], 1)
+                    zrun -= 16
+                code, ln = ac_codes[(zrun << 4) | 1]
+                wr.write(code, ln)
+                wr.write(events[found][1], 1)  # sign bit
+                # corrections crossed up to the placement slot
+                for e in events[i2:found]:
+                    if e[0] == "c":
+                        wr.write(e[1], 1)
+                i2 = found + 1
+            del qi, run
+        eob.flush()
+        wr.flush()
+        out += wr.out
+
+    if scan_order == "comp":
+        for ci in range(ncomp):
+            for (ss, se) in bands:
+                ac_first(ci, ss, se)
+                for a in range(al, 0, -1):
+                    ac_refine(ci, ss, se, a)
+    elif scan_order == "band":
+        for (ss, se) in bands:
+            for ci in range(ncomp):
+                ac_first(ci, ss, se)
+        for a in range(al, 0, -1):
+            for (ss, se) in bands:
+                for ci in range(ncomp):
+                    ac_refine(ci, ss, se, a)
+    else:
+        raise ValueError("scan_order must be 'comp' or 'band'")
     out += b"\xff\xd9"
     return bytes(out)
 

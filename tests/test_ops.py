@@ -5929,6 +5929,44 @@ class TestJpegCodec:
             assert prog is not None, kw
             assert np.array_equal(base, prog), kw
 
+    def test_band_major_scan_script_decodes_identically(self):
+        """The mozjpeg-style scan script — all components' first
+        passes band-major, then refinement sweeps — carries the same
+        coefficients in a different scan order; decode must be
+        bit-identical to both the comp-major progressive and the
+        baseline encode."""
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import (
+            decode_baseline,
+            decode_jpeg,
+            encode_baseline,
+            encode_progressive,
+        )
+
+        rng = np.random.RandomState(21)
+        img = rng.randint(0, 256, (33, 41, 3), np.uint8)
+        base = decode_baseline(
+            encode_baseline(img, 75, subsampling="4:2:0")
+        )
+        for rst in (0, 3):
+            kw = dict(
+                quality=75, subsampling="4:2:0", al=2,
+                band_splits=(5, 20), restart_interval=rst,
+            )
+            comp = decode_jpeg(
+                encode_progressive(img, scan_order="comp", **kw)
+            )
+            band = decode_jpeg(
+                encode_progressive(img, scan_order="band", **kw)
+            )
+            assert np.array_equal(base, comp), rst
+            assert np.array_equal(base, band), rst
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="scan_order"):
+            encode_progressive(img, scan_order="bogus")
+
     def test_progressive_phash_equals_baseline_phash(self):
         """The dedup-surface consequence: pHash of a progressive
         re-encode equals pHash of the baseline encode (identical
