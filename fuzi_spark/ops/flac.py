@@ -139,10 +139,9 @@ class _Bits:
 # ------------------------------------------------------------ decoding
 
 _BPS_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
-_RATE_CODES = {
-    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
-    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
-}
+# frame sample-rate codes 1-11 name fixed table rates; this decoder
+# consumes their (zero) extra bits and reports the STREAMINFO rate,
+# which the spec requires to agree for non-streamed files
 _FIXED_COEF = {
     0: [],
     1: [1],
