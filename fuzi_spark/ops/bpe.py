@@ -148,11 +148,39 @@ def train_bpe(
     text_col: str = "text",
     n_merges: int = 1000,
     min_count: int = 1,
+    max_vocab_rows: int = 2_000_000,
+    top_n: int | None = None,
 ) -> list:
     """Corpus pass + merge learning. Returns the rank-ordered merge
-    list; the word-count collect is the bounded metadata-sized-query
-    contract (see module docstring)."""
-    rows = word_counts(df, text_col, min_count).collect()
+    list.
+
+    The word-count collect is metadata-sized for natural language
+    (10^5–10^8 unique words), but a noisy web corpus (URLs, hashes,
+    code tokens under \\s+ splitting) can blow past that — so the
+    collect is FAIL-FAST bounded, mirroring margin_bitext's
+    max_tgt_rows contract (ops/similarity.py): more than
+    `max_vocab_rows` surviving words raises ValueError instead of
+    OOM-ing the driver. Set `top_n` to instead keep the N most
+    frequent words (deterministic tie-break on word; distributed
+    TakeOrdered, no global sort) — the industrial choice for dirty
+    corpora, since BPE merge statistics are dominated by the head of
+    the frequency distribution anyway."""
+    wc = word_counts(df, text_col, min_count)
+    if top_n is not None:
+        rows = (
+            wc.orderBy(F.col("n").desc(), F.col("word"))
+            .limit(int(top_n))
+            .collect()
+        )
+    else:
+        rows = wc.limit(max_vocab_rows + 1).collect()
+        if len(rows) > max_vocab_rows:
+            raise ValueError(
+                "train_bpe: surviving vocabulary exceeds "
+                f"max_vocab_rows={max_vocab_rows}; raise min_count, "
+                "pass top_n= to keep the frequency head, or raise "
+                "the cap explicitly"
+            )
     return learn_bpe({r["word"]: r["n"] for r in rows}, n_merges)
 
 

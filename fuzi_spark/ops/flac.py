@@ -307,12 +307,17 @@ def _decode_flac(b: bytes) -> Optional[tuple]:
     channels_out = [[] for _ in range(n_ch)]
     bits = _Bits(b, pos * 8)
     n_total_bits = len(b) * 8
-    while bits.pos + 32 <= n_total_bits:
+
+    def _one_frame() -> list:
+        """Decode one frame's channel lists. Raises ValueError on any
+        structurally invalid header field and lets the helpers'
+        IndexError propagate on bitstream exhaustion — the caller
+        treats EITHER as end-of-stream once >= 1 good frame exists
+        (trailing junk can alias the 14-bit sync and then die
+        mid-frame; that must not discard already-decoded audio)."""
         sync = bits.read(14)
         if sync != 0x3FFE:
-            if channels_out[0]:
-                break  # trailing junk after >= 1 good frame: tolerate
-            return None
+            raise ValueError("bad sync")
         bits.read(1)  # reserved
         bits.read(1)  # blocking strategy
         bs_code = bits.read(4)
@@ -322,7 +327,7 @@ def _decode_flac(b: bytes) -> Optional[tuple]:
         bits.read(1)  # reserved
         _read_utf8_coded(bits)
         if bs_code == 0:
-            return None
+            raise ValueError("reserved blocksize code")
         elif bs_code == 1:
             blocksize = 192
         elif 2 <= bs_code <= 5:
@@ -338,22 +343,22 @@ def _decode_flac(b: bytes) -> Optional[tuple]:
         elif sr_code in (13, 14):
             bits.read(16)
         elif sr_code == 15:
-            return None
+            raise ValueError("invalid sample-rate code")
         fbps = bps if ss_code == 0 else _BPS_CODES.get(ss_code)
         if fbps is None:
-            return None
+            raise ValueError("reserved sample-size code")
         bits.read(8)  # header CRC (consumed, not verified — tolerant)
 
         if ch_code < 8:
             if ch_code + 1 != n_ch:
-                return None
+                raise ValueError("channel count mismatch")
             subs = [
                 _decode_subframe(bits, blocksize, fbps)
                 for _ in range(n_ch)
             ]
         elif ch_code in (8, 9, 10):
             if n_ch != 2:
-                return None
+                raise ValueError("stereo decorrelation on non-stereo")
             if ch_code == 8:  # left/side
                 left = _decode_subframe(bits, blocksize, fbps)
                 side = _decode_subframe(bits, blocksize, fbps + 1)
@@ -372,9 +377,18 @@ def _decode_flac(b: bytes) -> Optional[tuple]:
                     R.append((m2 - s) >> 1)
                 subs = [L, R]
         else:
-            return None
+            raise ValueError("reserved channel assignment")
         bits.align()
         bits.read(16)  # frame CRC (consumed)
+        return subs
+
+    while bits.pos + 32 <= n_total_bits:
+        try:
+            subs = _one_frame()
+        except (ValueError, IndexError):
+            if channels_out[0]:
+                break  # trailing junk after >= 1 good frame: tolerate
+            return None
         for c in range(n_ch):
             channels_out[c].extend(subs[c])
         if total and len(channels_out[0]) >= total:

@@ -878,8 +878,14 @@ def _to_coef_grids(arr: np.ndarray, quality: int, subsampling: str):
 class _EobState:
     """EOB-run accumulator for progressive AC scans: counts blocks,
     buffers the refinement correction bits the decoder will read for
-    run blocks, and flushes as EOBn symbols (run split into the
-    1<<r .. 2^(r+1)-1 windows r extra bits can express)."""
+    run blocks, and flushes as one EOBn symbol immediately followed by
+    that run's correction bits (T.81 G.1.2.3: each EOBn's extra bits
+    and the run's correction bits follow the symbol). The run is
+    capped at 0x7FFF (libjpeg's EOBRUN cap) and flushed eagerly at the
+    cap via bump(), so flush() never has to split a run across EOBn
+    windows — a split would interleave windows and bits wrongly."""
+
+    MAX_RUN = 0x7FFF
 
     def __init__(self, wr, ac_codes):
         self.wr = wr
@@ -887,15 +893,23 @@ class _EobState:
         self.count = 0
         self.bits: list = []
 
+    def bump(self, corr=()) -> None:
+        """Add one all-zero (post-point-transform) block to the run,
+        with its refinement correction bits (if any)."""
+        self.count += 1
+        self.bits.extend(corr)
+        if self.count >= self.MAX_RUN:
+            self.flush()
+
     def flush(self) -> None:
-        while self.count:
-            r = min(14, self.count.bit_length() - 1)
-            take = min(self.count, (1 << (r + 1)) - 1)
-            code, ln = self.ac_codes[r << 4]
-            self.wr.write(code, ln)
-            if r:
-                self.wr.write(take - (1 << r), r)
-            self.count -= take
+        if not self.count:
+            return
+        r = self.count.bit_length() - 1
+        code, ln = self.ac_codes[r << 4]
+        self.wr.write(code, ln)
+        if r:
+            self.wr.write(self.count - (1 << r), r)
+        self.count = 0
         for b in self.bits:
             self.wr.write(b, 1)
         self.bits = []
@@ -1083,7 +1097,7 @@ def encode_progressive(
             while last >= 0 and t[last] == 0:
                 last -= 1
             if last < 0:
-                eob.count += 1
+                eob.bump()
                 continue
             eob.flush()
             run = 0
@@ -1101,7 +1115,7 @@ def encode_progressive(
                 wr.write(v if v > 0 else v + (1 << s) - 1, s)
                 run = 0
             if last < len(t) - 1:
-                eob.count += 1
+                eob.bump()
         eob.flush()
         wr.flush()
         out += wr.out
@@ -1136,10 +1150,7 @@ def encode_progressive(
                 else:
                     events.append(("z",))
             if not any(e[0] == "n" for e in events):
-                eob.count += 1
-                eob.bits.extend(
-                    e[1] for e in events if e[0] == "c"
-                )
+                eob.bump(e[1] for e in events if e[0] == "c")
                 continue
             eob.flush()
             qi = 0
@@ -1163,8 +1174,7 @@ def encode_progressive(
                 if found < 0:
                     # tail: EOB carries remaining corrections
                     if i2 < n_ev:
-                        eob.count += 1
-                        eob.bits.extend(
+                        eob.bump(
                             e[1]
                             for e in events[i2:]
                             if e[0] == "c"

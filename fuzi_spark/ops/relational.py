@@ -24,7 +24,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import TimestampNTZType, TimestampType
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 
 def _ts_as_double(df: DataFrame, col: str):
@@ -514,9 +519,19 @@ def global_rank(
             for b in raw:  # dedupe — equal boundaries = empty buckets
                 if not boundaries or b != boundaries[-1]:
                     boundaries.append(b)
-            if fraction >= 1.0:
-                # the sample IS the table: bucket counts are exact
-                # driver-side — skip the count-agg job entirely
+            if fraction >= 1.0 and not any(
+                isinstance(dtypes[c], (FloatType, DoubleType))
+                for c in order_cols
+            ):
+                # The sample IS the table: bucket counts are exact
+                # driver-side — skip the count-agg job entirely.
+                # Guard: NaN in float/double order_cols makes Python
+                # sorted()/bisect ordering undefined while Spark
+                # orders NaN greatest, so the driver-side counts
+                # would silently diverge from the Spark-side bucket
+                # assignment and corrupt every offset — for float
+                # order_cols we always run the count-agg job, whose
+                # grouping matches the bucket expression exactly.
                 import bisect
 
                 edges = [
