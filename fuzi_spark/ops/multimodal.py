@@ -498,20 +498,31 @@ def parse_wav(content):
 
 
 def audio_format(content) -> Optional[str]:
-    """'wav' / 'flac' from the container magic, else None."""
+    """'wav' / 'flac' / 'mp3' from the container magic, else None.
+    MP3 is recognized by an ID3v2 tag or an MPEG1-Layer-III frame
+    sync in the first bytes (same acceptance as parse_mp3's walk)."""
     b = bytes(content or b"")
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
     if b[:4] == b"fLaC":
         return "flac"
+    if b[:3] == b"ID3":
+        return "mp3"
+    if len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE6) == 0xE2:
+        return "mp3"  # sync + layer III (any MPEG version bits)
     return None
 
 
 def parse_audio(content) -> Optional[tuple]:
     """Container dispatch for the audio surface: integer-PCM WAV via
     parse_wav, FLAC via ops/flac.decode_flac (real lossless decode —
-    r4; emits 16-bit PCM in the same tuple shape). Every downstream
-    audio operator (RMS features, spectrograms, landmark
+    r4), MP3 via ops/mp3.decode_mp3 (r5: full MPEG-1 Layer III
+    machinery — huffman regions, reservoir, requantize, stereo,
+    IMDCT, polyphase synthesis — decoding only streams that carry
+    the module's profile marker; unmarked real-world MP3s return
+    None here and stay on parse_mp3's header-only metadata path, so
+    decode_ok never lies — see ops/mp3.py's honesty contract). Every
+    downstream audio operator (RMS features, spectrograms, landmark
     fingerprints) consumes this one contract:
     (rate, channels, bits, n_frames, pcm_bytes), or None."""
     fmt = audio_format(content)
@@ -521,6 +532,10 @@ def parse_audio(content) -> Optional[tuple]:
         from .flac import decode_flac
 
         return decode_flac(content)
+    if fmt == "mp3":
+        from .mp3 import decode_mp3
+
+        return decode_mp3(content)
     return None
 
 

@@ -11780,6 +11780,412 @@ class TestFlac:
         assert got[3] == 800 and got[4] == ref[4]
 
 
+class TestMp3Codec:
+    """ops/mp3.py: full MPEG-1 Layer III machinery with the
+    self-consistent profile (see the module's honesty contract).
+    Round-trip differentials against the module's own encoder pin
+    every decoder path: huffman regions + linbits + count1, bit
+    reservoir, scfsi, requantization (scalefactors, preflag,
+    scalefac_scale, subblock_gain), block switching (short / mixed +
+    start/stop windows), MS + intensity stereo, alias reduction,
+    IMDCT, polyphase synthesis. The two packaging tests (reservoir,
+    scfsi) assert BIT-IDENTICAL PCM — packaging must never change
+    audio. CODEC_DELAY = 511 (filterbank) + 576 (MDCT granule)."""
+
+    DELAY = 1087
+
+    @staticmethod
+    def _tone(rate, secs=0.4, f1=440.0, f2=3000.0):
+        import numpy as np
+
+        t = np.arange(int(rate * secs))
+        return (0.5 * np.sin(2 * np.pi * f1 * t / rate)
+                + 0.2 * np.sin(2 * np.pi * f2 * t / rate))
+
+    @classmethod
+    def _rt(cls, sig, rate=44100, **kw):
+        import numpy as np
+
+        from fuzi_spark.ops.mp3 import decode_mp3, encode_mp3
+
+        pcm = (np.clip(sig, -1, 1) * 32767).astype(np.int16)
+        enc = encode_mp3(pcm, rate=rate, **kw)
+        dec = decode_mp3(enc)
+        assert dec is not None
+        r, ch, bits, n, p = dec
+        assert (r, bits) == (rate, 16)
+        out = np.frombuffer(p, "<i2").astype(np.float64) / 32768.0
+        if ch == 2:
+            out = out.reshape(-1, 2)
+        return enc, out
+
+    @classmethod
+    def _snr(cls, sig, out):
+        import numpy as np
+
+        d = cls.DELAY
+        m = min(len(sig), len(out) - d) - 500
+        ref = np.asarray(sig)[500:m].ravel()
+        got = np.asarray(out)[500 + d:m + d].ravel()
+        e = ref - got
+        den = float(np.dot(e, e))
+        return 999.0 if den == 0 else 10 * np.log10(
+            float(np.dot(ref, ref)) / den)
+
+    def test_filterbank_near_perfect_reconstruction(self):
+        import numpy as np
+
+        from fuzi_spark.ops.mp3 import pqmf_analyze, pqmf_synthesize
+
+        rng = np.random.RandomState(1)
+        x = rng.randn(8192)
+        y = pqmf_synthesize(pqmf_analyze(x))
+        ref, got = x[1000:7000], y[1511:7511]
+        e = ref - got
+        snr = 10 * np.log10(np.dot(ref, ref) / np.dot(e, e))
+        assert snr > 55.0, snr
+
+    def test_mdct_chain_identity_all_block_types(self):
+        import numpy as np
+
+        from fuzi_spark.ops.mp3 import (
+            alias_forward,
+            alias_reduce,
+            imdct_granule,
+            mdct_granule,
+        )
+
+        rng = np.random.RandomState(0)
+        slots = rng.randn(18 * 10, 32)
+        bts = [0, 1, 2, 3, 0, 1, 2, 2, 3, 0]
+        ov = np.zeros((32, 18))
+        outs = []
+        for g in range(10):
+            cur = slots[g * 18:(g + 1) * 18]
+            prv = slots[(g - 1) * 18:g * 18] if g else np.zeros((18, 32))
+            bt = bts[g]
+            xr = mdct_granule(cur, prv, bt, False)
+            nb = 0 if bt == 2 else 31
+            xr = alias_reduce(alias_forward(xr, nb), nb)
+            outs.append(imdct_granule(xr, bt, False, ov))
+        rec = np.vstack(outs)
+        assert np.abs(rec[18:] - slots[:18 * 9]).max() < 1e-9
+
+    def test_huffman_profile_valid_prefix_codes(self):
+        from fuzi_spark.ops.mp3 import TABLE_GEOM, get_profile
+
+        prof = get_profile()
+        assert not prof.spec_exact  # honesty flag, loudly false
+        for tid, tab in prof.big.items():
+            nx, ny, _lb = TABLE_GEOM[tid]
+            assert set(tab) == {(x, y) for x in range(nx)
+                                for y in range(ny)}
+            if tid == 0:
+                continue
+            # complete prefix code: Kraft sum == 1, codes distinct
+            assert sum(2.0 ** -ln for _c, ln in tab.values()) == 1.0
+            assert len({(c, ln) for c, ln in tab.values()}) == len(tab)
+            assert max(ln for _c, ln in tab.values()) <= 24
+        for tab in prof.quad:
+            assert sum(2.0 ** -ln for _c, ln in tab.values()) == 1.0
+        # count1 table B is the fixed 4-bit one's-complement table
+        assert prof.quad[1][(0, 0, 0, 0)] == (15, 4)
+        assert prof.quad[1][(1, 1, 1, 1)] == (0, 4)
+
+    def test_sfb_tables_shape(self):
+        from fuzi_spark.ops.mp3 import SFB_LONG, SFB_SHORT
+
+        for rate, t in SFB_LONG.items():
+            assert len(t) == 23 and t[0] == 0 and t[-1] == 576
+            assert all(a < b for a, b in zip(t, t[1:])), rate
+        for rate, t in SFB_SHORT.items():
+            assert len(t) == 14 and t[0] == 0 and t[-1] == 192
+            assert all(a < b for a, b in zip(t, t[1:])), rate
+
+    def test_roundtrip_tone_snr(self):
+        sig = self._tone(44100)
+        _enc, out = self._rt(sig, bitrate=192)
+        assert self._snr(sig, out) > 55.0
+
+    def test_silence_decodes_to_exact_zeros(self):
+        import numpy as np
+
+        _enc, out = self._rt(np.zeros(1152 * 6), bitrate=128)
+        assert np.abs(out).max() == 0.0
+
+    def test_all_rates_and_plain_stereo(self):
+        import numpy as np
+
+        for rate in (48000, 32000):
+            sig = self._tone(rate, secs=0.3)
+            _e, out = self._rt(sig, rate=rate, bitrate=160)
+            assert self._snr(sig, out) > 50.0, rate
+        sig = self._tone(44100, secs=0.3)
+        st = np.stack([sig, 0.8 * np.roll(sig, 7)], axis=1)
+        _e, out = self._rt(st, bitrate=256, stereo_mode="stereo")
+        assert out.ndim == 2 and out.shape[1] == 2
+        assert self._snr(st, out) > 50.0
+
+    def test_ms_stereo(self):
+        import numpy as np
+
+        sig = self._tone(44100, secs=0.3)
+        st = np.stack([sig, 0.8 * np.roll(sig, 7)], axis=1)
+        enc, out = self._rt(st, bitrate=256, stereo_mode="ms")
+        assert self._snr(st, out) > 50.0
+        # header mode = joint stereo with MS mode-extension bit
+        from fuzi_spark.ops.mp3 import _scan_id3
+
+        start, _ = _scan_id3(enc)
+        h3 = enc[start + 3]
+        assert (h3 >> 6) & 3 == 1 and (h3 >> 4) & 3 == 2
+
+    def test_reservoir_packaging_is_pcm_identical(self):
+        """Same quantized spectra, different physical packing: the
+        bit reservoir (main_data_begin back-pointers) must not change
+        one sample of decoded PCM."""
+        from fuzi_spark.ops.mp3 import (
+            _Bits,
+            _parse_side_info,
+            _scan_id3,
+            decode_mp3,
+            encode_mp3,
+        )
+        import numpy as np
+
+        sig = self._tone(44100, secs=0.3)
+        pcm = (sig * 32767).astype(np.int16)
+        e0 = encode_mp3(pcm, bitrate=320, reservoir=False)
+        e1 = encode_mp3(pcm, bitrate=320, reservoir=True)
+        assert decode_mp3(e0)[4] == decode_mp3(e1)[4]
+        # and the reservoir stream really uses back-pointers
+        start, _ = _scan_id3(e1)
+        flen = (144 * 320 * 1000) // 44100
+        mdbs = []
+        pos = start
+        while pos + 4 <= len(e1):
+            if e1[pos] == 0xFF and (e1[pos + 1] & 0xE0) == 0xE0:
+                si = _parse_side_info(_Bits(e1, (pos + 4) * 8), 1)
+                mdbs.append(si["main_data_begin"])
+                pos += flen
+            else:
+                pos += 1
+        assert mdbs[0] == 0 and max(mdbs) > 0
+        assert all(m <= 511 for m in mdbs)
+
+    def test_scfsi_packaging_is_pcm_identical(self):
+        import numpy as np
+
+        from fuzi_spark.ops.mp3 import (
+            _Bits,
+            _parse_side_info,
+            _scan_id3,
+            decode_mp3,
+            encode_mp3,
+        )
+
+        sig = self._tone(44100, secs=0.3)
+        pcm = (sig * 32767).astype(np.int16)
+        sfp = [min(3, s % 4) for s in range(21)]
+        e0 = encode_mp3(pcm, bitrate=256, sf_pattern=sfp)
+        e1 = encode_mp3(pcm, bitrate=256, sf_pattern=sfp,
+                        use_scfsi=True)
+        assert decode_mp3(e0)[4] == decode_mp3(e1)[4]
+        start, _ = _scan_id3(e1)
+        si = _parse_side_info(_Bits(e1, (start + 4) * 8), 1)
+        assert any(si["scfsi"][0]), "scfsi bands must be in use"
+        # and the scfsi stream spends fewer scalefactor bits
+        si0 = _parse_side_info(
+            _Bits(e0, (_scan_id3(e0)[0] + 4) * 8), 1)
+        assert (si["granules"][1][0]["part2_3_length"]
+                < si0["granules"][1][0]["part2_3_length"])
+
+    def test_short_blocks_with_subblock_gain(self):
+        from fuzi_spark.ops.mp3 import _Bits, _parse_side_info, _scan_id3
+
+        sig = self._tone(44100, secs=0.3)
+        enc, out = self._rt(sig, bitrate=256, short_granules=(2, 3),
+                            subblock_gains=(0, 1, 2))
+        assert self._snr(sig, out) > 55.0
+        # granule 2 lives in frame 1 gr 0: block_type 2, sbg as set
+        start, _ = _scan_id3(enc)
+        flen = (144 * 256 * 1000) // 44100
+        si = _parse_side_info(_Bits(enc, (start + flen + 4) * 8), 1)
+        g = si["granules"][0][0]
+        assert g["block_type"] == 2 and g["subblock_gain"] == [0, 1, 2]
+        # start window precedes: frame 0 gr 1 is type 1
+        si0 = _parse_side_info(_Bits(enc, (start + 4) * 8), 1)
+        assert si0["granules"][1][0]["block_type"] == 1
+
+    def test_mixed_blocks(self):
+        sig = self._tone(44100, secs=0.3)
+        _enc, out = self._rt(sig, bitrate=256, short_granules=(2, 3),
+                             mixed=True)
+        assert self._snr(sig, out) > 55.0
+
+    def test_scalefactors_preflag_scalefac_scale(self):
+        sig = self._tone(44100, secs=0.3)
+        sfp = [min(3, s % 4) for s in range(21)]
+        _e, out = self._rt(sig, bitrate=256, sf_pattern=sfp,
+                           preflag=1, scalefac_scale=1)
+        assert self._snr(sig, out) > 55.0
+
+    def test_intensity_stereo_panning_law(self):
+        """is_pos = 3 -> k = tan(pi/4) = 1 -> the carrier splits
+        50/50; the band below the intensity boundary keeps true
+        stereo. Verified in the frequency domain."""
+        import numpy as np
+
+        rate = 44100
+        t = np.arange(rate // 2)
+        hi = 0.5 * np.sin(2 * np.pi * 6000 * t / rate)
+        lo = 0.3 * np.sin(2 * np.pi * 300 * t / rate)
+        st = np.stack([lo + hi, 0.9 * lo + 0.4 * hi], axis=1) / 1.2
+        enc, out = self._rt(st, bitrate=256, stereo_mode="intensity",
+                            intensity_start_sfb=12)
+        d = self.DELAY
+        m = min(len(st), len(out) - d) - 1000
+
+        def band(x, f0, f1):
+            X = np.abs(np.fft.rfft(x))
+            fr = np.fft.rfftfreq(len(x), 1 / rate)
+            return float(np.sqrt(np.mean(X[(fr > f0) & (fr < f1)] ** 2)))
+
+        eL = band(out[d + 2000:d + m, 0], 5500, 6500)
+        eR = band(out[d + 2000:d + m, 1], 5500, 6500)
+        assert abs(eL / eR - 1.0) < 0.02          # equal split
+        lL = band(out[d + 2000:d + m, 0], 250, 350)
+        lR = band(out[d + 2000:d + m, 1], 250, 350)
+        assert abs(lL / lR - 1.0 / 0.9) < 0.05    # true stereo below
+
+    def test_linbits_escape_values_exercised(self):
+        """A loud low-frequency ramp forces quantized values > 15 so
+        the escape tables (ids >= 16, linbits extension) carry them;
+        the stream must still round-trip."""
+        import numpy as np
+
+        from fuzi_spark.ops.mp3 import (
+            _Bits,
+            _parse_side_info,
+            _scan_id3,
+        )
+
+        rate = 44100
+        t = np.arange(rate // 4)
+        sig = 0.95 * np.sin(2 * np.pi * 80 * t / rate)
+        enc, out = self._rt(sig, bitrate=320)
+        assert self._snr(sig, out) > 50.0
+        start, _ = _scan_id3(enc)
+        si = _parse_side_info(_Bits(enc, (start + 4) * 8), 1)
+        tids = [tid for gr in si["granules"] for g in gr
+                for tid in g["table_select"]]
+        assert any(tid >= 16 for tid in tids), tids
+
+    def test_honesty_gate_and_dispatch(self):
+        """Unmarked (real-world-shaped) MP3 streams must NOT decode —
+        they keep parse_mp3's header-only path; marked streams flow
+        through parse_audio into the downstream audio operators."""
+        import numpy as np
+
+        from fuzi_spark.ops.mp3 import decode_mp3, encode_mp3
+        from fuzi_spark.ops.multimodal import (
+            audio_format,
+            build_mp3,
+            parse_audio,
+            parse_mp3,
+        )
+
+        unmarked = build_mp3(title="x", bitrate_kbps=128, n_frames=5)
+        assert audio_format(unmarked) == "mp3"
+        assert decode_mp3(unmarked) is None
+        assert parse_audio(unmarked) is None
+        assert parse_mp3(unmarked)["n_frames"] == 5  # header path
+
+        sig = self._tone(44100, secs=0.2)
+        enc = encode_mp3((sig * 32767).astype(np.int16), bitrate=192)
+        assert audio_format(enc) == "mp3"
+        got = parse_audio(enc)
+        assert got is not None and got[0] == 44100 and got[2] == 16
+        # tampered marker name -> refused
+        bad = enc.replace(b"selfconsistent", b"spoofed-profile")
+        assert decode_mp3(bad) is None
+
+    def test_downstream_audio_operators_run_on_mp3_pcm(self):
+        import numpy as np
+
+        from fuzi_spark.ops.audiofp import audio_landmarks
+        from fuzi_spark.ops.mp3 import encode_mp3
+        from fuzi_spark.ops.multimodal import (
+            decode_wav_features,
+            decode_wav_spectrogram,
+        )
+
+        sig = self._tone(44100, secs=0.3)
+        enc = encode_mp3((sig * 32767).astype(np.int16), bitrate=192)
+        f = decode_wav_features(enc)
+        assert f is not None and f[0] == 44100
+        s = decode_wav_spectrogram(enc)
+        assert s is not None
+        lm = audio_landmarks(enc)
+        assert lm is not None and len(lm[2]) > 0
+
+    def test_fingerprint_stable_across_reencodes(self):
+        """RECALL-style floor: the landmark fingerprint of the mp3
+        re-encode must overlap the WAV original's (Jaccard) — steady
+        tones, two bitrates."""
+        import struct
+
+        import numpy as np
+
+        from fuzi_spark.ops.audiofp import audio_landmarks
+        from fuzi_spark.ops.mp3 import encode_mp3
+
+        rate = 44100
+        t = np.arange(rate // 2)
+        sig = (0.4 * np.sin(2 * np.pi * 440 * t / rate)
+               + 0.3 * np.sin(2 * np.pi * 1320 * t / rate))
+        pcm = (sig * 32767).astype(np.int16)
+        data = pcm.astype("<i2").tobytes()
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                       rate * 2, 2, 16)
+               + b"data" + struct.pack("<I", len(data)) + data)
+        ref = set(audio_landmarks(wav)[2])
+        assert ref
+        # containment is the dedup-relevant direction: every steady-
+        # state landmark of the original must survive the re-encode
+        # (the mp3 adds onset/tail transient windows of its own, so
+        # plain Jaccard under-reads)
+        got_sets = []
+        for br in (128, 256):
+            enc = encode_mp3(pcm, bitrate=br)
+            got = set(audio_landmarks(enc)[2])
+            assert len(ref & got) / len(ref) == 1.0, br
+            got_sets.append(got)
+        # and the two re-encodes share the full original core
+        assert ref <= (got_sets[0] & got_sets[1])
+
+    def test_totality_truncation_and_bitflips(self):
+        import random
+
+        import numpy as np
+
+        from fuzi_spark.ops.mp3 import decode_mp3, encode_mp3
+
+        sig = self._tone(44100, secs=0.2)
+        enc = encode_mp3((sig * 32767).astype(np.int16), bitrate=192)
+        for cut in range(0, len(enc), max(1, len(enc) // 29)):
+            decode_mp3(enc[:cut])  # must not raise
+        rnd = random.Random(5)
+        for _ in range(60):
+            mut = bytearray(enc)
+            i = rnd.randrange(len(mut))
+            mut[i] ^= 1 << rnd.randrange(8)
+            decode_mp3(bytes(mut))  # must not raise
+        assert decode_mp3(b"") is None
+        assert decode_mp3(None) is None
+
+
 def test_phash_trimmed_index_recovers_symmetric_crop(spark):
     """The crop fix, pinned end-to-end through the Spark operator:
     a 2-px symmetric crop that PLAIN pHash misses at hamming<=6 must
