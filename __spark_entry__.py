@@ -724,6 +724,74 @@ def q_audio_mp3(spark, sf_dir):
     )
 
 
+def q_video_keyframes(spark, sf_dir):
+    """Container-level video keyframes (ops/mp4.py, r5): per doc a
+    deterministic MP4 (even ids) or Matroska (odd ids) single-track
+    container — codec by formula, 3+id%5 samples, keyframe every
+    2+id%3 — parsed through the production video_keyframes_df walk
+    and EXPLODED to one row per keyframe. The oracle recomputes every
+    ABSOLUTE byte offset in SQL from the builders' closed-form layout
+    (MP4 mdat payload at 605+4n+4k; MKV block payloads at
+    126+len(codec)+7i+prefix-sums), so a parser that fakes the
+    stsc/stco/stsz chunk-map resolution or the EBML walk cannot pass.
+    Every ninth doc is junk: parse_ok=0, NULL fields, and decode_ok
+    stays 0 everywhere (coded-frame decode honestly absent)."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.mp4 import (
+        build_mkv,
+        build_mp4,
+        video_keyframes_df,
+    )
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 9 == 0:
+                out.append(b"not a video container")
+                continue
+            n = 3 + i % 5
+            g = 2 + i % 3
+            sync = [j for j in range(n) if j % g == 0]
+            sizes = [40 + ((i * 3 + j * 7) % 50) for j in range(n)]
+            if i % 2 == 0:
+                codec = "avc1" if i % 4 == 0 else "hev1"
+                out.append(build_mp4(codec=codec, sizes=sizes,
+                                     sync=sync))
+            else:
+                codec = ("V_MPEG4/ISO/AVC" if i % 4 == 1
+                         else "V_VP9")
+                out.append(build_mkv(codec=codec, sizes=sizes,
+                                     sync=sync,
+                                     duration_ms=40.0 * n))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("vd/"), F.col("doc_id").cast("string"), F.lit(".bin")
+        ).alias("media_ref"),
+        F.lit("video").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    kf = video_keyframes_df(media)
+    return kf.select(
+        F.regexp_extract("media_ref", r"vd/(\d+)\.bin", 1)
+        .cast("long").alias("doc_id"),
+        "codec", "container", "duration_ms",
+        "n_samples", "parse_ok",
+        F.explode_outer("keyframes").alias("kf"),
+    ).select(
+        "doc_id", "codec", "container", "duration_ms", "n_samples",
+        "parse_ok",
+        F.col("kf.idx").alias("kf_idx"),
+        F.col("kf.offset").alias("kf_offset"),
+        F.col("kf.size").alias("kf_size"),
+    )
+
+
 def q_audio_mp3_pcm(spark, sf_dir):
     """REAL MPEG-1 Layer III PCM decode (ops/mp3.py, r5) through the
     production parse_audio dispatch: per doc a deterministic signal
@@ -6477,6 +6545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_cc": q_redact_cc,
         "audio_mp3": q_audio_mp3,
         "audio_mp3_pcm": q_audio_mp3_pcm,
+        "video_keyframes": q_video_keyframes,
         "parse_archive": q_parse_archive,
         "bloom_seen": q_bloom_seen,
         "crawl_schedule": q_crawl_schedule,
@@ -8421,6 +8490,44 @@ def oracle_sql() -> dict[str, str]:
             "  FROM d WHERE bad) "
             "SELECT * FROM txt UNION ALL SELECT * FROM bin "
             "UNION ALL SELECT * FROM stub"
+        ),
+        "video_keyframes": (
+            "WITH d AS (SELECT doc_id, doc_id % 9 = 0 AS bad, "
+            "  doc_id % 2 = 0 AS ismp4, 3 + doc_id % 5 AS n, "
+            "  2 + doc_id % 3 AS g FROM documents), "
+            "p AS (SELECT *, CASE WHEN ismp4 THEN "
+            "    (CASE WHEN doc_id % 4 = 0 THEN 'avc1' "
+            "      ELSE 'hev1' END) "
+            "  ELSE (CASE WHEN doc_id % 4 = 1 THEN 'V_MPEG4/ISO/AVC' "
+            "      ELSE 'V_VP9' END) END AS codec, "
+            "  (n + g - 1) // g AS k FROM d), "
+            "s AS (SELECT doc_id, bad, ismp4, codec, n, g, k, "
+            "  unnest(range(n)) AS i FROM p), "
+            "sz AS (SELECT *, 40 + ((doc_id * 3 + i * 7) % 50) "
+            "  AS size FROM s), "
+            "cum AS (SELECT *, COALESCE(SUM(size) OVER ("
+            "  PARTITION BY doc_id ORDER BY i ROWS BETWEEN "
+            "  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre "
+            "  FROM sz) "
+            "SELECT doc_id, codec, "
+            "  CASE WHEN ismp4 THEN 'mp4' ELSE 'mkv' END "
+            "    AS container, "
+            "  CAST(40 * n AS BIGINT) AS duration_ms, "
+            "  CAST(n AS INTEGER) AS n_samples, "
+            "  CAST(1 AS INTEGER) AS parse_ok, "
+            "  CAST(i AS INTEGER) AS kf_idx, "
+            "  CAST(CASE WHEN ismp4 THEN 605 + 4*n + 4*k + pre "
+            "    ELSE 126 + length(codec) + 7*i + pre END "
+            "    AS BIGINT) AS kf_offset, "
+            "  CAST(size AS INTEGER) AS kf_size "
+            "FROM cum WHERE NOT bad AND i % g = 0 "
+            "UNION ALL "
+            "SELECT doc_id, CAST(NULL AS VARCHAR), "
+            "  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
+            "  CAST(NULL AS INTEGER), CAST(0 AS INTEGER), "
+            "  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), "
+            "  CAST(NULL AS INTEGER) "
+            "FROM d WHERE bad"
         ),
         "audio_mp3_pcm": (
             "WITH p AS (SELECT doc_id, doc_id % 5 = 0 AS bad, "

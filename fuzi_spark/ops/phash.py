@@ -192,7 +192,16 @@ def _phash_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def phash_df(media: DataFrame) -> DataFrame:
     """media(MEDIA_SCHEMA image rows) → PHASH_SCHEMA. Repartitions by
     media_ref hash first (giant-binary skew spread, same contract as
-    decode_features_df)."""
+    decode_features_df).
+
+    Picker note (measured, RECALL_phash_r4.json): the single-hash
+    index is 1.0-recall on recompression / brightness / noise / gamma
+    at zero false positives, but CROPS collapse it (0.225 recall at
+    trim depth <= 4). When crops matter, use `phash_multi_df` +
+    `phash_near_dups_trimmed` (or `image_near_dups(trims=...)`):
+    len(trims)x the hash rows and join keys buy 1.0 measured crop
+    recall. Cost scales linearly in len(trims); recall floors are
+    pinned in tests."""
     return (
         media.filter(F.col("media_type") == "image")
         .repartition(
@@ -309,6 +318,24 @@ def phash_near_dups_trimmed(
     pairs = phash_near_dups(hashed_multi, max_hamming=max_hamming)
     return pairs.groupBy("ref_a", "ref_b").agg(
         F.min("hamming").alias("hamming")
+    )
+
+
+def image_near_dups(
+    media: DataFrame, max_hamming: int = 6, trims=None
+) -> DataFrame:
+    """The one-call image near-dup entry point with the cost/recall
+    knob explicit: `trims=None` (default) is the single-hash index —
+    cheapest, 1.0 measured recall on recompress/brightness/noise/
+    gamma, BLIND to crops; `trims=(0, 2, 4)` (or any depths) is the
+    multi-trim index — len(trims)x hash rows, 1.0 measured recall on
+    symmetric crops too (RECALL_phash_r4.json). Returns (ref_a,
+    ref_b, hamming) pairs either way, so pipelines can flip the knob
+    without rewiring."""
+    if trims is None:
+        return phash_near_dups(phash_df(media), max_hamming=max_hamming)
+    return phash_near_dups_trimmed(
+        phash_multi_df(media, trims=trims), max_hamming=max_hamming
     )
 
 

@@ -12272,6 +12272,161 @@ def test_phash_trimmed_index_recovers_symmetric_crop(spark):
     assert junk[0].phash is None
 
 
+class TestVideoContainers:
+    """ops/mp4.py: MP4 (ISO BMFF) + Matroska container walks — codec
+    id, timing, sample counts, keyframe byte ranges resolved to
+    absolute offsets. decode_ok stays 0 (no coded-frame pixel decode
+    — the honest scope; module docstring)."""
+
+    def test_mp4_roundtrip_and_offsets(self):
+        from fuzi_spark.ops.mp4 import build_mp4, parse_mp4
+
+        sizes = [100, 80, 120, 60, 90]
+        sync = [0, 2, 4]
+        b = build_mp4(codec="hev1", width=640, height=360,
+                      sizes=sizes, sync=sync)
+        m = parse_mp4(b)
+        assert (m["codec"], m["width"], m["height"]) == \
+            ("hev1", 640, 360)
+        assert m["n_samples"] == 5 and m["duration_ms"] == 200
+        # closed-form offsets: mdat payload at 605 + 4n + 4k
+        base = 605 + 4 * len(sizes) + 4 * len(sync)
+        want = [(i, base + sum(sizes[:i]), sizes[i]) for i in sync]
+        assert m["keyframes"] == want
+        # offsets really address the payload bytes
+        for i, off, sz in m["keyframes"]:
+            assert b[off] == 0xAB and sz == sizes[i]
+
+    def test_mkv_roundtrip_and_offsets(self):
+        from fuzi_spark.ops.mp4 import build_mkv, parse_mkv
+
+        sizes = [100, 80, 120, 60, 90]
+        sync = [0, 3]
+        codec = "V_MPEG4/ISO/AVC"
+        b = build_mkv(codec=codec, sizes=sizes, sync=sync,
+                      duration_ms=200.0)
+        m = parse_mkv(b)
+        assert m["codec"] == codec and m["duration_ms"] == 200
+        assert m["n_samples"] == 5
+        base = 126 + len(codec)
+        want = [(i, base + sum(sizes[:i]) + 7 * i, sizes[i])
+                for i in sync]
+        assert m["keyframes"] == want
+        for i, off, sz in m["keyframes"]:
+            assert b[off] == 0xCD and sz == sizes[i]
+
+    def test_non_keyframes_excluded_and_tracks_filtered(self):
+        from fuzi_spark.ops.mp4 import build_mkv, parse_mkv
+
+        b = build_mkv(sizes=[50, 50, 50, 50], sync=[1])
+        m = parse_mkv(b)
+        assert [i for i, _o, _s in m["keyframes"]] == [1]
+        assert m["n_samples"] == 4
+
+    def test_dispatch_and_totality(self):
+        import random
+
+        from fuzi_spark.ops.mp4 import (
+            build_mkv,
+            build_mp4,
+            parse_mkv,
+            parse_mp4,
+            parse_video_container,
+        )
+
+        b4 = build_mp4()
+        bk = build_mkv()
+        assert parse_video_container(b4)["container"] == "mp4"
+        assert parse_video_container(bk)["container"] == "mkv"
+        assert parse_video_container(b"RIFFxxxxAVI ") is None  # AVI
+        assert parse_video_container(b"junk") is None
+        assert parse_video_container(None) is None
+        rnd = random.Random(11)
+        for b in (b4, bk):
+            for cut in range(0, len(b), max(1, len(b) // 31)):
+                parse_mp4(b[:cut])
+                parse_mkv(b[:cut])
+            for _ in range(60):
+                mut = bytearray(b)
+                i = rnd.randrange(len(mut))
+                mut[i] ^= 1 << rnd.randrange(8)
+                parse_video_container(bytes(mut))  # must not raise
+
+    def test_spark_operator(self, spark):
+        from fuzi_spark.ops.mp4 import build_mkv, build_mp4, \
+            video_keyframes_df
+        from fuzi_spark.ops.multimodal import MEDIA_SCHEMA
+
+        rows = [
+            ("v/0", "video", bytearray(build_mp4(sizes=[50, 60, 70],
+                                                 sync=[0, 2])),
+             None, None, None, None),
+            ("v/1", "video", bytearray(build_mkv(sizes=[40, 40],
+                                                 sync=[0])),
+             None, None, None, None),
+            ("v/2", "video", bytearray(b"not a container"),
+             None, None, None, None),
+            ("skip/0", "image", bytearray(b"x"), None, None, None,
+             None),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r.media_ref: r for r in
+               video_keyframes_df(media).collect()}
+        assert set(got) == {"v/0", "v/1", "v/2"}
+        assert got["v/0"].container == "mp4" and \
+            got["v/0"].parse_ok == 1
+        assert [k.idx for k in got["v/0"].keyframes] == [0, 2]
+        assert got["v/1"].container == "mkv"
+        assert got["v/2"].parse_ok == 0 and \
+            got["v/2"].keyframes is None
+        # coded-frame decode is honestly absent, always
+        assert all(r.decode_ok == 0 for r in got.values())
+
+
+def test_image_near_dups_trims_knob_routing(spark):
+    """The r5 picker item: image_near_dups is the one-call entry and
+    its trims= knob must route to the single-hash index (None) vs the
+    multi-trim index, matching the underlying operators exactly —
+    same pair sets, same (cropped-dup found only with trims) recall
+    split."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from phash_recall import base_image
+
+    from fuzi_spark.ops.cache import cache_scope
+    from fuzi_spark.ops.jpeg import decode_baseline, encode_baseline
+    from fuzi_spark.ops.multimodal import MEDIA_SCHEMA
+    from fuzi_spark.ops.phash import (
+        image_near_dups,
+        phash_df,
+        phash_near_dups,
+    )
+
+    rows = []
+    for i in range(4):
+        ship = encode_baseline(base_image(i), quality=95)
+        crop = encode_baseline(
+            decode_baseline(ship)[2:-2, 2:-2], quality=92)
+        rows.append((f"base/{i}", "image", bytearray(ship),
+                     None, None, None, None))
+        rows.append((f"crop/{i}", "image", bytearray(crop),
+                     None, None, None, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with cache_scope():
+        plain_direct = {(r.ref_a, r.ref_b) for r in phash_near_dups(
+            phash_df(media), max_hamming=6).collect()}
+        plain_knob = {(r.ref_a, r.ref_b) for r in image_near_dups(
+            media, max_hamming=6).collect()}
+        trimmed_knob = {(r.ref_a, r.ref_b) for r in image_near_dups(
+            media, max_hamming=6, trims=(0, 2)).collect()}
+    assert plain_knob == plain_direct
+    crop_pairs = {p for p in trimmed_knob
+                  if p[0].split("/")[1] == p[1].split("/")[1]}
+    assert len(crop_pairs) == 4          # trims recovers every crop
+    assert len(trimmed_knob) > len(plain_knob)
+
+
 def test_stream_histogram_monoid_accumulation(spark):
     """Batched sketch accumulation lands on the one-shot quantiles —
     the incremental-maintenance law, pinned at test scale."""
