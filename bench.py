@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "media_balance",
     "image_pixels_deep",
     "audio_flac",
+    "audio_mp3_pcm",
+    "video_keyframes",
     "curate",
     "materialize_packs",
     "group_quota",
