@@ -172,6 +172,27 @@ class _Bits:
         self.pos = pos
         return v
 
+    def peek(self, n: int) -> int:
+        """Next n bits WITHOUT advancing; zero-padded past the end
+        (the huffman LUT fast path peeks a fixed window)."""
+        b, pos = self.b, self.pos
+        nbytes = len(b)
+        v = 0
+        got = 0
+        end = pos + n
+        while pos < end:
+            if pos >> 3 >= nbytes:
+                v <<= (end - pos)
+                got += (end - pos)
+                break
+            byte = b[pos >> 3]
+            take = min(8 - (pos & 7), end - pos)
+            shift = 8 - (pos & 7) - take
+            v = (v << take) | ((byte >> shift) & ((1 << take) - 1))
+            pos += take
+            got += take
+        return v
+
 
 class _BitW:
     """MSB-first bit writer."""
@@ -265,6 +286,29 @@ class HuffmanProfile:
         self.quad_dec = [
             {v: k for k, v in tab.items()} for tab in self.quad
         ]
+        self._lut: dict = {}
+
+    LUT_BITS = 12
+
+    def lut(self, key):
+        """Table-driven decode fast path: a 2^LUT_BITS array mapping
+        the next LUT_BITS bits to (symbol, code_length) for codes
+        short enough to fit; longer codes fall back to the bit walk.
+        Built lazily per table, cached on the profile (per process).
+        key: a big-table id, or ('q', 0|1) for the count1 tables."""
+        t = self._lut.get(key)
+        if t is None:
+            tab = (self.quad[key[1]] if isinstance(key, tuple)
+                   else self.big[key])
+            L = self.LUT_BITS
+            t = [None] * (1 << L)
+            for sym, (code, ln) in tab.items():
+                if 0 < ln <= L:
+                    base = code << (L - ln)
+                    for i in range(base, base + (1 << (L - ln))):
+                        t[i] = (sym, ln)
+            self._lut[key] = t
+        return t
 
     @classmethod
     def selfconsistent_v1(cls) -> "HuffmanProfile":
@@ -388,16 +432,39 @@ def _solve_partner(p: np.ndarray) -> np.ndarray:
 
 
 def polyphase_windows() -> tuple:
-    """(analysis_prototype, synthesis_prototype), lazily solved once
-    per process (~3 s) and cached. `set_polyphase_windows` is the
-    ISO-Table-C.1 takeover seam."""
+    """(analysis_prototype, synthesis_prototype), solved once (~3 s
+    of deterministic least squares) and cached in-process AND on
+    disk (atomic tempdir npz, so each Spark python worker pays ~ms,
+    not the solve — the solve is pure-deterministic, so any worker's
+    artifact is every worker's artifact). `set_polyphase_windows` is
+    the ISO-Table-C.1 takeover seam."""
     global _FB_CACHE
     if _FB_CACHE is None:
+        import os
+        import tempfile
+
+        path = os.path.join(tempfile.gettempdir(),
+                            "fuzi_mp3_polyphase_v1.npz")
+        try:
+            with np.load(path) as z:
+                _FB_CACHE = (z["pa"], z["ps"])
+                return _FB_CACHE
+        except Exception:
+            pass
         p0 = _kaiser_sinc()
         q1 = _solve_partner(p0)
         pa = q1 * (np.abs(p0).max() / max(np.abs(q1).max(), 1e-30))
         ps = _solve_partner(pa)
         _FB_CACHE = (pa, ps)
+        try:
+            # np.savez appends .npz when the name lacks it — keep the
+            # temp name suffixed so the atomic rename finds the file
+            tmp = path + f".{os.getpid()}.tmp.npz"
+            with open(tmp, "wb") as f:
+                np.savez(f, pa=pa, ps=ps)
+            os.replace(tmp, path)
+        except Exception:
+            pass
     return _FB_CACHE
 
 
@@ -688,11 +755,13 @@ def _decode_spectrum(bits: _Bits, g: dict, rate: int,
             vals[pos + 1] = y
         pos += 2
     count1 = 0
-    tab = prof.quad_dec[g["count1table_select"]]
+    tsel = g["count1table_select"]
+    tab = prof.quad_dec[tsel]
+    qlut = prof.lut(("q", tsel))
     while pos + 4 <= 576 and bits.pos < limit_bit:
         mark = bits.pos
         try:
-            q = _read_quad(bits, tab)
+            q = _read_quad(bits, tab, qlut)
         except IndexError:
             bits.pos = mark
             break
@@ -712,16 +781,23 @@ def _read_pair(bits: _Bits, tid: int, prof: HuffmanProfile) -> tuple:
     _nx, _ny, linbits = TABLE_GEOM[tid]
     if tid == 0:
         return 0, 0
-    dec = prof.big_dec[tid]
-    code, ln = 0, 0
-    while True:
-        code = (code << 1) | bits.read(1)
-        ln += 1
-        if ln > 24:
-            raise ValueError("bad huffman code")
-        sym = dec.get((code, ln))
-        if sym is not None:
-            break
+    hit = prof.lut(tid)[bits.peek(HuffmanProfile.LUT_BITS)]
+    if hit is not None:
+        sym, ln = hit
+        bits.pos += ln
+        if bits.pos > len(bits.b) * 8:
+            raise IndexError("mp3 bitstream exhausted")
+    else:
+        dec = prof.big_dec[tid]
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | bits.read(1)
+            ln += 1
+            if ln > 24:
+                raise ValueError("bad huffman code")
+            sym = dec.get((code, ln))
+            if sym is not None:
+                break
     x, y = sym
     if x == 15 and linbits:
         x += bits.read(linbits)
@@ -734,16 +810,26 @@ def _read_pair(bits: _Bits, tid: int, prof: HuffmanProfile) -> tuple:
     return x, y
 
 
-def _read_quad(bits: _Bits, dec: dict) -> tuple:
-    code, ln = 0, 0
-    while True:
-        code = (code << 1) | bits.read(1)
-        ln += 1
-        if ln > 12:
-            raise IndexError("bad count1 code")
-        sym = dec.get((code, ln))
-        if sym is not None:
-            break
+def _read_quad(bits: _Bits, dec: dict,
+               lut: Optional[list] = None) -> tuple:
+    sym = None
+    if lut is not None:
+        hit = lut[bits.peek(HuffmanProfile.LUT_BITS)]
+        if hit is not None:
+            sym, ln = hit
+            bits.pos += ln
+            if bits.pos > len(bits.b) * 8:
+                raise IndexError("mp3 bitstream exhausted")
+    if sym is None:
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | bits.read(1)
+            ln += 1
+            if ln > 12:
+                raise IndexError("bad count1 code")
+            sym = dec.get((code, ln))
+            if sym is not None:
+                break
     out = []
     for v in sym:
         if v and bits.read(1):
