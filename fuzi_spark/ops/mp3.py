@@ -64,7 +64,6 @@ from __future__ import annotations
 
 import heapq
 import math
-import struct
 from typing import Optional
 
 import numpy as np

@@ -404,17 +404,37 @@ def _parse_mkv(b: bytes) -> Optional[dict]:
                     width, height = tw, th
         elif eid == _CLUSTER:
             for e2, s2, e2e in _ebml_children(b, s, e):
-                if e2 != 0xA3:  # SimpleBlock
-                    continue
-                tnum, nt = _ebml_num(b, s2, strip=True)
-                if video_track is not None and tnum != video_track:
-                    continue
-                flags = b[s2 + nt + 2]
-                payload = s2 + nt + 3
-                idx = n_blocks
-                n_blocks += 1
-                if flags & 0x80:
-                    frames.append((idx, payload, e2e - payload))
+                if e2 == 0xA3:  # SimpleBlock: keyframe flag bit
+                    tnum, nt = _ebml_num(b, s2, strip=True)
+                    if video_track is not None \
+                            and tnum != video_track:
+                        continue
+                    flags = b[s2 + nt + 2]
+                    payload = s2 + nt + 3
+                    idx = n_blocks
+                    n_blocks += 1
+                    if flags & 0x80:
+                        frames.append((idx, payload, e2e - payload))
+                elif e2 == 0xA0:  # BlockGroup: keyframe iff no
+                    blk = None     # ReferenceBlock child
+                    has_ref = False
+                    for e3, s3, e3e in _ebml_children(b, s2, e2e):
+                        if e3 == 0xA1:
+                            blk = (s3, e3e)
+                        elif e3 == 0xFB:
+                            has_ref = True
+                    if blk is None:
+                        continue
+                    tnum, nt = _ebml_num(b, blk[0], strip=True)
+                    if video_track is not None \
+                            and tnum != video_track:
+                        continue
+                    payload = blk[0] + nt + 3
+                    idx = n_blocks
+                    n_blocks += 1
+                    if not has_ref:
+                        frames.append(
+                            (idx, payload, blk[1] - payload))
     if video_track is None:
         return None
     dur_ms = (int(duration * tscale / 1_000_000)
@@ -448,13 +468,18 @@ def _elem(eid: int, body: bytes, size_width: int = 0) -> bytes:
 def build_mkv(codec: str = "V_MPEG4/ISO/AVC", width: int = 320,
               height: int = 240, sizes: list = (100, 80, 120),
               sync: list = (0,), duration_ms: float = 120.0,
-              payload_byte: int = 0xCD) -> bytes:
+              payload_byte: int = 0xCD,
+              use_block_groups: bool = False) -> bytes:
     """Deterministic single-video-track Matroska: one Cluster, one
     SimpleBlock per sample (keyframe flag on `sync` indices), sizes
     as given. Size varints are written at PINNED widths (segment and
     cluster 8 bytes, SimpleBlock 2 bytes), so every payload offset is
     a closed-form function of len(codec) and the size prefix sums —
-    recomputed in SQL by the video_keyframes oracle."""
+    recomputed in SQL by the video_keyframes oracle.
+    use_block_groups=True wraps each frame in a BlockGroup/Block
+    instead, marking non-keyframes with a ReferenceBlock child (the
+    other common Matroska form; keyframe = absence of the
+    reference)."""
     head = _elem(0x1A45DFA3,
                  _elem(0x4286, b"\x01") + _elem(0x42F7, b"\x01")
                  + _elem(0x42F2, b"\x04") + _elem(0x42F3, b"\x08")
@@ -470,11 +495,19 @@ def build_mkv(codec: str = "V_MPEG4/ISO/AVC", width: int = 320,
     tracks = _elem(_TRACKS, entry)
     blocks = b""
     for i, s in enumerate(sizes):
-        flags = 0x80 if i in set(sync) else 0x00
-        body = (b"\x81" + struct.pack(">h", i * 40) + bytes([flags])
+        key = i in set(sync)
+        body = (b"\x81" + struct.pack(">h", i * 40)
+                + bytes([0x80 if key and not use_block_groups
+                         else 0x00])
                 + bytes(bytearray([(payload_byte + j) & 0xFF
                                    for j in range(s)])))
-        blocks += _elem(0xA3, body, size_width=2)
+        if use_block_groups:
+            grp = _elem(0xA1, body, size_width=2)
+            if not key:
+                grp += _elem(0xFB, b"\xFF")  # ReferenceBlock: -1
+            blocks += _elem(0xA0, grp, size_width=2)
+        else:
+            blocks += _elem(0xA3, body, size_width=2)
     cluster = (_ebml_id(_CLUSTER)
                + _ebml_size(len(_elem(0xE7, b"\x00")) + len(blocks), 8)
                + _elem(0xE7, b"\x00") + blocks)

@@ -12323,6 +12323,21 @@ class TestVideoContainers:
         assert [i for i, _o, _s in m["keyframes"]] == [1]
         assert m["n_samples"] == 4
 
+    def test_mkv_block_groups_reference_block_semantics(self):
+        """The BlockGroup/Block form: keyframe = ABSENCE of a
+        ReferenceBlock child (no flag bit). Same planted keyframes,
+        same payload bytes, different element structure."""
+        from fuzi_spark.ops.mp4 import build_mkv, parse_mkv
+
+        sizes = [50, 60, 70, 80]
+        b = build_mkv(sizes=sizes, sync=[0, 2], use_block_groups=True)
+        m = parse_mkv(b)
+        assert m["n_samples"] == 4
+        assert [(i, s) for i, _o, s in m["keyframes"]] == \
+            [(0, 50), (2, 70)]
+        for i, off, sz in m["keyframes"]:
+            assert b[off] == 0xCD and sz == sizes[i]
+
     def test_dispatch_and_totality(self):
         import random
 
