@@ -12165,6 +12165,30 @@ class TestMp3Codec:
         # and the two re-encodes share the full original core
         assert ref <= (got_sets[0] & got_sets[1])
 
+    def test_mp3_recall_floor(self):
+        """RECALL_mp3_r5.json floor, pinned on a subset of the same
+        structured corpus: WAV-original landmark sets fully contained
+        in every re-encode at the lowest and highest bitrates."""
+        import sys
+
+        import numpy as np
+
+        sys.path.insert(0, "/root/repo/tools")
+        from mp3_recall import base_signal, wav_bytes
+
+        from fuzi_spark.ops.audiofp import audio_landmarks
+        from fuzi_spark.ops.mp3 import encode_mp3
+
+        for i in (0, 7, 19, 33):
+            sig = base_signal(i)
+            pcm = (sig * 32767).astype(np.int16)
+            ref = set(audio_landmarks(wav_bytes(pcm))[2])
+            assert ref, i
+            for br in (96, 320):
+                got = set(audio_landmarks(
+                    encode_mp3(pcm, bitrate=br))[2])
+                assert len(ref & got) / len(ref) == 1.0, (i, br)
+
     def test_totality_truncation_and_bitflips(self):
         import random
 
