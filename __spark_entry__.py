@@ -2987,6 +2987,59 @@ def q_image_pixels_deep(spark, sf_dir):
     )
 
 
+def q_image_pixels_12bit(spark, sf_dir):
+    """12-bit extended-sequential JPEG (r5), oracle-checked through
+    the production feature path: per doc a solid 12-bit grayscale
+    SOF1 JPEG at v = 819*(doc_id%6) — chosen so the decoder's
+    255/4095 output scale lands EXACTLY on 51*(doc_id%6) (819/4095 =
+    1/5; DC-only reconstruction error <= 1 twelve-bit unit << the
+    rounding margin) — so every 8x8 block-mean luma feature is the
+    exact integer the SQL oracle computes. An 8-bit-only decoder
+    returns None here (decode_ok=0) and cannot pass."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.jpeg import encode_baseline12
+    from fuzi_spark.ops.multimodal import decode_features_df
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 8 + i % 9, 8 + i % 5
+            v = 819 * (i % 6)
+            out.append(encode_baseline12(
+                np.full((h, w), v, dtype=np.uint16), quality=100))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("j12/"), F.col("doc_id").cast("string"),
+            F.lit(".jpg")
+        ).alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    dec = decode_features_df(media)
+    feats = F.col("features")
+    mean_f = F.aggregate(
+        feats, F.lit(0.0), lambda a, x: a + x.cast("double")
+    ) / F.size(feats)
+    return dec.select(
+        F.regexp_extract("media_ref", r"j12/(\d+)\.jpg", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "format", "width", "height", "channels", "decode_ok",
+        F.round(F.element_at(feats, 1).cast("double"), 4)
+        .alias("f_first"),
+        F.round(F.element_at(feats, 64).cast("double"), 4)
+        .alias("f_last"),
+        F.round(mean_f, 4).alias("mean_f"),
+    )
+
+
 def q_audio_features(spark, sf_dir):
     """REAL WAV PCM decode, oracle-checked end to end: per doc a
     constant-amplitude PCM WAV is built from formula parameters
@@ -6533,6 +6586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality": q_code_quality,
         "image_pixels": q_image_pixels,
         "image_pixels_deep": q_image_pixels_deep,
+        "image_pixels_12bit": q_image_pixels_12bit,
         "audio_flac": q_audio_flac,
         "span_language": q_span_language,
         "snapshot_delta": q_snapshot_delta,
@@ -8077,6 +8131,17 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(1 AS INTEGER) AS decode_ok, "
             "  v AS f_first, v AS f_last, v AS mean_f "
             "FROM l"
+        ),
+        "image_pixels_12bit": (
+            "SELECT doc_id, 'jpeg' AS format, "
+            "  CAST(8 + doc_id % 9 AS INTEGER) AS width, "
+            "  CAST(8 + doc_id % 5 AS INTEGER) AS height, "
+            "  CAST(1 AS INTEGER) AS channels, "
+            "  CAST(1 AS INTEGER) AS decode_ok, "
+            "  CAST(51.0 * (doc_id % 6) AS DOUBLE) AS f_first, "
+            "  CAST(51.0 * (doc_id % 6) AS DOUBLE) AS f_last, "
+            "  CAST(51.0 * (doc_id % 6) AS DOUBLE) AS mean_f "
+            "FROM documents"
         ),
         "image_pixels_deep": (
             # the deep-envelope formula: gray16/progressive rows carry

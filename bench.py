@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "interleaved_text",
     "media_balance",
     "image_pixels_deep",
+    "image_pixels_12bit",
     "audio_flac",
     "audio_mp3_pcm",
     "video_keyframes",

@@ -9,9 +9,14 @@ images and MJPEG video frames get real pixels too. The decoders read
 what real encoders emit — arbitrary DQT/DHT tables, 4:4:4 / 4:2:2 /
 4:2:0 subsampling, restart markers, 16-bit quant entries, multi-scan
 progressive streams with EOB runs and refinement bits — and return
-None for anything outside the envelope (arithmetic coding, 12-bit
-precision, lossless) or for corrupt streams; callers treat None as
-pixels-unavailable and keep the header-only path. A progressive
+None for anything outside the envelope (arithmetic coding, lossless,
+12-bit progressive) or for corrupt streams; callers treat None as
+pixels-unavailable and keep the header-only path. 12-bit
+extended-sequential (SOF1, precision 12) decodes for real as of
+round 5 — JPEG streams self-describe their huffman tables in DHT, so
+nothing there is a non-derivable constant; samples land on the uint8
+output contract via the 255/4095 max-range scale. Arithmetic coding
+stays out (the QM-coder state tables ARE non-derivable constants). A progressive
 stream truncated after >= 1 complete scan decodes to the partial
 image (what browsers render); decode_baseline keeps its historical
 baseline-only contract (None on SOF2) — decode_jpeg is the full
@@ -213,8 +218,9 @@ def _split_scan(buf: bytes, pos: int):
 
 def decode_baseline(content) -> Optional[np.ndarray]:
     """Decode a baseline (SOF0/SOF1, huffman) JPEG to an (h, w, c)
-    uint8 array — c=3 RGB for color streams, c=1 for grayscale. None
-    for progressive/arithmetic/12-bit streams, missing tables, or
+    uint8 array — c=3 RGB for color streams, c=1 for grayscale;
+    12-bit (SOF1 precision 12) samples scale onto uint8 by 255/4095.
+    None for progressive/arithmetic streams, missing tables, or
     corrupt/truncated entropy data. Never raises."""
     try:
         return _decode(bytes(content))
@@ -229,8 +235,9 @@ def decode_jpeg(content) -> Optional[np.ndarray]:
     successive-approximation scans (T.81 Annex G) and IDCT once at
     the end, so a fully-transmitted progressive re-encode of the same
     quantized coefficients decodes BIT-IDENTICALLY to its sequential
-    sibling (pinned in tests). None for arithmetic/12-bit/lossless
-    streams or corrupt data. Never raises."""
+    sibling (pinned in tests). 12-bit sequential decodes (255/4095
+    scale); None for arithmetic/lossless/12-bit-progressive streams
+    or corrupt data. Never raises."""
     try:
         return _decode(bytes(content), allow_progressive=True)
     except Exception:
@@ -303,8 +310,10 @@ def _decode(
             marker == 0xC2 and allow_progressive
         ):  # SOF0 baseline / SOF1 ext seq / SOF2 progressive
             prec = seg[0]
-            if prec != 8:
+            if prec not in (8, 12):
                 return None
+            if prec == 12 and marker == 0xC2:
+                return None  # 12-bit progressive: out of envelope
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             if h == 0 or w == 0 or ncomp not in (1, 3, 4):
@@ -317,7 +326,7 @@ def _decode(
                     {"id": cid, "h": hv >> 4, "v": hv & 15,
                      "tq": seg[8 + 3 * k]}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec}
             if marker == 0xC2:
                 frame["progressive"] = True
                 if not _prog_alloc(frame):
@@ -364,6 +373,9 @@ def _decode(
 
 def _decode_scan(buf, pos, frame, qt, huff_dc, huff_ac, dri):
     h, w = frame["h"], frame["w"]
+    prec = frame.get("prec", 8)
+    half = float(1 << (prec - 1))       # level shift: 128 / 2048
+    dc_cat_max = 11 if prec == 8 else 15
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -402,7 +414,7 @@ def _decode_scan(buf, pos, frame, qt, huff_dc, huff_ac, dri):
                 for bx in range(c["h"]):
                     coef[:] = 0.0
                     s = reader.huff(c["dctab"])
-                    if s > 11:
+                    if s > dc_cat_max:
                         return None
                     diff = _extend(reader.read(s), s)
                     c["pred"] += diff
@@ -424,12 +436,15 @@ def _decode_scan(buf, pos, frame, qt, huff_dc, huff_ac, dri):
                         )
                         k += 1
                     block = (coef * c["qtab"]).reshape(8, 8)
-                    px = _C.T @ block @ _C + 128.0
+                    px = _C.T @ block @ _C + half
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     c["plane"][y0:y0 + 8, x0:x0 + 8] = px
 
     planes = []
+    # 12-bit samples (0..4095) map onto the uint8 output contract by
+    # the max-range scale; 8-bit stays exact (scale == 1)
+    scale = 255.0 / float((1 << prec) - 1)
     for c in comps:
         p = c["plane"]
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -437,16 +452,17 @@ def _decode_scan(buf, pos, frame, qt, huff_dc, huff_ac, dri):
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         planes.append(p[:h, :w])
     if len(comps) == 1:
-        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        g = np.clip(np.round(planes[0] * scale), 0, 255) \
+            .astype(np.uint8)
         return g[:, :, None]
     if len(comps) == 4:
         return None  # CMYK out of envelope
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    b = y + 1.772 * (cb - half)
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb * scale), 0, 255).astype(np.uint8)
 
 
 # ------------------------------------------------------- progressive
@@ -1362,6 +1378,157 @@ def encode_baseline(
                             dc_codes, ac_codes,
                         )
             m += 1
+    wr.flush()
+    out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_tables12():
+    """12-bit fixture huffman tables (self-described in DHT): DC =
+    sixteen 5-bit codes for categories 0-15 (12-bit DC diffs reach
+    category 15: |DC| <= 8*2048 after the level-shifted DCT); AC =
+    ZRL + EOB + (run, size) for sizes 1..14, all 9-bit codes (226 of
+    512 — the all-ones code of each length stays unused per T.81
+    C.2)."""
+    dc_bits = [0, 0, 0, 0, 16] + [0] * 11
+    dc_vals = bytes(range(16))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 15)
+    ]
+    ac_syms.sort()
+    ac_bits = [0] * 16
+    ac_bits[8] = len(ac_syms)
+    return dc_bits, dc_vals, ac_bits, bytes(ac_syms)
+
+
+def encode_baseline12(
+    arr: np.ndarray,
+    quality: int = 90,
+) -> bytes:
+    """Encode an (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB array
+    of 12-BIT samples (uint16, 0..4095) as an extended-sequential
+    (SOF1, precision 12) huffman JPEG — 4:4:4, no restarts. Level
+    shift 2048, 16-bit (Pq=1) quantization tables, DC categories to
+    15 and AC sizes to 14. The decoder maps 12-bit samples onto its
+    uint8 contract via the 255/4095 max-range scale (see
+    _decode_scan), so decode(encode_baseline12(x)) ~= x >> 4 — the
+    differential the tests pin. Closes the '12-bit JPEG' half of the
+    r4 envelope note honestly: JPEG streams self-describe their
+    huffman tables in DHT, so unlike MP3 there is no non-derivable
+    constant here; arithmetic coding (QM-coder state tables) remains
+    out of envelope."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("bad dimensions")
+    if ch not in (1, 3):
+        raise ValueError("grayscale or RGB only")
+    if arr.dtype.kind not in "iu" or int(arr.max(initial=0)) > 4095 \
+            or int(arr.min(initial=0)) < 0:
+        raise ValueError("12-bit samples must be integers in 0..4095")
+    gray = ch == 1
+    a = arr.astype(np.float64)
+    if gray:
+        planes = [a[:, :, 0]]
+    else:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 2048.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 2048.0
+        planes = [y, cb, cr]
+    planes = [_pad_edge(p, 8) for p in planes]
+
+    # quant values scaled into the 16-bit table range: the 8-bit IJG
+    # tables govern RELATIVE step sizes; 12-bit samples carry 16x the
+    # amplitude, so steps scale by 16 to keep the same visual quality
+    qy = scale_quant(QT_LUMA, quality).astype(np.int64) * 16
+    qc = scale_quant(QT_CHROMA, quality).astype(np.int64) * 16
+
+    dc_bits, dc_vals, ac_bits, ac_vals = _enc_tables12()
+    dc_codes = _enc_codes(dc_bits, dc_vals)
+    ac_codes = _enc_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    tabs = ((0, qy),) if gray else ((0, qy), (1, qc))
+    for tq, tbl in tabs:
+        out += b"\xff\xdb" + struct.pack(">H", 3 + 128)
+        out += bytes([(1 << 4) | tq])
+        for x in tbl[ZIGZAG]:
+            out += struct.pack(">H", int(x))
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc1" + struct.pack(">H", 8 + 3 * ncomp) + b"\x0c"
+    out += struct.pack(">HH", h, w) + bytes([ncomp])
+    if gray:
+        out += bytes([1, 0x11, 0])
+    else:
+        out += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    for tc_th in (0x00, 0x10) if gray else (0x00, 0x10, 0x01, 0x11):
+        bits, vals = (
+            (dc_bits, dc_vals) if (tc_th >> 4) == 0
+            else (ac_bits, ac_vals)
+        )
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([tc_th]) + bytes(bits) + vals
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp)
+    out += bytes([ncomp])
+    if gray:
+        out += bytes([1, 0x00])
+    else:
+        out += bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    out += b"\x00\x3f\x00"
+
+    qtabs = [qy.astype(np.float64)] + (
+        [] if gray else [qc.astype(np.float64)] * 2
+    )
+    bh, bw = planes[0].shape[0] // 8, planes[0].shape[1] // 8
+    wr = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(bh):
+        for mx in range(bw):
+            for ci in range(ncomp):
+                block = planes[ci][my * 8:my * 8 + 8,
+                                   mx * 8:mx * 8 + 8]
+                f = _C @ (block - 2048.0) @ _C.T
+                q = np.round(
+                    f / qtabs[ci].reshape(8, 8)).astype(np.int64)
+                zz = q.ravel()[ZIGZAG]
+                dc = int(zz[0])
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                s = _csize(diff)
+                code, ln = dc_codes[s]
+                wr.write(code, ln)
+                if s:
+                    wr.write(
+                        diff if diff > 0 else diff + (1 << s) - 1, s)
+                last = 63
+                while last > 0 and zz[last] == 0:
+                    last -= 1
+                run = 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        wr.write(code, ln)
+                        run -= 16
+                    s = _csize(v)
+                    code, ln = ac_codes[(run << 4) | s]
+                    wr.write(code, ln)
+                    wr.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    code, ln = ac_codes[0x00]
+                    wr.write(code, ln)
     wr.flush()
     out += wr.out
     out += b"\xff\xd9"

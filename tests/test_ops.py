@@ -11780,6 +11780,134 @@ class TestFlac:
         assert got[3] == 800 and got[4] == ref[4]
 
 
+class TestJpeg12Bit:
+    """12-bit extended-sequential JPEG (SOF1, precision 12) — the
+    derivable half of the r4 'arithmetic/12-bit' envelope note: JPEG
+    streams self-describe their huffman tables in DHT, so 12-bit
+    needs no non-derivable constants (arithmetic coding does, and
+    stays honestly out). Level shift 2048, 16-bit DQT, DC categories
+    to 15, AC sizes to 14; samples land on the uint8 contract via
+    the 255/4095 scale."""
+
+    def test_constants_exact(self):
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import decode_jpeg, encode_baseline12
+
+        for v in (0, 1000, 2048, 4095):
+            img = np.full((16, 24), v, np.uint16)
+            dec = decode_jpeg(encode_baseline12(img, quality=100))
+            assert dec is not None and dec.shape == (16, 24, 1)
+            assert int(dec[0, 0, 0]) == round(v * 255 / 4095), v
+
+    def test_gray_matches_exact_reference_pipeline(self):
+        """decode(encode12) must equal the independent per-block
+        DCT -> quant -> dequant -> IDCT -> 255/4095 reference
+        EXACTLY (q100: uniform step-16 tables). Exercises multi-block
+        DC prediction with 12-bit categories and the full AC path."""
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import (
+            _C,
+            decode_jpeg,
+            encode_baseline12,
+        )
+
+        yy, xx = np.mgrid[0:32, 0:40]
+        img = ((yy * 60 + xx * 40) % 4096).astype(np.uint16)
+        exp = np.zeros((32, 40))
+        for by in range(4):
+            for bx in range(5):
+                b = img[by * 8:by * 8 + 8,
+                        bx * 8:bx * 8 + 8].astype(float)
+                q = np.round((_C @ (b - 2048.0) @ _C.T) / 16.0)
+                exp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _C.T @ (q * 16.0) @ _C + 2048.0
+        want = np.clip(np.round(exp * 255 / 4095), 0, 255) \
+            .astype(np.uint8)
+        got = decode_jpeg(encode_baseline12(img, quality=100))
+        assert got is not None
+        assert np.array_equal(got[:, :, 0], want)
+
+    def test_rgb_differential_vs_8bit(self):
+        """The same content coded at 8-bit baseline and at 12-bit
+        (16x-scaled samples, 16x-scaled quant steps) must decode
+        near-identically — smooth content within 1, noise within a
+        few counts (quantization granularity differs)."""
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import (
+            decode_jpeg,
+            encode_baseline,
+            encode_baseline12,
+        )
+
+        yy, xx = np.mgrid[0:33, 0:41]
+        g8 = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+        g12 = (g8.astype(np.int64) * 4095 // 255).astype(np.uint16)
+        d8 = decode_jpeg(encode_baseline(g8, quality=90))
+        d12 = decode_jpeg(encode_baseline12(g12, quality=90))
+        assert np.abs(d8.astype(int) - d12.astype(int)).max() <= 1
+
+        rgb8 = np.random.RandomState(0).randint(
+            0, 256, (24, 24, 3)).astype(np.uint8)
+        rgb12 = (rgb8.astype(np.int64) * 4095 // 255) \
+            .astype(np.uint16)
+        d8 = decode_jpeg(encode_baseline(rgb8, quality=95))
+        d12 = decode_jpeg(encode_baseline12(rgb12, quality=95))
+        diff = np.abs(d8.astype(int) - d12.astype(int))
+        assert diff.max() <= 10 and diff.mean() < 2.0
+
+    def test_input_validation(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from fuzi_spark.ops.jpeg import encode_baseline12
+
+        with _pytest.raises(ValueError, match="0..4095"):
+            encode_baseline12(np.full((8, 8), 5000, np.uint16))
+        with _pytest.raises(ValueError, match="0..4095"):
+            encode_baseline12(np.full((8, 8), 0.5))
+        with _pytest.raises(ValueError):
+            encode_baseline12(np.zeros((8, 8, 2), np.uint16))
+
+    def test_12bit_progressive_still_refused(self):
+        """Patching a progressive (SOF2) stream's precision byte to
+        12 must return None — 12-bit progressive stays out of the
+        envelope, honestly."""
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import decode_jpeg, encode_progressive
+
+        img = np.random.RandomState(1).randint(
+            0, 256, (16, 16)).astype(np.uint8)
+        enc = bytearray(encode_progressive(img, quality=90))
+        i = enc.find(b"\xff\xc2")
+        assert i > 0 and enc[i + 4] == 8
+        enc[i + 4] = 12
+        assert decode_jpeg(bytes(enc)) is None
+
+    def test_totality(self):
+        import random
+
+        import numpy as np
+
+        from fuzi_spark.ops.jpeg import decode_jpeg, encode_baseline12
+
+        img = ((np.arange(24)[:, None] * 170
+                + np.arange(32)[None, :] * 90) % 4096) \
+            .astype(np.uint16)
+        enc = encode_baseline12(img, quality=85)
+        for cut in range(0, len(enc), max(1, len(enc) // 31)):
+            decode_jpeg(enc[:cut])  # must not raise
+        rnd = random.Random(9)
+        for _ in range(60):
+            mut = bytearray(enc)
+            j = rnd.randrange(len(mut))
+            mut[j] ^= 1 << rnd.randrange(8)
+            decode_jpeg(bytes(mut))  # must not raise
+
+
 class TestMp3Codec:
     """ops/mp3.py: full MPEG-1 Layer III machinery with the
     self-consistent profile (see the module's honesty contract).
