@@ -792,6 +792,57 @@ def q_video_keyframes(spark, sf_dir):
     )
 
 
+def q_audio_aac_meta(spark, sf_dir):
+    """ADTS/AAC transport header walk (r5): per doc a formula-built
+    ADTS stream (profile / rate / channels / CRC / raw-block count
+    all cycling) whose MEASURED frame count and 1024-samples-per-
+    raw-block duration the SQL oracle recomputes; every 8th doc is
+    junk (NULL metadata). decode_ok is 0 on EVERY row — the walk
+    measures transport metadata, it never claims AAC PCM (the
+    spectral codebooks are non-derivable constants in this sandbox;
+    see parse_adts)."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.multimodal import adts_meta_df, build_adts
+
+    rates = [44100, 48000, 32000, 22050]
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 8 == 0:
+                out.append(b"not an adts stream")
+                continue
+            out.append(build_adts(
+                profile=i % 4,
+                sample_rate=rates[i % 4],
+                channels=1 + i % 3,
+                n_frames=4 + i % 5,
+                payload_len=40 + i % 30,
+                crc=bool(i % 2),
+                raw_blocks=1 + i % 2,
+            ))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("aac/"), F.col("doc_id").cast("string"),
+            F.lit(".aac")
+        ).alias("media_ref"),
+        F.lit("audio").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    return adts_meta_df(media).select(
+        F.regexp_extract("media_ref", r"aac/(\d+)\.aac", 1)
+        .cast("long").alias("doc_id"),
+        "profile", "sample_rate", "channels", "n_frames",
+        "duration_ms", "crc_protected", "decode_ok",
+    )
+
+
 def q_audio_mp3_pcm(spark, sf_dir):
     """REAL MPEG-1 Layer III PCM decode (ops/mp3.py, r5) through the
     production parse_audio dispatch: per doc a deterministic signal
@@ -6599,6 +6650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_cc": q_redact_cc,
         "audio_mp3": q_audio_mp3,
         "audio_mp3_pcm": q_audio_mp3_pcm,
+        "audio_aac_meta": q_audio_aac_meta,
         "video_keyframes": q_video_keyframes,
         "parse_archive": q_parse_archive,
         "bloom_seen": q_bloom_seen,
@@ -8555,6 +8607,31 @@ def oracle_sql() -> dict[str, str]:
             "  FROM d WHERE bad) "
             "SELECT * FROM txt UNION ALL SELECT * FROM bin "
             "UNION ALL SELECT * FROM stub"
+        ),
+        "audio_aac_meta": (
+            "WITH p AS (SELECT doc_id, doc_id % 8 = 0 AS bad, "
+            "  CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+            "    WHEN 2 THEN 32000 ELSE 22050 END AS sr, "
+            "  CASE doc_id % 4 WHEN 0 THEN 'Main' WHEN 1 THEN 'LC' "
+            "    WHEN 2 THEN 'SSR' ELSE 'LTP' END AS prof, "
+            "  1 + doc_id % 3 AS ch, 4 + doc_id % 5 AS nf, "
+            "  doc_id % 2 AS crc, 1 + doc_id % 2 AS rb "
+            "  FROM documents) "
+            "SELECT doc_id, "
+            "  CASE WHEN bad THEN NULL ELSE prof END AS profile, "
+            "  CAST(CASE WHEN bad THEN NULL ELSE sr END AS INTEGER) "
+            "    AS sample_rate, "
+            "  CAST(CASE WHEN bad THEN NULL ELSE ch END AS INTEGER) "
+            "    AS channels, "
+            "  CAST(CASE WHEN bad THEN NULL ELSE nf END AS INTEGER) "
+            "    AS n_frames, "
+            "  CAST(CASE WHEN bad THEN NULL "
+            "    ELSE (nf * rb * 1024 * 1000) // sr END AS INTEGER) "
+            "    AS duration_ms, "
+            "  CAST(CASE WHEN bad THEN NULL ELSE crc END AS INTEGER) "
+            "    AS crc_protected, "
+            "  CAST(0 AS INTEGER) AS decode_ok "
+            "FROM p"
         ),
         "video_keyframes": (
             "WITH d AS (SELECT doc_id, doc_id % 9 = 0 AS bad, "

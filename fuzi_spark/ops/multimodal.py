@@ -983,6 +983,141 @@ def mp3_meta_df(media: DataFrame) -> DataFrame:
     )
 
 
+# ----------------------------------------------- ADTS (AAC) header walk
+
+# MPEG-4 sampling-frequency index table (ISO 14496-3)
+_ADTS_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000,
+               22050, 16000, 12000, 11025, 8000]
+_ADTS_PROFILES = {0: "Main", 1: "LC", 2: "SSR", 3: "LTP"}
+
+ADTS_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("profile", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("crc_protected", IntegerType()),
+        StructField("decode_ok", IntegerType()),
+    ]
+)
+
+
+def parse_adts(content) -> Optional[dict]:
+    """Recovering ADTS (AAC transport) header walk, pure stdlib: per
+    frame the 12-bit sync, profile, sampling-frequency index, channel
+    configuration, and the 13-bit frame length that the walk ADVANCES
+    by — so n_frames and the derived duration (1024 samples per raw
+    data block, number_of_raw_data_blocks+1 blocks per frame) are
+    MEASURED, like parse_mp3's walk. Junk between frames re-syncs at
+    the next 0xFFF; None when no valid frame exists. decode_ok stays
+    0 downstream — AAC PCM decode is honestly absent (the spectral
+    huffman codebooks are non-derivable constants here, same verdict
+    as MP3's Annex-B tables; see ops/mp3.py's honesty contract)."""
+    b = bytes(content or b"")
+    pos = 0
+    n_frames = 0
+    n_blocks = 0
+    first = None
+    while pos + 7 <= len(b):
+        if b[pos] == 0xFF and (b[pos + 1] & 0xF6) == 0xF0:
+            crc_absent = b[pos + 1] & 1
+            profile = (b[pos + 2] >> 6) & 3
+            sf_idx = (b[pos + 2] >> 2) & 0xF
+            ch = ((b[pos + 2] & 1) << 2) | ((b[pos + 3] >> 6) & 3)
+            flen = ((b[pos + 3] & 3) << 11) | (b[pos + 4] << 3) \
+                | ((b[pos + 5] >> 5) & 7)
+            raw_blocks = (b[pos + 6] & 3) + 1
+            hdr_len = 7 if crc_absent else 9
+            if sf_idx < len(_ADTS_RATES) and ch > 0 \
+                    and flen >= hdr_len and pos + flen <= len(b):
+                if first is None:
+                    first = (profile, _ADTS_RATES[sf_idx], ch,
+                             0 if crc_absent else 1)
+                n_frames += 1
+                n_blocks += raw_blocks
+                pos += flen
+                continue
+        pos += 1
+    if first is None:
+        return None
+    profile, rate, ch, crc = first
+    return {
+        "profile": _ADTS_PROFILES.get(profile, str(profile)),
+        "sample_rate": rate,
+        "channels": ch,
+        "n_frames": n_frames,
+        "duration_ms": int(n_blocks * 1024 * 1000 // rate),
+        "crc_protected": crc,
+    }
+
+
+def build_adts(
+    profile: int = 1,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    n_frames: int = 10,
+    payload_len: int = 64,
+    crc: bool = False,
+    raw_blocks: int = 1,
+) -> bytes:
+    """Spec-shaped ADTS fixture: n_frames valid headers with
+    zero-filled payloads of the stated length — the SQL-predictable
+    synthetic AAC source (headers real, payloads opaque, exactly the
+    honest envelope the parser claims)."""
+    sf_idx = _ADTS_RATES.index(sample_rate)
+    hdr_len = 9 if crc else 7
+    flen = hdr_len + payload_len
+    out = bytearray()
+    for _ in range(n_frames):
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF0 | (0 if crc else 1)
+        h[2] = (profile << 6) | (sf_idx << 2) | ((channels >> 2) & 1)
+        h[3] = ((channels & 3) << 6) | ((flen >> 11) & 3)
+        h[4] = (flen >> 3) & 0xFF
+        h[5] = ((flen & 7) << 5) | 0x1F
+        h[6] = 0xFC | ((raw_blocks - 1) & 3)
+        out += h
+        if crc:
+            out += b"\x00\x00"
+        out += b"\x00" * payload_len
+    return bytes(out)
+
+
+def adts_meta_df(media: DataFrame) -> DataFrame:
+    """media(MEDIA_SCHEMA audio rows) → ADTS_SCHEMA, one narrow
+    mapInPandas header walk (scan-speed; payloads skipped by frame
+    length). decode_ok = 0 ALWAYS — the walk measures, it never
+    claims PCM (parse_adts docstring)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in ADTS_SCHEMA.fields}
+            for i in range(len(pdf)):
+                rows["media_ref"].append(pdf["media_ref"].iloc[i])
+                meta = parse_adts(pdf["content"].iloc[i])
+                if meta is None:
+                    for k in ADTS_SCHEMA.fieldNames()[1:-1]:
+                        rows[k].append(None)
+                else:
+                    for k, v in meta.items():
+                        rows[k].append(v)
+                rows["decode_ok"].append(0)
+            yield pd.DataFrame(rows)
+
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .repartition(
+            media.sparkSession.sparkContext.defaultParallelism,
+            "media_ref",
+        )
+        .select("media_ref", "content")
+        .mapInPandas(gen, schema=ADTS_SCHEMA)
+    )
+
+
 # --------------------------------------------------- real EXIF decode
 
 EXIF_SCHEMA = StructType(

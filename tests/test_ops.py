@@ -11780,6 +11780,73 @@ class TestFlac:
         assert got[3] == 800 and got[4] == ref[4]
 
 
+class TestAdts:
+    """ops/multimodal.py parse_adts / build_adts / adts_meta_df: the
+    AAC transport header walk — MEASURED frame counts and duration
+    (1024 samples x raw-blocks per frame), re-sync over junk,
+    truncation recovery; decode_ok stays 0 always (AAC PCM decode is
+    honestly absent — the spectral codebooks are non-derivable
+    constants, same verdict as MP3's Annex-B tables)."""
+
+    def test_roundtrip_and_duration_arithmetic(self):
+        from fuzi_spark.ops.multimodal import build_adts, parse_adts
+
+        m = parse_adts(build_adts(profile=1, sample_rate=48000,
+                                  channels=2, n_frames=12,
+                                  payload_len=80))
+        assert m == {"profile": "LC", "sample_rate": 48000,
+                     "channels": 2, "n_frames": 12,
+                     "duration_ms": 12 * 1024 * 1000 // 48000,
+                     "crc_protected": 0}
+
+    def test_crc_rawblocks_junk_and_truncation(self):
+        from fuzi_spark.ops.multimodal import build_adts, parse_adts
+
+        b = b"junkjunk" + build_adts(
+            profile=0, sample_rate=22050, channels=6, n_frames=5,
+            crc=True, raw_blocks=2)
+        m = parse_adts(b[:len(b) - 30])   # last frame truncated
+        assert m["profile"] == "Main" and m["crc_protected"] == 1
+        assert m["channels"] == 6 and m["n_frames"] == 4
+        assert m["duration_ms"] == 4 * 2 * 1024 * 1000 // 22050
+
+    def test_totality(self):
+        import random
+
+        from fuzi_spark.ops.multimodal import build_adts, parse_adts
+
+        assert parse_adts(b"") is None
+        assert parse_adts(None) is None
+        assert parse_adts(b"\xff\xf1") is None
+        b = build_adts(n_frames=6)
+        rnd = random.Random(2)
+        for _ in range(80):
+            mut = bytearray(b)
+            mut[rnd.randrange(len(mut))] ^= 1 << rnd.randrange(8)
+            parse_adts(bytes(mut))  # must not raise
+        for cut in range(0, len(b), 11):
+            parse_adts(b[:cut])
+
+    def test_spark_surface_decode_ok_always_zero(self, spark):
+        from fuzi_spark.ops.multimodal import (
+            MEDIA_SCHEMA,
+            adts_meta_df,
+            build_adts,
+        )
+
+        rows = [
+            ("a/0", "audio", bytearray(build_adts(n_frames=4)),
+             None, None, None, None),
+            ("a/1", "audio", bytearray(b"not adts"), None, None,
+             None, None),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r.media_ref: r for r in adts_meta_df(media).collect()}
+        assert got["a/0"].n_frames == 4 and got["a/0"].decode_ok == 0
+        assert got["a/1"].profile is None and \
+            got["a/1"].decode_ok == 0
+
+
 class TestJpeg12Bit:
     """12-bit extended-sequential JPEG (SOF1, precision 12) — the
     derivable half of the r4 'arithmetic/12-bit' envelope note: JPEG
