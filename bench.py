@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "audio_features",
     "audio_spectrogram",
     "audio_mp3",
+    "audio_aac_meta",
     "video_frames",
     "subtitles",
     "crawl_frontier",

@@ -811,6 +811,17 @@ CASES = [
      "FLAC audio funnel. Wants: the same ONE-MapInPandas shape as "
      "the WAV path — container dispatch happens per batch row, no "
      "format-specific plan forks."),
+    ("audio_mp3_pcm",
+     "MP3 full-decode funnel (r5). Wants: ONE MapInPandas stage "
+     "after the parallelism repartition — huffman/IMDCT/synthesis "
+     "all inside the Arrow batch; the 300-doc cap keeps this a "
+     "codec-correctness probe, not a scan (see the query's "
+     "docstring)."),
+    ("video_keyframes",
+     "Container keyframe walk (r5). Wants: ONE MapInPandas after "
+     "the media_ref-hash spread; the keyframe array explodes "
+     "AFTERWARD (narrow generate, no shuffle) — byte-range "
+     "planning must never need a second pass over content."),
 ]
 
 
