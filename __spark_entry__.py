@@ -843,6 +843,71 @@ def q_audio_aac_meta(spark, sf_dir):
     )
 
 
+def q_video_container_dedup(spark, sf_dir):
+    """Dedup-by-container-fingerprint (r5): every doc with id ≡ 2
+    (mod 3) is a REMUX of its predecessor — same canonical codec
+    family, same sample count, same exact keyframe-size vector, but
+    in the OTHER container (even ids mp4, odd mkv) — so the
+    fingerprint (canonical codec, n_samples, size vector) must
+    collide across container dialects while every other doc stays
+    singleton... except that the size/codec formulas repeat with
+    period 150 in the base id, so bases ≡ (mod 150) also merge — the
+    oracle groups by base % 150, which is EXACTLY the fingerprint
+    equivalence class (3 is invertible mod 50, so equal size vectors
+    force base ≡ mod 50, and the codec adds the mod-3 factor).
+    Every 11th doc is junk: parse_ok 0, kept."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.mp4 import (
+        build_mkv,
+        build_mp4,
+        video_container_dedup,
+    )
+
+    mp4_codecs = ["avc1", "hev1", "vp09"]
+    mkv_codecs = ["V_MPEG4/ISO/AVC", "V_MPEGH/ISO/HEVC", "V_VP9"]
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 11 == 0:
+                out.append(b"junk")
+                continue
+            base = i - 1 if i % 3 == 2 else i
+            n = 3 + base % 5
+            g = 2 + base % 3
+            sync = [j for j in range(n) if j % g == 0]
+            sizes = [40 + ((base * 3 + j * 7) % 50)
+                     for j in range(n)]
+            fam = base % 3
+            if i % 2 == 0:
+                out.append(build_mp4(codec=mp4_codecs[fam],
+                                     sizes=sizes, sync=sync))
+            else:
+                out.append(build_mkv(codec=mkv_codecs[fam],
+                                     sizes=sizes, sync=sync,
+                                     duration_ms=40.0 * n))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("vc/"), F.col("doc_id").cast("string"),
+            F.lit(".bin")
+        ).alias("media_ref"),
+        F.lit("video").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    return video_container_dedup(media).select(
+        F.regexp_extract("media_ref", r"vc/(\d+)\.bin", 1)
+        .cast("long").alias("doc_id"),
+        F.col("group_size").cast("long").alias("group_size"),
+        "keep", "parse_ok",
+    )
+
+
 def q_audio_mp3_pcm(spark, sf_dir):
     """REAL MPEG-1 Layer III PCM decode (ops/mp3.py, r5) through the
     production parse_audio dispatch: per doc a deterministic signal
@@ -6652,6 +6717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mp3_pcm": q_audio_mp3_pcm,
         "audio_aac_meta": q_audio_aac_meta,
         "video_keyframes": q_video_keyframes,
+        "video_container_dedup": q_video_container_dedup,
         "parse_archive": q_parse_archive,
         "bloom_seen": q_bloom_seen,
         "crawl_schedule": q_crawl_schedule,
@@ -8632,6 +8698,24 @@ def oracle_sql() -> dict[str, str]:
             "    AS crc_protected, "
             "  CAST(0 AS INTEGER) AS decode_ok "
             "FROM p"
+        ),
+        "video_container_dedup": (
+            "WITH d AS (SELECT doc_id, doc_id % 11 = 0 AS bad, "
+            "  CASE WHEN doc_id % 3 = 2 THEN doc_id - 1 "
+            "    ELSE doc_id END AS base FROM documents), "
+            "g AS (SELECT doc_id, base % 150 AS k, "
+            "  'vc/' || CAST(doc_id AS VARCHAR) || '.bin' AS ref "
+            "  FROM d WHERE NOT bad), "
+            "a AS (SELECT k, COUNT(*) AS gs, MIN(ref) AS canon "
+            "  FROM g GROUP BY k) "
+            "SELECT g.doc_id, CAST(a.gs AS BIGINT) AS group_size, "
+            "  CAST(CASE WHEN g.ref = a.canon THEN 1 ELSE 0 END "
+            "    AS INTEGER) AS keep, "
+            "  CAST(1 AS INTEGER) AS parse_ok "
+            "FROM g JOIN a USING (k) "
+            "UNION ALL "
+            "SELECT doc_id, CAST(1 AS BIGINT), CAST(1 AS INTEGER), "
+            "  CAST(0 AS INTEGER) FROM d WHERE bad"
         ),
         "video_keyframes": (
             "WITH d AS (SELECT doc_id, doc_id % 9 = 0 AS bad, "

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "audio_flac",
     "audio_mp3_pcm",
     "video_keyframes",
+    "video_container_dedup",
     "curate",
     "materialize_packs",
     "group_quota",

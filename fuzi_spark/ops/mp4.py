@@ -221,6 +221,7 @@ def _parse_trak(b: bytes, ts: int, te: int) -> Optional[dict]:
         "container": "mp4", "codec": codec, "width": info["width"],
         "height": info["height"], "timescale": timescale,
         "duration_ms": dur_ms, "n_samples": n_samples or len(sizes),
+        "total_bytes": int(sum(sizes)),
         "keyframes": kf,
     }
 
@@ -371,6 +372,7 @@ def _parse_mkv(b: bytes) -> Optional[dict]:
     duration = None
     frames = []
     n_blocks = 0
+    total_bytes = 0
     for eid, s, e in _ebml_children(b, *segment):
         if eid == _INFO:
             for e2, s2, e2e in _ebml_children(b, s, e):
@@ -413,6 +415,7 @@ def _parse_mkv(b: bytes) -> Optional[dict]:
                     payload = s2 + nt + 3
                     idx = n_blocks
                     n_blocks += 1
+                    total_bytes += e2e - payload
                     if flags & 0x80:
                         frames.append((idx, payload, e2e - payload))
                 elif e2 == 0xA0:  # BlockGroup: keyframe iff no
@@ -432,6 +435,7 @@ def _parse_mkv(b: bytes) -> Optional[dict]:
                     payload = blk[0] + nt + 3
                     idx = n_blocks
                     n_blocks += 1
+                    total_bytes += blk[1] - payload
                     if not has_ref:
                         frames.append(
                             (idx, payload, blk[1] - payload))
@@ -442,7 +446,8 @@ def _parse_mkv(b: bytes) -> Optional[dict]:
     return {
         "container": "mkv", "codec": codec, "width": width,
         "height": height, "timescale": tscale, "duration_ms": dur_ms,
-        "n_samples": n_blocks, "keyframes": frames,
+        "n_samples": n_blocks, "total_bytes": int(total_bytes),
+        "keyframes": frames,
     }
 
 
@@ -526,6 +531,7 @@ VIDEO_KF_SCHEMA = StructType([
     StructField("height", IntegerType()),
     StructField("duration_ms", LongType()),
     StructField("n_samples", IntegerType()),
+    StructField("total_bytes", LongType()),
     StructField("keyframes", ArrayType(StructType([
         StructField("idx", IntegerType()),
         StructField("offset", LongType()),
@@ -565,12 +571,14 @@ def video_keyframes_df(media: DataFrame) -> DataFrame:
                 meta = parse_video_container(pdf["content"].iloc[i])
                 if meta is None:
                     for k in ("container", "codec", "width", "height",
-                              "duration_ms", "n_samples", "keyframes"):
+                              "duration_ms", "n_samples",
+                              "total_bytes", "keyframes"):
                         rows[k].append(None)
                     rows["parse_ok"].append(0)
                 else:
                     for k in ("container", "codec", "width", "height",
-                              "duration_ms", "n_samples"):
+                              "duration_ms", "n_samples",
+                              "total_bytes"):
                         rows[k].append(meta[k])
                     rows["keyframes"].append(
                         [(int(a), int(o), int(s))
@@ -587,3 +595,70 @@ def video_keyframes_df(media: DataFrame) -> DataFrame:
         .select("media_ref", "content")
         .mapInPandas(gen, schema=VIDEO_KF_SCHEMA)
     )
+
+
+# --------------------------------------- container-fingerprint dedup
+
+# canonical codec families across container dialects: the same coded
+# stream remuxed mp4<->mkv must collide
+_CODEC_CANON = {
+    "avc1": "h264", "avc3": "h264", "V_MPEG4/ISO/AVC": "h264",
+    "hev1": "hevc", "hvc1": "hevc", "V_MPEGH/ISO/HEVC": "hevc",
+    "vp09": "vp9", "V_VP9": "vp9",
+    "av01": "av1", "V_AV1": "av1",
+}
+
+
+def video_container_dedup(media: DataFrame) -> DataFrame:
+    """Dedup videos WITHOUT decoding a single coded frame: the
+    container fingerprint is xxhash64 over (canonical codec family,
+    sample count, the exact keyframe-size vector) — a remux of the
+    same coded stream into the other container (mp4 <-> mkv) carries
+    identical sample geometry, so it collides; any re-ENCODE changes
+    every coded size, so it does not. This is the honest dedup
+    operating point available at parse_ok-level (ops/mp4.py module
+    docstring): no pixels, no codec libraries, pure Catalyst after
+    the one container-walk MapInPandas.
+
+    Returns (media_ref, group_size, keep, parse_ok): keep=1 marks
+    the lexicographically-smallest media_ref per fingerprint group;
+    unparsable containers are all kept (a parse failure is never
+    evidence of duplication — same contract as phash_dedup_groups)."""
+    from .cache import scoped_persist
+
+    kf = video_keyframes_df(media)
+    canon = F.coalesce(
+        F.element_at(
+            F.create_map(*[
+                F.lit(x) for kv in _CODEC_CANON.items() for x in kv
+            ]),
+            F.col("codec"),
+        ),
+        F.col("codec"),
+    )
+    sizes = F.transform(F.col("keyframes"), lambda k: k["size"])
+    parsed = kf.filter(F.col("parse_ok") == 1).select(
+        "media_ref",
+        F.xxhash64(canon, F.col("n_samples"),
+                   F.col("total_bytes"), sizes)
+        .alias("fingerprint"),
+    )
+    parsed = scoped_persist(parsed)
+    groups = parsed.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("media_ref").alias("_canon_ref"),
+    )
+    dec = parsed.join(groups, "fingerprint").select(
+        "media_ref",
+        "group_size",
+        F.when(F.col("media_ref") == F.col("_canon_ref"), F.lit(1))
+        .otherwise(F.lit(0)).alias("keep"),
+        F.lit(1).alias("parse_ok"),
+    )
+    und = kf.filter(F.col("parse_ok") == 0).select(
+        "media_ref",
+        F.lit(1).cast("long").alias("group_size"),
+        F.lit(1).alias("keep"),
+        F.lit(0).alias("parse_ok"),
+    )
+    return dec.unionByName(und)

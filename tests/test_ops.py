@@ -12586,6 +12586,49 @@ class TestVideoContainers:
                 mut[i] ^= 1 << rnd.randrange(8)
                 parse_video_container(bytes(mut))  # must not raise
 
+    def test_container_fingerprint_dedup(self, spark):
+        """A remux (same coded stream, other container, dialect codec
+        id) must collide; a 're-encode' (one keyframe size changed)
+        must not; junk is kept. No pixel decode anywhere."""
+        from fuzi_spark.ops.cache import cache_scope
+        from fuzi_spark.ops.mp4 import (
+            build_mkv,
+            build_mp4,
+            video_container_dedup,
+        )
+        from fuzi_spark.ops.multimodal import MEDIA_SCHEMA
+
+        sizes = [70, 55, 90]
+        rows = [
+            ("v/a", "video", bytearray(build_mp4(
+                codec="avc1", sizes=sizes, sync=[0, 2])), None, None,
+             None, None),
+            ("v/b", "video", bytearray(build_mkv(
+                codec="V_MPEG4/ISO/AVC", sizes=sizes, sync=[0, 2],
+                duration_ms=120.0)), None, None, None, None),
+            ("v/c", "video", bytearray(build_mp4(
+                codec="avc1", sizes=[70, 56, 90], sync=[0, 2])),
+             None, None, None, None),
+            ("v/d", "video", bytearray(build_mp4(
+                codec="vp09", sizes=sizes, sync=[0, 2])), None, None,
+             None, None),
+            ("v/e", "video", bytearray(b"junk"), None, None, None,
+             None),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        with cache_scope():
+            got = {r.media_ref: r for r in
+                   video_container_dedup(media).collect()}
+        # a+b: true remux pair (IDR placement is a stream property,
+        # so a remux preserves the keyframe set) — must collide
+        # across the mp4/mkv dialect codec ids
+        assert got["v/a"].group_size == 2
+        assert got["v/b"].group_size == 2
+        assert got["v/a"].keep + got["v/b"].keep == 1
+        assert got["v/c"].group_size == 1       # re-encode: alone
+        assert got["v/d"].group_size == 1       # other codec: alone
+        assert got["v/e"].parse_ok == 0 and got["v/e"].keep == 1
+
     def test_spark_operator(self, spark):
         from fuzi_spark.ops.mp4 import build_mkv, build_mp4, \
             video_keyframes_df
