@@ -843,6 +843,52 @@ def q_audio_aac_meta(spark, sf_dir):
     )
 
 
+def q_audio_m4a_meta(spark, sf_dir):
+    """MP4 AUDIO-track (M4A — the real-world AAC container) header
+    walk (r5): per doc a formula-built audio-only MP4; codec fourcc,
+    channels, 16.16 sample rate, stts sample count, and mdhd-derived
+    duration all SQL-predicted; every 7th doc junk (NULLs).
+    decode_ok pinned 0 — transport metadata only, no AAC/ALAC PCM
+    claim (see parse_m4a / parse_adts)."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from fuzi_spark.ops.mp4 import build_m4a, m4a_meta_df
+
+    rates = [44100, 48000, 32000, 22050]
+
+    @pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 7 == 0:
+                out.append(b"not an mp4")
+                continue
+            out.append(build_m4a(
+                codec="alac" if i % 5 == 1 else "mp4a",
+                sample_rate=rates[i % 4],
+                channels=1 + i % 2,
+                n_samples=50 + i % 60,
+            ))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("m4a/"), F.col("doc_id").cast("string"),
+            F.lit(".m4a")
+        ).alias("media_ref"),
+        F.lit("audio").alias("media_type"),
+        mk(F.col("doc_id")).alias("content"),
+    )
+    return m4a_meta_df(media).select(
+        F.regexp_extract("media_ref", r"m4a/(\d+)\.m4a", 1)
+        .cast("long").alias("doc_id"),
+        "codec", "channels", "sample_rate", "n_samples",
+        "duration_ms", "decode_ok",
+    )
+
+
 def q_video_container_dedup(spark, sf_dir):
     """Dedup-by-container-fingerprint (r5): every doc with id ≡ 2
     (mod 3) is a REMUX of its predecessor — same canonical codec
@@ -6718,6 +6764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_aac_meta": q_audio_aac_meta,
         "video_keyframes": q_video_keyframes,
         "video_container_dedup": q_video_container_dedup,
+        "audio_m4a_meta": q_audio_m4a_meta,
         "parse_archive": q_parse_archive,
         "bloom_seen": q_bloom_seen,
         "crawl_schedule": q_crawl_schedule,
@@ -8696,6 +8743,28 @@ def oracle_sql() -> dict[str, str]:
             "    AS duration_ms, "
             "  CAST(CASE WHEN bad THEN NULL ELSE crc END AS INTEGER) "
             "    AS crc_protected, "
+            "  CAST(0 AS INTEGER) AS decode_ok "
+            "FROM p"
+        ),
+        "audio_m4a_meta": (
+            "WITH p AS (SELECT doc_id, doc_id % 7 = 0 AS bad, "
+            "  CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+            "    WHEN 2 THEN 32000 ELSE 22050 END AS sr, "
+            "  CASE WHEN doc_id % 5 = 1 THEN 'alac' ELSE 'mp4a' END "
+            "    AS cdc, "
+            "  1 + doc_id % 2 AS ch, 50 + doc_id % 60 AS ns "
+            "  FROM documents) "
+            "SELECT doc_id, "
+            "  CASE WHEN bad THEN NULL ELSE cdc END AS codec, "
+            "  CAST(CASE WHEN bad THEN NULL ELSE ch END AS INTEGER) "
+            "    AS channels, "
+            "  CAST(CASE WHEN bad THEN NULL ELSE sr END AS INTEGER) "
+            "    AS sample_rate, "
+            "  CAST(CASE WHEN bad THEN NULL ELSE ns END AS INTEGER) "
+            "    AS n_samples, "
+            "  CAST(CASE WHEN bad THEN NULL "
+            "    ELSE (ns * 1024 * 1000) // sr END AS BIGINT) "
+            "    AS duration_ms, "
             "  CAST(0 AS INTEGER) AS decode_ok "
             "FROM p"
         ),

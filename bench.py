@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "audio_spectrogram",
     "audio_mp3",
     "audio_aac_meta",
+    "audio_m4a_meta",
     "video_frames",
     "subtitles",
     "crawl_frontier",

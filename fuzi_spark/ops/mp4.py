@@ -662,3 +662,181 @@ def video_container_dedup(media: DataFrame) -> DataFrame:
         F.lit(0).alias("parse_ok"),
     )
     return dec.unionByName(und)
+
+
+# ---------------------------------------------- MP4 audio (M4A) track
+
+
+def parse_m4a(content) -> Optional[dict]:
+    """MP4 AUDIO-track metadata (the real-world AAC container): the
+    first `soun`-handler track's sample-entry fourcc (mp4a / alac /
+    ...), channel count and 16.16 sample rate from the audio sample
+    entry, mdhd timing, and the stts sample count — a real ISO
+    14496-12 walk, header-only (AAC PCM decode stays honestly
+    absent; see parse_adts). None when no parsable audio track."""
+    b = bytes(content or b"")
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return None
+    try:
+        return _parse_m4a(b)
+    except Exception:
+        return None
+
+
+def _parse_m4a(b: bytes) -> Optional[dict]:
+    top = {t: (s, e) for t, s, e in _boxes(b, 0, len(b))}
+    if b"moov" not in top:
+        return None
+    for typ, ts, te in _boxes(b, *top[b"moov"]):
+        if typ != b"trak":
+            continue
+        stbl = mdhd = None
+        is_audio = False
+        for t1, s1, e1 in _boxes(b, ts, te):
+            if t1 != b"mdia":
+                continue
+            for t2, s2, e2 in _boxes(b, s1, e1):
+                if t2 == b"mdhd":
+                    mdhd = (s2, e2)
+                elif t2 == b"hdlr":
+                    if b[s2 + 8:s2 + 12] == b"soun":
+                        is_audio = True
+                elif t2 == b"minf":
+                    for t3, s3, e3 in _boxes(b, s2, e2):
+                        if t3 == b"stbl":
+                            stbl = (s3, e3)
+        if not is_audio or stbl is None or mdhd is None:
+            continue
+        s, _e = mdhd
+        ver, _ = _fullbox(b, s)
+        if ver == 1:
+            timescale = int.from_bytes(b[s + 20:s + 24], "big")
+            duration = int.from_bytes(b[s + 24:s + 32], "big")
+        else:
+            timescale = int.from_bytes(b[s + 12:s + 16], "big")
+            duration = int.from_bytes(b[s + 16:s + 20], "big")
+        codec = None
+        channels = rate = None
+        n_samples = 0
+        for typ2, s2, e2 in _boxes(b, *stbl):
+            body = s2 + 4
+            if typ2 == b"stsd":
+                n = int.from_bytes(b[body:body + 4], "big")
+                if n >= 1 and body + 12 <= e2:
+                    codec = b[body + 8:body + 12].decode(
+                        "ascii", "replace")
+                    # audio sample entry: 8-byte box header, 6
+                    # reserved + 2 data_ref, 8 reserved, then
+                    # channelcount(2) samplesize(2) predef(2)
+                    # reserved(2) samplerate(16.16)
+                    ent = body + 4 + 8
+                    if ent + 28 <= e2:
+                        channels = int.from_bytes(
+                            b[ent + 16:ent + 18], "big")
+                        rate = int.from_bytes(
+                            b[ent + 24:ent + 28], "big") >> 16
+            elif typ2 == b"stts":
+                n = min(int.from_bytes(b[body:body + 4], "big"),
+                        max(0, e2 - body - 4) // 8)
+                p = body + 4
+                for _ in range(n):
+                    n_samples += int.from_bytes(b[p:p + 4], "big")
+                    p += 8
+        if codec is None:
+            continue
+        dur_ms = (duration * 1000) // timescale if timescale else None
+        return {
+            "codec": codec,
+            "channels": channels,
+            "sample_rate": rate,
+            "n_samples": n_samples,
+            "duration_ms": dur_ms,
+        }
+    return None
+
+
+def build_m4a(codec: str = "mp4a", sample_rate: int = 44100,
+              channels: int = 2, n_samples: int = 100,
+              sample_delta: int = 1024) -> bytes:
+    """Deterministic audio-only MP4 (no media payload needed for the
+    header walk: stsz/stco describe an empty mdat legally)."""
+    duration = n_samples * sample_delta
+
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, sample_rate, duration)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10 + _UNITY_MATRIX + b"\x00" * 24
+        + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(">IIIII", 0, 0, 1, 0,
+                                            duration)
+                 + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0x0100, 0)
+                 + _UNITY_MATRIX + struct.pack(">II", 0, 0))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, sample_rate, duration, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"soun"
+                 + b"\x00" * 12 + b"fz\x00")
+    entry = _box(codec.encode("ascii"),
+                 b"\x00" * 6 + struct.pack(">H", 1)
+                 + b"\x00" * 8
+                 + struct.pack(">HHHH", channels, 16, 0, 0)
+                 + struct.pack(">I", sample_rate << 16))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full(b"stts", 0, 0,
+                 struct.pack(">III", 1, n_samples, sample_delta))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1,
+                                            max(1, n_samples), 1))
+    stsz = _full(b"stsz", 0, 0,
+                 struct.pack(">II", 0, 0))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", 0))
+    smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                 + _full(b"url ", 0, 1, b""))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", smhd + _box(b"dinf", dref) + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"M4A " + struct.pack(">I", 0) + b"isomM4A ")
+    return ftyp + moov + _box(b"mdat", b"")
+
+
+M4A_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("codec", StringType()),
+    StructField("channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("duration_ms", LongType()),
+    StructField("decode_ok", IntegerType()),
+])
+
+
+def m4a_meta_df(media: DataFrame) -> DataFrame:
+    """media(MEDIA_SCHEMA audio rows) -> M4A_SCHEMA; one narrow
+    mapInPandas header walk, decode_ok pinned 0 (AAC/ALAC PCM decode
+    honestly absent)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in M4A_SCHEMA.fields}
+            for i in range(len(pdf)):
+                rows["media_ref"].append(pdf["media_ref"].iloc[i])
+                meta = parse_m4a(pdf["content"].iloc[i])
+                if meta is None:
+                    for k in M4A_SCHEMA.fieldNames()[1:-1]:
+                        rows[k].append(None)
+                else:
+                    for k, v in meta.items():
+                        rows[k].append(v)
+                rows["decode_ok"].append(0)
+            yield pd.DataFrame(rows)
+
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .repartition(
+            media.sparkSession.sparkContext.defaultParallelism,
+            "media_ref",
+        )
+        .select("media_ref", "content")
+        .mapInPandas(gen, schema=M4A_SCHEMA)
+    )

@@ -819,15 +819,24 @@ def parse_mp3(content) -> Optional[dict]:
         ver = b[3]
         tag_size = _syncsafe(b[6:10])
         tpos, tend = 10, min(10 + tag_size, len(b))
-        while tpos + 10 <= tend:
-            fid = b[tpos:tpos + 4]
-            if not fid.strip(b"\x00"):
-                break
-            raw_sz = b[tpos + 4:tpos + 8]
-            fsz = _syncsafe(raw_sz) if ver >= 4 else int.from_bytes(
-                raw_sz, "big"
-            )
-            payload = b[tpos + 10:tpos + 10 + fsz]
+        # v2.2 frames: 3-byte ids + 3-byte sizes (TT2/TP1); v2.3/2.4
+        # use 4+4 (TIT2/TPE1, syncsafe sizes in v2.4)
+        hdr_len = 6 if ver == 2 else 10
+        while tpos + hdr_len <= tend:
+            if ver == 2:
+                fid = b[tpos:tpos + 3]
+                if not fid.strip(b"\x00"):
+                    break
+                fsz = int.from_bytes(b[tpos + 3:tpos + 6], "big")
+                fid = {b"TT2": b"TIT2", b"TP1": b"TPE1"}.get(fid, fid)
+            else:
+                fid = b[tpos:tpos + 4]
+                if not fid.strip(b"\x00"):
+                    break
+                raw_sz = b[tpos + 4:tpos + 8]
+                fsz = _syncsafe(raw_sz) if ver >= 4 \
+                    else int.from_bytes(raw_sz, "big")
+            payload = b[tpos + hdr_len:tpos + hdr_len + fsz]
             if fid in (b"TIT2", b"TPE1") and payload:
                 enc, txt = payload[0], payload[1:]
                 try:
@@ -847,7 +856,7 @@ def parse_mp3(content) -> Optional[dict]:
                         title = val
                     else:
                         artist = val
-            tpos += 10 + fsz
+            tpos += hdr_len + fsz
         pos = 10 + tag_size
     n_frames = 0
     first = None

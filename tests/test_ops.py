@@ -5187,8 +5187,28 @@ class TestWavSpectrogram:
 
 
 class TestMp3:
-    """parse_mp3 / build_mp3 / mp3_meta_df: ID3v2.3/2.4 text frames
-    (latin-1 and UTF-16), real MPEG1-Layer-III frame walk, recovery."""
+    """parse_mp3 / build_mp3 / mp3_meta_df: ID3v2.2/2.3/2.4 text
+    frames (latin-1 and UTF-16), real MPEG1-Layer-III frame walk,
+    recovery."""
+
+    def test_id3v22_three_char_frames(self):
+        """ID3v2.2 (the oldest tags still common in the wild): 3-byte
+        frame ids + 3-byte sizes, TT2/TP1 mapping onto title/artist."""
+        from fuzi_spark.ops.multimodal import build_mp3, parse_mp3
+
+        frames = b""
+        for fid, s in ((b"TT2", "Old Title"), (b"TP1", "Old Artist")):
+            payload = b"\x00" + s.encode("latin-1")
+            frames += fid + len(payload).to_bytes(3, "big") + payload
+        sz = len(frames)
+        tag = (b"ID3" + bytes([2, 0, 0])
+               + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                        (sz >> 7) & 0x7F, sz & 0x7F]) + frames)
+        body = build_mp3(bitrate_kbps=128, n_frames=3)
+        m = parse_mp3(tag + body)
+        assert m["title"] == "Old Title"
+        assert m["artist"] == "Old Artist"
+        assert m["n_frames"] == 3
 
     def test_round_trip_all_variants(self):
         from fuzi_spark.ops.multimodal import build_mp3, parse_mp3
@@ -11826,6 +11846,38 @@ class TestAdts:
             parse_adts(bytes(mut))  # must not raise
         for cut in range(0, len(b), 11):
             parse_adts(b[:cut])
+
+    def test_m4a_audio_track_walk(self, spark):
+        """MP4 audio-track metadata (the real-world AAC container):
+        codec fourcc, channels, 16.16 rate, stts count, duration —
+        header-only, decode_ok pinned 0; video MP4s and junk refuse."""
+        from fuzi_spark.ops.mp4 import (
+            build_m4a,
+            build_mp4,
+            m4a_meta_df,
+            parse_m4a,
+            parse_mp4,
+        )
+        from fuzi_spark.ops.multimodal import MEDIA_SCHEMA
+
+        m = parse_m4a(build_m4a(codec="mp4a", sample_rate=48000,
+                                channels=2, n_samples=200))
+        assert m == {"codec": "mp4a", "channels": 2,
+                     "sample_rate": 48000, "n_samples": 200,
+                     "duration_ms": 200 * 1024 * 1000 // 48000}
+        assert parse_m4a(build_mp4()) is None     # video track only
+        assert parse_mp4(build_m4a()) is None     # audio track only
+        rows = [
+            ("m/0", "audio", bytearray(build_m4a(n_samples=64)),
+             None, None, None, None),
+            ("m/1", "audio", bytearray(b"junk"), None, None, None,
+             None),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r.media_ref: r for r in m4a_meta_df(media).collect()}
+        assert got["m/0"].n_samples == 64 and \
+            got["m/0"].decode_ok == 0
+        assert got["m/1"].codec is None and got["m/1"].decode_ok == 0
 
     def test_spark_surface_decode_ok_always_zero(self, spark):
         from fuzi_spark.ops.multimodal import (
