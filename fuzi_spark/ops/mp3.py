@@ -15,7 +15,14 @@ reduction (the 8 spec butterfly coefficients), IMDCT with all four
 block types (36-point long/start/stop windows, 12-point short with
 6-sample overlap placement, mixed blocks), the short-block reorder,
 frequency inversion, overlap-add, and a 32-band polyphase synthesis
-filterbank.
+filterbank. Both MPEG-1 (32/44.1/48 kHz, two granules/frame) and
+MPEG-2 LSF (16/22.05/24 kHz, one 576-sample granule, 8-bit reservoir
+pointer, 9-bit scalefac_compress with the 4-slen partition scheme —
+each partition row covers exactly the 21 long sfbs, a structural
+self-check the tests pin). The LSF ENCODER scope is long blocks +
+zero scalefactors + LR/MS stereo (guarded with ValueError); the
+decoder additionally reads the full LSF scalefactor scheme and skips
+LSF short-block frames honestly.
 
 What is NOT claimable as spec-exact in this sandbox, and is therefore
 shipped as an explicit pluggable PROFILE, not passed off as ISO data:
@@ -77,6 +84,11 @@ _PRIV_OWNER = b"fuzi-spark/mp3-profile"
 BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
             160, 192, 224, 256, 320]  # kbps, MPEG-1 Layer III
 RATES = [44100, 48000, 32000]
+# MPEG-2 LSF (version bits 10): half rates, one 576-sample granule
+# per frame, its own bitrate table
+BITRATES_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+               96, 112, 128, 144, 160]
+RATES_V2 = [22050, 24000, 16000]
 
 # scalefac_compress -> (slen1, slen2)
 SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
@@ -103,6 +115,37 @@ SFB_SHORT = {
     48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
     32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
 }
+# MPEG-2 LSF long-block boundaries (transcribed; same caveat as the
+# MPEG-1 tables above; 16 kHz shares the 22.05 kHz table per spec).
+# With the LSF encoder's zero-scalefactor scope these only govern
+# region boundaries, not gains — validity pinned by shape tests.
+SFB_LONG.update({
+    22050: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+    24000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136,
+            162, 194, 232, 278, 332, 394, 464, 540, 576],
+    16000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+})
+
+# LSF scalefactor partitioning (long blocks, non-intensity): the
+# 9-bit scalefac_compress selects four slen values and a band
+# partition; each partition row sums to 21 (the long-sfb count) —
+# a structural self-check the tests pin.
+_LSF_NSFB_LONG = [(6, 5, 5, 5), (6, 5, 7, 3), (11, 10, 0, 0)]
+
+
+def _lsf_slens(sc: int) -> tuple:
+    """scalefac_compress -> ((slen1..slen4), partition_class,
+    implied_preflag) per the MPEG-2 LSF scheme."""
+    if sc < 400:
+        return ((sc >> 4) // 5, (sc >> 4) % 5, (sc % 16) >> 2,
+                sc % 4), 0, 0
+    if sc < 500:
+        s = sc - 400
+        return ((s >> 2) // 5, (s >> 2) % 5, s % 4, 0), 1, 0
+    s = sc - 500
+    return (s // 3, s % 3, 0, 0), 2, 1
 
 # alias-reduction butterfly coefficients (spec values)
 _ALIAS_C = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041,
@@ -965,6 +1008,64 @@ def _parse_side_info(bits: _Bits, nch: int) -> dict:
     return si
 
 
+def _parse_side_info_lsf(bits: _Bits, nch: int) -> dict:
+    """MPEG-2 LSF side info: 8-bit main_data_begin, 1/2 private
+    bits, NO scfsi, ONE granule, 9-bit scalefac_compress, no
+    explicit preflag bit (implied by the sc >= 500 class)."""
+    si = {"main_data_begin": bits.read(8)}
+    bits.read(1 if nch == 1 else 2)
+    si["scfsi"] = [[0] * 4 for _ in range(nch)]
+    chs = []
+    for _ch in range(nch):
+        g = {
+            "part2_3_length": bits.read(12),
+            "big_values": bits.read(9),
+            "global_gain": bits.read(8),
+            "scalefac_compress": bits.read(9),
+            "window_switching": bits.read(1),
+        }
+        if g["window_switching"]:
+            g["block_type"] = bits.read(2)
+            g["mixed"] = bool(bits.read(1))
+            g["table_select"] = [bits.read(5), bits.read(5), 0]
+            g["subblock_gain"] = [bits.read(3) for _ in range(3)]
+            if g["block_type"] == 0:
+                raise ValueError("window switching with type 0")
+            g["region0_count"] = 8 if (
+                g["block_type"] == 2 and not g["mixed"]) else 7
+            g["region1_count"] = 20 - g["region0_count"]
+        else:
+            g["block_type"] = 0
+            g["mixed"] = False
+            g["table_select"] = [bits.read(5) for _ in range(3)]
+            g["region0_count"] = bits.read(4)
+            g["region1_count"] = bits.read(3)
+            g["subblock_gain"] = [0, 0, 0]
+        g["preflag"] = _lsf_slens(g["scalefac_compress"])[2]
+        g["scalefac_scale"] = bits.read(1)
+        g["count1table_select"] = bits.read(1)
+        chs.append(g)
+    si["granules"] = [chs]
+    return si
+
+
+def _read_scalefactors_lsf(bits: _Bits, g: dict) -> tuple:
+    """LSF long-block scalefactors: four slen values over the
+    partition classes' band groups. Short/mixed LSF blocks are out
+    of this engine's envelope (the encoder never emits them; the
+    decoder skips such frames honestly)."""
+    if g["block_type"] == 2:
+        raise ValueError("LSF short blocks out of envelope")
+    slens, cls, _pre = _lsf_slens(g["scalefac_compress"])
+    sf_l = [0] * 22
+    band = 0
+    for part, n in enumerate(_LSF_NSFB_LONG[cls]):
+        for _ in range(n):
+            sf_l[band] = bits.read(slens[part]) if slens[part] else 0
+            band += 1
+    return sf_l, [[0] * 3 for _ in range(13)]
+
+
 def decode_mp3(content, require_marker: bool = True,
                profile: Optional[HuffmanProfile] = None
                ) -> Optional[tuple]:
@@ -992,7 +1093,7 @@ def decode_mp3(content, require_marker: bool = True,
 
 def _decode_frames(b: bytes, pos: int,
                    prof: HuffmanProfile) -> Optional[tuple]:
-    rate = nch = None
+    rate = nch = lsf = None
     reservoir = b""
     # per-channel IMDCT overlap and collected subband slots
     overlap = None
@@ -1010,29 +1111,37 @@ def _decode_frames(b: bytes, pos: int,
         pad = (h[2] >> 1) & 1
         mode = (h[3] >> 6) & 3
         mode_ext = (h[3] >> 4) & 3
-        if not (ver == 3 and layer == 1 and 0 < br_idx < 15
+        if not (ver in (3, 2) and layer == 1 and 0 < br_idx < 15
                 and sr_idx < 3):
             pos += 1
             continue
-        frate = RATES[sr_idx]
+        flsf = ver == 2  # MPEG-2 LSF: half rates, one granule/frame
+        frate = (RATES_V2 if flsf else RATES)[sr_idx]
         fch = 1 if mode == 3 else 2
-        flen = (144 * BITRATES[br_idx] * 1000) // frate + pad
+        br = (BITRATES_V2 if flsf else BITRATES)[br_idx]
+        flen = ((72 if flsf else 144) * br * 1000) // frate + pad
         if pos + flen > len(b):
             break
         if rate is None:
-            rate, nch = frate, fch
+            rate, nch, lsf = frate, fch, flsf
             overlap = [np.zeros((32, 18)) for _ in range(nch)]
             slots = [[] for _ in range(nch)]
-        elif frate != rate or fch != nch:
+        elif frate != rate or fch != nch or flsf != lsf:
             break  # parameter change mid-stream: stop, keep audio
         frame = b[pos:pos + flen]
         pos += flen
         off = 4 + (0 if crc_absent else 2)
-        si_len = 17 if nch == 1 else 32
+        if lsf:
+            si_len = 9 if nch == 1 else 17
+        else:
+            si_len = 17 if nch == 1 else 32
         if off + si_len > len(frame):
             break
         try:
-            si = _parse_side_info(_Bits(frame, off * 8), nch)
+            if lsf:
+                si = _parse_side_info_lsf(_Bits(frame, off * 8), nch)
+            else:
+                si = _parse_side_info(_Bits(frame, off * 8), nch)
         except (IndexError, ValueError):
             continue
         slot = frame[off + si_len:]
@@ -1045,7 +1154,7 @@ def _decode_frames(b: bytes, pos: int,
         reservoir = (reservoir + slot)[-511:]
         try:
             grs = _decode_frame_granules(
-                data, si, nch, rate, mode, mode_ext, prof)
+                data, si, nch, rate, mode, mode_ext, prof, lsf)
         except (IndexError, ValueError):
             continue
         for c in range(nch):
@@ -1069,20 +1178,24 @@ def _decode_frames(b: bytes, pos: int,
 
 def _decode_frame_granules(data: bytes, si: dict, nch: int, rate: int,
                            mode: int, mode_ext: int,
-                           prof: HuffmanProfile) -> list:
-    """-> per-channel list of (18, 32) slot arrays (2 granules
-    concatenated in time). Raises on malformed granule data."""
+                           prof: HuffmanProfile,
+                           lsf: bool = False) -> list:
+    """-> per-channel list of (xr, granule-params) tuples (2
+    granules for MPEG-1, 1 for LSF). Raises on malformed data."""
     bits = _Bits(data)
     out = [[] for _ in range(nch)]
     prev_long = [[0] * 22 for _ in range(nch)]
-    for gr in range(2):
+    for gr in range(1 if lsf else 2):
         xrs, gparams, zero_start = [], [], []
         sf_right = None
         for ch in range(nch):
             g = si["granules"][gr][ch]
             start = bits.pos
-            sf_l, sf_s, _p2 = _read_scalefactors(
-                bits, g, ch, gr, si["scfsi"], prev_long)
+            if lsf:
+                sf_l, sf_s = _read_scalefactors_lsf(bits, g)
+            else:
+                sf_l, sf_s, _p2 = _read_scalefactors(
+                    bits, g, ch, gr, si["scfsi"], prev_long)
             if g["block_type"] != 2:
                 prev_long[ch] = list(sf_l)
             limit = start + g["part2_3_length"]
@@ -1265,18 +1378,28 @@ def encode_mp3(pcm, rate: int = 44100, bitrate: int = 192,
     nch = x.shape[1]
     if nch not in (1, 2):
         raise ValueError("mono or stereo only")
-    if rate not in RATES:
-        raise ValueError(f"rate must be one of {RATES}")
-    if bitrate not in BITRATES[1:]:
-        raise ValueError(f"bitrate must be one of {BITRATES[1:]}")
+    lsf = rate in RATES_V2
+    if not lsf and rate not in RATES:
+        raise ValueError(f"rate must be one of {RATES + RATES_V2}")
+    brs = BITRATES_V2 if lsf else BITRATES
+    if bitrate not in brs[1:]:
+        raise ValueError(f"bitrate must be one of {brs[1:]}")
+    if lsf and (short_granules or mixed or sf_pattern is not None
+                or preflag or use_scfsi
+                or stereo_mode == "intensity"):
+        raise ValueError(
+            "MPEG-2 LSF encoder scope: long blocks, zero "
+            "scalefactors, LR/MS stereo only (module docstring)")
     if stereo_mode == "auto":
         stereo_mode = "stereo" if nch == 2 else "mono"
     prof = profile or get_profile()
 
     n = x.shape[0]
-    n_frames = max(1, -(-n // 1152))
-    x = np.vstack([x, np.zeros((n_frames * 1152 - n, nch))])
-    n_gr = n_frames * 2
+    spf = 576 if lsf else 1152        # samples per frame
+    gpf = 1 if lsf else 2             # granules per frame
+    n_frames = max(1, -(-n // spf))
+    x = np.vstack([x, np.zeros((n_frames * spf - n, nch))])
+    n_gr = n_frames * gpf
 
     # block-type schedule
     bt = [0] * n_gr
@@ -1331,8 +1454,8 @@ def encode_mp3(pcm, rate: int = 44100, bitrate: int = 192,
     frames = []
     for f in range(n_frames):
         grs = []
-        for gri in range(2):
-            gabs = f * 2 + gri
+        for gri in range(gpf):
+            gabs = f * gpf + gri
             xs = [spectra[gabs][c].copy() for c in range(nch)]
             if nch == 2 and stereo_mode == "ms":
                 s2 = math.sqrt(2.0)
@@ -1388,7 +1511,7 @@ def encode_mp3(pcm, rate: int = 44100, bitrate: int = 192,
 
     return _assemble_frames(frames, n_frames, nch, rate, bitrate,
                             mode, mode_ext, use_scfsi, reservoir,
-                            prof)
+                            prof, lsf)
 
 
 def _fit_granule(xr_enc: np.ndarray, g: dict, sf_l: list, sf_s: list,
@@ -1440,19 +1563,23 @@ def _write_granule_into(fw: _BitW, g: dict, rate: int,
 
 
 def _write_side_info(w: _BitW, nch: int, mdb: int, scfsi: list,
-                     grs: list, p23: list) -> None:
-    w.write(mdb, 9)
-    w.write(0, 5 if nch == 1 else 3)
-    for c in range(nch):
-        for b in range(4):
-            w.write(scfsi[c][b], 1)
-    for gri in range(2):
+                     grs: list, p23: list, lsf: bool = False) -> None:
+    if lsf:
+        w.write(mdb, 8)
+        w.write(0, 1 if nch == 1 else 2)
+    else:
+        w.write(mdb, 9)
+        w.write(0, 5 if nch == 1 else 3)
+        for c in range(nch):
+            for b in range(4):
+                w.write(scfsi[c][b], 1)
+    for gri in range(1 if lsf else 2):
         for c in range(nch):
             g = grs[gri][c]
             w.write(p23[gri][c], 12)
             w.write(g["big_values"], 9)
             w.write(g["global_gain"], 8)
-            w.write(g["scalefac_compress"], 4)
+            w.write(g["scalefac_compress"], 9 if lsf else 4)
             w.write(g["window_switching"], 1)
             if g["window_switching"]:
                 w.write(g["block_type"], 2)
@@ -1466,7 +1593,8 @@ def _write_side_info(w: _BitW, nch: int, mdb: int, scfsi: list,
                     w.write(g["table_select"][r], 5)
                 w.write(g["region0_count"], 4)
                 w.write(g["region1_count"], 3)
-            w.write(g["preflag"], 1)
+            if not lsf:
+                w.write(g["preflag"], 1)
             w.write(g["scalefac_scale"], 1)
             w.write(g["count1table_select"], 1)
 
@@ -1474,16 +1602,25 @@ def _write_side_info(w: _BitW, nch: int, mdb: int, scfsi: list,
 def _assemble_frames(frames: list, n_frames: int, nch: int, rate: int,
                      bitrate: int, mode: int, mode_ext: int,
                      use_scfsi: bool, reservoir: bool,
-                     prof: HuffmanProfile) -> bytes:
-    br_idx = BITRATES.index(bitrate)
-    sr_idx = RATES.index(rate)
-    si_len = 17 if nch == 1 else 32
-    flen = (144 * bitrate * 1000) // rate  # padding bit unused
+                     prof: HuffmanProfile, lsf: bool = False) -> bytes:
+    if lsf:
+        br_idx = BITRATES_V2.index(bitrate)
+        sr_idx = RATES_V2.index(rate)
+        si_len = 9 if nch == 1 else 17
+        flen = (72 * bitrate * 1000) // rate
+        res_cap = 255
+    else:
+        br_idx = BITRATES.index(bitrate)
+        sr_idx = RATES.index(rate)
+        si_len = 17 if nch == 1 else 32
+        flen = (144 * bitrate * 1000) // rate  # padding bit unused
+        res_cap = 511
     slot_len = flen - 4 - si_len
     if slot_len <= 0:
         raise ValueError("bitrate too low for side info")
     hdr = bytes([
-        0xFF, 0xFB,  # MPEG-1 Layer III, no CRC
+        0xFF,
+        0xF3 if lsf else 0xFB,  # version bits 10 (LSF) / 11, no CRC
         (br_idx << 4) | (sr_idx << 2),
         (mode << 6) | (mode_ext << 4),
     ])
@@ -1491,9 +1628,10 @@ def _assemble_frames(frames: list, n_frames: int, nch: int, rate: int,
     stream = bytearray()   # continuous main-data stream
     metas = []             # (scfsi, grs, p23, mdb)
     S = 0                  # cumulative slot bytes through frame f
+    n_gr_f = 1 if lsf else 2
     for grs in frames:
         scfsi = [[0] * 4 for _ in range(nch)]
-        if use_scfsi:
+        if use_scfsi and not lsf:
             for c in range(nch):
                 g0, g1 = grs[0][c], grs[1][c]
                 if g0["block_type"] != 2 and g1["block_type"] != 2:
@@ -1502,17 +1640,18 @@ def _assemble_frames(frames: list, n_frames: int, nch: int, rate: int,
                             scfsi[c][bi] = 1
         S_prev = S
         S += slot_len
-        # reservoir cap: granule data must start <= 511 bytes back
-        if len(stream) < S_prev - 511:
-            stream.extend(b"\x00" * (S_prev - 511 - len(stream)))
+        # reservoir cap: granule data must start <= res_cap back
+        # (9-bit pointer MPEG-1, 8-bit LSF)
+        if len(stream) < S_prev - res_cap:
+            stream.extend(b"\x00" * (S_prev - res_cap - len(stream)))
         budget = S - len(stream) if reservoir \
             else slot_len
         if not reservoir and len(stream) < S_prev:
             stream.extend(b"\x00" * (S_prev - len(stream)))
         while True:
             fw = _BitW()
-            p23 = [[0] * nch for _ in range(2)]
-            for gri in range(2):
+            p23 = [[0] * nch for _ in range(n_gr_f)]
+            for gri in range(n_gr_f):
                 for c in range(nch):
                     g = grs[gri][c]
                     mask = None
@@ -1528,17 +1667,17 @@ def _assemble_frames(frames: list, n_frames: int, nch: int, rate: int,
             fw.pad_to_byte()
             data = bytes(fw.out)
             if len(data) <= budget and max(
-                    p23[i][c] for i in range(2)
+                    p23[i][c] for i in range(n_gr_f)
                     for c in range(nch)) <= 4095:
                 break
-            worst = max((grs[i][c] for i in range(2)
+            worst = max((grs[i][c] for i in range(n_gr_f)
                          for c in range(nch)),
                         key=lambda g: len(g["vals"].nonzero()[0]))
             if worst["global_gain"] >= 255:
                 raise ValueError("mp3 bitrate too low for content")
             _coarsen(worst, rate, prof)
         mdb = S_prev - len(stream)
-        assert 0 <= mdb <= 511, mdb
+        assert 0 <= mdb <= res_cap, mdb
         stream.extend(data)
         metas.append((scfsi, grs, p23, mdb))
     if len(stream) < S:
@@ -1547,7 +1686,7 @@ def _assemble_frames(frames: list, n_frames: int, nch: int, rate: int,
     out = bytearray(_id3_marker_tag(prof.name))
     for f, (scfsi, grs, p23, mdb) in enumerate(metas):
         sw = _BitW()
-        _write_side_info(sw, nch, mdb, scfsi, grs, p23)
+        _write_side_info(sw, nch, mdb, scfsi, grs, p23, lsf)
         sw.pad_to_byte()
         assert len(sw.out) == si_len, (len(sw.out), si_len)
         out += hdr

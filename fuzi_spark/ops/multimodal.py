@@ -796,6 +796,11 @@ MP3_SCHEMA = StructType(
 _MP3_BITRATE = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
                 160, 192, 224, 256, 320]
 _MP3_RATE = [44100, 48000, 32000]
+# MPEG-2 LSF (version bits 10): half rates, own bitrate table, one
+# 576-sample granule per frame
+_MP3_BITRATE_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                   96, 112, 128, 144, 160]
+_MP3_RATE_V2 = [22050, 24000, 16000]
 
 
 def _syncsafe(b: bytes) -> int:
@@ -870,18 +875,21 @@ def parse_mp3(content) -> Optional[dict]:
             pad = (h[2] >> 1) & 1
             mode = (h[3] >> 6) & 3
             if (
-                ver_bits == 3 and layer == 1  # MPEG1 Layer III
+                ver_bits in (3, 2) and layer == 1  # MPEG1/2 L3
                 and 0 < br_idx < 15 and sr_idx < 3
             ):
-                br = _MP3_BITRATE[br_idx]
-                sr = _MP3_RATE[sr_idx]
-                flen = (144 * br * 1000) // sr + pad
+                v2 = ver_bits == 2
+                br = (_MP3_BITRATE_V2 if v2 else _MP3_BITRATE)[br_idx]
+                sr = (_MP3_RATE_V2 if v2 else _MP3_RATE)[sr_idx]
+                flen = ((72 if v2 else 144) * br * 1000) // sr + pad
                 if pos + flen <= len(b):
                     if first is None:
-                        first = (br, sr, 1 if mode == 3 else 2)
-                    n_frames += 1
-                    pos += flen
-                    continue
+                        first = (br, sr, 1 if mode == 3 else 2,
+                                 576 if v2 else 1152)
+                    if first[1] == sr:
+                        n_frames += 1
+                        pos += flen
+                        continue
         pos += 1
     if first is None:
         if title is None and artist is None:
@@ -891,7 +899,7 @@ def parse_mp3(content) -> Optional[dict]:
             "sample_rate": None, "channels": None, "n_frames": 0,
             "duration_ms": None,
         }
-    br, sr, ch = first
+    br, sr, ch, spf = first
     return {
         "title": title,
         "artist": artist,
@@ -899,7 +907,7 @@ def parse_mp3(content) -> Optional[dict]:
         "sample_rate": sr,
         "channels": ch,
         "n_frames": n_frames,
-        "duration_ms": int(n_frames * 1152 * 1000 // sr),
+        "duration_ms": int(n_frames * spf * 1000 // sr),
     }
 
 

@@ -12412,6 +12412,88 @@ class TestMp3Codec:
         # and the two re-encodes share the full original core
         assert ref <= (got_sets[0] & got_sets[1])
 
+    def test_mpeg2_lsf_roundtrip_all_rates(self):
+        """MPEG-2 LSF (22.05/24/16 kHz): half rates, ONE 576-sample
+        granule per frame, 8-bit reservoir pointer, 9-bit
+        scalefac_compress with the 4-slen partition scheme, no
+        scfsi/preflag bits. Encoder scope: long blocks, zero
+        scalefactors, LR/MS stereo (guard pinned)."""
+        import numpy as np
+
+        from fuzi_spark.ops.mp3 import _scan_id3, decode_mp3, \
+            encode_mp3
+
+        for rate in (22050, 24000, 16000):
+            sig = self._tone(rate, secs=0.35, f1=330, f2=1500)
+            enc, out = self._rt(sig, rate=rate, bitrate=96)
+            assert self._snr(sig, out) > 55.0, rate
+        # version bits 10 in the frame header
+        s, _ = _scan_id3(enc)
+        assert enc[s + 1] == 0xF3
+        # one granule per frame: n_samples = frames * 576
+        sig = np.zeros(576 * 8)
+        _e, out = self._rt(sig, rate=24000, bitrate=64)
+        assert len(out) == 576 * 8 and np.abs(out).max() == 0.0
+
+    def test_mpeg2_lsf_ms_stereo_and_reservoir(self):
+        import numpy as np
+
+        from fuzi_spark.ops.mp3 import decode_mp3, encode_mp3
+
+        rate = 22050
+        sig = self._tone(rate, secs=0.3, f1=440, f2=2000)
+        st = np.stack([sig, 0.8 * np.roll(sig, 5)], axis=1)
+        _e, out = self._rt(st, rate=rate, bitrate=144,
+                           stereo_mode="ms")
+        assert self._snr(st, out) > 50.0
+        # reservoir packaging must stay PCM-identical (8-bit cap).
+        # 160 kbps leaves headroom so neither run budget-coarsens —
+        # at tighter rates the non-reservoir run legitimately
+        # quantizes coarser (checked while building: gg 144 vs 140
+        # on the last frame at 144 kbps)
+        pcm = (sig * 32767).astype(np.int16)
+        e0 = encode_mp3(pcm, rate=rate, bitrate=160, reservoir=False)
+        e1 = encode_mp3(pcm, rate=rate, bitrate=160, reservoir=True)
+        assert decode_mp3(e0)[4] == decode_mp3(e1)[4]
+
+    def test_mpeg2_lsf_encoder_scope_guard(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from fuzi_spark.ops.mp3 import encode_mp3
+
+        z = np.zeros(1000)
+        for kw in (dict(short_granules=(1,)), dict(mixed=True),
+                   dict(sf_pattern=[1] * 21), dict(preflag=1),
+                   dict(use_scfsi=True)):
+            with _pytest.raises(ValueError, match="LSF encoder scope"):
+                encode_mp3(z, rate=22050, bitrate=96, **kw)
+
+    def test_mpeg2_lsf_slen_partitions_sum_to_21(self):
+        """Structural self-check of the LSF scalefactor scheme: every
+        partition row covers exactly the 21 long sfbs, and the slen
+        decode round-trips the scalefac_compress space."""
+        from fuzi_spark.ops.mp3 import _LSF_NSFB_LONG, _lsf_slens
+
+        assert all(sum(row) == 21 for row in _LSF_NSFB_LONG)
+        for sc in range(512):
+            slens, cls, pre = _lsf_slens(sc)
+            assert 0 <= cls <= 2 and pre in (0, 1)
+            assert all(0 <= s <= 7 for s in slens), (sc, slens)
+
+    def test_parse_mp3_walks_mpeg2_frames(self):
+        import numpy as np
+
+        from fuzi_spark.ops.mp3 import encode_mp3
+        from fuzi_spark.ops.multimodal import parse_mp3
+
+        sig = (0.4 * np.sin(
+            2 * np.pi * 440 * np.arange(5760) / 22050)
+            * 32767).astype(np.int16)
+        m = parse_mp3(encode_mp3(sig, rate=22050, bitrate=96))
+        assert m["sample_rate"] == 22050 and m["n_frames"] == 10
+        assert m["duration_ms"] == 10 * 576 * 1000 // 22050
+
     def test_mp3_recall_floor(self):
         """RECALL_mp3_r5.json floor, pinned on a subset of the same
         structured corpus: WAV-original landmark sets fully contained
